@@ -1,0 +1,103 @@
+"""Index specifications and the selectivity estimate.
+
+The reference keeps two in-memory index structures behind traits
+(``EqualityIndex`` ``src/idx.rs:8-21``, ``RangeIndex`` ``src/idx.rs:83-87``):
+
+- ``HashIndex``  — ``HashMap<K, Vec<rowid>>`` posting lists (``src/idx.rs:25-79``)
+- ``BTreeIndex`` — ``BTreeMap<K, Vec<rowid>>`` + ``between`` (``src/idx.rs:91-135``)
+
+Our distributed analogue keeps *file-granular* posting lists on disk: an
+index over column ``c`` is an append-only set of parquet parts with rows
+``(key, file_id)`` — "which data files may contain key k". An index lookup
+prunes the file set; correctness still comes from the residual predicate
+re-check, exactly the superset-then-filter contract of the reference
+(``src/lib.rs:89-91,133``). A hash index additionally relies on parquet
+min/max + dictionary pushdown inside the surviving files; a btree (range)
+index keeps data files sorted by the key so parquet row-group pruning works
+for range predicates, and its posting part supports key-range pruning.
+
+``estimate`` reproduces the reference cost model: expected rows per key =
+total rows / distinct keys (``src/idx.rs:71-78`` hash, ``src/idx.rs:127-129``
+btree). Deliberate divergence: the reference's ``BTreeIndex::estimate``
+divides by zero on an empty index (``src/idx.rs:127-129``); we guard both
+kinds like ``HashIndex`` does (``src/idx.rs:71-78``) — documented in
+SURVEY §4.3.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .cmp import Comparison
+
+HASH = "hash"
+BTREE = "btree"
+
+__all__ = ["HASH", "BTREE", "IndexSpec", "HashIndex", "BTreeIndex", "as_index_kind"]
+
+
+@dataclass
+class IndexSpec:
+    """Manifest-resident description of one secondary index."""
+
+    column: str
+    kind: str  # HASH | BTREE
+    parts: list[str] = field(default_factory=list)  # posting parquet paths
+    rows: int = 0  # total indexed rows (num, src/idx.rs:28,50)
+    ndv: int = 0  # distinct keys (map.len(), src/idx.rs:74,128)
+
+    def supports(self, cmp: Comparison) -> bool:
+        """Which comparisons this index can serve.
+
+        Reference ``find`` only ever consults an index for ``Equal(Const)``
+        (``src/lib.rs:106-112``); we extend btree to serve ``between`` — the
+        capability the reference implements but never wires up
+        (``src/idx.rs:83-87``, SURVEY §2 note).
+        """
+        if cmp.is_const_eq:
+            return True
+        return cmp.op == "between" and self.kind == BTREE
+
+    def estimate(self) -> float:
+        """Expected rows per distinct key (``src/idx.rs:71-78``); 0-guarded."""
+        if self.ndv == 0:
+            return 0.0
+        return self.rows / self.ndv
+
+    def to_json(self) -> dict:
+        return {
+            "column": self.column,
+            "kind": self.kind,
+            "parts": list(self.parts),
+            "rows": self.rows,
+            "ndv": self.ndv,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "IndexSpec":
+        return cls(d["column"], d["kind"], list(d["parts"]), d["rows"], d["ndv"])
+
+
+class HashIndex:
+    """Constructor marker mirroring ``HashIndex::new`` (``src/idx.rs:33-38``)."""
+
+    kind = HASH
+
+
+class BTreeIndex:
+    """Constructor marker mirroring ``BTreeIndex::new`` (``src/idx.rs:99-104``)."""
+
+    kind = BTREE
+
+
+def as_index_kind(indexer) -> str:
+    """Accept ``HashIndex``/``BTreeIndex`` (class or instance) or a kind
+    string — the analogue of ``Into<Index<T>>`` (``src/idx.rs:174-184``)."""
+    if isinstance(indexer, str):
+        if indexer not in (HASH, BTREE):
+            raise ValueError(f"unknown index kind {indexer!r}")
+        return indexer
+    kind = getattr(indexer, "kind", None)
+    if kind in (HASH, BTREE):
+        return kind
+    raise TypeError(f"cannot interpret {indexer!r} as an index")

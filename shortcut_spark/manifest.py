@@ -1,0 +1,134 @@
+"""Versioned table manifest — the distributed analogue of ``Store``'s
+in-memory bookkeeping (``src/lib.rs:55-60``).
+
+The reference keeps ``{cols, rowid, rows: BTreeMap, indices: HashMap}`` in
+one struct. At 100 TB the same roles are played by metadata-on-storage,
+Iceberg-style:
+
+- ``cols``/schema        → Spark ``StructType`` JSON in the manifest
+- ``rowid`` watermark    → monotonic counter, advanced per committed batch
+  (never reused after delete — ``src/lib.rs:160-162`` removes rows without
+  decrementing the counter; SURVEY §4.3)
+- ``rows: BTreeMap``     → the list of live data files, each with its dense
+  ``__rowid`` range and row count (files are rowid-range-disjoint)
+- ``indices: HashMap``   → ``IndexSpec`` per column (file-granular posting
+  parts + rows/ndv stats for the access-path cost model)
+
+Commits are snapshot-isolated: each commit writes ``_manifests/v{N}.json``
+and atomically flips the ``CURRENT`` pointer (``os.replace``). Readers open
+a manifest version and never see partial writes — the analogue of the
+reference's single-writer ``&mut self`` discipline (``src/lib.rs:140,178``)
+with multi-reader snapshots for free. On a real object store the pointer
+flip would be a conditional PUT; the layout is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+from .idx import IndexSpec
+
+__all__ = ["DataFile", "Manifest"]
+
+
+@dataclass
+class DataFile:
+    """One immutable parquet data file with its dense rowid range."""
+
+    id: int
+    path: str
+    rows: int
+    min_rowid: int
+    max_rowid: int
+
+    def to_json(self) -> dict:
+        return {
+            "id": self.id,
+            "path": self.path,
+            "rows": self.rows,
+            "min_rowid": self.min_rowid,
+            "max_rowid": self.max_rowid,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "DataFile":
+        return cls(d["id"], d["path"], d["rows"], d["min_rowid"], d["max_rowid"])
+
+
+@dataclass
+class Manifest:
+    schema_json: str
+    rowid: int = 0  # autoincrement watermark (src/lib.rs:57,186)
+    next_file_id: int = 0
+    version: int = 0
+    files: list[DataFile] = field(default_factory=list)
+    indices: dict[str, IndexSpec] = field(default_factory=dict)
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+    @property
+    def colnames(self) -> list[str]:
+        return [f.name for f in self.schema.fields]
+
+    @property
+    def total_rows(self) -> int:
+        return sum(f.rows for f in self.files)
+
+    def to_json(self) -> dict:
+        return {
+            "format_version": 1,
+            "schema": json.loads(self.schema_json),
+            "rowid": self.rowid,
+            "next_file_id": self.next_file_id,
+            "version": self.version,
+            "files": [f.to_json() for f in self.files],
+            "indices": {c: s.to_json() for c, s in self.indices.items()},
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "Manifest":
+        return cls(
+            schema_json=json.dumps(d["schema"]),
+            rowid=d["rowid"],
+            next_file_id=d["next_file_id"],
+            version=d["version"],
+            files=[DataFile.from_json(f) for f in d["files"]],
+            indices={c: IndexSpec.from_json(s) for c, s in d["indices"].items()},
+        )
+
+    # -- storage ------------------------------------------------------------
+
+    @staticmethod
+    def _dir(table_path: str) -> str:
+        return os.path.join(table_path, "_manifests")
+
+    @classmethod
+    def load(cls, table_path: str, version: int | None = None) -> "Manifest":
+        mdir = cls._dir(table_path)
+        if version is None:
+            with open(os.path.join(mdir, "CURRENT")) as fh:
+                version = int(fh.read().strip())
+        with open(os.path.join(mdir, f"v{version}.json")) as fh:
+            return cls.from_json(json.load(fh))
+
+    def commit(self, table_path: str) -> "Manifest":
+        """Write the next manifest version and flip CURRENT atomically."""
+        self.version += 1
+        mdir = self._dir(table_path)
+        os.makedirs(mdir, exist_ok=True)
+        mpath = os.path.join(mdir, f"v{self.version}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.to_json(), fh, indent=1)
+        os.replace(tmp, mpath)
+        cur_tmp = os.path.join(mdir, "CURRENT.tmp")
+        with open(cur_tmp, "w") as fh:
+            fh.write(str(self.version))
+        os.replace(cur_tmp, os.path.join(mdir, "CURRENT"))
+        return self

@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults mirror what a cluster deployment would set per-job:
+AQE on (runtime re-planning, skew-join handling, partition coalescing),
+shuffle partitions sized to cores (not the 200 default), Arrow enabled for
+the Pandas-UDF paths, and UTC session time so results hash-compare cleanly
+against a DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "stop_spark"]
+
+
+def get_spark(app_name: str = "shortcut_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all local cores. On a real
+    cluster the master URL comes from the environment; everything else here
+    is still the right per-job config.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    shuffle = str(max(cpus, 32))
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,445 @@
+"""The ``Store`` — reference-shaped table API over parquet + manifest.
+
+Reference surface (``src/lib.rs``): ``Store::new`` (``:80-87``), ``insert``
+(``:178-187``), ``find`` (``:130-137``), ``delete``/``delete_filter``
+(``:140-169``), ``index`` (``:195-205``). Same semantics, re-expressed for
+a shared-nothing cluster:
+
+- **insert** is batch-first (a single row is the degenerate batch). Each
+  batch gets dense autoincrement ``__rowid`` values from the manifest
+  watermark (reference ``rowid`` counter, ``src/lib.rs:57,186``; modeled on
+  SQLite rowids, ``src/lib.rs:7-9``). Dense numbering uses per-partition
+  counts + a window — NOT ``monotonically_increasing_id`` alone, which is
+  sparse. Indices are updated as part of the same commit, mirroring
+  index-maintenance-on-insert (``src/lib.rs:181-184``).
+- **find** compiles the AND-list of conditions to one Spark filter, after
+  index-driven *file pruning* (see ``plans.access_path``). The pruned scan
+  re-checks every condition — the reference's superset-then-residual-filter
+  contract (``src/lib.rs:89-91,133``). Returns a lazy ``DataFrame`` (the
+  analogue of ``find``'s lazy iterator, ``src/lib.rs:134-136``): nothing
+  runs until an action.
+- **delete / delete_filter** are copy-on-write: affected files are rewritten
+  without the victim rows and the manifest flips atomically
+  (``src/lib.rs:149-169``; add/remove-only abstraction per ``README.md:32``).
+  ``delete_filter``'s arbitrary row closure (``src/lib.rs:149``) is accepted
+  as a Spark ``Column`` (fast path) or a Python callable (row-at-a-time UDF
+  — the slow path, parity only).
+- **index** backfills from all live rows then registers, replacing any
+  existing index on the column (``src/lib.rs:195-205``; silent replace at
+  ``:204``). Works before or after data exists (``src/lib.rs:330-345``).
+- schema arity is *always* validated (the reference only
+  ``debug_assert``s, ``src/lib.rs:179`` — "bleh"; SURVEY §4.3).
+
+Scale notes (100 TB design point): data and posting files are immutable
+parquet; commits only touch metadata + affected files; a full scan is a
+plain multi-file parquet read that Catalyst pushes filters into; index
+lookups read a key-pruned slice of the posting parts (small) and then only
+the surviving data files. Manifest file lists would graduate to
+Iceberg-style avro manifests at millions of files — the JSON layout here
+keeps the same information.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Any, Callable, Iterable, Sequence
+
+import pyarrow.parquet as pq
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .cmp import Condition, conjunction
+from .idx import BTREE, IndexSpec, as_index_kind
+from .manifest import DataFile, Manifest
+from .plans import AccessPath, choose_access_path
+
+ROWID = "__rowid"
+
+__all__ = ["Store", "ROWID"]
+
+
+def _default_schema(cols: int) -> T.StructType:
+    """``Store::new(cols)`` has positional, homogeneously-typed columns
+    (``src/lib.rs:4-5,80-87``); default them to strings named c0..cN-1."""
+    return T.StructType([T.StructField(f"c{i}", T.StringType(), True) for i in range(cols)])
+
+
+class Store:
+    def __init__(self, spark: SparkSession, path: str, manifest: Manifest):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.manifest = manifest
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, schema: T.StructType | int) -> "Store":
+        """``Store::new(cols)`` (``src/lib.rs:80-87``) — an int gives the
+        reference's positional all-string table; a ``StructType`` gives real
+        named, typed columns (strict superset)."""
+        if isinstance(schema, int):
+            schema = _default_schema(schema)
+        if ROWID in schema.fieldNames():
+            raise ValueError(f"{ROWID} is reserved")
+        os.makedirs(path, exist_ok=True)
+        manifest = Manifest(schema_json=schema.json())
+        manifest.commit(path)
+        return cls(spark, path, manifest)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str, version: int | None = None) -> "Store":
+        return cls(spark, path, Manifest.load(path, version))
+
+    @classmethod
+    def from_parquet(cls, spark: SparkSession, path: str, parquet: str | Sequence[str]) -> "Store":
+        """Ingest existing parquet (e.g. the driver fixtures) into a Store."""
+        df = spark.read.parquet(*([parquet] if isinstance(parquet, str) else list(parquet)))
+        store = cls.create(spark, path, df.schema)
+        store.insert(df)
+        return store
+
+    # -- helpers ------------------------------------------------------------
+
+    @property
+    def cols(self) -> int:
+        return len(self.manifest.colnames)
+
+    @property
+    def colnames(self) -> list[str]:
+        return self.manifest.colnames
+
+    @property
+    def schema(self) -> T.StructType:
+        return self.manifest.schema
+
+    def _schema_with_rowid(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(ROWID, T.LongType(), False), *self.manifest.schema.fields]
+        )
+
+    def _abs(self, rel: str) -> str:
+        return os.path.join(self.path, rel)
+
+    def _empty(self, with_rowid: bool = False) -> DataFrame:
+        schema = self._schema_with_rowid() if with_rowid else self.manifest.schema
+        return self.spark.createDataFrame([], schema)
+
+    def _read_files(self, files: Sequence[DataFile], with_meta: bool = False) -> DataFrame:
+        paths = [self._abs(f.path) for f in files]
+        df = self.spark.read.schema(self._schema_with_rowid()).parquet(*paths)
+        if with_meta:
+            # _metadata.file_path is a file: URI; normalize to a plain
+            # absolute path so it joins against manifest paths.
+            df = df.withColumn(
+                "__file_path",
+                F.concat(F.lit("/"), F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "")),
+            )
+        return df
+
+    def _file_id_map(self, files: Sequence[DataFile]) -> DataFrame:
+        """Small (path → file id) mapping df; broadcast into posting builds."""
+        rows = [(self._abs(f.path), f.id) for f in files]
+        return self.spark.createDataFrame(rows, "__file_path string, __file_id int")
+
+    # -- insert (src/lib.rs:178-187) ----------------------------------------
+
+    def insert(self, rows: DataFrame | Iterable[Sequence[Any]]) -> int:
+        """Append a batch. Returns the number of rows inserted.
+
+        Arity/schema is validated always (vs debug-only ``src/lib.rs:179``).
+        """
+        schema = self.manifest.schema
+        if isinstance(rows, DataFrame):
+            df = rows
+            if [f.name for f in df.schema.fields] != schema.fieldNames():
+                raise ValueError(
+                    f"schema mismatch: expected {schema.fieldNames()}, "
+                    f"got {[f.name for f in df.schema.fields]}"
+                )
+        else:
+            data = [tuple(r) for r in rows]
+            for r in data:
+                if len(r) != len(schema.fields):
+                    raise ValueError(f"row has {len(r)} columns, store has {len(schema.fields)}")
+            if not data:
+                return 0
+            df = self.spark.createDataFrame(data, schema)
+
+        # Dense rowid assignment: per-partition counts -> cumulative offsets,
+        # then a row_number within each original partition. Two passes over
+        # the batch (same cost class as zipWithIndex) but stays in DataFrame
+        # land. Deterministic because the source partitioning (parquet read /
+        # local batch) is deterministic across the two jobs.
+        watermark = self.manifest.rowid
+        tagged = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+            "__mid", F.monotonically_increasing_id()
+        )
+        counts = {r["__pid"]: r["cnt"] for r in tagged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+        if not counts:
+            return 0
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        n = acc
+        offs_df = self.spark.createDataFrame(
+            [(pid, offsets[pid]) for pid in offsets], "__pid int, __off long"
+        )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("__pid").orderBy("__mid")
+        with_id = (
+            tagged.join(F.broadcast(offs_df), "__pid")
+            .withColumn(ROWID, F.lit(watermark) + F.col("__off") + F.row_number().over(w) - 1)
+            .select(ROWID, *schema.fieldNames())
+        )
+
+        batch_rel = os.path.join("data", f"b{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}")
+        out_dir = self._abs(batch_rel)
+        with_id.write.parquet(out_dir)
+        new_files = self._register_files(batch_rel)
+
+        for spec in self.manifest.indices.values():
+            self._append_postings(spec, new_files)
+
+        self.manifest.rowid = watermark + n
+        self.manifest.commit(self.path)
+        return n
+
+    def _register_files(self, batch_rel: str) -> list[DataFile]:
+        """Scan freshly-written parquet footers (metadata-only, no Spark job)
+        and register the files in the manifest."""
+        out_dir = self._abs(batch_rel)
+        new_files = []
+        for name in sorted(os.listdir(out_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            fpath = os.path.join(out_dir, name)
+            meta = pq.ParquetFile(fpath).metadata
+            if meta.num_rows == 0:
+                continue
+            lo, hi = None, None
+            ridx = None
+            for ci in range(meta.num_columns):
+                if meta.row_group(0).column(ci).path_in_schema == ROWID:
+                    ridx = ci
+                    break
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(ridx).statistics
+                if st is not None and st.has_min_max:
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            fid = self.manifest.next_file_id
+            self.manifest.next_file_id += 1
+            df_entry = DataFile(
+                id=fid,
+                path=os.path.join(batch_rel, name),
+                rows=meta.num_rows,
+                min_rowid=int(lo if lo is not None else -1),
+                max_rowid=int(hi if hi is not None else -1),
+            )
+            self.manifest.files.append(df_entry)
+            new_files.append(df_entry)
+        return new_files
+
+    # -- indices (src/lib.rs:195-205, src/idx.rs) ---------------------------
+
+    def index(self, column: int | str, indexer: Any = "hash") -> None:
+        """Create (or replace — ``src/lib.rs:204``) an index on ``column``.
+
+        Backfills from all live rows (``src/lib.rs:199-202``); cheap when the
+        store is empty, a full posting build when it is not (cost warning at
+        ``src/lib.rs:193-194``).
+        """
+        kind = as_index_kind(indexer)
+        name = self.colnames[column] if isinstance(column, int) else column
+        if name not in self.colnames:
+            raise ValueError(f"no such column {name!r}")
+        spec = IndexSpec(column=name, kind=kind)
+        if self.manifest.files:
+            self._append_postings(spec, self.manifest.files)
+        self.manifest.indices[name] = spec  # silent replace, parity :204
+        self.manifest.commit(self.path)
+
+    def _append_postings(self, spec: IndexSpec, files: Sequence[DataFile]) -> None:
+        """Add posting rows (key, file_id) for ``files`` to ``spec``.
+
+        The distributed analogue of posting-list maintenance
+        (``src/idx.rs:48-51,114-117``): instead of rowids per key we track
+        *files* per key — the lookup result is a superset and ``find``'s
+        residual filter restores exactness (``src/lib.rs:89-91``).
+        """
+        if not files:
+            return
+        part_rel = os.path.join("idx", spec.column, f"p{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}")
+        df = self._read_files(files, with_meta=True)
+        mapping = self._file_id_map(files)
+        postings = (
+            df.join(F.broadcast(mapping), "__file_path")
+            .select(F.col(spec.column).alias("key"), "__file_id")
+            .distinct()
+        )
+        if spec.kind == BTREE:
+            postings = postings.sortWithinPartitions("key")
+        postings.write.parquet(self._abs(part_rel))
+        spec.parts.append(part_rel)
+        self._refresh_index_stats(spec)
+
+    def _refresh_index_stats(self, spec: IndexSpec) -> None:
+        """rows/ndv for the cost model (``src/idx.rs:71-78``): rows = live
+        table rows; ndv = exact distinct keys over live posting entries."""
+        spec.rows = self.manifest.total_rows
+        post = self._read_postings(spec)
+        if post is None:
+            spec.ndv = 0
+        else:
+            spec.ndv = post.select("key").distinct().count()
+
+    def _read_postings(self, spec: IndexSpec) -> DataFrame | None:
+        if not spec.parts:
+            return None
+        live = {f.id for f in self.manifest.files}
+        df = self.spark.read.schema(
+            T.StructType(
+                [
+                    T.StructField("key", self.manifest.schema[spec.column].dataType, True),
+                    T.StructField("__file_id", T.IntegerType(), True),
+                ]
+            )
+        ).parquet(*[self._abs(p) for p in spec.parts])
+        if live:
+            ids = self.spark.createDataFrame([(i,) for i in sorted(live)], "__file_id int")
+            df = df.join(F.broadcast(ids), "__file_id", "left_semi")
+        else:
+            df = df.limit(0)
+        return df
+
+    # -- find (src/lib.rs:130-137) ------------------------------------------
+
+    def _prune_files(self, conds: Sequence[Condition]) -> tuple[AccessPath, list[DataFile]]:
+        path = choose_access_path(conds, self.manifest.indices, self.colnames)
+        files = self.manifest.files
+        if path.index is not None and files:
+            post = self._read_postings(path.index)
+            if post is None:
+                return path, files
+            key_cond = Condition("key", path.cond.cmp)
+            hit_ids = {
+                r["__file_id"]
+                for r in post.filter(key_cond.to_column(["key"])).select("__file_id").distinct().collect()
+            }
+            files = [f for f in files if f.id in hit_ids]
+        return path, files
+
+    def find(self, conds: Sequence[Condition] = (), with_rowid: bool = False) -> DataFrame:
+        """Lazy filtered scan; empty ``conds`` = full scan (``src/lib.rs:255``)."""
+        conds = list(conds)
+        _, files = self._prune_files(conds)
+        if not files:
+            return self._empty(with_rowid)
+        df = self._read_files(files).filter(conjunction(conds, self.colnames))
+        return df if with_rowid else df.drop(ROWID)
+
+    def df(self) -> DataFrame:
+        """Escape hatch: the whole table as a plain DataFrame (no rowid)."""
+        return self.find()
+
+    def explain_find(self, conds: Sequence[Condition] = ()) -> str:
+        """Human-readable access-path report (Display parity spirit,
+        ``src/cmp.rs:79-100``) plus file-pruning stats."""
+        path, files = self._prune_files(list(conds))
+        return (
+            f"conds=[{', '.join(str(c) for c in conds)}] "
+            f"path={path.describe()} files={len(files)}/{len(self.manifest.files)}"
+        )
+
+    def __len__(self) -> int:
+        return self.manifest.total_rows
+
+    # -- delete (src/lib.rs:140-169) ----------------------------------------
+
+    def delete(self, conds: Sequence[Condition]) -> int:
+        """``delete(conds)`` = ``delete_filter(conds, |_| true)``
+        (``src/lib.rs:140-142``)."""
+        return self.delete_filter(conds, None)
+
+    def delete_filter(
+        self,
+        conds: Sequence[Condition],
+        residual: Column | Callable[..., bool] | None,
+    ) -> int:
+        """Copy-on-write predicate delete; returns rows removed.
+
+        ``residual`` is the reference's arbitrary row closure
+        (``src/lib.rs:149``): pass a Spark ``Column`` (preferred — stays
+        JVM-side) or a Python callable over the row's cells (wrapped in a
+        row-at-a-time UDF; parity-only slow path).
+        """
+        conds = list(conds)
+        pred = conjunction(conds, self.colnames)
+        if residual is not None:
+            if isinstance(residual, Column):
+                pred = pred & residual
+            else:
+                fn = F.udf(lambda *cells: bool(residual(cells)), T.BooleanType())
+                pred = pred & fn(*[F.col(c) for c in self.colnames])
+        pred = F.coalesce(pred, F.lit(False))
+
+        _, candidates = self._prune_files(conds)
+        if not candidates:
+            return 0
+
+        scan = self._read_files(candidates, with_meta=True)
+        per_file = {
+            r["__file_path"]: r["cnt"]
+            for r in scan.filter(pred).groupBy("__file_path").agg(F.count("*").alias("cnt")).collect()
+        }
+        victims = sum(per_file.values())
+        if victims == 0:
+            return 0
+        affected = {f.id for f in candidates if self._abs(f.path) in per_file}
+        affected_files = [f for f in self.manifest.files if f.id in affected]
+
+        survivors = self._read_files(affected_files).filter(~pred)
+        batch_rel = os.path.join("data", f"d{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}")
+        survivors.write.parquet(self._abs(batch_rel))
+
+        self.manifest.files = [f for f in self.manifest.files if f.id not in affected]
+        new_files = self._register_files(batch_rel)
+        # un-index: dead file ids drop out of the live set (posting rows that
+        # reference them are filtered at read; src/lib.rs:164-168 analogue),
+        # and the survivors' new files get fresh postings.
+        for spec in self.manifest.indices.values():
+            self._append_postings(spec, new_files)
+            if not new_files:
+                self._refresh_index_stats(spec)
+        self.manifest.commit(self.path)
+        return victims
+
+    # -- maintenance --------------------------------------------------------
+
+    def compact(self, target_files: int | None = None, sort_by: str | None = None) -> None:
+        """Rewrite the table into ``target_files`` files, optionally sorted by
+        an indexed column (gives a btree index real min/max locality so
+        parquet row-group pruning bites on range predicates). Scale hygiene:
+        the 100 TB analogue is a background compaction service; here it is an
+        explicit call."""
+        if not self.manifest.files:
+            return
+        df = self._read_files(self.manifest.files)
+        if target_files is None:
+            target_files = max(1, self.manifest.total_rows // 1_000_000)
+        if sort_by:
+            df = df.repartitionByRange(target_files, sort_by)
+        else:
+            df = df.repartitionByRange(target_files, ROWID)
+        batch_rel = os.path.join("data", f"c{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}")
+        df.sortWithinPartitions(sort_by or ROWID).write.parquet(self._abs(batch_rel))
+        self.manifest.files = []
+        new_files = self._register_files(batch_rel)
+        for spec in self.manifest.indices.values():
+            spec.parts = []
+            self._append_postings(spec, new_files)
+        self.manifest.commit(self.path)

@@ -1,0 +1,58 @@
+"""Port of the reference predicate unit tests (src/cmp.rs:102-190)."""
+
+from shortcut_spark.cmp import Bound, Comparison, Condition, Value, between, col_eq, eq
+
+
+def test_value_eval():  # src/cmp.rs:106-112
+    row = ["a", "b"]
+    assert not Value.column(0).is_column is False  # column ref
+    assert Value.new("a").payload == "a"
+    c = Condition(0, Comparison.equal(Value.new("a")))
+    assert c.matches(row)
+
+
+def test_const_and_column_equality():  # src/cmp.rs:114-122
+    row = ["a", "b"]
+    assert eq(0, "a").matches(row)
+    assert not eq(0, "b").matches(row)
+    assert not col_eq(0, 1).matches(row)
+    assert col_eq(0, 1).matches(["x", "x"])
+
+
+def test_borrowed_values():  # src/cmp.rs:124-132 — Cow machinery, Python no-op
+    v = "a"
+    assert Value.using(v).payload == "a"
+    assert Value.new(v) == Value.using(v)
+
+
+def test_condition_row_matrix():  # src/cmp.rs:144-173
+    rows = [["a", "x1"], ["a", "x2"], ["b", "x3"]]
+    c0a = eq(0, "a")
+    assert [c0a.matches(r) for r in rows] == [True, True, False]
+    c1x2 = eq(1, "x2")
+    assert [c1x2.matches(r) for r in rows] == [False, True, False]
+    cc = col_eq(1, 0)
+    assert [cc.matches(r) for r in rows] == [False, False, False]
+
+
+def test_display():  # src/cmp.rs:175-189
+    assert str(eq(0, "a")) == "[0] = a"
+    assert str(col_eq(0, 1)) == "[0] = [1]"
+    assert str(eq("c_name", "bob")) == "[c_name] = bob"
+
+
+def test_bounds_matching():  # src/idx.rs:216-229 semantics, driver-side
+    c = between(0, Bound.included(3), Bound.excluded(7))
+    assert c.matches([3])
+    assert c.matches([6])
+    assert not c.matches([7])
+    assert not c.matches([2])
+    unb = between(0, None, None)
+    assert unb.matches([100])
+
+
+def test_named_columns():
+    row = ["bob", "smith"]
+    names = ["first", "last"]
+    assert eq("first", "bob").matches(row, names)
+    assert col_eq("first", "last").matches(["x", "x"], names)

@@ -1,0 +1,192 @@
+"""Port of the reference's Store-level unit tests (src/lib.rs:245-432).
+
+Same fixtures and assertions (count + universally quantified property,
+order-insensitive — see FIXTURES.md §A); the with/without-index duals check
+that an index is semantically invisible (the metamorphic property the
+reference tests repeatedly).
+"""
+
+import pytest
+
+from shortcut_spark import BTreeIndex, HashIndex, Store, between, col_eq, eq
+
+ABC = [["a1", "a2"], ["b1", "b2"], ["c1", "c2"]]
+AXB = [["a", "x1"], ["a", "x2"], ["b", "x3"]]
+
+
+def rows_of(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def make(spark, path, data, index_col=None, index_late=False, kind=HashIndex):
+    st = Store.create(spark, path, 2)
+    if index_col is not None and not index_late:
+        st.index(index_col, kind)
+    if data:
+        st.insert(data)
+    if index_col is not None and index_late:
+        st.index(index_col, kind)
+    return st
+
+
+def test_it_works(spark, store_path):  # src/lib.rs:249-256
+    st = make(spark, store_path, ABC)
+    assert st.find([]).count() == 3
+    assert len(st) == 3
+
+
+def test_it_works_w_non_vec_rows(spark, store_path):  # src/lib.rs:258-266 (Arc rows → tuples)
+    st = Store.create(spark, store_path, 2)
+    st.insert([("a1", "a2"), ("b1", "b2")])
+    assert st.find([]).count() == 2
+
+
+def test_it_works_with_indices(spark, store_path):  # src/lib.rs:268-276
+    st = make(spark, store_path, ABC, index_col=0)
+    assert st.find([]).count() == 3
+
+
+def test_it_filters(spark, store_path):  # src/lib.rs:278-292
+    st = make(spark, store_path, AXB)
+    got = st.find([eq(0, "a")]).collect()
+    assert len(got) == 2
+    assert all(r[0] == "a" for r in got)
+
+
+def test_it_filters_with_indices(spark, store_path):  # src/lib.rs:294-309
+    st = make(spark, store_path, AXB, index_col=0)
+    got = st.find([eq(0, "a")]).collect()
+    assert len(got) == 2
+    assert all(r[0] == "a" for r in got)
+
+
+def test_it_filters_with_partial_indices(spark, store_path):  # src/lib.rs:311-328
+    st = make(spark, store_path, AXB, index_col=0)
+    got = st.find([eq(0, "a"), eq(1, "x2")]).collect()
+    assert len(got) == 1
+    assert all(r[0] == "a" and r[1] == "x2" for r in got)
+
+
+def test_it_filters_with_late_indices(spark, store_path):  # src/lib.rs:330-345
+    st = make(spark, store_path, AXB, index_col=0, index_late=True)
+    got = st.find([eq(0, "a")]).collect()
+    assert len(got) == 2
+    assert all(r[0] == "a" for r in got)
+
+
+def test_col_eq_col(spark, store_path):  # src/cmp.rs:12-14, O9
+    st = Store.create(spark, store_path, 2)
+    st.insert([("a", "a"), ("a", "b"), ("c", "c")])
+    got = st.find([col_eq(0, 1)]).collect()
+    assert len(got) == 2
+    assert all(r[0] == r[1] for r in got)
+
+
+def test_snapshot_reopen(spark, store_path):  # is_send_sync analogue, src/lib.rs:347-355
+    st = make(spark, store_path, ABC)
+    st2 = Store.open(spark, store_path)
+    assert st2.find([]).count() == 3
+
+
+def test_it_deletes(spark, store_path):  # src/lib.rs:357-365 (delete-all)
+    st = make(spark, store_path, ABC)
+    n = st.delete([])
+    assert n == 3
+    assert st.find([]).count() == 0
+    # rowids are never reused (src/lib.rs:160-162; SURVEY §4.3)
+    st.insert([("z1", "z2")])
+    got = st.find([], with_rowid=True).collect()
+    assert got[0]["__rowid"] == 3
+
+
+def test_filtered_delete(spark, store_path):  # src/lib.rs:367-376 (closure delete)
+    st = make(spark, store_path, ABC)
+    n = st.delete_filter([], lambda cells: cells[0] == "a1")
+    assert n == 1
+    left = rows_of(st.find([]))
+    assert left == [("b1", "b2"), ("c1", "c2")]
+
+
+def test_it_deletes_with_filters(spark, store_path):  # src/lib.rs:378-392
+    st = make(spark, store_path, AXB)
+    n = st.delete([eq(0, "a"), eq(1, "x1")])
+    assert n == 1
+    assert st.find([eq(0, "a")]).count() == 1
+    assert st.find([]).count() == 2
+
+
+def test_it_deletes_with_indices(spark, store_path):  # src/lib.rs:394-409
+    st = make(spark, store_path, AXB, index_col=0)
+    n = st.delete([eq(0, "a")])
+    assert n == 2
+    assert st.find([]).count() == 1
+    assert st.find([eq(0, "a")]).count() == 0
+
+
+def test_it_deletes_with_partial_indices(spark, store_path):  # src/lib.rs:411-431
+    st = make(spark, store_path, AXB, index_col=1)
+    n = st.delete([eq(0, "a"), eq(1, "x2")])
+    assert n == 1
+    left = rows_of(st.find([]))
+    assert left == [("a", "x1"), ("b", "x3")]
+
+
+def test_index_replace_idempotent(spark, store_path):  # src/lib.rs:204
+    st = make(spark, store_path, AXB, index_col=0)
+    st.index(0, HashIndex)  # replace on same column
+    assert st.find([eq(0, "a")]).count() == 2
+
+
+def test_index_prunes_files(spark, store_path):
+    """The index path must actually prune: separate batches → separate files;
+    a point lookup on an indexed column should touch only matching files."""
+    st = Store.create(spark, store_path, 2)
+    st.index(0, HashIndex)
+    for k in ["a", "b", "c"]:
+        st.insert([(k, f"{k}{i}") for i in range(5)])
+    total = len(st.manifest.files)
+    assert total >= 3
+    _, pruned = st._prune_files([eq(0, "b")])
+    assert 0 < len(pruned) < total
+    got = st.find([eq(0, "b")]).collect()
+    assert len(got) == 5 and all(r[0] == "b" for r in got)
+
+
+def test_btree_range_find(spark, store_path):  # RangeIndex::between, src/idx.rs:216-229
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType(), True), T.StructField("v", T.StringType(), True)]
+    )
+    st = Store.create(spark, store_path, schema)
+    st.index("k", BTreeIndex)
+    st.insert([(i, f"v{i}") for i in range(20)])
+    got = st.find([between("k", 3, 7)]).collect()
+    assert sorted(r["k"] for r in got) == [3, 4, 5, 6, 7]
+    from shortcut_spark import Bound
+
+    got = st.find([between("k", Bound.excluded(3), Bound.excluded(7))]).collect()
+    assert sorted(r["k"] for r in got) == [4, 5, 6]
+    got = st.find([between("k", None, Bound.included(2))]).collect()
+    assert sorted(r["k"] for r in got) == [0, 1, 2]
+
+
+def test_arity_validated(spark, store_path):  # always-on vs debug_assert src/lib.rs:179
+    st = Store.create(spark, store_path, 2)
+    with pytest.raises(ValueError):
+        st.insert([("only-one",)])
+
+
+def test_estimate_and_access_path(spark, store_path):
+    """Cost model parity: estimate = rows/ndv (src/idx.rs:71-78), min wins
+    (src/lib.rs:113); col=col can never use an index (src/cmp.rs:12-14)."""
+    st = Store.create(spark, store_path, 2)
+    st.insert([("a", f"x{i}") for i in range(8)] + [("b", "y")])
+    st.index(0, HashIndex)  # ndv=2, rows=9 → estimate 4.5
+    st.index(1, HashIndex)  # ndv=9, rows=9 → estimate 1.0
+    assert st.manifest.indices["c0"].estimate() == pytest.approx(9 / 2)
+    assert st.manifest.indices["c1"].estimate() == pytest.approx(1.0)
+    path, _ = st._prune_files([eq(0, "a"), eq(1, "x3")])
+    assert path.index is not None and path.index.column == "c1"
+    path, _ = st._prune_files([col_eq(0, 1)])
+    assert path.is_full_scan
