@@ -1,38 +1,793 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` is the operator inventory from SURVEY.md §2 — the reference
+Store surface (find/insert/delete/index/access-path, ``src/lib.rs``)
+exercised through our ``shortcut_spark.Store``, the free-in-Spark
+relational layer, and the driver-mandated LLM-pipeline extensions
+(dedup / similarity / text / multimodal / streaming).
+
+``oracle_sql()`` carries a DuckDB twin for every query. Determinism
+conventions (see ``shortcut_spark/functions``): per-row math stays in
+DOUBLE with an identical expression tree on both sides; order-sensitive
+SUMs go through DECIMAL; timestamps are compared as epoch seconds; every
+computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from shortcut_spark import BTreeIndex, HashIndex, Store, between, col_eq, eq
+from shortcut_spark.functions import davg, dsum
+from shortcut_spark.operators import dedup, multimodal, similarity, text
+from shortcut_spark import streaming as stream_ops
+
+# ---------------------------------------------------------------------------
+# helpers
+
+_LINEITEM_SAFE = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+]
+_ORDERS_SAFE = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+_STORE_CACHE: dict[tuple, Store] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from shortcut_spark.sources import load_fixture
+
+    return load_fixture(spark, sf_dir, name)
+
+
+def _cached_store(spark: SparkSession, sf_dir: str, table: str, indexes=()) -> Store:
+    """Read-only Store over a fixture table, built once per (sf_dir, table,
+    indexes) and reused across queries in the same process."""
+    key = (sf_dir, table, tuple(indexes))
+    st = _STORE_CACHE.get(key)
+    if st is not None:
+        return st
+    path = tempfile.mkdtemp(prefix=f"scstore_{table}_")
+    st = Store.from_parquet(spark, os.path.join(path, table), os.path.join(sf_dir, f"{table}.parquet"))
+    for col, kind in indexes:
+        st.index(col, kind)
+    _STORE_CACHE[key] = st
+    return st
+
+
+def _fresh_store(spark: SparkSession, sf_dir: str, table: str, indexes=()) -> Store:
+    path = tempfile.mkdtemp(prefix=f"scstore_mut_{table}_")
+    st = Store.from_parquet(spark, os.path.join(path, table), os.path.join(sf_dir, f"{table}.parquet"))
+    for col, kind in indexes:
+        st.index(col, kind)
+    return st
+
+
+# SQL twins of shortcut_spark.functions helpers (keep in sync)
+def _DSUM(x: str) -> str:
+    return f"CAST(SUM(CAST({x} AS DECIMAL(27,6))) AS DOUBLE)"
+
+
+def _H32(seed, x: str) -> str:
+    return f"('0x' || substr(md5('{seed}:' || {x}), 1, 8))::BIGINT"
+
+
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_EPOCH = "CAST(floor(epoch({0})) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Store-surface queries (reference parity, SURVEY §2.1)
+
+
+def q_store_find_eq(spark, sf_dir):
+    """find([l_returnflag = 'R']) with a hash index — O3/O4/O8/O13."""
+    st = _cached_store(spark, sf_dir, "lineitem", (("l_returnflag", "hash"), ("l_quantity", "btree")))
+    return st.find([eq("l_returnflag", "R")]).select(*_LINEITEM_SAFE)
+
+
+def q_store_find_and(spark, sf_dir):
+    """AND-conjunction with a partial index (only one cond indexed) — O11,
+    src/lib.rs:311-328."""
+    st = _cached_store(spark, sf_dir, "lineitem", (("l_returnflag", "hash"), ("l_quantity", "btree")))
+    return st.find([eq("l_returnflag", "A"), eq("l_linestatus", "F")]).select(*_LINEITEM_SAFE)
+
+
+def q_store_find_col_eq_col(spark, sf_dir):
+    """row[col] == row[other] — never uses an index (src/cmp.rs:12-14), O9."""
+    st = _cached_store(spark, sf_dir, "lineitem", (("l_returnflag", "hash"), ("l_quantity", "btree")))
+    return st.find([col_eq("l_partkey", "l_suppkey")]).select(*_LINEITEM_SAFE)
+
+
+def q_store_find_range(spark, sf_dir):
+    """Range find via btree index — RangeIndex::between with mixed bounds
+    (src/idx.rs:83-87), first-class in our engine (SURVEY §2 note)."""
+    from shortcut_spark import Bound
+
+    st = _cached_store(spark, sf_dir, "lineitem", (("l_returnflag", "hash"), ("l_quantity", "btree")))
+    return st.find([between("l_quantity", Bound.included(10.0), Bound.excluded(20.0))]).select(
+        *_LINEITEM_SAFE
+    )
+
+
+def q_store_point_lookup(spark, sf_dir):
+    """High-NDV point lookup through the hash index (bench.rs get shape)."""
+    st = _cached_store(spark, sf_dir, "orders", (("o_orderkey", "hash"),))
+    return st.find([eq("o_orderkey", 500)]).select(*_ORDERS_SAFE)
+
+
+def q_store_insert_append(spark, sf_dir):
+    """insert() batch append — O2: ingest orders twice, counts double."""
+    st = _fresh_store(spark, sf_dir, "orders")
+    st.insert(_t(spark, sf_dir, "orders"))
+    return st.find([]).groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_store_delete_pred(spark, sf_dir):
+    """delete(conds) — O5: copy-on-write predicate delete."""
+    st = _fresh_store(spark, sf_dir, "orders", (("o_orderstatus", "hash"),))
+    st.delete([eq("o_orderstatus", "P")])
+    return st.find([]).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
+    )
+
+
+def q_store_delete_closure(spark, sf_dir):
+    """delete_filter(conds, closure) — O6: residual predicate beyond the
+    cond list (src/lib.rs:149-169)."""
+    st = _fresh_store(spark, sf_dir, "orders")
+    st.delete_filter([eq("o_orderstatus", "F")], F.col("o_totalprice") > 150000.0)
+    return st.find([]).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
+    )
+
+
+def q_store_compact_invariant(spark, sf_dir):
+    """compact(sort_by=...) is result-invariant (maintenance op; the btree
+    layout job of SURVEY §4.2)."""
+    st = _fresh_store(spark, sf_dir, "lineitem", (("l_quantity", "btree"),))
+    st.compact(target_files=4, sort_by="l_quantity")
+    return st.find([between("l_quantity", 30.0, None)]).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational layer (free-in-Spark per SURVEY §2.2; exercised as first-class
+# queries so the engine's analytics surface is oracle-verified)
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the flagship scan-heavy aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "sum_disc_price"),
+            dsum(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * (F.lit(1.0) + F.col("l_tax")),
+                "sum_charge",
+            ),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top100_orders(spark, sf_dir):
+    """Sort + limit with deterministic tiebreak (top-k)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+def q_topn_per_customer(spark, sf_dir):
+    """Window top-N per group."""
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Multi-way join (TPC-H Q5 shape); small dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_mktsegment_stats(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+            davg("o_totalprice", "avg_price"),
+        )
+    )
+
+
+def q_distinct_parts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct(F.col("l_partkey")).alias("n_parts"))
+    )
+
+
+def q_semi_join(spark, sf_dir):
+    """EXISTS → left-semi."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49.0)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select("o_orderkey")
+
+
+def q_anti_join(spark, sf_dir):
+    """NOT EXISTS → left-anti."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def q_intersect_custkeys(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(p)
+
+
+def q_rollup_counts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_part_size_range(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") > 10) & (F.col("p_size") <= 30))
+        .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+    )
+
+
+def q_union_people(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.col("c_acctbal").alias("acctbal"), F.lit("customer").alias("kind")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal"), F.lit("supplier").alias("kind")
+    )
+    return c.unionByName(s)
+
+
+# ---------------------------------------------------------------------------
+# events: scalar functions, windowed rollup, sessionization, streaming
+
+
+def q_events_json(spark, sf_dir):
+    """JSON-ish payload extraction (regexp twin keeps the oracle free of the
+    DuckDB json extension; F.get_json_object is the idiomatic Spark path for
+    real JSON)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), '"k":\\s*(\\d+)', 1).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    return stream_ops.hourly_rollup(_t(spark, sf_dir, "events"))
+
+
+def q_events_sessionize(spark, sf_dir):
+    return stream_ops.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+_STREAM_COUNTER = [0]
+
+
+def q_events_stream_rollup(spark, sf_dir):
+    """The SAME hourly rollup executed as a real Structured Streaming query
+    (file source → watermark → windowed agg → memory sink); certified by the
+    identical batch oracle."""
+    _STREAM_COUNTER[0] += 1
+    return stream_ops.run_stream_hourly_rollup(
+        spark, os.path.join(sf_dir, "events.parquet"), f"hourly_{_STREAM_COUNTER[0]}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# extensions: dedup / text / similarity / multimodal
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dup_groups(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return dedup.jaccard_pairs(
+        dedup.shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3), "doc_id", 0.2
+    )
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_near_dups(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.2
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_text_stats(spark, sf_dir):
+    return text.text_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_text_lang_id(spark, sf_dir):
+    return text.language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark, sf_dir):
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_text_token_topk(spark, sf_dir):
+    return text.token_frequencies(_t(spark, sf_dir, "documents"), top_n=50)
+
+
+def q_text_fingerprints(spark, sf_dir):
+    return text.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _query_vec(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+
+
+def q_embed_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.topk_cosine(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def q_embed_norm_stats(spark, sf_dir):
+    return similarity.norm_stats(_t(spark, sf_dir, "embeddings"))
+
+
+def q_embed_lsh_topk(spark, sf_dir):
+    """Approximate ANN path (no SQL oracle — approximate by design; recall
+    vs the exact tier is asserted in tests/test_operators.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def q_mm_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").withColumn("payload", F.encode(F.col("text"), "UTF-8"))
+    feats = multimodal.decode_features(docs, "doc_id", "payload", decoder="fake")
+    return feats.select(
+        F.col("id").alias("doc_id"), "sha256", "n_bytes", F.round(F.col("mean_px"), 6).alias("mean_px")
+    )
+
+
+def q_mm_frame_plan(spark, sf_dir):
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("payload", F.encode(F.col("text"), "UTF-8"))
+        .withColumn(
+            "media",
+            F.struct(
+                F.lit("video/fake").alias("mime"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+                F.sha2(F.col("payload"), 256).alias("sha256"),
+                F.length(F.col("payload")).cast("long").alias("n_bytes"),
+            ),
+        )
+    )
+    return multimodal.frame_sample_plan(docs, "doc_id", every_ms=1000)
+
+
+# ---------------------------------------------------------------------------
+# contract functions
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # Store parity surface
+        "store_find_eq": q_store_find_eq,
+        "store_find_and": q_store_find_and,
+        "store_find_col_eq_col": q_store_find_col_eq_col,
+        "store_find_range": q_store_find_range,
+        "store_point_lookup": q_store_point_lookup,
+        "store_insert_append": q_store_insert_append,
+        "store_delete_pred": q_store_delete_pred,
+        "store_delete_closure": q_store_delete_closure,
+        "store_compact_invariant": q_store_compact_invariant,
+        # relational layer
+        "q1_pricing_summary": q1_pricing_summary,
+        "top100_orders": q_top100_orders,
+        "topn_per_customer": q_topn_per_customer,
+        "revenue_by_nation": q_revenue_by_nation,
+        "mktsegment_stats": q_mktsegment_stats,
+        "distinct_parts": q_distinct_parts,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "intersect_custkeys": q_intersect_custkeys,
+        "rollup_counts": q_rollup_counts,
+        "part_size_range": q_part_size_range,
+        "union_people": q_union_people,
+        # events
+        "events_json": q_events_json,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "events_stream_rollup": q_events_stream_rollup,
+        # extensions
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "text_stats": q_text_stats,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_token_topk": q_text_token_topk,
+        "text_fingerprints": q_text_fingerprints,
+        "embed_topk": q_embed_topk,
+        "embed_norm_stats": q_embed_norm_stats,
+        "embed_lsh_topk": q_embed_lsh_topk,
+        "mm_features": q_mm_features,
+        "mm_frame_plan": q_mm_frame_plan,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    li_cols = ", ".join(_LINEITEM_SAFE)
+    o_cols = ", ".join(_ORDERS_SAFE)
+
+    # shared SQL fragments (twins of shortcut_spark.functions — keep in sync)
+    toks = _TOKS
+    sw = {
+        "en": "['the','and','of','to','a','in','is','it']",
+        "fr": "['le','la','et','les','des','un','une','est']",
+        "de": "['der','die','und','das','ist','ein','nicht','mit']",
+        "es": "['el','la','de','que','y','los','un','es']",
+    }
+    hits = {
+        lang: f"len(list_filter({toks}, x -> list_contains({lst}, x)))" for lang, lst in sw.items()
+    }
+
+    shingle_cte = f"""
+      toks AS (SELECT doc_id, {toks} AS t FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i FROM toks)
+      )"""
+
+    jaccard_tail = """
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ),
+      jac AS (
+        SELECT id_a, id_b,
+               CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      )"""
+
+    sig_cols = ",\n               ".join(
+        f"min({_H32(i, 'shingle')}) AS sig_{i}" for i in range(8)
+    )
+    band_rows = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band, md5(CAST(sig_{2*b} AS VARCHAR) || ',' || CAST(sig_{2*b+1} AS VARCHAR)) AS bh FROM sig"
+        for b in range(4)
+    )
+
+    simhash_bits = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(32)
+    )
+    simhash_fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)" for b in range(32)
+    )
+
+    dot = "CAST(SUM(CAST(CAST(e.v AS DOUBLE) * CAST(q.v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE)"
+    nsq = "CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE)"
+
+    quality = f"""
+      WITH feat AS (
+        SELECT doc_id,
+               len({toks}) AS n_tok,
+               len(list_distinct({toks})) AS n_uniq,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit,
+               ((({hits['en']} + {hits['fr']}) + {hits['de']}) + {hits['es']}) AS sw
+        FROM documents
+      )
+      SELECT doc_id,
+             round(0.3 * least(n_tok / 100.0, 1.0)
+                 + 0.3 * (CASE WHEN n_tok > 0 THEN CAST(n_uniq AS DOUBLE) / n_tok ELSE 0.0 END)
+                 + 0.2 * least(sw / 5.0, 1.0)
+                 + 0.2 * (1.0 - least((punct + digit) * 5.0, 1.0)), 6) AS quality
+      FROM feat"""
+
+    fingerprint = (
+        "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
+    )
+
+    return {
+        # -- Store parity ---------------------------------------------------
+        "store_find_eq": f"SELECT {li_cols} FROM lineitem WHERE l_returnflag = 'R'",
+        "store_find_and": f"SELECT {li_cols} FROM lineitem WHERE l_returnflag = 'A' AND l_linestatus = 'F'",
+        "store_find_col_eq_col": f"SELECT {li_cols} FROM lineitem WHERE l_partkey = l_suppkey",
+        "store_find_range": f"SELECT {li_cols} FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 20",
+        "store_point_lookup": f"SELECT {o_cols} FROM orders WHERE o_orderkey = 500",
+        "store_insert_append": "SELECT o_orderstatus, 2 * count(*) AS n FROM orders GROUP BY o_orderstatus",
+        "store_delete_pred": f"""
+            SELECT o_orderstatus, count(*) AS n, {_DSUM('o_totalprice')} AS sum_price
+            FROM orders WHERE o_orderstatus <> 'P' GROUP BY o_orderstatus""",
+        "store_delete_closure": f"""
+            SELECT o_orderstatus, count(*) AS n, {_DSUM('o_totalprice')} AS sum_price
+            FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000.0)
+            GROUP BY o_orderstatus""",
+        "store_compact_invariant": """
+            SELECT l_returnflag, count(*) AS n FROM lineitem
+            WHERE l_quantity >= 30.0 GROUP BY l_returnflag""",
+        # -- relational -----------------------------------------------------
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {_DSUM('l_quantity')} AS sum_qty,
+                   {_DSUM('l_extendedprice')} AS sum_base_price,
+                   {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
+                   {_DSUM('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge,
+                   {_DSUM('l_quantity')} / count(*) AS avg_qty,
+                   {_DSUM('l_extendedprice')} / count(*) AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "top100_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+        "topn_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn <= 3""",
+        "revenue_by_nation": f"""
+            SELECT n_name,
+                   {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
+        "mktsegment_stats": f"""
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   {_DSUM('o_totalprice')} AS sum_price,
+                   {_DSUM('o_totalprice')} / count(*) AS avg_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+        "distinct_parts": """
+            SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY l_returnflag""",
+        "semi_join": """
+            SELECT o_orderkey FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)""",
+        "anti_join": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+        "intersect_custkeys": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+        "rollup_counts": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "part_size_range": """
+            SELECT p_partkey, p_brand, p_size, p_retailprice FROM part
+            WHERE p_size > 10 AND p_size <= 30""",
+        "union_people": """
+            SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+            UNION ALL
+            SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier""",
+        # -- events ---------------------------------------------------------
+        "events_json": """
+            SELECT event_type, count(*) AS n,
+                   CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
+            FROM events GROUP BY event_type""",
+        "events_hourly": f"""
+            SELECT {_EPOCH.format("date_trunc('hour', ts)")} AS hour_epoch, event_type,
+                   count(*) AS n_events,
+                   {_DSUM('value')} AS sum_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2""",
+        "events_sessionize": f"""
+            WITH t AS (
+              SELECT user_id, event_id, ts, {_EPOCH.format('ts')} AS es FROM events
+            ), m AS (
+              SELECT user_id, event_id, ts, es,
+                     CASE WHEN lag(es) OVER w IS NULL THEN 1
+                          WHEN es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+              FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, es,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_i
+              FROM m
+            )
+            SELECT user_id, CAST(session_i AS BIGINT) AS session_i,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(es) AS start_epoch, max(es) AS end_epoch
+            FROM s GROUP BY user_id, session_i""",
+        "events_stream_rollup": f"""
+            SELECT {_EPOCH.format("date_trunc('hour', ts)")} AS hour_epoch, event_type,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2""",
+        # -- extensions -----------------------------------------------------
+        "dedup_exact": f"""
+            SELECT {fingerprint} AS fp, min(doc_id) AS keeper, count(*) AS n_docs
+            FROM documents GROUP BY 1""",
+        "dedup_jaccard": f"""
+            WITH {shingle_cte},
+            {jaccard_tail}
+            SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.2""",
+        "dedup_minhash": f"""
+            WITH {shingle_cte},
+            sig AS (
+              SELECT doc_id,
+               {sig_cols}
+              FROM sh GROUP BY doc_id
+            ),
+            banded AS (
+        {band_rows}
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+              WHERE a.doc_id < b.doc_id
+            ),
+            {jaccard_tail.lstrip()}
+            SELECT j.id_a, j.id_b, j.jaccard FROM jac j
+            JOIN cand USING (id_a, id_b)
+            WHERE j.jaccard >= 0.2""",
+        "dedup_simhash": f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, unnest({toks}) AS tok FROM documents
+            ), h AS (
+              SELECT doc_id, {_H32(0, 'tok')} AS h FROM toks
+            ), bits AS (
+              SELECT doc_id,
+               {simhash_bits}
+              FROM h GROUP BY doc_id
+            )
+            SELECT doc_id, {simhash_fp} AS simhash FROM bits""",
+        "text_stats": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len({toks}) AS n_tokens,
+                   len(list_distinct({toks})) AS n_unique_tokens,
+                   round(CASE WHEN length(text) = 0 THEN 0.0
+                         ELSE CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+                   round(CASE WHEN length(text) = 0 THEN 0.0
+                         ELSE CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS upper_ratio,
+                   round(CASE WHEN length(text) = 0 THEN 0.0
+                         ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS digit_ratio
+            FROM documents""",
+        "text_lang_id": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     {hits['en']} AS h_en, {hits['fr']} AS h_fr,
+                     {hits['de']} AS h_de, {hits['es']} AS h_es
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(h_en, h_fr, h_de, h_es) = 0 THEN 'und'
+                        WHEN h_en >= h_fr AND h_en >= h_de AND h_en >= h_es THEN 'en'
+                        WHEN h_fr >= h_de AND h_fr >= h_es THEN 'fr'
+                        WHEN h_de >= h_es THEN 'de'
+                        ELSE 'es' END AS lang_guess,
+                   greatest(h_en, h_fr, h_de, h_es) AS top_hits
+            FROM h""",
+        "text_quality": quality,
+        "text_token_topk": f"""
+            SELECT token, count(*) AS freq FROM (
+              SELECT unnest({toks}) AS token FROM documents
+            ) GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
+        "text_fingerprints": f"SELECT doc_id, {fingerprint} AS fp FROM documents",
+        "embed_topk": f"""
+            WITH e AS (
+              SELECT vec_id, unnest(embedding) AS v,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings
+            ), q AS (
+              SELECT v, i FROM e WHERE vec_id = 0
+            ), dots AS (
+              SELECT e.vec_id, {dot} AS dot
+              FROM e JOIN q USING (i) GROUP BY e.vec_id
+            ), norms AS (
+              SELECT vec_id, {nsq} AS nsq FROM e GROUP BY vec_id
+            )
+            SELECT d.vec_id,
+                   d.dot / (sqrt(n.nsq) * sqrt((SELECT nsq FROM norms WHERE vec_id = 0))) AS cosine
+            FROM dots d JOIN norms n ON d.vec_id = n.vec_id
+            ORDER BY cosine DESC, d.vec_id LIMIT 10""",
+        "embed_norm_stats": f"""
+            WITH e AS (
+              SELECT vec_id, label, unnest(embedding) AS v FROM embeddings
+            ), norms AS (
+              SELECT vec_id, any_value(label) AS label, sqrt({nsq}) AS norm
+              FROM e GROUP BY vec_id
+            )
+            SELECT label, count(*) AS n_vecs,
+                   round(min(norm), 6) AS min_norm,
+                   round(max(norm), 6) AS max_norm
+            FROM norms GROUP BY label""",
+        # embed_lsh_topk: intentionally no oracle (approximate operator)
+        "mm_features": """
+            WITH h AS (
+              SELECT doc_id, md5(text) AS m, sha256(text) AS sha,
+                     CAST(strlen(text) AS BIGINT) AS n_bytes
+              FROM documents
+            ), b AS (
+              SELECT doc_id, sha, n_bytes,
+                     unnest(generate_series(0, 15)) AS i, m
+              FROM h
+            )
+            SELECT doc_id, sha AS sha256, n_bytes,
+                   round(CAST(SUM(('0x' || substr(m, 2*i+1, 2))::INT) AS DOUBLE) / 16, 6) AS mean_px
+            FROM b GROUP BY doc_id, sha, n_bytes""",
+        "mm_frame_plan": """
+            SELECT doc_id, i AS frame_i, i * 1000 AS frame_ts_ms FROM (
+              SELECT doc_id,
+                     unnest(generate_series(0, CAST(floor((n_chars * 10) / 1000.0) AS INT))) AS i
+              FROM documents)""",
+    }

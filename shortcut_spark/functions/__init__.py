@@ -1,0 +1,180 @@
+"""Reusable column expressions.
+
+Two concerns shape this module:
+
+1. **Oracle determinism.** The driver hash-compares our Spark results with
+   DuckDB. Per-row arithmetic with a fixed expression tree is IEEE-double
+   deterministic in ANY engine — but SUM order is not, and Spark/DuckDB
+   will sum in different orders. Rule: keep per-row math in DOUBLE, then
+   cast the per-row result to DECIMAL (exact, associative, commutative)
+   for the SUM, and convert back to DOUBLE at the very end. The same casts
+   appear verbatim in the oracle SQL, so both engines produce bit-identical
+   doubles. Division happens after, double-by-double, with identical
+   operands on both sides.
+
+2. **Stay JVM-side.** Everything here is built from pyspark.sql.functions —
+   no Python UDFs — so filters/aggregates stay inside whole-stage codegen
+   and Catalyst can push them around. The reference computes nothing on
+   values beyond ==/< (``src/lib.rs:75``); all of this is the "free in
+   Spark" extension surface (SURVEY §2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dsum",
+    "davg",
+    "hash32",
+    "vec_dot_exact",
+    "vec_norm_sq_exact",
+    "cosine_exact",
+    "tokens",
+    "token_count",
+    "punct_ratio",
+    "upper_ratio",
+    "digit_ratio",
+    "stopword_hits",
+    "fingerprint",
+]
+
+# decimal shapes shared with the oracle SQL (keep in sync with __spark_entry__)
+_DEC = "decimal(27,6)"
+_DEC14 = "decimal(28,14)"
+
+
+def dsum(col: str | Column, alias: str | None = None) -> Column:
+    """Exact, order-independent SUM of a double expression.
+
+    The expression may be any per-row double computation (e.g.
+    ``l_extendedprice * (1 - l_discount)``) — per-row doubles are
+    engine-deterministic; only the SUM needs the decimal detour.
+
+    SQL twin: ``CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(_DEC)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def davg(col: str | Column, alias: str | None = None) -> Column:
+    """avg = exact-decimal sum cast to double, divided by count — both
+    engines divide the same two numbers, so the doubles match.
+
+    SQL twin: ``CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(_DEC)).cast("double") / F.count(F.lit(1))
+    return out.alias(alias) if alias else out
+
+
+def hash32(col: Column, seed: int | str = 0) -> Column:
+    """Deterministic 32-bit hash available identically in DuckDB:
+    first 8 hex chars of md5(seed || ':' || value), parsed as a long.
+
+    SQL twin: ``('0x' || substr(md5(seed || ':' || x), 1, 8))::BIGINT``.
+
+    Not murmur — chosen because both engines have md5, so index-free
+    operators built on it (MinHash, SimHash) are oracle-checkable.
+    """
+    payload = F.concat(F.lit(f"{seed}:"), col.cast("string"))
+    return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+
+
+# -- vector math (embeddings: array<float>) ----------------------------------
+
+
+def vec_dot_exact(a: Column, b: Column) -> Column:
+    """Exact dot product: per-element product in DOUBLE (deterministic),
+    cast to DECIMAL(28,14), summed in a fold — order-independent because
+    decimal addition is exact, so it equals DuckDB's unordered SUM over
+    UNNEST with the same casts. Returns double.
+
+    SQL twin (over unnested elements)::
+
+        CAST(SUM(CAST(CAST(ax AS DOUBLE) * CAST(bx AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE)
+    """
+    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC14))
+    acc0 = F.lit(0).cast(_DEC14)
+    return F.aggregate(prods, acc0, lambda acc, x: (acc + x).cast(_DEC14)).cast("double")
+
+
+def vec_norm_sq_exact(a: Column) -> Column:
+    return vec_dot_exact(a, a)
+
+
+def cosine_exact(a: Column, b: Column) -> Column:
+    """cosine = exact-dot / (sqrt(exact)*sqrt(exact)) — all-double epilogue
+    on identical operands in both engines."""
+    return vec_dot_exact(a, b) / (F.sqrt(vec_norm_sq_exact(a)) * F.sqrt(vec_norm_sq_exact(b)))
+
+
+# -- text features (documents.text) ------------------------------------------
+
+# whitespace tokenization; shared with the oracle SQL via regexp
+_WS = "\\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text (empty string → empty array).
+
+    DuckDB twin: ``regexp_split_to_array(trim(text), '\\s+')`` guarded for
+    empty input.
+    """
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, _WS))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def _count_matches(text: Column, pattern: str) -> Column:
+    # length-difference trick works identically in DuckDB
+    return F.length(text) - F.length(F.regexp_replace(text, pattern, ""))
+
+
+def punct_ratio(text: Column) -> Column:
+    """punctuation chars / total chars (0 for empty)."""
+    n = _count_matches(text, "[\\.,;:!\\?]")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(n / F.length(text))
+
+
+def upper_ratio(text: Column) -> Column:
+    n = _count_matches(text, "[A-Z]")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(n / F.length(text))
+
+
+def digit_ratio(text: Column) -> Column:
+    n = _count_matches(text, "[0-9]")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(n / F.length(text))
+
+
+# small fixed stopword lists per language for the n-gram-free language-ID
+# heuristic; chosen to be expressible as one regexp per language in both
+# engines.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit"],
+    "es": ["el", "la", "de", "que", "y", "los", "un", "es"],
+}
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """How many whitespace-delimited tokens are stopwords of ``lang``."""
+    words = STOPWORDS[lang]
+    toks = tokens(F.lower(text))
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over the normalized token stream
+    (lowercased, punctuation stripped, whitespace collapsed) — a canonical
+    content hash that survives formatting changes. SQL twin uses the same
+    regexp pipeline."""
+    norm = F.regexp_replace(F.lower(text), "[^a-z0-9\\s]", " ")
+    norm = F.trim(F.regexp_replace(norm, "\\s+", " "))
+    return F.md5(norm)

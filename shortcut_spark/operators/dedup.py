@@ -1,0 +1,230 @@
+"""Deduplication operators for large-scale text corpora.
+
+All variants are pure DataFrame compositions (no Python UDFs) and scale as
+shuffles on bounded keys:
+
+- exact:   hash-groupBy on a canonical content hash — one shuffle.
+- minhash: shingle → H min-hashes → band buckets → bucket-join → verify.
+  Candidate generation touches only docs sharing a band bucket, the
+  classic MinHash-LSH join; the final exact-jaccard verify runs only on
+  candidate pairs.
+- simhash: per-token 32-bit hashes → bitwise majority → 32-bit fingerprint;
+  near-dup = small hamming distance, banded by bytes so the pair join never
+  goes all-pairs.
+- ngram-jaccard: exact pairwise jaccard via an inverted shingle index
+  (self-join on shingle) — exact but quadratic in bucket size; the verify
+  step of minhash reuses it.
+
+Hashes are md5-derived (``functions.hash32``) rather than murmur so every
+step has a DuckDB-expressible twin for the correctness oracle.
+
+The reference has no dedup surface (its values are opaque, ``src/lib.rs:75``);
+these are the driver-mandated LLM-pipeline extensions (SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import fingerprint, hash32, tokens
+
+__all__ = [
+    "exact_dup_groups",
+    "exact_dedup",
+    "shingles",
+    "minhash_signature",
+    "minhash_candidates",
+    "jaccard_pairs",
+    "minhash_near_dups",
+    "simhash",
+    "simhash_near_dups",
+]
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical *normalized* content; one row per content group with
+    the keeper (min id) and the group size."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per identical normalized content."""
+    keep = exact_dup_groups(df, id_col, text_col).select(F.col("keeper").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Tokens come from the shared whitespace tokenizer; the shingle is the
+    space-joined window so it has a direct SQL twin.
+    """
+    toks = df.select(F.col(id_col), F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "tok"))
+    parts = [F.lead("tok", i).over(_w(id_col)) for i in range(1, n)]
+    sh = toks.withColumn("shingle", F.concat_ws(" ", F.col("tok"), *parts))
+    # drop windows that ran off the end (lead returned null → fewer words)
+    sh = sh.filter(F.size(F.split(F.col("shingle"), " ")) == n)
+    return sh.select(id_col, "shingle").distinct()
+
+
+def _w(id_col: str):
+    from pyspark.sql import Window
+
+    return Window.partitionBy(id_col).orderBy("pos")
+
+
+def minhash_signature(
+    sh: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """(id, sig_0..sig_{H-1}): min over the doc's shingles of H independent
+    md5-derived hash functions. One explode already happened in
+    ``shingles``; this is a single groupBy with H min-aggregates."""
+    aggs = [F.min(hash32(F.col("shingle"), i)).alias(f"sig_{i}") for i in range(num_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidates(
+    sig: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band become a candidate
+    pair (a < b). The join key is (band index, md5 of the band's slice of
+    the signature) so each bucket is tiny at scale."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bh")))
+    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact jaccard over shingle sets for every pair sharing ≥1 shingle
+    (or only ``candidates`` pairs when given): inverted-index self-join,
+    |A∩B| from the join, |A| and |B| from per-doc counts. Integer counts →
+    the similarity double is identical in any engine."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band → verify."""
+    sh = shingles(df, id_col, text_col, n)
+    sig = minhash_signature(sh, id_col, num_hashes)
+    cand = minhash_candidates(sig, id_col, num_hashes, bands)
+    return jaccard_pairs(sh, id_col, threshold, candidates=cand)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """32-bit SimHash: per distinct token a 32-bit md5-derived hash; each bit
+    contributes +1/-1; fingerprint bit b is set iff the sum is positive.
+
+    Pure explode + groupBy with integer arithmetic — deterministic and
+    SQL-twinnable via bit shifts.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+        .distinct()
+        .withColumn("h", hash32(F.col("tok")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return per_doc.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by hamming distance over SimHash, banded by the four
+    bytes of the fingerprint (a pair within hamming ≤3 of 32 bits must agree
+    on ≥1 whole byte) so candidate generation is a bucket join, not
+    all-pairs."""
+    fp = simhash(df, id_col, text_col)
+    bands = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("byte_i"),
+                        F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(255)).alias("byte_v"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", F.col("bb.byte_i").alias("byte_i"), F.col("bb.byte_v").alias("byte_v"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["byte_i", "byte_v"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,135 @@
+"""Multimodal column convention + processing plumbing.
+
+Media payloads are opaque ``binary`` columns next to a typed metadata
+struct — the 100 TB-friendly layout: parquet keeps blobs contiguous and
+column-pruned away unless a query touches them, and all metadata predicates
+(mime, dimensions, duration) push down without reading a byte of payload.
+
+    media struct<mime string, width int, height int, duration_ms long,
+                 sha256 string, n_bytes long>
+
+Decode / feature-extraction runs as Arrow-batched ``mapInPandas`` so each
+Python worker sees a columnar batch of blobs — the only sane shape for
+CPU-bound media work on a cluster (batch amortizes serde; partition count
+controls decode parallelism).
+
+The container has no image/audio codecs, so the actual decode is stubbed
+(`NotImplementedError`) behind ``decoder="real"``; ``decoder="fake"`` is a
+deterministic md5-seeded pixel generator that keeps every Spark-side piece
+— schema, batching, partitioning, UDF signatures — real and testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "MEDIA_META",
+    "attach_media",
+    "filter_by_meta",
+    "decode_features",
+    "frame_sample_plan",
+]
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def attach_media(
+    df: DataFrame, payload_col: str, mime: str, width=None, height=None, duration_ms=None
+) -> DataFrame:
+    """Wrap a binary column into the (payload, media-meta) convention.
+    sha256/size are computed JVM-side (no Python)."""
+    p = F.col(payload_col)
+    meta = F.struct(
+        F.lit(mime).alias("mime"),
+        (F.lit(width) if width is not None else F.lit(None)).cast("int").alias("width"),
+        (F.lit(height) if height is not None else F.lit(None)).cast("int").alias("height"),
+        (F.lit(duration_ms) if duration_ms is not None else F.lit(None)).cast("long").alias("duration_ms"),
+        F.sha2(p, 256).alias("sha256"),
+        F.length(p).cast("long").alias("n_bytes"),
+    )
+    return df.withColumn("media", meta)
+
+
+def filter_by_meta(df: DataFrame, **bounds) -> DataFrame:
+    """Predicate on metadata only — never touches payload bytes (parquet
+    column pruning keeps the blob column unread)."""
+    out = df
+    for key, val in bounds.items():
+        out = out.filter(F.col(f"media.{key}") == F.lit(val))
+    return out
+
+
+_FEAT_SCHEMA = "id long, sha256 string, n_bytes long, mean_px double, std_px double"
+
+
+def decode_features(
+    df: DataFrame, id_col: str, payload_col: str, decoder: str = "fake", batch_hint: int = 256
+) -> DataFrame:
+    """Per-blob feature extraction over ``mapInPandas``.
+
+    ``decoder="real"`` raises NotImplementedError (no codecs in this
+    container — plug PIL/ffmpeg there on a real cluster). ``decoder="fake"``
+    derives 64 deterministic pseudo-pixels from the payload's md5 and
+    computes mean/std — exercising the exact Arrow batch path a real decoder
+    would use.
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real media decode needs PIL/ffmpeg on the executors; "
+                    "use decoder='fake' for plumbing tests"
+                )
+            ids, shas, sizes, means, stds = [], [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(blob) if blob is not None else b""
+                digest = hashlib.md5(raw).digest()
+                px = np.frombuffer((digest * 4)[:64], dtype=np.uint8).astype(np.float64)
+                ids.append(i)
+                shas.append(hashlib.sha256(raw).hexdigest())
+                sizes.append(len(raw))
+                means.append(float(px.mean()))
+                stds.append(float(px.std()))
+            yield pd.DataFrame(
+                {"id": ids, "sha256": shas, "n_bytes": sizes, "mean_px": means, "std_px": stds}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, _FEAT_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, id_col: str, every_ms: int = 1000
+) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media item, frame timestamp)
+    derived from duration metadata — pure JVM-side sequence explode; the
+    actual frame grab would be a decode_features-style mapInPandas over this
+    plan joined back to payloads."""
+    n = (F.col("media.duration_ms") / F.lit(every_ms)).cast("int")
+    return (
+        df.filter(F.col("media.duration_ms").isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), n)).alias("frame_i"),
+        )
+        .withColumn("frame_ts_ms", F.col("frame_i") * F.lit(every_ms))
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over an embedding column (array<float>).
+
+Three tiers, all DataFrame-native:
+
+- ``topk_cosine``      — brute-force exact top-k against one query vector:
+  a broadcast one-row cross join + exact-decimal dot product + sort-limit.
+  The correctness baseline; O(N) scan but embarrassingly parallel, and at
+  100 TB Catalyst prunes to the two needed columns.
+- ``cosine_join``      — exact all-pairs ≥ threshold (for near-dup of
+  embeddings); candidate generation via hyperplane LSH buckets so it never
+  goes quadratic.
+- ``lsh_topk``         — approximate top-k: probe only vectors sharing ≥1
+  hyperplane-LSH band with the query. The scale path: bucket join instead
+  of full scan; recall is tested against the brute-force tier in pytest.
+
+Hyperplanes are deterministic md5-derived pseudo-randoms (no RNG state, no
+seed files — any executor can regenerate them), a requirement for
+restartable jobs at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import cosine_exact, hash32, vec_dot_exact, vec_norm_sq_exact
+
+__all__ = ["topk_cosine", "hyperplane_buckets", "lsh_topk", "cosine_join", "norm_stats"]
+
+
+def topk_cosine(
+    emb: DataFrame, query: DataFrame, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k by cosine against a one-row ``query`` df (column ``qvec``).
+
+    Output: (id, cosine) — cosine from exact-decimal dots so ordering and
+    values are engine-independent; ties broken by id for determinism.
+    """
+    q = F.broadcast(query.select(F.col("qvec")))
+    scored = (
+        emb.crossJoin(q)
+        .select(
+            F.col(id_col),
+            cosine_exact(F.col(vec_col), F.col("qvec")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+    return scored
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    vec_col: str,
+    n_planes: int = 8,
+    bands: int = 4,
+    dim: int = 64,
+    out_col: str = "band_key",
+) -> DataFrame:
+    """Random-hyperplane LSH: sign of <v, h_p> per plane, planes grouped into
+    bands; emits one row per (input row, band) with a joinable bucket key.
+
+    Plane component p,d is a deterministic pseudo-random in [-1, 1):
+    ``hash32("p:d") / 2^31 - 1`` — regenerable anywhere, no broadcast state.
+    """
+    planes = [
+        F.array(
+            *[
+                (hash32(F.lit(f"hp:{p}:{d}")) / F.lit(float(2**31)) - F.lit(1.0))
+                for d in range(dim)
+            ]
+        )
+        for p in range(n_planes)
+    ]
+    sign_bits = [
+        F.when(vec_dot_exact(F.col(vec_col), planes[p]) >= 0, F.lit(1)).otherwise(F.lit(0)).alias(f"bit_{p}")
+        for p in range(n_planes)
+    ]
+    with_bits = df.select("*", *sign_bits)
+    per_band = n_planes // bands
+    band_structs = []
+    for b in range(bands):
+        bits = [F.col(f"bit_{b * per_band + i}").cast("string") for i in range(per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("", *bits).alias("sig"))
+        )
+    out = with_bits.select(
+        *df.columns, F.explode(F.array(*band_structs)).alias("bb")
+    ).select(*df.columns, F.concat_ws("/", F.col("bb.band").cast("string"), F.col("bb.sig")).alias(out_col))
+    return out
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only vectors sharing ≥1 LSH band with the
+    query. Same output shape as ``topk_cosine``."""
+    emb_b = hyperplane_buckets(emb, vec_col, n_planes, bands, dim)
+    q_b = hyperplane_buckets(query.select(F.col("qvec")), "qvec", n_planes, bands, dim)
+    cand = emb_b.join(F.broadcast(q_b.select("band_key")), "band_key", "left_semi").select(
+        id_col, vec_col
+    ).distinct()
+    return topk_cosine(cand, query, k, id_col, vec_col)
+
+
+def cosine_join(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    bands: int = 4,
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold. ``exact=True`` goes
+    all-pairs (testing / small inputs); otherwise LSH-banded candidates."""
+    left = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    right = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if exact:
+        pairs = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        b = hyperplane_buckets(emb, vec_col, n_planes, bands, dim)
+        ba = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "band_key")
+        bb = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "band_key")
+        pairs = (
+            ba.join(bb, "band_key")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "va", "id_b", "vb")
+            .distinct()
+        )
+    return (
+        pairs.withColumn("cosine", cosine_exact(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def norm_stats(emb: DataFrame, group_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """Per-group stats of vector L2 norms — exact-decimal norm², double
+    epilogue; used as an oracle-checkable embedding-pipeline health query."""
+    norms = emb.select(
+        F.col(group_col), F.sqrt(vec_norm_sq_exact(F.col(vec_col))).alias("norm")
+    )
+    return norms.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+    )

@@ -1,0 +1,113 @@
+"""Text-analysis operators for the documents table.
+
+Everything is built from JVM-side column expressions (regexp + array ops) —
+no Python in the hot path — and each has a DuckDB-expressible twin for the
+oracle. At 100 TB these are embarrassingly parallel scans with no shuffle
+except the final aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import (
+    STOPWORDS,
+    digit_ratio,
+    fingerprint,
+    punct_ratio,
+    stopword_hits,
+    token_count,
+    tokens,
+    upper_ratio,
+)
+
+__all__ = ["text_stats", "language_id", "quality_score", "token_frequencies", "fingerprints"]
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document surface statistics (counts and exact ratios)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        F.size(F.array_distinct(tokens(F.lower(t)))).alias("n_unique_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(upper_ratio(t), 6).alias("upper_ratio"),
+        F.round(digit_ratio(t), 6).alias("digit_ratio"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-profile language guesser.
+
+    Scores each language by stopword hits normalized by token count; argmax
+    with a fixed language order as tiebreak (deterministic). A real system
+    would use character n-gram profiles; the operator shape (per-row scores
+    → argmax) is the same and the scoring column is swappable.
+    """
+    t = F.col(text_col)
+    langs = list(STOPWORDS)
+    scored = df.select(
+        F.col(id_col),
+        *[stopword_hits(t, lang).alias(f"hits_{lang}") for lang in langs],
+    )
+    # argmax by (hits desc, fixed lang order) via a sorted struct array
+    entries = F.array(
+        *[
+            F.struct(F.col(f"hits_{lang}").alias("hits"), F.lit(i).alias("ord"), F.lit(lang).alias("lang"))
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_sort(
+        entries,
+        lambda a, b: F.when(a["hits"] > b["hits"], -1)
+        .when(a["hits"] < b["hits"], 1)
+        .otherwise(F.when(a["ord"] < b["ord"], -1).when(a["ord"] > b["ord"], 1).otherwise(0)),
+    )[0]
+    return scored.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
+        best["hits"].alias("top_hits"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: length sweet-spot, low punctuation/
+    digit noise, lexical diversity, and stopword presence — the standard
+    pre-training filter features. All-double arithmetic on exact ratios with
+    a fixed expression tree, so the score is engine-reproducible."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_uniq = F.size(F.array_distinct(tokens(F.lower(t))))
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    diversity = F.when(n_tok > 0, n_uniq / n_tok).otherwise(F.lit(0.0))
+    sw = sum((stopword_hits(t, lang) for lang in STOPWORDS), F.lit(0))
+    sw_score = F.least(sw / F.lit(5.0), F.lit(1.0))
+    noise = punct_ratio(t) + digit_ratio(t)
+    score = (
+        F.lit(0.3) * len_score
+        + F.lit(0.3) * diversity
+        + F.lit(0.2) * sw_score
+        + F.lit(0.2) * (F.lit(1.0) - F.least(noise * F.lit(5.0), F.lit(1.0)))
+    )
+    return df.select(F.col(id_col), F.round(score, 6).alias("quality"))
+
+
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """Corpus-level term frequencies (top-N, deterministic tiebreak by term).
+    The classic one-shuffle explode+groupBy wordcount."""
+    return (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(top_n)
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, fingerprint) — canonical content hash per document."""
+    return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))

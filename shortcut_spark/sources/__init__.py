@@ -1,0 +1,103 @@
+"""Source/sink registry.
+
+The reference has no I/O at all (zero deps, in-memory only — Cargo.toml:23-24,
+SURVEY §2.2); parquet IS our storage layer, and the rest of Spark's
+connector surface comes along for free. This module is a thin, uniform
+facade so engine code and tests never hand-roll reader options, plus
+import-try-gated stubs for connectors whose jars aren't in this container.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "read",
+    "write",
+    "load_fixture",
+    "fixture_tables",
+    "normalize_event_ts",
+    "FIXTURE_TABLES",
+]
+
+FIXTURE_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read(spark: SparkSession, fmt: str, path: str, schema=None, **options) -> DataFrame:
+    fmt = fmt.lower()
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "parquet":
+        return reader.options(**options).parquet(path)
+    if fmt == "orc":
+        return reader.options(**options).orc(path)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        return reader.options(**options).csv(path)
+    if fmt == "json":
+        return reader.options(**options).json(path)
+    if fmt in ("jdbc", "delta", "iceberg", "avro"):
+        # these need jars not present in this container; fail clearly
+        try:
+            return reader.format(fmt).options(path=path, **options).load()
+        except Exception as e:  # pragma: no cover - environment dependent
+            raise NotImplementedError(
+                f"{fmt} connector jars are not available in this environment"
+            ) from e
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def write(df: DataFrame, fmt: str, path: str, mode: str = "overwrite", partition_by=None, **options) -> None:
+    fmt = fmt.lower()
+    writer = df.write.mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "orc":
+        writer.orc(path)
+    elif fmt == "csv":
+        writer.option("header", "true").csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unknown sink format {fmt!r}")
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Parquet TIMESTAMP(NANOS) is read as long nanos (see session config);
+    convert to a microsecond timestamp with exact integer division — the
+    same truncation DuckDB applies when it loads nanos parquet."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def load_fixture(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """One driver fixture table (TESTDATA.md layout)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    if table == "events":
+        df = normalize_event_ts(df)
+    return df
+
+
+def fixture_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_fixture(spark, sf_dir, t) for t in FIXTURE_TABLES}

@@ -1,0 +1,100 @@
+"""Structured Streaming equivalents for the events table.
+
+The reference is strictly batch/synchronous (SURVEY §2.2: no streaming),
+so this module is extension surface: the same event-analytics operators in
+both batch form (oracle-checkable) and streaming form (watermark + windowed
+state), sharing one aggregation definition so batch results certify the
+streaming logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["hourly_rollup", "sessionize", "run_stream_hourly_rollup"]
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour counts/sums per event_type. Batch form; the window
+    start is emitted as epoch seconds so the oracle compare is
+    timezone-proof."""
+    from ..functions import dsum
+
+    return (
+        events.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization, batch form: lag + cumulative-sum-of-breaks
+    — the standard Spark window composition. Output: one row per session."""
+    from pyspark.sql import Window as W
+
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lit(gap_minutes * 60)
+    with_break = events.withColumn(
+        "is_break",
+        (
+            F.coalesce(
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user)),
+                F.lit(None).cast("long"),
+            )
+            > gap
+        ).cast("int"),
+    ).withColumn("session_i", F.sum(F.coalesce(F.col("is_break"), F.lit(1))).over(w_user))
+    return with_break.groupBy("user_id", "session_i").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("start_epoch"),
+        F.unix_timestamp(F.max("ts")).alias("end_epoch"),
+    )
+
+
+def run_stream_hourly_rollup(spark: SparkSession, events_parquet_dir: str, query_name: str = "hourly") -> DataFrame:
+    """Drive the same rollup as a real streaming query over the parquet
+    events (file source, memory sink, processAllAvailable) — smoke-proof
+    that the aggregation is streamable with a watermark. Returns the
+    materialized result."""
+    import os
+    import tempfile
+
+    from ..sources import normalize_event_ts
+
+    # the file-stream source requires a directory; if given a single parquet
+    # file, expose it through a symlinked temp dir
+    if os.path.isfile(events_parquet_dir):
+        d = tempfile.mkdtemp(prefix="stream_events_")
+        os.symlink(events_parquet_dir, os.path.join(d, os.path.basename(events_parquet_dir)))
+        events_parquet_dir = d
+
+    schema = spark.read.parquet(events_parquet_dir).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(events_parquet_dir)
+    ).withWatermark("ts", "1 hour")
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

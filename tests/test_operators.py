@@ -1,0 +1,111 @@
+"""Property-style tests for the extension operators (the oracle harness in
+scripts/oracle_check.py + the driver cover exact equivalence; these cover
+the semantic properties oracles can't express)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from shortcut_spark.operators import dedup, multimodal, similarity, text
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_minhash_finds_planted_near_dup(spark, docs):
+    """Plant a 90%-overlapping copy of a doc; MinHash-LSH must surface it."""
+    base = docs.filter(F.col("doc_id") == 1).select("doc_id", "text").collect()[0]
+    words = base["text"].split()
+    near = " ".join(words[: max(3, int(len(words) * 0.95))])
+    extra = spark.createDataFrame([(100001, near)], "doc_id long, text string")
+    corpus = docs.select("doc_id", "text").union(extra)
+    pairs = dedup.minhash_near_dups(corpus, "doc_id", "text", threshold=0.5).collect()
+    assert any(r["id_a"] == 1 and r["id_b"] == 100001 for r in pairs)
+
+
+def test_exact_dedup_keeps_one_per_content(spark, docs):
+    dup = docs.select("doc_id", "text").union(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    kept = dedup.exact_dedup(dup, "doc_id", "text")
+    assert kept.count() == docs.count()
+    # keeper is the min id → all original ids survive
+    assert kept.filter(F.col("doc_id") > 100000).count() == 0
+
+
+def test_simhash_close_for_similar_docs(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a + " tomorrow"
+    c = "completely different words about spark shuffles and parquet footers"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    rows = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df, "doc_id", "text").collect()}
+    ham_ab = bin(rows[1] ^ rows[2]).count("1")
+    ham_ac = bin(rows[1] ^ rows[3]).count("1")
+    assert ham_ab < ham_ac
+
+
+def test_lsh_topk_recall(spark, emb):
+    """LSH ANN must recover most of the exact top-10."""
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    exact = {r["vec_id"] for r in similarity.topk_cosine(emb, q, 10).collect()}
+    approx = {r["vec_id"] for r in similarity.lsh_topk(emb, q, 10).collect()}
+    assert len(exact & approx) >= 5  # recall ≥ 0.5 at these parameters
+    assert 0 in approx  # the query vector itself always lands in its own bucket
+
+
+def test_cosine_join_exact_vs_lsh(spark, emb):
+    sample = emb.filter(F.col("vec_id") < 60)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_join(sample, 0.5, exact=True).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]) for r in similarity.cosine_join(sample, 0.5).collect()
+    }
+    assert lsh <= exact  # LSH candidates are verified → no false positives
+    if exact:
+        assert len(lsh) / len(exact) >= 0.3
+
+
+def test_language_id_on_real_phrases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "le chat est dans la maison et les enfants"),
+            (3, "der Hund ist nicht mit der Katze"),
+            (4, "el perro es de los que y la casa"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_guess"] for r in text.language_id(df).collect()}
+    assert got == {1: "en", 2: "fr", 3: "de", 4: "es"}
+
+
+def test_multimodal_plumbing(spark, docs):
+    payload = docs.limit(50).withColumn("payload", F.encode(F.col("text"), "UTF-8"))
+    tagged = multimodal.attach_media(payload, "payload", "text/plain")
+    meta = tagged.select("media.*").collect()
+    assert all(m["n_bytes"] > 0 and len(m["sha256"]) == 64 for m in meta)
+    feats = multimodal.decode_features(payload, "doc_id", "payload").collect()
+    assert len(feats) == 50
+    assert all(0 <= r["mean_px"] <= 255 for r in feats)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.decode_features(payload, "doc_id", "payload", decoder="real").collect()
+
+
+def test_streaming_matches_batch(spark):
+    from shortcut_spark.sources import load_fixture
+    from shortcut_spark.streaming import hourly_rollup, run_stream_hourly_rollup
+
+    batch = hourly_rollup(load_fixture(spark, SF_DIR, "events")).select(
+        "hour_epoch", "event_type", "n_events"
+    )
+    stream = run_stream_hourly_rollup(spark, f"{SF_DIR}/events.parquet", "t_hourly_test")
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, stream.collect()))
