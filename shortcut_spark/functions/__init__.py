@@ -25,6 +25,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "ensure_parallelism",
     "dsum",
     "davg",
     "hash32",
@@ -43,6 +44,17 @@ __all__ = [
 # decimal shapes shared with the oracle SQL (keep in sync with __spark_entry__)
 _DEC = "decimal(27,6)"
 _DEC14 = "decimal(28,14)"
+
+
+def ensure_parallelism(df, min_parts: int = 8):
+    """Small fixture files arrive as 1-2 partitions, serializing heavy map
+    stages (tokenize/hash/vector math); spread them. No-op for
+    already-parallel input — at real scale the scan has many partitions and
+    this never fires."""
+    if df.rdd.getNumPartitions() < min_parts:
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        return df.repartition(max(min_parts, cores))
+    return df
 
 
 def dsum(col: str | Column, alias: str | None = None) -> Column:

@@ -37,13 +37,19 @@ __all__ = ["DataFile", "Manifest"]
 
 @dataclass
 class DataFile:
-    """One immutable parquet data file with its dense rowid range."""
+    """One immutable parquet data file with its dense rowid range and
+    per-column min/max (from the parquet footer — free at registration).
+
+    ``stats`` maps column → [min, max] for primitive int/float/string
+    columns; the driver-side planner prunes files with it before any Spark
+    job runs (the 100 TB analogue is Iceberg manifest column stats)."""
 
     id: int
     path: str
     rows: int
     min_rowid: int
     max_rowid: int
+    stats: dict = field(default_factory=dict)
 
     def to_json(self) -> dict:
         return {
@@ -52,11 +58,14 @@ class DataFile:
             "rows": self.rows,
             "min_rowid": self.min_rowid,
             "max_rowid": self.max_rowid,
+            "stats": self.stats,
         }
 
     @classmethod
     def from_json(cls, d: dict) -> "DataFile":
-        return cls(d["id"], d["path"], d["rows"], d["min_rowid"], d["max_rowid"])
+        return cls(
+            d["id"], d["path"], d["rows"], d["min_rowid"], d["max_rowid"], d.get("stats", {})
+        )
 
 
 @dataclass

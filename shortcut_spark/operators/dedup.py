@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions import ensure_parallelism as _ensure_parallelism
 from ..functions import fingerprint, hash32, tokens
 
 __all__ = [
@@ -63,21 +64,24 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
-    Tokens come from the shared whitespace tokenizer; the shingle is the
-    space-joined window so it has a direct SQL twin.
+    Built entirely with array expressions (transform over a token-index
+    sequence + slice) — no window, no shuffle before the final distinct;
+    at 100 TB this is a pure map stage. The shingle is the space-joined
+    window so it has a direct SQL twin.
     """
-    toks = df.select(F.col(id_col), F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "tok"))
-    parts = [F.lead("tok", i).over(_w(id_col)) for i in range(1, n)]
-    sh = toks.withColumn("shingle", F.concat_ws(" ", F.col("tok"), *parts))
-    # drop windows that ran off the end (lead returned null → fewer words)
-    sh = sh.filter(F.size(F.split(F.col("shingle"), " ")) == n)
-    return sh.select(id_col, "shingle").distinct()
-
-
-def _w(id_col: str):
-    from pyspark.sql import Window
-
-    return Window.partitionBy(id_col).orderBy("pos")
+    df = _ensure_parallelism(df)
+    t = tokens(F.lower(F.col(text_col)))
+    sh_arr = F.when(
+        F.size(F.col("__toks")) >= n,
+        F.expr(
+            f"transform(sequence(0, size(__toks) - {n}), i -> concat_ws(' ', slice(__toks, i + 1, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), t.alias("__toks"))
+        .select(F.col(id_col), F.explode(sh_arr).alias("shingle"))
+        .distinct()
+    )
 
 
 def minhash_signature(
@@ -125,16 +129,26 @@ def jaccard_pairs(
     |A∩B| from the join, |A| and |B| from per-doc counts. Integer counts →
     the similarity double is identical in any engine."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        # verify-only path: expand each candidate pair by its shingle sets —
+        # work is O(candidates × shingles-per-doc), never all-pairs
+        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            candidates.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     out = (
@@ -155,8 +169,12 @@ def minhash_near_dups(
     bands: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: shingle → sign → band → verify."""
-    sh = shingles(df, id_col, text_col, n)
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band → verify.
+
+    The shingle set feeds both the signature build and the verify join, so
+    it is persisted for the lifetime of the query (at warehouse scale this
+    would be a materialized intermediate table)."""
+    sh = shingles(df, id_col, text_col, n).persist()
     sig = minhash_signature(sh, id_col, num_hashes)
     cand = minhash_candidates(sig, id_col, num_hashes, bands)
     return jaccard_pairs(sh, id_col, threshold, candidates=cand)
@@ -170,7 +188,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     SQL-twinnable via bit shifts.
     """
     toks = (
-        df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+        _ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
         .distinct()
         .withColumn("h", hash32(F.col("tok")))
     )

@@ -22,7 +22,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions import cosine_exact, hash32, vec_dot_exact, vec_norm_sq_exact
+from ..functions import (
+    cosine_exact,
+    ensure_parallelism,
+    hash32,
+    vec_dot_exact,
+    vec_norm_sq_exact,
+)
 
 __all__ = ["topk_cosine", "hyperplane_buckets", "lsh_topk", "cosine_join", "norm_stats"]
 
@@ -37,7 +43,7 @@ def topk_cosine(
     """
     q = F.broadcast(query.select(F.col("qvec")))
     scored = (
-        emb.crossJoin(q)
+        ensure_parallelism(emb).crossJoin(q)
         .select(
             F.col(id_col),
             cosine_exact(F.col(vec_col), F.col("qvec")).alias("cosine"),
@@ -60,22 +66,36 @@ def hyperplane_buckets(
     bands; emits one row per (input row, band) with a joinable bucket key.
 
     Plane component p,d is a deterministic pseudo-random in [-1, 1):
-    ``hash32("p:d") / 2^31 - 1`` — regenerable anywhere, no broadcast state.
+    ``md5-hash32("hp:p:d") / 2^31 - 1`` — regenerable on any executor, no
+    broadcast state. Planes are materialized once on a one-row dataframe
+    and cross-joined (broadcast) into the scan; per-row work is then just
+    n_planes fused zip_with/aggregate dot products in plain double (this
+    operator is approximate by design; no oracle twin).
     """
-    planes = [
-        F.array(
-            *[
-                (hash32(F.lit(f"hp:{p}:{d}")) / F.lit(float(2**31)) - F.lit(1.0))
-                for d in range(dim)
-            ]
+    df = ensure_parallelism(df)
+    spark = df.sparkSession
+    plane_exprs = [
+        F.expr(
+            f"""transform(sequence(0, {dim - 1}),
+                  d -> cast(conv(substr(md5(concat('hp:{p}:', cast(d AS string))), 1, 8), 16, 10) AS double)
+                       / 2147483648.0 - 1.0)"""
+        ).alias(f"__plane_{p}")
+        for p in range(n_planes)
+    ]
+    planes_df = spark.range(1).select(*plane_exprs)
+
+    def plane_dot(p: int) -> F.Column:
+        return F.expr(
+            f"""aggregate(
+                  zip_with({vec_col}, __plane_{p}, (x, y) -> cast(x AS double) * y),
+                  cast(0.0 AS double), (acc, z) -> acc + z)"""
         )
-        for p in range(n_planes)
-    ]
+
     sign_bits = [
-        F.when(vec_dot_exact(F.col(vec_col), planes[p]) >= 0, F.lit(1)).otherwise(F.lit(0)).alias(f"bit_{p}")
+        F.when(plane_dot(p) >= 0, F.lit(1)).otherwise(F.lit(0)).alias(f"bit_{p}")
         for p in range(n_planes)
     ]
-    with_bits = df.select("*", *sign_bits)
+    with_bits = df.crossJoin(F.broadcast(planes_df)).select(*df.columns, *sign_bits)
     per_band = n_planes // bands
     band_structs = []
     for b in range(bands):
@@ -109,34 +129,58 @@ def lsh_topk(
     return topk_cosine(cand, query, k, id_col, vec_col)
 
 
+def _fast_cosine(a: F.Column, b: F.Column) -> F.Column:
+    """Plain-double cosine (codegen-friendly) for approximate paths that
+    have no oracle twin; exact-decimal cosine stays in the oracle-checked
+    operators."""
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
 def cosine_join(
     emb: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = 16,
     bands: int = 4,
     dim: int = 64,
     exact: bool = False,
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold. ``exact=True`` goes
-    all-pairs (testing / small inputs); otherwise LSH-banded candidates."""
+    all-pairs (testing / small inputs); otherwise LSH-banded candidates.
+
+    Candidates travel as id pairs only — vectors re-attach after the
+    (distinct) pair set is known, so the band join never shuffles
+    embeddings."""
     left = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     right = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if exact:
-        pairs = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
+        pairs = left.select("id_a").crossJoin(right.select("id_b")).filter(
+            F.col("id_a") < F.col("id_b")
+        )
     else:
-        b = hyperplane_buckets(emb, vec_col, n_planes, bands, dim)
-        ba = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "band_key")
-        bb = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "band_key")
+        b = hyperplane_buckets(emb, vec_col, n_planes, bands, dim).select(
+            F.col(id_col), "band_key"
+        )
+        ba = b.select(F.col(id_col).alias("id_a"), "band_key")
+        bb = b.select(F.col(id_col).alias("id_b"), "band_key")
         pairs = (
             ba.join(bb, "band_key")
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "va", "id_b", "vb")
+            .select("id_a", "id_b")
             .distinct()
         )
     return (
-        pairs.withColumn("cosine", cosine_exact(F.col("va"), F.col("vb")))
+        pairs.join(left, "id_a")
+        .join(right, "id_b")
+        .withColumn("cosine", _fast_cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -71,6 +71,7 @@ class Store:
         self.spark = spark
         self.path = os.path.abspath(path)
         self.manifest = manifest
+        self._posting_cache: dict[tuple, DataFrame] = {}
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -220,25 +221,38 @@ class Store:
             meta = pq.ParquetFile(fpath).metadata
             if meta.num_rows == 0:
                 continue
-            lo, hi = None, None
-            ridx = None
-            for ci in range(meta.num_columns):
-                if meta.row_group(0).column(ci).path_in_schema == ROWID:
-                    ridx = ci
-                    break
+            # per-column min/max across row groups (footer metadata only)
+            mins: dict[str, object] = {}
+            maxs: dict[str, object] = {}
             for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(ridx).statistics
-                if st is not None and st.has_min_max:
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
+                rgm = meta.row_group(rg)
+                for ci in range(rgm.num_columns):
+                    col = rgm.column(ci)
+                    cname = col.path_in_schema
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        try:
+                            lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                        except Exception:
+                            continue
+                    if not isinstance(lo, (int, float, str)):
+                        continue
+                    mins[cname] = lo if cname not in mins else min(mins[cname], lo)
+                    maxs[cname] = hi if cname not in maxs else max(maxs[cname], hi)
+            stats = {c: [mins[c], maxs[c]] for c in mins}
+            rid = stats.pop(ROWID, [-1, -1])
             fid = self.manifest.next_file_id
             self.manifest.next_file_id += 1
             df_entry = DataFile(
                 id=fid,
                 path=os.path.join(batch_rel, name),
                 rows=meta.num_rows,
-                min_rowid=int(lo if lo is not None else -1),
-                max_rowid=int(hi if hi is not None else -1),
+                min_rowid=int(rid[0]),
+                max_rowid=int(rid[1]),
+                stats=stats,
             )
             self.manifest.files.append(df_entry)
             new_files.append(df_entry)
@@ -300,6 +314,10 @@ class Store:
     def _read_postings(self, spec: IndexSpec) -> DataFrame | None:
         if not spec.parts:
             return None
+        cache_key = (spec.column, self.manifest.version, tuple(spec.parts))
+        cached = self._posting_cache.get(cache_key)
+        if cached is not None:
+            return cached
         live = {f.id for f in self.manifest.files}
         df = self.spark.read.schema(
             T.StructType(
@@ -314,23 +332,84 @@ class Store:
             df = df.join(F.broadcast(ids), "__file_id", "left_semi")
         else:
             df = df.limit(0)
+        df = df.cache()  # postings are tiny relative to data; lookups are hot
+        self._posting_cache[cache_key] = df
         return df
 
     # -- find (src/lib.rs:130-137) ------------------------------------------
 
+    @staticmethod
+    def _file_may_match(f: DataFile, cond: Condition, name: str) -> bool:
+        """Driver-side min/max check: can this file contain rows matching
+        ``cond``? Conservative (True on unknown) — superset contract."""
+        st = f.stats.get(name)
+        if not st:
+            return True
+        lo, hi = st[0], st[1]
+        cmp = cond.cmp
+        if cmp.is_const_eq:
+            v = cmp.value.payload
+            try:
+                return lo <= v <= hi
+            except TypeError:
+                return True
+        if cmp.op == "between":
+            from .cmp import Bound
+
+            try:
+                b = cmp.lower
+                if b and b.kind == Bound.INCLUDED and hi < b.value:
+                    return False
+                if b and b.kind == Bound.EXCLUDED and hi <= b.value:
+                    return False
+                b = cmp.upper
+                if b and b.kind == Bound.INCLUDED and lo > b.value:
+                    return False
+                if b and b.kind == Bound.EXCLUDED and lo >= b.value:
+                    return False
+            except TypeError:
+                return True
+        return True
+
     def _prune_files(self, conds: Sequence[Condition]) -> tuple[AccessPath, list[DataFile]]:
+        """Two pruning layers before Catalyst (both yield supersets; the
+        residual filter in find() restores exactness, src/lib.rs:89-91):
+
+        1. manifest column stats — zero Spark jobs, applied for every
+           const/range cond on any column with footer min/max;
+        2. posting-index lookup — one small Spark job, only when the cost
+           model says it can actually narrow things: enough candidate files
+           left, and keys selective enough that most files miss
+           (ndv ≫ file count; the reference's estimate() idea applied at
+           file granularity).
+        """
         path = choose_access_path(conds, self.manifest.indices, self.colnames)
         files = self.manifest.files
-        if path.index is not None and files:
-            post = self._read_postings(path.index)
-            if post is None:
+        for cond in conds:
+            if cond.cmp.op == "eq" and (cond.cmp.value is None or cond.cmp.value.is_column):
+                continue
+            name = cond.resolve(self.colnames)
+            files = [f for f in files if self._file_may_match(f, cond, name)]
+            if not files:
                 return path, files
-            key_cond = Condition("key", path.cond.cmp)
-            hit_ids = {
-                r["__file_id"]
-                for r in post.filter(key_cond.to_column(["key"])).select("__file_id").distinct().collect()
-            }
-            files = [f for f in files if f.id in hit_ids]
+        if path.index is not None and files:
+            worth_it = len(files) > 4 and path.index.ndv > 2 * len(self.manifest.files)
+            if path.index.kind == BTREE and path.cond.cmp.op == "between":
+                # range postings prune only via key ranges — the stats layer
+                # already did that work with zero jobs
+                worth_it = False
+            if worth_it:
+                post = self._read_postings(path.index)
+                if post is not None:
+                    key_cond = Condition("key", path.cond.cmp)
+                    hit_ids = {
+                        r["__file_id"]
+                        for r in post.filter(key_cond.to_column(["key"]))
+                        .select("__file_id")
+                        .distinct()
+                        .collect()
+                    }
+                    files = [f for f in files if f.id in hit_ids]
         return path, files
 
     def find(self, conds: Sequence[Condition] = (), with_rowid: bool = False) -> DataFrame:
