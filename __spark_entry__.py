@@ -294,6 +294,111 @@ def q_union_people(spark, sf_dir):
     return c.unionByName(s)
 
 
+def q_pivot_qty(spark, sf_dir):
+    """Pivot: linestatus → columns, decimal-exact sums."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_f"),
+            F.col("O").alias("qty_o"),
+        )
+    )
+
+
+def q_cube_counts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS via the SQL API (same Catalyst plan as DataFrame ops)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+def q_median_price(spark, sf_dir):
+    """Exact interpolated median (Spark `percentile` ≡ DuckDB
+    quantile_cont — verified bit-equal); approximate tier would be
+    percentile_approx at scale."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"))
+    )
+
+
+def q_window_running(spark, sf_dir):
+    """Running aggregate + lag (ordered window): running double sums are
+    order-fixed, hence engine-deterministic."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        # engines disagree on running-double association (DuckDB may use a
+        # segment tree) — the decimal detour makes the prefix sums exact
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_total"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+def q_date_parts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+
+
+def q_string_funcs(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.col("c_name")).alias("uname"),
+        F.length(F.col("c_name")).alias("name_len"),
+        F.substring(F.col("c_name"), 1, 8).alias("prefix"),
+        F.reverse(F.col("c_name")).alias("rname"),
+        F.regexp_replace(F.col("c_name"), "[0-9]", "#").alias("masked"),
+    )
+
+
+def q_asof_latest_order(spark, sf_dir):
+    """As-of join: each event matched to the latest order (by date) of the
+    same key at-or-before the event time. DuckDB twin: native ASOF JOIN."""
+    from shortcut_spark.operators.joins import asof_max
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    out = asof_max(ev, orders, "user_id", "o_custkey", "ts", "o_orderdate", "last_order")
+    return out.select(
+        "event_id", "user_id", F.unix_timestamp("last_order").alias("last_order_epoch")
+    )
+
+
+def q_events_pairs_60s(spark, sf_dir):
+    """Bounded range self-join: event pairs of the same user within 60 s."""
+    from shortcut_spark.operators.joins import range_pairs_within
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("es")
+    )
+    return range_pairs_within(ev, "user_id", "es", "event_id", 60)
+
+
 # ---------------------------------------------------------------------------
 # events: scalar functions, windowed rollup, sessionization, streaming
 
@@ -458,6 +563,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_counts": q_rollup_counts,
         "part_size_range": q_part_size_range,
         "union_people": q_union_people,
+        "pivot_qty": q_pivot_qty,
+        "cube_counts": q_cube_counts,
+        "grouping_sets": q_grouping_sets,
+        "median_price": q_median_price,
+        "window_running": q_window_running,
+        "date_parts": q_date_parts,
+        "string_funcs": q_string_funcs,
+        "asof_latest_order": q_asof_latest_order,
+        "events_pairs_60s": q_events_pairs_60s,
         # events
         "events_json": q_events_json,
         "events_hourly": q_events_hourly,
@@ -638,6 +752,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
             UNION ALL
             SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier""",
+        "pivot_qty": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+            FROM lineitem GROUP BY l_returnflag""",
+        "cube_counts": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        "grouping_sets": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n
+            FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+        "median_price": """
+            SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS median_price
+            FROM lineitem GROUP BY l_returnflag""",
+        "window_running": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                        OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+                   LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price
+            FROM orders""",
+        "date_parts": f"""
+            SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+                   count(*) AS n, {_DSUM('o_totalprice')} AS sum_price
+            FROM orders GROUP BY 1, 2""",
+        "string_funcs": """
+            SELECT c_custkey, upper(c_name) AS uname, length(c_name) AS name_len,
+                   substr(c_name, 1, 8) AS prefix, reverse(c_name) AS rname,
+                   regexp_replace(c_name, '[0-9]', '#', 'g') AS masked
+            FROM customer""",
+        "asof_latest_order": f"""
+            SELECT e.event_id, e.user_id, {_EPOCH.format('o.o_orderdate')} AS last_order_epoch
+            FROM events e ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+        "events_pairs_60s": f"""
+            SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+            WHERE abs({_EPOCH.format('a.ts')} - {_EPOCH.format('b.ts')}) <= 60""",
         # -- events ---------------------------------------------------------
         "events_json": """
             SELECT event_type, count(*) AS n,

@@ -1,3 +1,3 @@
-from . import dedup, multimodal, similarity, text
+from . import dedup, joins, multimodal, similarity, text
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "joins", "similarity", "text", "multimodal"]

@@ -1,0 +1,106 @@
+"""Join operators Spark lacks natively: as-of and bounded range joins.
+
+The reference has no joins at all (SURVEY §2.2 — nothing joins two
+Stores); these are extension surface, built as compositions of existing
+DataFrame ops per the preference order (composition > applyInPandas >
+mapPartitions):
+
+- **as-of join**: equi-join on the key + inequality filter + keep the
+  latest right row per left row. Expressed as join → groupBy max (when
+  only the as-of value is needed) or join → row_number (full right row).
+  At 100 TB the equi-join shuffles on the key exactly like any join;
+  the per-left-row reduction is a map-side-combinable aggregate, so no
+  skew beyond the key distribution itself.
+- **range join**: |ts_a - ts_b| ≤ window pairs. The naive form is a
+  quadratic theta-join; the scale path buckets time into window-sized
+  cells and equi-joins on (key, cell) for cell and cell+1 — candidates
+  are only same-or-adjacent buckets, then the exact predicate filters.
+  This is the standard bucketized interval join (guide: "bucketize the
+  range key + equi-join on bucket + filter").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["asof_max", "range_pairs_within"]
+
+
+def asof_max(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """For each left row: max(right_ts) among right rows with the same key
+    and right_ts <= left_ts (backward as-of, value-only form — ties on the
+    timestamp are inherently deterministic because the value IS the
+    timestamp). Left rows keep NULL when nothing matched.
+
+    DuckDB twin: native ``ASOF LEFT JOIN``.
+    """
+    r = right.select(F.col(right_key).alias("__rk"), F.col(right_ts).alias("__rts"))
+    joined = left.join(
+        r,
+        (F.col(left_key) == F.col("__rk")) & (F.col("__rts") <= F.col(left_ts)),
+        "left",
+    )
+    return joined.groupBy(*left.columns).agg(F.max("__rts").alias(out_col))
+
+
+def range_pairs_within(
+    df: DataFrame,
+    key: str,
+    ts_epoch: str,
+    id_col: str,
+    window_s: int,
+) -> DataFrame:
+    """All pairs (a < b by id) sharing ``key`` with |ts_a - ts_b| <= window.
+
+    Bucketized: cell = floor(ts / window); a pair within the window must
+    land in the same or adjacent cells, so candidates come from two
+    equi-joins on (key, cell) — never a full per-key cross join.
+    """
+    cells = df.select(
+        F.col(key).alias("__k"),
+        F.col(id_col).alias("__id"),
+        F.col(ts_epoch).alias("__ts"),
+        F.floor(F.col(ts_epoch) / window_s).alias("__cell"),
+    )
+    b = cells.select(
+        F.col("__k").alias("__kb"),
+        F.col("__id").alias("__id_b"),
+        F.col("__ts").alias("__ts_b"),
+        F.col("__cell").alias("__cell_b"),
+    )
+    cand = None
+    for shift in (0, 1):
+        part = cells.join(
+            b,
+            (cells["__k"] == b["__kb"]) & (b["__cell_b"] == cells["__cell"] + shift),
+        ).select(
+            cells["__k"].alias("k"),
+            F.col("__id").alias("id_a"),
+            F.col("__id_b").alias("id_b"),
+            F.col("__ts").alias("ts_a"),
+            F.col("__ts_b").alias("ts_b"),
+        )
+        cand = part if cand is None else cand.unionByName(part)
+    # normalize orientation AFTER the candidate join: an adjacent-cell pair
+    # appears only once (left row in the earlier cell), and its id order is
+    # independent of its time order
+    return (
+        cand.filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.abs(F.col("ts_a") - F.col("ts_b")) <= window_s)
+        )
+        .select(
+            F.col("k").alias(key),
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,61 @@
+"""Unit tests for the as-of / range join operators."""
+
+from pyspark.sql import functions as F
+
+from shortcut_spark.operators.joins import asof_max, range_pairs_within
+
+
+def test_asof_max_basic(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 20, 50), (4, 30, 10)],
+        "id long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(10, 90), (10, 200), (10, 300), (20, 49)], "k long, rts long"
+    )
+    got = {
+        r["id"]: r["asof_value"]
+        for r in asof_max(left, right, "k", "k", "ts", "rts").collect()
+    }
+    assert got == {1: 90, 2: 200, 3: 49, 4: None}
+
+
+def test_range_pairs_orientation(spark):
+    """Pairs crossing a bucket boundary must be found regardless of whether
+    the smaller id is the earlier event (regression for the orientation
+    bug)."""
+    df = spark.createDataFrame(
+        # user 1: id 5 at t=59, id 2 at t=61  (cross-cell, bigger id earlier)
+        # user 1: id 7 at t=300 (isolated)
+        # user 2: id 1 at t=0, id 9 at t=30   (same cell)
+        [(1, 5, 59), (1, 2, 61), (1, 7, 300), (2, 1, 0), (2, 9, 30)],
+        "user_id long, event_id long, es long",
+    )
+    got = {
+        (r["user_id"], r["id_a"], r["id_b"])
+        for r in range_pairs_within(df, "user_id", "es", "event_id", 60).collect()
+    }
+    assert got == {(1, 2, 5), (2, 1, 9)}
+
+
+def test_range_pairs_vs_naive(spark):
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", "event_id", (F.col("ts").cast("long") / 1e9).cast("long").alias("es"))
+    )
+    fast = {
+        (r["user_id"], r["id_a"], r["id_b"])
+        for r in range_pairs_within(ev, "user_id", "es", "event_id", 120).collect()
+    }
+    a, b = ev.alias("a"), ev.alias("b")
+    naive = {
+        (r[0], r[1], r[2])
+        for r in a.join(b, "user_id")
+        .filter(
+            (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.abs(F.col("a.es") - F.col("b.es")) <= 120)
+        )
+        .select("user_id", F.col("a.event_id"), F.col("b.event_id"))
+        .collect()
+    }
+    assert fast == naive

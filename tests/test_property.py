@@ -1,0 +1,77 @@
+"""Model-based property test: random insert/delete/find/index sequences
+against a plain-Python list model (SURVEY §5 test plan item 4).
+
+Index creation is interleaved randomly — the metamorphic property the
+reference tests one case at a time (index presence never changes results)
+is exercised here across arbitrary schedules.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from shortcut_spark import BTreeIndex, HashIndex, Store, between, col_eq, eq
+
+KEYS = ["a", "b", "c"]
+VALS = ["x", "y"]
+
+row_st = st.tuples(st.sampled_from(KEYS), st.sampled_from(VALS))
+
+op_st = st.one_of(
+    st.tuples(st.just("insert"), st.lists(row_st, min_size=1, max_size=4)),
+    st.tuples(st.just("delete_eq"), st.sampled_from([0, 1]), st.sampled_from(KEYS + VALS)),
+    st.tuples(st.just("index"), st.sampled_from([0, 1])),
+)
+
+
+def model_matches(row, conds):
+    from shortcut_spark.cmp import Condition
+
+    return all(Condition(c.column, c.cmp).matches(row) for c in conds)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(op_st, min_size=1, max_size=5), data=st.data())
+def test_store_matches_model(spark, tmp_path_factory, ops, data):
+    path = str(tmp_path_factory.mktemp("prop") / "store")
+    store = Store.create(spark, path, 2)
+    model: list[tuple] = []
+    for op in ops:
+        if op[0] == "insert":
+            store.insert(op[1])
+            model.extend(op[1])
+        elif op[0] == "delete_eq":
+            _, col, v = op
+            conds = [eq(col, v)]
+            n = store.delete(conds)
+            expected_victims = [r for r in model if model_matches(r, conds)]
+            assert n == len(expected_victims)
+            model = [r for r in model if not model_matches(r, conds)]
+        elif op[0] == "index":
+            store.index(op[1], data.draw(st.sampled_from([HashIndex, BTreeIndex])))
+        # invariant after every op: find([]) == model as a multiset
+        got = sorted(tuple(r) for r in store.find([]).collect())
+        assert got == sorted(model)
+    # final probes: a point find and a col=col find against the model
+    conds = [eq(0, "a")]
+    assert store.find(conds).count() == sum(1 for r in model if model_matches(r, conds))
+    cc = [col_eq(0, 1)]
+    assert store.find(cc).count() == sum(1 for r in model if model_matches(r, cc))
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Old manifest versions stay readable after deletes (snapshot-by-
+    version, the MVCC-lite of SURVEY §2.2)."""
+    path = str(tmp_path / "store")
+    st1 = Store.create(spark, path, 2)
+    st1.insert([("a", "1"), ("b", "2"), ("c", "3")])
+    v_after_insert = st1.manifest.version
+    st1.delete([eq(0, "a")])
+    assert st1.find([]).count() == 2
+    old = Store.open(spark, path, version=v_after_insert)
+    assert old.find([]).count() == 3
+    assert sorted(r[0] for r in old.find([]).collect()) == ["a", "b", "c"]
