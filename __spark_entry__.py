@@ -255,9 +255,10 @@ def q_semi_join(spark, sf_dir):
 
 
 def q_anti_join(spark, sf_dir):
-    """NOT EXISTS → left-anti."""
+    """NOT EXISTS → left-anti (customers with no high-value order, so the
+    result is non-trivial at every SF)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000.0)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
@@ -386,6 +387,19 @@ def q_asof_latest_order(spark, sf_dir):
     out = asof_max(ev, orders, "user_id", "o_custkey", "ts", "o_orderdate", "last_order")
     return out.select(
         "event_id", "user_id", F.unix_timestamp("last_order").alias("last_order_epoch")
+    )
+
+
+def q_pandas_udf_norm(spark, sf_dir):
+    """Arrow-batched scalar Pandas UDF (the sanctioned slow path) doing
+    per-row-pure work — whitespace-normalized length + token count — so it
+    still has an exact SQL oracle. Demonstrates the UDF surface of SURVEY
+    §2.2 with Arrow transfer; the hot-path twin is
+    `functions.token_count`."""
+    from shortcut_spark.functions.pandas_udfs import norm_len, tok_count
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", norm_len(F.col("text")).alias("norm_len"), tok_count(F.col("text")).alias("n_tokens")
     )
 
 
@@ -572,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": q_string_funcs,
         "asof_latest_order": q_asof_latest_order,
         "events_pairs_60s": q_events_pairs_60s,
+        "pandas_udf_norm": q_pandas_udf_norm,
         # events
         "events_json": q_events_json,
         "events_hourly": q_events_hourly,
@@ -737,7 +752,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)""",
         "anti_join": """
             SELECT c_custkey FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)""",
         "intersect_custkeys": """
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
             INTERSECT
@@ -791,6 +807,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events a JOIN events b
               ON a.user_id = b.user_id AND a.event_id < b.event_id
             WHERE abs({_EPOCH.format('a.ts')} - {_EPOCH.format('b.ts')}) <= 60""",
+        "pandas_udf_norm": f"""
+            SELECT doc_id,
+                   length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_len,
+                   len({_TOKS}) AS n_tokens
+            FROM documents""",
         # -- events ---------------------------------------------------------
         "events_json": """
             SELECT event_type, count(*) AS n,

@@ -1,0 +1,28 @@
+"""Arrow-batched scalar Pandas UDFs (the sanctioned Python slow path).
+
+Kept in a module WITHOUT ``from __future__ import annotations``: pandas_udf
+resolves the pd.Series type hints at decoration time, and stringified
+annotations break that resolution.
+
+These do per-row-pure work, so they stay oracle-checkable; their column-
+expression twins live in ``shortcut_spark.functions`` and are what the hot
+path should use — the UDFs exist to exercise and document the Arrow UDF
+surface (SURVEY §2.2 UDF row).
+"""
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@F.pandas_udf(T.LongType())
+def norm_len(s: pd.Series) -> pd.Series:
+    """Length of whitespace-normalized text."""
+    return s.str.strip().str.replace(r"\s+", " ", regex=True).str.len().astype("int64")
+
+
+@F.pandas_udf(T.LongType())
+def tok_count(s: pd.Series) -> pd.Series:
+    """Whitespace token count (twin of functions.token_count)."""
+    return s.str.strip().str.split(r"\s+", regex=True).map(len).astype("int64")

@@ -309,7 +309,11 @@ class Store:
         if post is None:
             spec.ndv = 0
         else:
-            spec.ndv = post.select("key").distinct().count()
+            # the cost model only needs magnitude: HLL sketch (exact for
+            # small key sets, ~2% error at scale) keeps commit cost low
+            spec.ndv = post.select(
+                F.approx_count_distinct("key", 0.02).alias("ndv")
+            ).collect()[0]["ndv"]
 
     def _read_postings(self, spec: IndexSpec) -> DataFrame | None:
         if not spec.parts:
