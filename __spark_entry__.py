@@ -225,6 +225,34 @@ def q_revenue_by_nation(spark, sf_dir):
     )
 
 
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join, date filters, revenue top-10."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", F.unix_timestamp("o_orderdate").alias("odate_epoch"), "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at hamming ≤ 3 — the byte-banded candidate
+    join is lossless at this radius (pigeonhole over 4 bytes), so the
+    all-pairs SQL oracle matches exactly."""
+    return dedup.simhash_near_dups(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
 def q_mktsegment_stats(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -516,6 +544,14 @@ def q_embed_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def q_embed_ivf_topk(spark, sf_dir):
+    """IVF ANN tier (deterministic k-means-lite, nprobe inverted lists).
+    Approximate by design → rows-only check; recall vs the exact tier is
+    asserted in tests/test_operators.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, _query_vec(spark, sf_dir), k=10, nprobe=4)
+
+
 def q_mm_features(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").withColumn("payload", F.encode(F.col("text"), "UTF-8"))
     feats = multimodal.decode_features(docs, "doc_id", "payload", decoder="fake")
@@ -569,6 +605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top100_orders": q_top100_orders,
         "topn_per_customer": q_topn_per_customer,
         "revenue_by_nation": q_revenue_by_nation,
+        "q3_shipping_priority": q3_shipping_priority,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "mktsegment_stats": q_mktsegment_stats,
         "distinct_parts": q_distinct_parts,
         "semi_join": q_semi_join,
@@ -605,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "embed_norm_stats": q_embed_norm_stats,
         "embed_lsh_topk": q_embed_lsh_topk,
+        "embed_ivf_topk": q_embed_ivf_topk,
         "mm_features": q_mm_features,
         "mm_frame_plan": q_mm_frame_plan,
     }
@@ -650,7 +689,8 @@ def oracle_sql() -> dict[str, str]:
       )"""
 
     sig_cols = ",\n               ".join(
-        f"min({_H32(i, 'shingle')}) AS sig_{i}" for i in range(8)
+        f"min(('0x' || substr(md5('{i // 4}:' || shingle), {8 * (i % 4) + 1}, 8))::BIGINT) AS sig_{i}"
+        for i in range(8)
     )
     band_rows = "\n        UNION ALL\n".join(
         f"        SELECT doc_id, {b} AS band, md5(CAST(sig_{2*b} AS VARCHAR) || ',' || CAST(sig_{2*b+1} AS VARCHAR)) AS bh FROM sig"
@@ -873,6 +913,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT j.id_a, j.id_b, j.jaccard FROM jac j
             JOIN cand USING (id_a, id_b)
             WHERE j.jaccard >= 0.2""",
+        "q3_shipping_priority": f"""
+            SELECT o_orderkey, {_EPOCH.format('o_orderdate')} AS odate_epoch, o_orderpriority,
+                   {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+        "dedup_simhash_pairs": f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, unnest({toks}) AS tok FROM documents
+            ), h AS (
+              SELECT doc_id, {_H32(0, 'tok')} AS h FROM toks
+            ), bits AS (
+              SELECT doc_id,
+               {simhash_bits}
+              FROM h GROUP BY doc_id
+            ), sims AS (
+              SELECT doc_id, {simhash_fp} AS sh FROM bits
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
         "dedup_simhash": f"""
             WITH toks AS (
               SELECT DISTINCT doc_id, unnest({toks}) AS tok FROM documents

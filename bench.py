@@ -68,6 +68,9 @@ def main():
 
     # warm the JVM/session so the first measured query isn't paying startup
     spark.range(1_000_000).select(F.sum("id")).collect()
+    warm = Store.create(spark, tempfile.mkdtemp(prefix="bench_warm_") + "/w", 2)
+    warm.index(0, "hash")
+    warm.insert([("w", str(i)) for i in range(100)])
     # pre-build the shared read-only stores (ingest cost is measured
     # separately and honestly by the put phase below)
     entry_mod._cached_store(

@@ -88,10 +88,26 @@ def minhash_signature(
     sh: DataFrame, id_col: str, num_hashes: int = 16
 ) -> DataFrame:
     """(id, sig_0..sig_{H-1}): min over the doc's shingles of H independent
-    md5-derived hash functions. One explode already happened in
-    ``shingles``; this is a single groupBy with H min-aggregates."""
-    aggs = [F.min(hash32(F.col("shingle"), i)).alias(f"sig_{i}") for i in range(num_hashes)]
-    return sh.groupBy(id_col).agg(*aggs)
+    md5-derived hash functions.
+
+    Hash i = hex slice j of md5("g:"||shingle) with g = i//4, j = i%4 — one
+    md5 yields four 32-bit hashes, so H hashes cost ceil(H/4) digests per
+    shingle (the md5s are materialized once before the groupBy). SQL twin
+    slices the same digests.
+    """
+    groups = (num_hashes + 3) // 4
+    md5s = [
+        F.md5(F.concat(F.lit(f"{g}:"), F.col("shingle"))).alias(f"__m{g}")
+        for g in range(groups)
+    ]
+    pre = sh.select(F.col(id_col), *md5s)
+    aggs = [
+        F.min(
+            F.conv(F.substring(F.col(f"__m{i // 4}"), 8 * (i % 4) + 1, 8), 16, 10).cast("long")
+        ).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return pre.groupBy(id_col).agg(*aggs)
 
 
 def minhash_candidates(

@@ -30,7 +30,15 @@ from ..functions import (
     vec_norm_sq_exact,
 )
 
-__all__ = ["topk_cosine", "hyperplane_buckets", "lsh_topk", "cosine_join", "norm_stats"]
+__all__ = [
+    "topk_cosine",
+    "hyperplane_buckets",
+    "lsh_topk",
+    "cosine_join",
+    "ivf_fit",
+    "ivf_topk",
+    "norm_stats",
+]
 
 
 def topk_cosine(
@@ -184,6 +192,103 @@ def cosine_join(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ivf_fit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic k-means-lite for an IVF index: centroids seeded from
+    the k smallest ids, Lloyd iterations done with array expressions
+    (posexplode → per-dimension mean → re-assemble). Returns (assignments
+    (id, cluster), centroids (cluster, centroid)).
+
+    Everything is DataFrame ops — assignment is a broadcast cross join with
+    a min_by reduction, centroid update is one shuffle on (cluster, dim).
+    No RNG state: restartable and executor-independent, which is what an
+    IVF build job needs at 100 TB.
+    """
+    vecs = ensure_parallelism(emb.select(F.col(id_col), F.col(vec_col))).persist()
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(id_col)
+    seeds = (
+        vecs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select((F.col("__rn") - 1).alias("cluster"), F.col(vec_col).alias("centroid"))
+    )
+    centroids = seeds
+    assigned = None
+    for _ in range(iters):
+        scored = vecs.crossJoin(F.broadcast(centroids)).select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.col("centroid"),
+                    lambda x, y: (x.cast("double") - y.cast("double")) ** 2,
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            ).alias("dist"),
+        )
+        assigned = scored.groupBy(id_col).agg(F.min_by("cluster", F.struct("dist", "cluster")).alias("cluster"))
+        centroids = (
+            assigned.join(vecs, id_col)
+            .select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+        )
+    return assigned, centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: rank centroids by distance to the query,
+    scan only the ``nprobe`` nearest inverted lists, exact-score inside.
+    The scale path when LSH recall is not enough: cluster quality bounds
+    the probe set instead of random hyperplanes."""
+    assigned, centroids = ivf_fit(emb, id_col, vec_col, n_clusters, iters)
+    q = query.select(F.col("qvec"))
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "cluster",
+            F.aggregate(
+                F.zip_with(
+                    F.col("centroid"), F.col("qvec"), lambda x, y: (x - y.cast("double")) ** 2
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            ).alias("dist"),
+        )
+        .orderBy("dist", "cluster")
+        .limit(nprobe)
+        .select("cluster")
+    )
+    cand = (
+        assigned.join(F.broadcast(probe), "cluster", "left_semi")
+        .join(emb.select(id_col, vec_col), id_col)
+    )
+    return topk_cosine(cand, query, k, id_col, vec_col)
 
 
 def norm_stats(emb: DataFrame, group_col: str = "label", vec_col: str = "embedding") -> DataFrame:

@@ -60,6 +60,14 @@ def test_lsh_topk_recall(spark, emb):
     assert 0 in approx  # the query vector itself always lands in its own bucket
 
 
+def test_ivf_topk_recall(spark, emb):
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    exact = {r["vec_id"] for r in similarity.topk_cosine(emb, q, 10).collect()}
+    ivf = {r["vec_id"] for r in similarity.ivf_topk(emb, q, 10, nprobe=4).collect()}
+    assert len(exact & ivf) >= 6
+    assert 0 in ivf
+
+
 def test_cosine_join_exact_vs_lsh(spark, emb):
     sample = emb.filter(F.col("vec_id") < 60)
     exact = {
