@@ -479,6 +479,16 @@ def q_events_stream_rollup(spark, sf_dir):
     )
 
 
+def q_events_stream_sessionize(spark, sf_dir):
+    """Custom STATEFUL streaming operator (applyInPandasWithState gap
+    sessionization, per-user GroupState); certified by the batch
+    sessionization oracle."""
+    _STREAM_COUNTER[0] += 1
+    return stream_ops.run_stream_sessionize(
+        spark, os.path.join(sf_dir, "events.parquet"), query_name=f"sess_{_STREAM_COUNTER[0]}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # extensions: dedup / text / similarity / multimodal
 
@@ -630,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_stream_rollup": q_events_stream_rollup,
+        "events_stream_sessionize": q_events_stream_sessionize,
         # extensions
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -886,6 +897,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_EPOCH.format("date_trunc('hour', ts)")} AS hour_epoch, event_type,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2""",
+        # stateful streaming sessionize shares the batch sessionize oracle
+        "events_stream_sessionize": f"""
+            WITH t AS (
+              SELECT user_id, event_id, ts, {_EPOCH.format('ts')} AS es FROM events
+            ), m AS (
+              SELECT user_id, event_id, ts, es,
+                     CASE WHEN lag(es) OVER w IS NULL THEN 1
+                          WHEN es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+              FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, es,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_i
+              FROM m
+            )
+            SELECT user_id, CAST(session_i AS BIGINT) AS session_i,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(es) AS start_epoch, max(es) AS end_epoch
+            FROM s GROUP BY user_id, session_i""",
         # -- extensions -----------------------------------------------------
         "dedup_exact": f"""
             SELECT {fingerprint} AS fp, min(doc_id) AS keeper, count(*) AS n_docs

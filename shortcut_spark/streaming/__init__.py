@@ -11,7 +11,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["hourly_rollup", "sessionize", "run_stream_hourly_rollup"]
+__all__ = [
+    "hourly_rollup",
+    "sessionize",
+    "run_stream_hourly_rollup",
+    "run_stream_sessionize",
+]
 
 
 def hourly_rollup(events: DataFrame) -> DataFrame:
@@ -55,6 +60,91 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.unix_timestamp(F.min("ts")).alias("start_epoch"),
         F.unix_timestamp(F.max("ts")).alias("end_epoch"),
     )
+
+
+def run_stream_sessionize(
+    spark: SparkSession,
+    events_parquet_dir: str,
+    gap_minutes: int = 30,
+    query_name: str = "sessions",
+) -> DataFrame:
+    """Custom stateful streaming operator: gap sessionization via
+    ``applyInPandasWithState`` (per-user GroupState holding the open
+    session tail).
+
+    Each trigger emits the user's complete session view given rows seen so
+    far (amend-style output — later batches re-emit corrected sessions;
+    a keyed sink takes the latest). State carries (last epoch, session
+    counter, per-session aggregates) across batches; with the fixture's
+    single file the first trigger already sees everything, which is what
+    lets the batch ``sessionize`` SQL act as the exact oracle.
+    """
+    import os
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if os.path.isfile(events_parquet_dir):
+        d = tempfile.mkdtemp(prefix="stream_sess_")
+        os.symlink(events_parquet_dir, os.path.join(d, os.path.basename(events_parquet_dir)))
+        events_parquet_dir = d
+
+    from ..sources import normalize_event_ts
+
+    schema = spark.read.parquet(events_parquet_dir).schema
+    stream = normalize_event_ts(spark.readStream.schema(schema).parquet(events_parquet_dir))
+    ev = stream.select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("es")
+    )
+
+    gap_s = gap_minutes * 60
+    out_schema = (
+        "user_id long, session_i long, n_events long, start_epoch long, end_epoch long"
+    )
+    state_schema = "sessions array<struct<session_i:long,n_events:long,start_epoch:long,end_epoch:long>>"
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            (prior,) = state.get
+            sessions = [list(s) for s in prior]  # [session_i, n, start, end]
+        else:
+            sessions = []
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(["es", "event_id"])
+        for es in rows["es"]:
+            es = int(es)
+            if sessions and es - sessions[-1][3] <= gap_s:
+                cur = sessions[-1]
+                cur[1] += 1
+                cur[3] = max(cur[3], es)
+            else:
+                sessions.append([len(sessions) + 1, 1, es, es])
+        state.update(([tuple(s) for s in sessions],))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(sessions),
+                "session_i": [s[0] for s in sessions],
+                "n_events": [s[1] for s in sessions],
+                "start_epoch": [s[2] for s in sessions],
+                "end_epoch": [s[3] for s in sessions],
+            }
+        )
+
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    q = (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
 
 
 def run_stream_hourly_rollup(spark: SparkSession, events_parquet_dir: str, query_name: str = "hourly") -> DataFrame:

@@ -117,3 +117,14 @@ def test_streaming_matches_batch(spark):
     )
     stream = run_stream_hourly_rollup(spark, f"{SF_DIR}/events.parquet", "t_hourly_test")
     assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, stream.collect()))
+
+
+def test_stateful_stream_sessionize_matches_batch(spark):
+    from shortcut_spark.sources import load_fixture
+    from shortcut_spark.streaming import run_stream_sessionize, sessionize
+
+    batch = sessionize(load_fixture(spark, SF_DIR, "events")).select(
+        "user_id", "session_i", "n_events", "start_epoch", "end_epoch"
+    )
+    stream = run_stream_sessionize(spark, f"{SF_DIR}/events.parquet", query_name="t_sess_test")
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, stream.collect()))
