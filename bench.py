@@ -41,7 +41,10 @@ HEADLINE = [
     ("store_find_eq", "count"),
     ("store_find_range", "count"),
     ("revenue_by_nation", "collect"),
+    ("q3_shipping_priority", "collect"),
     ("mktsegment_stats", "collect"),
+    ("asof_latest_order", "count"),
+    ("events_pairs_60s", "count"),
     ("topn_per_customer", "count"),
     ("top100_orders", "collect"),
     ("events_hourly", "count"),

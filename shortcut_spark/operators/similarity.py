@@ -22,13 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions import (
-    cosine_exact,
-    ensure_parallelism,
-    hash32,
-    vec_dot_exact,
-    vec_norm_sq_exact,
-)
+from ..functions import cosine_exact, ensure_parallelism, vec_norm_sq_exact
 
 __all__ = [
     "topk_cosine",

@@ -10,8 +10,6 @@ import-try-gated stubs for connectors whose jars aren't in this container.
 from __future__ import annotations
 
 import os
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = [

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .cmp import Condition, conjunction
-from .idx import BTREE, IndexSpec, as_index_kind
+from .idx import BTREE, HASH, IndexSpec, as_index_kind
 from .manifest import DataFile, Manifest
 from .plans import AccessPath, choose_access_path
 
@@ -67,6 +67,11 @@ def _default_schema(cols: int) -> T.StructType:
 
 
 class Store:
+    # target rows per data file: keeps file count bounded as batches grow
+    # (small-files hygiene — at 100 TB this is the knob that keeps the
+    # manifest and the task count sane; ~1M rows ≈ 50-150 MB parquet)
+    ROWS_PER_FILE = 1_000_000
+
     def __init__(self, spark: SparkSession, path: str, manifest: Manifest):
         self.spark = spark
         self.path = os.path.abspath(path)
@@ -171,11 +176,19 @@ class Store:
         # Dense rowid assignment: per-partition counts -> cumulative offsets,
         # then a row_number within each original partition. Two passes over
         # the batch (same cost class as zipWithIndex) but stays in DataFrame
-        # land. Deterministic because the source partitioning (parquet read /
-        # local batch) is deterministic across the two jobs.
+        # land. A single-file source arrives as one partition, which would
+        # serialize the whole window — spread it first; the tagged batch is
+        # pinned (memory-and-disk) so both passes see identical pids.
+        from pyspark import StorageLevel
+
+        from .functions import ensure_parallelism
+
         watermark = self.manifest.rowid
-        tagged = df.withColumn("__pid", F.spark_partition_id()).withColumn(
-            "__mid", F.monotonically_increasing_id()
+        tagged = (
+            ensure_parallelism(df)
+            .withColumn("__pid", F.spark_partition_id())
+            .withColumn("__mid", F.monotonically_increasing_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         counts = {r["__pid"]: r["cnt"] for r in tagged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
         if not counts:
@@ -199,7 +212,35 @@ class Store:
 
         batch_rel = os.path.join("data", f"b{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}")
         out_dir = self._abs(batch_rel)
+        # file sizing: cap rows per file (manifest/small-files hygiene) but
+        # never collapse write parallelism below what the batch supports —
+        # coalesce propagates upstream, and a 1-task write serializes the
+        # whole rowid window for mid-size batches
+        cores = self.spark.sparkContext.defaultParallelism
+        by_size = -(-n // self.ROWS_PER_FILE)
+        by_par = min(cores, -(-n // 50_000))
+        n_files = max(1, by_size, by_par)
+        btree_cols = [s.column for s in self.manifest.indices.values() if s.kind == BTREE]
+        if btree_cols:
+            # honor the range index's clustering at write time: disjoint
+            # key ranges per file + sorted row groups → manifest min/max
+            # AND parquet row-group pruning bite on fresh inserts (the
+            # eager index maintenance of src/lib.rs:181-184, expressed as
+            # layout)
+            with_id = with_id.repartitionByRange(n_files, btree_cols[0]).sortWithinPartitions(
+                btree_cols[0]
+            )
+        else:
+            if n_files < 32:
+                with_id = with_id.coalesce(n_files)
+            hash_cols = [s.column for s in self.manifest.indices.values() if s.kind == HASH]
+            if hash_cols:
+                # no extra shuffle: sorted row groups inside each file give
+                # parquet min/max pruning for point lookups at real file
+                # sizes (many row groups per file)
+                with_id = with_id.sortWithinPartitions(hash_cols[0])
         with_id.write.parquet(out_dir)
+        tagged.unpersist()
         new_files = self._register_files(batch_rel)
 
         for spec in self.manifest.indices.values():
