@@ -244,6 +244,35 @@ def q3_shipping_priority(spark, sf_dir):
     )
 
 
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate pushes
+    into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24.0)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+def q_above_avg_customers(spark, sf_dir):
+    """Correlated-subquery shape (acctbal above the nation's average) —
+    decorrelated the Spark-idiomatic way with a window average."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey")
+    nat_avg = (
+        F.sum(F.col("c_acctbal").cast("decimal(27,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        c.withColumn("nation_avg", nat_avg)
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal", F.round("nation_avg", 6).alias("nation_avg"))
+    )
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs at hamming ≤ 3 — the byte-banded candidate
     join is lossless at this radius (pigeonhole over 4 bytes), so the
@@ -616,6 +645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_per_customer": q_topn_per_customer,
         "revenue_by_nation": q_revenue_by_nation,
         "q3_shipping_priority": q3_shipping_priority,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "above_avg_customers": q_above_avg_customers,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "mktsegment_stats": q_mktsegment_stats,
         "distinct_parts": q_distinct_parts,
@@ -954,6 +985,22 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
             GROUP BY 1, 2, 3
             ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+        "q6_forecast_revenue": f"""
+            SELECT {_DSUM('l_extendedprice * l_discount')} AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+              AND l_discount >= 0.02 AND l_discount <= 0.06
+              AND l_quantity < 24.0""",
+        "above_avg_customers": """
+            WITH t AS (
+              SELECT c_custkey, c_nationkey, c_acctbal,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+                       / COUNT(*) OVER (PARTITION BY c_nationkey) AS nation_avg
+              FROM customer
+            )
+            SELECT c_custkey, c_nationkey, c_acctbal, round(nation_avg, 6) AS nation_avg
+            FROM t WHERE c_acctbal > nation_avg""",
         "dedup_simhash_pairs": f"""
             WITH toks AS (
               SELECT DISTINCT doc_id, unnest({toks}) AS tok FROM documents

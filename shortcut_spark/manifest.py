@@ -127,9 +127,24 @@ class Manifest:
             return cls.from_json(json.load(fh))
 
     def commit(self, table_path: str) -> "Manifest":
-        """Write the next manifest version and flip CURRENT atomically."""
-        self.version += 1
+        """Write the next manifest version and flip CURRENT atomically.
+
+        Optimistic single-writer check: if CURRENT moved past the version
+        this manifest was loaded at, another writer committed concurrently —
+        refuse rather than silently drop their commit (the reference's
+        ``&mut self`` exclusivity, enforced at the storage layer; a real
+        deployment would retry on top of a conditional PUT)."""
         mdir = self._dir(table_path)
+        cur_path = os.path.join(mdir, "CURRENT")
+        if os.path.exists(cur_path):
+            with open(cur_path) as fh:
+                on_disk = int(fh.read().strip())
+            if on_disk != self.version:
+                raise RuntimeError(
+                    f"concurrent commit detected: CURRENT is v{on_disk}, "
+                    f"this writer loaded v{self.version}"
+                )
+        self.version += 1
         os.makedirs(mdir, exist_ok=True)
         mpath = os.path.join(mdir, f"v{self.version}.json")
         tmp = mpath + ".tmp"

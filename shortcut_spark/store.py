@@ -544,6 +544,55 @@ class Store:
 
     # -- maintenance --------------------------------------------------------
 
+    def vacuum(self, retain_versions: int = 1) -> int:
+        """Garbage-collect files no longer referenced by the retained
+        manifest versions (copy-on-write deletes and compactions leave the
+        old files behind for snapshot reads). Returns files removed.
+
+        ``retain_versions=1`` keeps only the current snapshot; larger values
+        preserve that much time travel. The 100 TB analogue is an expiring-
+        snapshots job."""
+        import shutil
+
+        mdir = Manifest._dir(self.path)
+        versions = sorted(
+            int(f[1:-5]) for f in os.listdir(mdir) if f.startswith("v") and f.endswith(".json")
+        )
+        keep_versions = set(versions[-retain_versions:])
+        keep_versions.add(self.manifest.version)
+        live: set[str] = set()
+        for v in keep_versions:
+            m = Manifest.load(self.path, v)
+            for f in m.files:
+                live.add(os.path.normpath(self._abs(f.path)))
+            for spec in m.indices.values():
+                for part in spec.parts:
+                    live.add(os.path.normpath(self._abs(part)))
+        removed = 0
+        for sub in ("data", "idx"):
+            root = os.path.join(self.path, sub)
+            if not os.path.isdir(root):
+                continue
+            for dirpath, _dirnames, filenames in os.walk(root):
+                for fn in filenames:
+                    full = os.path.normpath(os.path.join(dirpath, fn))
+                    if not fn.endswith(".parquet"):
+                        continue
+                    # posting parts are directories of parquet files; keep a
+                    # file if any retained manifest references it or its dir
+                    if full in live or os.path.dirname(full) in live:
+                        continue
+                    os.remove(full)
+                    removed += 1
+            # drop now-empty dirs
+            for dirpath, dirnames, filenames in list(os.walk(root, topdown=False)):
+                if not dirnames and not filenames and dirpath != root:
+                    shutil.rmtree(dirpath, ignore_errors=True)
+        for v in versions:
+            if v not in keep_versions:
+                os.remove(os.path.join(mdir, f"v{v}.json"))
+        return removed
+
     def compact(self, target_files: int | None = None, sort_by: str | None = None) -> None:
         """Rewrite the table into ``target_files`` files, optionally sorted by
         an indexed column (gives a btree index real min/max locality so

@@ -171,6 +171,33 @@ def test_btree_range_find(spark, store_path):  # RangeIndex::between, src/idx.rs
     assert sorted(r["k"] for r in got) == [0, 1, 2]
 
 
+def test_vacuum_gc(spark, store_path):
+    """Copy-on-write leaves dead files; vacuum removes them and keeps the
+    current snapshot intact."""
+    import glob
+
+    st = make(spark, store_path, AXB, index_col=0)
+    st.delete([eq(0, "a")])
+    before = len(glob.glob(f"{store_path}/data/**/*.parquet", recursive=True))
+    removed = st.vacuum(retain_versions=1)
+    after = len(glob.glob(f"{store_path}/data/**/*.parquet", recursive=True))
+    assert removed > 0 and after < before
+    assert rows_of(st.find([])) == [("b", "x3")]
+    # reopen from disk still works post-vacuum
+    assert Store.open(spark, store_path).find([]).count() == 1
+
+
+def test_concurrent_commit_detected(spark, store_path):
+    """Two writers on the same table: the stale one must fail loudly
+    (single-writer exclusivity of the reference's &mut self, enforced at
+    the storage layer)."""
+    st1 = make(spark, store_path, ABC)
+    st2 = Store.open(spark, store_path)
+    st1.insert([("x1", "x2")])
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        st2.insert([("y1", "y2")])
+
+
 def test_arity_validated(spark, store_path):  # always-on vs debug_assert src/lib.rs:179
     st = Store.create(spark, store_path, 2)
     with pytest.raises(ValueError):
