@@ -201,7 +201,7 @@ def q_topn_per_customer(spark, sf_dir):
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
         _t(spark, sf_dir, "orders")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
@@ -427,7 +427,7 @@ def q_string_funcs(spark, sf_dir):
     return c.select(
         "c_custkey",
         F.upper(F.col("c_name")).alias("uname"),
-        F.length(F.col("c_name")).alias("name_len"),
+        F.length(F.col("c_name")).cast("long").alias("name_len"),
         F.substring(F.col("c_name"), 1, 8).alias("prefix"),
         F.reverse(F.col("c_name")).alias("rname"),
         F.regexp_replace(F.col("c_name"), "[0-9]", "#").alias("masked"),

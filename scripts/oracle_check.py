@@ -57,10 +57,27 @@ def canon_rows(df):
     return cols, sorted(rows)
 
 
+def _dtype_kind(dt) -> str:
+    s = str(dt)
+    if s.startswith(("int", "uint", "Int")):
+        return s.lower().lstrip("u")
+    if s.startswith("float"):
+        return s
+    if s == "object" or s.startswith(("str", "string")):
+        return "str"
+    return s
+
+
 def compare(spdf, odf):
     issues = []
     if len(spdf) != len(odf):
         issues.append(f"rowcount spark={len(spdf)} oracle={len(odf)}")
+    # dtype strictness: the driver records schema matches, so int32-vs-int64
+    # drift should fail locally too
+    for c in sorted(set(spdf.columns) & set(odf.columns)):
+        a, b = _dtype_kind(spdf[c].dtype), _dtype_kind(odf[c].dtype)
+        if a != b:
+            issues.append(f"dtype[{c}] spark={a} oracle={b}")
     sc, srows = canon_rows(spdf)
     oc, orows = canon_rows(odf)
     if sc != oc:

@@ -124,12 +124,16 @@ def frame_sample_plan(
     derived from duration metadata — pure JVM-side sequence explode; the
     actual frame grab would be a decode_features-style mapInPandas over this
     plan joined back to payloads."""
-    n = (F.col("media.duration_ms") / F.lit(every_ms)).cast("int")
+    n = F.floor(F.col("media.duration_ms") / F.lit(float(every_ms))).cast("int")
     return (
         df.filter(F.col("media.duration_ms").isNotNull())
         .select(
             F.col(id_col),
             F.explode(F.sequence(F.lit(0), n)).alias("frame_i"),
         )
-        .withColumn("frame_ts_ms", F.col("frame_i") * F.lit(every_ms))
+        .select(
+            F.col(id_col),
+            F.col("frame_i").cast("long").alias("frame_i"),
+            (F.col("frame_i") * F.lit(every_ms)).cast("long").alias("frame_ts_ms"),
+        )
     )

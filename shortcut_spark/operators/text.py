@@ -27,11 +27,13 @@ __all__ = ["text_stats", "language_id", "quality_score", "token_frequencies", "f
 def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document surface statistics (counts and exact ratios)."""
     t = F.col(text_col)
+    # counts cast to long: DuckDB length/len return BIGINT and the driver
+    # compares schemas, not just values
     return df.select(
         F.col(id_col),
-        F.length(t).alias("n_chars"),
-        token_count(t).alias("n_tokens"),
-        F.size(F.array_distinct(tokens(F.lower(t)))).alias("n_unique_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        token_count(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokens(F.lower(t)))).cast("long").alias("n_unique_tokens"),
         F.round(punct_ratio(t), 6).alias("punct_ratio"),
         F.round(upper_ratio(t), 6).alias("upper_ratio"),
         F.round(digit_ratio(t), 6).alias("digit_ratio"),
@@ -68,7 +70,7 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return scored.select(
         F.col(id_col),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
-        best["hits"].alias("top_hits"),
+        best["hits"].cast("long").alias("top_hits"),
     )
 
 
