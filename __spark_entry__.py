@@ -495,6 +495,15 @@ def q_events_sessionize(spark, sf_dir):
     return stream_ops.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def q_skew_safe_rollup(spark, sf_dir):
+    """Skew-safe two-phase aggregation (salted partials): bit-equal to the
+    direct decimal sum, so the plain SQL oracle certifies it."""
+    from shortcut_spark.functions import salted_sum_count
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return salted_sum_count(ev, ["event_type"], "value", salts=16)
+
+
 _STREAM_COUNTER = [0]
 
 
@@ -668,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pandas_udf_norm": q_pandas_udf_norm,
         # events
         "events_json": q_events_json,
+        "skew_safe_rollup": q_skew_safe_rollup,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_stream_rollup": q_events_stream_rollup,
@@ -899,6 +909,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n,
                    CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
                    CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
+            FROM events GROUP BY event_type""",
+        "skew_safe_rollup": f"""
+            SELECT event_type, {_DSUM('value')} AS sum_value, count(*) AS n
             FROM events GROUP BY event_type""",
         "events_hourly": f"""
             SELECT {_EPOCH.format("date_trunc('hour', ts)")} AS hour_epoch, event_type,

@@ -28,6 +28,7 @@ __all__ = [
     "ensure_parallelism",
     "dsum",
     "davg",
+    "salted_sum_count",
     "hash32",
     "vec_dot_exact",
     "vec_norm_sq_exact",
@@ -80,6 +81,35 @@ def davg(col: str | Column, alias: str | None = None) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     out = F.sum(c.cast(_DEC)).cast("double") / F.count(F.lit(1))
     return out.alias(alias) if alias else out
+
+
+def salted_sum_count(
+    df,
+    keys: list[str],
+    value_col: str,
+    salts: int = 16,
+    sum_alias: str = "sum_value",
+    count_alias: str = "n",
+):
+    """Skew-safe two-phase aggregation: rows of a hot key are spread over
+    ``salts`` sub-keys for the partial aggregate, then partials combine in
+    a second (tiny) shuffle. The salt is a deterministic hash of the whole
+    row — no RNG, so retries and the oracle see identical results — and
+    the decimal detour keeps the two-phase sum bit-equal to a direct one.
+
+    AQE's skew handling covers joins; this is the analogous pattern for
+    aggregations whose key histogram is pathological (e.g. one event_type
+    dominating a 100 TB events table).
+    """
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(*df.columns), F.lit(salts)))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.sum(F.col(value_col).cast(_DEC)).alias("__psum"),
+        F.count(F.lit(1)).alias("__pcnt"),
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__psum").cast("double").alias(sum_alias),
+        F.sum("__pcnt").alias(count_alias),
+    )
 
 
 def hash32(col: Column, seed: int | str = 0) -> Column:

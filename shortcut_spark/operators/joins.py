@@ -23,7 +23,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["asof_max", "range_pairs_within"]
+__all__ = ["asof_max", "range_pairs_within", "salted_join"]
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the big side's hot keys are spread across
+    ``salts`` sub-keys (deterministic row hash), the small side is
+    replicated once per salt, and the join runs on (key, salt) — no single
+    reducer owns a hot key. Semantically identical to ``big.join(small,
+    key, how)`` for inner/left joins on a unique-keyed small side.
+
+    Spark's AQE skew-join handles most cases at runtime; this explicit form
+    is for when the skew is known and AQE's split thresholds don't bite
+    (or for deterministic plan shapes in tests).
+    """
+    big_s = big.withColumn("__salt", F.pmod(F.xxhash64(*big.columns), F.lit(salts)))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)).cast("array<long>"))
+    )
+    out = big_s.join(small_s, [key, "__salt"], how)
+    return out.drop("__salt")
 
 
 def asof_max(

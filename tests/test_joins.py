@@ -38,6 +38,33 @@ def test_range_pairs_orientation(spark):
     assert got == {(1, 2, 5), (2, 1, 9)}
 
 
+def test_salted_join_equals_plain(spark):
+    from shortcut_spark.operators.joins import salted_join
+
+    big = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    small = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    ).withColumnRenamed("c_custkey", "o_custkey")
+    plain = big.join(small, "o_custkey").select("o_orderkey", "c_mktsegment")
+    salted = salted_join(big, small, "o_custkey", salts=8).select("o_orderkey", "c_mktsegment")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_sum_equals_direct(spark):
+    from shortcut_spark.functions import dsum, salted_sum_count
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "value"
+    )
+    direct = ev.groupBy("event_type").agg(
+        dsum("value", "sum_value"), F.count(F.lit(1)).alias("n")
+    )
+    salted = salted_sum_count(ev, ["event_type"], "value", salts=8)
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, salted.collect()))
+
+
 def test_range_pairs_vs_naive(spark):
     ev = (
         spark.read.parquet("/root/testdata/sf0.001/events.parquet")
