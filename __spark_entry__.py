@@ -460,6 +460,43 @@ def q_pandas_udf_norm(spark, sf_dir):
     )
 
 
+def q_udtf_bigrams(spark, sf_dir):
+    """Python UDTF via LATERAL (SURVEY §2.2 UDTF row): positioned word
+    bigrams per document."""
+    from shortcut_spark.functions.pandas_udfs import BigramUDTF
+
+    spark.udtf.register("bigrams_udtf", BigramUDTF)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, pos, bigram FROM udtf_docs, LATERAL bigrams_udtf(text)"
+    )
+
+
+def q_array_agg(spark, sf_dir):
+    """Nested array results flattened deterministically: sorted event-type
+    list per user, joined to one string (list value-hashing differs across
+    engines; the string form is canonical)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_list("event_type")), ",").alias("types"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_stats_summary(spark, sf_dir):
+    """Manual moment-based stddev: exact decimal sums of x and x², then an
+    all-double epilogue with identical operand order in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    s1 = F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double")
+    s2 = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(27,6)")).cast("double")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1))
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"), mean.alias("mean_qty"), F.sqrt(var).alias("stddev_qty")
+    )
+
+
 def q_events_pairs_60s(spark, sf_dir):
     """Bounded range self-join: event pairs of the same user within 60 s."""
     from shortcut_spark.operators.joins import range_pairs_within
@@ -675,6 +712,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_order": q_asof_latest_order,
         "events_pairs_60s": q_events_pairs_60s,
         "pandas_udf_norm": q_pandas_udf_norm,
+        "udtf_bigrams": q_udtf_bigrams,
+        "array_agg": q_array_agg,
+        "stats_summary": q_stats_summary,
         # events
         "events_json": q_events_json,
         "skew_safe_rollup": q_skew_safe_rollup,
@@ -904,6 +944,24 @@ def oracle_sql() -> dict[str, str]:
                    length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_len,
                    len({_TOKS}) AS n_tokens
             FROM documents""",
+        "udtf_bigrams": """
+            SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] || ' ' || t[i+1] AS bigram
+            FROM (
+              SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+            )""",
+        "array_agg": """
+            SELECT user_id, array_to_string(list_sort(list(event_type)), ',') AS types,
+                   count(*) AS n
+            FROM events GROUP BY user_id""",
+        "stats_summary": """
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / count(*) AS mean_qty,
+                   sqrt((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                         - CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                           * CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / count(*))
+                        / (count(*) - 1)) AS stddev_qty
+            FROM lineitem GROUP BY l_returnflag""",
         # -- events ---------------------------------------------------------
         "events_json": """
             SELECT event_type, count(*) AS n,

@@ -26,3 +26,16 @@ def norm_len(s: pd.Series) -> pd.Series:
 def tok_count(s: pd.Series) -> pd.Series:
     """Whitespace token count (twin of functions.token_count)."""
     return s.str.strip().str.split(r"\s+", regex=True).map(len).astype("int64")
+
+
+@F.udtf(returnType="pos int, bigram string")
+class BigramUDTF:
+    """Python UDTF (SURVEY §2.2 UDTF row): explodes a text into positioned
+    word bigrams. Per-row-pure → exact SQL twin via generate_series/array
+    slicing; the hot-path equivalent is the array-expression shingler in
+    operators.dedup."""
+
+    def eval(self, text: str):
+        toks = text.strip().split()
+        for i in range(len(toks) - 1):
+            yield i, f"{toks[i]} {toks[i + 1]}"

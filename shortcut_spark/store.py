@@ -77,6 +77,13 @@ class Store:
         self.path = os.path.abspath(path)
         self.manifest = manifest
         self._posting_cache: dict[tuple, DataFrame] = {}
+        # driver-side posting maps (column, version) -> {key: {file_id}} —
+        # the distributed analogue of the reference's in-memory
+        # HashMap<K, Vec<rowid>> lookup (src/idx.rs:41-46), built only for
+        # small indexes (POSTING_MAP_MAX entries); big ones stay on disk
+        self._posting_maps: dict[tuple, dict] = {}
+
+    POSTING_MAP_MAX = 2_000_000
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -444,18 +451,38 @@ class Store:
                 # already did that work with zero jobs
                 worth_it = False
             if worth_it:
-                post = self._read_postings(path.index)
-                if post is not None:
-                    key_cond = Condition("key", path.cond.cmp)
-                    hit_ids = {
-                        r["__file_id"]
-                        for r in post.filter(key_cond.to_column(["key"]))
-                        .select("__file_id")
-                        .distinct()
-                        .collect()
-                    }
+                hit_ids = None
+                if path.cond.cmp.is_const_eq and path.index.rows <= self.POSTING_MAP_MAX:
+                    pmap = self._posting_map(path.index)
+                    if pmap is not None:
+                        hit_ids = pmap.get(path.cond.cmp.value.payload, set())
+                if hit_ids is None:
+                    post = self._read_postings(path.index)
+                    if post is not None:
+                        key_cond = Condition("key", path.cond.cmp)
+                        hit_ids = {
+                            r["__file_id"]
+                            for r in post.filter(key_cond.to_column(["key"]))
+                            .select("__file_id")
+                            .distinct()
+                            .collect()
+                        }
+                if hit_ids is not None:
                     files = [f for f in files if f.id in hit_ids]
         return path, files
+
+    def _posting_map(self, spec: IndexSpec) -> dict | None:
+        key = (spec.column, self.manifest.version)
+        pmap = self._posting_maps.get(key)
+        if pmap is None:
+            post = self._read_postings(spec)
+            if post is None:
+                return None
+            pmap = {}
+            for r in post.collect():
+                pmap.setdefault(r["key"], set()).add(r["__file_id"])
+            self._posting_maps[key] = pmap
+        return pmap
 
     def find(self, conds: Sequence[Condition] = (), with_rowid: bool = False) -> DataFrame:
         """Lazy filtered scan; empty ``conds`` = full scan (``src/lib.rs:255``)."""
