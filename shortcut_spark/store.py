@@ -171,6 +171,13 @@ class Store:
                     f"schema mismatch: expected {schema.fieldNames()}, "
                     f"got {[f.name for f in df.schema.fields]}"
                 )
+            for mine, theirs in zip(schema.fields, df.schema.fields):
+                if mine.dataType != theirs.dataType:
+                    raise ValueError(
+                        f"schema mismatch on {mine.name!r}: store has "
+                        f"{mine.dataType.simpleString()}, batch has "
+                        f"{theirs.dataType.simpleString()}"
+                    )
         else:
             data = [tuple(r) for r in rows]
             for r in data:

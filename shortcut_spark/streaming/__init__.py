@@ -16,6 +16,7 @@ __all__ = [
     "sessionize",
     "run_stream_hourly_rollup",
     "run_stream_sessionize",
+    "stream_into_store",
 ]
 
 
@@ -79,21 +80,10 @@ def run_stream_sessionize(
     single file the first trigger already sees everything, which is what
     lets the batch ``sessionize`` SQL act as the exact oracle.
     """
-    import os
-    import tempfile
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    if os.path.isfile(events_parquet_dir):
-        d = tempfile.mkdtemp(prefix="stream_sess_")
-        os.symlink(events_parquet_dir, os.path.join(d, os.path.basename(events_parquet_dir)))
-        events_parquet_dir = d
-
-    from ..sources import normalize_event_ts
-
-    schema = spark.read.parquet(events_parquet_dir).schema
-    stream = normalize_event_ts(spark.readStream.schema(schema).parquet(events_parquet_dir))
+    stream = _file_stream(spark, events_parquet_dir)
     ev = stream.select(
         "user_id", "event_id", F.unix_timestamp("ts").alias("es")
     )
@@ -147,27 +137,96 @@ def run_stream_sessionize(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
-def run_stream_hourly_rollup(spark: SparkSession, events_parquet_dir: str, query_name: str = "hourly") -> DataFrame:
-    """Drive the same rollup as a real streaming query over the parquet
-    events (file source, memory sink, processAllAvailable) — smoke-proof
-    that the aggregation is streamable with a watermark. Returns the
-    materialized result."""
+def _file_stream(
+    spark: SparkSession,
+    source_parquet: str,
+    want_event_ts: bool = True,
+    link_dir: str | None = None,
+) -> DataFrame:
+    """Shared file-source preamble: the stream source needs a directory
+    (single files are exposed via a symlinked dir — pass a stable
+    ``link_dir`` when a durable checkpoint must find the same source path
+    across restarts), the schema comes from a batch read, and a long nanos
+    ``ts`` is normalized to a microsecond timestamp when the consumer
+    wants one."""
     import os
     import tempfile
 
     from ..sources import normalize_event_ts
 
-    # the file-stream source requires a directory; if given a single parquet
-    # file, expose it through a symlinked temp dir
-    if os.path.isfile(events_parquet_dir):
-        d = tempfile.mkdtemp(prefix="stream_events_")
-        os.symlink(events_parquet_dir, os.path.join(d, os.path.basename(events_parquet_dir)))
-        events_parquet_dir = d
+    if os.path.isfile(source_parquet):
+        d = link_dir or tempfile.mkdtemp(prefix="stream_src_")
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(source_parquet))
+        if not os.path.exists(link):
+            os.symlink(source_parquet, link)
+        source_parquet = d
+    schema = spark.read.parquet(source_parquet).schema
+    stream = spark.readStream.schema(schema).parquet(source_parquet)
+    if want_event_ts:
+        stream = normalize_event_ts(stream)
+    return stream
 
-    schema = spark.read.parquet(events_parquet_dir).schema
-    stream = normalize_event_ts(
-        spark.readStream.schema(schema).parquet(events_parquet_dir)
-    ).withWatermark("ts", "1 hour")
+
+def stream_into_store(spark: SparkSession, source_parquet: str, store) -> int:
+    """Continuous ingestion: a file stream lands in a Store via
+    ``foreachBatch`` — each micro-batch becomes one Store commit (dense
+    rowids, index maintenance, atomic manifest flip).
+
+    Effectively-once: the streaming checkpoint lives under the store path
+    (a restart resumes from committed offsets instead of re-reading the
+    source), and the last committed epoch is recorded next to it — a
+    replayed ``foreachBatch`` epoch is skipped rather than re-inserted.
+    Returns rows ingested this run."""
+    import os
+
+    from pyspark.sql import types as T
+
+    # align the batch shape with the store's declared schema: only
+    # normalize a long nanos ts when the store actually expects a timestamp
+    want_ts = "ts" in store.colnames and isinstance(
+        store.schema["ts"].dataType, T.TimestampType
+    )
+    state_dir = os.path.join(store.path, "_streaming")
+    os.makedirs(state_dir, exist_ok=True)
+    stream = _file_stream(
+        spark, source_parquet, want_event_ts=want_ts, link_dir=os.path.join(state_dir, "src")
+    )
+    epoch_file = os.path.join(state_dir, "last_epoch")
+    last_epoch = -1
+    if os.path.exists(epoch_file):
+        with open(epoch_file) as fh:
+            last_epoch = int(fh.read().strip())
+
+    ingested = [0]
+
+    def sink(batch_df: DataFrame, epoch: int) -> None:
+        if epoch <= last_epoch:
+            return  # replayed micro-batch: already committed
+        ingested[0] += store.insert(batch_df)
+        tmp = epoch_file + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(epoch))
+        os.replace(tmp, epoch_file)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(state_dir, "checkpoint"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return ingested[0]
+
+
+def run_stream_hourly_rollup(spark: SparkSession, events_parquet_dir: str, query_name: str = "hourly") -> DataFrame:
+    """Drive the same rollup as a real streaming query over the parquet
+    events (file source, memory sink, processAllAvailable) — smoke-proof
+    that the aggregation is streamable with a watermark. Returns the
+    materialized result."""
+    stream = _file_stream(spark, events_parquet_dir).withWatermark("ts", "1 hour")
     agg = (
         stream.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"))

@@ -119,6 +119,31 @@ def test_streaming_matches_batch(spark):
     assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, stream.collect()))
 
 
+def test_stream_into_store(spark, tmp_path):
+    """Streaming ingestion lands in the Store with dense rowids and
+    queryable indexes."""
+    from shortcut_spark import Store, eq
+    from shortcut_spark.sources import load_fixture
+    from shortcut_spark.streaming import stream_into_store
+
+    events = load_fixture(spark, SF_DIR, "events")
+    store = Store.create(spark, str(tmp_path / "ev"), events.schema)
+    store.index("event_type", "hash")
+    n = stream_into_store(spark, f"{SF_DIR}/events.parquet", store)
+    assert n == events.count()
+    assert len(store) == n
+    want = events.filter(F.col("event_type") == "purchase").count()
+    assert store.find([eq("event_type", "purchase")]).count() == want
+    got = store.find([], with_rowid=True).select("__rowid").collect()
+    ids = sorted(r[0] for r in got)
+    assert ids == list(range(n))
+    # restart / replay: a second run resumes from the durable checkpoint and
+    # must NOT re-ingest anything
+    n2 = stream_into_store(spark, f"{SF_DIR}/events.parquet", store)
+    assert n2 == 0
+    assert len(store) == n
+
+
 def test_stateful_stream_sessionize_matches_batch(spark):
     from shortcut_spark.sources import load_fixture
     from shortcut_spark.streaming import run_stream_sessionize, sessionize
