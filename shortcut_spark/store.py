@@ -204,6 +204,12 @@ class Store:
             .withColumn("__mid", F.monotonically_increasing_id())
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        try:
+            return self._insert_tagged(tagged, schema, watermark)
+        finally:
+            tagged.unpersist()
+
+    def _insert_tagged(self, tagged: DataFrame, schema: T.StructType, watermark: int) -> int:
         counts = {r["__pid"]: r["cnt"] for r in tagged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
         if not counts:
             return 0
@@ -254,15 +260,30 @@ class Store:
                 # sizes (many row groups per file)
                 with_id = with_id.sortWithinPartitions(hash_cols[0])
         with_id.write.parquet(out_dir)
-        tagged.unpersist()
         new_files = self._register_files(batch_rel)
 
         for spec in self.manifest.indices.values():
             self._append_postings(spec, new_files)
 
         self.manifest.rowid = watermark + n
-        self.manifest.commit(self.path)
+        self._commit()
         return n
+
+    def _commit(self) -> None:
+        """Commit the manifest and evict caches keyed to older versions —
+        stale posting DataFrames are unpersisted, stale driver maps
+        dropped (long-lived ingestion commits one version per micro-batch
+        and would otherwise pin them forever)."""
+        self.manifest.commit(self.path)
+        v = self.manifest.version
+        for key in [k for k in self._posting_cache if k[1] != v]:
+            try:
+                self._posting_cache[key].unpersist()
+            except Exception:
+                pass
+            del self._posting_cache[key]
+        for key in [k for k in self._posting_maps if k[1] != v]:
+            del self._posting_maps[key]
 
     def _register_files(self, batch_rel: str) -> list[DataFile]:
         """Scan freshly-written parquet footers (metadata-only, no Spark job)
@@ -276,28 +297,36 @@ class Store:
             meta = pq.ParquetFile(fpath).metadata
             if meta.num_rows == 0:
                 continue
-            # per-column min/max across row groups (footer metadata only)
+            # per-column min/max across row groups (footer metadata only).
+            # a column's file stats are usable ONLY if every row group has
+            # them — a group with missing/undecodable stats (e.g. values
+            # past the writer's max_statistics_size) must widen the range
+            # to unknown, never narrow it
             mins: dict[str, object] = {}
             maxs: dict[str, object] = {}
+            incomplete: set[str] = set()
             for rg in range(meta.num_row_groups):
                 rgm = meta.row_group(rg)
                 for ci in range(rgm.num_columns):
                     col = rgm.column(ci)
                     cname = col.path_in_schema
                     st = col.statistics
-                    if st is None or not st.has_min_max:
-                        continue
-                    lo, hi = st.min, st.max
-                    if isinstance(lo, bytes):
-                        try:
-                            lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
-                        except Exception:
-                            continue
-                    if not isinstance(lo, (int, float, str)):
+                    lo = hi = None
+                    if st is not None and st.has_min_max:
+                        lo, hi = st.min, st.max
+                        if isinstance(lo, bytes):
+                            try:
+                                lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                            except Exception:
+                                lo = hi = None
+                        if lo is not None and not isinstance(lo, (int, float, str)):
+                            lo = hi = None
+                    if lo is None:
+                        incomplete.add(cname)
                         continue
                     mins[cname] = lo if cname not in mins else min(mins[cname], lo)
                     maxs[cname] = hi if cname not in maxs else max(maxs[cname], hi)
-            stats = {c: [mins[c], maxs[c]] for c in mins}
+            stats = {c: [mins[c], maxs[c]] for c in mins if c not in incomplete}
             rid = stats.pop(ROWID, [-1, -1])
             fid = self.manifest.next_file_id
             self.manifest.next_file_id += 1
@@ -330,7 +359,7 @@ class Store:
         if self.manifest.files:
             self._append_postings(spec, self.manifest.files)
         self.manifest.indices[name] = spec  # silent replace, parity :204
-        self.manifest.commit(self.path)
+        self._commit()
 
     def _append_postings(self, spec: IndexSpec, files: Sequence[DataFile]) -> None:
         """Add posting rows (key, file_id) for ``files`` to ``spec``.
@@ -459,7 +488,11 @@ class Store:
                 worth_it = False
             if worth_it:
                 hit_ids = None
-                if path.cond.cmp.is_const_eq and path.index.rows <= self.POSTING_MAP_MAX:
+                if (
+                    path.cond.cmp.is_const_eq
+                    and path.index.rows <= self.POSTING_MAP_MAX
+                    and self._probe_type_ok(path.index.column, path.cond.cmp.value.payload)
+                ):
                     pmap = self._posting_map(path.index)
                     if pmap is not None:
                         hit_ids = pmap.get(path.cond.cmp.value.payload, set())
@@ -477,6 +510,26 @@ class Store:
                 if hit_ids is not None:
                     files = [f for f in files if f.id in hit_ids]
         return path, files
+
+    def _probe_type_ok(self, column: str, probe) -> bool:
+        """The driver-side posting map compares with Python equality, but
+        the Spark residual filter applies SQL type coercion (``5 = '5'``
+        is true there). Only take the map fast path when Python equality
+        agrees with SQL coercion for this (column type, probe) pair —
+        otherwise fall back to the posting-DataFrame path, which filters
+        inside Spark with identical coercion."""
+        dt = self.manifest.schema[column].dataType
+        if isinstance(dt, (T.StringType,)):
+            return isinstance(probe, str)
+        numeric = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType,
+        )
+        if isinstance(dt, numeric):
+            return isinstance(probe, (int, float)) and not isinstance(probe, bool)
+        if isinstance(dt, T.BooleanType):
+            return isinstance(probe, bool)
+        return False  # timestamps/dates/binary: always use the Spark path
 
     def _posting_map(self, spec: IndexSpec) -> dict | None:
         key = (spec.column, self.manifest.version)
@@ -573,7 +626,7 @@ class Store:
             self._append_postings(spec, new_files)
             if not new_files:
                 self._refresh_index_stats(spec)
-        self.manifest.commit(self.path)
+        self._commit()
         return victims
 
     # -- maintenance --------------------------------------------------------
@@ -602,6 +655,7 @@ class Store:
             for spec in m.indices.values():
                 for part in spec.parts:
                     live.add(os.path.normpath(self._abs(part)))
+        live_dirs = {os.path.dirname(p) for p in live} | live
         removed = 0
         for sub in ("data", "idx"):
             root = os.path.join(self.path, sub)
@@ -618,9 +672,12 @@ class Store:
                         continue
                     os.remove(full)
                     removed += 1
-            # drop now-empty dirs
+            # drop dead dirs (including _SUCCESS/.crc sidecars that the
+            # parquet-only pass above deliberately left alone)
             for dirpath, dirnames, filenames in list(os.walk(root, topdown=False)):
-                if not dirnames and not filenames and dirpath != root:
+                if dirpath == root or os.path.normpath(dirpath) in live_dirs:
+                    continue
+                if not any(fn.endswith(".parquet") for fn in filenames) and not dirnames:
                     shutil.rmtree(dirpath, ignore_errors=True)
         for v in versions:
             if v not in keep_versions:
@@ -649,4 +706,4 @@ class Store:
         for spec in self.manifest.indices.values():
             spec.parts = []
             self._append_postings(spec, new_files)
-        self.manifest.commit(self.path)
+        self._commit()
