@@ -273,6 +273,237 @@ def q_above_avg_customers(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H-adapted suite (fixtures lack partsupp / l_commitdate / l_shipmode, so
+# the classic shapes are re-targeted onto available columns; each query
+# exercises a distinct operator feature: EXISTS / NOT EXISTS / IN / NOT IN
+# subqueries, HAVING, LIKE, OR-of-conjunctions, conditional aggregates,
+# count-distinct, min-per-group)
+
+
+def q4_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join. The
+    subquery's col-vs-col predicate (l_discount > l_tax) stands in for the
+    reference's commitdate < receiptdate."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > F.col("l_tax"))
+    return (
+        o.join(li.select("l_orderkey"), o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: 4-way join, returned-items revenue per customer,
+    top-20 (deterministic tiebreak on c_custkey)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: LIKE predicate inside a conditional aggregate;
+    promo revenue share as a ratio of two exact-decimal sums."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    return joined.agg(
+        dsum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0)), "promo_rev"),
+        dsum(rev, "total_rev"),
+    ).select(
+        "promo_rev",
+        "total_rev",
+        (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias("promo_pct"),
+    )
+
+
+def q19_or_conjunctions(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    clauses — Catalyst pushes the common join key and evaluates the OR as
+    one residual; no per-branch rescans."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1.0, 11.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10.0, 20.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20.0, 30.0)
+        )
+    )
+    return joined.filter(clause).agg(
+        dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q18_large_volume(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered IN-subquery (orders whose total
+    quantity exceeds 300), joined back to customer; top-100 by price."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 300.0)
+    )
+    return (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("odate_epoch"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q22_idle_rich(spark, sf_dir):
+    """TPC-H Q22 shape: scalar subquery (global average of positive
+    balances, computed once and broadcast) + NOT EXISTS anti-join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(davg("c_acctbal", "avg_bal"))
+    big_orders = o.filter(F.col("o_totalprice") > 350000.0).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal", "total_bal"))
+    )
+
+
+def q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape: NOT LIKE + IN-list filters, NOT IN subquery
+    (suppliers with negative balance), count-distinct per group. lineitem's
+    (partkey, suppkey) pairs stand in for partsupp."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(1, 4, 7, 10, 15, 20, 25, 30)
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        p.join(pairs, p.p_partkey == pairs.l_partkey)
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: nation self-join (supplier nation × customer nation)
+    with an OR over the ordered pair, revenue per (pair, ship-year)."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "volume"))
+    )
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: 6-way join through region, market share of one
+    supplier nation as a conditional-aggregate ratio per order-year."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n2 = n.select("n_nationkey", "n_regionkey")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == n2.n_nationkey)
+        .join(F.broadcast(r), n2.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dsum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)), "nation_vol"),
+            dsum(vol, "total_vol"),
+        )
+        .select("o_year", "nation_vol", "total_vol",
+                (F.col("nation_vol") / F.col("total_vol")).alias("mkt_share"))
+    )
+
+
+def q2_best_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: min-cost supplier per part (here: max-acctbal
+    supplier among those that shipped the part), decorrelated with a
+    window rank; deterministic tiebreak on s_suppkey."""
+    p = _t(spark, sf_dir, "part").filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    pairs = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    s = _t(spark, sf_dir, "supplier")
+    w = W.partitionBy("p_partkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return (
+        p.join(pairs, p.p_partkey == pairs.l_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("s_acctbal", "s_name", "p_partkey", "p_brand")
+        .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey"))
+        .limit(100)
+    )
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs at hamming ≤ 3 — the byte-banded candidate
     join is lossless at this radius (pigeonhole over 4 bytes), so the
@@ -693,6 +924,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q6_forecast_revenue": q6_forecast_revenue,
         "above_avg_customers": q_above_avg_customers,
+        # TPC-H-adapted suite
+        "q2_best_supplier": q2_best_supplier,
+        "q4_priority_exists": q4_priority_exists,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q18_large_volume": q18_large_volume,
+        "q19_or_conjunctions": q19_or_conjunctions,
+        "q22_idle_rich": q22_idle_rich,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "mktsegment_stats": q_mktsegment_stats,
         "distinct_parts": q_distinct_parts,
@@ -1072,6 +1314,114 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c_custkey, c_nationkey, c_acctbal, round(nation_avg, 6) AS nation_avg
             FROM t WHERE c_acctbal > nation_avg""",
+        # -- TPC-H-adapted suite --------------------------------------------
+        "q2_best_supplier": """
+            WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            ranked AS (
+              SELECT s_acctbal, s_name, p_partkey, p_brand,
+                     row_number() OVER (PARTITION BY p_partkey
+                                        ORDER BY s_acctbal DESC, s_suppkey) AS rn
+              FROM part JOIN pairs ON p_partkey = l_partkey
+                        JOIN supplier ON s_suppkey = l_suppkey
+              WHERE p_size = 15 AND p_type = 'STANDARD'
+            )
+            SELECT s_acctbal, s_name, p_partkey, p_brand FROM ranked WHERE rn = 1
+            ORDER BY s_acctbal DESC, p_partkey LIMIT 100""",
+        "q4_priority_exists": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_discount > l_tax)
+            GROUP BY o_orderpriority""",
+        "q7_volume_shipping": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS volume
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3""",
+        "q8_market_share": f"""
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   {_DSUM("CASE WHEN n1.n_name = 'NATION_3' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS nation_vol,
+                   {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS total_vol,
+                   {_DSUM("CASE WHEN n1.n_name = 'NATION_3' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+                     / {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS mkt_share
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region ON n2.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            WHERE r_name = 'EUROPE'
+            GROUP BY 1""",
+        "q10_returned_items": f"""
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "q14_promo_revenue": f"""
+            SELECT {_DSUM("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS promo_rev,
+                   {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS total_rev,
+                   100.0 * {_DSUM("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+                     / {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""",
+        "q16_supplier_cnt": """
+            SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM part JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+                 ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#45'
+              AND p_type NOT LIKE 'MEDIUM%'
+              AND p_size IN (1, 4, 7, 10, 15, 20, 25, 30)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+            GROUP BY p_brand, p_type, p_size""",
+        "q18_large_volume": f"""
+            SELECT c_name, c_custkey, o_orderkey,
+                   {_EPOCH.format('o_orderdate')} AS odate_epoch,
+                   o_totalprice, {_DSUM('l_quantity')} AS sum_qty
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+              HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) > 300.0)
+            GROUP BY 1, 2, 3, 4, 5
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+        "q19_or_conjunctions": f"""
+            SELECT {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1.0 AND 11.0)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10.0 AND 20.0)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20.0 AND 30.0)""",
+        "q22_idle_rich": f"""
+            SELECT c_nationkey, count(*) AS n_cust, {_DSUM('c_acctbal')} AS total_bal
+            FROM customer
+            WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+                               FROM customer WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)
+            GROUP BY c_nationkey""",
         "dedup_simhash_pairs": f"""
             WITH toks AS (
               SELECT DISTINCT doc_id, unnest({toks}) AS tok FROM documents
