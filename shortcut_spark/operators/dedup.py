@@ -33,7 +33,9 @@ __all__ = [
     "exact_dup_groups",
     "exact_dedup",
     "shingles",
+    "shingle_arrays",
     "minhash_signature",
+    "minhash_signature_arrays",
     "minhash_candidates",
     "jaccard_pairs",
     "minhash_near_dups",
@@ -61,14 +63,12 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, id_col, "left_semi")
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
-
-    Built entirely with array expressions (transform over a token-index
-    sequence + slice) — no window, no shuffle before the final distinct;
-    at 100 TB this is a pure map stage. The shingle is the space-joined
-    window so it has a direct SQL twin.
-    """
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, __shs): the document's distinct word n-gram shingles as an
+    array column. Entirely map-side — ``array_distinct`` dedupes within the
+    row, so no shuffle happens at all. At 100 TB this is the difference
+    between a pure scan stage and shuffling trillions of (id, shingle)
+    rows just to dedupe them."""
     df = _ensure_parallelism(df)
     t = tokens(F.lower(F.col(text_col)))
     sh_arr = F.when(
@@ -79,8 +79,17 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col), t.alias("__toks"))
-        .select(F.col(id_col), F.explode(sh_arr).alias("shingle"))
-        .distinct()
+        .select(F.col(id_col), F.array_distinct(sh_arr).alias("__shs"))
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Explode of :func:`shingle_arrays` — per-doc distinctness comes from the
+    array, so there is no global ``distinct()`` shuffle."""
+    return shingle_arrays(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode("__shs").alias("shingle")
     )
 
 
@@ -108,6 +117,38 @@ def minhash_signature(
         for i in range(num_hashes)
     ]
     return pre.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signature_arrays(
+    arr: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """Signatures computed per-row from the shingle *array* — min over
+    ``transform``-ed md5 slices with ``array_min``, so the whole signature
+    build is a map stage with no shuffle (vs the explode + groupBy of
+    :func:`minhash_signature`, which shuffles every shingle). Docs with an
+    empty shingle set are dropped, matching the groupBy variant where they
+    simply produce no rows."""
+    # NB: lambdas passed to transform/aggregate must declare exactly the
+    # higher-order arity — pyspark counts defaulted params too, so closing
+    # over the loop variable needs a factory, not a default arg.
+    def _md5_col(g: int):
+        return F.transform(F.col("__shs"), lambda s: F.md5(F.concat(F.lit(f"{g}:"), s)))
+
+    def _sig_col(i: int):
+        return F.array_min(
+            F.transform(
+                F.col(f"__m{i // 4}"),
+                lambda m: F.conv(F.substring(m, 8 * (i % 4) + 1, 8), 16, 10).cast("long"),
+            )
+        )
+
+    groups = (num_hashes + 3) // 4
+    pre = arr.filter(F.size("__shs") > 0).select(
+        F.col(id_col), *[_md5_col(g).alias(f"__m{g}") for g in range(groups)]
+    )
+    return pre.select(
+        F.col(id_col), *[_sig_col(i).alias(f"sig_{i}") for i in range(num_hashes)]
+    )
 
 
 def minhash_candidates(
@@ -187,12 +228,15 @@ def minhash_near_dups(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → verify.
 
-    The shingle set feeds both the signature build and the verify join, so
-    it is persisted for the lifetime of the query (at warehouse scale this
-    would be a materialized intermediate table)."""
-    sh = shingles(df, id_col, text_col, n).persist()
-    sig = minhash_signature(sh, id_col, num_hashes)
+    The shingle arrays feed both the signature build (map-only, see
+    :func:`minhash_signature_arrays`) and the verify join, so they are
+    persisted for the lifetime of the query (at warehouse scale this would
+    be a materialized intermediate table). Only the banding join and the
+    verify join shuffle — signature construction never does."""
+    arr = shingle_arrays(df, id_col, text_col, n).persist()
+    sig = minhash_signature_arrays(arr, id_col, num_hashes)
     cand = minhash_candidates(sig, id_col, num_hashes, bands)
+    sh = arr.select(F.col(id_col), F.explode("__shs").alias("shingle"))
     return jaccard_pairs(sh, id_col, threshold, candidates=cand)
 
 
@@ -200,22 +244,31 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     """32-bit SimHash: per distinct token a 32-bit md5-derived hash; each bit
     contributes +1/-1; fingerprint bit b is set iff the sum is positive.
 
-    Pure explode + groupBy with integer arithmetic — deterministic and
-    SQL-twinnable via bit shifts.
+    Computed entirely per-row with array expressions (``array_distinct``
+    for the token set, ``transform`` for the hashes, ``aggregate`` for the
+    bit sums) — a pure map stage with NO shuffle, vs the classic explode +
+    distinct + groupBy which shuffles every token twice. Same values,
+    identical to the explode-based SQL twin. Docs with no tokens are
+    dropped (the explode variant produces no rows for them).
     """
-    toks = (
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    pre = (
         _ensure_parallelism(df)
-        .select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
-        .distinct()
-        .withColumn("h", hash32(F.col("tok")))
+        .select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select(F.col(id_col), F.transform(F.col("__toks"), lambda t: hash32(t)).alias("__hs"))
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(bits)
-    ]
-    per_doc = toks.groupBy(id_col).agg(*bit_sums)
+    def _bit_sum(b: int):
+        # factory, not a defaulted lambda arg: pyspark requires the merge
+        # lambda to have exactly 2 declared params
+        return F.aggregate(
+            F.col("__hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    per_doc = pre.select(F.col(id_col), *[_bit_sum(b).alias(f"s{b}") for b in range(bits)])
     fp = None
     for b in range(bits):
         term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
