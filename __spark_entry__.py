@@ -839,6 +839,24 @@ def q_text_fingerprints(spark, sf_dir):
     return text.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_text_token_bpe(spark, sf_dir):
+    """Token-budget estimation: whitespace tokens vs BPE-ish pretokenizer
+    tokens (letter runs / 1-3 digit groups / punct runs) per document —
+    the vocab-free approximation of an LLM tokenizer's pre-split."""
+    from shortcut_spark.functions import bpe_token_count, token_count
+
+    t = F.col("text")
+    n_bpe = bpe_token_count(t)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(t).cast("long").alias("n_ws_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.when(n_bpe > 0, F.length(t) / n_bpe).otherwise(F.lit(0.0)), 6
+        ).alias("chars_per_bpe"),
+    )
+
+
 def _query_vec(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
@@ -866,6 +884,15 @@ def q_embed_ivf_topk(spark, sf_dir):
     asserted in tests/test_operators.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, _query_vec(spark, sf_dir), k=10, nprobe=4)
+
+
+def q_embed_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs with the
+    exact-decimal scorer — the oracle-checked twin of the LSH-banded scale
+    path, which is `cosine_join(exact=False)`)."""
+    return similarity.cosine_join(
+        _t(spark, sf_dir, "embeddings"), 0.4, exact=True, exact_score=True
+    )
 
 
 def q_mm_features(spark, sf_dir):
@@ -974,10 +1001,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_token_topk": q_text_token_topk,
         "text_fingerprints": q_text_fingerprints,
+        "text_token_bpe": q_text_token_bpe,
         "embed_topk": q_embed_topk,
         "embed_norm_stats": q_embed_norm_stats,
         "embed_lsh_topk": q_embed_lsh_topk,
         "embed_ivf_topk": q_embed_ivf_topk,
+        "embed_cosine_pairs": q_embed_cosine_pairs,
         "mm_features": q_mm_features,
         "mm_frame_plan": q_mm_frame_plan,
     }
@@ -1482,6 +1511,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest({toks}) AS token FROM documents
             ) GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
         "text_fingerprints": f"SELECT doc_id, {fingerprint} AS fp FROM documents",
+        "text_token_bpe": f"""
+            WITH c AS (
+              SELECT doc_id,
+                     len({toks}) AS n_ws_tokens,
+                     len(regexp_extract_all(lower(text), '[a-z]+|[0-9]{{1,3}}|[^a-z0-9\\s]+')) AS n_bpe_tokens,
+                     length(text) AS n_chars
+              FROM documents
+            )
+            SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+                   round(CASE WHEN n_bpe_tokens > 0
+                         THEN CAST(n_chars AS DOUBLE) / n_bpe_tokens ELSE 0.0 END, 6) AS chars_per_bpe
+            FROM c""",
         "embed_topk": f"""
             WITH e AS (
               SELECT vec_id, unnest(embedding) AS v,
@@ -1510,6 +1551,27 @@ def oracle_sql() -> dict[str, str]:
                    round(min(norm), 6) AS min_norm,
                    round(max(norm), 6) AS max_norm
             FROM norms GROUP BY label""",
+        "embed_cosine_pairs": """
+            WITH e AS (
+              SELECT vec_id, unnest(embedding) AS v,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings
+            ), norms AS (
+              SELECT vec_id,
+                     CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS nsq
+              FROM e GROUP BY vec_id
+            ), dots AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(SUM(CAST(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
+              FROM e a JOIN e b USING (i)
+              WHERE a.vec_id < b.vec_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, d.dot / (sqrt(na.nsq) * sqrt(nb.nsq)) AS cosine
+            FROM dots d
+            JOIN norms na ON na.vec_id = d.id_a
+            JOIN norms nb ON nb.vec_id = d.id_b
+            WHERE d.dot / (sqrt(na.nsq) * sqrt(nb.nsq)) >= 0.4""",
         # embed_lsh_topk: intentionally no oracle (approximate operator)
         "mm_features": """
             WITH h AS (

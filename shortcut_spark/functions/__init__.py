@@ -35,6 +35,9 @@ __all__ = [
     "cosine_exact",
     "tokens",
     "token_count",
+    "bpe_ish_tokens",
+    "bpe_token_count",
+    "BPE_ISH_RE",
     "punct_ratio",
     "upper_ratio",
     "digit_ratio",
@@ -171,6 +174,25 @@ def tokens(text: Column) -> Column:
 
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
+
+
+# BPE-ish pretokenizer: letter runs, 1-3 digit groups (the cl100k-style
+# digit split), punctuation runs. Alternatives are first-char-disjoint so
+# Java regex (Spark) and RE2 (DuckDB) extract identical token streams.
+BPE_ISH_RE = "[a-z]+|[0-9]{1,3}|[^a-z0-9\\s]+"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Pretokenized (BPE-ish) tokens of lowercased text — approximates an
+    LLM tokenizer's pre-split for token-budget estimation without a vocab.
+
+    DuckDB twin: ``regexp_extract_all(lower(text), '[a-z]+|[0-9]{1,3}|[^a-z0-9\\s]+')``.
+    """
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_RE), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text))
 
 
 def _count_matches(text: Column, pattern: str) -> Column:

@@ -154,9 +154,13 @@ def cosine_join(
     bands: int = 4,
     dim: int = 64,
     exact: bool = False,
+    exact_score: bool = False,
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold. ``exact=True`` goes
     all-pairs (testing / small inputs); otherwise LSH-banded candidates.
+    ``exact_score=True`` scores with the exact-decimal cosine
+    (``functions.cosine_exact``) so the result is oracle-comparable;
+    the default plain-double scorer is the cheap codegen path.
 
     Candidates travel as id pairs only — vectors re-attach after the
     (distinct) pair set is known, so the band join never shuffles
@@ -179,10 +183,13 @@ def cosine_join(
             .select("id_a", "id_b")
             .distinct()
         )
+    from ..functions import cosine_exact
+
+    score = cosine_exact if exact_score else _fast_cosine
     return (
         pairs.join(left, "id_a")
         .join(right, "id_b")
-        .withColumn("cosine", _fast_cosine(F.col("va"), F.col("vb")))
+        .withColumn("cosine", score(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
