@@ -122,6 +122,13 @@ def q_store_point_lookup(spark, sf_dir):
     return st.find([eq("o_orderkey", 500)]).select(*_ORDERS_SAFE)
 
 
+def q_store_multiget(spark, sf_dir):
+    """Batched point lookup (find_many): the distributed answer to the
+    reference bench's sequential get loop (benches/bench.rs:59-70)."""
+    st = _cached_store(spark, sf_dir, "orders", (("o_orderkey", "hash"),))
+    return st.find_many("o_orderkey", list(range(1, 101))).select(*_ORDERS_SAFE)
+
+
 def q_store_insert_append(spark, sf_dir):
     """insert() batch append — O2: ingest orders twice, counts double."""
     st = _fresh_store(spark, sf_dir, "orders")
@@ -939,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_find_col_eq_col": q_store_find_col_eq_col,
         "store_find_range": q_store_find_range,
         "store_point_lookup": q_store_point_lookup,
+        "store_multiget": q_store_multiget,
         "store_insert_append": q_store_insert_append,
         "store_delete_pred": q_store_delete_pred,
         "store_delete_closure": q_store_delete_closure,
@@ -1100,6 +1108,7 @@ def oracle_sql() -> dict[str, str]:
         "store_find_col_eq_col": f"SELECT {li_cols} FROM lineitem WHERE l_partkey = l_suppkey",
         "store_find_range": f"SELECT {li_cols} FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 20",
         "store_point_lookup": f"SELECT {o_cols} FROM orders WHERE o_orderkey = 500",
+        "store_multiget": f"SELECT {o_cols} FROM orders WHERE o_orderkey IN ({', '.join(str(i) for i in range(1, 101))})",
         "store_insert_append": "SELECT o_orderstatus, 2 * count(*) AS n FROM orders GROUP BY o_orderstatus",
         "store_delete_pred": f"""
             SELECT o_orderstatus, count(*) AS n, {_DSUM('o_totalprice')} AS sum_price

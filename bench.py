@@ -120,8 +120,8 @@ def main():
     gets_per_sec = round(len(keys) / results["store_get_point"], 2)
 
     def batch_get():
-        key_df = spark.range(1, N_BATCH_KEYS + 1).withColumnRenamed("id", "l_orderkey")
-        st.df().join(F.broadcast(key_df), "l_orderkey", "left_semi").count()
+        # the idiomatic batched lookup: one job for all keys (Store.find_many)
+        st.find_many("l_orderkey", list(range(1, N_BATCH_KEYS + 1))).count()
 
     results["store_get_batch"] = timed(batch_get)
 

@@ -553,6 +553,73 @@ class Store:
         df = self._read_files(files).filter(conjunction(conds, self.colnames))
         return df if with_rowid else df.drop(ROWID)
 
+    def find_many(self, column: int | str, keys: Sequence[Any]) -> DataFrame:
+        """Batched point lookup: all rows whose ``column`` equals ANY of
+        ``keys`` — one distributed job for the whole batch.
+
+        The idiomatic-Spark answer to the reference bench's get loop
+        (``benches/bench.rs:59-70``: N sequential ``find``s): per-query
+        scheduling dominates point lookups on a cluster, so a multiget
+        amortizes it. File pruning unions the posting hits of every key
+        (same superset-then-residual contract as ``find``,
+        ``src/lib.rs:89-91``); the residual filter is a semi-join for big
+        key sets and an ``isin`` for small ones.
+        """
+        name = self.colnames[column] if isinstance(column, int) else column
+        if name not in self.colnames:
+            raise ValueError(f"no such column {name!r}")
+        keys = list(keys)
+        if not keys:
+            return self._empty()
+        files = self.manifest.files
+        spec = self.manifest.indices.get(name)
+        # Pruning pays off only when the key set is selective: with many
+        # uniform keys virtually every file matches, so building a posting
+        # map (a Spark job + driver dict) would cost more than the scan it
+        # saves. Engage it for small key sets, or when the map is already
+        # cached from earlier point lookups.
+        map_cached = (
+            spec is not None and (spec.column, self.manifest.version) in self._posting_maps
+        )
+        if (
+            spec is not None
+            and spec.kind == HASH
+            and spec.rows <= self.POSTING_MAP_MAX
+            and (map_cached or len(keys) <= 64)
+            and all(self._probe_type_ok(name, k) for k in keys)
+        ):
+            pmap = self._posting_map(spec)
+            if pmap is not None:
+                hit_ids: set[int] = set()
+                for k in keys:
+                    hit_ids |= pmap.get(k, set())
+                files = [f for f in files if f.id in hit_ids]
+        elif len(keys) <= 1000:
+            # stats layer: a file can match only if some key is in range
+            files = [
+                f
+                for f in files
+                if not f.stats.get(name)
+                or any(self._key_in_range(f.stats[name], k) for k in keys)
+            ]
+        if not files:
+            return self._empty()
+        df = self._read_files(files).drop(ROWID)
+        if len(keys) <= 1000:
+            return df.filter(F.col(name).isin(keys))
+        kdf = self.spark.createDataFrame(
+            [(k,) for k in keys],
+            T.StructType([T.StructField(name, self.manifest.schema[name].dataType, True)]),
+        ).distinct()
+        return df.join(F.broadcast(kdf), name, "left_semi")
+
+    @staticmethod
+    def _key_in_range(st: Sequence, key: Any) -> bool:
+        try:
+            return st[0] <= key <= st[1]
+        except TypeError:
+            return True
+
     def df(self) -> DataFrame:
         """Escape hatch: the whole table as a plain DataFrame (no rowid)."""
         return self.find()

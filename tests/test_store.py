@@ -217,3 +217,28 @@ def test_estimate_and_access_path(spark, store_path):
     assert path.index is not None and path.index.column == "c1"
     path, _ = st._prune_files([col_eq(0, 1)])
     assert path.is_full_scan
+
+
+def test_find_many_matches_union_of_finds(spark, store_path):
+    """Multiget = union of point finds (same superset-then-residual
+    contract as find, src/lib.rs:89-91), one job instead of N."""
+    st = make(spark, store_path, AXB, index_col=0)
+    both = rows_of(st.find_many(0, ["a", "b"]))
+    union = sorted(rows_of(st.find([eq(0, "a")])) + rows_of(st.find([eq(0, "b")])))
+    assert both == union and len(both) == 3
+    # missing keys contribute nothing; empty key list is an empty result
+    assert rows_of(st.find_many(0, ["a", "zzz"])) == rows_of(st.find([eq(0, "a")]))
+    assert st.find_many(0, []).count() == 0
+    # unindexed column goes through the stats layer and still matches
+    assert rows_of(st.find_many(1, ["x1", "x3"])) == sorted(
+        rows_of(st.find([eq(1, "x1")])) + rows_of(st.find([eq(1, "x3")]))
+    )
+
+
+def test_find_many_large_keyset_semi_join(spark, store_path):
+    st = Store.create(spark, store_path, 2)
+    st.insert([(f"k{i}", f"v{i}") for i in range(50)])
+    st.index(0, HashIndex)
+    keys = [f"k{i}" for i in range(0, 50, 2)] + [f"missing{i}" for i in range(1500)]
+    got = rows_of(st.find_many(0, keys))
+    assert got == sorted((f"k{i}", f"v{i}") for i in range(0, 50, 2))
