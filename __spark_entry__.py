@@ -802,6 +802,19 @@ def q_events_stream_sessionize(spark, sf_dir):
     )
 
 
+def q_events_stream_enrich(spark, sf_dir):
+    """Stream-static join: streaming events enriched with a static per-user
+    order profile (count + lifetime value). Stateless, append-mode;
+    certified by the identical batch-join oracle."""
+    _STREAM_COUNTER[0] += 1
+    return stream_ops.run_stream_enrich(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        _t(spark, sf_dir, "orders"),
+        query_name=f"enrich_{_STREAM_COUNTER[0]}",
+    )
+
+
 # ---------------------------------------------------------------------------
 # extensions: dedup / text / similarity / multimodal
 
@@ -999,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_stream_rollup": q_events_stream_rollup,
         "events_stream_sessionize": q_events_stream_sessionize,
+        "events_stream_enrich": q_events_stream_enrich,
         # extensions
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1279,6 +1293,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_EPOCH.format("date_trunc('hour', ts)")} AS hour_epoch, event_type,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2""",
+        # stream-static join shares the batch left-join oracle
+        "events_stream_enrich": f"""
+            WITH totals AS (
+              SELECT o_custkey AS user_id, count(*) AS n_orders,
+                     {_DSUM('o_totalprice')} AS user_ltv
+              FROM orders GROUP BY 1
+            )
+            SELECT e.event_id, e.user_id, e.event_type,
+                   coalesce(t.n_orders, 0) AS n_orders,
+                   coalesce(t.user_ltv, 0.0) AS user_ltv
+            FROM events e LEFT JOIN totals t USING (user_id)""",
         # stateful streaming sessionize shares the batch sessionize oracle
         "events_stream_sessionize": f"""
             WITH t AS (

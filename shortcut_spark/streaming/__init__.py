@@ -14,8 +14,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 __all__ = [
     "hourly_rollup",
     "sessionize",
+    "enrich_user_ltv",
     "run_stream_hourly_rollup",
     "run_stream_sessionize",
+    "run_stream_enrich",
     "stream_into_store",
 ]
 
@@ -61,6 +63,54 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.unix_timestamp(F.min("ts")).alias("start_epoch"),
         F.unix_timestamp(F.max("ts")).alias("end_epoch"),
     )
+
+
+def enrich_user_ltv(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """Batch form of the stream-static enrichment: each event joined to the
+    user's (static) order profile — order count + lifetime value. Left join
+    so users without orders keep their events (zeros, not nulls)."""
+    from ..functions import dsum
+
+    totals = orders.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "user_ltv")
+    )
+    return (
+        events.join(totals, "user_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("user_ltv"), F.lit(0.0)).alias("user_ltv"),
+        )
+    )
+
+
+def run_stream_enrich(
+    spark: SparkSession,
+    events_parquet_dir: str,
+    orders: DataFrame,
+    query_name: str = "enriched",
+) -> DataFrame:
+    """Stream-static join: the streaming events enrich against a static
+    per-user dimension built once from orders. At scale the static side
+    is broadcast per micro-batch (or re-read per trigger if it changes);
+    no watermark is needed — stream-static joins are stateless. Append
+    mode, memory sink; the batch twin (:func:`enrich_user_ltv`) is the
+    exact oracle."""
+    stream = _file_stream(spark, events_parquet_dir)
+    enriched = enrich_user_ltv(stream, orders)
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
 
 
 def run_stream_sessionize(

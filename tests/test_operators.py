@@ -119,6 +119,17 @@ def test_streaming_matches_batch(spark):
     assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, stream.collect()))
 
 
+def test_stream_static_enrich_matches_batch(spark):
+    from shortcut_spark.sources import load_fixture
+    from shortcut_spark.streaming import enrich_user_ltv, run_stream_enrich
+
+    ev = load_fixture(spark, SF_DIR, "events")
+    orders = load_fixture(spark, SF_DIR, "orders")
+    batch = enrich_user_ltv(ev, orders)
+    stream = run_stream_enrich(spark, f"{SF_DIR}/events.parquet", orders, "t_enrich_test")
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, stream.collect()))
+
+
 def test_stream_into_store(spark, tmp_path):
     """Streaming ingestion lands in the Store with dense rowids and
     queryable indexes."""
