@@ -42,6 +42,9 @@ HEADLINE = [
     ("store_find_range", "count"),
     ("revenue_by_nation", "collect"),
     ("q3_shipping_priority", "collect"),
+    ("q4_priority_exists", "collect"),
+    ("q18_large_volume", "collect"),
+    ("q19_or_conjunctions", "collect"),
     ("mktsegment_stats", "collect"),
     ("asof_latest_order", "count"),
     ("events_pairs_60s", "count"),

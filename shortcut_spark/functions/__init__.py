@@ -69,6 +69,14 @@ def dsum(col: str | Column, alias: str | None = None) -> Column:
     engine-deterministic; only the SUM needs the decimal detour.
 
     SQL twin: ``CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE)``.
+
+    Cost note (measured at sf0.1): DECIMAL(27,6) SUM is ~2.2x slower than
+    a plain double or scaled-long SUM because precision 27 forces the
+    BigDecimal path. A ``SUM(CAST(round(x*1e6) AS BIGINT))`` variant
+    matches double-sum speed and is equally deterministic, but silently
+    overflows int64 around 1e12 in value-units summed — a bound a 100 TB
+    fact table actually exceeds. Decimal is the scale-safe choice; revisit
+    only with an overflow-checked long accumulator.
     """
     c = F.col(col) if isinstance(col, str) else col
     out = F.sum(c.cast(_DEC)).cast("double")

@@ -607,8 +607,12 @@ class Store:
         df = self._read_files(files).drop(ROWID)
         if len(keys) <= 1000:
             return df.filter(F.col(name).isin(keys))
+        import pandas as pd
+
+        # Arrow path: a pandas frame serializes the key batch an order of
+        # magnitude faster than row-tuple pickling for big key lists
         kdf = self.spark.createDataFrame(
-            [(k,) for k in keys],
+            pd.DataFrame({name: keys}),
             T.StructType([T.StructField(name, self.manifest.schema[name].dataType, True)]),
         ).distinct()
         return df.join(F.broadcast(kdf), name, "left_semi")
