@@ -698,6 +698,22 @@ def q_pandas_udf_norm(spark, sf_dir):
     )
 
 
+def q_pandas_udaf_qty(spark, sf_dir):
+    """Grouped-agg Pandas UDAF mixed with builtin aggregates in one
+    groupBy — the UDAF surface of SURVEY §2.2, exact by integer
+    accumulation."""
+    from shortcut_spark.functions.pandas_udfs import count_udaf, qty_sum_udaf
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            qty_sum_udaf(F.col("l_quantity")).alias("qty_sum"),
+            count_udaf(F.col("l_quantity")).alias("n_items"),
+        )
+    )
+
+
 def q_udtf_bigrams(spark, sf_dir):
     """Python UDTF via LATERAL (SURVEY §2.2 UDTF row): positioned word
     bigrams per document."""
@@ -1002,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_order": q_asof_latest_order,
         "events_pairs_60s": q_events_pairs_60s,
         "pandas_udf_norm": q_pandas_udf_norm,
+        "pandas_udaf_qty": q_pandas_udaf_qty,
         "udtf_bigrams": q_udtf_bigrams,
         "array_agg": q_array_agg,
         "stats_summary": q_stats_summary,
@@ -1238,6 +1255,11 @@ def oracle_sql() -> dict[str, str]:
                    length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_len,
                    len({_TOKS}) AS n_tokens
             FROM documents""",
+        "pandas_udaf_qty": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+                   count(*) AS n_items
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "udtf_bigrams": """
             SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] || ' ' || t[i+1] AS bigram
             FROM (

@@ -28,6 +28,24 @@ def tok_count(s: pd.Series) -> pd.Series:
     return s.str.strip().str.split(r"\s+", regex=True).map(len).astype("int64")
 
 
+@F.pandas_udf(T.LongType())
+def qty_sum_udaf(q: pd.Series) -> int:
+    """Grouped-aggregate Pandas UDF (UDAF, SURVEY §2.2 UDF row): per-group
+    sum of integral quantities, accumulated in int64 so the result is
+    order-independent and exactly matches ``SUM(CAST(x AS BIGINT))``.
+    A float UDAF would need an exact accumulator (math.fsum / decimal) to
+    stay oracle-comparable — integers sidestep that here."""
+    return int(q.astype("int64").sum())
+
+
+@F.pandas_udf(T.LongType())
+def count_udaf(q: pd.Series) -> int:
+    """Companion UDAF: group size (Spark disallows mixing a grouped-agg
+    Pandas UDF with builtin aggregates in one agg(), so the count is a
+    UDAF too)."""
+    return int(len(q))
+
+
 @F.udtf(returnType="pos int, bigram string")
 class BigramUDTF:
     """Python UDTF (SURVEY §2.2 UDTF row): explodes a text into positioned
