@@ -164,3 +164,47 @@ def test_stateful_stream_sessionize_matches_batch(spark):
     )
     stream = run_stream_sessionize(spark, f"{SF_DIR}/events.parquet", query_name="t_sess_test")
     assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, stream.collect()))
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg with a 1h watermark: a window is emitted
+    once the watermark passes its end, and rows arriving after that are
+    dropped — the late-data contract a 100 TB event pipeline relies on."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "late_src")
+    sink_name = "t_late_sink"
+
+    def write_batch(rows, fname):
+        df = spark.createDataFrame(rows, "ts string, user_id long").select(
+            F.to_timestamp("ts").alias("ts"), "user_id"
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: three rows in the 10:00 window + one at 13:00 that will push
+    # the watermark to 12:00
+    write_batch(
+        [("2024-01-01 10:05:00", 1), ("2024-01-01 10:20:00", 2),
+         ("2024-01-01 10:40:00", 3), ("2024-01-01 13:00:00", 4)],
+        "b1",
+    )
+    stream = spark.readStream.schema("ts timestamp, user_id long").parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("window.start").alias("ws"), "n")
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName(sink_name).start()
+    try:
+        q.processAllAvailable()
+        # batch 2: one LATE row for the (already closing) 10:00 window and
+        # one fresh row; the late row must not count
+        write_batch([("2024-01-01 10:30:00", 9), ("2024-01-01 14:30:00", 5)], "b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {r["ws"]: r["n"] for r in spark.sql(f"SELECT * FROM {sink_name}").collect()}
+    import calendar
+    ten = calendar.timegm((2024, 1, 1, 10, 0, 0))
+    assert out.get(ten) == 3, out  # late 10:30 row dropped, not 4
