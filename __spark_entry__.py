@@ -122,6 +122,15 @@ def q_store_point_lookup(spark, sf_dir):
     return st.find([eq("o_orderkey", 500)]).select(*_ORDERS_SAFE)
 
 
+def q_store_find_or(spark, sf_dir):
+    """Disjunction of AND-branches via find_or (index union + rowid dedup)
+    — the reference's 'issue multiple queries' (src/lib.rs:18) first-class."""
+    st = _cached_store(spark, sf_dir, "lineitem", (("l_returnflag", "hash"), ("l_quantity", "btree")))
+    return st.find_or(
+        [[eq("l_returnflag", "R"), eq("l_linestatus", "F")], [between("l_quantity", 49.0, None)]]
+    ).select(*_LINEITEM_SAFE)
+
+
 def q_store_multiget(spark, sf_dir):
     """Batched point lookup (find_many): the distributed answer to the
     reference bench's sequential get loop (benches/bench.rs:59-70)."""
@@ -975,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_find_col_eq_col": q_store_find_col_eq_col,
         "store_find_range": q_store_find_range,
         "store_point_lookup": q_store_point_lookup,
+        "store_find_or": q_store_find_or,
         "store_multiget": q_store_multiget,
         "store_insert_append": q_store_insert_append,
         "store_delete_pred": q_store_delete_pred,
@@ -1140,6 +1150,9 @@ def oracle_sql() -> dict[str, str]:
         "store_find_range": f"SELECT {li_cols} FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 20",
         "store_point_lookup": f"SELECT {o_cols} FROM orders WHERE o_orderkey = 500",
         "store_multiget": f"SELECT {o_cols} FROM orders WHERE o_orderkey IN ({', '.join(str(i) for i in range(1, 101))})",
+        "store_find_or": f"""
+            SELECT {li_cols} FROM lineitem
+            WHERE (l_returnflag = 'R' AND l_linestatus = 'F') OR l_quantity >= 49.0""",
         "store_insert_append": "SELECT o_orderstatus, 2 * count(*) AS n FROM orders GROUP BY o_orderstatus",
         "store_delete_pred": f"""
             SELECT o_orderstatus, count(*) AS n, {_DSUM('o_totalprice')} AS sum_price

@@ -553,6 +553,26 @@ class Store:
         df = self._read_files(files).filter(conjunction(conds, self.colnames))
         return df if with_rowid else df.drop(ROWID)
 
+    def find_or(
+        self, cond_lists: Sequence[Sequence[Condition]], with_rowid: bool = False
+    ) -> DataFrame:
+        """Disjunction of AND-lists: rows matching ANY of the conjunctions.
+
+        The reference has no OR — "issue multiple quieries instead"
+        (``src/lib.rs:18``). This is that advice made first-class and
+        scale-correct: each branch runs its own access-path selection and
+        file pruning (an index union), and the branches dedupe on
+        ``__rowid`` so a row matching several branches appears once.
+        """
+        branches = [self.find(list(conds), with_rowid=True) for conds in cond_lists]
+        if not branches:
+            return self._empty(with_rowid)
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.union(b)
+        out = out.dropDuplicates([ROWID])
+        return out if with_rowid else out.drop(ROWID)
+
     def find_many(self, column: int | str, keys: Sequence[Any]) -> DataFrame:
         """Batched point lookup: all rows whose ``column`` equals ANY of
         ``keys`` — one distributed job for the whole batch.

@@ -242,3 +242,15 @@ def test_find_many_large_keyset_semi_join(spark, store_path):
     keys = [f"k{i}" for i in range(0, 50, 2)] + [f"missing{i}" for i in range(1500)]
     got = rows_of(st.find_many(0, keys))
     assert got == sorted((f"k{i}", f"v{i}") for i in range(0, 50, 2))
+
+
+def test_find_or_unions_branches(spark, store_path):
+    """OR = union of independently index-pruned branches, deduped on rowid
+    (the reference's 'issue multiple queries' advice, src/lib.rs:18)."""
+    st = make(spark, store_path, AXB, index_col=0)
+    got = rows_of(st.find_or([[eq(0, "a")], [eq(1, "x3")]]))
+    assert got == sorted([("a", "x1"), ("a", "x2"), ("b", "x3")])
+    # overlapping branches count rows once
+    got = rows_of(st.find_or([[eq(0, "a")], [eq(1, "x1")]]))
+    assert got == sorted([("a", "x1"), ("a", "x2")])
+    assert st.find_or([]).count() == 0
