@@ -948,6 +948,21 @@ def q_mm_features(spark, sf_dir):
     )
 
 
+def q_mm_resize(spark, sf_dir):
+    """mapInPandas resize (binary→Python→binary round trip): 32×32 fake
+    grayscale output; the md5-over-hex summary makes the actual emitted
+    payload oracle-checkable."""
+    docs = _t(spark, sf_dir, "documents").withColumn("payload", F.encode(F.col("text"), "UTF-8"))
+    out = multimodal.resize_media(docs, "doc_id", "payload", 32, 32, decoder="fake")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "width",
+        "height",
+        "n_bytes",
+        F.md5(F.lower(F.hex(F.col("payload")))).alias("out_md5"),
+    )
+
+
 def q_mm_frame_plan(spark, sf_dir):
     docs = (
         _t(spark, sf_dir, "documents")
@@ -1057,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_topk": q_embed_ivf_topk,
         "embed_cosine_pairs": q_embed_cosine_pairs,
         "mm_features": q_mm_features,
+        "mm_resize": q_mm_resize,
         "mm_frame_plan": q_mm_frame_plan,
     }
 
@@ -1642,6 +1658,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms nb ON nb.vec_id = d.id_b
             WHERE d.dot / (sqrt(na.nsq) * sqrt(nb.nsq)) >= 0.4""",
         # embed_lsh_topk: intentionally no oracle (approximate operator)
+        "mm_resize": """
+            SELECT doc_id, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+                   CAST(1024 AS BIGINT) AS n_bytes,
+                   md5(repeat(md5(text), 64)) AS out_md5
+            FROM documents""",
         "mm_features": """
             WITH h AS (
               SELECT doc_id, md5(text) AS m, sha256(text) AS sha,

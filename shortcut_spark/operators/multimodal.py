@@ -33,6 +33,7 @@ __all__ = [
     "attach_media",
     "filter_by_meta",
     "decode_features",
+    "resize_media",
     "frame_sample_plan",
 ]
 
@@ -115,6 +116,50 @@ def decode_features(
             )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, _FEAT_SCHEMA)
+
+
+_RESIZE_SCHEMA = "id long, payload binary, width int, height int, n_bytes long"
+
+
+def resize_media(
+    df: DataFrame, id_col: str, payload_col: str, width: int, height: int, decoder: str = "fake"
+) -> DataFrame:
+    """Resize step over ``mapInPandas`` — binary in, binary out, new
+    dimensions in the metadata. ``decoder="real"`` raises (no codecs in
+    this container; plug PIL there). ``decoder="fake"`` emits a
+    deterministic width×height-byte grayscale payload derived from the
+    source's md5 (the digest hex repeated and re-binarized), so the full
+    binary→Python→binary round trip is exercised AND the output is
+    reproducible in SQL for the oracle."""
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    n_out = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real image resize needs PIL on the executors; "
+                    "use decoder='fake' for plumbing tests"
+                )
+            ids, payloads = [], []
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(blob) if blob is not None else b""
+                digest_hex = hashlib.md5(raw).hexdigest()
+                out = bytes.fromhex(digest_hex * (-(-n_out // 16)))[:n_out]
+                ids.append(i)
+                payloads.append(out)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "payload": payloads,
+                    "width": [width] * len(ids),
+                    "height": [height] * len(ids),
+                    "n_bytes": [n_out] * len(ids),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, _RESIZE_SCHEMA)
 
 
 def frame_sample_plan(

@@ -106,6 +106,14 @@ def test_multimodal_plumbing(spark, docs):
     assert all(0 <= r["mean_px"] <= 255 for r in feats)
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         multimodal.decode_features(payload, "doc_id", "payload", decoder="real").collect()
+    # resize: binary -> Python -> binary round trip, deterministic output
+    resized = multimodal.resize_media(payload, "doc_id", "payload", 8, 4).collect()
+    assert len(resized) == 50
+    assert all(len(bytes(r["payload"])) == 32 and r["width"] == 8 and r["height"] == 4 for r in resized)
+    again = {r["id"]: bytes(r["payload"]) for r in multimodal.resize_media(payload, "doc_id", "payload", 8, 4).collect()}
+    assert all(bytes(r["payload"]) == again[r["id"]] for r in resized)
+    with pytest.raises(Exception, match="NotImplementedError|real image resize"):
+        multimodal.resize_media(payload, "doc_id", "payload", 8, 4, decoder="real").collect()
 
 
 def test_streaming_matches_batch(spark):
