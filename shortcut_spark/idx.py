@@ -45,6 +45,11 @@ class IndexSpec:
     parts: list[str] = field(default_factory=list)  # posting parquet paths
     rows: int = 0  # total indexed rows (num, src/idx.rs:28,50)
     ndv: int = 0  # distinct keys (map.len(), src/idx.rs:74,128)
+    # merged HLL sketch (base64) over all posting keys — lets an insert
+    # commit update ndv from the new batch alone instead of rescanning
+    # every posting part. Deletes reset it (full recompute) since a sketch
+    # cannot subtract.
+    sketch: str | None = None
 
     def supports(self, cmp: Comparison) -> bool:
         """Which comparisons this index can serve.
@@ -71,11 +76,14 @@ class IndexSpec:
             "parts": list(self.parts),
             "rows": self.rows,
             "ndv": self.ndv,
+            "sketch": self.sketch,
         }
 
     @classmethod
     def from_json(cls, d: dict) -> "IndexSpec":
-        return cls(d["column"], d["kind"], list(d["parts"]), d["rows"], d["ndv"])
+        return cls(
+            d["column"], d["kind"], list(d["parts"]), d["rows"], d["ndv"], d.get("sketch")
+        )
 
 
 class HashIndex:

@@ -361,13 +361,18 @@ class Store:
         self.manifest.indices[name] = spec  # silent replace, parity :204
         self._commit()
 
-    def _append_postings(self, spec: IndexSpec, files: Sequence[DataFile]) -> None:
+    def _append_postings(
+        self, spec: IndexSpec, files: Sequence[DataFile], incremental: bool = True
+    ) -> None:
         """Add posting rows (key, file_id) for ``files`` to ``spec``.
 
         The distributed analogue of posting-list maintenance
         (``src/idx.rs:48-51,114-117``): instead of rowids per key we track
         *files* per key — the lookup result is a superset and ``find``'s
         residual filter restores exactness (``src/lib.rs:89-91``).
+
+        ``incremental=False`` (delete path) forces a full stats recompute:
+        an HLL sketch cannot subtract removed keys.
         """
         if not files:
             return
@@ -383,21 +388,71 @@ class Store:
             postings = postings.sortWithinPartitions("key")
         postings.write.parquet(self._abs(part_rel))
         spec.parts.append(part_rel)
-        self._refresh_index_stats(spec)
+        self._refresh_index_stats(spec, new_parts=[part_rel] if incremental else None)
 
-    def _refresh_index_stats(self, spec: IndexSpec) -> None:
+    # keys are sketched as strings (injective per type) because HLL sketch
+    # aggregation supports int/long/string/binary but not double
+    @staticmethod
+    def _sketch_agg():
+        return F.hll_sketch_agg(F.col("key").cast("string")).alias("__sk")
+
+    def _refresh_index_stats(self, spec: IndexSpec, new_parts: Sequence[str] | None = None) -> None:
         """rows/ndv for the cost model (``src/idx.rs:71-78``): rows = live
-        table rows; ndv = exact distinct keys over live posting entries."""
+        table rows; ndv from a mergeable HLL sketch kept in the manifest.
+
+        With ``new_parts`` and an existing sketch (the insert path), the
+        new keys are sketched alone and union-merged — commit cost is
+        O(new batch), not O(all postings). Otherwise (index backfill,
+        deletes) the sketch is rebuilt from the live postings."""
+        import base64
+
         spec.rows = self.manifest.total_rows
+        if new_parts and spec.sketch:
+            part_df = self.spark.read.schema(
+                T.StructType(
+                    [
+                        T.StructField("key", self.manifest.schema[spec.column].dataType, True),
+                        T.StructField("__file_id", T.IntegerType(), True),
+                    ]
+                )
+            ).parquet(*[self._abs(p) for p in new_parts])
+            new_sk = part_df.agg(self._sketch_agg()).collect()[0]["__sk"]
+            if new_sk is None:
+                return
+            merged_row = (
+                self.spark.createDataFrame(
+                    [(base64.b64decode(spec.sketch),), (bytes(new_sk),)], "__sk binary"
+                )
+                .agg(F.hll_union_agg("__sk").alias("__sk"))
+                .select(
+                    F.hll_sketch_estimate("__sk").alias("ndv"), F.col("__sk")
+                )
+                .collect()[0]
+            )
+            spec.ndv = int(merged_row["ndv"])
+            spec.sketch = base64.b64encode(bytes(merged_row["__sk"])).decode()
+            return
         post = self._read_postings(spec)
         if post is None:
             spec.ndv = 0
+            spec.sketch = None
+            return
+        row = (
+            post.agg(self._sketch_agg())
+            .select(
+                F.when(
+                    F.col("__sk").isNotNull(), F.hll_sketch_estimate("__sk")
+                ).alias("ndv"),
+                F.col("__sk"),
+            )
+            .collect()[0]
+        )
+        if row["__sk"] is None:
+            spec.ndv = 0
+            spec.sketch = None
         else:
-            # the cost model only needs magnitude: HLL sketch (exact for
-            # small key sets, ~2% error at scale) keeps commit cost low
-            spec.ndv = post.select(
-                F.approx_count_distinct("key", 0.02).alias("ndv")
-            ).collect()[0]["ndv"]
+            spec.ndv = int(row["ndv"])
+            spec.sketch = base64.b64encode(bytes(row["__sk"])).decode()
 
     def _read_postings(self, spec: IndexSpec) -> DataFrame | None:
         if not spec.parts:
@@ -714,7 +769,7 @@ class Store:
         # reference them are filtered at read; src/lib.rs:164-168 analogue),
         # and the survivors' new files get fresh postings.
         for spec in self.manifest.indices.values():
-            self._append_postings(spec, new_files)
+            self._append_postings(spec, new_files, incremental=False)
             if not new_files:
                 self._refresh_index_stats(spec)
         self._commit()
@@ -796,5 +851,6 @@ class Store:
         new_files = self._register_files(batch_rel)
         for spec in self.manifest.indices.values():
             spec.parts = []
-            self._append_postings(spec, new_files)
+            spec.sketch = None  # rebuilt from the compacted postings
+            self._append_postings(spec, new_files, incremental=False)
         self._commit()
