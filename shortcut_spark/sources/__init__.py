@@ -90,11 +90,48 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 
 
 def load_fixture(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """One driver fixture table (TESTDATA.md layout)."""
-    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
-    if table == "events":
-        df = normalize_event_ts(df)
-    return df
+    """One driver fixture table (TESTDATA.md layout).
+
+    Self-sufficient under ANY SparkSession: events.parquet carries
+    TIMESTAMP(NANOS) which vanilla Spark refuses to read
+    (PARQUET_TYPE_ILLEGAL). The legacy nanos-as-long conf is runtime-settable,
+    so it is applied here at read time rather than assumed on the session;
+    a pyarrow rewrite-to-micros fallback covers sessions where even the
+    conf cannot be set."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if table != "events":
+        return spark.read.parquet(path)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        df = _load_nanos_via_pyarrow(spark, path)
+    return normalize_event_ts(df)
+
+
+def _load_nanos_via_pyarrow(spark: SparkSession, path: str) -> DataFrame:
+    """Last-resort loader: read the file with pyarrow, truncate nanos
+    timestamps to micros, and hand Spark an Arrow-backed DataFrame. Only
+    reached when the legacy conf is rejected, so it is a small-fixture
+    escape hatch, not a scale path."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    import pyarrow.compute as pc
+
+    tbl = papq.read_table(path)
+    cols = []
+    for f, col in zip(tbl.schema, tbl.columns):
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+            # truncating (floor) cast — matches `ts div 1000` in
+            # normalize_event_ts and DuckDB's nanos handling
+            col = pc.cast(col, pa.timestamp("us"), safe=False)
+        cols.append(col)
+    tbl = pa.table(cols, names=tbl.column_names)
+    return spark.createDataFrame(tbl.to_pandas())
 
 
 def fixture_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -27,3 +27,32 @@ def test_fixture_tables_all_load(spark):
     from pyspark.sql import types as T
 
     assert isinstance(tables["events"].schema["ts"].dataType, T.TimestampType)
+
+
+def test_events_load_without_session_conf(spark):
+    """load_fixture must not depend on session-level nanos config (the
+    grading driver builds its own SparkSession without it) — it sets the
+    conf at read time."""
+    from pyspark.sql import types as T
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        ev = sources.load_fixture(spark, "/root/testdata/sf0.001", "events")
+        assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+        assert ev.count() > 0
+        # the read-time set must have restored the conf for this session
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_nanos_pyarrow_fallback(spark):
+    """The pyarrow escape hatch produces the same rows as the conf path."""
+    via_conf = sources.load_fixture(spark, "/root/testdata/sf0.001", "events")
+    via_arrow = sources._load_nanos_via_pyarrow(
+        spark, "/root/testdata/sf0.001/events.parquet"
+    )
+    via_arrow = sources.normalize_event_ts(via_arrow)
+    a = sorted(map(tuple, via_conf.select("event_id", "ts").collect()))
+    b = sorted(map(tuple, via_arrow.select("event_id", "ts").collect()))
+    assert a == b
