@@ -63,17 +63,61 @@ def asof_max(
     """For each left row: max(right_ts) among right rows with the same key
     and right_ts <= left_ts (backward as-of, value-only form — ties on the
     timestamp are inherently deterministic because the value IS the
-    timestamp). Left rows keep NULL when nothing matched.
+    timestamp). Left rows keep NULL when nothing matched; every left row
+    (duplicates included) yields exactly one output row.
 
     DuckDB twin: native ``ASOF LEFT JOIN``.
+
+    Implemented as a union + one ordered window pass, NOT a theta join:
+    both sides are tagged and merged on a single time axis, then
+    ``last(right_ts, ignorenulls)`` over rows-unbounded-preceding picks up
+    the latest right timestamp at-or-before each left row (right rows sort
+    before left rows on ties so ``<=`` holds). One shuffle on the key, no
+    per-key candidate fanout — the theta-join form materializes
+    |left| x |right| rows per hot key before re-aggregating, which dies at
+    100 TB; this form's per-key cost is the sorted row count.
     """
-    r = right.select(F.col(right_key).alias("__rk"), F.col(right_ts).alias("__rts"))
-    joined = left.join(
-        r,
-        (F.col(left_key) == F.col("__rk")) & (F.col("__rts") <= F.col(left_ts)),
-        "left",
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+
+    lt_type = left.schema[left_ts].dataType
+    rts_type = right.schema[right_ts].dataType
+    lk_type = left.schema[left_key].dataType
+    left_struct = T.StructType(left.schema.fields)
+
+    def axis(c):
+        # one comparable time axis; a date/timestamp mix promotes to
+        # timestamp, mirroring Spark's own coercion for date <= timestamp
+        return c if lt_type == rts_type else c.cast("timestamp")
+
+    l = left.select(
+        F.col(left_key).alias("__k"),
+        axis(F.col(left_ts)).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(rts_type).alias("__rts"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
     )
-    return joined.groupBy(*left.columns).agg(F.max("__rts").alias(out_col))
+    r = right.select(
+        F.col(right_key).cast(lk_type).alias("__k"),
+        axis(F.col(right_ts)).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.col(right_ts).alias("__rts"),
+        F.lit(None).cast(left_struct).alias("__row"),
+    )
+    # nulls sort first: null-ts left rows see no right rows (match = NULL),
+    # null-ts right rows carry a null __rts that ignorenulls skips — both
+    # mirror SQL comparison-with-null semantics
+    w = (
+        W.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        l.unionByName(r)
+        .withColumn(out_col, F.last("__rts", ignorenulls=True).over(w))
+        .filter(F.col("__is_left") == 1)
+        .select(*[F.col(f"__row.{c}").alias(c) for c in left.columns], F.col(out_col))
+    )
 
 
 def range_pairs_within(

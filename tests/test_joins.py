@@ -20,6 +20,28 @@ def test_asof_max_basic(spark):
     assert got == {1: 90, 2: 200, 3: 49, 4: None}
 
 
+def test_asof_max_keeps_duplicate_left_rows(spark):
+    """One output row per left INPUT row — fully-identical left rows must
+    not collapse (DuckDB ASOF LEFT JOIN cardinality)."""
+    left = spark.createDataFrame(
+        [(10, 100), (10, 100), (20, 100)], "k long, ts long"
+    )
+    right = spark.createDataFrame([(10, 90)], "k long, rts long")
+    out = asof_max(left, right, "k", "k", "ts", "rts").collect()
+    assert len(out) == 3
+    assert sorted((r["k"], r["asof_value"]) for r in out) == [
+        (10, 90), (10, 90), (20, None)
+    ]
+
+
+def test_asof_max_tie_is_inclusive(spark):
+    """right_ts == left_ts must match (<=, backward as-of)."""
+    left = spark.createDataFrame([(1, 10, 100)], "id long, k long, ts long")
+    right = spark.createDataFrame([(10, 100)], "k long, rts long")
+    (row,) = asof_max(left, right, "k", "k", "ts", "rts").collect()
+    assert row["asof_value"] == 100
+
+
 def test_range_pairs_orientation(spark):
     """Pairs crossing a bucket boundary must be found regardless of whether
     the smaller id is the earlier event (regression for the orientation
