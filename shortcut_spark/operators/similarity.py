@@ -213,15 +213,17 @@ def ivf_fit(
     IVF build job needs at 100 TB.
     """
     vecs = ensure_parallelism(emb.select(F.col(id_col), F.col(vec_col))).persist()
-    from pyspark.sql import Window as W
-
-    w = W.orderBy(id_col)
-    seeds = (
-        vecs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select((F.col("__rn") - 1).alias("cluster"), F.col(vec_col).alias("centroid"))
+    # Seed from the k smallest ids via distributed top-k
+    # (TakeOrderedAndProject) and number the k rows on the driver — k is a
+    # small constant, so the collect is bounded bookkeeping, not a data
+    # move. (A global row_number window here would funnel the entire table
+    # through one task at scale.)
+    seed_rows = vecs.orderBy(id_col).limit(k).collect()
+    spark = emb.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seed_rows)],
+        "cluster int, centroid array<double>",
     )
-    centroids = seeds
     assigned = None
     for _ in range(iters):
         scored = vecs.crossJoin(F.broadcast(centroids)).select(
