@@ -258,22 +258,26 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         .filter(F.size("__toks") > 0)
         .select(F.col(id_col), F.transform(F.col("__toks"), lambda t: hash32(t)).alias("__hs"))
     )
-    def _bit_sum(b: int):
-        # factory, not a defaulted lambda arg: pyspark requires the merge
-        # lambda to have exactly 2 declared params
-        return F.aggregate(
-            F.col("__hs"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-
-    per_doc = pre.select(F.col(id_col), *[_bit_sum(b).alias(f"s{b}") for b in range(bits)])
-    fp = None
-    for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
-    return per_doc.select(F.col(id_col), fp.alias("simhash"))
+    # One aggregate pass builds all ``bits`` counters at once (a zip_with
+    # over a counter array per token hash) instead of ``bits`` separate
+    # aggregate() scans of the hash array — same ±1 sums, same fingerprint,
+    # ~bits× less per-row expression work.
+    counters = F.expr(
+        f"""aggregate(
+              __hs,
+              array_repeat(0, {bits}),
+              (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),
+                (a, b) -> a + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END))"""
+    )
+    fp = F.expr(
+        f"""aggregate(
+              zip_with(__cnt, sequence(0, {bits - 1}),
+                (c, b) -> CASE WHEN c > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
+              CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
+    )
+    return pre.select(F.col(id_col), counters.alias("__cnt")).select(
+        F.col(id_col), fp.alias("simhash")
+    )
 
 
 def simhash_near_dups(
