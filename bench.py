@@ -92,35 +92,46 @@ def main():
             else df_fn(spark, SF_DIR).count()
         )
 
-    # -- reference bench shape: put phase + get phase (bench.rs:40-84) ------
+    # -- reference bench shape: put phase + get phase, run both WITH and
+    # WITHOUT the hash index — the reference harness's --use-index dual
+    # (benches/bench.rs:31,44-46) ------------------------------------------
     li_path = os.path.join(SF_DIR, "lineitem.parquet")
     n_rows = spark.read.parquet(li_path).count()
     tmp = tempfile.mkdtemp(prefix="bench_store_")
 
-    def put_phase():
+    def put_phase(name: str, use_index: bool):
         st = Store.create(
-            spark, os.path.join(tmp, "lineitem"), spark.read.parquet(li_path).schema
+            spark, os.path.join(tmp, name), spark.read.parquet(li_path).schema
         )
-        st.index("l_orderkey", "hash")  # --use-index analogue
+        if use_index:
+            st.index("l_orderkey", "hash")  # --use-index analogue
         st.insert(spark.read.parquet(li_path))
         return st
 
     t0 = time.perf_counter()
-    st = put_phase()
+    st = put_phase("lineitem", use_index=True)
     results["store_put"] = round(time.perf_counter() - t0, 3)
     puts_per_sec = round(n_rows / results["store_put"], 1)
+
+    t0 = time.perf_counter()
+    st_plain = put_phase("lineitem_noidx", use_index=False)
+    results["store_put_noindex"] = round(time.perf_counter() - t0, 3)
+    puts_per_sec_noindex = round(n_rows / results["store_put_noindex"], 1)
 
     keys = [r["l_orderkey"] for r in spark.read.parquet(li_path)
             .select("l_orderkey").distinct().limit(N_POINT_LOOKUPS).collect()]
 
-    def get_phase():
+    def get_phase(store):
         total = 0
         for k in keys:
-            total += st.find([eq("l_orderkey", int(k))]).count()
+            total += store.find([eq("l_orderkey", int(k))]).count()
         return total
 
-    results["store_get_point"] = timed(get_phase)
+    results["store_get_point"] = timed(lambda: get_phase(st))
     gets_per_sec = round(len(keys) / results["store_get_point"], 2)
+
+    results["store_get_point_noindex"] = timed(lambda: get_phase(st_plain))
+    gets_per_sec_noindex = round(len(keys) / results["store_get_point_noindex"], 2)
 
     def batch_get():
         # the idiomatic batched lookup: one job for all keys (Store.find_many)
@@ -140,8 +151,10 @@ def main():
                 "detail": {
                     "put_rows": n_rows,
                     "puts_per_sec": puts_per_sec,
+                    "puts_per_sec_noindex": puts_per_sec_noindex,
                     "point_lookups": len(keys),
                     "gets_per_sec": gets_per_sec,
+                    "gets_per_sec_noindex": gets_per_sec_noindex,
                     "batch_keys": N_BATCH_KEYS,
                 },
             }
