@@ -50,6 +50,13 @@ class IndexSpec:
     # every posting part. Deletes reset it (full recompute) since a sketch
     # cannot subtract.
     sketch: str | None = None
+    # session-scoped custom indexer object (the reference's user-impl
+    # ``EqualityIndex`` trait object, ``src/idx.rs:8-21,174-184``). Its
+    # ``supports(cmp)`` / ``estimate(rows, ndv)`` override the built-ins
+    # for access-path selection; the storage layout stays that of ``kind``.
+    # Trait objects aren't serializable (true in the reference too), so a
+    # store reopened from the manifest falls back to built-in behavior.
+    custom: object = field(default=None, compare=False, repr=False)
 
     def supports(self, cmp: Comparison) -> bool:
         """Which comparisons this index can serve.
@@ -57,14 +64,20 @@ class IndexSpec:
         Reference ``find`` only ever consults an index for ``Equal(Const)``
         (``src/lib.rs:106-112``); we extend btree to serve ``between`` — the
         capability the reference implements but never wires up
-        (``src/idx.rs:83-87``, SURVEY §2 note).
+        (``src/idx.rs:83-87``, SURVEY §2 note). A custom indexer's
+        ``supports`` takes precedence.
         """
+        if self.custom is not None and hasattr(self.custom, "supports"):
+            return bool(self.custom.supports(cmp))
         if cmp.is_const_eq:
             return True
         return cmp.op == "between" and self.kind == BTREE
 
     def estimate(self) -> float:
-        """Expected rows per distinct key (``src/idx.rs:71-78``); 0-guarded."""
+        """Expected rows per distinct key (``src/idx.rs:71-78``); 0-guarded.
+        A custom indexer's ``estimate(rows, ndv)`` takes precedence."""
+        if self.custom is not None and hasattr(self.custom, "estimate"):
+            return float(self.custom.estimate(self.rows, self.ndv))
         if self.ndv == 0:
             return 0.0
         return self.rows / self.ndv
@@ -99,8 +112,11 @@ class BTreeIndex:
 
 
 def as_index_kind(indexer) -> str:
-    """Accept ``HashIndex``/``BTreeIndex`` (class or instance) or a kind
-    string — the analogue of ``Into<Index<T>>`` (``src/idx.rs:174-184``)."""
+    """Accept ``HashIndex``/``BTreeIndex`` (class or instance), a kind
+    string, or ANY object exposing ``kind`` — the analogue of
+    ``Into<Index<T>>`` over user index impls (``src/idx.rs:174-184``).
+    ``kind`` decides the physical posting layout; a custom object may also
+    carry ``supports``/``estimate`` overrides (see ``IndexSpec.custom``)."""
     if isinstance(indexer, str):
         if indexer not in (HASH, BTREE):
             raise ValueError(f"unknown index kind {indexer!r}")
@@ -109,3 +125,16 @@ def as_index_kind(indexer) -> str:
     if kind in (HASH, BTREE):
         return kind
     raise TypeError(f"cannot interpret {indexer!r} as an index")
+
+
+def custom_indexer(indexer) -> object | None:
+    """The custom-behavior carrier for ``IndexSpec.custom``: a non-builtin
+    *instance* with ``supports`` and/or ``estimate``. Built-in markers and
+    kind strings carry no custom behavior."""
+    if isinstance(indexer, (str, type)):
+        return None
+    if isinstance(indexer, (HashIndex, BTreeIndex)):
+        return None
+    if hasattr(indexer, "supports") or hasattr(indexer, "estimate"):
+        return indexer
+    return None

@@ -351,11 +351,13 @@ class Store:
         store is empty, a full posting build when it is not (cost warning at
         ``src/lib.rs:193-194``).
         """
+        from .idx import custom_indexer
+
         kind = as_index_kind(indexer)
         name = self.colnames[column] if isinstance(column, int) else column
         if name not in self.colnames:
             raise ValueError(f"no such column {name!r}")
-        spec = IndexSpec(column=name, kind=kind)
+        spec = IndexSpec(column=name, kind=kind, custom=custom_indexer(indexer))
         if self.manifest.files:
             self._append_postings(spec, self.manifest.files)
         self.manifest.indices[name] = spec  # silent replace, parity :204

@@ -254,3 +254,43 @@ def test_find_or_unions_branches(spark, store_path):
     got = rows_of(st.find_or([[eq(0, "a")], [eq(1, "x1")]]))
     assert got == sorted([("a", "x1"), ("a", "x2")])
     assert st.find_or([]).count() == 0
+
+
+def test_custom_indexer_extension_point(spark, store_path):
+    """A user object with kind + supports/estimate is accepted by
+    Store.index (the reference's user-impl EqualityIndex trait,
+    src/idx.rs:8-21,174-184): its supports/estimate drive access-path
+    selection in-session, results stay exact via the residual filter."""
+
+    class RefusesEverything:
+        kind = "hash"
+
+        def supports(self, cmp):
+            return False
+
+        def estimate(self, rows, ndv):
+            return 0.0
+
+    st = Store.create(spark, store_path, 2)
+    st.index(0, RefusesEverything())
+    st.insert([("a", "1"), ("b", "2"), ("a", "3")])
+    # the custom indexer refuses the comparison -> full scan path
+    assert "FullScan" in st.explain_find([eq(0, "a")])
+    # correctness is unaffected (superset-then-residual contract)
+    assert sorted(r[1] for r in st.find([eq(0, "a")]).collect()) == ["1", "3"]
+
+    class EagerHash:
+        kind = "hash"
+
+        def estimate(self, rows, ndv):
+            return 0.5  # claims to be ultra-selective
+
+    st.index(1, EagerHash())
+    # both columns indexed; the custom estimate must win the cost race
+    report = st.explain_find([eq(0, "a"), eq(1, "2")])
+    assert "column=c1" in report and "estimate=0.50" in report
+    # reopening from the manifest drops the (non-serializable) custom
+    # object and falls back to built-in behavior of its kind
+    st2 = Store.open(spark, store_path)
+    assert st2.manifest.indices["c0"].custom is None
+    assert "IndexLookup" in st2.explain_find([eq(0, "a")])
