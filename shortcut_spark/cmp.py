@@ -185,12 +185,19 @@ class Condition:
 
     def matches(self, row: Sequence[Any], colnames: Sequence[str] | None = None) -> bool:
         """Local (driver-side) evaluation, used by tests for parity with the
-        reference's row-at-a-time ``matches`` (``src/cmp.rs:54-58``)."""
+        reference's row-at-a-time ``matches`` (``src/cmp.rs:54-58``).
+
+        Null semantics mirror the compiled SQL path (``to_column``): any
+        comparison involving a null operand is NOT a match — ``None == None``
+        is False here, exactly as ``col = NULL`` never matches in Spark.
+        The two evaluation paths therefore agree on every row."""
         if isinstance(self.column, int):
             cell = row[self.column]
         else:
             assert colnames is not None
             cell = row[list(colnames).index(self.column)]
+        if cell is None:
+            return False
         if self.cmp.op == "eq":
             v = self.cmp.value
             assert v is not None
@@ -200,8 +207,11 @@ class Condition:
                 else:
                     assert colnames is not None
                     other = row[list(colnames).index(v.payload)]
-                return cell == other
-            return cell == v.payload
+            else:
+                other = v.payload
+            if other is None:
+                return False
+            return cell == other
         lo, hi = self.cmp.lower, self.cmp.upper
         ok = True
         if lo and lo.kind == Bound.INCLUDED:

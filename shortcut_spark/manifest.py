@@ -76,6 +76,10 @@ class Manifest:
     version: int = 0
     files: list[DataFile] = field(default_factory=list)
     indices: dict[str, IndexSpec] = field(default_factory=dict)
+    # free-form table properties committed atomically with the snapshot —
+    # e.g. the streaming ingestion epoch (exactly-once replay marker must
+    # flip in the SAME commit as the data it covers)
+    props: dict = field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType:
@@ -98,6 +102,7 @@ class Manifest:
             "version": self.version,
             "files": [f.to_json() for f in self.files],
             "indices": {c: s.to_json() for c, s in self.indices.items()},
+            "props": dict(self.props),
         }
 
     @classmethod
@@ -109,6 +114,7 @@ class Manifest:
             version=d["version"],
             files=[DataFile.from_json(f) for f in d["files"]],
             indices={c: IndexSpec.from_json(s) for c, s in d["indices"].items()},
+            props=dict(d.get("props", {})),
         )
 
     # -- storage ------------------------------------------------------------

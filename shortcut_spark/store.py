@@ -191,18 +191,20 @@ class Store:
         # then a row_number within each original partition. Two passes over
         # the batch (same cost class as zipWithIndex) but stays in DataFrame
         # land. A single-file source arrives as one partition, which would
-        # serialize the whole window — spread it first; the tagged batch is
-        # pinned (memory-and-disk) so both passes see identical pids.
-        from pyspark import StorageLevel
-
+        # serialize the whole window — spread it first. The tagged batch is
+        # localCheckpoint'ed (materialized, lineage CUT): pid/mid come from
+        # nondeterministic ops (round-robin repartition, monotonic ids), so
+        # a cache-miss recompute between the two passes could renumber rows;
+        # with the lineage cut, a lost partition fails the job instead of
+        # silently skipping/duplicating rowids.
+        watermark = self.manifest.rowid
         from .functions import ensure_parallelism
 
-        watermark = self.manifest.rowid
         tagged = (
             ensure_parallelism(df)
             .withColumn("__pid", F.spark_partition_id())
             .withColumn("__mid", F.monotonically_increasing_id())
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
         )
         try:
             return self._insert_tagged(tagged, schema, watermark)

@@ -225,9 +225,11 @@ def stream_into_store(spark: SparkSession, source_parquet: str, store) -> int:
 
     Effectively-once: the streaming checkpoint lives under the store path
     (a restart resumes from committed offsets instead of re-reading the
-    source), and the last committed epoch is recorded next to it — a
-    replayed ``foreachBatch`` epoch is skipped rather than re-inserted.
-    Returns rows ingested this run."""
+    source), and the last committed epoch is recorded as a manifest
+    property — written in the SAME atomic manifest commit as the batch's
+    data, so a crash can never land data without its epoch marker (or
+    vice versa); a replayed ``foreachBatch`` epoch is skipped rather than
+    re-inserted. Returns rows ingested this run."""
     import os
 
     from pyspark.sql import types as T
@@ -242,22 +244,19 @@ def stream_into_store(spark: SparkSession, source_parquet: str, store) -> int:
     stream = _file_stream(
         spark, source_parquet, want_event_ts=want_ts, link_dir=os.path.join(state_dir, "src")
     )
-    epoch_file = os.path.join(state_dir, "last_epoch")
-    last_epoch = -1
-    if os.path.exists(epoch_file):
-        with open(epoch_file) as fh:
-            last_epoch = int(fh.read().strip())
+    last_epoch = int(store.manifest.props.get("stream_epoch", -1))
 
     ingested = [0]
 
     def sink(batch_df: DataFrame, epoch: int) -> None:
         if epoch <= last_epoch:
             return  # replayed micro-batch: already committed
+        # stage the marker BEFORE insert: insert's manifest commit persists
+        # data + epoch atomically. An empty batch commits nothing — its
+        # replay is a harmless no-op, and the next non-empty commit carries
+        # the latest epoch forward.
+        store.manifest.props["stream_epoch"] = epoch
         ingested[0] += store.insert(batch_df)
-        tmp = epoch_file + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(epoch))
-        os.replace(tmp, epoch_file)
 
     q = (
         stream.writeStream.foreachBatch(sink)

@@ -56,3 +56,17 @@ def test_named_columns():
     names = ["first", "last"]
     assert eq("first", "bob").matches(row, names)
     assert col_eq("first", "last").matches(["x", "x"], names)
+
+
+def test_matches_null_mirrors_sql_semantics():
+    """matches() must agree with the compiled SQL path: comparisons with
+    null operands never match (None == None is NOT a match)."""
+    from shortcut_spark import between, col_eq, eq
+
+    assert not eq(0, None).matches([None, "x"])
+    assert not eq(0, "a").matches([None, "x"])
+    assert not eq(0, None).matches(["a", "x"])
+    assert not col_eq(0, 1).matches([None, None])
+    assert not col_eq(0, 1).matches(["a", None])
+    assert not between(0, 1, 5).matches([None, "x"])
+    assert eq(0, "a").matches(["a", "x"])

@@ -156,11 +156,20 @@ def test_stream_into_store(spark, tmp_path):
     got = store.find([], with_rowid=True).select("__rowid").collect()
     ids = sorted(r[0] for r in got)
     assert ids == list(range(n))
+    # the replay marker is a manifest property, committed atomically with
+    # the data it covers (not a side file that can decouple on crash)
+    assert int(store.manifest.props["stream_epoch"]) >= 0
     # restart / replay: a second run resumes from the durable checkpoint and
-    # must NOT re-ingest anything
+    # must NOT re-ingest anything — including on a store reopened fresh
+    # from the manifest
     n2 = stream_into_store(spark, f"{SF_DIR}/events.parquet", store)
     assert n2 == 0
     assert len(store) == n
+    reopened = Store.open(spark, store.path)
+    assert int(reopened.manifest.props["stream_epoch"]) >= 0
+    n3 = stream_into_store(spark, f"{SF_DIR}/events.parquet", reopened)
+    assert n3 == 0
+    assert len(reopened) == n
 
 
 def test_stateful_stream_sessionize_matches_batch(spark):
