@@ -253,14 +253,20 @@ class Store:
                 btree_cols[0]
             )
         else:
-            if n_files < 32:
-                with_id = with_id.coalesce(n_files)
             hash_cols = [s.column for s in self.manifest.indices.values() if s.kind == HASH]
             if hash_cols:
-                # no extra shuffle: sorted row groups inside each file give
-                # parquet min/max pruning for point lookups at real file
-                # sizes (many row groups per file)
-                with_id = with_id.sortWithinPartitions(hash_cols[0])
+                # cluster the batch by the indexed key: each key lands in
+                # exactly one file, so file-level min/max stats alone prune
+                # a point lookup to ~1 file (zero posting jobs) and the
+                # posting set shrinks to ~ndv rows. This is the write
+                # amplification an index costs — one extra shuffle per
+                # batch, the distributed analogue of the reference's
+                # per-insert index maintenance (src/lib.rs:181-184).
+                with_id = with_id.repartitionByRange(n_files, hash_cols[0]).sortWithinPartitions(
+                    hash_cols[0]
+                )
+            elif n_files < 32:
+                with_id = with_id.coalesce(n_files)
         with_id.write.parquet(out_dir)
         new_files = self._register_files(batch_rel)
 
