@@ -982,6 +982,15 @@ def q_mm_frame_plan(spark, sf_dir):
     return multimodal.frame_sample_plan(docs, "doc_id", every_ms=1000)
 
 
+def q_corpus_clean(spark, sf_dir):
+    """Composite cleaning cascade (quality >= 0.3, lang = en, exact dedup,
+    minhash near-dedup at jaccard >= 0.5) as ONE lazy plan — proves the
+    extension operators compose end-to-end."""
+    from shortcut_spark.operators.pipeline import clean_corpus
+
+    return clean_corpus(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 
@@ -1087,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": q_window_running,
         "date_parts": q_date_parts,
         "string_funcs": q_string_funcs,
+        "corpus_clean": q_corpus_clean,
     }
 
 
@@ -1170,6 +1180,76 @@ def oracle_sql() -> dict[str, str]:
     fingerprint = (
         "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
     )
+
+    lang_case = """CASE WHEN greatest(h_en, h_fr, h_de, h_es) = 0 THEN 'und'
+                        WHEN h_en >= h_fr AND h_en >= h_de AND h_en >= h_es THEN 'en'
+                        WHEN h_fr >= h_de AND h_fr >= h_es THEN 'fr'
+                        WHEN h_de >= h_es THEN 'de'
+                        ELSE 'es' END"""
+
+    # composite pipeline: the same quality / lang-id / fingerprint / minhash
+    # fragments as the individual oracles, rebased onto the filtered set
+    corpus_clean_sql = f"""
+      WITH feat AS (
+        SELECT doc_id,
+               len({toks}) AS n_tok,
+               len(list_distinct({toks})) AS n_uniq,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit,
+               ((({hits['en']} + {hits['fr']}) + {hits['de']}) + {hits['es']}) AS sw
+        FROM documents
+      ),
+      q AS (
+        SELECT doc_id,
+               round(0.3 * least(n_tok / 100.0, 1.0)
+                   + 0.3 * (CASE WHEN n_tok > 0 THEN CAST(n_uniq AS DOUBLE) / n_tok ELSE 0.0 END)
+                   + 0.2 * least(sw / 5.0, 1.0)
+                   + 0.2 * (1.0 - least((punct + digit) * 5.0, 1.0)), 6) AS quality
+        FROM feat
+      ),
+      hh AS (
+        SELECT doc_id, {hits['en']} AS h_en, {hits['fr']} AS h_fr,
+               {hits['de']} AS h_de, {hits['es']} AS h_es
+        FROM documents
+      ),
+      lang AS (SELECT doc_id, {lang_case} AS lang_guess FROM hh),
+      base1 AS (
+        SELECT d.doc_id, d.text, q.quality, lang.lang_guess
+        FROM documents d
+        JOIN q ON q.doc_id = d.doc_id
+        JOIN lang ON lang.doc_id = d.doc_id
+        WHERE q.quality >= 0.3 AND lang.lang_guess = 'en'
+      ),
+      fps AS (SELECT doc_id, {fingerprint} AS fp FROM base1),
+      keep1 AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+      base2 AS (SELECT b.* FROM base1 b JOIN keep1 USING (doc_id)),
+      toks AS (SELECT doc_id, {toks} AS t FROM base2),
+      sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i FROM toks)
+      ),
+      sig AS (
+        SELECT doc_id,
+         {sig_cols}
+        FROM sh GROUP BY doc_id
+      ),
+      banded AS (
+    {band_rows}
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+        WHERE a.doc_id < b.doc_id
+      ),
+      {jaccard_tail.lstrip()},
+      losers AS (
+        SELECT DISTINCT j.id_b AS doc_id FROM jac j JOIN cand USING (id_a, id_b)
+        WHERE j.jaccard >= 0.5
+      )
+      SELECT b.doc_id, b.lang_guess, b.quality FROM base2 b
+      WHERE b.doc_id NOT IN (SELECT doc_id FROM losers)"""
 
     return {
         # -- Store parity ---------------------------------------------------
@@ -1694,4 +1774,5 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      unnest(generate_series(0, CAST(floor((n_chars * 10) / 1000.0) AS INT))) AS i
               FROM documents)""",
+        "corpus_clean": corpus_clean_sql,
     }

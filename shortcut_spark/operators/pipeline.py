@@ -1,0 +1,67 @@
+"""Composite corpus-cleaning pipeline — the end-to-end shape a
+pre-training data pipeline actually runs, composed from the individual
+operators (quality filter → language filter → exact dedup → MinHash
+near-dedup) as ONE lazy DataFrame plan.
+
+The reference has no document surface at all (its values are opaque,
+``src/lib.rs:75``); this is extension surface per SURVEY §2.3, and exists
+to prove the operators COMPOSE: every stage is a column expression or a
+bounded-key shuffle, so Catalyst fuses the scans and the whole pipeline
+stays one DAG — no materialization between stages.
+
+Scale shape (100 TB): quality + language are map-only expression stages
+fused into the scan; exact dedup is one shuffle on the content hash;
+near-dedup shuffles only band buckets and candidate id pairs (see
+``operators.dedup``). Nothing in the pipeline shuffles document text
+except the shingle arrays feeding the verify join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import exact_dedup, minhash_near_dups
+from .text import language_id, quality_score
+
+__all__ = ["clean_corpus"]
+
+
+def clean_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_quality: float = 0.3,
+    langs: tuple = ("en",),
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Surviving documents after the standard cleaning cascade.
+
+    1. ``quality_score >= min_quality``
+    2. ``language_id`` guess in ``langs``
+    3. exact dedup — keep the min-id document per identical normalized
+       content
+    4. MinHash-LSH near-dedup, greedy-by-id: a document is dropped iff it
+       has ANY smaller-id candidate partner with jaccard >= threshold
+       (the standard LSH dedup policy — deterministic and
+       order-independent; NOT transitive closure, which would need
+       connected components).
+
+    Output: (id, lang_guess, quality) for survivors.
+    """
+    q = quality_score(df, id_col, text_col).filter(F.col("quality") >= min_quality)
+    lang = language_id(df, id_col, text_col).filter(F.col("lang_guess").isin(*langs))
+    kept = (
+        df.select(id_col, text_col)
+        .join(q, id_col)
+        .join(lang.select(id_col, "lang_guess"), id_col)
+    )
+    kept = exact_dedup(kept, id_col, text_col)
+    pairs = minhash_near_dups(
+        kept, id_col, text_col, shingle_n, num_hashes, bands, jaccard_threshold
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return kept.join(losers, id_col, "left_anti").select(id_col, "lang_guess", "quality")

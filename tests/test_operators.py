@@ -225,3 +225,31 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     import calendar
     ten = calendar.timegm((2024, 1, 1, 10, 0, 0))
     assert out.get(ten) == 3, out  # late 10:30 row dropped, not 4
+
+
+def test_clean_corpus_composes_stages(spark):
+    """The composite pipeline must equal the manually-chained stages."""
+    from pyspark.sql import functions as F
+
+    from shortcut_spark.operators.dedup import exact_dedup, minhash_near_dups
+    from shortcut_spark.operators.pipeline import clean_corpus
+    from shortcut_spark.operators.text import language_id, quality_score
+    from shortcut_spark.sources import load_fixture
+
+    docs = load_fixture(spark, SF_DIR, "documents")
+    got = clean_corpus(docs)
+
+    q = quality_score(docs).filter(F.col("quality") >= 0.3)
+    lang = language_id(docs).filter(F.col("lang_guess") == "en")
+    kept = docs.select("doc_id", "text").join(q, "doc_id").join(
+        lang.select("doc_id", "lang_guess"), "doc_id"
+    )
+    kept = exact_dedup(kept, "doc_id", "text")
+    pairs = minhash_near_dups(kept, "doc_id", "text", 3, 8, 4, 0.5)
+    losers = {r["id_b"] for r in pairs.select("id_b").distinct().collect()}
+    want = {
+        r["doc_id"] for r in kept.select("doc_id").collect() if r["doc_id"] not in losers
+    }
+    got_ids = {r["doc_id"] for r in got.collect()}
+    assert got_ids == want
+    assert 0 < len(got_ids) < docs.count()  # every stage must actually bite
