@@ -58,6 +58,7 @@ HEADLINE = [
     ("text_stats", "count"),
     ("embed_topk", "collect"),
     ("mm_features", "count"),
+    ("corpus_clean", "count"),
 ]
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .dedup import exact_dedup, minhash_near_dups
-from .text import language_id, quality_score
+from .text import lang_guess_expr, quality_expr
 
 __all__ = ["clean_corpus"]
 
@@ -52,12 +52,28 @@ def clean_corpus(
 
     Output: (id, lang_guess, quality) for survivors.
     """
-    q = quality_score(df, id_col, text_col).filter(F.col("quality") >= min_quality)
-    lang = language_id(df, id_col, text_col).filter(F.col("lang_guess").isin(*langs))
+    # quality + language are per-row expressions over ONE tokenization of
+    # one scan — no self-joins, no re-reads, no repeated regex splits
+    from .text import tokens as _tokens
+
+    pre = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        _tokens(F.lower(F.col(text_col))).alias("__toks_l"),
+    )
     kept = (
-        df.select(id_col, text_col)
-        .join(q, id_col)
-        .join(lang.select(id_col, "lang_guess"), id_col)
+        pre.select(
+            F.col(id_col),
+            F.col(text_col),
+            quality_expr(F.col(text_col), F.col("__toks_l")).alias("quality"),
+            lang_guess_expr(F.col("__toks_l")).alias("lang_guess"),
+        )
+        .filter((F.col("quality") >= min_quality) & F.col("lang_guess").isin(*langs))
+        # pinned: the scored set feeds exact-dedup (2 passes), the shingle
+        # build and the final anti-join — without this, the expensive
+        # score/lang expressions re-run on every consumer. At warehouse
+        # scale this is the materialized post-filter table between stages.
+        .persist()
     )
     kept = exact_dedup(kept, id_col, text_col)
     pairs = minhash_near_dups(

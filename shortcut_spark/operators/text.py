@@ -21,7 +21,15 @@ from ..functions import (
     upper_ratio,
 )
 
-__all__ = ["text_stats", "language_id", "quality_score", "token_frequencies", "fingerprints"]
+__all__ = [
+    "text_stats",
+    "language_id",
+    "quality_score",
+    "quality_expr",
+    "lang_guess_expr",
+    "token_frequencies",
+    "fingerprints",
+]
 
 
 def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -40,6 +48,43 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
+def _hits_from(toks_l: F.Column, lang: str) -> F.Column:
+    """Stopword hits of ``lang`` over a precomputed lowered token array."""
+    from ..functions import STOPWORDS as SW
+
+    return F.size(F.filter(toks_l, lambda x: x.isin(*SW[lang])))
+
+
+def _lang_best(toks_l: F.Column) -> F.Column:
+    """Best-language struct: argmax of stopword hits with the fixed language
+    order as tiebreak (deterministic), via a sorted struct array. Takes the
+    precomputed lowered token array so the document is tokenized once."""
+    langs = list(STOPWORDS)
+    entries = F.array(
+        *[
+            F.struct(
+                _hits_from(toks_l, lang).alias("hits"),
+                F.lit(i).alias("ord"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    return F.array_sort(
+        entries,
+        lambda a, b: F.when(a["hits"] > b["hits"], -1)
+        .when(a["hits"] < b["hits"], 1)
+        .otherwise(F.when(a["ord"] < b["ord"], -1).when(a["ord"] > b["ord"], 1).otherwise(0)),
+    )[0]
+
+
+def lang_guess_expr(toks_l: F.Column) -> F.Column:
+    """Language guess over a precomputed lowered token array — composable
+    into a single-scan projection (see ``pipeline.clean_corpus``)."""
+    best = _lang_best(toks_l)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
 def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-profile language guesser.
 
@@ -47,44 +92,36 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     with a fixed language order as tiebreak (deterministic). A real system
     would use character n-gram profiles; the operator shape (per-row scores
     → argmax) is the same and the scoring column is swappable.
+
+    The document is tokenized ONCE into an intermediate projection; all
+    per-language hit counts filter that array (CollapseProject keeps the
+    non-cheap, multiply-referenced array in its own stage).
     """
-    t = F.col(text_col)
-    langs = list(STOPWORDS)
-    scored = df.select(
-        F.col(id_col),
-        *[stopword_hits(t, lang).alias(f"hits_{lang}") for lang in langs],
+    pre = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks_l")
     )
-    # argmax by (hits desc, fixed lang order) via a sorted struct array
-    entries = F.array(
-        *[
-            F.struct(F.col(f"hits_{lang}").alias("hits"), F.lit(i).alias("ord"), F.lit(lang).alias("lang"))
-            for i, lang in enumerate(langs)
-        ]
-    )
-    best = F.array_sort(
-        entries,
-        lambda a, b: F.when(a["hits"] > b["hits"], -1)
-        .when(a["hits"] < b["hits"], 1)
-        .otherwise(F.when(a["ord"] < b["ord"], -1).when(a["ord"] > b["ord"], 1).otherwise(0)),
-    )[0]
-    return scored.select(
+    best = _lang_best(F.col("__toks_l"))
+    return pre.select(
         F.col(id_col),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
         best["hits"].cast("long").alias("top_hits"),
     )
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic quality score in [0,1]: length sweet-spot, low punctuation/
-    digit noise, lexical diversity, and stopword presence — the standard
-    pre-training filter features. All-double arithmetic on exact ratios with
-    a fixed expression tree, so the score is engine-reproducible."""
-    t = F.col(text_col)
-    n_tok = token_count(t)
-    n_uniq = F.size(F.array_distinct(tokens(F.lower(t))))
+def quality_expr(t: F.Column, toks_l: F.Column) -> F.Column:
+    """Heuristic quality score in [0,1] as a plain column expression:
+    length sweet-spot, low punctuation/digit noise, lexical diversity, and
+    stopword presence — the standard pre-training filter features.
+    All-double arithmetic on exact ratios with a fixed expression tree, so
+    the score is engine-reproducible. ``toks_l`` is the precomputed lowered
+    token array (tokenize once, reference many times); token count over
+    lowered tokens equals the raw count — lowering never changes
+    whitespace."""
+    n_tok = F.size(toks_l)
+    n_uniq = F.size(F.array_distinct(toks_l))
     len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     diversity = F.when(n_tok > 0, n_uniq / n_tok).otherwise(F.lit(0.0))
-    sw = sum((stopword_hits(t, lang) for lang in STOPWORDS), F.lit(0))
+    sw = sum((_hits_from(toks_l, lang) for lang in STOPWORDS), F.lit(0))
     sw_score = F.least(sw / F.lit(5.0), F.lit(1.0))
     noise = punct_ratio(t) + digit_ratio(t)
     score = (
@@ -93,7 +130,20 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         + F.lit(0.2) * sw_score
         + F.lit(0.2) * (F.lit(1.0) - F.least(noise * F.lit(5.0), F.lit(1.0)))
     )
-    return df.select(F.col(id_col), F.round(score, 6).alias("quality"))
+    return F.round(score, 6)
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """DataFrame form of :func:`quality_expr` (single tokenization pass)."""
+    pre = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokens(F.lower(F.col(text_col))).alias("__toks_l"),
+    )
+    return pre.select(
+        F.col(id_col),
+        quality_expr(F.col(text_col), F.col("__toks_l")).alias("quality"),
+    )
 
 
 def token_frequencies(
