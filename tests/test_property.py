@@ -75,3 +75,38 @@ def test_snapshot_time_travel(spark, tmp_path):
     old = Store.open(spark, path, version=v_after_insert)
     assert old.find([]).count() == 3
     assert sorted(r[0] for r in old.find([]).collect()) == ["a", "b", "c"]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=12
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=12
+    ),
+)
+def test_asof_max_matches_bruteforce(spark, left, right):
+    """asof_max == per-row brute force: max right ts <= left ts on the key,
+    one output row per left input row (duplicates preserved)."""
+    from shortcut_spark.operators.joins import asof_max
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)], "i long, k long, ts long"
+    )
+    rdf = spark.createDataFrame(right or [(99, -1)], "k long, rts long")
+    if not right:
+        rdf = rdf.filter("k < 0")  # genuinely empty right side
+    got = sorted(
+        (r["i"], r["asof_value"])
+        for r in asof_max(ldf, rdf, "k", "k", "ts", "rts").collect()
+    )
+    want = sorted(
+        (i, max((rts for rk, rts in right if rk == k and rts <= ts), default=None))
+        for i, (k, ts) in enumerate(left)
+    )
+    assert got == want
