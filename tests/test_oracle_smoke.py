@@ -25,6 +25,8 @@ SUBSET = [
     "text_quality",
     "embed_topk",
     "events_sessionize",
+    "asof_latest_order",
+    "corpus_clean",
 ]
 
 
