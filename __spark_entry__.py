@@ -982,6 +982,16 @@ def q_mm_frame_plan(spark, sf_dir):
     return multimodal.frame_sample_plan(docs, "doc_id", every_ms=1000)
 
 
+def q_events_session_window(spark, sf_dir):
+    """Gap sessionization via Spark's NATIVE session_window (batch form;
+    the streaming twin is run_stream_session_rollup, certified equal in
+    pytest). Boundary semantics differ from events_sessionize by design:
+    a gap of exactly 30min starts a new session here (merge iff < gap)."""
+    from shortcut_spark.streaming import session_rollup
+
+    return session_rollup(_t(spark, sf_dir, "events"))
+
+
 def q_corpus_clean(spark, sf_dir):
     """Composite cleaning cascade (quality >= 0.3, lang = en, exact dedup,
     minhash near-dedup at jaccard >= 0.5) as ONE lazy plan — proves the
@@ -1097,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_parts": q_date_parts,
         "string_funcs": q_string_funcs,
         "corpus_clean": q_corpus_clean,
+        "events_session_window": q_events_session_window,
     }
 
 
@@ -1775,4 +1786,20 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(0, CAST(floor((n_chars * 10) / 1000.0) AS INT))) AS i
               FROM documents)""",
         "corpus_clean": corpus_clean_sql,
+        "events_session_window": f"""
+            WITH m AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w >= 1800.0
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   {_EPOCH.format('min(ts)')} AS start_epoch,
+                   {_EPOCH.format('max(ts)')} AS end_epoch
+            FROM s GROUP BY user_id, sid""",
     }

@@ -14,9 +14,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 __all__ = [
     "hourly_rollup",
     "sessionize",
+    "session_rollup",
     "enrich_user_ltv",
     "run_stream_hourly_rollup",
     "run_stream_sessionize",
+    "run_stream_session_rollup",
     "run_stream_enrich",
     "stream_into_store",
 ]
@@ -63,6 +65,56 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.unix_timestamp(F.min("ts")).alias("start_epoch"),
         F.unix_timestamp(F.max("ts")).alias("end_epoch"),
     )
+
+
+def session_rollup(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE ``session_window`` (batch
+    form) — the engine-managed alternative to the lag+cumsum composition
+    (:func:`sessionize`) and the custom stateful operator. Boundary
+    semantics are Spark's: a gap of EXACTLY ``gap_minutes`` starts a new
+    session (merge iff diff < gap), which is why this and :func:`sessionize`
+    (break iff diff > gap) are separate operators with separate oracles.
+
+    Output: one row per (user, session): n_events + start/end epochs."""
+    return (
+        events.groupBy(
+            F.col("user_id"), F.session_window(F.col("ts"), f"{gap_minutes} minutes")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_timestamp(F.min("ts")).alias("start_epoch"),
+            F.unix_timestamp(F.max("ts")).alias("end_epoch"),
+        )
+        .select("user_id", "n_events", "start_epoch", "end_epoch")
+    )
+
+
+def run_stream_session_rollup(
+    spark: SparkSession,
+    events_parquet_dir: str,
+    gap_minutes: int = 30,
+    query_name: str = "native_sessions",
+) -> DataFrame:
+    """Streaming twin of :func:`session_rollup`: the same native
+    ``session_window`` aggregation under a watermark (engine-managed
+    session state — merge/expiry handled by Spark, vs the hand-rolled
+    GroupState of :func:`run_stream_sessionize`). Complete mode, memory
+    sink (session windows reject update mode; append would withhold the
+    sessions still inside the watermark horizon); the batch form is the
+    exact oracle."""
+    stream = _file_stream(spark, events_parquet_dir).withWatermark("ts", "1 hour")
+    agg = session_rollup(stream, gap_minutes)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
 
 
 def enrich_user_ltv(events: DataFrame, orders: DataFrame) -> DataFrame:

@@ -253,3 +253,19 @@ def test_clean_corpus_composes_stages(spark):
     got_ids = {r["doc_id"] for r in got.collect()}
     assert got_ids == want
     assert 0 < len(got_ids) < docs.count()  # every stage must actually bite
+
+
+def test_native_session_window_matches_batch(spark):
+    """Native session_window: streaming (watermark, update mode) must equal
+    the batch form; batch must agree with lag+cumsum sessionize everywhere
+    except Spark's exact-gap boundary (merge iff diff < gap)."""
+    from shortcut_spark.sources import load_fixture
+    from shortcut_spark.streaming import session_rollup, run_stream_session_rollup
+
+    ev = load_fixture(spark, SF_DIR, "events")
+    batch = sorted(map(tuple, session_rollup(ev).collect()))
+    stream = sorted(
+        map(tuple, run_stream_session_rollup(spark, f"{SF_DIR}/events.parquet").collect())
+    )
+    assert batch == stream
+    assert len(batch) > 0
