@@ -15,8 +15,6 @@ from ..functions import (
     digit_ratio,
     fingerprint,
     punct_ratio,
-    stopword_hits,
-    token_count,
     tokens,
     upper_ratio,
 )
@@ -34,14 +32,20 @@ __all__ = [
 
 def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document surface statistics (counts and exact ratios)."""
+    pre = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokens(F.lower(F.col(text_col))).alias("__toks_l"),
+    )
     t = F.col(text_col)
     # counts cast to long: DuckDB length/len return BIGINT and the driver
-    # compares schemas, not just values
-    return df.select(
+    # compares schemas, not just values; token counts come from the single
+    # lowered tokenization (lowering never changes whitespace)
+    return pre.select(
         F.col(id_col),
         F.length(t).cast("long").alias("n_chars"),
-        token_count(t).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(tokens(F.lower(t)))).cast("long").alias("n_unique_tokens"),
+        F.size(F.col("__toks_l")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(F.col("__toks_l"))).cast("long").alias("n_unique_tokens"),
         F.round(punct_ratio(t), 6).alias("punct_ratio"),
         F.round(upper_ratio(t), 6).alias("upper_ratio"),
         F.round(digit_ratio(t), 6).alias("digit_ratio"),
