@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "read",
     "write",
+    "write_bucketed",
     "load_fixture",
     "fixture_tables",
     "normalize_event_ts",
@@ -75,6 +76,30 @@ def write(df: DataFrame, fmt: str, path: str, mode: str = "overwrite", partition
         writer.json(path)
     else:
         raise ValueError(f"unknown sink format {fmt!r}")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    sort: bool = True,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and bucket-sorted) table write — the co-located join
+    layout. Two tables bucketed on the same key with the same bucket count
+    join with ZERO shuffle exchanges (asserted in tests/test_plans.py):
+    at 100 TB this is how repeated fact-fact joins amortize their shuffle
+    into one write-time organization. ``path`` makes the table external
+    (data at ``path``, only metadata in the catalog); bucketing requires
+    the catalog, so this is ``saveAsTable``, not a bare file write."""
+    w = df.write.mode(mode).bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:

@@ -116,3 +116,26 @@ def test_metadata_filter_prunes_blob_column(spark):
     # the parquet scan reads doc_id and text (payload is derived), nothing else
     read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert "doc_id" in read_cols and len(read_cols) <= 3
+
+
+def test_bucketed_join_shuffle_free(spark, tmp_path):
+    """Same-key same-count bucketed tables must join with zero shuffle
+    exchanges — the write-time co-location contract of write_bucketed."""
+    from shortcut_spark.sources import load_fixture, write_bucketed
+
+    li = load_fixture(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    od = load_fixture(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "t_li_bucketed", "l_orderkey", 8, path=str(tmp_path / "li"))
+    write_bucketed(od, "t_od_bucketed", "o_orderkey", 8, path=str(tmp_path / "od"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a, b = spark.table("t_li_bucketed"), spark.table("t_od_bucketed")
+        j = a.join(b, a["l_orderkey"] == b["o_orderkey"])
+        plan = fmt_plan(j)
+        assert n_shuffles(plan) == 0
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_od_bucketed")
