@@ -11,12 +11,19 @@ from tests.conftest import SF_DIR
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    # unpersist at teardown: a lingering cache entry makes Spark's cache
+    # manager substitute InMemoryRelation into any later logically-equal
+    # scan, which breaks the ReadSchema plan assertions in test_plans.py
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 def test_minhash_finds_planted_near_dup(spark, docs):
