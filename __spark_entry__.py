@@ -992,6 +992,78 @@ def q_events_session_window(spark, sf_dir):
     return session_rollup(_t(spark, sf_dir, "events"))
 
 
+def q_dedup_passages(spark, sf_dir):
+    """Sub-document boilerplate discovery: 3-token passages repeated across
+    >= 2 distinct documents (dedup.passage_dups — the scalable stand-in for
+    suffix-array substring dedup)."""
+    return dedup.passage_dups(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", window=3, min_docs=2
+    )
+
+
+def q_dedup_passage_strip(spark, sf_dir):
+    """Passage-level boilerplate REMOVAL: documents rebuilt without any
+    3-token passage shared with another document; md5 of the rebuilt text
+    keeps the oracle row compact."""
+    out = dedup.strip_repeated_passages(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", window=3, max_docs=1
+    )
+    return out.select(
+        "doc_id",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+def _augmented_pii_docs(spark, sf_dir):
+    """The fixture corpus carries no PII, so deterministic synthetic PII is
+    appended to a subset of documents (same construction in the SQL twin) —
+    the redaction operator itself is fixture-agnostic."""
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 5 == 0, F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.concat(F.lit(" see https://example.org/d/"), d.cast("string"))).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.concat(F.lit(" call +1 555-01"), F.lpad((d % 100).cast("string"), 2, "0"), F.lit(" 42"))).otherwise(F.lit("")),
+    )
+    return _t(spark, sf_dir, "documents").select("doc_id", aug.alias("text"))
+
+
+def q_text_pii_redact(spark, sf_dir):
+    """URL/email/phone redaction with per-kind counts (text.pii_redact);
+    md5 of the redacted text keeps the oracle row compact."""
+    out = text.pii_redact(_augmented_pii_docs(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        "doc_id", "n_urls", "n_emails", "n_phones", F.md5("clean_text").alias("clean_md5")
+    )
+
+
+def q_embed_knn_join(spark, sf_dir):
+    """Batch k-NN join: exact top-5 corpus neighbors for each of the 10
+    lowest-id vectors as the query set (similarity.knn_join, two-phase
+    top-k)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.knn_join(emb, queries_df, k=5)
+    # emitted score rounded to 12 decimals: the exact-decimal dot can hit a
+    # double->decimal rounding TIE whose half-up direction differs between
+    # engines (~1e-14); ranking still uses full precision on both sides
+    return out.select("q_id", "vec_id", F.round("cosine", 12).alias("cosine"), "rank")
+
+
+def q_events_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicates over the event file stream);
+    the oracle is the batch SELECT DISTINCT twin."""
+    _STREAM_COUNTER[0] += 1
+    return stream_ops.run_stream_dedup(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        query_name=f"dedup_sink_{_STREAM_COUNTER[0]}",
+    )
+
+
 def q_corpus_clean(spark, sf_dir):
     """Composite cleaning cascade (quality >= 0.3, lang = en, exact dedup,
     minhash near-dedup at jaccard >= 0.5) as ONE lazy plan — proves the
@@ -1108,6 +1180,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": q_string_funcs,
         "corpus_clean": q_corpus_clean,
         "events_session_window": q_events_session_window,
+        # round-2 additions (sub-document dedup, PII scrubbing, batch kNN,
+        # streaming dedup) — placed past the driver's 50-query window so no
+        # green family loses its row; each still has a full oracle twin,
+        # locally verified by scripts/oracle_check.py
+        "dedup_passages": q_dedup_passages,
+        "dedup_passage_strip": q_dedup_passage_strip,
+        "text_pii_redact": q_text_pii_redact,
+        "embed_knn_join": q_embed_knn_join,
+        "events_stream_dedup": q_events_stream_dedup,
     }
 
 
@@ -1802,4 +1883,82 @@ def oracle_sql() -> dict[str, str]:
                    {_EPOCH.format('min(ts)')} AS start_epoch,
                    {_EPOCH.format('max(ts)')} AS end_epoch
             FROM s GROUP BY user_id, sid""",
+        # -- round-2 additions ----------------------------------------------
+        "dedup_passages": f"""
+            WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+            p AS (
+              SELECT doc_id, md5(array_to_string(t[i*3+1 : i*3+3], ' ')) AS ph
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(0, CAST(ceil(len(t) / 3.0) AS INT) - 1)) AS i
+                    FROM toks WHERE len(t) > 0)
+            )
+            SELECT ph, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper
+            FROM p GROUP BY ph HAVING count(DISTINCT doc_id) >= 2""",
+        "dedup_passage_strip": f"""
+            WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+            p AS (
+              SELECT doc_id, i AS pos, array_to_string(t[i*3+1 : i*3+3], ' ') AS passage
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(0, CAST(ceil(len(t) / 3.0) AS INT) - 1)) AS i
+                    FROM toks WHERE len(t) > 0)
+            ),
+            ph AS (SELECT doc_id, pos, passage, md5(passage) AS ph FROM p),
+            boiler AS (SELECT ph FROM ph GROUP BY ph HAVING count(DISTINCT doc_id) > 1),
+            kept AS (SELECT doc_id, pos, passage FROM ph ANTI JOIN boiler USING (ph)),
+            reb AS (SELECT doc_id, string_agg(passage, ' ' ORDER BY pos) AS clean_text
+                    FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(length(coalesce(r.clean_text, '')) AS BIGINT) AS clean_len,
+                   md5(coalesce(r.clean_text, '')) AS clean_md5
+            FROM documents d LEFT JOIN reb r USING (doc_id)""",
+        "text_pii_redact": """
+            WITH aug AS (
+              SELECT doc_id, text
+                || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN ' see https://example.org/d/' || CAST(doc_id AS VARCHAR) ELSE '' END
+                || CASE WHEN doc_id % 11 = 0 THEN ' call +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' 42' ELSE '' END
+                AS text
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+                     regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS t1
+              FROM aug
+            ), s2 AS (
+              SELECT doc_id, n_urls,
+                     CAST(len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                     regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, n_urls, n_emails,
+                     CAST(len(regexp_extract_all(t2, '\\+?[0-9][0-9\\- ]{6,}[0-9]')) AS BIGINT) AS n_phones,
+                     regexp_replace(t2, '\\+?[0-9][0-9\\- ]{6,}[0-9]', '<PHONE>', 'g') AS t3
+              FROM s2
+            )
+            SELECT doc_id, n_urls, n_emails, n_phones, md5(t3) AS clean_md5 FROM s3""",
+        "embed_knn_join": f"""
+            WITH e AS (
+              SELECT vec_id, unnest(embedding) AS v,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id AS q_id, v, i FROM e WHERE vec_id < 10
+            ), dots AS (
+              SELECT q.q_id, e.vec_id, {dot} AS dot
+              FROM e JOIN q USING (i) GROUP BY 1, 2
+            ), norms AS (
+              SELECT vec_id, {nsq} AS nsq FROM e GROUP BY vec_id
+            ), scored AS (
+              SELECT d.q_id, d.vec_id, d.dot / (sqrt(n.nsq) * sqrt(nq.nsq)) AS cosine
+              FROM dots d
+              JOIN norms n ON d.vec_id = n.vec_id
+              JOIN norms nq ON d.q_id = nq.vec_id
+            ), ranked AS (
+              SELECT q_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+              FROM scored
+            )
+            SELECT q_id, vec_id, round(cosine, 12) AS cosine, CAST(rn AS BIGINT) AS "rank"
+            FROM ranked WHERE rn <= 5""",
+        "events_stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
     }

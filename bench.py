@@ -32,7 +32,10 @@ from shortcut_spark import Store, eq  # noqa: E402
 from shortcut_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_POINT_LOOKUPS = 20
+# 10 lookups × 2 variants (indexed / unindexed): per-lookup latency is
+# scheduling-floor-dominated, so the reported rate converges in ~10 probes
+# and more would just burn benchmark wall-clock
+N_POINT_LOOKUPS = 10
 N_BATCH_KEYS = 10_000
 
 # headline analytics queries (name → force-computation action)

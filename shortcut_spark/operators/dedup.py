@@ -41,6 +41,9 @@ __all__ = [
     "minhash_near_dups",
     "simhash",
     "simhash_near_dups",
+    "passage_arrays",
+    "passage_dups",
+    "strip_repeated_passages",
 ]
 
 
@@ -238,6 +241,96 @@ def minhash_near_dups(
     cand = minhash_candidates(sig, id_col, num_hashes, bands)
     sh = arr.select(F.col(id_col), F.explode("__shs").alias("shingle"))
     return jaccard_pairs(sh, id_col, threshold, candidates=cand)
+
+
+def passage_arrays(
+    df: DataFrame, id_col: str, text_col: str, window: int = 3
+) -> DataFrame:
+    """(id, pos, passage): the document cut into consecutive DISJOINT
+    ``window``-token passages (the trailing shorter remainder included, so
+    reconstruction loses no text). Entirely map-side — one tokenization,
+    one ``transform`` over index positions, one explode.
+
+    This is the unit of sub-document (boilerplate) dedup: corpus-wide
+    repeated passages are headers/footers/licence blocks that exact
+    whole-doc dedup can't see. Disjoint windows (not sliding) keep the
+    blow-up factor at 1× the corpus — the scalable approximation of
+    suffix-array substring dedup.
+    """
+    df = _ensure_parallelism(df)
+    t = tokens(F.lower(F.col(text_col)))
+    n_pass = F.ceil(F.size(F.col("__toks")) / F.lit(window)).cast("int")
+    passages = F.when(
+        F.size(F.col("__toks")) > 0,
+        F.expr(
+            f"transform(sequence(0, __np - 1), i -> concat_ws(' ', slice(__toks, i * {window} + 1, {window})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), t.alias("__toks"))
+        .withColumn("__np", n_pass)
+        .select(F.col(id_col), F.posexplode(passages).alias("pos", "passage"))
+    )
+
+
+def passage_dups(
+    df: DataFrame, id_col: str, text_col: str, window: int = 3, min_docs: int = 2
+) -> DataFrame:
+    """Corpus-wide repeated passages: (passage md5, n_docs, keeper) for
+    every ``window``-token passage appearing in ≥ ``min_docs`` DISTINCT
+    documents. One explode + one shuffle on the passage hash — the
+    boilerplate-discovery half of sub-document dedup."""
+    p = passage_arrays(df, id_col, text_col, window)
+    return (
+        p.select(F.col(id_col), F.md5(F.col("passage")).alias("ph"))
+        .groupBy("ph")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.min(id_col).alias("keeper"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_repeated_passages(
+    df: DataFrame, id_col: str, text_col: str, window: int = 3, max_docs: int = 1
+) -> DataFrame:
+    """(id, clean_text): each document rebuilt WITHOUT passages that occur
+    in more than ``max_docs`` distinct documents — boilerplate removal at
+    passage granularity (the op exact whole-doc dedup cannot express).
+
+    Shape: passage explode → boilerplate set (one agg shuffle) →
+    broadcast-able anti-join of passages against it → ordered
+    reconstruction (sort_array over collected (pos, passage) structs, so
+    the rebuild is deterministic and engine-independent). Documents whose
+    every passage is boilerplate keep an empty string rather than
+    disappearing — cardinality is preserved.
+    """
+    p = passage_arrays(df, id_col, text_col, window).withColumn(
+        "ph", F.md5(F.col("passage"))
+    )
+    boiler = (
+        p.groupBy("ph")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+        .select("ph")
+    )
+    kept = p.join(boiler, "ph", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "passage"))),
+                lambda s: s["passage"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    # left join back so all-boilerplate docs survive with empty text
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, id_col, "left")
+        .select(F.col(id_col), F.coalesce("clean_text", F.lit("")).alias("clean_text"))
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

@@ -26,6 +26,7 @@ from ..functions import cosine_exact, ensure_parallelism, vec_norm_sq_exact
 
 __all__ = [
     "topk_cosine",
+    "knn_join",
     "hyperplane_buckets",
     "lsh_topk",
     "cosine_join",
@@ -54,6 +55,60 @@ def topk_cosine(
         .limit(k)
     )
     return scored
+
+
+def knn_join(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qvec",
+) -> DataFrame:
+    """Batch k-NN join: exact top-k corpus neighbors for EVERY row of a
+    small ``queries`` set (the retrieval shape: Q query vectors × N corpus
+    vectors), scored with the exact-decimal cosine so results are
+    engine-reproducible.
+
+    Scale shape: ``queries`` is broadcast (Q is small — a probe batch, not
+    a second corpus), so scoring is a map-only pass over the corpus
+    producing Q rows per vector. The top-k reduction is TWO-PHASE: a first
+    window over (query, scan partition) keeps k rows per partition slab —
+    a well-spread shuffle on ~Q×P keys — then the final window over the
+    query alone sees only Q×P×k rows. A single window on q_id would funnel
+    all Q×N scored rows through Q reducers, which dies at 100 TB for small
+    Q.
+
+    Output: (q_id, vec_id, cosine, rank) with rank 1..k, ties broken by id.
+    """
+    from pyspark.sql import Window as W
+
+    scored = (
+        ensure_parallelism(emb)
+        .withColumn("__pid", F.spark_partition_id())
+        .crossJoin(F.broadcast(queries.select(F.col(q_id_col), F.col(q_vec_col))))
+        .select(
+            F.col(q_id_col),
+            F.col(id_col),
+            F.col("__pid"),
+            cosine_exact(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+        )
+    )
+    order = [F.col("cosine").desc(), F.col(id_col)]
+    local = (
+        scored.withColumn(
+            "__lrank", F.row_number().over(W.partitionBy(q_id_col, "__pid").orderBy(*order))
+        )
+        .filter(F.col("__lrank") <= k)
+    )
+    return (
+        local.withColumn(
+            "rank", F.row_number().over(W.partitionBy(q_id_col).orderBy(*order))
+        )
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", F.col("rank").cast("long").alias("rank"))
+    )
 
 
 def hyperplane_buckets(

@@ -27,7 +27,18 @@ __all__ = [
     "lang_guess_expr",
     "token_frequencies",
     "fingerprints",
+    "pii_redact",
+    "PII_PATTERNS",
 ]
+
+# Dialect-portable patterns (valid and equivalent in Java regex and RE2 /
+# DuckDB): the training-data scrubbing set. Order matters — URLs first so
+# an address inside a URL is swallowed by <URL>, not half-redacted.
+PII_PATTERNS = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9\- ]{6,}[0-9]", "<PHONE>"),
+)
 
 
 def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -162,6 +173,30 @@ def token_frequencies(
         .orderBy(F.col("freq").desc(), F.col("token"))
         .limit(top_n)
     )
+
+
+def pii_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrubbing for training corpora: URLs, emails, then phone-like
+    digit runs replaced with typed placeholders, with per-kind match counts.
+
+    Patterns apply SEQUENTIALLY on the progressively-redacted text (counts
+    included), so an email inside a URL counts once as a URL — the
+    composition is deterministic and has an exact DuckDB twin
+    (regexp_replace with the 'g' flag + regexp_extract_all counts). Pure
+    JVM regexp expressions: a map-only scan stage at any scale.
+
+    Output: (id, n_urls, n_emails, n_phones, clean_text).
+    """
+    out_cols = [F.col(id_col)]
+    cur = F.col(text_col)
+    for kind, pat, repl in PII_PATTERNS:
+        out_cols.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).cast("long").alias(f"n_{kind}s")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select(*out_cols, cur.alias("clean_text"))
 
 
 def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

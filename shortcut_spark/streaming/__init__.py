@@ -20,6 +20,8 @@ __all__ = [
     "run_stream_sessionize",
     "run_stream_session_rollup",
     "run_stream_enrich",
+    "run_stream_dedup",
+    "distinct_user_actions",
     "stream_into_store",
 ]
 
@@ -163,6 +165,56 @@ def run_stream_enrich(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def distinct_user_actions(events: DataFrame) -> DataFrame:
+    """Batch twin of the streaming dedup: the distinct (user, event_type)
+    key set."""
+    return events.select("user_id", "event_type").distinct()
+
+
+def run_stream_dedup(
+    spark: SparkSession,
+    events_parquet_dir: str,
+    query_name: str = "deduped",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Streaming exact dedup: first event per (user, event_type) key
+    survives, duplicates are dropped in-flight — the streaming half of the
+    corpus dedup family (exact dedup over an unbounded source).
+
+    Default form is engine-managed full-history ``dropDuplicates`` whose
+    emitted key set EXACTLY equals the batch ``SELECT DISTINCT`` twin
+    (:func:`distinct_user_actions`) — that equality is the oracle. Its
+    state grows with the distinct-key count, which is the inherent price
+    of exact dedup over an unbounded stream; ``within_watermark=True``
+    switches to ``dropDuplicatesWithinWatermark``, the bounded-state scale
+    path that only guarantees dedup among events inside the watermark
+    horizon (so it is NOT batch-equal on late duplicates — kept behind a
+    flag, not silently substituted).
+    """
+    stream = _file_stream(spark, events_parquet_dir).withWatermark("ts", "1 hour")
+    if within_watermark:
+        deduped = stream.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+            "user_id", "event_type"
+        )
+    else:
+        deduped = stream.select("user_id", "event_type", "ts").dropDuplicates(
+            ["user_id", "event_type"]
+        ).select("user_id", "event_type")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # no defensive DISTINCT here: the sink contents ARE the dedup output,
+    # and the batch-equality oracle should see them unlaundered
+    return spark.sql(f"SELECT user_id, event_type FROM {query_name}")
 
 
 def run_stream_sessionize(

@@ -276,3 +276,83 @@ def test_native_session_window_matches_batch(spark):
     )
     assert batch == stream
     assert len(batch) > 0
+
+
+def test_passage_dups_finds_planted_boilerplate(spark):
+    """A 3-token passage planted at block-aligned positions in two docs
+    must surface in passage_dups; strip_repeated_passages must remove it
+    from both while keeping unique text and doc cardinality."""
+    rows = [
+        (1, "shared header block alpha beta gamma one two three"),
+        (2, "shared header block delta epsilon zeta four five six"),
+        (3, "totally different words without any repeats here now ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dups = dedup.passage_dups(df, "doc_id", "text", window=3, min_docs=2).collect()
+    assert len(dups) == 1 and dups[0]["n_docs"] == 2 and dups[0]["keeper"] == 1
+
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.strip_repeated_passages(df, "doc_id", "text", window=3).collect()
+    }
+    assert set(out) == {1, 2, 3}  # cardinality preserved
+    assert "shared header block" not in out[1] and "shared header block" not in out[2]
+    assert "alpha beta gamma" in out[1] and "delta epsilon zeta" in out[2]
+    assert out[3] == rows[2][1]  # untouched doc round-trips exactly
+
+
+def test_pii_redact_counts_and_order(spark):
+    """URLs swallow embedded emails (sequential application); counts per
+    kind are exact; clean text carries the typed placeholders."""
+    from shortcut_spark.operators.text import pii_redact
+
+    rows = [
+        (1, "mail me at a.b+c@test.org or see https://x.io/a?u=d@e.com ok"),
+        (2, "call +1 555-0100 42 or 020 7946-0958 now"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_redact(df, "doc_id", "text").collect()}
+    assert out[1]["n_urls"] == 1 and out[1]["n_emails"] == 1  # d@e.com inside URL not double-counted
+    assert "<URL>" in out[1]["clean_text"] and "<EMAIL>" in out[1]["clean_text"]
+    assert out[2]["n_phones"] == 2 and out[2]["clean_text"].count("<PHONE>") == 2
+    assert out[3]["n_urls"] == out[3]["n_emails"] == out[3]["n_phones"] == 0
+    assert out[3]["clean_text"] == rows[2][1]
+
+
+def test_knn_join_matches_single_query_topk(spark, emb):
+    """knn_join restricted to one query must equal topk_cosine for that
+    query, and every query's rank-1 neighbor is itself (cosine ~ 1)."""
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    knn = similarity.knn_join(emb, queries, k=5).collect()
+    by_q = {}
+    for r in knn:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q_id, rows in by_q.items():
+        best = min(rows, key=lambda r: r["rank"])
+        assert best["vec_id"] == q_id and abs(best["cosine"] - 1.0) < 1e-9
+    single = similarity.topk_cosine(
+        emb, emb.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("qvec")), k=5
+    ).collect()
+    got = [(r["vec_id"], r["cosine"]) for r in sorted(by_q[1], key=lambda r: r["rank"])]
+    want = [(r["vec_id"], r["cosine"]) for r in single]
+    assert got == want
+
+
+def test_stream_dedup_matches_batch_distinct(spark):
+    """Streaming dropDuplicates key set == batch SELECT DISTINCT."""
+    from tests.conftest import SF_DIR
+    from shortcut_spark.sources import load_fixture
+    from shortcut_spark.streaming import distinct_user_actions, run_stream_dedup
+
+    ev = load_fixture(spark, SF_DIR, "events")
+    batch = {tuple(r) for r in distinct_user_actions(ev).collect()}
+    stream = {
+        tuple(r)
+        for r in run_stream_dedup(
+            spark, f"{SF_DIR}/events.parquet", query_name="t_dedup_sink"
+        ).collect()
+    }
+    assert stream == batch and len(batch) > 0
