@@ -273,19 +273,41 @@ def passage_arrays(
     )
 
 
+def _distinct_passage_hashes(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """(id, ph): the document's DISTINCT passage md5s, entirely map-side —
+    the within-doc dedup is one ``array_distinct`` over the per-row passage
+    array, so downstream doc-counts are a plain single-shuffle ``count(*)``
+    instead of a two-phase ``count(DISTINCT ...)`` aggregate."""
+    df = _ensure_parallelism(df)
+    t = tokens(F.lower(F.col(text_col)))
+    n_pass = F.ceil(F.size(F.col("__toks")) / F.lit(window)).cast("int")
+    passages = F.when(
+        F.size(F.col("__toks")) > 0,
+        F.expr(
+            f"transform(sequence(0, __np - 1), i -> md5(concat_ws(' ', slice(__toks, i * {window} + 1, {window}))))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), t.alias("__toks"))
+        .withColumn("__np", n_pass)
+        .select(F.col(id_col), F.explode(F.array_distinct(passages)).alias("ph"))
+    )
+
+
 def passage_dups(
     df: DataFrame, id_col: str, text_col: str, window: int = 3, min_docs: int = 2
 ) -> DataFrame:
     """Corpus-wide repeated passages: (passage md5, n_docs, keeper) for
     every ``window``-token passage appearing in ≥ ``min_docs`` DISTINCT
-    documents. One explode + one shuffle on the passage hash — the
-    boilerplate-discovery half of sub-document dedup."""
-    p = passage_arrays(df, id_col, text_col, window)
+    documents. One map-only explode + ONE shuffle on the passage hash —
+    the boilerplate-discovery half of sub-document dedup."""
     return (
-        p.select(F.col(id_col), F.md5(F.col("passage")).alias("ph"))
+        _distinct_passage_hashes(df, id_col, text_col, window)
         .groupBy("ph")
         .agg(
-            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_docs"),
             F.min(id_col).alias("keeper"),
         )
         .filter(F.col("n_docs") >= min_docs)
@@ -310,8 +332,9 @@ def strip_repeated_passages(
         "ph", F.md5(F.col("passage"))
     )
     boiler = (
-        p.groupBy("ph")
-        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        _distinct_passage_hashes(df, id_col, text_col, window)
+        .groupBy("ph")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > max_docs)
         .select("ph")
     )
