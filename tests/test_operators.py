@@ -356,3 +356,26 @@ def test_stream_dedup_matches_batch_distinct(spark):
         ).collect()
     }
     assert stream == batch and len(batch) > 0
+
+
+def test_stream_into_store_replay_skips(spark, tmp_path):
+    """Simulated crash-replay: losing the streaming checkpoint makes the
+    source replay from epoch 0, but the manifest's stream_epoch marker
+    (committed atomically with the data) must make the replayed batch a
+    no-op — no duplicate rows."""
+    import shutil
+
+    from shortcut_spark import Store
+    from shortcut_spark.sources import load_fixture
+    from shortcut_spark.streaming import stream_into_store
+    from tests.conftest import SF_DIR
+
+    events = load_fixture(spark, SF_DIR, "events")
+    store = Store.create(spark, str(tmp_path / "ev"), events.schema)
+    n = stream_into_store(spark, f"{SF_DIR}/events.parquet", store)
+    assert n == events.count() and len(store) == n
+
+    shutil.rmtree(f"{store.path}/_streaming/checkpoint")
+    n2 = stream_into_store(spark, f"{SF_DIR}/events.parquet", store)
+    assert n2 == 0, "replayed epoch was re-inserted"
+    assert len(store) == n

@@ -110,3 +110,73 @@ def test_asof_max_matches_bruteforce(spark, left, right):
         for i, (k, ts) in enumerate(left)
     )
     assert got == want
+
+
+# -- passage dedup vs a plain-Python model -----------------------------------
+
+WORDS = ["aa", "bb", "cc", "dd", "ee"]
+doc_st = st.lists(st.sampled_from(WORDS), min_size=0, max_size=10)
+
+
+def _model_passages(toks, window=3):
+    """Disjoint token windows incl. the shorter remainder (mirrors
+    dedup.passage_arrays)."""
+    return [
+        " ".join(toks[i : i + window]) for i in range(0, len(toks), window)
+    ]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(doc_st, min_size=1, max_size=6))
+def test_passage_dups_matches_model(spark, docs):
+    from collections import defaultdict
+
+    from shortcut_spark.operators.dedup import passage_dups
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["ph"]: (r["n_docs"], r["keeper"])
+        for r in passage_dups(df, "doc_id", "text", window=3, min_docs=1).collect()
+    }
+    model = defaultdict(set)
+    for i, toks in enumerate(docs):
+        for p in _model_passages(toks):
+            model[p].add(i)
+    import hashlib
+
+    want = {
+        hashlib.md5(p.encode()).hexdigest(): (len(ids), min(ids))
+        for p, ids in model.items()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(doc_st, min_size=1, max_size=5), data=st.data())
+def test_pii_redact_no_pii_is_identity(spark, docs, data):
+    """Letter-only corpora pass through untouched; an injected email is
+    counted and redacted exactly once per doc."""
+    from shortcut_spark.operators.text import pii_redact
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    inject = data.draw(st.booleans())
+    if inject:
+        rows = [(i, t + f" x{i}@ex.org") for i, t in rows]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_redact(df, "doc_id", "text").collect()}
+    for i, t in rows:
+        r = out[i]
+        assert r["n_urls"] == 0 and r["n_phones"] == 0
+        if inject:
+            assert r["n_emails"] == 1 and r["clean_text"].endswith("<EMAIL>")
+        else:
+            assert r["n_emails"] == 0 and r["clean_text"] == t
