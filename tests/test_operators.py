@@ -379,3 +379,26 @@ def test_stream_into_store_replay_skips(spark, tmp_path):
     n2 = stream_into_store(spark, f"{SF_DIR}/events.parquet", store)
     assert n2 == 0, "replayed epoch was re-inserted"
     assert len(store) == n
+
+
+def test_quantize_embeddings_roundtrip_cosine(spark, emb):
+    """Dequantized vectors must stay ~parallel to the originals (int8
+    symmetric quantization error), and values must sit in [-127, 127]."""
+    import math
+
+    q = similarity.quantize_embeddings(emb).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    rows = q.limit(100).collect()
+    assert len(rows) == 100
+    for r in rows:
+        qs, sc, v = r["qvec"], r["scale"], [float(x) for x in r["embedding"]]
+        assert all(-127 <= x <= 127 for x in qs)
+        if sc == 0:
+            assert all(x == 0 for x in qs)
+            continue
+        deq = [x * sc for x in qs]
+        dot = sum(a * b for a, b in zip(deq, v))
+        na = math.sqrt(sum(a * a for a in deq))
+        nb = math.sqrt(sum(b * b for b in v))
+        assert dot / (na * nb) > 0.999
