@@ -1053,6 +1053,24 @@ def q_embed_knn_join(spark, sf_dir):
     return out.select("q_id", "vec_id", F.round("cosine", 12).alias("cosine"), "rank")
 
 
+def q_events_funnel(spark, sf_dir):
+    """Per-user view -> click -> purchase funnel progression (ordered
+    earliest-at-or-after step times, one shuffle on the user key)."""
+    from shortcut_spark.operators.events import funnel_reach
+
+    return funnel_reach(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+def q_events_retention(spark, sf_dir):
+    """Weekly signup-cohort retention matrix (cohort week x week offset ->
+    active users)."""
+    from shortcut_spark.operators.events import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"), "signup")
+
+
 def q_embed_quantize(spark, sf_dir):
     """Symmetric int8 quantization (similarity.quantize_embeddings): the
     4x ANN memory/bandwidth scale path; emitted as per-vector checksum
@@ -1203,6 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_knn_join": q_embed_knn_join,
         "embed_quantize": q_embed_quantize,
         "events_stream_dedup": q_events_stream_dedup,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
     }
 
 
@@ -1975,6 +1995,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, vec_id, round(cosine, 12) AS cosine, CAST(rn AS BIGINT) AS "rank"
             FROM ranked WHERE rn <= 5""",
         "events_stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+        "events_funnel": f"""
+            WITH base AS (SELECT user_id, ts, event_type FROM events),
+            s0 AS (
+              SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+              FROM base GROUP BY user_id
+            ),
+            s1 AS (
+              SELECT b.user_id,
+                     min(CASE WHEN b.event_type = 'click' AND b.ts >= s0.t0 THEN b.ts END) AS t1
+              FROM base b JOIN s0 USING (user_id) GROUP BY b.user_id
+            ),
+            s2 AS (
+              SELECT b.user_id,
+                     min(CASE WHEN b.event_type = 'purchase' AND b.ts >= s1.t1 THEN b.ts END) AS t2
+              FROM base b JOIN s1 USING (user_id) GROUP BY b.user_id
+            )
+            SELECT s0.user_id,
+                   CAST(CAST(t0 IS NOT NULL AS INT) + CAST(t1 IS NOT NULL AS INT)
+                        + CAST(t2 IS NOT NULL AS INT) AS BIGINT) AS reached,
+                   {_EPOCH.format('t0')} AS t0_epoch,
+                   {_EPOCH.format('t1')} AS t1_epoch,
+                   {_EPOCH.format('t2')} AS t2_epoch
+            FROM s0 JOIN s1 USING (user_id) JOIN s2 USING (user_id)""",
+        "events_retention": """
+            WITH cohort AS (
+              SELECT user_id, min(date_trunc('week', ts)) AS cwk
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ), active AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+            )
+            SELECT CAST(floor(epoch(cwk)) AS BIGINT) AS cohort_epoch,
+                   CAST(floor((epoch(wk) - epoch(cwk)) / 604800) AS BIGINT) AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM active JOIN cohort USING (user_id)
+            WHERE wk >= cwk
+            GROUP BY 1, 2""",
         "embed_quantize": """
             WITH s AS (
               SELECT vec_id, embedding,

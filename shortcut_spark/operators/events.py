@@ -1,0 +1,106 @@
+"""Event-sequence analytics: funnels and cohort retention.
+
+The reference has no event surface (opaque values, ``src/lib.rs:75``);
+these are extension operators in the LLM-pipeline/product-analytics family
+(SURVEY §2.3), built as window/aggregate compositions with exact DuckDB
+twins.
+
+Scale shape (100 TB): both operators shuffle ONCE on the user key. The
+funnel's chained per-step window minimums share a single exchange (same
+unordered partitioning for every step); retention is two aggregates that
+reuse the user-keyed shuffle before the small cohort rollup.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["funnel_reach", "retention_cohorts"]
+
+
+def funnel_reach(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user funnel progression through ordered ``steps``.
+
+    Step i's timestamp is the EARLIEST event of that type at-or-after the
+    user's step-(i-1) timestamp (ties allowed); a user who never performs
+    step i has NULL from there on. One row per user: step epochs plus
+    ``reached`` (how many consecutive steps completed).
+
+    All step minimums are unordered window aggregates over the same user
+    partitioning, so the chain plans as ONE shuffle with stacked window
+    operators — no per-step join round trips.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col)
+    df = events.select(user_col, ts_col, type_col)
+    prev = None
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == s
+        if prev is not None:
+            cond = cond & F.col(prev).isNotNull() & (F.col(ts_col) >= F.col(prev))
+        cur = f"__t{i}"
+        df = df.withColumn(cur, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = cur
+    tcols = [f"__t{i}" for i in range(len(steps))]
+    per_user = df.groupBy(user_col).agg(
+        *[F.min(t).alias(t) for t in tcols]  # per-user constants; min = the value
+    )
+    reached = sum(
+        (F.col(t).isNotNull().cast("int") for t in tcols), F.lit(0)
+    ).cast("long")
+    return per_user.select(
+        F.col(user_col),
+        reached.alias("reached"),
+        *[
+            F.unix_timestamp(F.col(t)).alias(f"t{i}_epoch")
+            for i, t in enumerate(tcols)
+        ],
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    cohort_type: str = "signup",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    ``cohort_type`` event; for each (cohort week, weeks-since) the count of
+    cohort users active that week. Users without a cohort event are
+    excluded; activity before the cohort event doesn't count.
+
+    Two user-keyed aggregates (first cohort event, distinct active weeks)
+    then a small rollup — the shuffles are on user then on the tiny
+    (cohort, offset) key space.
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    cohort = (
+        events.filter(F.col(type_col) == cohort_type)
+        .groupBy(user_col)
+        .agg(F.min(wk).alias("__cohort_wk"))
+    )
+    active = events.select(F.col(user_col), wk.alias("__wk")).distinct()
+    return (
+        active.join(cohort, user_col)
+        .filter(F.col("__wk") >= F.col("__cohort_wk"))
+        .select(
+            F.unix_timestamp("__cohort_wk").alias("cohort_epoch"),
+            F.floor(
+                (F.unix_timestamp("__wk") - F.unix_timestamp("__cohort_wk"))
+                / F.lit(7 * 24 * 3600)
+            ).alias("week_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_epoch", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -402,3 +402,63 @@ def test_quantize_embeddings_roundtrip_cosine(spark, emb):
         na = math.sqrt(sum(a * a for a in deq))
         nb = math.sqrt(sum(b * b for b in v))
         assert dot / (na * nb) > 0.999
+
+
+def test_funnel_reach_ordering_semantics(spark):
+    """Steps must be reached IN ORDER: a purchase before the first view
+    does not count; ties at the same timestamp do."""
+    from shortcut_spark.operators.events import funnel_reach
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:10:00", "purchase"),
+        # u2: purchase BEFORE view -> only step 0 counts
+        (2, "2024-01-01 09:00:00", "purchase"),
+        (2, "2024-01-01 10:00:00", "view"),
+        # u3: click ties with view timestamp -> counts (>=)
+        (3, "2024-01-01 08:00:00", "view"),
+        (3, "2024-01-01 08:00:00", "click"),
+        # u4: never views -> reached 0 even though clicks exist
+        (4, "2024-01-01 07:00:00", "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, event_type string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "event_type"
+    )
+    out = {r["user_id"]: r for r in funnel_reach(df, ["view", "click", "purchase"]).collect()}
+    assert out[1]["reached"] == 3
+    assert out[2]["reached"] == 1 and out[2]["t1_epoch"] is None
+    assert out[3]["reached"] == 2
+    assert out[4]["reached"] == 0 and out[4]["t0_epoch"] is None
+
+
+def test_retention_cohorts_counts(spark):
+    """Pre-cohort activity is excluded; offsets are whole weeks from the
+    cohort Monday."""
+    from shortcut_spark.operators.events import retention_cohorts
+
+    rows = [
+        # u1 signs up week of Mon 2024-01-01, active that week and +2 weeks
+        (1, "2024-01-03 10:00:00", "signup"),
+        (1, "2024-01-17 10:00:00", "click"),
+        # u2 same cohort week, active only in cohort week
+        (2, "2024-01-05 10:00:00", "signup"),
+        # u3: activity BEFORE its signup week must not appear
+        (3, "2023-12-20 10:00:00", "click"),
+        (3, "2024-01-10 10:00:00", "signup"),
+        # u4: never signs up -> excluded entirely
+        (4, "2024-01-02 10:00:00", "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, event_type string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "event_type"
+    )
+    import calendar
+
+    w0 = calendar.timegm((2024, 1, 1, 0, 0, 0))   # Monday of u1/u2 cohort
+    w1 = calendar.timegm((2024, 1, 8, 0, 0, 0))   # Monday of u3 cohort
+    got = {
+        (r["cohort_epoch"], r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(df, "signup").collect()
+    }
+    assert got == {(w0, 0): 2, (w0, 2): 1, (w1, 0): 1}
