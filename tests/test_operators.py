@@ -462,3 +462,25 @@ def test_retention_cohorts_counts(spark):
         for r in retention_cohorts(df, "signup").collect()
     }
     assert got == {(w0, 0): 2, (w0, 2): 1, (w1, 0): 1}
+
+
+def test_full_cascade_composes_lazily(spark, docs):
+    """The complete pre-training cascade — clean_corpus survivors ->
+    passage-level boilerplate strip -> PII redaction — chains as ONE lazy
+    plan (no action until collect) and preserves survivor cardinality."""
+    from shortcut_spark.operators.dedup import strip_repeated_passages
+    from shortcut_spark.operators.pipeline import clean_corpus
+    from shortcut_spark.operators.text import pii_redact
+
+    survivors = clean_corpus(docs)
+    texts = survivors.join(docs.select("doc_id", "text"), "doc_id")
+    stripped = strip_repeated_passages(texts, "doc_id", "text", window=3)
+    final = pii_redact(stripped, "doc_id", "clean_text")
+    # still a plan, not a result: building it must not have run any job
+    assert final.schema.fieldNames() == [
+        "doc_id", "n_urls", "n_emails", "n_phones", "clean_text"
+    ]
+    n_survivors = survivors.count()
+    out = final.collect()
+    assert len(out) == n_survivors > 0
+    assert all(r["n_urls"] == 0 for r in out)  # fixture has no URLs
