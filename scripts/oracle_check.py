@@ -5,7 +5,11 @@ Runs every ``__spark_entry__.queries()`` entry against its
 row count, sorted column names, and an order-insensitive multiset of
 canonicalized values (floats via repr → exact bit equality).
 
-Usage: python scripts/oracle_check.py [sf_dir] [query ...]
+Usage: python scripts/oracle_check.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` builds a plain SparkSession (no engine confs) exactly like
+the grading driver does — the mode that caught the round-1 nanos-timestamp
+fixture bug. Default uses the tuned ``session.get_spark``.
 """
 
 from __future__ import annotations
@@ -95,11 +99,24 @@ def compare(spdf, odf):
 
 def main():
     args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    args = [a for a in args if a != "--vanilla"]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     only = set(args[1:]) if len(args) > 1 else (set(args) - {sf_dir} or None)
 
-    spark = get_spark("oracle-check")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.driver.memory", "16g")
+            .appName("oracle-check-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
         con.execute(

@@ -1,3 +1,3 @@
-from . import dedup, joins, multimodal, similarity, text
+from . import dedup, events, joins, multimodal, pipeline, similarity, text
 
-__all__ = ["dedup", "joins", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "events", "joins", "multimodal", "pipeline", "similarity", "text"]
