@@ -1071,6 +1071,35 @@ def q_events_retention(spark, sf_dir):
     return retention_cohorts(_t(spark, sf_dir, "events"), "signup")
 
 
+def q_text_chunks(spark, sf_dir):
+    """Context-window chunking (text.chunk_documents): 32-token chunks,
+    8-token overlap — the pre-embedding prep step, map-only."""
+    return text.chunk_documents(_t(spark, sf_dir, "documents"), size=32, overlap=8)
+
+
+def q_text_tfidf(spark, sf_dir):
+    """Top-3 characteristic terms per document by smoothed tf-idf."""
+    return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_corpus_mix_sample(spark, sf_dir):
+    """Deterministic stratified data-mixing sample over the source column
+    (operators.sampling): all of src1, half of src2/src3, a quarter of
+    everything else — membership is a pure md5-hash function of doc_id,
+    reproducible on any engine/run/partitioning."""
+    from shortcut_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "source",
+        {"src1": 1.0, "src2": 0.5, "src3": 0.5},
+        default_rate=0.25,
+        seed="mix",
+    )
+    return out.select("doc_id", "source")
+
+
 def q_embed_quantize(spark, sf_dir):
     """Symmetric int8 quantization (similarity.quantize_embeddings): the
     4x ANN memory/bandwidth scale path; emitted as per-vector checksum
@@ -1223,6 +1252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup": q_events_stream_dedup,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "text_chunks": q_text_chunks,
+        "text_tfidf": q_text_tfidf,
+        "corpus_mix_sample": q_corpus_mix_sample,
     }
 
 
@@ -2031,6 +2063,41 @@ def oracle_sql() -> dict[str, str]:
             FROM active JOIN cohort USING (user_id)
             WHERE wk >= cwk
             GROUP BY 1, 2""",
+        "text_chunks": f"""
+            WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+            c AS (
+              SELECT doc_id, i AS chunk_i, t[i*24+1 : i*24+32] AS chunk
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(0, CAST(floor((len(t) - 1) / 24.0) AS INT))) AS i
+                    FROM toks WHERE len(t) > 0)
+            )
+            SELECT doc_id, CAST(chunk_i AS BIGINT) AS chunk_i,
+                   CAST(len(chunk) AS BIGINT) AS n_tokens,
+                   array_to_string(chunk, ' ') AS chunk_text
+            FROM c""",
+        "text_tfidf": f"""
+            WITH terms AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT doc_id, term, tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS s
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+              SELECT doc_id, term, s,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rn
+              FROM scored
+            )
+            SELECT doc_id, term, round(s, 6) AS score, CAST(rn AS BIGINT) AS "rank"
+            FROM ranked WHERE rn <= 3""",
+        "corpus_mix_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE (('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) <
+                  CASE source WHEN 'src1' THEN 10000
+                              WHEN 'src2' THEN 5000
+                              WHEN 'src3' THEN 5000
+                              ELSE 2500 END""",
         "embed_quantize": """
             WITH s AS (
               SELECT vec_id, embedding,

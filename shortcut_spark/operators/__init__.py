@@ -1,3 +1,5 @@
-from . import dedup, events, joins, multimodal, pipeline, similarity, text
+from . import dedup, events, joins, multimodal, pipeline, sampling, similarity, text
 
-__all__ = ["dedup", "events", "joins", "multimodal", "pipeline", "similarity", "text"]
+__all__ = [
+    "dedup", "events", "joins", "multimodal", "pipeline", "sampling", "similarity", "text",
+]

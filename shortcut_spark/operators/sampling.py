@@ -1,0 +1,68 @@
+"""Deterministic sampling for training-data mixing.
+
+A 100 TB corpus is never trained on verbatim: sources are re-weighted
+(books up, web down) by SAMPLING, and the sample must be deterministic —
+re-running the pipeline, or re-computing a lost partition, must keep
+exactly the same rows. So no RNG: membership is a pure function of the
+row key via the md5-derived ``functions.hash32`` (which also makes every
+sample oracle-checkable in DuckDB, unlike Spark's ``TABLESAMPLE``).
+
+Map-only scan stages — the filter pushes no shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import hash32
+
+__all__ = ["hash_sample", "stratified_sample"]
+
+_BUCKETS = 10_000  # rate resolution: 0.01%
+
+
+def _keep(key: Column, rate: float, seed) -> Column:
+    """Deterministic membership: hash the key into 10k buckets, keep the
+    first ``rate`` fraction. hash32 is non-negative (8 hex chars), so
+    pmod == mod."""
+    return F.pmod(hash32(key, seed), F.lit(_BUCKETS)) < F.lit(int(round(rate * _BUCKETS)))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, seed: str | int = "sample"
+) -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows by key hash.
+    Same key + same seed → same verdict on any engine, any run, any
+    partitioning; disjoint seeds give independent samples."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(_keep(F.col(key_col), rate, seed))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    seed: str | int = "mix",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing op: e.g.
+    ``rates={"books": 1.0, "web": 0.25}`` keeps all books and a quarter
+    of web. Strata not listed keep ``default_rate``. One map-only filter;
+    the per-stratum threshold is a CASE over the stratum column, so no
+    join against a rates table is needed.
+    """
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    thresh: Column = F.lit(int(round(default_rate * _BUCKETS)))
+    for s, r in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == s, F.lit(int(round(r * _BUCKETS)))
+        ).otherwise(thresh)
+    return df.filter(F.pmod(hash32(F.col(key_col), seed), F.lit(_BUCKETS)) < thresh)

@@ -29,6 +29,8 @@ __all__ = [
     "fingerprints",
     "pii_redact",
     "PII_PATTERNS",
+    "chunk_documents",
+    "tfidf_top_terms",
 ]
 
 # Dialect-portable patterns (valid and equivalent in Java regex and RE2 /
@@ -202,3 +204,101 @@ def pii_redact(
 def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, fingerprint) — canonical content hash per document."""
     return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Context-window chunking: each document split into token chunks of
+    ``size`` with ``overlap`` tokens carried between consecutive chunks
+    (stride = size - overlap) — the pre-embedding / pre-training prep
+    step. Map-only (one tokenization + ``transform`` over chunk starts +
+    explode), so at 100 TB it is a pure scan stage; the output carries
+    (chunk index, token count) so downstream packing can budget without
+    re-tokenizing.
+
+    Chunks start at 0, stride, 2*stride, ... while start < n_tokens;
+    empty documents produce no chunks.
+
+    Output: (id, chunk_i, n_tokens, chunk_text).
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got size={size} overlap={overlap}")
+    stride = size - overlap
+    t = tokens(F.lower(F.col(text_col)))
+    n_chunks = (F.floor((F.size(F.col("__toks")) - 1) / F.lit(stride)) + 1).cast("int")
+    chunks = F.when(
+        F.size(F.col("__toks")) > 0,
+        F.expr(
+            f"transform(sequence(0, __nc - 1), i -> slice(__toks, i * {stride} + 1, {size}))"
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    return (
+        df.select(F.col(id_col), t.alias("__toks"))
+        .withColumn("__nc", n_chunks)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_i", "__chunk"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_i").cast("long").alias("chunk_i"),
+            F.size("__chunk").cast("long").alias("n_tokens"),
+            F.array_join(F.col("__chunk"), " ").alias("chunk_text"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf
+    (idf = ln((N+1)/(df+1)) + 1, the smoothed scikit-style variant).
+
+    Shuffle shape: one explode+groupBy for per-doc term counts, one
+    term-keyed aggregate for document frequencies (its result is ~vocab
+    sized — broadcast back), then a per-doc window for the top-k. The
+    wide data (terms × docs) shuffles once; the df table is the only
+    second aggregate and it is tiny.
+
+    Output: (id, term, score, rank) — score rounded to 6 for
+    engine-stable comparison, ties broken by term.
+    """
+    from pyspark.sql import Window as W
+
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            (
+                F.col("tf")
+                * (
+                    F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                )
+            ).alias("__score"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("__score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            "term",
+            F.round("__score", 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

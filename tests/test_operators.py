@@ -484,3 +484,62 @@ def test_full_cascade_composes_lazily(spark, docs):
     out = final.collect()
     assert len(out) == n_survivors > 0
     assert all(r["n_urls"] == 0 for r in out)  # fixture has no URLs
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    """Chunks tile the token stream with the configured overlap; stitching
+    them back (dropping each chunk's overlap prefix) reproduces the doc."""
+    from shortcut_spark.operators.text import chunk_documents
+
+    toks = [f"w{i}" for i in range(23)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "short doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, size=10, overlap=4)  # stride 6
+    rows = sorted(
+        [(r["doc_id"], r["chunk_i"], r["chunk_text"].split()) for r in out.collect()]
+    )
+    d1 = [c for d, _, c in rows if d == 1]
+    assert len(d1) == 4  # ceil((23-1)/6)+... starts at 0,6,12,18
+    assert all(len(c) <= 10 for c in d1)
+    for a, b in zip(d1, d1[1:]):
+        assert a[6:] == b[: len(a[6:])]  # overlap region agrees
+    stitched = d1[0] + [w for c in d1[1:] for w in c[4:]]
+    assert stitched == toks
+    assert [c for d, _, c in rows if d == 2] == [["short", "doc"]]
+    assert not [c for d, _, c in rows if d == 3]  # empty doc -> no chunks
+
+
+def test_stratified_sample_deterministic_and_exact_strata(spark, docs):
+    from shortcut_spark.operators.sampling import hash_sample, stratified_sample
+
+    full = stratified_sample(docs, "doc_id", "source", {"src1": 1.0}, default_rate=0.0)
+    assert sorted(r["doc_id"] for r in full.collect()) == sorted(
+        r["doc_id"] for r in docs.filter(F.col("source") == "src1").collect()
+    )
+    s1 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3).collect()}
+    assert s1 == s2 and 0 < len(s1) < docs.count()
+    # nested rates: a 0.1 sample is a subset of the 0.3 sample (same seed)
+    s_small = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1).collect()}
+    assert s_small <= s1
+    with pytest.raises(ValueError):
+        hash_sample(docs, "doc_id", 1.5)
+
+
+def test_tfidf_rare_term_outscores_common(spark):
+    from shortcut_spark.operators.text import tfidf_top_terms
+
+    rows = [
+        (1, "common zebra"),
+        (2, "common words here"),
+        (3, "common words there"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = {
+        r["doc_id"]: r["term"]
+        for r in tfidf_top_terms(df, k=1).collect()
+    }
+    # at equal tf, 'zebra' (df=1) outscores 'common' (df=3)
+    assert top[1] == "zebra"
