@@ -1100,6 +1100,15 @@ def q_corpus_mix_sample(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS (dedup.dup_clusters): SimHash pairs → distributed
+    connected components (min-label propagation + pointer jumping,
+    graph.connected_components) → every doc labeled with its cluster
+    representative, cluster size, and survivor flag. The oracle twin is a
+    DuckDB recursive-CTE transitive closure over the same pair set."""
+    return dedup.dup_clusters(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def q_embed_quantize(spark, sf_dir):
     """Symmetric int8 quantization (similarity.quantize_embeddings): the
     4x ANN memory/bandwidth scale path; emitted as per-vector checksum
@@ -1255,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "text_tfidf": q_text_tfidf,
         "corpus_mix_sample": q_corpus_mix_sample,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -2098,6 +2108,40 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'src2' THEN 5000
                               WHEN 'src3' THEN 5000
                               ELSE 2500 END""",
+        "dedup_clusters": f"""
+            WITH RECURSIVE toks AS (
+              SELECT DISTINCT doc_id, unnest({toks}) AS tok FROM documents
+            ), h AS (
+              SELECT doc_id, {_H32(0, 'tok')} AS h FROM toks
+            ), bits AS (
+              SELECT doc_id,
+               {simhash_bits}
+              FROM h GROUP BY doc_id
+            ), sims AS (
+              SELECT doc_id, {simhash_fp} AS sh FROM bits
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sh, b.sh)) <= 3
+            ), edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION
+              SELECT id_b AS s, id_a AS d FROM pairs
+            ), reach(node, lbl) AS (
+              SELECT s, s FROM edges
+              UNION
+              SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.node = e.d
+            ), comp AS (
+              SELECT node, min(lbl) AS component FROM reach GROUP BY node
+            ), lab AS (
+              SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_rep
+              FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+            ), sizes AS (
+              SELECT cluster_rep, count(*) AS cluster_size FROM lab GROUP BY 1
+            )
+            SELECT l.doc_id, l.cluster_rep, s.cluster_size,
+                   l.doc_id = l.cluster_rep AS keep
+            FROM lab l JOIN sizes s USING (cluster_rep)""",
         "embed_quantize": """
             WITH s AS (
               SELECT vec_id, embedding,

@@ -1,5 +1,6 @@
-from . import dedup, events, joins, multimodal, pipeline, sampling, similarity, text
+from . import dedup, events, graph, joins, multimodal, pipeline, sampling, similarity, text
 
 __all__ = [
-    "dedup", "events", "joins", "multimodal", "pipeline", "sampling", "similarity", "text",
+    "dedup", "events", "graph", "joins", "multimodal", "pipeline", "sampling",
+    "similarity", "text",
 ]

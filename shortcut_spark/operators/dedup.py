@@ -44,6 +44,7 @@ __all__ = [
     "passage_arrays",
     "passage_dups",
     "strip_repeated_passages",
+    "dup_clusters",
 ]
 
 
@@ -435,4 +436,40 @@ def simhash_near_dups(
         cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def dup_clusters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup CLUSTERS — the end-game of pairwise dedup: SimHash pairs →
+    connected components (transitive closure, so A~B~C is ONE cluster) →
+    every document labeled with its cluster representative (min id in the
+    component), the cluster size, and a keep flag (the representative is
+    the survivor; ``filter(keep)`` is the dedup).
+
+    Shuffle shape: the pair join from ``simhash_near_dups``, then
+    O(log diameter) label-propagation rounds of one join + one groupBy
+    each (see ``graph.connected_components``), then one size rollup on the
+    cluster key. Singleton documents never enter the component loop — they
+    rejoin at the end via a left join.
+    """
+    from .graph import connected_components
+
+    pairs = simhash_near_dups(df, id_col, text_col, max_hamming).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    lab = (
+        df.select(F.col(id_col))
+        .join(comp.select(F.col("node").alias(id_col), F.col("component")), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_rep"),
+        )
+    )
+    sizes = lab.groupBy("cluster_rep").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return lab.join(sizes, "cluster_rep").select(
+        F.col(id_col),
+        "cluster_rep",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_rep")).alias("keep"),
     )

@@ -543,3 +543,42 @@ def test_tfidf_rare_term_outscores_common(spark):
     }
     # at equal tf, 'zebra' (df=1) outscores 'common' (df=3)
     assert top[1] == "zebra"
+
+
+def test_connected_components_path_and_islands(spark):
+    """A 6-node path (worst-case diameter), a triangle, and an isolated
+    pair: min-label + pointer-jumping must converge to the component min
+    for every node."""
+    from shortcut_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),  # path
+         (10, 11), (11, 12), (12, 10),            # triangle
+         (20, 21)],                               # pair
+        "src long, dst long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dup_clusters_transitive_and_singletons(spark, docs):
+    """Cluster labels are transitive over simhash pairs; every doc gets a
+    row; exactly one keeper per cluster; sizes add up to the doc count."""
+    from shortcut_spark.operators.dedup import dup_clusters, simhash_near_dups
+
+    rows = dup_clusters(docs, "doc_id", "text").collect()
+    assert len(rows) == docs.count()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_rep"], []).append(r)
+    for rep, members in by_cluster.items():
+        assert {m["cluster_size"] for m in members} == {len(members)}
+        assert sum(m["keep"] for m in members) == 1
+        assert min(m["doc_id"] for m in members) == rep
+    # transitivity: both endpoints of every near-dup pair share a cluster
+    lab = {r["doc_id"]: r["cluster_rep"] for r in rows}
+    pairs = simhash_near_dups(docs, "doc_id", "text").collect()
+    assert pairs  # fixture has near-dups
+    for p in pairs:
+        assert lab[p["id_a"]] == lab[p["id_b"]]
