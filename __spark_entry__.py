@@ -427,6 +427,151 @@ def q22_idle_rich(spark, sf_dir):
     )
 
 
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5: revenue per nation in one region/year where the customer
+    and supplier share a nation. 6-way join; region/nation/supplier ride
+    as broadcasts, the fact-side joins shuffle once on the order key."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"))
+    )
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape adapted to the fixture (no partsupp → no supplycost
+    term): profit per (supplier nation, order year) over parts whose name
+    contains 'widget'."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "sum_profit"))
+    )
+
+
+def q12_late_lines(spark, sf_dir):
+    """TPC-H Q12 shape adapted (fixture has no shipmode/commit/receipt
+    dates): lines bucketed by lateness (shipped >30 days after the order
+    date, exact epoch arithmetic), conditional counts of high- vs
+    low-priority orders per bucket."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = (
+        F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate")
+    ) > 30 * 86400
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.when(late, "LATE").otherwise("ONTIME").alias("ship_bucket"), high.alias("h"))
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(F.col("h"), 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(F.col("h"), 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def q13_order_histogram(spark, sf_dir):
+    """TPC-H Q13: distribution of customers by order count. The LEFT join
+    keeps zero-order customers; one priority class is excluded as the
+    stand-in for the comment NOT-LIKE filter."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: per-supplier revenue over one quarter; emit the
+    supplier(s) whose revenue equals the max (scalar subquery → broadcast
+    join on the 1-row max, not a sort)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17: revenue that would vanish without small-quantity orders —
+    lineitems below 20% of their part's average quantity for one brand;
+    avg_yearly = sum(price)/7. The correlated per-part AVG decorrelates
+    into one aggregate + a broadcast-back join."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = _t(spark, sf_dir, "lineitem")
+    lp = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = lp.groupBy("l_partkey").agg(davg("l_quantity", "__avg_qty"))
+    return (
+        lp.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("__avg_qty"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+def q21_sole_supplier(spark, sf_dir):
+    """TPC-H Q21 shape adapted (no receipt/commit dates): suppliers who
+    were the ONLY supplier on a multi-line finished order — the
+    double-correlated EXISTS (another line on the order) / NOT EXISTS (a
+    line from another supplier) decorrelated into per-order count
+    aggregates sharing one shuffle."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("__n_supp"),
+            F.count(F.lit(1)).alias("__n_lines"),
+            F.min("l_suppkey").alias("__sole"),
+        )
+        .filter((F.col("__n_supp") == 1) & (F.col("__n_lines") > 1))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        per_order.join(F.broadcast(s), F.col("__sole") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )
+
+
 def q16_supplier_cnt(spark, sf_dir):
     """TPC-H Q16 shape: NOT LIKE + IN-list filters, NOT IN subquery
     (suppliers with negative balance), count-distinct per group. lineitem's
@@ -1265,6 +1410,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": q_text_tfidf,
         "corpus_mix_sample": q_corpus_mix_sample,
         "dedup_clusters": q_dedup_clusters,
+        "q5_local_supplier": q5_local_supplier,
+        "q9_product_profit": q9_product_profit,
+        "q12_late_lines": q12_late_lines,
+        "q13_order_histogram": q13_order_histogram,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q21_sole_supplier": q21_sole_supplier,
     }
 
 
@@ -1789,6 +1941,79 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10.0 AND 20.0)
                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20.0 AND 30.0)""",
+        "q5_local_supplier": f"""
+            SELECT n_name, {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+            GROUP BY n_name""",
+        "q9_product_profit": f"""
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2""",
+        "q12_late_lines": """
+            SELECT CASE WHEN epoch(l_shipdate) - epoch(o_orderdate) > 30*86400
+                        THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1""",
+        "q13_order_histogram": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+              GROUP BY c_custkey
+            )
+            GROUP BY c_count""",
+        "q15_top_supplier": f"""
+            WITH rev AS (
+              SELECT l_suppkey, {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+        "q17_small_qty_revenue": f"""
+            WITH lp AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#23'
+            ), avgq AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS __avg_qty
+              FROM lp GROUP BY l_partkey
+            )
+            SELECT {_DSUM('l_extendedprice')} / 7.0 AS avg_yearly
+            FROM lp JOIN avgq USING (l_partkey)
+            WHERE l_quantity < 0.2 * __avg_qty""",
+        "q21_sole_supplier": """
+            WITH per_order AS (
+              SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+                     count(*) AS n_lines, min(l_suppkey) AS sole
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+              GROUP BY l_orderkey
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM per_order JOIN supplier ON sole = s_suppkey
+            WHERE n_supp = 1 AND n_lines > 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 100""",
         "q22_idle_rich": f"""
             SELECT c_nationkey, count(*) AS n_cust, {_DSUM('c_acctbal')} AS total_bal
             FROM customer
