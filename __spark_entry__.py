@@ -1245,6 +1245,36 @@ def q_corpus_mix_sample(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_events_gapfill(spark, sf_dir):
+    """Hypertable-style time_bucket_gapfill + LOCF (events.gapfill_locf):
+    dense hourly spine per event type, zero-filled counts, sums carried
+    forward through gaps."""
+    from shortcut_spark.operators.events import gapfill_locf
+
+    return gapfill_locf(_t(spark, sf_dir, "events"))
+
+
+def q_events_heavy_hitters(spark, sf_dir):
+    """Exact frequency heavy hitters (sketch.heavy_hitters): users with
+    >0.1% of all events. Output bounded by 1/support at any scale."""
+    from shortcut_spark.operators.sketch import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "events"), "user_id", support=0.001)
+
+
+def q_stats_approx_sketch(spark, sf_dir):
+    """Approximate sketch tier (sketch.approx_distinct/approx_quantiles):
+    HLL++ distinct users and GK value quantiles per event type. No SQL
+    oracle by design — approximation is engine-specific; error bounds vs
+    the exact twins are pinned by pytest property tests."""
+    from shortcut_spark.operators.sketch import approx_distinct, approx_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    d = approx_distinct(ev, ["event_type"], "user_id")
+    q = approx_quantiles(ev, ["event_type"], "value")
+    return d.join(q, "event_type")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS (dedup.dup_clusters): SimHash pairs → distributed
     connected components (min-label propagation + pointer jumping,
@@ -1410,6 +1440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": q_text_tfidf,
         "corpus_mix_sample": q_corpus_mix_sample,
         "dedup_clusters": q_dedup_clusters,
+        "events_gapfill": q_events_gapfill,
+        "events_heavy_hitters": q_events_heavy_hitters,
+        "stats_approx_sketch": q_stats_approx_sketch,
         "q5_local_supplier": q5_local_supplier,
         "q9_product_profit": q9_product_profit,
         "q12_late_lines": q12_late_lines,
@@ -2333,6 +2366,32 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'src2' THEN 5000
                               WHEN 'src3' THEN 5000
                               ELSE 2500 END""",
+        "events_heavy_hitters": """
+            WITH t AS (SELECT count(*) AS total FROM events),
+            g AS (SELECT user_id AS value, count(*) AS cnt FROM events GROUP BY 1)
+            SELECT value, cnt, round(CAST(cnt AS DOUBLE) / total, 8) AS frac
+            FROM g CROSS JOIN t
+            WHERE cnt > total * 0.001""",
+        "events_gapfill": f"""
+            WITH base AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_epoch,
+                     count(*) AS n_events, {_DSUM('value')} AS sum_value
+              FROM events GROUP BY 1, 2
+            ), span AS (
+              SELECT event_type, min(bucket_epoch) AS mn, max(bucket_epoch) AS mx
+              FROM base GROUP BY 1
+            ), spine AS (
+              SELECT event_type, unnest(generate_series(mn, mx, 3600)) AS bucket_epoch
+              FROM span
+            )
+            SELECT s.event_type, s.bucket_epoch,
+                   coalesce(b.n_events, 0) AS n_events,
+                   b.sum_value,
+                   last_value(b.sum_value IGNORE NULLS) OVER (
+                     PARTITION BY s.event_type ORDER BY s.bucket_epoch
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum_value
+            FROM spine s LEFT JOIN base b USING (event_type, bucket_epoch)""",
         "dedup_clusters": f"""
             WITH RECURSIVE toks AS (
               SELECT DISTINCT doc_id, unnest({toks}) AS tok FROM documents

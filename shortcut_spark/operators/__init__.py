@@ -1,6 +1,8 @@
-from . import dedup, events, graph, joins, multimodal, pipeline, sampling, similarity, text
+from . import (
+    dedup, events, graph, joins, multimodal, pipeline, sampling, similarity, sketch, text,
+)
 
 __all__ = [
     "dedup", "events", "graph", "joins", "multimodal", "pipeline", "sampling",
-    "similarity", "text",
+    "similarity", "sketch", "text",
 ]

@@ -582,3 +582,52 @@ def test_dup_clusters_transitive_and_singletons(spark, docs):
     assert pairs  # fixture has near-dups
     for p in pairs:
         assert lab[p["id_a"]] == lab[p["id_b"]]
+
+
+def test_gapfill_locf_fills_gaps_and_carries(spark):
+    """Planted 3-hour gap: spine is dense, gap buckets have n_events=0,
+    null sum, and the LOCF column carries the last real sum forward."""
+    from shortcut_spark.operators.events import gapfill_locf
+
+    base = 1_700_000_000 - (1_700_000_000 % 3600)
+    rows = [
+        (1, base + 10, "click", 1.0),
+        (2, base + 20, "click", 2.0),
+        (3, base + 4 * 3600 + 5, "click", 7.0),   # 3 empty hours between
+        (4, base + 100, "view", 5.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, es long, event_type string, value double") \
+        .select("event_id", F.col("es").cast("timestamp").alias("ts"), "event_type", "value")
+    out = {(r["event_type"], r["bucket_epoch"]): r for r in gapfill_locf(ev).collect()}
+    clicks = sorted(k[1] for k in out if k[0] == "click")
+    assert clicks == [base + i * 3600 for i in range(5)]  # dense spine
+    assert out[("click", base)]["n_events"] == 2
+    for i in (1, 2, 3):
+        gap = out[("click", base + i * 3600)]
+        assert gap["n_events"] == 0 and gap["sum_value"] is None
+        assert gap["locf_sum_value"] == 3.0  # carried from hour 0
+    assert out[("click", base + 4 * 3600)]["locf_sum_value"] == 7.0
+    assert [k[1] for k in out if k[0] == "view"] == [base]  # single-bucket key
+
+
+def test_sketch_bounds_vs_exact(spark):
+    """HLL++ distinct within 3*rsd of exact; GK quantile within rank error;
+    heavy hitters exactly the values above support."""
+    from shortcut_spark.operators.sketch import approx_distinct, approx_quantiles, heavy_hitters
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 977).alias("u"),            # 977 distinct
+        (F.col("id") % 100).cast("double").alias("v"),
+        F.when(F.col("id") % 10 == 0, "hot").otherwise(F.concat(F.lit("c"), F.col("id"))).alias("cat"),
+        F.lit("g").alias("grp"),
+    )
+    ad = approx_distinct(df, ["grp"], "u", rsd=0.05).collect()[0]
+    assert ad["n_rows"] == n
+    assert abs(ad["approx_distinct"] - 977) <= 3 * 0.05 * 977
+    q = approx_quantiles(df, ["grp"], "v", probs=(0.5,), accuracy=10_000).collect()[0]
+    assert abs(q["q_0_5"] - 49.0) <= 2.0  # rank err 1/10000 of 20k rows ≈ 2 ranks
+    hh = heavy_hitters(df, "cat", support=0.05).collect()
+    assert [r["value"] for r in hh] == ["hot"] and hh[0]["cnt"] == n // 10
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "cat", support=1.5)
