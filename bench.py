@@ -73,6 +73,13 @@ HEADLINE = [
     ("embed_quantize", "count"),
     ("events_funnel", "count"),
     ("events_retention", "collect"),
+    ("dedup_clusters", "count"),
+    ("events_gapfill", "count"),
+    ("events_heavy_hitters", "collect"),
+    ("text_tfidf", "count"),
+    ("corpus_mix_sample", "count"),
+    ("q5_local_supplier", "collect"),
+    ("q21_sole_supplier", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -261,9 +261,13 @@ def tfidf_top_terms(
 
     Shuffle shape: one explode+groupBy for per-doc term counts, one
     term-keyed aggregate for document frequencies (its result is ~vocab
-    sized — broadcast back), then a per-doc window for the top-k. The
-    wide data (terms × docs) shuffles once; the df table is the only
-    second aggregate and it is tiny.
+    sized — broadcast back), then a per-doc window for the top-k; Spark
+    plans the rank<=k filter as WindowGroupLimit (partial top-k before
+    the exchange). Note the (doc, term) aggregate is computed twice —
+    column pruning gives the doc-frequency branch a narrower subtree
+    than the tf branch, so ReuseExchange can't match them; two pruned
+    map-only scans beat materializing the corpus-wide term table, and
+    callers who disagree can `.persist()` the input.
 
     Output: (id, term, score, rank) — score rounded to 6 for
     engine-stable comparison, ties broken by term.
