@@ -1227,6 +1227,15 @@ def q_text_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q_text_pack(spark, sf_dir):
+    """Greedy sequence packing (text.pack_chunks): 8-token chunks (2
+    overlap) packed into 20-token training sequences — a per-doc
+    sequential fold distributed across documents; the oracle twin is a
+    DuckDB recursive CTE stepping chunk-by-chunk."""
+    chunks = text.chunk_documents(_t(spark, sf_dir, "documents"), size=8, overlap=2)
+    return text.pack_chunks(chunks.select("doc_id", "chunk_i", "n_tokens"), budget=20)
+
+
 def q_corpus_mix_sample(spark, sf_dir):
     """Deterministic stratified data-mixing sample over the source column
     (operators.sampling): all of src1, half of src2/src3, a quarter of
@@ -1438,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "text_chunks": q_text_chunks,
         "text_tfidf": q_text_tfidf,
+        "text_pack": q_text_pack,
         "corpus_mix_sample": q_corpus_mix_sample,
         "dedup_clusters": q_dedup_clusters,
         "events_gapfill": q_events_gapfill,
@@ -2359,6 +2369,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, round(s, 6) AS score, CAST(rn AS BIGINT) AS "rank"
             FROM ranked WHERE rn <= 3""",
+        "text_pack": f"""
+            WITH RECURSIVE toks AS (SELECT doc_id, {toks} AS t FROM documents),
+            c AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS chunk_i,
+                     CAST(len(t[i*6+1 : i*6+8]) AS BIGINT) AS n_tokens
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(0, CAST(floor((len(t) - 1) / 6.0) AS INT))) AS i
+                    FROM toks WHERE len(t) > 0)
+            ),
+            ord AS (
+              SELECT doc_id, chunk_i, n_tokens,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY chunk_i) AS rn
+              FROM c
+            ),
+            pack(doc_id, rn, chunk_i, n_tokens, seq_i, used) AS (
+              SELECT doc_id, rn, chunk_i, n_tokens, CAST(0 AS BIGINT), n_tokens
+              FROM ord WHERE rn = 1
+              UNION ALL
+              SELECT o.doc_id, o.rn, o.chunk_i, o.n_tokens,
+                     CASE WHEN p.used + o.n_tokens > 20 THEN p.seq_i + 1 ELSE p.seq_i END,
+                     CASE WHEN p.used + o.n_tokens > 20 THEN o.n_tokens ELSE p.used + o.n_tokens END
+              FROM ord o JOIN pack p ON o.doc_id = p.doc_id AND o.rn = p.rn + 1
+            )
+            SELECT doc_id, chunk_i, n_tokens, seq_i FROM pack""",
         "corpus_mix_sample": """
             SELECT doc_id, source FROM documents
             WHERE (('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) <

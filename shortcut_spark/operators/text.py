@@ -31,6 +31,7 @@ __all__ = [
     "PII_PATTERNS",
     "chunk_documents",
     "tfidf_top_terms",
+    "pack_chunks",
 ]
 
 # Dialect-portable patterns (valid and equivalent in Java regex and RE2 /
@@ -304,5 +305,66 @@ def tfidf_top_terms(
             "term",
             F.round("__score", 6).alias("score"),
             F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    chunk_i_col: str = "chunk_i",
+    n_tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy sequence packing: assign each document's chunks (in chunk
+    order) to training sequences of at most ``budget`` tokens — a chunk
+    that would overflow the open sequence starts the next one. The
+    classic pre-training batch-prep step after :func:`chunk_documents`.
+
+    Greedy packing is a sequential fold, which does NOT distribute across
+    rows — but it distributes perfectly across documents: one shuffle
+    groups each doc's (chunk_i, n_tokens) pairs, and the fold itself is a
+    pure ``aggregate`` higher-order function over the sorted in-row array
+    (documents are bounded; corpora are not). Chunks longer than the
+    budget get a sequence of their own.
+
+    Output: (id, chunk_i, n_tokens, seq_i) — seq_i counts from 0 per doc.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    per_doc = (
+        chunks.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(chunk_i_col), F.col(n_tokens_col)))
+            ).alias("__cs")
+        )
+    )
+    # fold state: (seq of current chunk, used tokens in it, emitted seq ids)
+    packed = F.expr(
+        f"""aggregate(
+              __cs,
+              named_struct('seq', CAST(0 AS BIGINT), 'used', CAST(0 AS BIGINT),
+                           'out', CAST(array() AS ARRAY<BIGINT>)),
+              (acc, c) -> CASE
+                WHEN acc.used > 0 AND acc.used + c.{n_tokens_col} > {budget}
+                  THEN named_struct('seq', acc.seq + 1, 'used', CAST(c.{n_tokens_col} AS BIGINT),
+                                    'out', array_append(acc.out, acc.seq + 1))
+                ELSE named_struct('seq', acc.seq, 'used', acc.used + c.{n_tokens_col},
+                                  'out', array_append(acc.out, acc.seq))
+              END,
+              acc -> acc.out)"""
+    )
+    return (
+        per_doc.select(F.col(id_col), F.col("__cs"), packed.alias("__seq"))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.arrays_zip("__cs", "__seq")).alias("__p", "__z"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(f"__z.__cs.{chunk_i_col}").alias(chunk_i_col),
+            F.col(f"__z.__cs.{n_tokens_col}").alias(n_tokens_col),
+            F.col("__z.__seq").alias("seq_i"),
         )
     )

@@ -631,3 +631,36 @@ def test_sketch_bounds_vs_exact(spark):
     assert [r["value"] for r in hh] == ["hot"] and hh[0]["cnt"] == n // 10
     with pytest.raises(ValueError):
         heavy_hitters(df, "cat", support=1.5)
+
+
+def test_pack_chunks_greedy_semantics(spark):
+    """Known chunk sizes, budget 25: greedy fill, overflow opens a new
+    sequence, an oversized chunk gets a sequence of its own."""
+    from shortcut_spark.operators.text import pack_chunks
+
+    rows = [
+        (1, 0, 10), (1, 1, 10), (1, 2, 10), (1, 3, 5),   # -> 0,0,1,1
+        (2, 0, 40), (2, 1, 10),                          # oversize head -> 0,1
+        (3, 0, 25),                                      # exactly budget -> 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_i long, n_tokens long")
+    out = {(r["doc_id"], r["chunk_i"]): r["seq_i"] for r in pack_chunks(df, budget=25).collect()}
+    assert out == {(1, 0): 0, (1, 1): 0, (1, 2): 1, (1, 3): 1,
+                   (2, 0): 0, (2, 1): 1, (3, 0): 0}
+    with pytest.raises(ValueError):
+        pack_chunks(df, budget=0)
+
+
+def test_pack_chunks_respects_budget_on_fixture(spark, docs):
+    """On the real fixture: per-(doc, seq) token totals never exceed the
+    budget unless the sequence is a single oversized chunk."""
+    from shortcut_spark.operators.text import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(docs, size=8, overlap=2)
+    packed = pack_chunks(chunks.select("doc_id", "chunk_i", "n_tokens"), budget=20)
+    agg = packed.groupBy("doc_id", "seq_i").agg(
+        F.sum("n_tokens").alias("tot"), F.count("*").alias("n")
+    ).collect()
+    assert agg
+    for r in agg:
+        assert r["tot"] <= 20 or r["n"] == 1
