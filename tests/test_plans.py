@@ -139,3 +139,27 @@ def test_bucketed_join_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_od_bucketed")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned layout: a filter on the partition column must
+    land in PartitionFilters (directory pruning — zero IO for excluded
+    partitions), not in the data filters."""
+    from shortcut_spark.sources import load_fixture, write
+
+    path = str(tmp_path / "orders_by_status")
+    write(
+        load_fixture(spark, SF_DIR, "orders"),
+        "parquet",
+        path,
+        partition_by=["o_orderstatus"],
+    )
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = fmt_plan(back)
+    assert re.search(r"PartitionFilters: \[.*o_orderstatus.*F", plan)
+    # fully answered by directory pruning: no row-level Filter operator
+    # remains in the plan (PushedFilters is empty or omitted entirely)
+    assert not re.search(r"\(\d+\) Filter", plan)
+    # and the pruned read returns exactly the F rows
+    expected = load_fixture(spark, SF_DIR, "orders").filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == expected
