@@ -1227,6 +1227,12 @@ def q_text_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q_text_logprob(spark, sf_dir):
+    """Corpus-unigram mean token log-prob per document
+    (text.unigram_logprob) — the perplexity-style quality signal."""
+    return text.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_text_pack(spark, sf_dir):
     """Greedy sequence packing (text.pack_chunks): 8-token chunks (2
     overlap) packed into 20-token training sequences — a per-doc
@@ -1448,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "text_tfidf": q_text_tfidf,
         "text_pack": q_text_pack,
+        "text_logprob": q_text_logprob,
         "corpus_mix_sample": q_corpus_mix_sample,
         "dedup_clusters": q_dedup_clusters,
         "events_gapfill": q_events_gapfill,
@@ -2369,6 +2376,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, round(s, 6) AS score, CAST(rn AS BIGINT) AS "rank"
             FROM ranked WHERE rn <= 3""",
+        "text_logprob": f"""
+            WITH terms AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+            doc_tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+            lm AS (SELECT term, count(*) AS cnt FROM terms GROUP BY 1),
+            totals AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(*) AS v FROM lm)
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   round(CAST(SUM(CAST(tf * ln((cnt + 1.0) / (n + v)) AS DECIMAL(28,14))) AS DOUBLE) / SUM(tf), 6) AS logprob
+            FROM doc_tf JOIN lm USING (term) CROSS JOIN totals
+            GROUP BY doc_id""",
         "text_pack": f"""
             WITH RECURSIVE toks AS (SELECT doc_id, {toks} AS t FROM documents),
             c AS (

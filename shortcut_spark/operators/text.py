@@ -32,6 +32,7 @@ __all__ = [
     "chunk_documents",
     "tfidf_top_terms",
     "pack_chunks",
+    "unigram_logprob",
 ]
 
 # Dialect-portable patterns (valid and equivalent in Java regex and RE2 /
@@ -366,5 +367,58 @@ def pack_chunks(
             F.col(f"__z.__cs.{chunk_i_col}").alias(chunk_i_col),
             F.col(f"__z.__cs.{n_tokens_col}").alias(n_tokens_col),
             F.col("__z.__seq").alias("seq_i"),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    add-one-smoothed unigram LM — the cheapest perplexity-style quality
+    signal (boilerplate and in-distribution text score high; junk, rare-
+    token soup and other-language text score low).
+
+    p(tok) = (count(tok) + 1) / (N + V); score = mean over the document's
+    tokens of ln p(tok).
+
+    Shuffle shape: one (doc, term) count shuffle for the per-doc side, one
+    term-keyed count for the LM table (~vocab-sized, broadcast back), and
+    the scalar (N, V) rides a 1-row cross join. The corpus shuffles once.
+
+    Output: (id, n_tokens, logprob) — logprob rounded to 6 for
+    engine-stable comparison.
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    doc_tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    lm = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = lm.agg(
+        F.sum("cnt").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    return (
+        doc_tf.join(F.broadcast(lm), "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            # decimal detour for the weighted-logprob sum: double summation
+            # is order-sensitive and the reduce order differs per engine
+            F.round(
+                (
+                    F.sum(
+                        (
+                            F.col("tf")
+                            * F.log(
+                                (F.col("cnt") + F.lit(1.0))
+                                / (F.col("__n") + F.col("__v"))
+                            )
+                        ).cast("decimal(28,14)")
+                    ).cast("double")
+                    / F.sum("tf")
+                ),
+                6,
+            ).alias("logprob"),
         )
     )

@@ -664,3 +664,17 @@ def test_pack_chunks_respects_budget_on_fixture(spark, docs):
     assert agg
     for r in agg:
         assert r["tot"] <= 20 or r["n"] == 1
+
+
+def test_unigram_logprob_ranks_indistribution_text_higher(spark):
+    """A doc made of corpus-common tokens must outscore a doc of hapaxes;
+    probabilities are add-one smoothed (never zero/−inf)."""
+    from shortcut_spark.operators.text import unigram_logprob
+
+    rows = [(i, "the cat sat on the mat") for i in range(1, 9)]
+    rows += [(9, "the cat sat"), (10, "zyx qwv jkl")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert got[9]["logprob"] > got[10]["logprob"]
+    assert all(r["logprob"] < 0 for r in got.values())
+    assert got[10]["n_tokens"] == 3
