@@ -1260,6 +1260,31 @@ def q_corpus_mix_sample(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_store_explain(spark, sf_dir):
+    """O19 Display parity + O4 access-path selection as DATA: the
+    condition Display strings (reference `"[0] = a"` shape,
+    src/cmp.rs:79-100) and the chosen access path for each predicate
+    shape — point/hash, partial AND, col=col (never indexed,
+    src/cmp.rs:12-14), btree range, empty (full scan). The file-pruning
+    suffix is layout-dependent and stripped; everything kept is a pure
+    function of the predicate language and the (deterministic) index
+    stats, so the oracle is a literal VALUES table."""
+    from shortcut_spark import Bound
+
+    st = _cached_store(
+        spark, sf_dir, "lineitem", (("l_returnflag", "hash"), ("l_quantity", "btree"))
+    )
+    cases = [
+        ("point_hash", [eq("l_returnflag", "R")]),
+        ("and_partial", [eq("l_returnflag", "A"), eq("l_linestatus", "F")]),
+        ("col_eq_col", [col_eq("l_partkey", "l_suppkey")]),
+        ("range_btree", [between("l_quantity", Bound.included(10.0), Bound.excluded(20.0))]),
+        ("empty_scan", []),
+    ]
+    rows = [(name, st.explain_find(conds).split(" files=")[0]) for name, conds in cases]
+    return spark.createDataFrame(rows, "case string, plan string")
+
+
 def q_events_gapfill(spark, sf_dir):
     """Hypertable-style time_bucket_gapfill + LOCF (events.gapfill_locf):
     dense hourly spine per event type, zero-filled counts, sums carried
@@ -1459,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "events_gapfill": q_events_gapfill,
         "events_heavy_hitters": q_events_heavy_hitters,
+        "store_explain": q_store_explain,
         "stats_approx_sketch": q_stats_approx_sketch,
         "q5_local_supplier": q5_local_supplier,
         "q9_product_profit": q9_product_profit,
@@ -2416,6 +2442,14 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'src2' THEN 5000
                               WHEN 'src3' THEN 5000
                               ELSE 2500 END""",
+        "store_explain": """
+            SELECT * FROM (VALUES
+              ('point_hash',  'conds=[[l_returnflag] = R] path=IndexLookup(column=l_returnflag, kind=hash, estimate=20000.00, cond=[l_returnflag] = R)'),
+              ('and_partial', 'conds=[[l_returnflag] = A, [l_linestatus] = F] path=IndexLookup(column=l_returnflag, kind=hash, estimate=20000.00, cond=[l_returnflag] = A)'),
+              ('col_eq_col',  'conds=[[l_partkey] = [l_suppkey]] path=FullScan'),
+              ('range_btree', 'conds=[[l_quantity] >= 10.0 < 20.0] path=IndexLookup(column=l_quantity, kind=btree, estimate=1200.00, cond=[l_quantity] >= 10.0 < 20.0)'),
+              ('empty_scan',  'conds=[] path=FullScan')
+            ) AS t("case", plan)""",
         "events_heavy_hitters": """
             WITH t AS (SELECT count(*) AS total FROM events),
             g AS (SELECT user_id AS value, count(*) AS cnt FROM events GROUP BY 1)
