@@ -180,3 +180,81 @@ def test_pii_redact_no_pii_is_identity(spark, docs, data):
             assert r["n_emails"] == 1 and r["clean_text"].endswith("<EMAIL>")
         else:
             assert r["n_emails"] == 0 and r["clean_text"] == t
+
+
+# --- round-2 operator properties vs pure-Python references ---------------
+
+
+def _py_greedy_pack(sizes, budget):
+    out, seq, used = [], 0, 0
+    for n in sizes:
+        if used > 0 and used + n > budget:
+            seq, used = seq + 1, n
+        else:
+            used += n
+        out.append(seq)
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=12),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_pack_chunks_matches_python_fold(spark, docs):
+    from shortcut_spark.operators.text import pack_chunks
+
+    rows = [
+        (d, i, n) for d, sizes in enumerate(docs) for i, n in enumerate(sizes)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_i long, n_tokens long")
+    got = {
+        (r["doc_id"], r["chunk_i"]): r["seq_i"]
+        for r in pack_chunks(df, budget=20).collect()
+    }
+    for d, sizes in enumerate(docs):
+        expect = _py_greedy_pack(sizes, 20)
+        assert [got[(d, i)] for i in range(len(sizes))] == expect
+
+
+def _py_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from shortcut_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == _py_components(edges)
