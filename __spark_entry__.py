@@ -1348,6 +1348,19 @@ def q_events_stream_dedup(spark, sf_dir):
     )
 
 
+def q_events_stream_funnel(spark, sf_dir):
+    """Streaming funnel (applyInPandasWithState per-user step state
+    machine, streaming.run_stream_funnel); the oracle is the batch
+    funnel SQL — the single-file fixture makes the first trigger's
+    amended rows the complete answer."""
+    _STREAM_COUNTER[0] += 1
+    return stream_ops.run_stream_funnel(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        query_name=f"funnel_sink_{_STREAM_COUNTER[0]}",
+    )
+
+
 def q_corpus_clean(spark, sf_dir):
     """Composite cleaning cascade (quality >= 0.3, lang = en, exact dedup,
     minhash near-dedup at jaccard >= 0.5) as ONE lazy plan — proves the
@@ -1474,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_knn_join": q_embed_knn_join,
         "embed_quantize": q_embed_quantize,
         "events_stream_dedup": q_events_stream_dedup,
+        "events_stream_funnel": q_events_stream_funnel,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "text_chunks": q_text_chunks,
@@ -2339,6 +2353,29 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn <= 5""",
         "events_stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
         "events_funnel": f"""
+            WITH base AS (SELECT user_id, ts, event_type FROM events),
+            s0 AS (
+              SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+              FROM base GROUP BY user_id
+            ),
+            s1 AS (
+              SELECT b.user_id,
+                     min(CASE WHEN b.event_type = 'click' AND b.ts >= s0.t0 THEN b.ts END) AS t1
+              FROM base b JOIN s0 USING (user_id) GROUP BY b.user_id
+            ),
+            s2 AS (
+              SELECT b.user_id,
+                     min(CASE WHEN b.event_type = 'purchase' AND b.ts >= s1.t1 THEN b.ts END) AS t2
+              FROM base b JOIN s1 USING (user_id) GROUP BY b.user_id
+            )
+            SELECT s0.user_id,
+                   CAST(CAST(t0 IS NOT NULL AS INT) + CAST(t1 IS NOT NULL AS INT)
+                        + CAST(t2 IS NOT NULL AS INT) AS BIGINT) AS reached,
+                   {_EPOCH.format('t0')} AS t0_epoch,
+                   {_EPOCH.format('t1')} AS t1_epoch,
+                   {_EPOCH.format('t2')} AS t2_epoch
+            FROM s0 JOIN s1 USING (user_id) JOIN s2 USING (user_id)""",
+        "events_stream_funnel": f"""
             WITH base AS (SELECT user_id, ts, event_type FROM events),
             s0 AS (
               SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t0

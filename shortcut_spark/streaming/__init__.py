@@ -21,6 +21,7 @@ __all__ = [
     "run_stream_session_rollup",
     "run_stream_enrich",
     "run_stream_dedup",
+    "run_stream_funnel",
     "distinct_user_actions",
     "stream_into_store",
 ]
@@ -280,6 +281,87 @@ def run_stream_sessionize(
     )
     q = (
         sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_stream_funnel(
+    spark: SparkSession,
+    events_parquet_dir: str,
+    steps: tuple = ("view", "click", "purchase"),
+    query_name: str = "funnel_stream",
+) -> DataFrame:
+    """Custom stateful streaming operator #2: per-user FUNNEL state machine
+    via ``applyInPandasWithState`` — the streaming twin of
+    ``operators.events.funnel_reach`` (same output schema, certified equal
+    on the fixture by pytest and by reusing the batch SQL oracle).
+
+    State holds the user's step-relevant event times. The funnel chain
+    (t_i = earliest step-i time at-or-after t_{i-1}) is NOT monotone under
+    new data — an earlier step-0 arrival can re-open earlier step-1
+    candidates — so per-type times cannot be pruned below the current
+    chain; the state bound is the user's step-type event count (real
+    deployments add a watermark-expiry on users, same trade as the
+    sessionize operator's open-tail state). Each trigger re-derives the
+    chain and emits the user's amended row (update mode; keyed sinks keep
+    the latest).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _file_stream(spark, events_parquet_dir)
+    step_ix = {s: i for i, s in enumerate(steps)}
+    ev = stream.select(
+        "user_id", F.col("event_type"), F.unix_timestamp("ts").alias("es")
+    )
+
+    n_steps = len(steps)
+    out_schema = "user_id long, reached long, " + ", ".join(
+        f"t{i}_epoch long" for i in range(n_steps)
+    )
+    state_schema = "evs array<struct<si:int,es:long>>"
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        evs = [list(e) for e in state.get[0]] if state.exists else []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        for et, es in zip(rows["event_type"], rows["es"]):
+            si = step_ix.get(et)
+            if si is not None:
+                evs.append([int(si), int(es)])
+        state.update(([tuple(e) for e in evs],))
+        ts, prev = [], None
+        for i in range(n_steps):
+            cand = [
+                es
+                for si, es in evs
+                if si == i and (i == 0 or (prev is not None and es >= prev))
+            ]
+            prev = min(cand) if cand else None
+            ts.append(prev)
+        reached = 0
+        for t in ts:
+            if t is None:
+                break
+            reached += 1
+        out = {"user_id": pd.array([user_id], dtype="Int64"),
+               "reached": pd.array([reached], dtype="Int64")}
+        for i, t in enumerate(ts):
+            out[f"t{i}_epoch"] = pd.array([t], dtype="Int64")
+        yield pd.DataFrame(out)
+
+    funnel = ev.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    q = (
+        funnel.writeStream.outputMode("update")
         .format("memory")
         .queryName(query_name)
         .start()

@@ -678,3 +678,24 @@ def test_unigram_logprob_ranks_indistribution_text_higher(spark):
     assert got[9]["logprob"] > got[10]["logprob"]
     assert all(r["logprob"] < 0 for r in got.values())
     assert got[10]["n_tokens"] == 3
+
+
+def test_stream_funnel_matches_batch(spark):
+    """The stateful streaming funnel's amended rows equal the batch
+    funnel_reach output on the fixture (single file -> one trigger)."""
+    from tests.conftest import SF_DIR
+    from shortcut_spark.operators.events import funnel_reach
+    from shortcut_spark.sources import load_fixture
+    from shortcut_spark.streaming import run_stream_funnel
+
+    steps = ["view", "click", "purchase"]
+    ev = load_fixture(spark, SF_DIR, "events")
+    batch = {tuple(r) for r in funnel_reach(ev, steps).collect()}
+    stream = {
+        tuple(r)
+        for r in run_stream_funnel(
+            spark, f"{SF_DIR}/events.parquet", tuple(steps), query_name="t_funnel_sink"
+        ).collect()
+    }
+    assert stream == batch and len(batch) > 0
+    assert any(r[1] == len(steps) for r in batch)  # someone completes it
