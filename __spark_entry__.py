@@ -40,15 +40,30 @@ _ORDERS_SAFE = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_o
 _STORE_CACHE: dict[tuple, Store] = {}
 
 
+def _pin_utc(spark: SparkSession) -> None:
+    """The oracle compares epochs and calendar buckets against DuckDB,
+    which treats naive parquet timestamps as UTC. The driver supplies its
+    own SparkSession, so every query entry pins the session timezone to
+    UTC at runtime (cheap, idempotent) — otherwise date_trunc / calendar
+    windows under a non-UTC driver TZ would bucket differently."""
+    try:
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from shortcut_spark.sources import load_fixture
 
+    _pin_utc(spark)
     return load_fixture(spark, sf_dir, name)
 
 
 def _cached_store(spark: SparkSession, sf_dir: str, table: str, indexes=()) -> Store:
     """Read-only Store over a fixture table, built once per (sf_dir, table,
     indexes) and reused across queries in the same process."""
+    _pin_utc(spark)
     key = (sf_dir, table, tuple(indexes))
     st = _STORE_CACHE.get(key)
     if st is not None:
@@ -62,6 +77,7 @@ def _cached_store(spark: SparkSession, sf_dir: str, table: str, indexes=()) -> S
 
 
 def _fresh_store(spark: SparkSession, sf_dir: str, table: str, indexes=()) -> Store:
+    _pin_utc(spark)
     path = tempfile.mkdtemp(prefix=f"scstore_mut_{table}_")
     st = Store.from_parquet(spark, os.path.join(path, table), os.path.join(sf_dir, f"{table}.parquet"))
     for col, kind in indexes:
@@ -956,6 +972,7 @@ def q_events_stream_rollup(spark, sf_dir):
     """The SAME hourly rollup executed as a real Structured Streaming query
     (file source → watermark → windowed agg → memory sink); certified by the
     identical batch oracle."""
+    _pin_utc(spark)
     _STREAM_COUNTER[0] += 1
     return stream_ops.run_stream_hourly_rollup(
         spark, os.path.join(sf_dir, "events.parquet"), f"hourly_{_STREAM_COUNTER[0]}"
@@ -966,6 +983,7 @@ def q_events_stream_sessionize(spark, sf_dir):
     """Custom STATEFUL streaming operator (applyInPandasWithState gap
     sessionization, per-user GroupState); certified by the batch
     sessionization oracle."""
+    _pin_utc(spark)
     _STREAM_COUNTER[0] += 1
     return stream_ops.run_stream_sessionize(
         spark, os.path.join(sf_dir, "events.parquet"), query_name=f"sess_{_STREAM_COUNTER[0]}"
@@ -1340,6 +1358,7 @@ def q_embed_quantize(spark, sf_dir):
 def q_events_stream_dedup(spark, sf_dir):
     """Streaming exact dedup (dropDuplicates over the event file stream);
     the oracle is the batch SELECT DISTINCT twin."""
+    _pin_utc(spark)
     _STREAM_COUNTER[0] += 1
     return stream_ops.run_stream_dedup(
         spark,
@@ -1353,6 +1372,7 @@ def q_events_stream_funnel(spark, sf_dir):
     machine, streaming.run_stream_funnel); the oracle is the batch
     funnel SQL — the single-file fixture makes the first trigger's
     amended rows the complete answer."""
+    _pin_utc(spark)
     _STREAM_COUNTER[0] += 1
     return stream_ops.run_stream_funnel(
         spark,

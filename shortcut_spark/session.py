@@ -40,10 +40,11 @@ def get_spark(app_name: str = "shortcut_spark", cpus: int | None = None) -> Spar
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        # events.parquet carries TIMESTAMP(NANOS); Spark 4 rejects it unless
-        # read as long — sources.normalize_event_ts converts back to a
-        # microsecond timestamp (same truncation DuckDB applies).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.parquet carries TIMESTAMP(NANOS); Spark 4.1+ reads it as
+        # TIMESTAMP_NTZ and sources.normalize_event_ts casts it to a
+        # session-tz timestamp at load time — no session-level legacy conf
+        # is needed (and spark.sql.legacy.parquet.nanosAsLong no longer has
+        # any effect on this Spark).
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
     spark = builder.getOrCreate()

@@ -103,14 +103,32 @@ def write_bucketed(
 
 
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
-    """Parquet TIMESTAMP(NANOS) is read as long nanos (see session config);
-    convert to a microsecond timestamp with exact integer division — the
-    same truncation DuckDB applies when it loads nanos parquet."""
+    """Events ``ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
+    versions surface differently: as long nanos (older Spark, via the
+    legacy ``nanosAsLong`` conf) or natively as TIMESTAMP_NTZ (Spark 4.1+).
+    Normalize both to a TIMESTAMP (``timestamp_ltz``) — the type
+    ``withWatermark`` requires — whose epoch equals the stored wall time
+    read as UTC, exactly what DuckDB computes for naive parquet
+    timestamps. The NTZ branch is timezone-INDEPENDENT: a bare NTZ→LTZ
+    cast interprets the wall time in the session timezone, so it is
+    wrapped in ``from_utc_timestamp(…, current_timezone())`` which undoes
+    that interpretation; under the engine's pinned-UTC session
+    (session.py) the wrapper is an exact identity."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+    if col not in df.columns:
+        return df
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif isinstance(dt, T.TimestampNTZType):
+        df = df.withColumn(
+            col,
+            F.from_utc_timestamp(
+                F.col(col).cast(T.TimestampType()), F.current_timezone()
+            ),
+        )
     return df
 
 
@@ -118,22 +136,23 @@ def load_fixture(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """One driver fixture table (TESTDATA.md layout).
 
     Self-sufficient under ANY SparkSession: events.parquet carries
-    TIMESTAMP(NANOS) which vanilla Spark refuses to read
-    (PARQUET_TYPE_ILLEGAL). The legacy nanos-as-long conf is runtime-settable,
-    so it is applied here at read time rather than assumed on the session;
-    a pyarrow rewrite-to-micros fallback covers sessions where even the
-    conf cannot be set."""
+    TIMESTAMP(NANOS), whose handling has drifted across Spark versions —
+    Spark 4.1+ reads it natively as TIMESTAMP_NTZ; older Spark refuses
+    (PARQUET_TYPE_ILLEGAL) unless the legacy nanos-as-long conf is set.
+    Try the plain read first, fall back to the conf, then to a pyarrow
+    rewrite-to-micros; ``normalize_event_ts`` maps every surface form to
+    the same watermark-compatible TIMESTAMP."""
     path = os.path.join(sf_dir, f"{table}.parquet")
     if table != "events":
         return spark.read.parquet(path)
     try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
-    try:
         df = spark.read.parquet(path)
     except Exception:
-        df = _load_nanos_via_pyarrow(spark, path)
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+        except Exception:
+            df = _load_nanos_via_pyarrow(spark, path)
     return normalize_event_ts(df)
 
 

@@ -88,9 +88,11 @@ def test_salted_sum_equals_direct(spark):
 
 
 def test_range_pairs_vs_naive(spark):
+    from shortcut_spark import sources
+
     ev = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .select("user_id", "event_id", (F.col("ts").cast("long") / 1e9).cast("long").alias("es"))
+        sources.load_fixture(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id", "event_id", F.unix_timestamp("ts").alias("es"))
     )
     fast = {
         (r["user_id"], r["id_a"], r["id_b"])

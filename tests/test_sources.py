@@ -30,20 +30,19 @@ def test_fixture_tables_all_load(spark):
 
 
 def test_events_load_without_session_conf(spark):
-    """load_fixture must not depend on session-level nanos config (the
-    grading driver builds its own SparkSession without it) — it sets the
-    conf at read time."""
+    """load_fixture must not depend on any session-level nanos config (the
+    grading driver builds its own SparkSession without it) — whatever form
+    the parquet TIMESTAMP(NANOS) arrives in, ts must come out as a plain
+    session-tz TIMESTAMP."""
     from pyspark.sql import types as T
 
-    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     try:
-        ev = sources.load_fixture(spark, "/root/testdata/sf0.001", "events")
-        assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
-        assert ev.count() > 0
-        # the read-time set must have restored the conf for this session
-        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        pass
+    ev = sources.load_fixture(spark, "/root/testdata/sf0.001", "events")
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+    assert ev.count() > 0
 
 
 def test_nanos_pyarrow_fallback(spark):
