@@ -111,6 +111,11 @@ def main():
         spark, SF_DIR, "lineitem", (("l_returnflag", "hash"), ("l_quantity", "btree"))
     )
 
+    # every individual run time is recorded (detail.run_times) so a
+    # regression can be attributed: a host stall shows as one outlier run,
+    # a real slowdown shows in every run
+    run_times: dict[str, list[float]] = {}
+
     queries = entry_mod.queries()
     for name, action in HEADLINE:
         df_fn = queries[name]
@@ -119,7 +124,8 @@ def main():
             if action == "collect"
             else df_fn(spark, SF_DIR).count()
         )
-        results[name] = min(timed(run) for _ in range(RUNS_PER_QUERY))
+        run_times[name] = [timed(run) for _ in range(RUNS_PER_QUERY)]
+        results[name] = min(run_times[name])
 
     # -- reference bench shape: put phase + get phase, run both WITH and
     # WITHOUT the hash index — the reference harness's --use-index dual
@@ -137,22 +143,24 @@ def main():
         st.insert(spark.read.parquet(li_path))
         return st
 
-    def timed_put(name: str, use_index: bool):
+    def timed_put(name: str, key: str, use_index: bool):
         # same min-of-N protocol as the headline queries (each run builds
         # its own store, so every run does the full ingest)
-        best, best_store = None, None
+        best, best_store, times = None, None, []
         for i in range(RUNS_PER_QUERY):
             t0 = time.perf_counter()
             s = put_phase(f"{name}_{i}", use_index)
             dt = round(time.perf_counter() - t0, 3)
+            times.append(dt)
             if best is None or dt < best:
                 best, best_store = dt, s
+        run_times[key] = times
         return best, best_store
 
-    results["store_put"], st = timed_put("lineitem", use_index=True)
+    results["store_put"], st = timed_put("lineitem", "store_put", use_index=True)
     puts_per_sec = round(n_rows / results["store_put"], 1)
 
-    results["store_put_noindex"], st_plain = timed_put("lineitem_noidx", use_index=False)
+    results["store_put_noindex"], st_plain = timed_put("lineitem_noidx", "store_put_noindex", use_index=False)
     puts_per_sec_noindex = round(n_rows / results["store_put_noindex"], 1)
 
     keys = [r["l_orderkey"] for r in spark.read.parquet(li_path)
@@ -164,21 +172,24 @@ def main():
             total += store.find([eq("l_orderkey", int(k))]).count()
         return total
 
-    results["store_get_point"] = min(
+    run_times["store_get_point"] = [
         timed(lambda: get_phase(st)) for _ in range(RUNS_PER_QUERY)
-    )
+    ]
+    results["store_get_point"] = min(run_times["store_get_point"])
     gets_per_sec = round(len(keys) / results["store_get_point"], 2)
 
-    results["store_get_point_noindex"] = min(
+    run_times["store_get_point_noindex"] = [
         timed(lambda: get_phase(st_plain)) for _ in range(RUNS_PER_QUERY)
-    )
+    ]
+    results["store_get_point_noindex"] = min(run_times["store_get_point_noindex"])
     gets_per_sec_noindex = round(len(keys) / results["store_get_point_noindex"], 2)
 
     def batch_get():
         # the idiomatic batched lookup: one job for all keys (Store.find_many)
         st.find_many("l_orderkey", list(range(1, N_BATCH_KEYS + 1))).count()
 
-    results["store_get_batch"] = min(timed(batch_get) for _ in range(RUNS_PER_QUERY))
+    run_times["store_get_batch"] = [timed(batch_get) for _ in range(RUNS_PER_QUERY)]
+    results["store_get_batch"] = min(run_times["store_get_batch"])
 
     total = round(sum(results.values()), 3)
     print(
@@ -198,6 +209,7 @@ def main():
                     "gets_per_sec": gets_per_sec,
                     "gets_per_sec_noindex": gets_per_sec_noindex,
                     "batch_keys": N_BATCH_KEYS,
+                    "run_times": run_times,
                 },
             }
         )

@@ -25,8 +25,11 @@ Algorithm: min-label propagation with pointer jumping.
   On a multi-executor cluster prefer a reliable checkpoint dir
   (sc.setCheckpointDir + .checkpoint()) so a lost executor cannot lose
   label partitions; localCheckpoint is the local-mode equivalent.
-* The convergence probe is a count() of changed labels — one integer per
-  round crosses the driver, never data.
+* Convergence probe: the PREVIOUS label rides along through the round, so
+  "did anything change" is a filter+count over the freshly checkpointed
+  partitions — no extra join, no extra shuffle, one integer to the
+  driver. The first round is never probed (with any edge present it
+  always changes).
 """
 
 from __future__ import annotations
@@ -62,29 +65,27 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iter):
+    lbl_type = labels.schema["lbl"].dataType
+    for it in range(max_iter):
         nbr_min = e.join(
             labels.select(F.col("node").alias("d"), F.col("lbl")), "d"
         ).select(F.col("s").alias("node"), F.col("lbl"))
+        # carry the previous label ("old") through the round so convergence
+        # is detectable on the round's own output — every node appears in
+        # `labels` exactly once, so max(old) recovers it through the union
         cand = (
-            labels.select("node", "lbl")
-            .union(nbr_min)
+            labels.select("node", "lbl", F.col("lbl").alias("old"))
+            .unionByName(nbr_min.withColumn("old", F.lit(None).cast(lbl_type)))
             .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(F.min("lbl").alias("lbl"), F.max("old").alias("old"))
         )
         jump = cand.select(F.col("node").alias("lbl"), F.col("lbl").alias("jlbl"))
         new = cand.join(jump, "lbl", "left").select(
-            "node", F.coalesce("jlbl", "lbl").alias("lbl")
+            "node", F.coalesce("jlbl", "lbl").alias("lbl"), "old"
         )
         new = new.localCheckpoint(eager=True)
-        changed = (
-            new.select("node", F.col("lbl").alias("new_lbl"))
-            .join(labels, "node")
-            .where(F.col("new_lbl") != F.col("lbl"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        labels = new.select("node", "lbl")
+        if it > 0 and new.where(F.col("lbl") != F.col("old")).count() == 0:
             break
 
     return labels.select(F.col("node").alias(out_node), F.col("lbl").alias(out_comp))
