@@ -1355,6 +1355,18 @@ def q_embed_quantize(spark, sf_dir):
     )
 
 
+def q_text_contamination(spark, sf_dir):
+    """Test-set contamination detection (text.ngram_contamination): every
+    corpus document scored by how many of its distinct word 3-grams
+    appear in a benchmark split (doc_id % 10 == 0 stands in for the eval
+    set). Benchmark gram set broadcasts; corpus side is map-only
+    shingling + one doc-key shuffle — no corpus self-join at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    return text.ngram_contamination(corpus, bench, n=3)
+
+
 def q_events_stream_dedup(spark, sf_dir):
     """Streaming exact dedup (dropDuplicates over the event file stream);
     the oracle is the batch SELECT DISTINCT twin."""
@@ -1584,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_logprob": q_text_logprob,
         "corpus_mix_sample": q_corpus_mix_sample,
         "events_heavy_hitters": q_events_heavy_hitters,
+        "text_contamination": q_text_contamination,
         "store_explain": q_store_explain,
         "stats_approx_sketch": q_stats_approx_sketch,
         "q5_local_supplier": q5_local_supplier,
@@ -2450,6 +2463,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, {_EPOCH.format('ts')} AS ts_epoch,
                    user_id, event_type, value, props
             FROM events""",
+        "text_contamination": f"""
+            WITH corpus AS (
+              SELECT doc_id, {toks} AS t FROM documents WHERE doc_id % 10 <> 0
+            ), bench AS (
+              SELECT {toks} AS t FROM documents WHERE doc_id % 10 = 0
+            ), cg AS (
+              SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                    FROM corpus)
+            ), bg AS (
+              SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS g
+              FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i
+                    FROM bench)
+            ), tot AS (
+              SELECT doc_id, count(DISTINCT g) AS n_grams FROM cg GROUP BY doc_id
+            ), ov AS (
+              SELECT cg.doc_id, count(DISTINCT cg.g) AS n_overlap
+              FROM cg JOIN bg ON cg.g = bg.g GROUP BY cg.doc_id
+            )
+            SELECT c.doc_id,
+                   COALESCE(t.n_grams, 0) AS n_grams,
+                   COALESCE(o.n_overlap, 0) AS n_overlap,
+                   CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)
+                     / greatest(COALESCE(t.n_grams, 0), 1) AS contam_ratio
+            FROM (SELECT DISTINCT doc_id FROM corpus) c
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN ov o USING (doc_id)""",
         "events_funnel": f"""
             WITH base AS (SELECT user_id, ts, event_type FROM events),
             s0 AS (

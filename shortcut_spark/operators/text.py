@@ -33,6 +33,7 @@ __all__ = [
     "tfidf_top_terms",
     "pack_chunks",
     "unigram_logprob",
+    "ngram_contamination",
 ]
 
 # Dialect-portable patterns (valid and equivalent in Java regex and RE2 /
@@ -421,4 +422,68 @@ def unigram_logprob(
                 6,
             ).alias("logprob"),
         )
+    )
+
+
+def _word_ngrams(toks: F.Column, n: int) -> F.Column:
+    """Distinct word n-grams of a token-array column, space-joined.
+
+    Guarded so fewer-than-n tokens yields an EMPTY array (Spark's
+    ``sequence(1, 0)`` would otherwise generate a DESCENDING sequence).
+    """
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Test-set contamination detection: for every corpus document, how
+    many of its distinct word ``n``-grams appear in ANY benchmark
+    document. The training-data gate for "did the eval set leak into the
+    corpus" (the reference has no text surface at all — this is part of
+    the LLM-pipeline extension mandate).
+
+    100 TB shape: benchmarks are small (MBs–GBs), so the benchmark's
+    DISTINCT gram set BROADCASTS; the corpus side is map-only shingling +
+    explode followed by ONE groupBy on the doc id. No corpus self-join,
+    no shuffle of raw text, and the corpus is read once.
+
+    Output: (id, n_grams, n_overlap, contam_ratio) — ratio over
+    ``greatest(n_grams, 1)`` so gram-less (short) docs score 0.
+    """
+    c_toks = tokens(F.lower(corpus[text_col]))
+    b_toks = tokens(F.lower(bench[text_col]))
+
+    c_grams = corpus.select(
+        F.col(id_col), F.explode(_word_ngrams(c_toks, n)).alias("g")
+    )
+    b_grams = (
+        bench.select(F.explode(_word_ngrams(b_toks, n)).alias("g")).distinct()
+    )
+    totals = corpus.select(
+        F.col(id_col), F.size(_word_ngrams(c_toks, n)).alias("n_grams")
+    )
+    overlap = (
+        c_grams.join(F.broadcast(b_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return totals.join(overlap, id_col, "left").select(
+        id_col,
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        (
+            F.coalesce("n_overlap", F.lit(0)).cast("double")
+            / F.greatest(F.col("n_grams"), F.lit(1)).cast("double")
+        ).alias("contam_ratio"),
     )

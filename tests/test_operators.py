@@ -320,6 +320,33 @@ def test_pii_redact_counts_and_order(spark):
     assert out[3]["clean_text"] == rows[2][1]
 
 
+def test_ngram_contamination_planted_overlap(spark):
+    """Planted leak: a corpus doc sharing a benchmark phrase scores its
+    exact shared distinct 3-grams; unrelated and too-short docs score 0."""
+    from shortcut_spark.operators.text import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over lazy dogs")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares "the quick brown" and "quick brown fox"
+            (1, "I saw the quick brown fox today"),
+            (2, "completely unrelated words appear here now"),
+            (3, "too short"),  # < 3 tokens → 0 grams
+            (4, "The Quick Brown fox"),  # case-insensitive: 2 shared grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_contamination(corpus, bench, n=3).collect()}
+    assert out[1]["n_overlap"] == 2 and out[1]["n_grams"] == 5
+    assert out[1]["contam_ratio"] == 2 / 5
+    assert out[2]["n_overlap"] == 0 and out[2]["contam_ratio"] == 0.0
+    assert out[3]["n_grams"] == 0 and out[3]["contam_ratio"] == 0.0
+    assert out[4]["n_overlap"] == 2
+
+
 def test_knn_join_matches_single_query_topk(spark, emb):
     """knn_join restricted to one query must equal topk_cosine for that
     query, and every query's rank-1 neighbor is itself (cosine ~ 1)."""
