@@ -404,7 +404,15 @@ def simhash_near_dups(
     bytes of the fingerprint (a pair within hamming ≤3 of 32 bits must agree
     on ≥1 whole byte) so candidate generation is a bucket join, not
     all-pairs."""
-    fp = simhash(df, id_col, text_col)
+    return _fp_hamming_pairs(simhash(df, id_col, text_col), id_col, max_hamming)
+
+
+def _fp_hamming_pairs(
+    fp: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Byte-banded hamming pair join over an (id, simhash) DataFrame —
+    the candidate-generation core shared by ``simhash_near_dups`` (all
+    documents) and ``dup_clusters`` (distinct fingerprints only)."""
     bands = fp.select(
         F.col(id_col),
         F.col("simhash"),
@@ -456,7 +464,25 @@ def dup_clusters(
     """
     from .graph import connected_components
 
-    pairs = simhash_near_dups(df, id_col, text_col, max_hamming).select("id_a", "id_b")
+    # Identical fingerprints collapse BEFORE pair generation: a k-document
+    # boilerplate family would otherwise emit k² candidate pairs (10M
+    # copies at 100 TB → 10^14 pairs — the classic LSH clique blow-up).
+    # Hamming distance depends only on the fingerprints, so connectivity
+    # is EXACTLY preserved by (a) a star edge from every doc to its
+    # fingerprint group's min id (k-1 edges instead of k²) and (b) the
+    # banded pair join over DISTINCT fingerprints only, lifted to the
+    # group representatives. CC over star ∪ rep-pairs equals CC over the
+    # full verified pair set — same components, same min labels.
+    fp = simhash(df, id_col, text_col).localCheckpoint(eager=True)
+    fpg = fp.groupBy("simhash").agg(F.min(id_col).alias("__rep"))
+    star = (
+        fp.join(fpg, "simhash")
+        .filter(F.col(id_col) != F.col("__rep"))
+        .select(F.col(id_col).alias("id_a"), F.col("__rep").alias("id_b"))
+    )
+    reps = fpg.select(F.col("__rep").alias(id_col), "simhash")
+    rep_pairs = _fp_hamming_pairs(reps, id_col, max_hamming).select("id_a", "id_b")
+    pairs = star.union(rep_pairs)
     comp = connected_components(pairs, "id_a", "id_b")
     lab = (
         df.select(F.col(id_col))
