@@ -1367,6 +1367,14 @@ def q_text_contamination(spark, sf_dir):
     return text.ngram_contamination(corpus, bench, n=3)
 
 
+def q_text_repetition(spark, sf_dir):
+    """Repetition-based quality signals (text.repetition_stats, the
+    Gopher-rule family): top-token fraction via one (doc, token) count
+    shuffle; duplicate 2/3-gram instance fractions as map-only array
+    expressions."""
+    return text.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_events_stream_dedup(spark, sf_dir):
     """Streaming exact dedup (dropDuplicates over the event file stream);
     the oracle is the batch SELECT DISTINCT twin."""
@@ -1597,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_sample": q_corpus_mix_sample,
         "events_heavy_hitters": q_events_heavy_hitters,
         "text_contamination": q_text_contamination,
+        "text_repetition": q_text_repetition,
         "store_explain": q_store_explain,
         "stats_approx_sketch": q_stats_approx_sketch,
         "q5_local_supplier": q5_local_supplier,
@@ -2463,6 +2472,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, {_EPOCH.format('ts')} AS ts_epoch,
                    user_id, event_type, value, props
             FROM events""",
+        "text_repetition": f"""
+            WITH base AS (SELECT doc_id, {toks} AS t FROM documents),
+            per_doc AS (
+              SELECT doc_id,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t) - 1)] AS g2,
+                     [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                      for i in generate_series(1, len(t) - 2)] AS g3
+              FROM base
+            ), top AS (
+              SELECT doc_id, max(c) AS top_c FROM (
+                SELECT doc_id, count(*) AS c
+                FROM (SELECT doc_id, unnest(t) AS tok FROM base)
+                GROUP BY doc_id, tok
+              ) GROUP BY doc_id
+            )
+            SELECT p.doc_id, p.n_tokens,
+                   CAST(COALESCE(top.top_c, 0) AS DOUBLE)
+                     / greatest(p.n_tokens, 1) AS top_token_frac,
+                   CAST(len(p.g2) - len(list_distinct(p.g2)) AS DOUBLE)
+                     / greatest(len(p.g2), 1) AS dup_2gram_frac,
+                   CAST(len(p.g3) - len(list_distinct(p.g3)) AS DOUBLE)
+                     / greatest(len(p.g3), 1) AS dup_3gram_frac
+            FROM per_doc p LEFT JOIN top USING (doc_id)""",
         "text_contamination": f"""
             WITH corpus AS (
               SELECT doc_id, {toks} AS t FROM documents WHERE doc_id % 10 <> 0

@@ -34,6 +34,7 @@ __all__ = [
     "pack_chunks",
     "unigram_logprob",
     "ngram_contamination",
+    "repetition_stats",
 ]
 
 # Dialect-portable patterns (valid and equivalent in Java regex and RE2 /
@@ -425,8 +426,9 @@ def unigram_logprob(
     )
 
 
-def _word_ngrams(toks: F.Column, n: int) -> F.Column:
-    """Distinct word n-grams of a token-array column, space-joined.
+def _word_ngrams_raw(toks: F.Column, n: int) -> F.Column:
+    """ALL word n-grams of a token-array column in order, space-joined
+    (duplicates preserved — repetition metrics need the multiset).
 
     Guarded so fewer-than-n tokens yields an EMPTY array (Spark's
     ``sequence(1, 0)`` would otherwise generate a DESCENDING sequence).
@@ -435,9 +437,12 @@ def _word_ngrams(toks: F.Column, n: int) -> F.Column:
         F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(grams)
-    )
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(grams)
+
+
+def _word_ngrams(toks: F.Column, n: int) -> F.Column:
+    """Distinct word n-grams of a token-array column, space-joined."""
+    return F.array_distinct(_word_ngrams_raw(toks, n))
 
 
 def ngram_contamination(
@@ -486,4 +491,62 @@ def ngram_contamination(
             F.coalesce("n_overlap", F.lit(0)).cast("double")
             / F.greatest(F.col("n_grams"), F.lit(1)).cast("double")
         ).alias("contam_ratio"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rule family): documents
+    dominated by one token or by repeated phrases are machine-generated
+    boilerplate far more often than prose, and pre-training filters cut on
+    exactly these ratios.
+
+    * ``top_token_frac`` — occurrences of the most frequent token over all
+      tokens. Computed with ONE (doc, token) count shuffle (scale-safe;
+      a per-row mode over the token array would be O(unique x len) per
+      document).
+    * ``dup_2gram_frac`` / ``dup_3gram_frac`` — fraction of word n-gram
+      instances that are repeats of an n-gram already seen in the same
+      document: ``1 - distinct/total``. Pure per-row array expressions —
+      map-only at any scale.
+
+    All ratios are integer-count divisions in DOUBLE with identical
+    expression trees on the DuckDB side, so values hash-compare exactly.
+
+    Output: (id, n_tokens, top_token_frac, dup_2gram_frac, dup_3gram_frac).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("__t"))
+
+    def dup_frac(n: int) -> F.Column:
+        raw = _word_ngrams_raw(F.col("__t"), n)
+        total = F.size(raw)
+        return (
+            (total - F.size(F.array_distinct(raw))).cast("double")
+            / F.greatest(total, F.lit(1)).cast("double")
+        )
+
+    per_doc = base.select(
+        F.col(id_col),
+        F.size("__t").cast("long").alias("n_tokens"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+    top = (
+        base.select(F.col(id_col), F.explode("__t").alias("__tok"))
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__top"))
+    )
+    return per_doc.join(top, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        (
+            F.coalesce("__top", F.lit(0)).cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+        ).alias("top_token_frac"),
+        "dup_2gram_frac",
+        "dup_3gram_frac",
     )

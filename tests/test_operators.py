@@ -347,6 +347,34 @@ def test_ngram_contamination_planted_overlap(spark):
     assert out[4]["n_overlap"] == 2
 
 
+def test_repetition_stats_known_values(spark):
+    """Hand-computed repetition ratios: a doc that is one token repeated,
+    a doc of all-distinct tokens, and an empty doc."""
+    from shortcut_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # 4 tokens, all 'spam'
+            (2, "alpha beta gamma delta"),  # all distinct
+            (3, ""),  # no tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    # doc 1: top token 4/4; bigrams ['spam spam']*3 → dup 2/3; trigrams *2 → dup 1/2
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["top_token_frac"] == 1.0
+    assert out[1]["dup_2gram_frac"] == 2 / 3
+    assert out[1]["dup_3gram_frac"] == 1 / 2
+    # doc 2: no repetition anywhere
+    assert out[2]["top_token_frac"] == 1 / 4
+    assert out[2]["dup_2gram_frac"] == 0.0 and out[2]["dup_3gram_frac"] == 0.0
+    # doc 3: zero tokens, all ratios 0 (guarded denominators)
+    assert out[3]["n_tokens"] == 0
+    assert out[3]["top_token_frac"] == 0.0
+    assert out[3]["dup_2gram_frac"] == 0.0 and out[3]["dup_3gram_frac"] == 0.0
+
+
 def test_knn_join_matches_single_query_topk(spark, emb):
     """knn_join restricted to one query must equal topk_cosine for that
     query, and every query's rank-1 neighbor is itself (cosine ~ 1)."""
