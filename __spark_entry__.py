@@ -1375,6 +1375,17 @@ def q_text_repetition(spark, sf_dir):
     return text.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic global shuffle + sharding (sampling.shuffle_shard):
+    reproducible training order — shard by one key hash, rank within the
+    shard by an independent hash. No global row_number funnel; one window
+    per shard."""
+    from shortcut_spark.operators.sampling import shuffle_shard
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return shuffle_shard(docs, "doc_id", n_shards=16)
+
+
 def q_events_stream_dedup(spark, sf_dir):
     """Streaming exact dedup (dropDuplicates over the event file stream);
     the oracle is the batch SELECT DISTINCT twin."""
@@ -1606,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters": q_events_heavy_hitters,
         "text_contamination": q_text_contamination,
         "text_repetition": q_text_repetition,
+        "corpus_shuffle": q_corpus_shuffle,
         "store_explain": q_store_explain,
         "stats_approx_sketch": q_stats_approx_sketch,
         "q5_local_supplier": q5_local_supplier,
@@ -2643,6 +2655,14 @@ def oracle_sql() -> dict[str, str]:
               FROM ord o JOIN pack p ON o.doc_id = p.doc_id AND o.rn = p.rn + 1
             )
             SELECT doc_id, chunk_i, n_tokens, seq_i FROM pack""",
+        "corpus_shuffle": """
+            SELECT doc_id, source,
+                   CAST(('0x' || substr(md5('shuffle:shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS INT) AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY ('0x' || substr(md5('shuffle:shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16
+                     ORDER BY ('0x' || substr(md5('shuffle:order:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id
+                   ) AS BIGINT) AS pos
+            FROM documents""",
         "corpus_mix_sample": """
             SELECT doc_id, source FROM documents
             WHERE (('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) <

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions import hash32
 
-__all__ = ["hash_sample", "stratified_sample"]
+__all__ = ["hash_sample", "stratified_sample", "shuffle_shard"]
 
 _BUCKETS = 10_000  # rate resolution: 0.01%
 
@@ -66,3 +66,42 @@ def stratified_sample(
             F.col(strata_col) == s, F.lit(int(round(r * _BUCKETS)))
         ).otherwise(thresh)
     return df.filter(F.pmod(hash32(F.col(key_col), seed), F.lit(_BUCKETS)) < thresh)
+
+
+def shuffle_shard(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 64,
+    seed: str | int = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — training-order
+    generation. Every row gets a pseudorandom-but-reproducible position:
+    ``shard`` = hash bucket of the key, ``pos`` = rank of a second,
+    independent hash within the shard. Re-running the pipeline (or
+    recomputing a lost partition) reproduces the identical order — the
+    property an RNG-based shuffle cannot give — and epoch variation is a
+    seed change away.
+
+    100 TB shape: the shard assignment is a map-only hash; the within-
+    shard rank is one window per shard key. A GLOBAL row_number would
+    funnel the corpus through one reducer; sharding first makes each
+    rank window an independent partition-sized task, and the consumer
+    (a training loader) reads shards in shard order anyway. Ties on the
+    order hash break by key, so the order is total and deterministic.
+
+    Output: input columns + (shard int, pos long).
+    """
+    from pyspark.sql import Window as W
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.col(key_col)
+    shard = F.pmod(hash32(key, f"{seed}:shard"), F.lit(n_shards)).cast("int")
+    order = hash32(key, f"{seed}:order")
+    w = W.partitionBy("shard").orderBy(F.col("__ord"), key)
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("__ord", order)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__ord")
+    )

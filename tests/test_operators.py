@@ -375,6 +375,27 @@ def test_repetition_stats_known_values(spark):
     assert out[3]["dup_2gram_frac"] == 0.0 and out[3]["dup_3gram_frac"] == 0.0
 
 
+def test_shuffle_shard_deterministic_total_order(spark):
+    """Same input + seed → identical (shard, pos); positions are dense
+    1..k per shard; a different seed permutes the order."""
+    from shortcut_spark.operators.sampling import shuffle_shard
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(200)], "doc_id long, source string"
+    )
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in shuffle_shard(df, "doc_id", 8).collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"]) for r in shuffle_shard(df, "doc_id", 8).collect()}
+    assert a == b  # reproducible across runs
+    by_shard = {}
+    for shard, pos in a.values():
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense ranks
+    c = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+         shuffle_shard(df, "doc_id", 8, seed="epoch2").collect()}
+    assert c != a  # epoch reshuffle
+
+
 def test_knn_join_matches_single_query_topk(spark, emb):
     """knn_join restricted to one query must equal topk_cosine for that
     query, and every query's rank-1 neighbor is itself (cosine ~ 1)."""
