@@ -1386,6 +1386,18 @@ def q_corpus_shuffle(spark, sf_dir):
     return shuffle_shard(docs, "doc_id", n_shards=16)
 
 
+def q_embed_dup_clusters(spark, sf_dir):
+    """Semantic dedup clusters (similarity.semantic_dup_clusters): cosine
+    near-dup pairs → connected components → cluster labels over embedding
+    space — catches paraphrase-level duplicates text hashing cannot see.
+    Exact all-pairs + exact-decimal scorer here so the DuckDB
+    recursive-CTE closure certifies it; the scale tier is the LSH-banded
+    default."""
+    return similarity.semantic_dup_clusters(
+        _t(spark, sf_dir, "embeddings"), 0.4, exact=True, exact_score=True
+    )
+
+
 def q_events_stream_dedup(spark, sf_dir):
     """Streaming exact dedup (dropDuplicates over the event file stream);
     the oracle is the batch SELECT DISTINCT twin."""
@@ -1618,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": q_text_contamination,
         "text_repetition": q_text_repetition,
         "corpus_shuffle": q_corpus_shuffle,
+        "embed_dup_clusters": q_embed_dup_clusters,
         "store_explain": q_store_explain,
         "stats_approx_sketch": q_stats_approx_sketch,
         "q5_local_supplier": q5_local_supplier,
@@ -2737,6 +2750,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l.doc_id, l.cluster_rep, s.cluster_size,
                    l.doc_id = l.cluster_rep AS keep
+            FROM lab l JOIN sizes s USING (cluster_rep)""",
+        "embed_dup_clusters": """
+            WITH RECURSIVE e AS (
+              SELECT vec_id, unnest(embedding) AS v,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings
+            ), norms AS (
+              SELECT vec_id,
+                     CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS nsq
+              FROM e GROUP BY vec_id
+            ), dots AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(SUM(CAST(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
+              FROM e a JOIN e b USING (i)
+              WHERE a.vec_id < b.vec_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b FROM dots d
+              JOIN norms na ON na.vec_id = d.id_a
+              JOIN norms nb ON nb.vec_id = d.id_b
+              WHERE d.dot / (sqrt(na.nsq) * sqrt(nb.nsq)) >= 0.4
+            ), edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION
+              SELECT id_b AS s, id_a AS d FROM pairs
+            ), reach(node, lbl) AS (
+              SELECT s, s FROM edges
+              UNION
+              SELECT e2.s, r.lbl FROM edges e2 JOIN reach r ON r.node = e2.d
+            ), comp AS (
+              SELECT node, min(lbl) AS component FROM reach GROUP BY node
+            ), lab AS (
+              SELECT emb.vec_id, coalesce(c.component, emb.vec_id) AS cluster_rep
+              FROM embeddings emb LEFT JOIN comp c ON c.node = emb.vec_id
+            ), sizes AS (
+              SELECT cluster_rep, count(*) AS cluster_size FROM lab GROUP BY 1
+            )
+            SELECT l.vec_id, l.cluster_rep, s.cluster_size,
+                   l.vec_id = l.cluster_rep AS keep
             FROM lab l JOIN sizes s USING (cluster_rep)""",
         "embed_quantize": """
             WITH s AS (

@@ -34,6 +34,7 @@ __all__ = [
     "ivf_topk",
     "norm_stats",
     "quantize_embeddings",
+    "semantic_dup_clusters",
 ]
 
 
@@ -390,4 +391,50 @@ def norm_stats(emb: DataFrame, group_col: str = "label", vec_col: str = "embeddi
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.min("norm"), 6).alias("min_norm"),
         F.round(F.max("norm"), 6).alias("max_norm"),
+    )
+
+
+def semantic_dup_clusters(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+    exact_score: bool = False,
+) -> DataFrame:
+    """Semantic dedup CLUSTERS over embedding space: cosine near-dup
+    pairs (``cosine_join``) → connected components (transitive closure) →
+    every vector labeled with its cluster representative (min id), the
+    cluster size, and a keep flag — the embedding-space twin of
+    ``dedup.dup_clusters``, for near-duplicates that text hashing cannot
+    see (paraphrases, translations, re-encodings).
+
+    Scale path is the default ``exact=False``: LSH-banded candidates
+    travel as id pairs, vectors never shuffle with the band join, and the
+    component loop is O(log diameter) rounds (``graph.connected_components``).
+    ``exact=True`` + ``exact_score=True`` is the all-pairs oracle-checkable
+    tier for fixture-scale verification.
+    """
+    from .graph import connected_components
+
+    pairs = cosine_join(
+        emb, threshold, id_col, vec_col, exact=exact, exact_score=exact_score
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    lab = (
+        emb.select(F.col(id_col))
+        .join(comp.select(F.col("node").alias(id_col), "component"), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster_rep"),
+        )
+    )
+    sizes = lab.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return lab.join(sizes, "cluster_rep").select(
+        F.col(id_col),
+        "cluster_rep",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_rep")).alias("keep"),
     )

@@ -396,6 +396,33 @@ def test_shuffle_shard_deterministic_total_order(spark):
     assert c != a  # epoch reshuffle
 
 
+def test_semantic_dup_clusters_planted_groups(spark):
+    """Two tight cosine groups + one isolated vector: each group becomes
+    one cluster labeled by its min id; the isolate is a singleton."""
+    from shortcut_spark.operators.similarity import semantic_dup_clusters
+
+    rows = [
+        (1, [1.0, 0.01, 0.0, 0.0]),
+        (2, [0.99, 0.02, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.01, 0.0]),
+        (10, [0.0, 1.0, 0.01, 0.0]),
+        (11, [0.01, 0.99, 0.0, 0.0]),
+        (99, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dup_clusters(
+            df, 0.9, exact=True, exact_score=True
+        ).collect()
+    }
+    assert {out[i]["cluster_rep"] for i in (1, 2, 3)} == {1}
+    assert out[1]["cluster_size"] == 3 and out[1]["keep"]
+    assert not out[2]["keep"] and not out[3]["keep"]
+    assert {out[i]["cluster_rep"] for i in (10, 11)} == {10}
+    assert out[99]["cluster_rep"] == 99 and out[99]["cluster_size"] == 1
+
+
 def test_knn_join_matches_single_query_topk(spark, emb):
     """knn_join restricted to one query must equal topk_cosine for that
     query, and every query's rank-1 neighbor is itself (cosine ~ 1)."""
