@@ -1386,6 +1386,20 @@ def q_corpus_shuffle(spark, sf_dir):
     return shuffle_shard(docs, "doc_id", n_shards=16)
 
 
+def q_fuzzy_join_names(spark, sf_dir):
+    """Blocked fuzzy string join (joins.fuzzy_join, record linkage):
+    customer and supplier names matched within Levenshtein 5, candidates
+    blocked on the lowercased 6-char suffix so distances are computed
+    only within blocks — never all-pairs."""
+    from shortcut_spark.operators.joins import fuzzy_join
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return fuzzy_join(cust, supp, "c_name", "s_name", max_distance=5).select(
+        "c_custkey", "s_suppkey", "lev_dist"
+    )
+
+
 def q_embed_dup_clusters(spark, sf_dir):
     """Semantic dedup clusters (similarity.semantic_dup_clusters): cosine
     near-dup pairs → connected components → cluster labels over embedding
@@ -1631,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "corpus_shuffle": q_corpus_shuffle,
         "embed_dup_clusters": q_embed_dup_clusters,
+        "fuzzy_join_names": q_fuzzy_join_names,
         "store_explain": q_store_explain,
         "stats_approx_sketch": q_stats_approx_sketch,
         "q5_local_supplier": q5_local_supplier,
@@ -2751,6 +2766,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.doc_id, l.cluster_rep, s.cluster_size,
                    l.doc_id = l.cluster_rep AS keep
             FROM lab l JOIN sizes s USING (cluster_rep)""",
+        "fuzzy_join_names": """
+            SELECT c_custkey, s_suppkey,
+                   CAST(levenshtein(c_name, s_name) AS BIGINT) AS lev_dist
+            FROM customer JOIN supplier
+              ON lower(substr(c_name, -6)) = lower(substr(s_name, -6))
+            WHERE levenshtein(c_name, s_name) <= 5""",
         "embed_dup_clusters": """
             WITH RECURSIVE e AS (
               SELECT vec_id, unnest(embedding) AS v,

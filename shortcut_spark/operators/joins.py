@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["asof_max", "range_pairs_within", "salted_join"]
+__all__ = ["asof_max", "range_pairs_within", "salted_join", "fuzzy_join"]
 
 
 def salted_join(
@@ -172,4 +172,45 @@ def range_pairs_within(
             F.greatest("id_a", "id_b").alias("id_b"),
         )
         .distinct()
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+    block=None,
+    suffix_len: int = 6,
+) -> DataFrame:
+    """Blocked fuzzy string join — the record-linkage / entity-resolution
+    primitive: candidate pairs come from a cheap BLOCKING key (equality
+    join), then exact Levenshtein distance verifies each candidate.
+
+    An unblocked edit-distance join is O(N x M) — never viable. Blocking
+    bounds the work to same-block pairs, the same candidate/verify split
+    as LSH banding, and with the same recall policy: a typo inside the
+    block key drops a true pair, so the key should ride the stable part
+    of the entity (default: the last ``suffix_len`` characters,
+    lowercased; pass ``block`` for a custom key expression). Both sides
+    shuffle once on the block key; distances are computed only within
+    blocks.
+
+    Output: all left + right columns (pre-alias any collisions) plus
+    ``lev_dist``. Levenshtein is exact and engine-portable (same values
+    in DuckDB), so the operator is oracle-checkable.
+    """
+    mk = block or (
+        lambda c: F.lower(F.substring(c, -suffix_len, suffix_len))
+    )
+    l = left.withColumn("__blk", mk(F.col(left_col)))
+    r = right.withColumn("__blk", mk(F.col(right_col)))
+    return (
+        l.join(r, "__blk")
+        .withColumn(
+            "lev_dist", F.levenshtein(F.col(left_col), F.col(right_col)).cast("long")
+        )
+        .filter(F.col("lev_dist") <= max_distance)
+        .drop("__blk")
     )

@@ -87,6 +87,35 @@ def test_salted_sum_equals_direct(spark):
     assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_fuzzy_join_typos_within_block(spark):
+    """Typos outside the block key match within the distance budget;
+    strings in different blocks never pair (the recall trade blocking
+    makes); exact matches come through at distance 0."""
+    from shortcut_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "acme corp 001234"), (2, "globex 009999"), (3, "initech 007777")],
+        "lid long, lname string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "acme corpp 001234"),  # one insertion, same suffix block
+            (20, "globexx 009999"),
+            (30, "initech 000042"),  # different block: never considered
+            (40, "acme corp 001234"),  # exact
+        ],
+        "rid long, rname string",
+    )
+    out = {
+        (r["lid"], r["rid"]): r["lev_dist"]
+        for r in fuzzy_join(left, right, "lname", "rname", max_distance=2).collect()
+    }
+    assert out[(1, 10)] == 1 and out[(1, 40)] == 0
+    assert out[(2, 20)] == 1
+    assert (3, 30) not in out  # blocked apart despite small true distance
+    assert len(out) == 3
+
+
 def test_range_pairs_vs_naive(spark):
     from shortcut_spark import sources
 
