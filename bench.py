@@ -83,6 +83,13 @@ HEADLINE = [
     # first run pays the one-time bucketed write, second measures the
     # co-located zero-shuffle join itself — detail.run_times shows both
     ("bucketed_join", "collect"),
+    ("text_contamination", "count"),
+    ("text_repetition", "count"),
+    ("corpus_shuffle", "count"),
+    ("fuzzy_join_names", "count"),
+    # embed_dup_clusters is NOT benched: its queries() entry is the exact
+    # all-pairs decimal tier that exists for oracle verification; the
+    # scale path (LSH candidates, double scorer) is what production runs
 ]
 
 # each headline query executes twice and the MIN is reported: the host
