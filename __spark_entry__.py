@@ -956,6 +956,26 @@ def q_events_sessionize(spark, sf_dir):
     return stream_ops.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def q_events_hopping(spark, sf_dir):
+    """Hopping (sliding) window rollup (streaming.hopping_rollup): hourly
+    windows every 15 minutes — native window(ts, width, hop), each event
+    replicated per hop JVM-side, never a self-join."""
+    return stream_ops.hopping_rollup(_t(spark, sf_dir, "events"))
+
+
+def q_events_stream_hopping(spark, sf_dir):
+    """The SAME hopping rollup as a real Structured Streaming query
+    (file source → watermark → sliding windowed agg → memory sink);
+    certified by the identical batch oracle."""
+    _pin_utc(spark)
+    _STREAM_COUNTER[0] += 1
+    return stream_ops.run_stream_hopping_rollup(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        query_name=f"hopping_{_STREAM_COUNTER[0]}",
+    )
+
+
 def q_skew_safe_rollup(spark, sf_dir):
     """Skew-safe two-phase aggregation (salted partials): bit-equal to the
     direct decimal sum, so the plain SQL oracle certifies it."""
@@ -1646,6 +1666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "embed_dup_clusters": q_embed_dup_clusters,
         "fuzzy_join_names": q_fuzzy_join_names,
+        "events_hopping": q_events_hopping,
+        "events_stream_hopping": q_events_stream_hopping,
         "store_explain": q_store_explain,
         "stats_approx_sketch": q_stats_approx_sketch,
         "q5_local_supplier": q5_local_supplier,
@@ -2766,6 +2788,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.doc_id, l.cluster_rep, s.cluster_size,
                    l.doc_id = l.cluster_rep AS keep
             FROM lab l JOIN sizes s USING (cluster_rep)""",
+        "events_hopping": f"""
+            WITH e AS (
+              SELECT event_type, value, {_EPOCH.format('ts')} AS es FROM events
+            ), hops AS (
+              SELECT event_type, value,
+                     (CAST(floor(es / 900) AS BIGINT) - k) * 900 AS hop_epoch
+              FROM e, UNNEST(generate_series(0, 3)) AS u(k)
+            )
+            SELECT hop_epoch, event_type,
+                   count(*) AS n_events,
+                   {_DSUM('value')} AS sum_value
+            FROM hops GROUP BY 1, 2""",
+        "events_stream_hopping": f"""
+            WITH e AS (
+              SELECT event_type, value, {_EPOCH.format('ts')} AS es FROM events
+            ), hops AS (
+              SELECT event_type, value,
+                     (CAST(floor(es / 900) AS BIGINT) - k) * 900 AS hop_epoch
+              FROM e, UNNEST(generate_series(0, 3)) AS u(k)
+            )
+            SELECT hop_epoch, event_type,
+                   count(*) AS n_events,
+                   {_DSUM('value')} AS sum_value
+            FROM hops GROUP BY 1, 2""",
         "fuzzy_join_names": """
             SELECT c_custkey, s_suppkey,
                    CAST(levenshtein(c_name, s_name) AS BIGINT) AS lev_dist

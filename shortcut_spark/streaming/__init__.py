@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = [
     "hourly_rollup",
+    "hopping_rollup",
+    "run_stream_hopping_rollup",
     "sessionize",
     "session_rollup",
     "enrich_user_ltv",
@@ -454,6 +456,63 @@ def stream_into_store(spark: SparkSession, source_parquet: str, store) -> int:
     finally:
         q.stop()
     return ingested[0]
+
+
+def hopping_rollup(
+    events: DataFrame, width_s: int = 3600, hop_s: int = 900
+) -> DataFrame:
+    """HOPPING (sliding) window counts/sums per event_type: each event
+    lands in ``width_s / hop_s`` overlapping windows (hourly windows every
+    15 minutes by default) — the smooth-trend twin of the tumbling
+    ``hourly_rollup``. Spark's native ``window(ts, width, hop)`` replicates
+    the row per hop JVM-side; work scales by the overlap factor, not by a
+    self-join. Window starts are epoch-aligned (Spark aligns to epoch 0),
+    emitted as epoch seconds so the oracle compare is timezone-proof."""
+    from ..functions import dsum
+
+    assert width_s % hop_s == 0, "width must be a multiple of hop"
+    return (
+        events.groupBy(
+            F.window("ts", f"{width_s} seconds", f"{hop_s} seconds"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hop_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_hopping_rollup(
+    spark: SparkSession,
+    events_parquet_dir: str,
+    query_name: str = "hopping",
+    width_s: int = 3600,
+    hop_s: int = 900,
+) -> DataFrame:
+    """The same hopping rollup as a real Structured Streaming query
+    (file source → watermark → sliding windowed agg → memory sink):
+    sliding windows are watermark-compatible, so late data past the
+    watermark drops per-window exactly as the tumbling case."""
+    stream = _file_stream(spark, events_parquet_dir).withWatermark("ts", "1 hour")
+    agg = hopping_rollup(stream, width_s, hop_s)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
 
 
 def run_stream_hourly_rollup(spark: SparkSession, events_parquet_dir: str, query_name: str = "hourly") -> DataFrame:

@@ -134,6 +134,20 @@ def test_streaming_matches_batch(spark):
     assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, stream.collect()))
 
 
+def test_hopping_stream_matches_batch(spark):
+    """Sliding-window streaming rollup equals the batch hopping rollup,
+    and every event lands in exactly width/hop windows."""
+    from shortcut_spark.sources import load_fixture
+    from shortcut_spark.streaming import hopping_rollup, run_stream_hopping_rollup
+
+    ev = load_fixture(spark, SF_DIR, "events")
+    batch = hopping_rollup(ev)
+    stream = run_stream_hopping_rollup(spark, f"{SF_DIR}/events.parquet", "t_hop_test")
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, stream.collect()))
+    total = batch.agg(F.sum("n_events")).first()[0]
+    assert total == ev.count() * 4  # hourly window, 15-min hop → 4 hops/event
+
+
 def test_stream_static_enrich_matches_batch(spark):
     from shortcut_spark.sources import load_fixture
     from shortcut_spark.streaming import enrich_user_ltv, run_stream_enrich
