@@ -1432,6 +1432,21 @@ def q_embed_dup_clusters(spark, sf_dir):
     )
 
 
+def q_docs_stream_near_dedup(spark, sf_dir):
+    """Streaming NEAR-dedup (streaming.run_stream_near_dedup): SimHash
+    fingerprints computed map-side on the document stream, fingerprint
+    families aggregated to (keeper, size) as a running state — one state
+    row per distinct fingerprint. Oracle is the identical batch grouping
+    over the SQL-computed fingerprints."""
+    _pin_utc(spark)
+    _STREAM_COUNTER[0] += 1
+    return stream_ops.run_stream_near_dedup(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        query_name=f"near_dedup_{_STREAM_COUNTER[0]}",
+    )
+
+
 def q_events_stream_dedup(spark, sf_dir):
     """Streaming exact dedup (dropDuplicates over the event file stream);
     the oracle is the batch SELECT DISTINCT twin."""
@@ -1668,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join_names": q_fuzzy_join_names,
         "events_hopping": q_events_hopping,
         "events_stream_hopping": q_events_stream_hopping,
+        "docs_stream_near_dedup": q_docs_stream_near_dedup,
         "store_explain": q_store_explain,
         "stats_approx_sketch": q_stats_approx_sketch,
         "q5_local_supplier": q5_local_supplier,
@@ -2282,6 +2298,21 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)
             GROUP BY c_nationkey""",
+        "docs_stream_near_dedup": f"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, unnest({toks}) AS tok FROM documents
+            ), h AS (
+              SELECT doc_id, {_H32(0, 'tok')} AS h FROM toks
+            ), bits AS (
+              SELECT doc_id,
+               {simhash_bits}
+              FROM h GROUP BY doc_id
+            ), sims AS (
+              SELECT doc_id, {simhash_fp} AS sh FROM bits
+            )
+            SELECT sh AS simhash, min(doc_id) AS keeper,
+                   count(*) AS n_docs
+            FROM sims GROUP BY sh""",
         "dedup_simhash_pairs": f"""
             WITH toks AS (
               SELECT DISTINCT doc_id, unnest({toks}) AS tok FROM documents

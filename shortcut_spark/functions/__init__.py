@@ -54,7 +54,11 @@ def ensure_parallelism(df, min_parts: int = 8):
     """Small fixture files arrive as 1-2 partitions, serializing heavy map
     stages (tokenize/hash/vector math); spread them. No-op for
     already-parallel input — at real scale the scan has many partitions and
-    this never fires."""
+    this never fires. Streaming DataFrames pass through untouched
+    (``.rdd`` is illegal on them; micro-batch sizing is the stream's own
+    concern)."""
+    if df.isStreaming:
+        return df
     if df.rdd.getNumPartitions() < min_parts:
         cores = df.sparkSession.sparkContext.defaultParallelism
         return df.repartition(max(min_parts, cores))

@@ -23,6 +23,7 @@ __all__ = [
     "run_stream_session_rollup",
     "run_stream_enrich",
     "run_stream_dedup",
+    "run_stream_near_dedup",
     "run_stream_funnel",
     "distinct_user_actions",
     "stream_into_store",
@@ -502,6 +503,38 @@ def run_stream_hopping_rollup(
     watermark drops per-window exactly as the tumbling case."""
     stream = _file_stream(spark, events_parquet_dir).withWatermark("ts", "1 hour")
     agg = hopping_rollup(stream, width_s, hop_s)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_stream_near_dedup(
+    spark: SparkSession, docs_parquet: str, query_name: str = "near_dedup"
+) -> DataFrame:
+    """Streaming NEAR-dedup over a document stream: every arriving
+    document gets its SimHash fingerprint in the map stage (pure array
+    expressions — the same ``dedup.simhash`` the batch path uses), and a
+    running groupBy on the fingerprint maintains each family's
+    deterministic survivor (min id) and size. State is one row per
+    distinct fingerprint — the same bound a streaming exact dedup holds —
+    and the output is the fingerprint-family table a downstream keep/drop
+    join consumes. Certified by the identical batch grouping oracle."""
+    from ..operators.dedup import simhash
+
+    stream = _file_stream(spark, docs_parquet, want_event_ts=False)
+    fp = simhash(stream, "doc_id", "text")
+    agg = fp.groupBy("simhash").agg(
+        F.min("doc_id").alias("keeper"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")

@@ -134,6 +134,24 @@ def test_streaming_matches_batch(spark):
     assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, stream.collect()))
 
 
+def test_stream_near_dedup_matches_batch_groups(spark):
+    """Streaming fingerprint families equal the batch simhash grouping."""
+    from shortcut_spark.operators.dedup import simhash
+    from shortcut_spark.sources import load_fixture
+    from shortcut_spark.streaming import run_stream_near_dedup
+
+    docs = load_fixture(spark, SF_DIR, "documents")
+    batch = (
+        simhash(docs, "doc_id", "text")
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_docs"))
+    )
+    stream = run_stream_near_dedup(
+        spark, f"{SF_DIR}/documents.parquet", "t_near_dedup_test"
+    )
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, stream.collect()))
+
+
 def test_hopping_stream_matches_batch(spark):
     """Sliding-window streaming rollup equals the batch hopping rollup,
     and every event lands in exactly width/hop windows."""
