@@ -170,6 +170,19 @@ def q_store_delete_pred(spark, sf_dir):
     )
 
 
+def q_store_delete_defer(spark, sf_dir):
+    """delete(conds, defer=True) — merge-on-read tombstone delete: only
+    the victim rowids are written (cost ∝ victims, not affected-file
+    bytes); every read anti-joins them, compact() materializes. Identical
+    semantics to the copy-on-write path, verified by the same oracle
+    shape."""
+    st = _fresh_store(spark, sf_dir, "orders", (("o_orderstatus", "hash"),))
+    st.delete([eq("o_orderstatus", "P")], defer=True)
+    return st.find([]).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
+    )
+
+
 def q_store_delete_closure(spark, sf_dir):
     """delete_filter(conds, closure) — O6: residual predicate beyond the
     cond list (src/lib.rs:149-169)."""
@@ -1684,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hopping": q_events_hopping,
         "events_stream_hopping": q_events_stream_hopping,
         "docs_stream_near_dedup": q_docs_stream_near_dedup,
+        "store_delete_defer": q_store_delete_defer,
         "store_explain": q_store_explain,
         "stats_approx_sketch": q_stats_approx_sketch,
         "q5_local_supplier": q5_local_supplier,
@@ -1860,6 +1874,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE (l_returnflag = 'R' AND l_linestatus = 'F') OR l_quantity >= 49.0""",
         "store_insert_append": "SELECT o_orderstatus, 2 * count(*) AS n FROM orders GROUP BY o_orderstatus",
         "store_delete_pred": f"""
+            SELECT o_orderstatus, count(*) AS n, {_DSUM('o_totalprice')} AS sum_price
+            FROM orders WHERE o_orderstatus <> 'P' GROUP BY o_orderstatus""",
+        "store_delete_defer": f"""
             SELECT o_orderstatus, count(*) AS n, {_DSUM('o_totalprice')} AS sum_price
             FROM orders WHERE o_orderstatus <> 'P' GROUP BY o_orderstatus""",
         "store_delete_closure": f"""

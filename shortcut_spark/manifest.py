@@ -80,6 +80,13 @@ class Manifest:
     # e.g. the streaming ingestion epoch (exactly-once replay marker must
     # flip in the SAME commit as the data it covers)
     props: dict = field(default_factory=dict)
+    # merge-on-read delete state: parquet dirs of tombstoned __rowid values
+    # (reads anti-join them; compact materializes and clears). INVARIANT:
+    # every tombstoned rowid lies inside some live data file's rowid range
+    # — copy-on-write paths consolidate the tombstone set when they retire
+    # files, so ``tombstone_rows`` stays an exact live-row correction.
+    tombstones: list[str] = field(default_factory=list)
+    tombstone_rows: int = 0
 
     @property
     def schema(self) -> T.StructType:
@@ -93,6 +100,10 @@ class Manifest:
     def total_rows(self) -> int:
         return sum(f.rows for f in self.files)
 
+    @property
+    def live_rows(self) -> int:
+        return self.total_rows - self.tombstone_rows
+
     def to_json(self) -> dict:
         return {
             "format_version": 1,
@@ -103,6 +114,8 @@ class Manifest:
             "files": [f.to_json() for f in self.files],
             "indices": {c: s.to_json() for c, s in self.indices.items()},
             "props": dict(self.props),
+            "tombstones": list(self.tombstones),
+            "tombstone_rows": self.tombstone_rows,
         }
 
     @classmethod
@@ -115,6 +128,8 @@ class Manifest:
             files=[DataFile.from_json(f) for f in d["files"]],
             indices={c: IndexSpec.from_json(s) for c, s in d["indices"].items()},
             props=dict(d.get("props", {})),
+            tombstones=list(d.get("tombstones", [])),
+            tombstone_rows=int(d.get("tombstone_rows", 0)),
         )
 
     # -- storage ------------------------------------------------------------

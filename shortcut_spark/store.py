@@ -149,7 +149,17 @@ class Store:
                 "__file_path",
                 F.concat(F.lit("/"), F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "")),
             )
+        if self.manifest.tombstones:
+            # merge-on-read: anti-join the tombstoned rowids. ALL data reads
+            # flow through here, so every query surface (find / multiget /
+            # delete-victim scans / compact) sees only live rows.
+            df = df.join(self._tombstone_df(), ROWID, "left_anti")
         return df
+
+    def _tombstone_df(self) -> DataFrame:
+        return self.spark.read.schema(f"{ROWID} long").parquet(
+            *[self._abs(t) for t in self.manifest.tombstones]
+        )
 
     def _file_id_map(self, files: Sequence[DataFile]) -> DataFrame:
         """Small (path → file id) mapping df; broadcast into posting builds."""
@@ -723,21 +733,35 @@ class Store:
         )
 
     def __len__(self) -> int:
-        return self.manifest.total_rows
+        return self.manifest.live_rows
 
     # -- delete (src/lib.rs:140-169) ----------------------------------------
 
-    def delete(self, conds: Sequence[Condition]) -> int:
+    def delete(self, conds: Sequence[Condition], defer: bool = False) -> int:
         """``delete(conds)`` = ``delete_filter(conds, |_| true)``
-        (``src/lib.rs:140-142``)."""
-        return self.delete_filter(conds, None)
+        (``src/lib.rs:140-142``). ``defer=True`` selects the merge-on-read
+        tombstone path (see :meth:`delete_filter`)."""
+        return self.delete_filter(conds, None, defer=defer)
 
     def delete_filter(
         self,
         conds: Sequence[Condition],
         residual: Column | Callable[..., bool] | None,
+        defer: bool = False,
     ) -> int:
-        """Copy-on-write predicate delete; returns rows removed.
+        """Predicate delete; returns rows removed.
+
+        Two physical strategies with identical semantics:
+
+        * ``defer=False`` (default) — copy-on-write: rewrite the affected
+          files without the victims. Cost ∝ bytes of the affected files.
+        * ``defer=True`` — merge-on-read: write only the victim rowids as
+          a tombstone file; every read anti-joins them, and ``compact()``
+          materializes and clears. Cost ∝ victims — at 100 TB, deleting a
+          few rows spread over many files must NOT rewrite terabytes.
+          Index postings keep referencing tombstoned rowids until compact;
+          the superset-then-recheck read contract (src/lib.rs:89-91) plus
+          the tombstone anti-join keeps every result exact.
 
         ``residual`` is the reference's arbitrary row closure
         (``src/lib.rs:149``): pass a Spark ``Column`` (preferred — stays
@@ -758,6 +782,28 @@ class Store:
         if not candidates:
             return 0
 
+        if defer:
+            victims_rel = os.path.join(
+                "tomb", f"t{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
+            )
+            self._read_files(candidates).filter(pred).select(ROWID).write.parquet(
+                self._abs(victims_rel)
+            )
+            n = (
+                self.spark.read.schema(f"{ROWID} long")
+                .parquet(self._abs(victims_rel))
+                .count()
+            )
+            if n == 0:
+                import shutil
+
+                shutil.rmtree(self._abs(victims_rel), ignore_errors=True)
+                return 0
+            self.manifest.tombstones.append(victims_rel)
+            self.manifest.tombstone_rows += n
+            self._commit()
+            return n
+
         scan = self._read_files(candidates, with_meta=True)
         per_file = {
             r["__file_path"]: r["cnt"]
@@ -772,6 +818,29 @@ class Store:
         survivors = self._read_files(affected_files).filter(~pred)
         batch_rel = os.path.join("data", f"d{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}")
         survivors.write.parquet(self._abs(batch_rel))
+
+        # retiring files invalidates tombstone entries inside their rowid
+        # ranges (the survivors were written from the anti-joined read, so
+        # those rowids no longer exist anywhere) — consolidate the tombstone
+        # set to keep the manifest invariant: every tombstoned rowid lies in
+        # a live file, and tombstone_rows is an exact live-row correction.
+        if self.manifest.tombstones:
+            tomb = self._tombstone_df()
+            in_affected = F.lit(False)
+            for f in affected_files:
+                in_affected = in_affected | F.col(ROWID).between(f.min_rowid, f.max_rowid)
+            remaining = tomb.filter(~in_affected)
+            keep_rel = os.path.join(
+                "tomb", f"t{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
+            )
+            remaining.write.parquet(self._abs(keep_rel))
+            n_keep = (
+                self.spark.read.schema(f"{ROWID} long")
+                .parquet(self._abs(keep_rel))
+                .count()
+            )
+            self.manifest.tombstones = [keep_rel] if n_keep else []
+            self.manifest.tombstone_rows = n_keep
 
         self.manifest.files = [f for f in self.manifest.files if f.id not in affected]
         new_files = self._register_files(batch_rel)
@@ -811,9 +880,11 @@ class Store:
             for spec in m.indices.values():
                 for part in spec.parts:
                     live.add(os.path.normpath(self._abs(part)))
+            for t in m.tombstones:
+                live.add(os.path.normpath(self._abs(t)))
         live_dirs = {os.path.dirname(p) for p in live} | live
         removed = 0
-        for sub in ("data", "idx"):
+        for sub in ("data", "idx", "tomb"):
             root = os.path.join(self.path, sub)
             if not os.path.isdir(root):
                 continue
@@ -858,6 +929,10 @@ class Store:
         batch_rel = os.path.join("data", f"c{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}")
         df.sortWithinPartitions(sort_by or ROWID).write.parquet(self._abs(batch_rel))
         self.manifest.files = []
+        # the rewrite materialized the tombstone anti-join — clear the
+        # merge-on-read state (compact IS the tombstone materialization job)
+        self.manifest.tombstones = []
+        self.manifest.tombstone_rows = 0
         new_files = self._register_files(batch_rel)
         for spec in self.manifest.indices.values():
             spec.parts = []

@@ -294,3 +294,42 @@ def test_custom_indexer_extension_point(spark, store_path):
     st2 = Store.open(spark, store_path)
     assert st2.manifest.indices["c0"].custom is None
     assert "IndexLookup" in st2.explain_find([eq(0, "a")])
+
+
+def test_defer_delete_merge_on_read(spark, store_path, tmp_path):
+    """Tombstone (merge-on-read) delete is semantically identical to the
+    copy-on-write path: same survivors, same len(), same index lookups —
+    across reopen, a following COW delete (tombstone consolidation), and
+    compact (materialization)."""
+    data = [[k, f"v{i}"] for i, k in enumerate(["a", "a", "b", "c", "b", "a"])]
+    st = make(spark, store_path, data, index_col=0)
+    twin = make(spark, str(tmp_path / "twin"), data, index_col=0)
+
+    n = st.delete([eq(0, "a")], defer=True)
+    n_twin = twin.delete([eq(0, "a")])
+    assert n == n_twin == 3
+    assert len(st) == len(twin) == 3
+    assert rows_of(st.find([])) == rows_of(twin.find([]))
+    # index point lookup must not resurrect tombstoned rows
+    assert st.find([eq(0, "a")]).count() == 0
+    assert rows_of(st.find([eq(0, "b")])) == rows_of(twin.find([eq(0, "b")]))
+
+    # tombstones survive reopen (they are manifest state)
+    st2 = Store.open(spark, store_path)
+    assert len(st2) == 3 and st2.find([eq(0, "a")]).count() == 0
+
+    # inserts after a deferred delete are visible (rowids never reused)
+    st2.insert([("d", "new")])
+    assert len(st2) == 4 and st2.find([eq(0, "d")]).count() == 1
+
+    # a COW delete on top consolidates tombstones without double-counting
+    st2.delete([eq(0, "b")])
+    assert len(st2) == 2
+    assert st2.find([eq(0, "b")]).count() == 0
+
+    # compact materializes the anti-join and clears merge-on-read state
+    before = rows_of(st2.find([]))
+    st2.compact()
+    assert st2.manifest.tombstones == [] and st2.manifest.tombstone_rows == 0
+    assert rows_of(st2.find([])) == before
+    assert len(st2) == 2
