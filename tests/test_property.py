@@ -47,15 +47,20 @@ def test_store_matches_model(spark, tmp_path_factory, ops, data):
         elif op[0] == "delete_eq":
             _, col, v = op
             conds = [eq(col, v)]
-            n = store.delete(conds)
+            # randomly exercise BOTH physical delete strategies — the
+            # merge-on-read tombstone path must be model-indistinguishable
+            # from copy-on-write under arbitrary schedules
+            n = store.delete(conds, defer=data.draw(st.booleans()))
             expected_victims = [r for r in model if model_matches(r, conds)]
             assert n == len(expected_victims)
             model = [r for r in model if not model_matches(r, conds)]
         elif op[0] == "index":
             store.index(op[1], data.draw(st.sampled_from([HashIndex, BTreeIndex])))
-        # invariant after every op: find([]) == model as a multiset
+        # invariant after every op: find([]) == model as a multiset, and
+        # len() (metadata-only under tombstones) agrees with the model
         got = sorted(tuple(r) for r in store.find([]).collect())
         assert got == sorted(model)
+        assert len(store) == len(model)
     # final probes: a point find and a col=col find against the model
     conds = [eq(0, "a")]
     assert store.find(conds).count() == sum(1 for r in model if model_matches(r, conds))
