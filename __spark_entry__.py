@@ -1433,6 +1433,20 @@ def q_fuzzy_join_names(spark, sf_dir):
     )
 
 
+def q_corpus_token_budget(spark, sf_dir):
+    """Token-budget mixing (sampling.token_budget_sample): per-source
+    document take in deterministic hash order until each source's token
+    budget is crossed — budgets are the data-mixing contract, rates are
+    only a proxy. One per-stratum window; map-only otherwise."""
+    from shortcut_spark.operators.sampling import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_sample(
+        docs, "doc_id", "source", "text",
+        budgets={"src1": 5000, "src2": 2000}, default_budget=1000,
+    )
+
+
 def q_embed_dup_clusters(spark, sf_dir):
     """Semantic dedup clusters (similarity.semantic_dup_clusters): cosine
     near-dup pairs → connected components → cluster labels over embedding
@@ -1698,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_hopping": q_events_stream_hopping,
         "docs_stream_near_dedup": q_docs_stream_near_dedup,
         "store_delete_defer": q_store_delete_defer,
+        "corpus_token_budget": q_corpus_token_budget,
         "store_explain": q_store_explain,
         "stats_approx_sketch": q_stats_approx_sketch,
         "q5_local_supplier": q5_local_supplier,
@@ -2761,6 +2776,24 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY ('0x' || substr(md5('shuffle:order:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id
                    ) AS BIGINT) AS pos
             FROM documents""",
+        "corpus_token_budget": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len({toks}) AS BIGINT) AS n_tokens,
+                     {_H32('budget', 'CAST(doc_id AS VARCHAR)')} AS h
+              FROM documents
+            ), c AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS cum_before
+              FROM t
+            )
+            SELECT doc_id, source, n_tokens, cum_before FROM c
+            WHERE cum_before < CASE source WHEN 'src1' THEN 5000
+                                           WHEN 'src2' THEN 2000
+                                           ELSE 1000 END""",
         "corpus_mix_sample": """
             SELECT doc_id, source FROM documents
             WHERE (('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) <

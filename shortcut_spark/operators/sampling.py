@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions import hash32
 
-__all__ = ["hash_sample", "stratified_sample", "shuffle_shard"]
+__all__ = ["hash_sample", "stratified_sample", "shuffle_shard", "token_budget_sample"]
 
 _BUCKETS = 10_000  # rate resolution: 0.01%
 
@@ -104,4 +104,55 @@ def shuffle_shard(
         .withColumn("__ord", order)
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("__ord")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    text_col: str,
+    budgets: Mapping[str, int],
+    default_budget: int = 0,
+    seed: str | int = "budget",
+) -> DataFrame:
+    """Token-budget mixing: keep documents per stratum, in deterministic
+    hash order, until the stratum's token budget is reached — "give me
+    ~1M tokens of books and ~250k of web", the unit data-mixing actually
+    speaks (rates are a proxy; budgets are the contract).
+
+    A document is kept iff the cumulative token count of the docs BEFORE
+    it (in hash order) is still under budget, so the budget may overshoot
+    by at most one document — deterministic, engine-portable, and
+    independent of partitioning.
+
+    Scale note: the running sum is a per-stratum window — one task per
+    stratum. That is the honest cost of an exact sequential budget; with
+    few strata (sources) each task streams its stratum. For budget cuts
+    over huge single strata, use rate-based ``stratified_sample`` (map-
+    only) to get within a few percent first, then this for the exact cut.
+
+    Output: (key, stratum, n_tokens, cum_before) for kept docs.
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions import token_count
+
+    order = hash32(F.col(key_col), seed)
+    w = (
+        W.partitionBy(strata_col)
+        .orderBy(order, F.col(key_col))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    budget = F.lit(default_budget)
+    for s, b in budgets.items():
+        budget = F.when(F.col(strata_col) == s, F.lit(int(b))).otherwise(budget)
+    return (
+        df.select(
+            F.col(key_col),
+            F.col(strata_col),
+            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        )
+        .withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .filter(F.col("cum_before") < budget)
     )

@@ -407,6 +407,29 @@ def test_repetition_stats_known_values(spark):
     assert out[3]["dup_2gram_frac"] == 0.0 and out[3]["dup_3gram_frac"] == 0.0
 
 
+def test_token_budget_sample_budget_semantics(spark):
+    """Kept docs per stratum: cumulative-before < budget (at most one
+    overshooting doc); deterministic across runs; zero-budget stratum
+    keeps nothing."""
+    from shortcut_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "a" if i < 10 else "b", "tok " * 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = token_budget_sample(
+        df, "doc_id", "source", "text", budgets={"a": 25}, default_budget=0
+    ).collect()
+    kept_a = [r for r in out if r["source"] == "a"]
+    assert all(r["source"] == "a" for r in out)  # default 0 drops 'b'
+    # 10 tokens/doc, budget 25 → cum_before 0,10,20 pass; 30 fails → 3 docs
+    assert len(kept_a) == 3
+    assert all(r["cum_before"] < 25 for r in kept_a)
+    assert sum(r["n_tokens"] for r in kept_a) == 30  # one-doc overshoot
+    again = token_budget_sample(
+        df, "doc_id", "source", "text", budgets={"a": 25}, default_budget=0
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_shuffle_shard_deterministic_total_order(spark):
     """Same input + seed → identical (shard, pos); positions are dense
     1..k per shard; a different seed permutes the order."""
