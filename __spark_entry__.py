@@ -1447,6 +1447,17 @@ def q_corpus_token_budget(spark, sf_dir):
     )
 
 
+def q_mm_audio_chunks(spark, sf_dir):
+    """Audio chunking plan (multimodal.audio_chunk_plan): exact sample
+    offsets per fixed window from metadata only — the audio twin of the
+    video frame plan; JVM-side sequence explode, blob column untouched."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "media",
+        F.struct((F.col("n_chars") * 160).cast("long").alias("n_samples")),
+    )
+    return multimodal.audio_chunk_plan(docs, "doc_id", chunk_ms=1000)
+
+
 def q_embed_dup_clusters(spark, sf_dir):
     """Semantic dedup clusters (similarity.semantic_dup_clusters): cosine
     near-dup pairs → connected components → cluster labels over embedding
@@ -1713,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stream_near_dedup": q_docs_stream_near_dedup,
         "store_delete_defer": q_store_delete_defer,
         "corpus_token_budget": q_corpus_token_budget,
+        "mm_audio_chunks": q_mm_audio_chunks,
         "store_explain": q_store_explain,
         "stats_approx_sketch": q_stats_approx_sketch,
         "q5_local_supplier": q5_local_supplier,
@@ -2485,6 +2497,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sha AS sha256, n_bytes,
                    round(CAST(SUM(('0x' || substr(m, 2*i+1, 2))::INT) AS DOUBLE) / 16, 6) AS mean_px
             FROM b GROUP BY doc_id, sha, n_bytes""",
+        "mm_audio_chunks": """
+            SELECT doc_id, i AS chunk_i,
+                   CAST(i * 16000 AS BIGINT) AS start_sample,
+                   CAST(least((i + 1) * 16000, ns) AS BIGINT) AS end_sample
+            FROM (
+              SELECT doc_id, n_chars * 160 AS ns,
+                     unnest(generate_series(0,
+                       greatest(CAST(ceil((n_chars * 160) / 16000.0) AS BIGINT) - 1, 0))) AS i
+              FROM documents WHERE n_chars * 160 > 0)""",
         "mm_frame_plan": """
             SELECT doc_id, i AS frame_i, i * 1000 AS frame_ts_ms FROM (
               SELECT doc_id,

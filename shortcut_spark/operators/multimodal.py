@@ -35,6 +35,7 @@ __all__ = [
     "decode_features",
     "resize_media",
     "frame_sample_plan",
+    "audio_chunk_plan",
 ]
 
 MEDIA_META = T.StructType(
@@ -180,5 +181,40 @@ def frame_sample_plan(
             F.col(id_col),
             F.col("frame_i").cast("long").alias("frame_i"),
             (F.col("frame_i") * F.lit(every_ms)).cast("long").alias("frame_ts_ms"),
+        )
+    )
+
+
+def audio_chunk_plan(
+    df: DataFrame,
+    id_col: str,
+    chunk_ms: int = 30_000,
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """Audio chunking *plan*: one row per (media item, chunk) with exact
+    sample offsets, derived from sample-count metadata — the audio twin of
+    :func:`frame_sample_plan` (ASR/embedding pipelines consume fixed
+    windows, e.g. 30 s). Pure JVM-side sequence explode; the actual PCM
+    slice would be a ``decode_features``-style ``mapInPandas`` over this
+    plan joined back to payloads. The final (possibly short) chunk is
+    emitted with its true end offset.
+
+    Expects ``media.n_samples`` metadata; rows without it are skipped.
+
+    Output: (id, chunk_i, start_sample, end_sample).
+    """
+    spc = int(sample_rate * chunk_ms / 1000)  # samples per chunk
+    ns = F.col("media.n_samples")
+    last = F.greatest(
+        F.ceil(ns / F.lit(float(spc))).cast("long") - F.lit(1), F.lit(0)
+    )
+    return (
+        df.filter(ns.isNotNull() & (ns > 0))
+        .select(F.col(id_col), ns.alias("__ns"), F.explode(F.sequence(F.lit(0), last)).alias("chunk_i"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_i").cast("long").alias("chunk_i"),
+            (F.col("chunk_i") * spc).cast("long").alias("start_sample"),
+            F.least(F.col("chunk_i") * spc + spc, F.col("__ns")).cast("long").alias("end_sample"),
         )
     )

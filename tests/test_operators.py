@@ -407,6 +407,26 @@ def test_repetition_stats_known_values(spark):
     assert out[3]["dup_2gram_frac"] == 0.0 and out[3]["dup_3gram_frac"] == 0.0
 
 
+def test_audio_chunk_plan_offsets(spark):
+    """Chunk offsets tile the sample count exactly: full chunks then a
+    short tail; empty/missing metadata rows are skipped."""
+    from shortcut_spark.operators.multimodal import audio_chunk_plan
+
+    df = spark.createDataFrame(
+        [(1, 40_000), (2, 16_000), (3, 0), (4, None)],
+        "doc_id long, n_samples long",
+    ).withColumn("media", F.struct(F.col("n_samples")))
+    out = audio_chunk_plan(df, "doc_id", chunk_ms=1000).collect()  # 16k samples/chunk
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_i"], r["start_sample"], r["end_sample"])
+        )
+    assert by_doc[1] == [(0, 0, 16000), (1, 16000, 32000), (2, 32000, 40000)]
+    assert by_doc[2] == [(0, 0, 16000)]
+    assert 3 not in by_doc and 4 not in by_doc
+
+
 def test_token_budget_sample_budget_semantics(spark):
     """Kept docs per stratum: cumulative-before < budget (at most one
     overshooting doc); deterministic across runs; zero-budget stratum
