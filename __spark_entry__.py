@@ -1447,6 +1447,16 @@ def q_corpus_token_budget(spark, sf_dir):
     )
 
 
+def q_corpus_clean_report(spark, sf_dir):
+    """Cleaning-funnel observability (pipeline.clean_corpus_report):
+    documents surviving each cascade stage (total → quality → language →
+    exact dedup → near dedup) as one query — the report a production
+    pipeline alarms on."""
+    from shortcut_spark.operators.pipeline import clean_corpus_report
+
+    return clean_corpus_report(_t(spark, sf_dir, "documents"))
+
+
 def q_mm_audio_chunks(spark, sf_dir):
     """Audio chunking plan (multimodal.audio_chunk_plan): exact sample
     offsets per fixed window from metadata only — the audio twin of the
@@ -1725,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_delete_defer": q_store_delete_defer,
         "corpus_token_budget": q_corpus_token_budget,
         "mm_audio_chunks": q_mm_audio_chunks,
+        "corpus_clean_report": q_corpus_clean_report,
         "store_explain": q_store_explain,
         "stats_approx_sketch": q_stats_approx_sketch,
         "q5_local_supplier": q5_local_supplier,
@@ -1826,7 +1837,7 @@ def oracle_sql() -> dict[str, str]:
 
     # composite pipeline: the same quality / lang-id / fingerprint / minhash
     # fragments as the individual oracles, rebased onto the filtered set
-    corpus_clean_sql = f"""
+    corpus_ctes = f"""
       WITH feat AS (
         SELECT doc_id,
                len({toks}) AS n_tok,
@@ -1884,9 +1895,29 @@ def oracle_sql() -> dict[str, str]:
       losers AS (
         SELECT DISTINCT j.id_b AS doc_id FROM jac j JOIN cand USING (id_a, id_b)
         WHERE j.jaccard >= 0.5
-      )
+      )"""
+
+    corpus_clean_sql = (
+        corpus_ctes
+        + """
       SELECT b.doc_id, b.lang_guess, b.quality FROM base2 b
       WHERE b.doc_id NOT IN (SELECT doc_id FROM losers)"""
+    )
+
+    corpus_report_sql = (
+        corpus_ctes
+        + """
+      SELECT '00_total' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      UNION ALL
+      SELECT '01_quality', CAST(count(*) AS BIGINT) FROM q WHERE quality >= 0.3
+      UNION ALL
+      SELECT '02_language', CAST(count(*) AS BIGINT) FROM base1
+      UNION ALL
+      SELECT '03_exact_dedup', CAST(count(*) AS BIGINT) FROM base2
+      UNION ALL
+      SELECT '04_near_dedup', CAST(count(*) AS BIGINT) FROM base2 b
+      WHERE b.doc_id NOT IN (SELECT doc_id FROM losers)"""
+    )
 
     return {
         # -- Store parity ---------------------------------------------------
@@ -2512,6 +2543,7 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(0, CAST(floor((n_chars * 10) / 1000.0) AS INT))) AS i
               FROM documents)""",
         "corpus_clean": corpus_clean_sql,
+        "corpus_clean_report": corpus_report_sql,
         "events_session_window": f"""
             WITH m AS (
               SELECT user_id, event_id, ts,

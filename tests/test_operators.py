@@ -407,6 +407,21 @@ def test_repetition_stats_known_values(spark):
     assert out[3]["dup_2gram_frac"] == 0.0 and out[3]["dup_3gram_frac"] == 0.0
 
 
+def test_clean_corpus_report_funnel(spark):
+    """Funnel counts are monotone non-increasing, start at the corpus
+    size, and the last stage equals clean_corpus's survivor count."""
+    from shortcut_spark.operators.pipeline import clean_corpus, clean_corpus_report
+    from shortcut_spark.sources import load_fixture
+
+    docs = load_fixture(spark, SF_DIR, "documents")
+    report = {r["stage"]: r["n_docs"] for r in clean_corpus_report(docs).collect()}
+    stages = sorted(report)
+    assert stages[0] == "00_total" and report["00_total"] == docs.count()
+    counts = [report[s] for s in stages]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert report["04_near_dedup"] == clean_corpus(docs).count()
+
+
 def test_audio_chunk_plan_offsets(spark):
     """Chunk offsets tile the sample count exactly: full chunks then a
     short tail; empty/missing metadata rows are skipped."""
