@@ -892,3 +892,49 @@ def test_stream_funnel_matches_batch(spark):
     }
     assert stream == batch and len(batch) > 0
     assert any(r[1] == len(steps) for r in batch)  # someone completes it
+
+
+def test_ngram_contamination_self_is_total(spark):
+    """Metamorphic: when the benchmark IS the corpus, every document with
+    at least one gram is fully contaminated (ratio exactly 1.0)."""
+    from shortcut_spark.operators.text import ngram_contamination
+    from shortcut_spark.sources import load_fixture
+
+    docs = load_fixture(spark, SF_DIR, "documents").limit(100)
+    out = ngram_contamination(docs, docs, n=3).collect()
+    assert len(out) == 100
+    for r in out:
+        if r["n_grams"] > 0:
+            assert r["n_overlap"] == r["n_grams"] and r["contam_ratio"] == 1.0
+        else:
+            assert r["contam_ratio"] == 0.0
+
+
+def test_fuzzy_join_equals_naive_within_blocks(spark):
+    """Metamorphic: the blocked fuzzy join equals the naive cross-join
+    restricted to equal block keys — blocking only prunes, never adds."""
+    from shortcut_spark.operators.joins import fuzzy_join
+
+    cust = (
+        spark.createDataFrame(
+            [(i, f"Customer#{i:09d}") for i in range(60)], "c_id long, c_name string"
+        )
+    )
+    supp = spark.createDataFrame(
+        [(i, f"Supplier#{i:09d}") for i in range(30)], "s_id long, s_name string"
+    )
+    fast = {
+        (r["c_id"], r["s_id"], r["lev_dist"])
+        for r in fuzzy_join(cust, supp, "c_name", "s_name", max_distance=5).collect()
+    }
+    naive = {
+        (r[0], r[1], r[2])
+        for r in cust.crossJoin(supp)
+        .filter(
+            (F.lower(F.substring("c_name", -6, 6)) == F.lower(F.substring("s_name", -6, 6)))
+            & (F.levenshtein("c_name", "s_name") <= 5)
+        )
+        .select("c_id", "s_id", F.levenshtein("c_name", "s_name").cast("long"))
+        .collect()
+    }
+    assert fast == naive and len(fast) == 30
