@@ -1447,6 +1447,34 @@ def q_corpus_token_budget(spark, sf_dir):
     )
 
 
+def q_source_profile(spark, sf_dir):
+    """Per-source corpus health profile: document count, mean quality,
+    mean length, and content-uniqueness ratio per source — the dashboard
+    that decides which sources get up/down-weighted in the mix. One scan,
+    one source-key aggregation."""
+    from shortcut_spark.functions import fingerprint, tokens
+
+    from shortcut_spark.operators.text import quality_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    pre = docs.select(
+        "source",
+        "text",
+        tokens(F.lower(F.col("text"))).alias("__toks_l"),
+    ).select(
+        "source",
+        quality_expr(F.col("text"), F.col("__toks_l")).alias("quality"),
+        F.size("__toks_l").alias("n_tok"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    return pre.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("quality", "avg_quality"),
+        davg(F.col("n_tok").cast("double"), "avg_tokens"),
+        (F.count_distinct("fp").cast("double") / F.count(F.lit(1))).alias("uniq_ratio"),
+    )
+
+
 def q_corpus_clean_report(spark, sf_dir):
     """Cleaning-funnel observability (pipeline.clean_corpus_report):
     documents surviving each cascade stage (total → quality → language →
@@ -1736,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_budget": q_corpus_token_budget,
         "mm_audio_chunks": q_mm_audio_chunks,
         "corpus_clean_report": q_corpus_clean_report,
+        "source_profile": q_source_profile,
         "store_explain": q_store_explain,
         "stats_approx_sketch": q_stats_approx_sketch,
         "q5_local_supplier": q5_local_supplier,
@@ -2544,6 +2573,18 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)""",
         "corpus_clean": corpus_clean_sql,
         "corpus_clean_report": corpus_report_sql,
+        "source_profile": f"""
+            WITH q AS ({quality}),
+            s AS (
+              SELECT d.source, q.quality,
+                     len({toks}) AS n_tok, {fingerprint} AS fp
+              FROM documents d JOIN q ON q.doc_id = d.doc_id
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(SUM(CAST(quality AS DECIMAL(27,6))) AS DOUBLE) / count(*) AS avg_quality,
+                   CAST(SUM(CAST(n_tok AS DECIMAL(27,6))) AS DOUBLE) / count(*) AS avg_tokens,
+                   CAST(count(DISTINCT fp) AS DOUBLE) / count(*) AS uniq_ratio
+            FROM s GROUP BY source""",
         "events_session_window": f"""
             WITH m AS (
               SELECT user_id, event_id, ts,

@@ -894,6 +894,36 @@ def test_stream_funnel_matches_batch(spark):
     assert any(r[1] == len(steps) for r in batch)  # someone completes it
 
 
+def test_source_profile_uniqueness_ratio(spark):
+    """A source of unique docs profiles at uniq_ratio 1.0; a source that
+    is one doc duplicated profiles at 1/n."""
+    import __spark_entry__ as E
+    from shortcut_spark.functions import fingerprint, tokens
+    from shortcut_spark.operators.text import quality_expr
+
+    rows = [(i, "clean", f"unique document number {i} with words") for i in range(5)]
+    rows += [(10 + i, "dupey", "same exact text every time") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    pre = df.select(
+        "source", "text", tokens(F.lower(F.col("text"))).alias("__t")
+    ).select(
+        "source",
+        quality_expr(F.col("text"), F.col("__t")).alias("quality"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    out = {
+        r["source"]: r
+        for r in pre.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count_distinct("fp").cast("double") / F.count(F.lit(1))).alias("uniq_ratio"),
+        )
+        .collect()
+    }
+    assert out["clean"]["uniq_ratio"] == 1.0
+    assert out["dupey"]["uniq_ratio"] == 0.25
+
+
 def test_ngram_contamination_self_is_total(spark):
     """Metamorphic: when the benchmark IS the corpus, every document with
     at least one gram is fully contaminated (ratio exactly 1.0)."""
