@@ -826,10 +826,17 @@ class Store:
         # a live file, and tombstone_rows is an exact live-row correction.
         if self.manifest.tombstones:
             tomb = self._tombstone_df()
-            in_affected = F.lit(False)
-            for f in affected_files:
-                in_affected = in_affected | F.col(ROWID).between(f.min_rowid, f.max_rowid)
-            remaining = tomb.filter(~in_affected)
+            # Consolidate by MEMBERSHIP, not rowid range: file rowid ranges
+            # can overlap (compact(sort_by=<non-rowid col>) range-partitions
+            # by the sort column, interleaving rowids across files), and
+            # footer stats can be absent (the [-1,-1] sentinel). A raw —
+            # deliberately tombstone-unfiltered — read of the retired files'
+            # rowid column is the exact set of rowids that just ceased to
+            # exist; only tombstones outside it survive.
+            raw_affected = self.spark.read.schema(f"{ROWID} long").parquet(
+                *[self._abs(f.path) for f in affected_files]
+            )
+            remaining = tomb.join(raw_affected, ROWID, "left_anti")
             keep_rel = os.path.join(
                 "tomb", f"t{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
             )

@@ -21,6 +21,11 @@ op_st = st.one_of(
     st.tuples(st.just("insert"), st.lists(row_st, min_size=1, max_size=4)),
     st.tuples(st.just("delete_eq"), st.sampled_from([0, 1]), st.sampled_from(KEYS + VALS)),
     st.tuples(st.just("index"), st.sampled_from([0, 1])),
+    # compact sorted by a NON-rowid column interleaves rowids across files
+    # (overlapping [min_rowid, max_rowid] ranges) — the schedule that broke
+    # range-based tombstone consolidation (ADVICE r3: consolidate by
+    # membership, not range)
+    st.tuples(st.just("compact"), st.sampled_from([0, 1])),
 )
 
 
@@ -56,6 +61,8 @@ def test_store_matches_model(spark, tmp_path_factory, ops, data):
             model = [r for r in model if not model_matches(r, conds)]
         elif op[0] == "index":
             store.index(op[1], data.draw(st.sampled_from([HashIndex, BTreeIndex])))
+        elif op[0] == "compact":
+            store.compact(target_files=2, sort_by=f"c{op[1]}")
         # invariant after every op: find([]) == model as a multiset, and
         # len() (metadata-only under tombstones) agrees with the model
         got = sorted(tuple(r) for r in store.find([]).collect())

@@ -333,3 +333,40 @@ def test_defer_delete_merge_on_read(spark, store_path, tmp_path):
     assert st2.manifest.tombstones == [] and st2.manifest.tombstone_rows == 0
     assert rows_of(st2.find([])) == before
     assert len(st2) == 2
+
+
+def test_tombstone_consolidation_overlapping_rowid_ranges(spark, tmp_path):
+    """Regression (ADVICE r3, high): CoW-delete tombstone consolidation must
+    be membership-based. compact(sort_by=<non-rowid col>) range-partitions
+    by the sort column, so file [min_rowid, max_rowid] ranges OVERLAP; a
+    range-based consolidation then discards a tombstone that belongs to a
+    file the CoW delete never touched, resurrecting the deferred-deleted
+    row."""
+    path = str(tmp_path / "store")
+    st = Store.create(spark, path, 2)
+    # alternate keys so that sorting by c0 interleaves rowids across files:
+    # the 'a' file gets even rowids, the 'b' file odd ones
+    st.insert([("a" if i % 2 == 0 else "b", str(i)) for i in range(40)])
+    st.compact(target_files=2, sort_by="c0")
+    files = st.manifest.files
+    assert len(files) == 2
+    # precondition for the regression: the two files' rowid ranges overlap
+    (lo1, hi1), (lo2, hi2) = [(f.min_rowid, f.max_rowid) for f in files]
+    assert max(lo1, lo2) <= min(hi1, hi2), "fixture must interleave rowids"
+
+    # tombstone one 'a' row (merge-on-read), then CoW-delete the 'b' rows:
+    # the b-file's rowid range contains the tombstoned a-rowid, but the
+    # tombstoned row itself still lives in the untouched a-file
+    n = st.delete([eq(0, "a"), eq(1, "2")], defer=True)
+    assert n == 1
+    n = st.delete([eq(0, "b")])
+    assert n == 20
+    # the deferred delete must NOT be resurrected by the consolidation
+    assert st.find([eq(1, "2")]).count() == 0
+    assert st.find([eq(0, "a")]).count() == 19
+    assert len(st) == 19
+    # tombstone bookkeeping stayed exact: the a-row tombstone survives
+    assert st.manifest.tombstone_rows == 1
+    # and survives a reopen + full-scan (read path consistency)
+    st2 = Store.open(spark, path)
+    assert len(st2) == 19 and st2.find([eq(1, "2")]).count() == 0
