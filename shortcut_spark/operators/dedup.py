@@ -357,7 +357,9 @@ def strip_repeated_passages(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """32-bit SimHash: per distinct token a 32-bit md5-derived hash; each bit
     contributes +1/-1; fingerprint bit b is set iff the sum is positive.
 
@@ -367,13 +369,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     distinct + groupBy which shuffles every token twice. Same values,
     identical to the explode-based SQL twin. Docs with no tokens are
     dropped (the explode variant produces no rows for them).
+
+    ``keep`` threads extra columns through untouched (e.g. the event-time
+    column the streaming near-dedup watermark needs).
     """
+    extra = [F.col(c) for c in keep]
     toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
     pre = (
         _ensure_parallelism(df)
-        .select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), *extra, toks.alias("__toks"))
         .filter(F.size("__toks") > 0)
-        .select(F.col(id_col), F.transform(F.col("__toks"), lambda t: hash32(t)).alias("__hs"))
+        .select(F.col(id_col), *extra, F.transform(F.col("__toks"), lambda t: hash32(t)).alias("__hs"))
     )
     # One aggregate pass builds all ``bits`` counters at once (a zip_with
     # over a counter array per token hash) instead of ``bits`` separate
@@ -392,8 +398,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
                 (c, b) -> CASE WHEN c > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
               CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
     )
-    return pre.select(F.col(id_col), counters.alias("__cnt")).select(
-        F.col(id_col), fp.alias("simhash")
+    return pre.select(F.col(id_col), *extra, counters.alias("__cnt")).select(
+        F.col(id_col), *extra, fp.alias("simhash")
     )
 
 

@@ -190,27 +190,52 @@ def fuzzy_join(
 
     An unblocked edit-distance join is O(N x M) — never viable. Blocking
     bounds the work to same-block pairs, the same candidate/verify split
-    as LSH banding, and with the same recall policy: a typo inside the
-    block key drops a true pair, so the key should ride the stable part
-    of the entity (default: the last ``suffix_len`` characters,
-    lowercased; pass ``block`` for a custom key expression). Both sides
-    shuffle once on the block key; distances are computed only within
-    blocks.
+    as LSH banding. Default blocking is MULTI-PASS (standard ER
+    practice): candidates are the union of a PREFIX block (first
+    ``suffix_len`` chars, lowercased) and a SUFFIX block (last
+    ``suffix_len`` chars) — a typo in one end of the string is still
+    caught by the block riding the other end; a true pair is missed only
+    when typos corrupt both ends. The union is overlap-free without any
+    row-id bookkeeping: the suffix pass keeps only pairs whose prefixes
+    DIFFER (pairs with equal prefixes were already emitted by the prefix
+    pass), so duplicate input rows pass through undisturbed and the SQL
+    twin is a plain ``(prefix_eq OR suffix_eq)`` predicate. ~2× candidate
+    cost vs single-pass, two shuffles instead of one. Pass ``block`` for
+    a custom single-pass key expression.
 
     Output: all left + right columns (pre-alias any collisions) plus
     ``lev_dist``. Levenshtein is exact and engine-portable (same values
     in DuckDB), so the operator is oracle-checkable.
     """
-    mk = block or (
-        lambda c: F.lower(F.substring(c, -suffix_len, suffix_len))
-    )
-    l = left.withColumn("__blk", mk(F.col(left_col)))
-    r = right.withColumn("__blk", mk(F.col(right_col)))
-    return (
-        l.join(r, "__blk")
-        .withColumn(
+    verify = lambda cand: (
+        cand.withColumn(
             "lev_dist", F.levenshtein(F.col(left_col), F.col(right_col)).cast("long")
-        )
-        .filter(F.col("lev_dist") <= max_distance)
-        .drop("__blk")
+        ).filter(F.col("lev_dist") <= max_distance)
     )
+    if block is not None:
+        l = left.withColumn("__blk", block(F.col(left_col)))
+        r = right.withColumn("__blk", block(F.col(right_col)))
+        return verify(l.join(r, "__blk")).drop("__blk")
+
+    pre = lambda c: F.lower(F.substring(c, 1, suffix_len))
+    suf = lambda c: F.lower(F.substring(c, -suffix_len, suffix_len))
+    la = (
+        left.withColumn("__pblk", pre(F.col(left_col)))
+        .withColumn("__sblk", suf(F.col(left_col)))
+        .alias("l")
+    )
+    ra = (
+        right.withColumn("__pblk", pre(F.col(right_col)))
+        .withColumn("__sblk", suf(F.col(right_col)))
+        .alias("r")
+    )
+    out_cols = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}") for c in right.columns
+    ]
+    c1 = la.join(ra, F.col("l.__pblk") == F.col("r.__pblk")).select(*out_cols)
+    c2 = la.join(
+        ra,
+        (F.col("l.__sblk") == F.col("r.__sblk"))
+        & (F.col("l.__pblk") != F.col("r.__pblk")),
+    ).select(*out_cols)
+    return verify(c1.unionByName(c2))

@@ -133,10 +133,17 @@ def clean_corpus_report(
             F.lit(name).alias("stage"), "n_docs"
         )
 
-    return (
+    report = (
         stage("00_total", df)
         .unionByName(stage("01_quality", q_pass))
         .unionByName(stage("02_language", ql_pass))
         .unionByName(stage("03_exact_dedup", exact))
         .unionByName(stage("04_near_dedup", final))
     )
+    # The report is exactly five rows — materialize it now so the persisted
+    # scored projection can be released immediately. Returning the lazy DAG
+    # instead would leak one cached projection per invocation in a
+    # long-lived driver session (nobody would ever unpersist it).
+    rows = report.collect()
+    scored.unpersist()
+    return df.sparkSession.createDataFrame(rows, report.schema)

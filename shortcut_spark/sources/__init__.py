@@ -109,11 +109,14 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     Normalize both to a TIMESTAMP (``timestamp_ltz``) — the type
     ``withWatermark`` requires — whose epoch equals the stored wall time
     read as UTC, exactly what DuckDB computes for naive parquet
-    timestamps. The NTZ branch is timezone-INDEPENDENT: a bare NTZ→LTZ
-    cast interprets the wall time in the session timezone, so it is
-    wrapped in ``from_utc_timestamp(…, current_timezone())`` which undoes
-    that interpretation; under the engine's pinned-UTC session
-    (session.py) the wrapper is an exact identity."""
+    timestamps. A bare NTZ→LTZ cast interprets the wall time in the
+    session timezone, so it is wrapped in ``from_utc_timestamp(…,
+    current_timezone())`` which undoes that interpretation. The round
+    trip is exact under any FIXED-OFFSET session timezone (the engine
+    pins UTC, session.py); under a DST zone the cast and the unwrap can
+    resolve ambiguous/skipped wall times near transitions to different
+    offsets and be off by the DST delta — hence the pin is a correctness
+    requirement, not a convenience."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 

@@ -498,9 +498,14 @@ def run_stream_hopping_rollup(
     hop_s: int = 900,
 ) -> DataFrame:
     """The same hopping rollup as a real Structured Streaming query
-    (file source → watermark → sliding windowed agg → memory sink):
-    sliding windows are watermark-compatible, so late data past the
-    watermark drops per-window exactly as the tumbling case."""
+    (file source → watermark → sliding windowed agg → memory sink).
+
+    NOTE: under ``outputMode("complete")`` Spark keeps ALL window state
+    and the watermark does NOT evict or drop anything — right for oracle
+    certification on a bounded fixture, but it exercises no late-data
+    semantics. :func:`run_stream_rollup_append` is the production-shaped
+    twin: append mode + file sink, where the watermark actually finalizes
+    windows and evicts state."""
     stream = _file_stream(spark, events_parquet_dir).withWatermark("ts", "1 hour")
     agg = hopping_rollup(stream, width_s, hop_s)
     q = (
@@ -516,18 +521,132 @@ def run_stream_hopping_rollup(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def run_stream_rollup_append(
+    spark: SparkSession,
+    events_parquet_dir: str,
+    out_dir: str | None = None,
+    delay: str = "1 hour",
+    progress_out: list | None = None,
+) -> DataFrame:
+    """The hourly rollup run the way production runs it: ``outputMode
+    ("append")`` to a parquet FILE sink with watermark-driven
+    finalization — the complete-mode memory-sink drivers certify values
+    but never evict state; this one does both.
+
+    Append-mode contract: a window is emitted to the sink exactly once,
+    when the watermark (max event time seen − ``delay``) passes the
+    window's end; Spark then REMOVES the window's rows from the state
+    store (visible as ``numRowsRemoved`` in the state-operator progress
+    metrics — pass ``progress_out`` to capture them). Windows the
+    watermark has not passed stay open in state and are intentionally
+    absent from the sink, so the batch/SQL oracle applies the same
+    cutoff: ``window_end <= max(ts) − delay``.
+
+    The finalizing batch is Spark's no-data micro-batch (fires after the
+    data batch advances the watermark); ``processAllAvailable`` waits
+    for it, so a bounded fixture still yields every closable window.
+    """
+    import tempfile
+
+    from ..functions import dsum
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="rollup_append_sink_")
+    cp_dir = tempfile.mkdtemp(prefix="rollup_append_cp_")
+    stream = _file_stream(spark, events_parquet_dir).withWatermark("ts", delay)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
+    finally:
+        q.stop()
+    return spark.read.schema(agg.schema).parquet(out_dir)
+
+
 def run_stream_near_dedup(
-    spark: SparkSession, docs_parquet: str, query_name: str = "near_dedup"
+    spark: SparkSession,
+    docs_parquet: str,
+    query_name: str = "near_dedup",
+    within_watermark: bool = False,
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+    state_dir: str | None = None,
 ) -> DataFrame:
     """Streaming NEAR-dedup over a document stream: every arriving
     document gets its SimHash fingerprint in the map stage (pure array
-    expressions — the same ``dedup.simhash`` the batch path uses), and a
-    running groupBy on the fingerprint maintains each family's
-    deterministic survivor (min id) and size. State is one row per
-    distinct fingerprint — the same bound a streaming exact dedup holds —
-    and the output is the fingerprint-family table a downstream keep/drop
-    join consumes. Certified by the identical batch grouping oracle."""
+    expressions — the same ``dedup.simhash`` the batch path uses).
+
+    Default form maintains a running groupBy on the fingerprint — each
+    family's deterministic survivor (min id) and size. State is one row
+    per distinct fingerprint, and the output is the fingerprint-family
+    table a downstream keep/drop join consumes. Certified by the
+    identical batch grouping oracle. The inherent price: that state
+    never expires, so over an unbounded stream the family table grows
+    with the distinct-fingerprint count.
+
+    ``within_watermark=True`` is the bounded-state scale path (mirrors
+    :func:`run_stream_dedup`): ``dropDuplicatesWithinWatermark`` on the
+    fingerprint keyed by the document's event-time column ``ts_col`` —
+    fingerprint state older than the watermark horizon is evicted
+    instead of held forever. The price is exactness on LATE duplicates:
+    once the watermark has passed, a straggling duplicate is no longer
+    matched against its (expired) family, so the output is NOT
+    batch-equal on late data (kept behind the flag, not silently
+    substituted; the pinned behavior is in
+    ``test_stream_near_dedup_within_watermark_bounded_state``). Output
+    is the surviving (doc_id, simhash) rows, append mode to a parquet
+    sink under ``state_dir`` — a file sink + checkpoint so state and
+    offsets persist across restarts (run it again after new files land
+    and only the new files are processed against the retained state).
+    """
     from ..operators.dedup import simhash
+
+    if within_watermark:
+        import os
+        import tempfile
+
+        state_dir = state_dir or tempfile.mkdtemp(prefix="near_dedup_state_")
+        out_dir = os.path.join(state_dir, "out")
+        stream = _file_stream(
+            spark, docs_parquet, want_event_ts=True,
+            link_dir=os.path.join(state_dir, "src"),
+        )
+        if ts_col not in stream.columns:
+            raise ValueError(
+                f"within_watermark near-dedup needs an event-time column {ts_col!r}"
+            )
+        fp = simhash(stream, "doc_id", "text", keep=(ts_col,))
+        survivors = fp.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+            ["simhash"]
+        ).select("doc_id", "simhash")
+        q = (
+            survivors.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(state_dir, "checkpoint"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.schema(survivors.schema).parquet(out_dir)
 
     stream = _file_stream(spark, docs_parquet, want_event_ts=False)
     fp = simhash(stream, "doc_id", "text")

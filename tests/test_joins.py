@@ -88,32 +88,41 @@ def test_salted_sum_equals_direct(spark):
 
 
 def test_fuzzy_join_typos_within_block(spark):
-    """Typos outside the block key match within the distance budget;
-    strings in different blocks never pair (the recall trade blocking
-    makes); exact matches come through at distance 0."""
+    """Multi-pass blocking: a typo in the SUFFIX is caught by the prefix
+    block and vice versa; a candidate matched by BOTH blocks is emitted
+    once, not twice; pairs outside the distance budget are rejected even
+    when a block pairs them; exact matches come through at distance 0."""
     from shortcut_spark.operators.joins import fuzzy_join
 
     left = spark.createDataFrame(
-        [(1, "acme corp 001234"), (2, "globex 009999"), (3, "initech 007777")],
+        [
+            (1, "acme corp 001234"),
+            (2, "globex 009999"),
+            (3, "initech 007777"),
+            (4, "vandelay import x9"),
+        ],
         "lid long, lname string",
     )
     right = spark.createDataFrame(
         [
-            (10, "acme corpp 001234"),  # one insertion, same suffix block
+            (10, "acme corpp 001234"),  # insertion mid-string: both blocks agree
             (20, "globexx 009999"),
-            (30, "initech 000042"),  # different block: never considered
+            (30, "initech 000042"),  # prefix block pairs it, distance 4 rejects
             (40, "acme corp 001234"),  # exact
+            (50, "vandelay import y8"),  # SUFFIX typos — prefix block recalls it
+            (60, "xandelay import x9"),  # PREFIX typo — suffix block recalls it
         ],
         "rid long, rname string",
     )
-    out = {
-        (r["lid"], r["rid"]): r["lev_dist"]
-        for r in fuzzy_join(left, right, "lname", "rname", max_distance=2).collect()
-    }
+    rows = fuzzy_join(left, right, "lname", "rname", max_distance=2).collect()
+    out = {(r["lid"], r["rid"]): r["lev_dist"] for r in rows}
+    assert len(rows) == len(out), "a pair matched by both blocks must emit once"
     assert out[(1, 10)] == 1 and out[(1, 40)] == 0
     assert out[(2, 20)] == 1
-    assert (3, 30) not in out  # blocked apart despite small true distance
-    assert len(out) == 3
+    assert (3, 30) not in out  # candidate via prefix block, rejected at dist 4
+    assert out[(4, 50)] == 2  # suffix typo no longer drops the pair
+    assert out[(4, 60)] == 1  # prefix typo caught by the suffix block
+    assert len(out) == 5
 
 
 def test_range_pairs_vs_naive(spark):

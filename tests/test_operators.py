@@ -266,6 +266,99 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert out.get(ten) == 3, out  # late 10:30 row dropped, not 4
 
 
+def test_stream_rollup_append_finalizes_and_evicts(spark):
+    """Production-shaped streaming: append mode + parquet FILE sink. The
+    sink must hold exactly the windows the watermark finalized (batch
+    rollup restricted to window_end <= max(ts) - delay), and the state
+    operator must EVICT them (numRowsRemoved > 0) — the complete-mode
+    memory-sink drivers never exercise eviction."""
+    from shortcut_spark.functions import dsum
+    from shortcut_spark.sources import load_fixture
+    from shortcut_spark.streaming import run_stream_rollup_append
+
+    prog = []
+    got = run_stream_rollup_append(
+        spark, f"{SF_DIR}/events.parquet", progress_out=prog
+    )
+    ev = load_fixture(spark, SF_DIR, "events")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .filter(F.col("window.end") <= F.lit(mx) - F.expr("INTERVAL 1 HOUR"))
+        .select(
+            F.unix_timestamp("window.start").alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+    state = [o for p in prog for o in (p.get("stateOperators") or [])]
+    assert sum(o.get("numRowsRemoved", 0) for o in state) > 0, state
+    # the trailing (unfinalized) windows stay open in state, not in the sink
+    assert state[-1]["numRowsTotal"] > 0
+
+
+def test_stream_near_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """Bounded-state near-dedup (dropDuplicatesWithinWatermark on the
+    SimHash fingerprint): state expires with the watermark, so a LATE
+    duplicate is neither deduped against its (expired) family nor
+    emitted — it is dropped by the watermark filter. Deliberately NOT
+    batch-equal (the batch grouping would count the late doc in its
+    family); that divergence is the documented price of bounded state,
+    which is why the flag defaults off."""
+    from shortcut_spark.streaming import run_stream_near_dedup
+
+    src = str(tmp_path / "nd_src")
+    state_dir = str(tmp_path / "nd_state")
+
+    def wr(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string, ts string").select(
+            "doc_id", "text", F.to_timestamp("ts").alias("ts")
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    # run 1: docs 1/2 share a fingerprint (2 deduped in-batch — state is
+    # live); doc 3 at t+3h pushes the watermark to t+2h
+    wr(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "2024-01-01 10:00:00"),
+            (2, "the quick brown fox jumps over the lazy dog", "2024-01-01 10:05:00"),
+            (3, "completely different words entirely here now", "2024-01-01 13:00:00"),
+        ]
+    )
+    out1 = run_stream_near_dedup(spark, src, within_watermark=True, state_dir=state_dir)
+    assert sorted(r["doc_id"] for r in out1.collect()) == [1, 3]
+
+    # run 2 (restart from checkpoint, retained state): doc 9 duplicates
+    # doc 1's fingerprint but its ts is behind the watermark — dropped,
+    # NOT re-emitted; doc 5 is on time and survives
+    wr(
+        [
+            (9, "the quick brown fox jumps over the lazy dog", "2024-01-01 10:30:00"),
+            (5, "fresh new unrelated content arriving on time", "2024-01-01 13:30:00"),
+        ]
+    )
+    out2 = run_stream_near_dedup(spark, src, within_watermark=True, state_dir=state_dir)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 3, 5]
+
+
+def test_stream_exact_dedup_within_watermark_flag(spark):
+    """The exact-dedup bounded-state flag: on the (single-batch) fixture
+    the watermark never closes mid-stream, so the within-watermark form
+    emits the same key set as the full-history form — the flag's output
+    contract, pinned here so a regression in the bounded path shows."""
+    from shortcut_spark.streaming import distinct_user_actions, run_stream_dedup
+    from shortcut_spark.sources import load_fixture
+
+    bounded = run_stream_dedup(
+        spark, f"{SF_DIR}/events.parquet", "t_dedup_ww_test", within_watermark=True
+    )
+    batch = distinct_user_actions(load_fixture(spark, SF_DIR, "events"))
+    assert sorted(map(tuple, bounded.collect())) == sorted(map(tuple, batch.collect()))
+
+
 def test_clean_corpus_composes_stages(spark):
     """The composite pipeline must equal the manually-chained stages."""
     from pyspark.sql import functions as F
@@ -941,8 +1034,9 @@ def test_ngram_contamination_self_is_total(spark):
 
 
 def test_fuzzy_join_equals_naive_within_blocks(spark):
-    """Metamorphic: the blocked fuzzy join equals the naive cross-join
-    restricted to equal block keys — blocking only prunes, never adds."""
+    """Metamorphic: the multi-pass blocked fuzzy join equals the naive
+    cross-join restricted to (prefix-equal OR suffix-equal) — blocking
+    only prunes, never adds, and the two passes never double-emit."""
     from shortcut_spark.operators.joins import fuzzy_join
 
     cust = (
@@ -953,15 +1047,17 @@ def test_fuzzy_join_equals_naive_within_blocks(spark):
     supp = spark.createDataFrame(
         [(i, f"Supplier#{i:09d}") for i in range(30)], "s_id long, s_name string"
     )
-    fast = {
-        (r["c_id"], r["s_id"], r["lev_dist"])
-        for r in fuzzy_join(cust, supp, "c_name", "s_name", max_distance=5).collect()
-    }
+    rows = fuzzy_join(cust, supp, "c_name", "s_name", max_distance=5).collect()
+    fast = {(r["c_id"], r["s_id"], r["lev_dist"]) for r in rows}
+    assert len(rows) == len(fast), "no double emission from the two passes"
     naive = {
         (r[0], r[1], r[2])
         for r in cust.crossJoin(supp)
         .filter(
-            (F.lower(F.substring("c_name", -6, 6)) == F.lower(F.substring("s_name", -6, 6)))
+            (
+                (F.lower(F.substring("c_name", 1, 6)) == F.lower(F.substring("s_name", 1, 6)))
+                | (F.lower(F.substring("c_name", -6, 6)) == F.lower(F.substring("s_name", -6, 6)))
+            )
             & (F.levenshtein("c_name", "s_name") <= 5)
         )
         .select("c_id", "s_id", F.levenshtein("c_name", "s_name").cast("long"))
