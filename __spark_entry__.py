@@ -1152,11 +1152,12 @@ def q_embed_cosine_lsh(spark, sf_dir):
     """LSH-banded cosine near-dup pairs — the SCALE tier of
     `similarity.cosine_join` (hyperplane band buckets generate candidates;
     vectors re-attach only for the surviving distinct id pairs; never
-    all-pairs). Approximate by design → rows-only driver check; recall vs
-    the exact tier is pinned in tests/test_operators.py and printed next
-    to its bench entry."""
+    all-pairs), scored with the production double-precision path
+    (per-vector norms precomputed before the pair join). Approximate by
+    design → rows-only driver check; recall vs the exact tier is pinned
+    in tests/test_operators.py and printed next to its bench entry."""
     return similarity.cosine_join(
-        _t(spark, sf_dir, "embeddings"), 0.4, exact=False, exact_score=True
+        _t(spark, sf_dir, "embeddings"), 0.4, exact=False, exact_score=False
     )
 
 
@@ -1521,6 +1522,41 @@ def q_mm_audio_chunks(spark, sf_dir):
     return multimodal.audio_chunk_plan(docs, "doc_id", chunk_ms=1000)
 
 
+def q_mm_wav_chunks(spark, sf_dir):
+    """REAL audio decode end-to-end (multimodal.parse_wav_meta +
+    audio_chunk_plan_wav): deterministic 16-bit PCM WAV payloads are
+    synthesized per document (rate 8/16 kHz by doc_id parity, sample
+    count a doc_id formula), then the pure-Python RIFF/WAVE parser reads
+    the headers BACK from the bytes and the chunk plan runs off each
+    file's OWN parsed rate. The oracle recomputes the chunk arithmetic
+    from the same deterministic parameters, so a wrong header parse ⇒
+    wrong chunks ⇒ hash mismatch — the parser is inside the certified
+    path, not beside it."""
+    import io
+    import wave
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                rate = 8_000 if int(i) % 2 == 0 else 16_000
+                n = 400 + (int(i) % 7) * 300
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(b"\x00\x01" * n)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    wavs = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.audio_chunk_plan_wav(wavs, "doc_id", "payload", chunk_ms=100)
+
+
 def q_embed_dup_clusters(spark, sf_dir):
     """Semantic dedup clusters (similarity.semantic_dup_clusters): cosine
     near-dup pairs → connected components → cluster labels over embedding
@@ -1714,7 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_minhash": q_dedup_minhash,
+        "mm_wav_chunks": q_mm_wav_chunks,
         "dedup_clusters": q_dedup_clusters,
         "corpus_clean": q_corpus_clean,
         "events_stream_dedup": q_events_stream_dedup,
@@ -1739,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sessionize": q_events_stream_sessionize,
         "events_stream_enrich": q_events_stream_enrich,
         "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_passages": q_dedup_passages,
         "text_stats": q_text_stats,
@@ -2597,6 +2634,23 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      unnest(generate_series(0, CAST(floor((n_chars * 10) / 1000.0) AS INT))) AS i
               FROM documents)""",
+        "mm_wav_chunks": """
+            WITH p AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS INT) AS sample_rate,
+                     CAST(400 + (doc_id % 7) * 300 AS BIGINT) AS n_samples
+              FROM documents
+            ), c AS (
+              SELECT doc_id, sample_rate, n_samples,
+                     CAST(sample_rate / 10 AS BIGINT) AS spc,
+                     unnest(generate_series(0,
+                       greatest(CAST(ceil(n_samples / CAST(sample_rate / 10 AS DOUBLE)) AS BIGINT) - 1, 0))) AS chunk_i
+              FROM p
+            )
+            SELECT doc_id, sample_rate, chunk_i,
+                   CAST(chunk_i * spc AS BIGINT) AS start_sample,
+                   CAST(least(chunk_i * spc + spc, n_samples) AS BIGINT) AS end_sample
+            FROM c""",
         "corpus_clean": corpus_clean_sql,
         "corpus_clean_report": corpus_report_sql,
         "source_profile": f"""

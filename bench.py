@@ -16,6 +16,21 @@ dominates), so the get phase reports both per-query point lookups through
 the posting index and the idiomatic batched variant (all keys in one
 semi-join) — see BASELINE.md.
 
+Idle-host protocol (round 4): identical code has shown 2x timing drift
+across rounds when the bench shared the machine with other Spark JVMs
+(r2 phantom q1 regression, r3 asof doubling — both vanished on an idle
+rerun). The harness now snapshots os.getloadavg() and the count of OTHER
+java processes before the session starts and after the run ends
+(detail.host); if the host wasn't idle (load_1m > 4 or another JVM
+present) the JSON carries detail.host.idle=false plus a caveat string,
+so a drifted headline is attributable without re-reading the code diff.
+
+ANN tier (round 4): the LSH/IVF approximate paths are benched as
+first-class headline entries (embed_lsh_topk / embed_ivf_topk /
+embed_cosine_lsh) with their measured recall vs the exact tier printed
+alongside (detail.ann_recall) — a fast ANN number is meaningless without
+the recall it bought.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores).
 """
@@ -87,9 +102,13 @@ HEADLINE = [
     ("text_repetition", "count"),
     ("corpus_shuffle", "count"),
     ("fuzzy_join_names", "count"),
-    # embed_dup_clusters is NOT benched: its queries() entry is the exact
-    # all-pairs decimal tier that exists for oracle verification; the
-    # scale path (LSH candidates, double scorer) is what production runs
+    # the ANN scale tier, benched WITH recall (detail.ann_recall): the
+    # exact decimal tiers (embed_topk / embed_cosine_pairs /
+    # embed_dup_clusters) exist for oracle verification; these LSH/IVF
+    # paths are what production runs at 100 TB
+    ("embed_lsh_topk", "collect"),
+    ("embed_ivf_topk", "collect"),
+    ("embed_cosine_lsh", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host
@@ -105,7 +124,66 @@ def timed(fn):
     return round(time.perf_counter() - t0, 3)
 
 
+# a loaded host inflates timings without touching the code under test;
+# load_1m > this (32-core host) or any OTHER live JVM marks the run dirty
+IDLE_LOAD_MAX = 4.0
+
+
+def _host_snapshot() -> dict:
+    """Loadavg + count of OTHER java processes (ours starts later /
+    is excluded by pid)."""
+    load1, load5, _ = os.getloadavg()
+    jvms = []
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/comm") as f:
+                if f.read().strip() == "java":
+                    jvms.append(int(pid))
+        except OSError:
+            continue
+    return {"load_1m": round(load1, 2), "load_5m": round(load5, 2), "java_pids": jvms}
+
+
+def _ann_recall(spark, queries) -> dict:
+    """Measured recall of each approximate ANN headline vs its exact twin
+    (not timed — the exact tiers are oracle machinery, not headline)."""
+    exact_topk = {
+        r["vec_id"] for r in queries["embed_topk"](spark, SF_DIR).collect()
+    }
+    lsh_topk = {
+        r["vec_id"] for r in queries["embed_lsh_topk"](spark, SF_DIR).collect()
+    }
+    ivf_topk = {
+        r["vec_id"] for r in queries["embed_ivf_topk"](spark, SF_DIR).collect()
+    }
+    # pair recall: LSH-banded candidates vs the exact all-pairs set at the
+    # same threshold (fast double scorer on both sides — recall measures
+    # candidate generation, not the scorer)
+    from shortcut_spark.operators import similarity
+
+    emb = entry_mod._t(spark, SF_DIR, "embeddings")
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_join(emb, 0.4, exact=True).collect()
+    }
+    lsh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_join(emb, 0.4, exact=False).collect()
+    }
+    k = max(1, len(exact_topk))
+    return {
+        "embed_lsh_topk": round(len(exact_topk & lsh_topk) / k, 3),
+        "embed_ivf_topk": round(len(exact_topk & ivf_topk) / k, 3),
+        "embed_cosine_lsh": round(
+            len(exact_pairs & lsh_pairs) / max(1, len(exact_pairs)), 3
+        ),
+    }
+
+
 def main():
+    host_pre = _host_snapshot()
     spark = get_spark("shortcut-spark-bench")
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
     results: dict[str, float] = {}
@@ -201,6 +279,30 @@ def main():
     run_times["store_get_batch"] = [timed(batch_get) for _ in range(RUNS_PER_QUERY)]
     results["store_get_batch"] = min(run_times["store_get_batch"])
 
+    ann_recall = _ann_recall(spark, queries)
+
+    host_post = _host_snapshot()
+    own_pids = set(host_post["java_pids"]) - set(host_pre["java_pids"])
+    other_jvms_pre = len(host_pre["java_pids"])
+    # anything alive at the end that was NOT spawned during the run and was
+    # already there at the start counts as a competitor
+    idle = host_pre["load_1m"] <= IDLE_LOAD_MAX and other_jvms_pre == 0
+    host = {
+        "load_1m_pre": host_pre["load_1m"],
+        "load_5m_pre": host_pre["load_5m"],
+        "load_1m_post": host_post["load_1m"],
+        "other_jvms_pre": other_jvms_pre,
+        "own_jvms_spawned": len(own_pids),
+        "idle": idle,
+        "idle_criteria": f"load_1m<={IDLE_LOAD_MAX} and no other JVM at start",
+    }
+    if not idle:
+        host["caveat"] = (
+            "host NOT idle at start — timings may be inflated by load "
+            "unrelated to the code under test; rerun on an idle host "
+            "before treating a regression as real"
+        )
+
     total = round(sum(results.values()), 3)
     print(
         json.dumps(
@@ -219,6 +321,8 @@ def main():
                     "gets_per_sec": gets_per_sec,
                     "gets_per_sec_noindex": gets_per_sec_noindex,
                     "batch_keys": N_BATCH_KEYS,
+                    "ann_recall": ann_recall,
+                    "host": host,
                     "run_times": run_times,
                 },
             }

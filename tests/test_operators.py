@@ -535,6 +535,81 @@ def test_audio_chunk_plan_offsets(spark):
     assert 3 not in by_doc and 4 not in by_doc
 
 
+def _wav_bytes(sample_rate: int, n_samples: int, channels: int = 1) -> bytes:
+    """A real 16-bit PCM WAV built with the stdlib wave module."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"\x01\x02" * channels * n_samples)
+    return buf.getvalue()
+
+
+def test_parse_wav_meta_real_headers(spark):
+    """The REAL audio decoder: RIFF/WAVE headers parsed from genuine WAV
+    bytes (stdlib-generated) — rates, channel counts, bit depth, exact
+    sample counts; non-WAV garbage is dropped, not nulled through."""
+    from shortcut_spark.operators.multimodal import parse_wav_meta
+
+    df = spark.createDataFrame(
+        [
+            (1, _wav_bytes(8_000, 12_000)),
+            (2, _wav_bytes(16_000, 16_000, channels=2)),
+            (3, b"not a wav at all"),
+            (4, None),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r["id"]: r.asDict() for r in parse_wav_meta(df, "doc_id", "payload").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["sample_rate"] == 8_000 and out[1]["n_samples"] == 12_000
+    assert out[1]["n_channels"] == 1 and out[1]["bits_per_sample"] == 16
+    assert out[1]["duration_ms"] == 1_500
+    assert out[2]["sample_rate"] == 16_000 and out[2]["n_samples"] == 16_000
+    assert out[2]["n_channels"] == 2
+
+
+def test_audio_chunk_plan_wav_parsed_rates(spark):
+    """Chunk plan computed from REAL parsed sample rates: a mixed-rate
+    corpus chunks each file by its OWN rate (1 s of 8 kHz = 8000 samples,
+    of 16 kHz = 16000), and the plan agrees with the metadata-driven
+    audio_chunk_plan when fed the same (rate, n_samples)."""
+    from shortcut_spark.operators.multimodal import (
+        audio_chunk_plan,
+        audio_chunk_plan_wav,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, _wav_bytes(8_000, 20_000)),   # 2.5 s @ 8 kHz
+            (2, _wav_bytes(16_000, 16_000)),  # 1 s @ 16 kHz
+        ],
+        "doc_id long, payload binary",
+    )
+    out = audio_chunk_plan_wav(df, "doc_id", "payload", chunk_ms=1000)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_i"], r["start_sample"], r["end_sample"])
+        )
+    assert by_doc[1] == [(0, 0, 8000), (1, 8000, 16000), (2, 16000, 20000)]
+    assert by_doc[2] == [(0, 0, 16000)]
+
+    # metamorphic: equals the trusted-metadata plan given the same facts
+    meta_df = spark.createDataFrame(
+        [(1, 20_000)], "doc_id long, n_samples long"
+    ).withColumn("media", F.struct(F.col("n_samples")))
+    trusted = {
+        (r["chunk_i"], r["start_sample"], r["end_sample"])
+        for r in audio_chunk_plan(meta_df, "doc_id", chunk_ms=1000, sample_rate=8_000).collect()
+    }
+    assert trusted == set(by_doc[1])
+
+
 def test_token_budget_sample_budget_semantics(spark):
     """Kept docs per stratum: cumulative-before < budget (at most one
     overshooting doc); deterministic across runs; zero-budget stratum

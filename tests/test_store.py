@@ -335,6 +335,53 @@ def test_defer_delete_merge_on_read(spark, store_path, tmp_path):
     assert len(st2) == 2
 
 
+def test_manifest_prune_latency_10k_files(spark, tmp_path):
+    """The driver-side stats-pruning loop is O(files) pure Python per
+    find() (acknowledged docs/SCALE.md). Pin its latency on a synthetic
+    10k-file manifest so growth shows up as a test failure, not a
+    production stall: a range and an eq prune must each stay well under
+    100 ms (measured ~5-15 ms; the bound is deliberately loose for CI
+    noise). If this ever trips, shard stats/postings by key range."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from shortcut_spark import between
+    from shortcut_spark.manifest import DataFile, Manifest
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    man = Manifest(schema_json=schema.json())
+    for i in range(10_000):
+        man.files.append(
+            DataFile(
+                id=i,
+                path=f"data/f{i}.parquet",
+                rows=1_000,
+                min_rowid=i * 1_000,
+                max_rowid=i * 1_000 + 999,
+                stats={"k": [i * 10, i * 10 + 9], "v": ["a", "z"]},
+            )
+        )
+    man.next_file_id = 10_000
+    man.rowid = 10_000_000
+    st = Store(spark, str(tmp_path / "synthetic"), man)
+
+    t0 = time.perf_counter()
+    _, files_range = st._prune_files([between("k", 50_000, 50_090)])
+    dt_range = time.perf_counter() - t0
+    assert len(files_range) == 10  # exactly the overlapping files survive
+
+    t0 = time.perf_counter()
+    _, files_eq = st._prune_files([eq("k", 42)])
+    dt_eq = time.perf_counter() - t0
+    assert len(files_eq) == 1
+
+    assert dt_range < 0.1, f"range prune took {dt_range:.3f}s over 10k files"
+    assert dt_eq < 0.1, f"eq prune took {dt_eq:.3f}s over 10k files"
+
+
 def test_tombstone_consolidation_overlapping_rowid_ranges(spark, tmp_path):
     """Regression (ADVICE r3, high): CoW-delete tombstone consolidation must
     be membership-based. compact(sort_by=<non-rowid col>) range-partitions
