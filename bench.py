@@ -304,30 +304,53 @@ def main():
         )
 
     total = round(sum(results.values()), 3)
-    print(
-        json.dumps(
+    detail = {
+        "runs_per_query": RUNS_PER_QUERY,
+        "put_rows": n_rows,
+        "puts_per_sec": puts_per_sec,
+        "puts_per_sec_noindex": puts_per_sec_noindex,
+        "point_lookups": len(keys),
+        "gets_per_sec": gets_per_sec,
+        "gets_per_sec_noindex": gets_per_sec_noindex,
+        "batch_keys": N_BATCH_KEYS,
+        "ann_recall": ann_recall,
+        "host": host,
+        "run_times": run_times,
+    }
+    # The driver captures only the LAST ~2000 bytes of stdout and parses
+    # the headline JSON out of that window (BENCH_r03 proved it: the r3
+    # headline carried detail.run_times inline, overflowed the window, and
+    # the driver recorded parsed=null). So the bulky detail goes to a file
+    # plus its own EARLIER stdout line, and the final line stays compact —
+    # exactly the contract fields, values rounded to 2 dp.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps({"bench_detail": detail}))
+    headline = json.dumps(
+        {
+            "metric": "total_bench_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in results.items()},
+            "sf": sf,
+            "detail_file": "BENCH_DETAIL.json",
+        }
+    )
+    if len(headline) > 1900:  # keep the whole line inside the tail window
+        headline = json.dumps(
             {
                 "metric": "total_bench_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": results,
+                "queries": {k: round(v, 2) for k, v in results.items()
+                            if not k.startswith("store_")},
                 "sf": sf,
-                "detail": {
-                    "runs_per_query": RUNS_PER_QUERY,
-                    "put_rows": n_rows,
-                    "puts_per_sec": puts_per_sec,
-                    "puts_per_sec_noindex": puts_per_sec_noindex,
-                    "point_lookups": len(keys),
-                    "gets_per_sec": gets_per_sec,
-                    "gets_per_sec_noindex": gets_per_sec_noindex,
-                    "batch_keys": N_BATCH_KEYS,
-                    "ann_recall": ann_recall,
-                    "host": host,
-                    "run_times": run_times,
-                },
+                "detail_file": "BENCH_DETAIL.json",
             }
         )
-    )
+    print(headline)
 
 
 if __name__ == "__main__":
