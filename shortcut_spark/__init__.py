@@ -17,7 +17,7 @@ Layers:
 """
 
 from .cmp import Bound, Comparison, Condition, Value, between, col_eq, eq
-from .idx import BTreeIndex, HashIndex
+from .idx import BloomIndex, BTreeIndex, HashIndex
 from .session import get_spark
 from .store import Store
 
@@ -29,6 +29,7 @@ __all__ = [
     "between",
     "col_eq",
     "eq",
+    "BloomIndex",
     "BTreeIndex",
     "HashIndex",
     "get_spark",

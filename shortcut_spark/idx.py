@@ -32,8 +32,18 @@ from .cmp import Comparison
 
 HASH = "hash"
 BTREE = "btree"
+BLOOM = "bloom"
 
-__all__ = ["HASH", "BTREE", "IndexSpec", "HashIndex", "BTreeIndex", "as_index_kind"]
+__all__ = [
+    "HASH",
+    "BTREE",
+    "BLOOM",
+    "IndexSpec",
+    "HashIndex",
+    "BTreeIndex",
+    "BloomIndex",
+    "as_index_kind",
+]
 
 
 @dataclass
@@ -41,7 +51,7 @@ class IndexSpec:
     """Manifest-resident description of one secondary index."""
 
     column: str
-    kind: str  # HASH | BTREE
+    kind: str  # HASH | BTREE | BLOOM
     parts: list[str] = field(default_factory=list)  # posting parquet paths
     rows: int = 0  # total indexed rows (num, src/idx.rs:28,50)
     ndv: int = 0  # distinct keys (map.len(), src/idx.rs:74,128)
@@ -57,6 +67,10 @@ class IndexSpec:
     # Trait objects aren't serializable (true in the reference too), so a
     # store reopened from the manifest falls back to built-in behavior.
     custom: object = field(default=None, compare=False, repr=False)
+    # kind-specific layout parameters, serialized with the manifest.
+    # BLOOM uses {"m_bits": int, "k": int} — bitset width and hash count,
+    # fixed at index creation so every per-file bitset is probe-compatible.
+    params: dict = field(default_factory=dict)
 
     def supports(self, cmp: Comparison) -> bool:
         """Which comparisons this index can serve.
@@ -70,7 +84,7 @@ class IndexSpec:
         if self.custom is not None and hasattr(self.custom, "supports"):
             return bool(self.custom.supports(cmp))
         if cmp.is_const_eq:
-            return True
+            return True  # all three kinds serve point equality
         return cmp.op == "between" and self.kind == BTREE
 
     def estimate(self) -> float:
@@ -90,12 +104,19 @@ class IndexSpec:
             "rows": self.rows,
             "ndv": self.ndv,
             "sketch": self.sketch,
+            "params": dict(self.params),
         }
 
     @classmethod
     def from_json(cls, d: dict) -> "IndexSpec":
         return cls(
-            d["column"], d["kind"], list(d["parts"]), d["rows"], d["ndv"], d.get("sketch")
+            d["column"],
+            d["kind"],
+            list(d["parts"]),
+            d["rows"],
+            d["ndv"],
+            d.get("sketch"),
+            params=dict(d.get("params") or {}),
         )
 
 
@@ -111,6 +132,34 @@ class BTreeIndex:
     kind = BTREE
 
 
+class BloomIndex:
+    """Third index kind — no reference analogue; enters through the same
+    user-indexer seam the reference exposes (``src/idx.rs:8-21,174-184``).
+
+    Layout: ONE constant-size bloom bitset per data file over the column's
+    values (the Iceberg/Delta file-skipping pattern), instead of per-key
+    posting rows. A point lookup probes every candidate file's bitset on
+    the DRIVER with zero Spark jobs; "bits absent" proves the key cannot
+    be in the file, "bits present" keeps it — the same superset-then-
+    residual contract as every other path (``src/lib.rs:89-91``).
+
+    100 TB trade-off vs the hash (posting) index: posting state grows with
+    ndv × files and needs a Spark job (or a driver map bounded by
+    POSTING_MAP_MAX) to probe; bloom state is ``m_bits/8`` bytes per file
+    regardless of ndv, probes in microseconds, but prunes probabilistically
+    (false-positive files survive to the scan) and serves only equality.
+    Size ``m_bits`` at ~10 bits per expected distinct key per file for
+    ~1% false positives (k=7 near-optimal at that ratio).
+    """
+
+    kind = BLOOM
+
+    def __init__(self, m_bits: int = 1 << 17, k: int = 7):
+        if m_bits % 8:
+            raise ValueError("m_bits must be a multiple of 8")
+        self.params = {"m_bits": int(m_bits), "k": int(k)}
+
+
 def as_index_kind(indexer) -> str:
     """Accept ``HashIndex``/``BTreeIndex`` (class or instance), a kind
     string, or ANY object exposing ``kind`` — the analogue of
@@ -118,11 +167,11 @@ def as_index_kind(indexer) -> str:
     ``kind`` decides the physical posting layout; a custom object may also
     carry ``supports``/``estimate`` overrides (see ``IndexSpec.custom``)."""
     if isinstance(indexer, str):
-        if indexer not in (HASH, BTREE):
+        if indexer not in (HASH, BTREE, BLOOM):
             raise ValueError(f"unknown index kind {indexer!r}")
         return indexer
     kind = getattr(indexer, "kind", None)
-    if kind in (HASH, BTREE):
+    if kind in (HASH, BTREE, BLOOM):
         return kind
     raise TypeError(f"cannot interpret {indexer!r} as an index")
 
@@ -133,7 +182,7 @@ def custom_indexer(indexer) -> object | None:
     kind strings carry no custom behavior."""
     if isinstance(indexer, (str, type)):
         return None
-    if isinstance(indexer, (HashIndex, BTreeIndex)):
+    if isinstance(indexer, (HashIndex, BTreeIndex, BloomIndex)):
         return None
     if hasattr(indexer, "supports") or hasattr(indexer, "estimate"):
         return indexer

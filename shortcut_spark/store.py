@@ -51,13 +51,38 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .cmp import Condition, conjunction
-from .idx import BTREE, HASH, IndexSpec, as_index_kind
+from .idx import BLOOM, BTREE, HASH, IndexSpec, as_index_kind
 from .manifest import DataFile, Manifest
 from .plans import AccessPath, choose_access_path
 
 ROWID = "__rowid"
 
 __all__ = ["Store", "ROWID"]
+
+
+def _bloom_positions_py(key: Any, m_bits: int, k: int) -> list[int]:
+    """Driver-side twin of :func:`_bloom_positions_expr` — MUST stay
+    bit-identical with the Spark expression (same md5-of-"key:i" scheme)
+    so a probe computed here tests bitsets built there."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{key}:{i}".encode()).hexdigest()[:15], 16) % m_bits
+        for i in range(k)
+    ]
+
+
+def _bloom_positions_expr(column: str, m_bits: int, k: int) -> Column:
+    """k bit positions per row, computed JVM-side: position_i =
+    md5("<key as string>:<i>") taken as a 60-bit int, mod m. md5 (not
+    xxhash64) because the driver-side probe must reproduce it exactly
+    with hashlib — portability beats speed for a per-row-at-write-time
+    hash."""
+    return F.expr(
+        f"transform(sequence(0, {k - 1}), i -> "
+        f"pmod(cast(conv(substring(md5(cast(concat(cast(`{column}` as string), ':', "
+        f"cast(i as string)) as binary)), 1, 15), 16, 10) as bigint), {m_bits}))"
+    )
 
 
 def _default_schema(cols: int) -> T.StructType:
@@ -82,6 +107,9 @@ class Store:
         # HashMap<K, Vec<rowid>> lookup (src/idx.rs:41-46), built only for
         # small indexes (POSTING_MAP_MAX entries); big ones stay on disk
         self._posting_maps: dict[tuple, dict] = {}
+        # (column, version) -> {file_id: bitset bytes} for BLOOM indices —
+        # m_bits/8 bytes per live file, probed driver-side with zero jobs
+        self._bloom_maps: dict[tuple, dict] = {}
 
     POSTING_MAP_MAX = 2_000_000
 
@@ -302,6 +330,8 @@ class Store:
             del self._posting_cache[key]
         for key in [k for k in self._posting_maps if k[1] != v]:
             del self._posting_maps[key]
+        for key in [k for k in self._bloom_maps if k[1] != v]:
+            del self._bloom_maps[key]
 
     def _register_files(self, batch_rel: str) -> list[DataFile]:
         """Scan freshly-written parquet footers (metadata-only, no Spark job)
@@ -375,7 +405,14 @@ class Store:
         name = self.colnames[column] if isinstance(column, int) else column
         if name not in self.colnames:
             raise ValueError(f"no such column {name!r}")
-        spec = IndexSpec(column=name, kind=kind, custom=custom_indexer(indexer))
+        params = dict(getattr(indexer, "params", None) or {})
+        if kind == BLOOM:
+            from .idx import BloomIndex
+
+            params = {**BloomIndex().params, **params}
+        spec = IndexSpec(
+            column=name, kind=kind, custom=custom_indexer(indexer), params=params
+        )
         if self.manifest.files:
             self._append_postings(spec, self.manifest.files)
         self.manifest.indices[name] = spec  # silent replace, parity :204
@@ -396,6 +433,9 @@ class Store:
         """
         if not files:
             return
+        if spec.kind == BLOOM:
+            self._append_blooms(spec, files, incremental=incremental)
+            return
         part_rel = os.path.join("idx", spec.column, f"p{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}")
         df = self._read_files(files, with_meta=True)
         mapping = self._file_id_map(files)
@@ -409,6 +449,51 @@ class Store:
         postings.write.parquet(self._abs(part_rel))
         spec.parts.append(part_rel)
         self._refresh_index_stats(spec, new_parts=[part_rel] if incremental else None)
+
+    def _append_blooms(
+        self, spec: IndexSpec, files: Sequence[DataFile], incremental: bool = True
+    ) -> None:
+        """Build one bloom bitset per data file in ``files`` and append them
+        as an index part with rows ``(__file_id, bloom)``.
+
+        Fully distributed: k bit positions per row (JVM-side md5 expr),
+        distinct per file, packed to a binary bitset by a tiny UDF that runs
+        once per FILE (not per row) — the only rows that ever cross into
+        Python are #files aggregated position arrays. Nothing is collected
+        on the driver here; probes later read the (file, bitset) part, which
+        is #live-files rows."""
+        m_bits = int(spec.params["m_bits"])
+        k = int(spec.params["k"])
+        part_rel = os.path.join(
+            "idx", spec.column, f"b{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
+        )
+        df = self._read_files(files, with_meta=True)
+        mapping = self._file_id_map(files)
+        positions = (
+            df.join(F.broadcast(mapping), "__file_path")
+            .filter(F.col(spec.column).isNotNull())
+            .select(
+                "__file_id",
+                F.explode(_bloom_positions_expr(spec.column, m_bits, k)).alias("pos"),
+            )
+            .distinct()
+        )
+
+        def _pack(pos_list):
+            bits = bytearray(m_bits // 8)
+            for p in pos_list:
+                bits[p >> 3] |= 1 << (p & 7)
+            return bytes(bits)
+
+        pack = F.udf(_pack, T.BinaryType())
+        (
+            positions.groupBy("__file_id")
+            .agg(F.collect_list("pos").alias("pos"))
+            .select("__file_id", pack("pos").alias("bloom"))
+            .write.parquet(self._abs(part_rel))
+        )
+        spec.parts.append(part_rel)
+        self._refresh_bloom_stats(spec, files if incremental else None)
 
     # keys are sketched as strings (injective per type) because HLL sketch
     # aggregation supports int/long/string/binary but not double
@@ -426,6 +511,9 @@ class Store:
         deletes) the sketch is rebuilt from the live postings."""
         import base64
 
+        if spec.kind == BLOOM:  # bloom keeps no key postings — sketch the data
+            self._refresh_bloom_stats(spec, None)
+            return
         spec.rows = self.manifest.total_rows
         if new_parts and spec.sketch:
             part_df = self.spark.read.schema(
@@ -473,6 +561,53 @@ class Store:
         else:
             spec.ndv = int(row["ndv"])
             spec.sketch = base64.b64encode(bytes(row["__sk"])).decode()
+
+    def _refresh_bloom_stats(self, spec: IndexSpec, new_files: Sequence[DataFile] | None) -> None:
+        """rows/ndv for the cost model, bloom flavor: no posting rows exist,
+        so the HLL key sketch comes from the DATA files — the new batch
+        alone when ``new_files`` is given and a prior sketch can be merged
+        (insert path, O(batch)), else all live files (backfill/deletes)."""
+        import base64
+
+        spec.rows = self.manifest.total_rows
+        if new_files is not None and spec.sketch:
+            src = self._read_files(new_files)
+        elif self.manifest.files:
+            src = self._read_files(self.manifest.files)
+            spec.sketch = None  # full rebuild — don't merge into stale state
+        else:
+            spec.ndv = 0
+            spec.sketch = None
+            return
+        row = (
+            src.select(F.col(spec.column).alias("key"))
+            .agg(self._sketch_agg())
+            .collect()[0]
+        )
+        if row["__sk"] is None:
+            if spec.sketch is None:
+                spec.ndv = 0
+            return
+        new_sk = bytes(row["__sk"])
+        if spec.sketch:
+            merged_row = (
+                self.spark.createDataFrame(
+                    [(base64.b64decode(spec.sketch),), (new_sk,)], "__sk binary"
+                )
+                .agg(F.hll_union_agg("__sk").alias("__sk"))
+                .select(F.hll_sketch_estimate("__sk").alias("ndv"), F.col("__sk"))
+                .collect()[0]
+            )
+            spec.ndv = int(merged_row["ndv"])
+            spec.sketch = base64.b64encode(bytes(merged_row["__sk"])).decode()
+        else:
+            est = (
+                self.spark.createDataFrame([(new_sk,)], "__sk binary")
+                .select(F.hll_sketch_estimate("__sk").alias("ndv"))
+                .collect()[0]["ndv"]
+            )
+            spec.ndv = int(est)
+            spec.sketch = base64.b64encode(new_sk).decode()
 
     def _read_postings(self, spec: IndexSpec) -> DataFrame | None:
         if not spec.parts:
@@ -555,6 +690,26 @@ class Store:
             files = [f for f in files if self._file_may_match(f, cond, name)]
             if not files:
                 return path, files
+        if path.index is not None and files and path.index.kind == BLOOM:
+            # zero-job path: bitsets live in a driver map (one tiny cached
+            # read); a missing bitset or non-portable probe type keeps the
+            # file — conservative superset, as always
+            if path.cond.cmp.is_const_eq and self._bloom_probe_ok(
+                path.index.column, path.cond.cmp.value.payload
+            ):
+                bmap = self._bloom_map(path.index)
+                if bmap:
+                    pos = _bloom_positions_py(
+                        path.cond.cmp.value.payload,
+                        int(path.index.params["m_bits"]),
+                        int(path.index.params["k"]),
+                    )
+                    files = [
+                        f
+                        for f in files
+                        if f.id not in bmap or self._bloom_hit(bmap[f.id], pos)
+                    ]
+            return path, files
         if path.index is not None and files:
             worth_it = len(files) > 4 and path.index.ndv > 2 * len(self.manifest.files)
             if path.index.kind == BTREE and path.cond.cmp.op == "between":
@@ -605,6 +760,46 @@ class Store:
         if isinstance(dt, T.BooleanType):
             return isinstance(probe, bool)
         return False  # timestamps/dates/binary: always use the Spark path
+
+    def _bloom_probe_ok(self, column: str, probe) -> bool:
+        """Driver-side bloom probing hashes ``str(probe)`` and must agree
+        with the write-time Spark ``cast(col as string)``. That holds for
+        string columns with str probes and integral columns with int probes
+        (both render identically); floats/decimals/timestamps render
+        differently (e.g. scientific notation) — skip bloom pruning there
+        and stay conservative."""
+        dt = self.manifest.schema[column].dataType
+        if isinstance(dt, T.StringType):
+            return isinstance(probe, str)
+        integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        if isinstance(dt, integral):
+            return isinstance(probe, int) and not isinstance(probe, bool)
+        return False
+
+    def _bloom_map(self, spec: IndexSpec) -> dict | None:
+        """{file_id: bitset bytes} for a BLOOM index — one tiny read of
+        #files rows, cached per manifest version. Later parts win when a
+        file id reappears (never expected: one bitset per file build)."""
+        if not spec.parts:
+            return None
+        key = (spec.column, self.manifest.version)
+        bmap = self._bloom_maps.get(key)
+        if bmap is None:
+            live = {f.id for f in self.manifest.files}
+            bmap = {}
+            for part in spec.parts:
+                df = self.spark.read.schema("__file_id int, bloom binary").parquet(
+                    self._abs(part)
+                )
+                for r in df.collect():
+                    if r["__file_id"] in live:
+                        bmap[r["__file_id"]] = bytes(r["bloom"])
+            self._bloom_maps[key] = bmap
+        return bmap
+
+    @staticmethod
+    def _bloom_hit(bits: bytes, positions: Sequence[int]) -> bool:
+        return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
 
     def _posting_map(self, spec: IndexSpec) -> dict | None:
         key = (spec.column, self.manifest.version)
@@ -689,6 +884,22 @@ class Store:
                 for k in keys:
                     hit_ids |= pmap.get(k, set())
                 files = [f for f in files if f.id in hit_ids]
+        elif (
+            spec is not None
+            and spec.kind == BLOOM
+            and len(keys) <= 10_000  # k hashes per key, driver-side
+            and all(self._bloom_probe_ok(name, k) for k in keys)
+        ):
+            bmap = self._bloom_map(spec)
+            if bmap:
+                m_bits, kh = int(spec.params["m_bits"]), int(spec.params["k"])
+                probes = [_bloom_positions_py(k, m_bits, kh) for k in keys]
+                files = [
+                    f
+                    for f in files
+                    if f.id not in bmap
+                    or any(self._bloom_hit(bmap[f.id], pos) for pos in probes)
+                ]
         elif len(keys) <= 1000:
             # stats layer: a file can match only if some key is in range
             files = [

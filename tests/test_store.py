@@ -417,3 +417,90 @@ def test_tombstone_consolidation_overlapping_rowid_ranges(spark, tmp_path):
     # and survives a reopen + full-scan (read path consistency)
     st2 = Store.open(spark, path)
     assert len(st2) == 19 and st2.find([eq(1, "2")]).count() == 0
+
+
+# -- bloom index (third kind; no reference analogue — enters via the same
+# user-indexer seam as src/idx.rs:8-21,174-184) ---------------------------
+
+
+def test_bloom_index_semantically_invisible(spark, store_path, tmp_path):
+    """The metamorphic property the reference tests for hash/btree
+    (src/lib.rs:294-345) holds for bloom too: same results with and
+    without the index, for hits, misses, AND-lists, and late creation."""
+    from shortcut_spark import BloomIndex
+
+    data = [[k, f"x{i}"] for i, k in enumerate(["a", "a", "b", "c", "b", "a"])]
+    st = make(spark, store_path, data, index_col=0, kind=BloomIndex(m_bits=1 << 10, k=5))
+    plain = make(spark, str(tmp_path / "plain"), data)
+    for conds in ([eq(0, "a")], [eq(0, "zz")], [eq(0, "b"), eq(1, "x2")]):
+        assert rows_of(st.find(conds)) == rows_of(plain.find(conds))
+    # late index over existing data (src/lib.rs:330-345 analogue)
+    late = make(
+        spark, str(tmp_path / "late"), data, index_col=0, index_late=True,
+        kind=BloomIndex(m_bits=1 << 10, k=5),
+    )
+    assert rows_of(late.find([eq(0, "a")])) == rows_of(plain.find([eq(0, "a")]))
+
+
+def test_bloom_prunes_files_and_survives_reopen(spark, store_path):
+    """Multi-batch store: a probe for a key present in ONE batch must prune
+    the other batches' files driver-side (zero Spark jobs), a missing key
+    prunes everything (whp at this m/n), and the bitsets + params survive a
+    manifest reopen."""
+    from shortcut_spark import BloomIndex
+
+    st = Store.create(spark, store_path, 2)
+    st.index(0, BloomIndex(m_bits=1 << 14, k=7))
+    for b in range(4):
+        st.insert([(f"b{b}k{i}", str(i)) for i in range(200)])
+    n_files = len(st.manifest.files)
+    assert n_files >= 4
+    report = st.explain_find([eq(0, "b2k7")])
+    kept = int(report.split("files=")[1].split("/")[0])
+    assert kept < n_files  # pruned other batches
+    assert rows_of(st.find([eq(0, "b2k7")])) == [("b2k7", "7")]
+    miss = st.explain_find([eq(0, "nope")])
+    assert miss.endswith(f"files=0/{n_files}")
+    st2 = Store.open(spark, store_path)
+    assert st2.manifest.indices["c0"].params["m_bits"] == 1 << 14
+    assert rows_of(st2.find([eq(0, "b2k7")])) == [("b2k7", "7")]
+    # find_many unions probes across the bitsets
+    got = rows_of(st2.find_many(0, ["b0k1", "b3k9", "ghost"]))
+    assert got == [("b0k1", "1"), ("b3k9", "9")]
+
+
+def test_bloom_maintenance_on_delete_and_compact(spark, store_path):
+    """CoW delete and compact rebuild bloom parts through the same
+    _append_postings seam as posting indices; results stay exact and the
+    cost-model stats refresh."""
+    from shortcut_spark import BloomIndex
+
+    st = Store.create(spark, store_path, 2)
+    st.index(0, BloomIndex(m_bits=1 << 12, k=5))
+    st.insert([(f"k{i}", str(i % 3)) for i in range(30)])
+    assert st.delete([eq(1, "1")]) == 10
+    assert st.find([eq(1, "1")]).count() == 0
+    assert rows_of(st.find([eq(0, "k3")])) == [("k3", "0")]
+    spec = st.manifest.indices["c0"]
+    assert spec.rows == 20
+    st.compact(target_files=1)
+    assert rows_of(st.find([eq(0, "k3")])) == [("k3", "0")]
+    assert len(st) == 20
+
+
+def test_bloom_nonportable_probe_type_is_conservative(spark, store_path):
+    """A probe whose str() rendering may not match Spark's cast-to-string
+    (e.g. float probe on a long column) skips bloom pruning but stays
+    correct via the residual filter — superset contract."""
+    import pyspark.sql.types as T
+    from shortcut_spark import BloomIndex
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    st = Store.create(spark, store_path, schema)
+    st.index("k", BloomIndex(m_bits=1 << 10, k=5))
+    st.insert([(i, f"v{i}") for i in range(10)])
+    # float probe: SQL coercion 3.0 = 3 is true; bloom must not prune it out
+    assert rows_of(st.find([eq("k", 3.0)])) == [(3, "v3")]
+    assert rows_of(st.find([eq("k", 3)])) == [(3, "v3")]
