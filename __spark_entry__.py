@@ -138,6 +138,22 @@ def q_store_point_lookup(spark, sf_dir):
     return st.find([eq("o_orderkey", 500)]).select(*_ORDERS_SAFE)
 
 
+def q_store_bloom_lookup(spark, sf_dir):
+    """Point lookup through the BLOOM index — the third index kind
+    (shortcut_spark/idx.py BloomIndex; no reference analogue, enters via
+    the user-indexer seam of src/idx.rs:8-21,174-184). One constant-size
+    bitset per data file, probed driver-side with zero Spark jobs; false
+    positives survive to the scan and the residual filter restores
+    exactness (src/lib.rs:89-91). Results are identical to the hash-index
+    path by construction — which is exactly what the oracle certifies."""
+    st = _cached_store(
+        spark, sf_dir, "customer", (("c_mktsegment", "hash"), ("c_custkey", "bloom"))
+    )
+    return st.find([eq("c_custkey", 777)]).select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+
+
 def q_store_find_or(spark, sf_dir):
     """Disjunction of AND-branches via find_or (index union + rowid dedup)
     — the reference's 'issue multiple queries' (src/lib.rs:18) first-class."""
@@ -1400,6 +1416,52 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dup_clusters(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _corpus_split(spark, sf_dir):
+    """Deterministic two-corpus split of the documents fixture: the
+    'standing corpus' is the single-digit sources (src0..src9, 4-char
+    names) and the 'new batch' is src10..src19 (5-char names) — the
+    incremental-ingestion shape where each crawl batch dedupes against
+    everything accumulated so far."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.length("source") == 5), docs.filter(F.length("source") == 4)
+
+
+def q_dedup_cross_corpus(spark, sf_dir):
+    """Cross-corpus EXACT dedup (dedup.cross_corpus_exact_dedup): new-batch
+    docs whose normalized content fingerprint already exists in the
+    standing corpus are dropped. Ref side collapses to distinct
+    fingerprints before one anti-join — O(batch) per increment, never a
+    re-scan of the batch per reference row."""
+    new, ref = _corpus_split(spark, sf_dir)
+    return dedup.cross_corpus_exact_dedup(new, ref, "doc_id", "text").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def q_dedup_cross_near(spark, sf_dir):
+    """Cross-corpus NEAR-dup matches (dedup.cross_corpus_near_dups):
+    MinHash band buckets joined new×ref only (never new×new or ref×ref),
+    exact-jaccard verify on candidates. The oracle twin replicates the
+    banding in SQL, so the LSH candidate set itself is certified."""
+    new, ref = _corpus_split(spark, sf_dir)
+    return dedup.cross_corpus_near_dups(new, ref, "doc_id", "text", threshold=0.2)
+
+
+def q_corpus_source_cap(spark, sf_dir):
+    """Per-source document cap (sampling.per_source_cap): keep the top-5
+    highest-quality docs per source — the anti-monoculture mixing rule
+    (mirror-heavy domains must not dominate). One source-key shuffle +
+    per-source top-k window; ties break on doc_id for total-order
+    determinism."""
+    from shortcut_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.join(text.quality_score(docs), "doc_id")
+    return sampling.per_source_cap(
+        scored, "doc_id", "source", 5, order_by=F.col("quality").desc()
+    ).select("doc_id", "source", "quality", "rank_in_source")
+
+
 def q_embed_quantize(spark, sf_dir):
     """Symmetric int8 quantization (similarity.quantize_embeddings): the
     4x ANN memory/bandwidth scale path; emitted as per-vector checksum
@@ -1741,15 +1803,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- slots 35-36: new this round ----
         "events_stream_rollup_append": q_events_stream_rollup_append,
         "embed_cosine_lsh": q_embed_cosine_lsh,
-        # ---- slots 37-50: regression guards ----
+        # ---- slots 37-50: regression guards (+ the new bloom index kind:
+        # store_bloom_lookup replaces store_point_lookup, which has 3
+        # driver-green rounds; point-lookup coverage continues through the
+        # bloom path and the hash path keeps store_find_eq/multiget) ----
         "store_find_eq": q_store_find_eq,
-        "store_point_lookup": q_store_point_lookup,
+        "store_bloom_lookup": q_store_bloom_lookup,
         "store_find_range": q_store_find_range,
         "store_delete_pred": q_store_delete_pred,
         "store_compact_invariant": q_store_compact_invariant,
-        "q1_pricing_summary": q1_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "dedup_simhash": q_dedup_simhash,
+        # new-this-session operator families (cross-corpus dedup tiers +
+        # per-source cap) take the slots of q1_pricing_summary /
+        # revenue_by_nation / dedup_simhash, each of which has 3
+        # driver-green rounds and stays locally oracle-checked at #51+
+        "dedup_cross_corpus": q_dedup_cross_corpus,
+        "dedup_cross_near": q_dedup_cross_near,
+        "corpus_source_cap": q_corpus_source_cap,
         "mm_wav_chunks": q_mm_wav_chunks,
         "dedup_clusters": q_dedup_clusters,
         "corpus_clean": q_corpus_clean,
@@ -1757,6 +1826,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,
         "stream_ingest": q_stream_ingest,
         # ---- entry #51+: 2-3 driver-green rounds each; locally oracle-checked ----
+        "store_point_lookup": q_store_point_lookup,
+        "q1_pricing_summary": q1_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "dedup_simhash": q_dedup_simhash,
         "store_find_and": q_store_find_and,
         "store_find_col_eq_col": q_store_find_col_eq_col,
         "store_find_or": q_store_find_or,
@@ -2010,6 +2083,10 @@ def oracle_sql() -> dict[str, str]:
         "store_find_col_eq_col": f"SELECT {li_cols} FROM lineitem WHERE l_partkey = l_suppkey",
         "store_find_range": f"SELECT {li_cols} FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 20",
         "store_point_lookup": f"SELECT {o_cols} FROM orders WHERE o_orderkey = 500",
+        "store_bloom_lookup": (
+            "SELECT c_custkey, c_name, c_nationkey, c_mktsegment "
+            "FROM customer WHERE c_custkey = 777"
+        ),
         "store_multiget": f"SELECT {o_cols} FROM orders WHERE o_orderkey IN ({', '.join(str(i) for i in range(1, 101))})",
         "store_find_or": f"""
             SELECT {li_cols} FROM lineitem
@@ -2238,6 +2315,51 @@ def oracle_sql() -> dict[str, str]:
             WITH {shingle_cte},
             {jaccard_tail}
             SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.2""",
+        "dedup_cross_corpus": f"""
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE length(source) = 5
+              AND {fingerprint} NOT IN (
+                SELECT {fingerprint} FROM documents WHERE length(source) = 4)""",
+        "dedup_cross_near": f"""
+            WITH {shingle_cte},
+            sig AS (
+              SELECT doc_id,
+               {sig_cols}
+              FROM sh GROUP BY doc_id
+            ),
+            banded AS (
+        {band_rows}
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+              FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+              WHERE a.doc_id IN (SELECT doc_id FROM documents WHERE length(source) = 5)
+                AND b.doc_id IN (SELECT doc_id FROM documents WHERE length(source) = 4)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.new_id, c.ref_id, count(*) AS inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.new_id
+              JOIN sh b ON b.doc_id = c.ref_id AND b.shingle = a.shingle
+              GROUP BY 1, 2
+            )
+            SELECT i.new_id, i.ref_id,
+                   CAST(i.inter AS DOUBLE) / (sn.sz + sr.sz - i.inter) AS jaccard
+            FROM inter i
+            JOIN sizes sn ON sn.doc_id = i.new_id
+            JOIN sizes sr ON sr.doc_id = i.ref_id
+            WHERE CAST(i.inter AS DOUBLE) / (sn.sz + sr.sz - i.inter) >= 0.2""",
+        "corpus_source_cap": f"""
+            WITH q AS ({quality}),
+            ranked AS (
+              SELECT d.doc_id, d.source, q.quality,
+                     row_number() OVER (PARTITION BY d.source
+                                        ORDER BY q.quality DESC, d.doc_id) AS rank_in_source
+              FROM documents d JOIN q ON q.doc_id = d.doc_id
+            )
+            SELECT doc_id, source, quality, rank_in_source
+            FROM ranked WHERE rank_in_source <= 5""",
         "dedup_minhash": f"""
             WITH {shingle_cte},
             sig AS (

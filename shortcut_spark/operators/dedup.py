@@ -45,6 +45,9 @@ __all__ = [
     "passage_dups",
     "strip_repeated_passages",
     "dup_clusters",
+    "cross_corpus_exact_dedup",
+    "cross_corpus_near_dups",
+    "cross_corpus_dedup",
 ]
 
 
@@ -155,20 +158,27 @@ def minhash_signature_arrays(
     )
 
 
-def minhash_candidates(
-    sig: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
-) -> DataFrame:
-    """LSH banding: docs agreeing on all rows of any band become a candidate
-    pair (a < b). The join key is (band index, md5 of the band's slice of
-    the signature) so each bucket is tiny at scale."""
+def _banded(sig: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bh): each doc exploded to its LSH band keys — band index
+    plus md5 of that band's signature slice, so each bucket is tiny at
+    scale. Shared by the self-join (:func:`minhash_candidates`) and the
+    cross-corpus join (:func:`cross_corpus_near_dups`)."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"sig_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
         band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bh")))
-    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
+    return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
+
+
+def minhash_candidates(
+    sig: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band become a candidate
+    pair (a < b)."""
+    banded = _banded(sig, id_col, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -242,6 +252,100 @@ def minhash_near_dups(
     cand = minhash_candidates(sig, id_col, num_hashes, bands)
     sh = arr.select(F.col(id_col), F.explode("__shs").alias("shingle"))
     return jaccard_pairs(sh, id_col, threshold, candidates=cand)
+
+
+def cross_corpus_exact_dedup(
+    new_df: DataFrame, ref_df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Rows of ``new_df`` whose normalized content does NOT already exist in
+    ``ref_df`` — incremental-ingestion dedup: each new crawl/batch is
+    deduped against the corpus accumulated so far without ever re-reading
+    the new batch per reference row.
+
+    100 TB shape: the reference side collapses to DISTINCT fingerprints
+    before the join (map-side combine; one md5 per ref row), then one
+    anti-join shuffled on the fingerprint. In a standing pipeline the ref
+    fingerprint set is a materialized table maintained per ingest — the
+    per-batch cost is O(batch) + one join against it, and AQE broadcasts
+    it outright while it is small."""
+    ref_fp = ref_df.select(fingerprint(F.col(text_col)).alias("__fp")).distinct()
+    tagged = new_df.withColumn("__fp", fingerprint(F.col(text_col)))
+    return tagged.join(ref_fp, "__fp", "left_anti").drop("__fp")
+
+
+def cross_corpus_near_dups(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(new_id, ref_id, jaccard) — near-duplicate matches of new docs
+    against a reference corpus, MinHash-banded: candidates come ONLY from
+    the cross join of band buckets (never new×new or ref×ref, unlike
+    :func:`minhash_near_dups`), then exact jaccard verifies each candidate.
+
+    100 TB shape: ref signatures/bands are computed once and persist (in a
+    standing pipeline they live as a table keyed by band hash, bucketed so
+    each new batch's band join co-locates); per-batch work is
+    O(batch shingles) map-side + band-bucket join + candidate-only verify.
+    """
+    arr_new = shingle_arrays(new_df, id_col, text_col, n).persist()
+    arr_ref = shingle_arrays(ref_df, id_col, text_col, n).persist()
+    band_new = _banded(
+        minhash_signature_arrays(arr_new, id_col, num_hashes), id_col, num_hashes, bands
+    ).select(F.col(id_col).alias("new_id"), "band", "bh")
+    band_ref = _banded(
+        minhash_signature_arrays(arr_ref, id_col, num_hashes), id_col, num_hashes, bands
+    ).select(F.col(id_col).alias("ref_id"), "band", "bh")
+    cand = band_new.join(band_ref, ["band", "bh"]).select("new_id", "ref_id").distinct()
+
+    sh_new = arr_new.select(F.col(id_col).alias("new_id"), F.explode("__shs").alias("shingle"))
+    sh_ref = arr_ref.select(F.col(id_col).alias("ref_id"), F.explode("__shs").alias("shingle"))
+    inter = (
+        cand.join(sh_new, "new_id")
+        .join(sh_ref, ["ref_id", "shingle"])
+        .groupBy("new_id", "ref_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_new = sh_new.groupBy("new_id").agg(F.count(F.lit(1)).alias("sz_new"))
+    sz_ref = sh_ref.groupBy("ref_id").agg(F.count(F.lit(1)).alias("sz_ref"))
+    return (
+        inter.join(sz_new, "new_id")
+        .join(sz_ref, "ref_id")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_new") + F.col("sz_ref") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "ref_id", "jaccard")
+    )
+
+
+def cross_corpus_dedup(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Survivors of ``new_df`` after BOTH tiers against the reference
+    corpus: exact fingerprint matches and banded near-matches at
+    ``threshold`` are dropped. The composition a production ingest runs."""
+    exact = cross_corpus_exact_dedup(new_df, ref_df, id_col, text_col)
+    matched = (
+        cross_corpus_near_dups(
+            exact, ref_df, id_col, text_col, n, num_hashes, bands, threshold
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return exact.join(matched, id_col, "left_anti")
 
 
 def passage_arrays(

@@ -18,7 +18,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions import hash32
 
-__all__ = ["hash_sample", "stratified_sample", "shuffle_shard", "token_budget_sample"]
+__all__ = [
+    "hash_sample",
+    "stratified_sample",
+    "shuffle_shard",
+    "token_budget_sample",
+    "per_source_cap",
+]
 
 _BUCKETS = 10_000  # rate resolution: 0.01%
 
@@ -155,4 +161,40 @@ def token_budget_sample(
         )
         .withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
         .filter(F.col("cum_before") < budget)
+    )
+
+
+def per_source_cap(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    cap: int,
+    order_by: Column | None = None,
+) -> DataFrame:
+    """Domain/source cap: keep at most ``cap`` documents per source, the
+    best first — the anti-monoculture rule every pretraining mix applies
+    (a handful of mirror-heavy domains must not dominate the corpus).
+
+    ``order_by`` ranks documents within a source (default: the
+    deterministic hash order used everywhere in this module, i.e. a
+    uniform cap). Ties always break on the key so the result is total-
+    order deterministic and engine-portable.
+
+    100 TB shape: one shuffle on the source key + a per-source top-k
+    window. Skewed sources are the norm (that is WHY the cap exists) —
+    for a pathological single-source partition the two-phase refinement
+    is: map-side per-partition top-``cap`` first (each partition can
+    discard all but ``cap`` rows for each source it holds), then the
+    exact window over the ≤ cap × partitions survivors. Spark's window
+    alone is used here; the map-side pre-cut is the documented escape
+    hatch when one source is terabytes.
+    """
+    from pyspark.sql import Window as W
+
+    if order_by is None:
+        order_by = hash32(F.col(key_col), "cap")
+    w = W.partitionBy(source_col).orderBy(order_by, F.col(key_col))
+    return (
+        df.withColumn("rank_in_source", F.row_number().over(w))
+        .filter(F.col("rank_in_source") <= int(cap))
     )

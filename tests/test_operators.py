@@ -1139,3 +1139,83 @@ def test_fuzzy_join_equals_naive_within_blocks(spark):
         .collect()
     }
     assert fast == naive and len(fast) == 30
+
+
+# -- cross-corpus (incremental-ingestion) dedup ---------------------------
+
+
+def test_cross_corpus_exact_drops_only_known_content(spark, docs):
+    """New-batch rows whose normalized content exists in the reference
+    corpus disappear; everything else survives untouched."""
+    ref = docs.select("doc_id", "text").limit(20)
+    # new batch: 10 docs copied from ref (different ids, same text) + the
+    # rest genuinely new
+    copied = ref.limit(10).select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+    fresh = spark.createDataFrame(
+        [(900001, "genuinely new text about nothing"), (900002, "another unseen doc")],
+        "doc_id long, text string",
+    )
+    new = copied.union(fresh)
+    kept = dedup.cross_corpus_exact_dedup(new, ref, "doc_id", "text")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {900001, 900002}
+
+
+def test_cross_corpus_near_finds_planted_pair_and_stays_cross(spark):
+    """A near-dup planted across the corpus boundary is matched; pairs
+    never come from within one side (new×new / ref×ref are excluded by
+    construction)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today " * 3
+    ref = spark.createDataFrame(
+        [(1, base), (2, "reference corpus filler text totally unrelated " * 4)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (11, base + " tomorrow"),  # near-dup of ref doc 1
+            (12, base + " tomorrow!"),  # near-dup of 11 AND of ref doc 1
+            (13, "brand new content with no counterpart anywhere " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.cross_corpus_near_dups(new, ref, "doc_id", "text", threshold=0.5).collect()
+    got = {(r["new_id"], r["ref_id"]) for r in pairs}
+    assert (11, 1) in got
+    # every pair crosses the boundary — new ids on the left, ref on the right
+    assert all(n >= 11 and r <= 2 for n, r in got)
+    surv = dedup.cross_corpus_dedup(new, ref, "doc_id", "text", threshold=0.5)
+    ids = {r["doc_id"] for r in surv.collect()}
+    assert 13 in ids and 11 not in ids
+
+
+# -- per-source cap --------------------------------------------------------
+
+
+def test_per_source_cap_keeps_best_n(spark):
+    from shortcut_spark.operators import sampling
+
+    rows = [(i, f"s{i % 3}", float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    capped = sampling.per_source_cap(
+        df, "doc_id", "source", 4, order_by=F.col("score").desc()
+    )
+    out = capped.collect()
+    assert len(out) == 12
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # top-4 scores per source are the 4 largest ids in that residue class
+    for s, ids in by_src.items():
+        k = int(s[1:])
+        assert sorted(ids) == sorted(range(k, 30, 3))[-4:]
+    # rank is 1..cap within each source
+    for s, ids in by_src.items():
+        ranks = sorted(
+            r["rank_in_source"] for r in out if r["source"] == s
+        )
+        assert ranks == [1, 2, 3, 4]
+    # determinism: same input → identical result set
+    again = sampling.per_source_cap(
+        df, "doc_id", "source", 4, order_by=F.col("score").desc()
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
