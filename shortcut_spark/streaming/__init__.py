@@ -25,6 +25,7 @@ __all__ = [
     "run_stream_dedup",
     "run_stream_near_dedup",
     "run_stream_funnel",
+    "run_stream_pairs",
     "distinct_user_actions",
     "stream_into_store",
 ]
@@ -219,6 +220,70 @@ def run_stream_dedup(
     # no defensive DISTINCT here: the sink contents ARE the dedup output,
     # and the batch-equality oracle should see them unlaundered
     return spark.sql(f"SELECT user_id, event_type FROM {query_name}")
+
+
+def run_stream_pairs(
+    spark: SparkSession,
+    events_parquet_dir: str,
+    window_s: int = 60,
+    query_name: str = "stream_pairs",
+) -> DataFrame:
+    """STREAM-STREAM self-join: same-user event pairs within ``window_s``
+    seconds, computed as the events arrive — the last Structured Streaming
+    join kind the engine exposes (stream-static is ``run_stream_enrich``;
+    this is the stateful two-stream form).
+
+    Both sides carry a watermark and the join condition includes an
+    event-time range, so Spark buffers each side's rows ONLY within the
+    watermark + range horizon and evicts older state — bounded state by
+    construction, the requirement for an unbounded 100 TB/day stream. The
+    interval bound is padded by 1 s and the exact predicate re-checks
+    floored epoch seconds, keeping the emitted pair set IDENTICAL to the
+    batch twin (``joins.range_pairs_within`` flooring semantics, query
+    ``events_pairs_60s``) — that batch equality is the oracle.
+
+    ``id_a < id_b`` inside the join condition orients each unordered pair
+    exactly once, so append mode needs no post-hoc distinct.
+    """
+    a = (
+        _file_stream(spark, events_parquet_dir)
+        .select(
+            F.col("user_id").alias("u_a"),
+            F.col("event_id").alias("id_a"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "1 hour")
+    )
+    b = (
+        _file_stream(spark, events_parquet_dir)
+        .select(
+            F.col("user_id").alias("u_b"),
+            F.col("event_id").alias("id_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "1 hour")
+    )
+    pairs = a.join(
+        b,
+        F.expr(
+            f"""u_a = u_b AND id_a < id_b
+            AND ts_b BETWEEN ts_a - INTERVAL {window_s + 1} SECONDS
+                         AND ts_a + INTERVAL {window_s + 1} SECONDS
+            AND abs(unix_timestamp(ts_a) - unix_timestamp(ts_b)) <= {window_s}"""
+        ),
+        "inner",
+    ).select(F.col("u_a").alias("user_id"), "id_a", "id_b")
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT user_id, id_a, id_b FROM {query_name}")
 
 
 def run_stream_sessionize(

@@ -1219,3 +1219,24 @@ def test_per_source_cap_keeps_best_n(spark):
         df, "doc_id", "source", 4, order_by=F.col("score").desc()
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_stream_stream_pairs_match_batch_range_join(spark):
+    """The stream-stream self-join (watermarks both sides + event-time
+    range condition) emits EXACTLY the batch bounded-range-join pair set."""
+    from tests.conftest import SF_DIR
+    from shortcut_spark.operators.joins import range_pairs_within
+    from shortcut_spark.sources import load_fixture
+    from shortcut_spark.streaming import run_stream_pairs
+
+    ev = load_fixture(spark, SF_DIR, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("es")
+    )
+    batch = {tuple(r) for r in range_pairs_within(ev, "user_id", "es", "event_id", 60).collect()}
+    stream = {
+        tuple(r)
+        for r in run_stream_pairs(
+            spark, f"{SF_DIR}/events.parquet", 60, query_name="t_pairs_sink"
+        ).collect()
+    }
+    assert stream == batch and len(batch) > 0
