@@ -1163,6 +1163,22 @@ def q_embed_lsh_topk(spark, sf_dir):
 _IVF_CACHE: dict[tuple, tuple] = {}
 
 
+def _fitted_ivf(spark, sf_dir):
+    """The standing IVF index for a corpus dir: built once (deterministic
+    k-means-lite), persisted, shared by every consumer — ``ivf_topk``
+    probes and the centroid-blocked ``cosine_join_ivf`` both reuse it, the
+    way a production deployment amortizes one index build across all
+    queries on a corpus snapshot."""
+    key = (sf_dir, 16, 2)
+    fitted = _IVF_CACHE.get(key)
+    if fitted is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        assigned, centroids = similarity.ivf_fit(emb, "vec_id", "embedding", 16, 2)
+        fitted = (assigned.persist(), centroids.persist())
+        _IVF_CACHE[key] = fitted
+    return fitted
+
+
 def q_embed_ivf_topk(spark, sf_dir):
     """IVF ANN tier (deterministic k-means-lite, nprobe inverted lists).
     Approximate by design → rows-only check; recall vs the exact tier is
@@ -1170,14 +1186,8 @@ def q_embed_ivf_topk(spark, sf_dir):
     centroids) is built once per corpus and cached persisted — production
     probes a standing IVF index, it does not re-run Lloyd per query."""
     emb = _t(spark, sf_dir, "embeddings")
-    key = (sf_dir, 16, 2)
-    fitted = _IVF_CACHE.get(key)
-    if fitted is None:
-        assigned, centroids = similarity.ivf_fit(emb, "vec_id", "embedding", 16, 2)
-        fitted = (assigned.persist(), centroids.persist())
-        _IVF_CACHE[key] = fitted
     return similarity.ivf_topk(
-        emb, _query_vec(spark, sf_dir), k=10, nprobe=4, fitted=fitted
+        emb, _query_vec(spark, sf_dir), k=10, nprobe=4, fitted=_fitted_ivf(spark, sf_dir)
     )
 
 
@@ -1200,6 +1210,20 @@ def q_embed_cosine_lsh(spark, sf_dir):
     in tests/test_operators.py and printed next to its bench entry."""
     return similarity.cosine_join(
         _t(spark, sf_dir, "embeddings"), 0.4, exact=False, exact_score=False
+    )
+
+
+def q_embed_cosine_ivf(spark, sf_dir):
+    """Centroid-blocked cosine near-dup pairs (`similarity.cosine_join_ivf`)
+    — the MODERATE-threshold scale tier: candidates are pairs sharing one
+    of each vector's 3 nearest IVF cells (soft assignment), reusing the
+    same standing IVF index as `embed_ivf_topk`. Beats sign-LSH banding
+    where thresholds sit below the near-dup regime (measured 0.84 vs 0.53
+    recall at cos≥0.4 on this fixture). Approximate by design → rows-only
+    driver check; recall pinned in tests/test_operators.py and printed
+    next to its bench entry."""
+    return similarity.cosine_join_ivf(
+        _t(spark, sf_dir, "embeddings"), 0.4, fitted=_fitted_ivf(spark, sf_dir)
     )
 
 
@@ -1835,7 +1859,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bloom path and the hash path keeps store_find_eq/multiget) ----
         "events_stream_pairs": q_events_stream_pairs,  # new stream-stream join
         "store_bloom_lookup": q_store_bloom_lookup,
-        "store_find_range": q_store_find_range,
+        # new centroid-blocked cosine join takes store_find_range's slot
+        # (2 driver-green rounds; stays locally oracle-checked at #51+)
+        "embed_cosine_ivf": q_embed_cosine_ivf,
         "store_delete_pred": q_store_delete_pred,
         "store_compact_invariant": q_store_compact_invariant,
         # new-this-session operator families (cross-corpus dedup tiers +
@@ -1852,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,
         "stream_ingest": q_stream_ingest,
         # ---- entry #51+: 2-3 driver-green rounds each; locally oracle-checked ----
+        "store_find_range": q_store_find_range,
         "store_point_lookup": q_store_point_lookup,
         "store_find_eq": q_store_find_eq,
         "q1_pricing_summary": q1_pricing_summary,

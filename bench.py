@@ -109,6 +109,7 @@ HEADLINE = [
     ("embed_lsh_topk", "collect"),
     ("embed_ivf_topk", "collect"),
     ("embed_cosine_lsh", "count"),
+    ("embed_cosine_ivf", "count"),
     # round-4 session additions: incremental-ingestion dedup tiers, the
     # domain cap, and a point lookup through the bloom index kind
     ("dedup_cross_corpus", "count"),
@@ -178,12 +179,19 @@ def _ann_recall(spark, queries) -> dict:
         (r["id_a"], r["id_b"])
         for r in similarity.cosine_join(emb, 0.4, exact=False).collect()
     }
+    ivf_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in queries["embed_cosine_ivf"](spark, SF_DIR).collect()
+    }
     k = max(1, len(exact_topk))
     return {
         "embed_lsh_topk": round(len(exact_topk & lsh_topk) / k, 3),
         "embed_ivf_topk": round(len(exact_topk & ivf_topk) / k, 3),
         "embed_cosine_lsh": round(
             len(exact_pairs & lsh_pairs) / max(1, len(exact_pairs)), 3
+        ),
+        "embed_cosine_ivf": round(
+            len(exact_pairs & ivf_pairs) / max(1, len(exact_pairs)), 3
         ),
     }
 

@@ -30,7 +30,9 @@ __all__ = [
     "hyperplane_buckets",
     "lsh_topk",
     "cosine_join",
+    "cosine_join_ivf",
     "ivf_fit",
+    "ivf_assign_multi",
     "ivf_topk",
     "norm_stats",
     "quantize_embeddings",
@@ -168,6 +170,31 @@ def hyperplane_buckets(
     return out
 
 
+def _multiprobe_keys(q_b: DataFrame, per_band: int, out_col: str = "band_key") -> DataFrame:
+    """Query-side multi-probe expansion: for each band key ``b/sig`` also
+    emit every signature at Hamming distance 1 (one flipped bit). Costs
+    ``per_band`` extra PROBE KEYS per band — query-side only, the corpus
+    table is untouched — and roughly triples band-level recall for
+    borderline neighbors whose signature differs from the query's by one
+    plane (the standard multi-probe LSH trick: probe the adjacent buckets
+    instead of building more tables)."""
+    sig = F.substring_index(F.col(out_col), "/", -1)
+    pre = F.substring_index(F.col(out_col), "/", 1)
+
+    def flip_at(i):
+        c = sig.substr(i + 1, F.lit(1))
+        fc = F.when(c == "0", F.lit("1")).otherwise(F.lit("0"))
+        return F.concat(
+            pre, F.lit("/"), sig.substr(F.lit(1), i), fc, sig.substr(i + 2, F.lit(per_band))
+        )
+
+    variants = F.concat(
+        F.array(F.col(out_col)),
+        F.transform(F.sequence(F.lit(0), F.lit(per_band - 1)), flip_at),
+    )
+    return q_b.select(F.explode(variants).alias(out_col)).distinct()
+
+
 def lsh_topk(
     emb: DataFrame,
     query: DataFrame,
@@ -177,12 +204,21 @@ def lsh_topk(
     n_planes: int = 8,
     bands: int = 4,
     dim: int = 64,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: score only vectors sharing ≥1 LSH band with the
-    query. Same output shape as ``topk_cosine``."""
+    query. Same output shape as ``topk_cosine``.
+
+    ``multiprobe=True`` (default) also probes, per band, every bucket whose
+    signature is one bit-flip away from the query's — query-side-only
+    candidate widening (the corpus side never changes), lifting recall on
+    neighbors that straddle one hyperplane without adding bands."""
     emb_b = hyperplane_buckets(emb, vec_col, n_planes, bands, dim)
     q_b = hyperplane_buckets(query.select(F.col("qvec")), "qvec", n_planes, bands, dim)
-    cand = emb_b.join(F.broadcast(q_b.select("band_key")), "band_key", "left_semi").select(
+    probe_keys = q_b.select("band_key")
+    if multiprobe:
+        probe_keys = _multiprobe_keys(probe_keys, n_planes // bands)
+    cand = emb_b.join(F.broadcast(probe_keys), "band_key", "left_semi").select(
         id_col, vec_col
     ).distinct()
     return topk_cosine(cand, query, k, id_col, vec_col)
@@ -222,11 +258,11 @@ def cosine_join(
     Candidates travel as id pairs only — vectors re-attach after the
     (distinct) pair set is known, so the band join never shuffles
     embeddings."""
-    left = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    right = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if exact:
-        pairs = left.select("id_a").crossJoin(right.select("id_b")).filter(
-            F.col("id_a") < F.col("id_b")
+        pairs = (
+            emb.select(F.col(id_col).alias("id_a"))
+            .crossJoin(emb.select(F.col(id_col).alias("id_b")))
+            .filter(F.col("id_a") < F.col("id_b"))
         )
     else:
         b = hyperplane_buckets(emb, vec_col, n_planes, bands, dim).select(
@@ -240,8 +276,23 @@ def cosine_join(
             .select("id_a", "id_b")
             .distinct()
         )
-    from ..functions import cosine_exact
+    return _score_pairs(emb, pairs, threshold, id_col, vec_col, exact_score)
 
+
+def _score_pairs(
+    emb: DataFrame,
+    pairs: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    exact_score: bool,
+) -> DataFrame:
+    """Verify candidate id pairs: re-attach vectors, score, keep cosine ≥
+    threshold. Shared epilogue of every blocked pair generator
+    (``cosine_join`` LSH tier, ``cosine_join_ivf`` centroid tier, the
+    exact all-pairs oracle tier)."""
+    left = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    right = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if exact_score:
         return (
             pairs.join(left, "id_a")
@@ -273,6 +324,97 @@ def cosine_join(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ivf_assign_multi(
+    emb: DataFrame,
+    centroids: DataFrame,
+    m: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``m`` nearest centroids (not just the
+    argmin): broadcast the small centroid table, score every (vector,
+    centroid) distance map-side, keep the m best per vector with a window
+    partitioned by the (high-cardinality) vector id. Output (id, cluster),
+    m rows per vector — the soft-assignment that lets a centroid-blocked
+    join catch pairs straddling a cell boundary."""
+    from pyspark.sql import Window as W
+
+    scored = (
+        ensure_parallelism(emb.select(F.col(id_col), F.col(vec_col)))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.col("centroid"),
+                    lambda x, y: (x.cast("double") - y) ** 2,
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            ).alias("dist"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "__r", F.row_number().over(W.partitionBy(id_col).orderBy("dist", "cluster"))
+        )
+        .filter(F.col("__r") <= m)
+        .select(id_col, "cluster")
+    )
+
+
+def cosine_join_ivf(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    m_assign: int = 3,
+    iters: int = 2,
+    exact_score: bool = False,
+    fitted: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Centroid-blocked cosine near-dup join — the MODERATE-threshold scale
+    tier. Sign-LSH banding (``cosine_join``) discriminates sharply only in
+    the high-cosine near-dup regime (collision prob 1-θ/π ≈ 0.86 at
+    cos 0.9 vs 0.5 at random, but only 0.63 at cos 0.4); at moderate
+    thresholds its candidate set must go near-quadratic to hold recall.
+    Blocking by k-means cells instead exploits corpus CLUSTER STRUCTURE:
+    each vector joins its ``m_assign`` nearest centroids' cells and
+    candidates are pairs sharing a cell — soft assignment covers pairs that
+    straddle one cell boundary.
+
+    Scale shape: with cells sized to a constant (grow ``n_clusters`` ∝ N),
+    candidate count is N × cell_size — LINEAR in corpus size, vs quadratic
+    for all-pairs. Candidates travel as id pairs; vectors re-attach only in
+    the shared verify epilogue (``_score_pairs``). ``fitted`` takes a
+    prebuilt ``ivf_fit`` result so the same standing IVF index serves both
+    this join and ``ivf_topk`` probes. Approximate by design (recall vs the
+    exact tier is measured in bench and pinned in pytest); output schema
+    identical to ``cosine_join``.
+
+    Measured on the sf0.1 fixture at threshold 0.4 (the adversarial bottom
+    for any blocking scheme — pairs sit at 3σ of the random-cosine
+    distribution, barely separated from noise): m_assign 2/3/4 →
+    recall 0.60/0.84/0.95 at 24/49/72% of all-pairs candidates. The
+    candidate FRACTION is a small-corpus artifact (16 cells over 2k
+    vectors); at fixed cell size the count is linear in N.
+    """
+    _, centroids = fitted or ivf_fit(emb, id_col, vec_col, n_clusters, iters)
+    multi = ivf_assign_multi(emb, centroids, m_assign, id_col, vec_col)
+    ba = multi.select(F.col(id_col).alias("id_a"), "cluster")
+    bb = multi.select(F.col(id_col).alias("id_b"), "cluster")
+    pairs = (
+        ba.join(bb, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _score_pairs(emb, pairs, threshold, id_col, vec_col, exact_score)
 
 
 def ivf_fit(
