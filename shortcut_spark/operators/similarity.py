@@ -572,6 +572,8 @@ def semantic_dup_clusters(
     vec_col: str = "embedding",
     exact: bool = False,
     exact_score: bool = False,
+    method: str = "lsh",
+    fitted: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Semantic dedup CLUSTERS over embedding space: cosine near-dup
     pairs (``cosine_join``) → connected components (transitive closure) →
@@ -580,17 +582,28 @@ def semantic_dup_clusters(
     ``dedup.dup_clusters``, for near-duplicates that text hashing cannot
     see (paraphrases, translations, re-encodings).
 
-    Scale path is the default ``exact=False``: LSH-banded candidates
-    travel as id pairs, vectors never shuffle with the band join, and the
+    Scale path is the default ``exact=False``: blocked candidates travel
+    as id pairs, vectors never shuffle with the candidate join, and the
     component loop is O(log diameter) rounds (``graph.connected_components``).
+    ``method`` picks the candidate generator — ``"lsh"`` (hyperplane
+    banding, right for high near-dup thresholds) or ``"ivf"``
+    (centroid-blocked soft assignment, ``cosine_join_ivf`` — higher recall
+    at moderate thresholds; pass ``fitted`` to reuse a standing IVF index).
     ``exact=True`` + ``exact_score=True`` is the all-pairs oracle-checkable
     tier for fixture-scale verification.
     """
     from .graph import connected_components
 
-    pairs = cosine_join(
-        emb, threshold, id_col, vec_col, exact=exact, exact_score=exact_score
-    ).select("id_a", "id_b")
+    if method not in ("lsh", "ivf"):
+        raise ValueError(f"method must be 'lsh' or 'ivf', got {method!r}")
+    if method == "ivf" and not exact:
+        pairs = cosine_join_ivf(
+            emb, threshold, id_col, vec_col, exact_score=exact_score, fitted=fitted
+        ).select("id_a", "id_b")
+    else:
+        pairs = cosine_join(
+            emb, threshold, id_col, vec_col, exact=exact, exact_score=exact_score
+        ).select("id_a", "id_b")
     comp = connected_components(pairs, "id_a", "id_b")
     lab = (
         emb.select(F.col(id_col))

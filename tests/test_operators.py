@@ -721,6 +721,36 @@ def test_semantic_dup_clusters_planted_groups(spark):
     assert out[99]["cluster_rep"] == 99 and out[99]["cluster_size"] == 1
 
 
+def test_semantic_dup_clusters_ivf_method_refines_exact(spark, emb):
+    """method='ivf' clusters must be a REFINEMENT of the exact tier's:
+    candidate pairs are a verified subset, so every approximate cluster
+    sits inside one exact cluster (never merges two)."""
+    from shortcut_spark.operators.similarity import semantic_dup_clusters
+
+    sample = emb.filter(F.col("vec_id") < 150)
+    exact = {
+        r["vec_id"]: r["cluster_rep"]
+        for r in semantic_dup_clusters(sample, 0.4, exact=True).collect()
+    }
+    ivf = {
+        r["vec_id"]: r["cluster_rep"]
+        for r in semantic_dup_clusters(
+            sample, 0.4, method="ivf"
+        ).collect()
+    }
+    assert set(ivf) == set(exact)  # every vector labeled in both
+    # same approximate cluster → same exact cluster
+    by_ivf_rep = {}
+    for vid, rep in ivf.items():
+        by_ivf_rep.setdefault(rep, set()).add(exact[vid])
+    assert all(len(s) == 1 for s in by_ivf_rep.values())
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        semantic_dup_clusters(sample, 0.4, method="bogus")
+
+
 def test_knn_join_matches_single_query_topk(spark, emb):
     """knn_join restricted to one query must equal topk_cosine for that
     query, and every query's rank-1 neighbor is itself (cosine ~ 1)."""
