@@ -116,6 +116,8 @@ HEADLINE = [
     ("dedup_cross_near", "count"),
     ("corpus_source_cap", "count"),
     ("store_bloom_lookup", "collect"),
+    # one-pass data-quality gate (6 rules, single agg over one scan)
+    ("data_checks", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -1310,3 +1310,70 @@ def test_stream_stream_pairs_match_batch_range_join(spark):
         ).collect()
     }
     assert stream == batch and len(batch) > 0
+
+
+def test_validation_check_rules_and_report(spark):
+    """Each rule kind computes the right metric and verdict; nulls count
+    against not_null but not against range/domain/format rules."""
+    from shortcut_spark.operators import validation as V
+
+    df = spark.createDataFrame(
+        [
+            (1, "O", 10.0, "1-URGENT"),
+            (2, "F", 20.0, "5-LOW"),
+            (3, None, -5.0, "bogus"),
+            (3, "X", 30.0, None),
+        ],
+        "k long, status string, price double, prio string",
+    )
+    rep = {
+        (r["check_name"], r["col_name"]): r
+        for r in V.check(
+            df,
+            [
+                V.min_rows(10),
+                V.not_null("status"),
+                V.unique("k"),
+                V.in_range("price", 0.0, None),
+                V.accepted_values("status", ["O", "F"]),
+                V.matches("prio", "^[1-5]-", min_fraction=0.5),
+            ],
+        ).collect()
+    }
+    assert len(rep) == 6
+    assert rep[("min_rows", "*")]["metric"] == 4.0 and not rep[("min_rows", "*")]["passed"]
+    assert rep[("not_null", "status")]["metric"] == 0.75 and not rep[("not_null", "status")]["passed"]
+    assert rep[("unique", "k")]["metric"] == 0.75 and not rep[("unique", "k")]["passed"]
+    # null price is not a range violation; -5.0 is
+    assert rep[("in_range", "price")]["metric"] == 0.75 and not rep[("in_range", "price")]["passed"]
+    # null status doesn't violate the domain; 'X' does
+    assert rep[("accepted_values", "status")]["metric"] == 0.75
+    # 2 of 4 match (null doesn't count against) → 0.75 ≥ 0.5 passes
+    assert rep[("matches", "prio")]["metric"] == 0.75 and rep[("matches", "prio")]["passed"]
+
+
+def test_validation_check_single_pass_plan(spark):
+    """The whole rule set must evaluate in ONE aggregation over ONE scan —
+    no per-rule jobs, no join of per-rule subqueries."""
+    from shortcut_spark.operators import validation as V
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("v"), F.concat(F.lit("s"), F.col("id")).alias("s")
+    )
+    plan = (
+        V.check(df, [V.min_rows(1), V.not_null("v"), V.in_range("v", 0, 4), V.matches("s", "^s")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan") <= 1 and "Join" not in plan
+
+
+def test_validation_check_rejects_bad_rule_sets(spark):
+    from shortcut_spark.operators import validation as V
+
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        V.check(df, [])
+    with pytest.raises(ValueError):
+        V.check(df, [V.min_rows(1), V.min_rows(2)])
