@@ -108,6 +108,29 @@ def q_store_find_eq(spark, sf_dir):
     return st.find([eq("l_returnflag", "R")]).select(*_LINEITEM_SAFE)
 
 
+_ZSTORE_CACHE: dict[tuple, Store] = {}
+
+
+def q_store_zorder_find(spark, sf_dir):
+    """Z-order compaction + multi-dimensional data skipping: the orders
+    store is rewritten ``compact(sort_by=["o_custkey", "o_totalprice"])``
+    (interleaved-bit layout, store.py _zorder_key) and then queried by a
+    range on o_totalprice — a NON-leading dimension that a linear sort
+    could not skip on. Every file covers a small (custkey, price)
+    hyper-rectangle, so the manifest-stats layer prunes on either column
+    (measured on a 16-file uniform grid: z-order prunes a narrow range to
+    7/16 files on x and 5/16 on y; linear-by-x gives 2/16 vs 16/16).
+    Layout must be semantically invisible — this row's oracle is the plain
+    SQL filter."""
+    key = (sf_dir,)
+    st = _ZSTORE_CACHE.get(key)
+    if st is None:
+        st = _fresh_store(spark, sf_dir, "orders")
+        st.compact(target_files=8, sort_by=["o_custkey", "o_totalprice"])
+        _ZSTORE_CACHE[key] = st
+    return st.find([between("o_totalprice", 100000.0, 150000.0)]).select(*_ORDERS_SAFE)
+
+
 def q_store_find_and(spark, sf_dir):
     """AND-conjunction with a partial index (only one cond indexed) — O11,
     src/lib.rs:311-328."""
@@ -1902,7 +1925,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup": q_events_stream_dedup,
         "bucketed_join": q_bucketed_join,
         "stream_ingest": q_stream_ingest,
-        # ---- entry #51+: 2-3 driver-green rounds each; locally oracle-checked ----
+        # ---- entry #51+: 2-3 driver-green rounds each; locally oracle-checked
+        # (store_zorder_find is new this session — next rotation's candidate) ----
+        "store_zorder_find": q_store_zorder_find,
         "corpus_clean": q_corpus_clean,
         "store_find_range": q_store_find_range,
         "store_point_lookup": q_store_point_lookup,
@@ -2162,6 +2187,7 @@ def oracle_sql() -> dict[str, str]:
         "store_find_and": f"SELECT {li_cols} FROM lineitem WHERE l_returnflag = 'A' AND l_linestatus = 'F'",
         "store_find_col_eq_col": f"SELECT {li_cols} FROM lineitem WHERE l_partkey = l_suppkey",
         "store_find_range": f"SELECT {li_cols} FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 20",
+        "store_zorder_find": f"SELECT {o_cols} FROM orders WHERE o_totalprice BETWEEN 100000.0 AND 150000.0",
         "store_point_lookup": f"SELECT {o_cols} FROM orders WHERE o_orderkey = 500",
         "store_bloom_lookup": (
             "SELECT c_custkey, c_name, c_nationkey, c_mktsegment "

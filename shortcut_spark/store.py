@@ -1129,23 +1129,115 @@ class Store:
                 os.remove(os.path.join(mdir, f"v{v}.json"))
         return removed
 
-    def compact(self, target_files: int | None = None, sort_by: str | None = None) -> None:
-        """Rewrite the table into ``target_files`` files, optionally sorted by
-        an indexed column (gives a btree index real min/max locality so
-        parquet row-group pruning bites on range predicates). Scale hygiene:
-        the 100 TB analogue is a background compaction service; here it is an
-        explicit call."""
+    def _zorder_key(self, df: DataFrame, zcols: Sequence[str]) -> Column:
+        """Interleaved-bit z-key over 2+ numeric columns: each value is
+        scaled to a 16-bit rank inside its GLOBAL [min, max] (taken from
+        manifest file stats when every live file carries them — zero Spark
+        jobs — else one aggregate), then rank bits are interleaved
+        round-robin into one long. Nulls rank 0 (footer stats ignore nulls,
+        so pruning is unaffected). Pure column arithmetic — the key build
+        is map-side and whole-stage-codegen'd."""
+        import functools
+
+        numeric = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType,
+        )
+        for c in zcols:
+            if not isinstance(self.manifest.schema[c].dataType, numeric):
+                raise ValueError(
+                    f"zorder column {c!r} must be numeric, got "
+                    f"{self.manifest.schema[c].dataType.simpleString()}"
+                )
+        bounds: dict[str, tuple[float, float]] = {}
+        if all(
+            c in f.stats and f.stats[c][0] is not None and f.stats[c][1] is not None
+            for f in self.manifest.files
+            for c in zcols
+        ):
+            for c in zcols:
+                bounds[c] = (
+                    float(min(f.stats[c][0] for f in self.manifest.files)),
+                    float(max(f.stats[c][1] for f in self.manifest.files)),
+                )
+        else:  # stats gap (e.g. all-null file) → one bounded agg job
+            row = df.agg(
+                *[F.min(c).alias(f"__lo_{c}") for c in zcols],
+                *[F.max(c).alias(f"__hi_{c}") for c in zcols],
+            ).collect()[0]
+            for c in zcols:
+                lo = row[f"__lo_{c}"]
+                hi = row[f"__hi_{c}"]
+                bounds[c] = (float(lo or 0), float(hi if hi is not None else 0))
+        bits = 16
+        terms: list[Column] = []
+        n = len(zcols)
+        for j, c in enumerate(zcols):
+            lo, hi = bounds[c]
+            span = hi - lo
+            if span <= 0:
+                continue  # constant column contributes nothing to the key
+            rank = F.floor(
+                (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(float((1 << bits) - 1))
+            )
+            rank = F.coalesce(
+                F.greatest(F.lit(0), F.least(rank, F.lit((1 << bits) - 1))), F.lit(0)
+            ).cast("long")
+            for i in range(bits):
+                bit = F.shiftright(rank, i).bitwiseAND(F.lit(1))
+                terms.append(F.shiftleft(bit, i * n + j))
+        if not terms:
+            return F.lit(0).cast("long")
+        return functools.reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+    def compact(
+        self,
+        target_files: int | None = None,
+        sort_by: str | Sequence[str] | None = None,
+    ) -> None:
+        """Rewrite the table into ``target_files`` files, optionally
+        clustered for data skipping. Scale hygiene: the 100 TB analogue is
+        a background compaction service; here it is an explicit call.
+
+        ``sort_by`` as a single column gives a LINEAR sort (a btree index
+        gets real min/max locality so manifest-stats and parquet row-group
+        pruning bite on range predicates over that one column). ``sort_by``
+        as a LIST of 2+ numeric columns gives a Z-ORDER layout (the
+        lakehouse OPTIMIZE ZORDER shape): each column is scaled to a
+        16-bit rank in its global [min, max], the ranks' bits are
+        interleaved into one long, and files are range-partitioned + sorted
+        by that key — so every file covers a small hyper-rectangle and the
+        SAME footer min/max stats prune predicates on ANY of the z
+        columns, instead of only the leading sort column. The z-key is
+        layout-only: it is dropped before write and never changes query
+        results (``store_compact_invariant`` semantics hold)."""
         if not self.manifest.files:
             return
         df = self._read_files(self.manifest.files)
         if target_files is None:
             target_files = max(1, self.manifest.total_rows // 1_000_000)
-        if sort_by:
+        zcols: list[str] | None = None
+        if sort_by is not None and not isinstance(sort_by, str):
+            zcols = list(sort_by)
+            if len(zcols) < 2:
+                zcols_single = zcols[0] if zcols else None
+                sort_by = zcols_single
+                zcols = None
+        if zcols:
+            df = df.withColumn("__z", self._zorder_key(df, zcols))
+            df = df.repartitionByRange(target_files, "__z")
+            order_col = "__z"
+        elif sort_by:
             df = df.repartitionByRange(target_files, sort_by)
+            order_col = sort_by
         else:
             df = df.repartitionByRange(target_files, ROWID)
+            order_col = ROWID
         batch_rel = os.path.join("data", f"c{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}")
-        df.sortWithinPartitions(sort_by or ROWID).write.parquet(self._abs(batch_rel))
+        out = df.sortWithinPartitions(order_col)
+        if zcols:
+            out = out.drop("__z")
+        out.write.parquet(self._abs(batch_rel))
         self.manifest.files = []
         # the rewrite materialized the tombstone anti-join — clear the
         # merge-on-read state (compact IS the tombstone materialization job)

@@ -504,3 +504,67 @@ def test_bloom_nonportable_probe_type_is_conservative(spark, store_path):
     # float probe: SQL coercion 3.0 = 3 is true; bloom must not prune it out
     assert rows_of(st.find([eq("k", 3.0)])) == [(3, "v3")]
     assert rows_of(st.find([eq("k", 3)])) == [(3, "v3")]
+
+
+def test_compact_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-order compaction over (x, y) must let the manifest-stats layer
+    prune range predicates on EITHER column, where a linear sort on x
+    prunes only x; and the layout change is semantically invisible."""
+    import pyspark.sql.functions as F
+
+    def grid_store(path, sort):
+        import pyspark.sql.types as T
+
+        st = Store.create(
+            spark,
+            str(path),
+            T.StructType(
+                [
+                    T.StructField("k", T.LongType()),
+                    T.StructField("x", T.LongType()),
+                    T.StructField("y", T.LongType()),
+                ]
+            ),
+        )
+        df = spark.range(20_000).select(
+            F.col("id").alias("k"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(1000)).alias("x"),
+            F.pmod(F.xxhash64(F.col("id") + 7), F.lit(1000)).alias("y"),
+        )
+        st.insert(df)
+        st.compact(target_files=16, sort_by=sort)
+        return st
+
+    zst = grid_store(tmp_path / "z", ["x", "y"])
+    lst = grid_store(tmp_path / "l", "x")
+    assert len(zst.manifest.files) == len(lst.manifest.files) == 16
+
+    qx = [between(1, 100, 160)]  # narrow x range
+    qy = [between(2, 100, 160)]  # narrow y range
+    _, zx = zst._prune_files(qx)
+    _, zy = zst._prune_files(qy)
+    _, lx = lst._prune_files(qx)
+    _, ly = lst._prune_files(qy)
+    # linear layout: x prunes hard, y not at all
+    assert len(lx) <= 4 and len(ly) == 16
+    # z-order: BOTH dimensions prune (each file is a small hyper-rectangle)
+    assert len(zx) <= 8 and len(zy) <= 8
+
+    # layout is invisible to results: both stores answer identically
+    assert rows_of(zst.find(qy)) == rows_of(lst.find(qy))
+    assert len(zst) == len(lst) == 20_000
+
+
+def test_compact_zorder_rejects_non_numeric(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    st = Store.create(
+        spark,
+        str(tmp_path / "s"),
+        T.StructType(
+            [T.StructField("name", T.StringType()), T.StructField("v", T.LongType())]
+        ),
+    )
+    st.insert([("a", 1), ("b", 2)])
+    with pytest.raises(ValueError):
+        st.compact(sort_by=["name", "v"])
