@@ -35,6 +35,7 @@ __all__ = [
     "accepted_values",
     "matches",
     "min_rows",
+    "satisfies",
     "check",
 ]
 
@@ -109,6 +110,21 @@ def matches(col: str, pattern: str, min_fraction: float = 1.0) -> Rule:
 def min_rows(n: int) -> Rule:
     """Volume: the batch has at least ``n`` rows (empty-upstream guard)."""
     return Rule("min_rows", "*", F.count(F.lit(1)), lambda m: m >= F.lit(float(n)), f">= {n}")
+
+
+def satisfies(predicate: str | Column, name: str, min_fraction: float = 1.0) -> Rule:
+    """Cross-column consistency: fraction of rows satisfying an arbitrary
+    row-level boolean ``predicate`` (SQL string or Column — e.g.
+    ``"start_ts <= end_ts"`` or ``"price * qty = total"``) must be ≥
+    ``min_fraction``. The generic escape hatch for constraints the typed
+    rules can't express; NULL predicate results count as violations (SQL
+    three-valued logic: an unprovable constraint is not a satisfied one).
+    """
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    frac = F.sum(F.when(cond, 1).otherwise(0)) / F.count(F.lit(1))
+    return Rule(
+        "satisfies", name, frac, lambda m: m >= F.lit(min_fraction), f">= {min_fraction}"
+    )
 
 
 def check(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:

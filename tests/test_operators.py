@@ -1377,3 +1377,27 @@ def test_validation_check_rejects_bad_rule_sets(spark):
         V.check(df, [])
     with pytest.raises(ValueError):
         V.check(df, [V.min_rows(1), V.min_rows(2)])
+
+
+def test_validation_satisfies_cross_column(spark):
+    """satisfies() evaluates an arbitrary row predicate; NULL results
+    count as violations (three-valued logic)."""
+    from shortcut_spark.operators import validation as V
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (3.0, 3.0), (5.0, 4.0), (None, 1.0)],
+        "lo double, hi double",
+    )
+    rep = {
+        r["col_name"]: r
+        for r in V.check(
+            df,
+            [
+                V.satisfies("lo <= hi", "ordered_bounds", min_fraction=0.5),
+                V.satisfies(F.col("hi") > 0, "hi_positive"),
+            ],
+        ).collect()
+    }
+    # 2 of 4 rows satisfy (5>4 fails, NULL fails) → 0.5 passes at 0.5
+    assert rep["ordered_bounds"]["metric"] == 0.5 and rep["ordered_bounds"]["passed"]
+    assert rep["hi_positive"]["metric"] == 1.0 and rep["hi_positive"]["passed"]
