@@ -1467,6 +1467,21 @@ def q_events_heavy_hitters(spark, sf_dir):
     return heavy_hitters(_t(spark, sf_dir, "events"), "user_id", support=0.001)
 
 
+def q_events_stream_heavy(spark, sf_dir):
+    """Streaming heavy hitters with BOUNDED state
+    (streaming.run_stream_heavy_hitters): sharded space-saving summaries in
+    applyInPandasWithState — state ≤ n_shards × capacity counters however
+    large the stream. At the default capacity (≥ per-shard NDV on this
+    fixture) no eviction occurs and the result is EXACT — equal to the
+    batch sketch.heavy_hitters — so the oracle certifies it bit-for-bit
+    (err is identically 0); the eviction path is pinned by the
+    small-capacity property test instead."""
+    out = stream_ops.run_stream_heavy_hitters(
+        spark, os.path.join(sf_dir, "events.parquet"), query_name="hh_drv_sink"
+    )
+    return out.select(F.col("value").cast("long").alias("value"), "cnt", "frac", "err")
+
+
 def q_stats_approx_sketch(spark, sf_dir):
     """Approximate sketch tier (sketch.approx_distinct/approx_quantiles):
     HLL++ distinct users and GK value quantiles per event type. No SQL
@@ -1926,8 +1941,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,
         "stream_ingest": q_stream_ingest,
         # ---- entry #51+: 2-3 driver-green rounds each; locally oracle-checked
-        # (store_zorder_find is new this session — next rotation's candidate) ----
+        # (store_zorder_find / events_stream_heavy are new this session —
+        # next rotation's candidates) ----
         "store_zorder_find": q_store_zorder_find,
+        "events_stream_heavy": q_events_stream_heavy,
         "corpus_clean": q_corpus_clean,
         "store_find_range": q_store_find_range,
         "store_point_lookup": q_store_point_lookup,
@@ -3249,6 +3266,15 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (SELECT count(*) AS total FROM events),
             g AS (SELECT user_id AS value, count(*) AS cnt FROM events GROUP BY 1)
             SELECT value, cnt, round(CAST(cnt AS DOUBLE) / total, 8) AS frac
+            FROM g CROSS JOIN t
+            WHERE cnt > total * 0.001""",
+        # streaming twin: at driver capacity the space-saving summary is
+        # exact (no eviction), so the oracle is the same query + err = 0
+        "events_stream_heavy": """
+            WITH t AS (SELECT count(*) AS total FROM events),
+            g AS (SELECT user_id AS value, count(*) AS cnt FROM events GROUP BY 1)
+            SELECT value, cnt, round(CAST(cnt AS DOUBLE) / total, 8) AS frac,
+                   CAST(0 AS BIGINT) AS err
             FROM g CROSS JOIN t
             WHERE cnt > total * 0.001""",
         "events_gapfill": f"""

@@ -26,6 +26,7 @@ __all__ = [
     "run_stream_near_dedup",
     "run_stream_funnel",
     "run_stream_pairs",
+    "run_stream_heavy_hitters",
     "distinct_user_actions",
     "stream_into_store",
 ]
@@ -758,3 +759,129 @@ def run_stream_hourly_rollup(spark: SparkSession, events_parquet_dir: str, query
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_stream_heavy_hitters(
+    spark: SparkSession,
+    events_parquet_dir: str,
+    col: str = "user_id",
+    support: float = 0.001,
+    capacity: int = 4096,
+    n_shards: int = 8,
+    query_name: str = "stream_hh",
+) -> DataFrame:
+    """Streaming frequency heavy hitters with BOUNDED state: sharded
+    space-saving summaries via ``applyInPandasWithState`` — the streaming
+    twin of ``sketch.heavy_hitters`` (same output schema: value, cnt,
+    frac).
+
+    Each value hashes to one of ``n_shards`` shard keys; per-shard
+    GroupState holds a space-saving summary of at most ``capacity``
+    counters (hit → increment; miss with room → insert; miss when full →
+    evict the min counter, inherit its count as the new counter's error
+    bound). State is ≤ ``n_shards × capacity`` counters TOTAL however
+    large the stream — the bounded-state property exact streaming counts
+    cannot give. Space-saving guarantees every value with true frequency
+    > shard_n/capacity is present, with count overestimated by ≤ its
+    recorded error.
+
+    Each trigger re-emits the shard's current summary stamped with the
+    shard's running total (update mode); the final read keeps each
+    shard's latest snapshot (rows carrying that shard's max total),
+    merges shards, and applies the support threshold.
+
+    At ``capacity`` ≥ per-shard NDV no eviction ever happens, errors stay
+    0 and the result is EXACT — equal to the batch ``sketch.heavy_hitters``
+    — which is what lets the driver oracle certify this operator
+    bit-for-bit (default capacity is sized for the fixture's NDV); the
+    eviction path is pinned separately by a small-capacity property test
+    (guarantee above, not batch equality).
+    """
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _file_stream(spark, events_parquet_dir, want_event_ts=False).select(
+        F.pmod(F.xxhash64(F.col(col)), F.lit(n_shards)).cast("int").alias("__shard"),
+        F.col(col).cast("string").alias("value"),
+    )
+    out_schema = "shard int, value string, cnt long, err long, shard_total long"
+    state_schema = "vals array<string>, cnts array<long>, errs array<long>, n_seen long"
+
+    def fn(key, pdfs, state: GroupState):
+        (shard,) = key
+        if state.exists:
+            vals, cnts, errs, n = state.get
+            summ = {v: [int(c), int(e)] for v, c, e in zip(vals, cnts, errs)}
+            n = int(n)
+        else:
+            summ, n = {}, 0
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                n += 1
+                hit = summ.get(v)
+                if hit is not None:
+                    hit[0] += 1
+                elif len(summ) < capacity:
+                    summ[v] = [1, 0]
+                else:
+                    # deterministic eviction: min count, ties by value
+                    mv = min(summ, key=lambda k: (summ[k][0], k))
+                    mc = summ[mv][0]
+                    del summ[mv]
+                    summ[v] = [mc + 1, mc]
+        state.update(
+            (
+                list(summ.keys()),
+                [c for c, _ in summ.values()],
+                [e for _, e in summ.values()],
+                n,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [int(shard)] * len(summ),
+                "value": list(summ.keys()),
+                "cnt": [c for c, _ in summ.values()],
+                "err": [e for _, e in summ.values()],
+                "shard_total": [n] * len(summ),
+            }
+        )
+
+    res = stream.groupBy("__shard").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    q = (
+        res.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap = spark.sql(f"SELECT * FROM {query_name}")
+    # latest snapshot per shard: only rows stamped with that shard's max
+    # running total survive (earlier triggers' rows — including values
+    # since evicted — carry a smaller one)
+    latest = snap.withColumn(
+        "__mx", F.max("shard_total").over(W.partitionBy("shard"))
+    ).filter(F.col("shard_total") == F.col("__mx"))
+    total = (
+        latest.select("shard", "shard_total")
+        .distinct()
+        .agg(F.sum("shard_total").alias("__total"))
+    )
+    return (
+        latest.groupBy("value")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("err").alias("err"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("__total") * F.lit(support))
+        .select(
+            "value",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total"), 8).alias("frac"),
+            "err",
+        )
+    )

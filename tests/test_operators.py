@@ -1401,3 +1401,67 @@ def test_validation_satisfies_cross_column(spark):
     # 2 of 4 rows satisfy (5>4 fails, NULL fails) → 0.5 passes at 0.5
     assert rep["ordered_bounds"]["metric"] == 0.5 and rep["ordered_bounds"]["passed"]
     assert rep["hi_positive"]["metric"] == 1.0 and rep["hi_positive"]["passed"]
+
+
+def test_stream_heavy_hitters_exact_at_large_capacity(spark):
+    """With capacity ≥ per-shard NDV the sharded space-saving summary is
+    exact: merged output equals the batch heavy_hitters tier, err all 0."""
+    from tests.conftest import SF_DIR
+    from shortcut_spark.operators.sketch import heavy_hitters
+    from shortcut_spark.sources import load_fixture
+    from shortcut_spark.streaming import run_stream_heavy_hitters
+
+    ev = load_fixture(spark, SF_DIR, "events")
+    batch = {r["value"]: (r["cnt"], r["frac"]) for r in heavy_hitters(ev, "user_id", 0.001).collect()}
+    stream = {
+        int(r["value"]): (r["cnt"], r["frac"], r["err"])
+        for r in run_stream_heavy_hitters(
+            spark, f"{SF_DIR}/events.parquet", query_name="t_hh_exact"
+        ).collect()
+    }
+    assert set(stream) == set(batch) and len(batch) > 0
+    for v, (cnt, frac, err) in stream.items():
+        assert (cnt, frac) == batch[v] and err == 0
+
+
+def test_stream_heavy_hitters_bounded_state_eviction(spark):
+    """Small capacity forces evictions: state stays ≤ shards × capacity,
+    every TRUE heavy value still surfaces (space-saving guarantee), and
+    each reported count brackets the true count within its error bound."""
+    from tests.conftest import SF_DIR
+    from shortcut_spark.sources import load_fixture
+    from shortcut_spark.streaming import run_stream_heavy_hitters
+
+    ev = load_fixture(spark, SF_DIR, "events")
+    truth = {
+        r["user_id"]: r["cnt"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(truth.values())
+    capacity, shards = 32, 4
+    out = run_stream_heavy_hitters(
+        spark,
+        f"{SF_DIR}/events.parquet",
+        support=0.005,
+        capacity=capacity,
+        n_shards=shards,
+        query_name="t_hh_evict",
+    ).collect()
+    got = {int(r["value"]): r for r in out}
+    # per-shard state bound: the latest snapshot in the raw sink has at
+    # most `capacity` rows per shard
+    snap = spark.sql("SELECT * FROM t_hh_evict")
+    latest_sizes = (
+        snap.groupBy("shard", "shard_total").count()
+        .groupBy("shard").agg(F.max("count").alias("mx")).collect()
+    )
+    assert all(r["mx"] <= capacity for r in latest_sizes)
+    # space-saving guarantee: overestimates only, bracketed by err
+    for v, r in got.items():
+        t = truth.get(v, 0)
+        assert t <= r["cnt"] <= t + r["err"] + 0  # cnt ∈ [true, true+err]
+    # every strongly-heavy value (well above both the support threshold and
+    # the per-shard eviction floor) must be present
+    for v, t in truth.items():
+        if t > 0.02 * n:
+            assert v in got
