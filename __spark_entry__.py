@@ -222,6 +222,21 @@ def q_store_delete_defer(spark, sf_dir):
     )
 
 
+def q_store_cdc_changes(spark, sf_dir):
+    """Incremental (CDC) read — Store.changes(since_version): the net
+    row-level delta between a snapshot and now as (change_type, *cols)
+    rows. Exact because rowids are never reused and rewrites preserve
+    them: inserts = live rows at-or-above the old watermark (files pruned
+    driver-side by manifest max_rowid — cost ∝ data written since the
+    snapshot), deletes = old live rowids anti-joined against current.
+    Oracle replays the same mutations in SQL."""
+    st = _fresh_store(spark, sf_dir, "orders")
+    v0 = st.manifest.version
+    st.delete([eq("o_orderkey", 500)])
+    st.insert(_t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5))
+    return st.changes(v0).select("change_type", *_ORDERS_SAFE)
+
+
 def q_store_delete_closure(spark, sf_dir):
     """delete_filter(conds, closure) — O6: residual predicate beyond the
     cond list (src/lib.rs:149-169)."""
@@ -1945,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next rotation's candidates) ----
         "store_zorder_find": q_store_zorder_find,
         "events_stream_heavy": q_events_stream_heavy,
+        "store_cdc_changes": q_store_cdc_changes,
         "corpus_clean": q_corpus_clean,
         "store_find_range": q_store_find_range,
         "store_point_lookup": q_store_point_lookup,
@@ -2205,6 +2221,10 @@ def oracle_sql() -> dict[str, str]:
         "store_find_col_eq_col": f"SELECT {li_cols} FROM lineitem WHERE l_partkey = l_suppkey",
         "store_find_range": f"SELECT {li_cols} FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 20",
         "store_zorder_find": f"SELECT {o_cols} FROM orders WHERE o_totalprice BETWEEN 100000.0 AND 150000.0",
+        "store_cdc_changes": f"""
+            SELECT 'delete' AS change_type, {o_cols} FROM orders WHERE o_orderkey = 500
+            UNION ALL
+            SELECT 'insert' AS change_type, {o_cols} FROM orders WHERE o_orderkey < 5""",
         "store_point_lookup": f"SELECT {o_cols} FROM orders WHERE o_orderkey = 500",
         "store_bloom_lookup": (
             "SELECT c_custkey, c_name, c_nationkey, c_mktsegment "

@@ -1129,6 +1129,43 @@ class Store:
                 os.remove(os.path.join(mdir, f"v{v}.json"))
         return removed
 
+    def changes(self, since_version: int) -> DataFrame:
+        """Incremental (CDC) read: every row-level change between snapshot
+        ``since_version`` and the current version, as one DataFrame of
+        (change_type 'insert'|'delete', __rowid, *cols) — what a downstream
+        incremental consumer (materialized aggregate, search index, replica)
+        applies instead of re-reading the table.
+
+        Exactness rests on two Store invariants: rowids are NEVER reused,
+        and rewrites (copy-on-write delete, compact) PRESERVE rowids — so
+        - inserts are precisely the live rows with ``__rowid`` at or above
+          the old snapshot's watermark. Files are pruned driver-side by
+          their manifest ``max_rowid`` (zero jobs), so the scan cost is
+          proportional to data written since the snapshot, not table size;
+        - deletes are the old snapshot's live rowids anti-joined against
+          the current live set — two column-pruned ``__rowid`` scans and
+          one join, with the deleted rows' column values served from the
+          old snapshot's still-on-disk files (``vacuum`` retires them, so
+          CDC readers must consume before the retention horizon — the
+          standard lakehouse contract).
+        """
+        old = Manifest.load(self.path, since_version)
+        wm = old.rowid
+        new_files = [f for f in self.manifest.files if f.max_rowid >= wm]
+        if new_files:
+            appended = self._read_files(new_files).filter(F.col(ROWID) >= wm)
+        else:
+            appended = self._empty(True)
+        old_store = Store(self.spark, self.path, old)
+        old_rows = old_store.find([], with_rowid=True)
+        cur_ids = self.find([], with_rowid=True).select(ROWID)
+        deleted = old_rows.join(cur_ids, ROWID, "left_anti")
+        cols = [ROWID, *self.manifest.schema.fieldNames()]
+        return (
+            appended.select(F.lit("insert").alias("change_type"), *cols)
+            .unionByName(deleted.select(F.lit("delete").alias("change_type"), *cols))
+        )
+
     def _zorder_key(self, df: DataFrame, zcols: Sequence[str]) -> Column:
         """Interleaved-bit z-key over 2+ numeric columns: each value is
         scaled to a 16-bit rank inside its GLOBAL [min, max] (taken from

@@ -568,3 +568,36 @@ def test_compact_zorder_rejects_non_numeric(spark, tmp_path):
     st.insert([("a", 1), ("b", 2)])
     with pytest.raises(ValueError):
         st.compact(sort_by=["name", "v"])
+
+
+def test_changes_cdc_between_snapshots(spark, tmp_path):
+    """changes(v) emits exactly the net row-level delta between snapshot v
+    and now — inserts (rowid >= old watermark) and deletes (old live minus
+    current live) — across append, CoW delete, tombstone delete and
+    compact; a row appended then deleted inside the window nets out."""
+    st = make(spark, str(tmp_path / "cdc"), ABC + AXB)
+    v0 = st.manifest.version
+    live_v0 = {r[0] for r in st.find([], with_rowid=True).select("__rowid").collect()}
+
+    st.insert([["n1", "n2"], ["m1", "m2"]])          # appended
+    st.delete([eq(0, "a1")])                          # CoW delete of an old row
+    st.delete([eq(0, "m1")], defer=True)              # tombstone an appended row
+    st.compact(target_files=2)                        # rewrite must not fake changes
+    st.insert([["p1", "p2"]])
+
+    ch = st.changes(v0).collect()
+    ins = {(r["__rowid"], r[st.colnames[0]]) for r in ch if r["change_type"] == "insert"}
+    dels = {(r["__rowid"], r[st.colnames[0]]) for r in ch if r["change_type"] == "delete"}
+    # inserts: n1 and p1 (m1 was appended then tombstoned inside the window)
+    assert {v for _, v in ins} == {"n1", "p1"}
+    # deletes: exactly the v0 row a1, with its original rowid and values
+    assert {v for _, v in dels} == {"a1"}
+    assert all(rid in live_v0 for rid, _ in dels)
+    assert all(rid not in live_v0 for rid, _ in ins)
+
+    # applying the delta to the old snapshot reproduces the current table
+    old_rows = {tuple(r) for r in Store.open(spark, str(tmp_path / "cdc"), v0).find([], with_rowid=True).collect()}
+    cur_rows = {tuple(r) for r in st.find([], with_rowid=True).collect()}
+    ins_full = {tuple(r)[1:] for r in ch if r["change_type"] == "insert"}
+    del_full = {tuple(r)[1:] for r in ch if r["change_type"] == "delete"}
+    assert (old_rows - del_full) | ins_full == cur_rows
