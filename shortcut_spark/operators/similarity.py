@@ -405,7 +405,13 @@ def cosine_join_ivf(
     vectors); at fixed cell size the count is linear in N.
     """
     _, centroids = fitted or ivf_fit(emb, id_col, vec_col, n_clusters, iters)
-    multi = ivf_assign_multi(emb, centroids, m_assign, id_col, vec_col)
+    # materialize the soft assignment once (lazy local checkpoint): the
+    # cell self-join references it on BOTH sides, and without the cut the
+    # whole assign subtree (broadcast-score + per-id window) executes twice
+    # — measured 7.8 → 4.6 s at sf0.1
+    multi = ivf_assign_multi(emb, centroids, m_assign, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     ba = multi.select(F.col(id_col).alias("id_a"), "cluster")
     bb = multi.select(F.col(id_col).alias("id_b"), "cluster")
     pairs = (
