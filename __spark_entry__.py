@@ -237,6 +237,25 @@ def q_store_cdc_changes(spark, sf_dir):
     return st.changes(v0).select("change_type", *_ORDERS_SAFE)
 
 
+def q_store_schema_evolution(spark, sf_dir):
+    """Schema evolution (Store.add_column): widen nation with a nullable
+    long column — metadata-only commit, untouched old files read null —
+    then append rows that carry it. The oracle is the UNION of the null
+    tier and the computed tier, so both the null-fill read path and the
+    widened insert path are value-certified."""
+    from pyspark.sql import types as T
+
+    st = _fresh_store(spark, sf_dir, "nation")
+    st.add_column("key_doubled", T.LongType())
+    st.insert(
+        _t(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey",
+            (F.col("n_regionkey").cast("long") * 2).alias("key_doubled"),
+        )
+    )
+    return st.find([])
+
+
 def q_store_delete_closure(spark, sf_dir):
     """delete_filter(conds, closure) — O6: residual predicate beyond the
     cond list (src/lib.rs:149-169)."""
@@ -1961,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_zorder_find": q_store_zorder_find,
         "events_stream_heavy": q_events_stream_heavy,
         "store_cdc_changes": q_store_cdc_changes,
+        "store_schema_evolution": q_store_schema_evolution,
         "corpus_clean": q_corpus_clean,
         "store_find_range": q_store_find_range,
         "store_point_lookup": q_store_point_lookup,
@@ -2225,6 +2245,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'delete' AS change_type, {o_cols} FROM orders WHERE o_orderkey = 500
             UNION ALL
             SELECT 'insert' AS change_type, {o_cols} FROM orders WHERE o_orderkey < 5""",
+        "store_schema_evolution": """
+            SELECT n_nationkey, n_name, n_regionkey,
+                   CAST(NULL AS BIGINT) AS key_doubled FROM nation
+            UNION ALL
+            SELECT n_nationkey, n_name, n_regionkey,
+                   CAST(n_regionkey AS BIGINT) * 2 AS key_doubled FROM nation""",
         "store_point_lookup": f"SELECT {o_cols} FROM orders WHERE o_orderkey = 500",
         "store_bloom_lookup": (
             "SELECT c_custkey, c_name, c_nationkey, c_mktsegment "

@@ -418,6 +418,17 @@ class Store:
         self.manifest.indices[name] = spec  # silent replace, parity :204
         self._commit()
 
+    def drop_index(self, column: int | str) -> None:
+        """Remove the index on ``column`` (metadata commit; orphaned
+        posting files are retired by ``vacuum``). The reference only
+        creates/replaces (``src/lib.rs:195-205``) — this is the inverse a
+        schema-evolving table needs before ``drop_column``."""
+        name = self.colnames[column] if isinstance(column, int) else column
+        if name not in self.manifest.indices:
+            raise ValueError(f"no index on column {name!r}")
+        del self.manifest.indices[name]
+        self._commit()
+
     def _append_postings(
         self, spec: IndexSpec, files: Sequence[DataFile], incremental: bool = True
     ) -> None:
@@ -1129,6 +1140,43 @@ class Store:
                 os.remove(os.path.join(mdir, f"v{v}.json"))
         return removed
 
+    def add_column(self, name: str, dtype: T.DataType | str) -> None:
+        """Schema evolution: append a NULLABLE column — a metadata-only
+        commit. No data file is touched: parquet reads against the widened
+        schema fill the missing column with null for every pre-existing
+        file (the Iceberg/Delta add-column shape, minus non-null defaults,
+        which would need per-file schema-version bookkeeping at read time
+        — deliberately out of scope). New inserts must carry the column
+        (insert validates names and types against the current schema)."""
+        if isinstance(dtype, str):
+            dtype = T._parse_datatype_string(dtype)
+        schema = self.manifest.schema
+        if name == ROWID or name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists or is reserved")
+        self.manifest.schema_json = T.StructType(
+            [*schema.fields, T.StructField(name, dtype, True)]
+        ).json()
+        self._commit()
+
+    def drop_column(self, name: str) -> None:
+        """Schema evolution: remove a column — metadata-only; the bytes
+        stay in the files but every read projects them away. Refuses to
+        drop an indexed column (drop the index first — implicit cascades
+        hide cost) or the last column. NOTE: POSITIONAL conditions index
+        the post-drop column order, exactly like the reference's positional
+        rows; named conditions are unaffected."""
+        schema = self.manifest.schema
+        if name not in schema.fieldNames():
+            raise ValueError(f"no such column {name!r}")
+        if name in self.manifest.indices:
+            raise ValueError(f"column {name!r} is indexed — drop the index first")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the last column")
+        self.manifest.schema_json = T.StructType(
+            [f for f in schema.fields if f.name != name]
+        ).json()
+        self._commit()
+
     def changes(self, since_version: int) -> DataFrame:
         """Incremental (CDC) read: every row-level change between snapshot
         ``since_version`` and the current version, as one DataFrame of
@@ -1161,9 +1209,18 @@ class Store:
         cur_ids = self.find([], with_rowid=True).select(ROWID)
         deleted = old_rows.join(cur_ids, ROWID, "left_anti")
         cols = [ROWID, *self.manifest.schema.fieldNames()]
+        # schema evolution between the snapshots: the delta is expressed in
+        # the CURRENT schema — a column added since the old snapshot is
+        # null on delete rows (the old files never had it); a column
+        # dropped since is projected away from both sides
+        old_cols = [c for c in cols if c == ROWID or c in old.schema.fieldNames()]
         return (
             appended.select(F.lit("insert").alias("change_type"), *cols)
-            .unionByName(deleted.select(F.lit("delete").alias("change_type"), *cols))
+            .unionByName(
+                deleted.select(F.lit("delete").alias("change_type"), *old_cols),
+                allowMissingColumns=True,
+            )
+            .select("change_type", *cols)
         )
 
     def _zorder_key(self, df: DataFrame, zcols: Sequence[str]) -> Column:

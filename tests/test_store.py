@@ -601,3 +601,60 @@ def test_changes_cdc_between_snapshots(spark, tmp_path):
     ins_full = {tuple(r)[1:] for r in ch if r["change_type"] == "insert"}
     del_full = {tuple(r)[1:] for r in ch if r["change_type"] == "delete"}
     assert (old_rows - del_full) | ins_full == cur_rows
+
+
+def test_schema_evolution_add_column(spark, store_path):
+    """add_column is metadata-only: old rows read null, new inserts carry
+    the value, finds/indexes on the new column work, and the widened
+    schema survives reopen."""
+    import pyspark.sql.types as T
+
+    st = make(spark, store_path, ABC)
+    st.add_column("score", T.LongType())
+    assert st.colnames[-1] == "score"
+    rows = rows_of(st.find([]))
+    assert all(r[-1] is None for r in rows) and len(rows) == 3
+    with pytest.raises(ValueError):  # arity now 3 — old-shape insert fails
+        st.insert([["x1", "x2"]])
+    st.insert([["x1", "x2", 7], ["y1", "y2", 9]])
+    assert rows_of(st.find([eq("score", 7)])) == [("x1", "x2", 7)]
+    st.index("score", HashIndex)
+    assert rows_of(st.find([eq("score", 9)])) == [("y1", "y2", 9)]
+    st2 = Store.open(spark, store_path)
+    assert st2.colnames == st.colnames and len(st2) == 5
+    with pytest.raises(ValueError):
+        st.add_column("score", T.LongType())  # duplicate
+
+
+def test_schema_evolution_drop_column(spark, store_path):
+    """drop_column projects the column away everywhere; indexed columns
+    refuse until drop_index; the last column can never be dropped."""
+    st = make(spark, store_path, ABC, index_col=0)
+    with pytest.raises(ValueError):
+        st.drop_column(st.colnames[0])  # indexed
+    st.drop_index(0)
+    first = st.colnames[0]
+    st.drop_column(first)
+    assert first not in st.colnames
+    assert rows_of(st.find([])) == [("a2",), ("b2",), ("c2",)]
+    with pytest.raises(ValueError):
+        st.drop_column(st.colnames[0])  # last column
+    with pytest.raises(ValueError):
+        st.drop_index(0)  # no index there anymore
+
+
+def test_changes_across_schema_evolution(spark, tmp_path):
+    """CDC across an add_column: the delta is expressed in the CURRENT
+    schema — delete rows carry null for the column added after the
+    snapshot."""
+    import pyspark.sql.types as T
+
+    st = make(spark, str(tmp_path / "se"), ABC)
+    v0 = st.manifest.version
+    st.add_column("score", T.LongType())
+    st.insert([["n1", "n2", 5]])
+    st.delete([eq(0, "a1")])
+    ch = {(r["change_type"], r[st.colnames[0]], r["score"]) for r in st.changes(v0).collect()}
+    assert ("insert", "n1", 5) in ch
+    assert ("delete", "a1", None) in ch
+    assert len(ch) == 2
