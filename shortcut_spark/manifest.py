@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import types as T
@@ -87,6 +88,9 @@ class Manifest:
     # files, so ``tombstone_rows`` stays an exact live-row correction.
     tombstones: list[str] = field(default_factory=list)
     tombstone_rows: int = 0
+    # wall-clock commit instant (epoch seconds), stamped by commit();
+    # None only on never-committed in-memory manifests
+    committed_at: float | None = None
 
     @property
     def schema(self) -> T.StructType:
@@ -116,6 +120,7 @@ class Manifest:
             "props": dict(self.props),
             "tombstones": list(self.tombstones),
             "tombstone_rows": self.tombstone_rows,
+            "committed_at": self.committed_at,
         }
 
     @classmethod
@@ -130,6 +135,7 @@ class Manifest:
             props=dict(d.get("props", {})),
             tombstones=list(d.get("tombstones", [])),
             tombstone_rows=int(d.get("tombstone_rows", 0)),
+            committed_at=d.get("committed_at"),
         )
 
     # -- storage ------------------------------------------------------------
@@ -146,6 +152,32 @@ class Manifest:
                 version = int(fh.read().strip())
         with open(os.path.join(mdir, f"v{version}.json")) as fh:
             return cls.from_json(json.load(fh))
+
+    @classmethod
+    def version_as_of(cls, table_path: str, ts: float) -> int:
+        """Largest still-retained version committed at or before epoch
+        ``ts`` (AS OF TIMESTAMP time travel). Driver-side scan of the
+        manifest directory — O(retained versions), bounded by vacuum.
+        Manifests from before the ``committed_at`` field fall back to
+        file mtime. Raises if every retained snapshot is newer than
+        ``ts`` (the history needed has been vacuumed or never existed)."""
+        mdir = cls._dir(table_path)
+        best = None
+        for name in os.listdir(mdir):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            v = int(name[1:-5])
+            with open(os.path.join(mdir, name)) as fh:
+                at = json.load(fh).get("committed_at")
+            if at is None:
+                at = os.path.getmtime(os.path.join(mdir, name))
+            if at <= ts and (best is None or v > best):
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no snapshot of {table_path!r} at or before {ts} is retained"
+            )
+        return best
 
     def commit(self, table_path: str) -> "Manifest":
         """Write the next manifest version and flip CURRENT atomically.
@@ -166,6 +198,7 @@ class Manifest:
                     f"this writer loaded v{self.version}"
                 )
         self.version += 1
+        self.committed_at = time.time()
         os.makedirs(mdir, exist_ok=True)
         mpath = os.path.join(mdir, f"v{self.version}.json")
         tmp = mpath + ".tmp"

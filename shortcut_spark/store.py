@@ -130,7 +130,21 @@ class Store:
         return cls(spark, path, manifest)
 
     @classmethod
-    def open(cls, spark: SparkSession, path: str, version: int | None = None) -> "Store":
+    def open(
+        cls,
+        spark: SparkSession,
+        path: str,
+        version: int | None = None,
+        as_of: float | None = None,
+    ) -> "Store":
+        """Open the current snapshot, a specific ``version``, or (``as_of``
+        epoch seconds) the latest snapshot committed at or before that
+        instant — AS OF TIMESTAMP time travel, resolved driver-side from
+        the manifests' ``committed_at`` stamps."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version or as_of, not both")
+            version = Manifest.version_as_of(path, as_of)
         return cls(spark, path, Manifest.load(path, version))
 
     @classmethod

@@ -658,3 +658,23 @@ def test_changes_across_schema_evolution(spark, tmp_path):
     assert ("insert", "n1", 5) in ch
     assert ("delete", "a1", None) in ch
     assert len(ch) == 2
+
+
+def test_open_as_of_timestamp(spark, tmp_path):
+    """AS OF TIMESTAMP time travel: an epoch between two commits resolves
+    to the earlier snapshot; before-history raises; version+as_of rejected."""
+    import time
+
+    st = make(spark, str(tmp_path / "tt"), ABC)
+    t_before_history = time.time() - 3600
+    t1 = time.time() + 0.01
+    time.sleep(0.05)
+    st.insert([["z1", "z2"]])
+    t2 = time.time() + 0.01
+
+    assert len(Store.open(spark, str(tmp_path / "tt"), as_of=t1)) == 3
+    assert len(Store.open(spark, str(tmp_path / "tt"), as_of=t2)) == 4
+    with pytest.raises(ValueError):
+        Store.open(spark, str(tmp_path / "tt"), as_of=t_before_history)
+    with pytest.raises(ValueError):
+        Store.open(spark, str(tmp_path / "tt"), version=1, as_of=t1)
