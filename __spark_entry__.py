@@ -256,6 +256,21 @@ def q_store_schema_evolution(spark, sf_dir):
     return st.find([])
 
 
+def q_store_merge_upsert(spark, sf_dir):
+    """Atomic upsert (Store.merge — extension; the reference is
+    add/remove-only, src/lib.rs:25-26): replace nations 0-4 with amended
+    rows in ONE commit. The oracle is the untouched tier UNION the
+    replaced tier."""
+    st = _fresh_store(spark, sf_dir, "nation")
+    batch = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5).select(
+        "n_nationkey",
+        F.concat(F.col("n_name"), F.lit("_v2")).alias("n_name"),
+        "n_regionkey",
+    )
+    st.merge(batch, on="n_nationkey")
+    return st.find([])
+
+
 def q_store_delete_closure(spark, sf_dir):
     """delete_filter(conds, closure) — O6: residual predicate beyond the
     cond list (src/lib.rs:149-169)."""
@@ -1981,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_heavy": q_events_stream_heavy,
         "store_cdc_changes": q_store_cdc_changes,
         "store_schema_evolution": q_store_schema_evolution,
+        "store_merge_upsert": q_store_merge_upsert,
         "corpus_clean": q_corpus_clean,
         "store_find_range": q_store_find_range,
         "store_point_lookup": q_store_point_lookup,
@@ -2251,6 +2267,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT n_nationkey, n_name, n_regionkey,
                    CAST(n_regionkey AS BIGINT) * 2 AS key_doubled FROM nation""",
+        "store_merge_upsert": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey >= 5
+            UNION ALL
+            SELECT n_nationkey, n_name || '_v2' AS n_name, n_regionkey
+            FROM nation WHERE n_nationkey < 5""",
         "store_point_lookup": f"SELECT {o_cols} FROM orders WHERE o_orderkey = 500",
         "store_bloom_lookup": (
             "SELECT c_custkey, c_name, c_nationkey, c_mktsegment "

@@ -329,6 +329,63 @@ class Store:
         self._commit()
         return n
 
+    def merge(self, rows: DataFrame | Iterable[Sequence[Any]], on: int | str) -> tuple[int, int]:
+        """Atomic upsert by key (EXTENSION — the reference is
+        add/remove-only, ``src/lib.rs:25-26``): delete every existing row
+        whose ``on`` column matches a key in the batch, then append the
+        batch, in ONE manifest commit — readers see either the old table
+        or the fully-merged one, never the deleted-but-not-yet-inserted
+        middle state that a ``delete(); insert()`` sequence exposes.
+
+        Mechanics: victims are staged as a merge-on-read tombstone (cost ∝
+        victims; the key-membership scan is column-pruned to (rowid, key)),
+        the staged tombstone list rides in the insert's own commit. If
+        anything fails before that commit, the on-disk manifest is
+        untouched (the orphan tombstone file is inert and vacuumable).
+        The batch is appended as-is — duplicate keys WITHIN the batch are
+        all inserted, like ``insert``. Returns (rows_inserted,
+        rows_replaced)."""
+        name = self.colnames[on] if isinstance(on, int) else on
+        if name not in self.colnames:
+            raise ValueError(f"no such column {name!r}")
+        if not isinstance(rows, DataFrame):
+            data = [tuple(r) for r in rows]
+            if not data:
+                return (0, 0)
+            rows = self.spark.createDataFrame(data, self.manifest.schema)
+        keys = rows.select(F.col(name)).distinct()
+        n_staged = 0
+        if self.manifest.files:
+            # no broadcast hint: a typical upsert batch is small and AQE
+            # broadcasts it on its own; a bulk-load-sized batch must be
+            # free to shuffle instead of OOMing the driver
+            victims = (
+                self._read_files(self.manifest.files)
+                .select(ROWID, name)
+                .join(keys, name, "left_semi")
+                .select(ROWID)
+            )
+            victims_rel = os.path.join(
+                "tomb", f"m{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
+            )
+            victims.write.parquet(self._abs(victims_rel))
+            n_staged = (
+                self.spark.read.schema(f"{ROWID} long")
+                .parquet(self._abs(victims_rel))
+                .count()
+            )
+            if n_staged:
+                # staged in memory only — the insert's commit makes both
+                # the tombstone and the new data visible atomically
+                self.manifest.tombstones.append(victims_rel)
+                self.manifest.tombstone_rows += n_staged
+            else:
+                import shutil
+
+                shutil.rmtree(self._abs(victims_rel), ignore_errors=True)
+        inserted = self.insert(rows)
+        return (inserted, n_staged)
+
     def _commit(self) -> None:
         """Commit the manifest and evict caches keyed to older versions —
         stale posting DataFrames are unpersisted, stale driver maps

@@ -678,3 +678,42 @@ def test_open_as_of_timestamp(spark, tmp_path):
         Store.open(spark, str(tmp_path / "tt"), as_of=t_before_history)
     with pytest.raises(ValueError):
         Store.open(spark, str(tmp_path / "tt"), version=1, as_of=t1)
+
+
+def test_merge_upsert_atomic_single_commit(spark, tmp_path):
+    """merge(batch, on) replaces matching keys and appends the batch in
+    ONE commit: the previous snapshot still shows the old table, the new
+    one the fully-merged table; version advances by exactly 1."""
+    st = make(spark, str(tmp_path / "m"), AXB)  # keys: a, a, b
+    v0 = st.manifest.version
+    ins, repl = st.merge([["a", "A_NEW"], ["c", "C1"]], on=0)
+    assert (ins, repl) == (2, 2)  # both 'a' rows replaced, 'c' appended
+    assert st.manifest.version == v0 + 1  # single atomic commit
+    assert rows_of(st.find([])) == [("a", "A_NEW"), ("b", "x3"), ("c", "C1")]
+    # the pre-merge snapshot is intact (atomicity: old readers unaffected)
+    old = Store.open(spark, str(tmp_path / "m"), v0)
+    assert rows_of(old.find([])) == sorted(map(tuple, AXB))
+    # merging only-new keys touches nothing existing
+    ins2, repl2 = st.merge([["d", "D1"]], on=0)
+    assert (ins2, repl2) == (1, 0)
+    assert len(st) == 4
+    # empty batch is a no-op, no commit
+    v = st.manifest.version
+    assert st.merge([], on=0) == (0, 0)
+    assert st.manifest.version == v
+    with pytest.raises(ValueError):
+        st.merge([["x", "y"]], on="nope")
+
+
+def test_merge_upsert_with_index_and_compact(spark, tmp_path):
+    """merge composes with indexes (postings see the new rows; replaced
+    keys resolve to the new values) and compact materializes the staged
+    tombstones away."""
+    st = make(spark, str(tmp_path / "mi"), AXB, index_col=0)
+    st.merge([["a", "A2"]], on=0)
+    assert rows_of(st.find([eq(0, "a")])) == [("a", "A2")]
+    assert st.manifest.tombstone_rows == 2
+    st.compact(target_files=1)
+    assert st.manifest.tombstone_rows == 0 and not st.manifest.tombstones
+    assert rows_of(st.find([eq(0, "a")])) == [("a", "A2")]
+    assert len(st) == 2
