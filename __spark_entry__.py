@@ -956,6 +956,40 @@ def q_asof_latest_order(spark, sf_dir):
     )
 
 
+def q_asof_next_order(spark, sf_dir):
+    """FORWARD as-of join (merge_asof direction='forward'): each event
+    matched to the EARLIEST order of the same key at-or-after the event
+    time — same one-shuffle union+window plan as backward, mirrored."""
+    from shortcut_spark.operators.joins import asof_max
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    out = asof_max(
+        ev, orders, "user_id", "o_custkey", "ts", "o_orderdate", "next_order",
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", F.unix_timestamp("next_order").alias("next_order_epoch")
+    )
+
+
+def q_asof_nearest_order(spark, sf_dir):
+    """NEAREST as-of join (merge_asof direction='nearest', ties backward):
+    backward and forward candidates come out of ONE window partitioning;
+    the closer side wins per row."""
+    from shortcut_spark.operators.joins import asof_max
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    out = asof_max(
+        ev, orders, "user_id", "o_custkey", "ts", "o_orderdate", "near_order",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", F.unix_timestamp("near_order").alias("near_order_epoch")
+    )
+
+
 def q_pandas_udf_norm(spark, sf_dir):
     """Arrow-batched scalar Pandas UDF (the sanctioned slow path) doing
     per-row-pure work — whitespace-normalized length + token count — so it
@@ -1997,6 +2031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_cdc_changes": q_store_cdc_changes,
         "store_schema_evolution": q_store_schema_evolution,
         "store_merge_upsert": q_store_merge_upsert,
+        "asof_next_order": q_asof_next_order,
+        "asof_nearest_order": q_asof_nearest_order,
         "corpus_clean": q_corpus_clean,
         "store_find_range": q_store_find_range,
         "store_point_lookup": q_store_point_lookup,
@@ -2389,6 +2425,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, {_EPOCH.format('o.o_orderdate')} AS last_order_epoch
             FROM events e ASOF LEFT JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+        "asof_next_order": f"""
+            SELECT e.event_id, e.user_id,
+                   {_EPOCH.format('min(o.o_orderdate)')} AS next_order_epoch
+            FROM events e LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+            GROUP BY e.event_id, e.user_id""",
+        "asof_nearest_order": f"""
+            WITH c AS (
+              SELECT e.event_id, e.user_id, e.ts,
+                     max(CASE WHEN o.o_orderdate <= e.ts THEN o.o_orderdate END) AS back,
+                     min(CASE WHEN o.o_orderdate >= e.ts THEN o.o_orderdate END) AS fwd
+              FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey
+              GROUP BY e.event_id, e.user_id, e.ts
+            )
+            SELECT event_id, user_id,
+                   {_EPOCH.format('''CASE
+                     WHEN back IS NULL THEN fwd
+                     WHEN fwd IS NULL THEN back
+                     WHEN abs(epoch(ts) - epoch(back)) <= abs(epoch(fwd) - epoch(ts)) THEN back
+                     ELSE fwd END''')} AS near_order_epoch
+            FROM c""",
         "events_pairs_60s": f"""
             SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
             FROM events a JOIN events b

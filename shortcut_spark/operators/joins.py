@@ -59,27 +59,43 @@ def asof_max(
     left_ts: str,
     right_ts: str,
     out_col: str = "asof_value",
+    direction: str = "backward",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
-    """For each left row: max(right_ts) among right rows with the same key
-    and right_ts <= left_ts (backward as-of, value-only form — ties on the
-    timestamp are inherently deterministic because the value IS the
-    timestamp). Left rows keep NULL when nothing matched; every left row
-    (duplicates included) yields exactly one output row.
+    """For each left row: the right timestamp matched as-of (value-only
+    form — ties on the timestamp are inherently deterministic because the
+    value IS the timestamp). Left rows keep NULL when nothing matched;
+    every left row (duplicates included) yields exactly one output row.
 
-    DuckDB twin: native ``ASOF LEFT JOIN``.
+    ``direction`` is the pandas ``merge_asof`` triple:
 
-    Implemented as a union + one ordered window pass, NOT a theta join:
-    both sides are tagged and merged on a single time axis, then
-    ``last(right_ts, ignorenulls)`` over rows-unbounded-preceding picks up
-    the latest right timestamp at-or-before each left row (right rows sort
-    before left rows on ties so ``<=`` holds). One shuffle on the key, no
-    per-key candidate fanout — the theta-join form materializes
-    |left| x |right| rows per hot key before re-aggregating, which dies at
-    100 TB; this form's per-key cost is the sorted row count.
+    * ``"backward"`` (default) — latest right_ts <= left_ts;
+    * ``"forward"``  — earliest right_ts >= left_ts;
+    * ``"nearest"``  — whichever of the two is closer in absolute time
+      (ties break backward, deterministically).
+
+    ``tolerance_s`` (seconds) nulls out matches farther than the bound —
+    with it, as-of degrades gracefully to "no match" instead of dragging
+    in arbitrarily stale rows.
+
+    DuckDB twin: native ``ASOF LEFT JOIN`` for backward; forward/nearest
+    twin as grouped min/max conditional aggregates.
+
+    Implemented as a union + ordered window passes, NOT a theta join:
+    both sides are tagged and merged on a single time axis; backward is
+    ``last(right_ts, ignorenulls)`` over rows-unbounded-preceding (right
+    rows sort before left rows on ties so ``<=`` holds), forward is the
+    mirrored ``first`` over rows-to-unbounded-following (right rows after
+    left rows on ties so ``>=`` holds), nearest computes both in the SAME
+    window pass — still one shuffle on the key. The theta-join form
+    materializes |left| x |right| rows per hot key before re-aggregating,
+    which dies at 100 TB; this form's per-key cost is the sorted row count.
     """
     from pyspark.sql import Window as W
     from pyspark.sql import types as T
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     lt_type = left.schema[left_ts].dataType
     rts_type = right.schema[right_ts].dataType
     lk_type = left.schema[left_key].dataType
@@ -106,17 +122,52 @@ def asof_max(
     )
     # nulls sort first: null-ts left rows see no right rows (match = NULL),
     # null-ts right rows carry a null __rts that ignorenulls skips — both
-    # mirror SQL comparison-with-null semantics
-    w = (
-        W.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    # mirror SQL comparison-with-null semantics.
+    # Tie order: right-before-left serves backward's <=; forward reads
+    # STRICTLY after the current row and adds an explicit ==-tie coalesce,
+    # so one physical sort serves both directions (nearest pays one
+    # window partitioning, not two).
+    order = [F.col("__t").asc(), F.col("__is_left").asc()]
+    w_back = W.partitionBy("__k").orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_fwd = W.partitionBy("__k").orderBy(*order).rowsBetween(1, W.unboundedFollowing)
+    w_tie = W.partitionBy("__k", "__t").orderBy(F.col("__is_left").asc()).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
     )
-    return (
-        l.unionByName(r)
-        .withColumn(out_col, F.last("__rts", ignorenulls=True).over(w))
-        .filter(F.col("__is_left") == 1)
-        .select(*[F.col(f"__row.{c}").alias(c) for c in left.columns], F.col(out_col))
+    merged = l.unionByName(r)
+    if direction in ("backward", "nearest"):
+        merged = merged.withColumn("__back", F.last("__rts", ignorenulls=True).over(w_back))
+    if direction in ("forward", "nearest"):
+        # a right row at exactly __t sorts BEFORE the left row, so the
+        # strictly-after window misses it — the same-(key, t) max fills it
+        merged = merged.withColumn(
+            "__fwd",
+            F.coalesce(
+                F.max("__rts").over(w_tie),
+                F.first("__rts", ignorenulls=True).over(w_fwd),
+            ),
+        )
+    if direction == "backward":
+        match = F.col("__back")
+    elif direction == "forward":
+        match = F.col("__fwd")
+    else:
+        # cast-to-double keeps sub-second precision (unix_timestamp truncates)
+        d_back = F.abs(F.col("__t").cast("double") - axis(F.col("__back")).cast("double"))
+        d_fwd = F.abs(F.col("__t").cast("double") - axis(F.col("__fwd")).cast("double"))
+        match = (
+            F.when(F.col("__back").isNull(), F.col("__fwd"))
+            .when(F.col("__fwd").isNull(), F.col("__back"))
+            .when(d_back <= d_fwd, F.col("__back"))  # tie → backward
+            .otherwise(F.col("__fwd"))
+        )
+    out = merged.withColumn(out_col, match).filter(F.col("__is_left") == 1)
+    if tolerance_s is not None:
+        dist = F.abs(F.col("__t").cast("double") - axis(F.col(out_col)).cast("double"))
+        out = out.withColumn(
+            out_col, F.when(dist <= F.lit(float(tolerance_s)), F.col(out_col))
+        )
+    return out.select(
+        *[F.col(f"__row.{c}").alias(c) for c in left.columns], F.col(out_col)
     )
 
 

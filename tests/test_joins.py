@@ -148,3 +148,40 @@ def test_range_pairs_vs_naive(spark):
         .collect()
     }
     assert fast == naive
+
+
+def test_asof_directions_and_tolerance(spark):
+    """Planted series: backward picks the latest <=, forward the earliest
+    >=, nearest the closer side (tie -> backward), tolerance nulls far
+    matches; equal timestamps match in every direction."""
+    from shortcut_spark.operators.joins import asof_max
+
+    left = spark.createDataFrame(
+        [(1, 100), (2, 250), (3, 1000), (4, 205)], "id long, t long"
+    ).select("id", F.timestamp_seconds("t").alias("t"))
+    right = spark.createDataFrame(
+        [(1, 90), (1, 200), (1, 210)], "k long, rt long"
+    ).select("k", F.timestamp_seconds("rt").alias("rt"))
+    l = left.withColumn("k", F.lit(1))
+
+    def got(**kw):
+        rows = asof_max(l, right, "k", "k", "t", "rt", "m", **kw).collect()
+        return {r["id"]: (None if r["m"] is None else int(r["m"].timestamp())) for r in rows}
+
+    assert got() == {1: 90, 2: 210, 3: 210, 4: 200}  # backward
+    assert got(direction="forward") == {1: 200, 2: None, 3: None, 4: 210}
+    # nearest: id1 90(back,10) vs 200(fwd,100) -> 90; id2 210; id3 210;
+    # id4 200(back,5) vs 210(fwd,5) TIE -> backward 200
+    assert got(direction="nearest") == {1: 90, 2: 210, 3: 210, 4: 200}
+    # tolerance 50s: id3's nearest (210, 790s away) nulls out
+    assert got(direction="nearest", tolerance_s=50) == {1: 90, 2: 210, 3: None, 4: 200}
+    # exact-equal ts matches both directions
+    eq_l = spark.createDataFrame([(9, 200)], "id long, t long").select(
+        "id", F.timestamp_seconds("t").alias("t"), F.lit(1).alias("k")
+    )
+    r_eq = asof_max(eq_l, right, "k", "k", "t", "rt", "m", direction="forward").collect()
+    assert int(r_eq[0]["m"].timestamp()) == 200
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        got(direction="sideways")
