@@ -1481,6 +1481,13 @@ def q_text_logprob(spark, sf_dir):
     return text.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_text_logprob2(spark, sf_dir):
+    """Corpus-bigram mean log-prob per document (text.bigram_logprob) —
+    the conditional-probability quality signal unigrams can't see
+    (word-soup with a normal unigram profile scores low)."""
+    return text.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_text_pack(spark, sf_dir):
     """Greedy sequence packing (text.pack_chunks): 8-token chunks (2
     overlap) packed into 20-token training sequences — a per-doc
@@ -2033,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_merge_upsert": q_store_merge_upsert,
         "asof_next_order": q_asof_next_order,
         "asof_nearest_order": q_asof_nearest_order,
+        "text_logprob2": q_text_logprob2,
         "corpus_clean": q_corpus_clean,
         "store_find_range": q_store_find_range,
         "store_point_lookup": q_store_point_lookup,
@@ -3321,6 +3329,25 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(CAST(tf * ln((cnt + 1.0) / (n + v)) AS DECIMAL(28,14))) AS DOUBLE) / SUM(tf), 6) AS logprob
             FROM doc_tf JOIN lm USING (term) CROSS JOIN totals
             GROUP BY doc_id""",
+        "text_logprob2": f"""
+            WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+            bg AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM toks WHERE len(t) >= 2)
+            ),
+            doc_tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
+            lm2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+            lm1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+                    FROM lm2 GROUP BY 1),
+            vocab AS (SELECT count(DISTINCT term) AS v
+                      FROM (SELECT unnest(t) AS term FROM toks))
+            SELECT d.doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                   round(CAST(SUM(CAST(tf * ln((c2 + 1.0) / (c1 + v)) AS DECIMAL(28,14))) AS DOUBLE) / SUM(tf), 6) AS logprob2
+            FROM doc_tf d JOIN lm2 USING (bg)
+            JOIN lm1 ON split_part(d.bg, ' ', 1) = lm1.w1
+            CROSS JOIN vocab
+            GROUP BY d.doc_id""",
         "text_pack": f"""
             WITH RECURSIVE toks AS (SELECT doc_id, {toks} AS t FROM documents),
             c AS (

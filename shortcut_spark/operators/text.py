@@ -33,6 +33,7 @@ __all__ = [
     "tfidf_top_terms",
     "pack_chunks",
     "unigram_logprob",
+    "bigram_logprob",
     "ngram_contamination",
     "repetition_stats",
 ]
@@ -422,6 +423,64 @@ def unigram_logprob(
                 ),
                 6,
             ).alias("logprob"),
+        )
+    )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean BIGRAM log-probability under the corpus's own
+    add-one-smoothed bigram LM — the conditional-probability upgrade of
+    :func:`unigram_logprob`: repetitive boilerplate and well-formed
+    in-distribution prose score high, shuffled or word-soup text scores
+    LOW even when its unigram profile looks normal (the signal unigrams
+    cannot see).
+
+    p(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), V = distinct corpus
+    tokens; score = mean over the document's bigrams of ln p.
+
+    Shuffle shape mirrors the unigram scorer: one (doc, bigram) count
+    shuffle, bigram/first-word LM tables broadcast back, scalar V on a
+    1-row cross join; the corpus shuffles once. Docs with < 2 tokens have
+    no bigrams and drop out, mirroring the SQL twin.
+
+    Output: (id, n_bigrams, logprob2) — rounded to 6 for engine-stable
+    comparison (decimal detour on the order-sensitive weighted sum).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    big = df.select(F.col(id_col), F.explode(_word_ngrams_raw(toks, 2)).alias("bg"))
+    doc_tf = big.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("tf"))
+    lm2 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    lm1 = lm2.groupBy(F.substring_index("bg", " ", 1).alias("w1")).agg(
+        F.sum("c2").alias("c1")
+    )
+    vocab = df.select(F.explode(toks).alias("term")).agg(
+        F.count_distinct("term").alias("__v")
+    )
+    return (
+        doc_tf.join(F.broadcast(lm2), "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(F.broadcast(lm1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(
+                (
+                    F.sum(
+                        (
+                            F.col("tf")
+                            * F.log(
+                                (F.col("c2") + F.lit(1.0))
+                                / (F.col("c1") + F.col("__v"))
+                            )
+                        ).cast("decimal(28,14)")
+                    ).cast("double")
+                    / F.sum("tf")
+                ),
+                6,
+            ).alias("logprob2"),
         )
     )
 

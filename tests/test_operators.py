@@ -1465,3 +1465,23 @@ def test_stream_heavy_hitters_bounded_state_eviction(spark):
     for v, t in truth.items():
         if t > 0.02 * n:
             assert v in got
+
+
+def test_bigram_logprob_sees_what_unigrams_cannot(spark):
+    """Two docs with the IDENTICAL token multiset — one natural/repetitive,
+    one scrambled: unigram scores are equal by construction, the bigram LM
+    ranks the scrambled word-soup strictly lower."""
+    a = "the cat sat on the mat the cat sat on the mat the cat sat on the mat"
+    words = a.split()
+    b = " ".join(words[::3] + words[1::3] + words[2::3])  # same multiset, broken order
+    assert sorted(a.split()) == sorted(b.split())
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    uni = {r["doc_id"]: r["logprob"] for r in text.unigram_logprob(df).collect()}
+    assert uni[1] == uni[2]  # unigram profile identical
+    bi = {r["doc_id"]: r["logprob2"] for r in text.bigram_logprob(df).collect()}
+    assert bi[1] > bi[2]  # bigram LM prefers the coherent order
+    n = {r["doc_id"]: r["n_bigrams"] for r in text.bigram_logprob(df).collect()}
+    assert n[1] == len(words) - 1
+    # <2-token docs drop out (no bigrams), mirroring the SQL twin
+    tiny = spark.createDataFrame([(9, "one")], "doc_id long, text string")
+    assert text.bigram_logprob(tiny).count() == 0
