@@ -322,8 +322,18 @@ class Store:
         with_id.write.parquet(out_dir)
         new_files = self._register_files(batch_rel)
 
-        for spec in self.manifest.indices.values():
-            self._append_postings(spec, new_files)
+        specs = [s for s in self.manifest.indices.values()]
+        if len([s for s in specs if s.kind != BLOOM]) > 1 and new_files:
+            # multi-index: scan the fresh batch once for every posting build
+            shared = self._read_files(new_files, with_meta=True).persist()
+            try:
+                for spec in specs:
+                    self._append_postings(spec, new_files, shared_df=shared)
+            finally:
+                shared.unpersist()
+        else:
+            for spec in specs:
+                self._append_postings(spec, new_files)
 
         self.manifest.rowid = watermark + n
         self._commit()
@@ -501,7 +511,8 @@ class Store:
         self._commit()
 
     def _append_postings(
-        self, spec: IndexSpec, files: Sequence[DataFile], incremental: bool = True
+        self, spec: IndexSpec, files: Sequence[DataFile], incremental: bool = True,
+        shared_df: DataFrame | None = None,
     ) -> None:
         """Add posting rows (key, file_id) for ``files`` to ``spec``.
 
@@ -512,6 +523,11 @@ class Store:
 
         ``incremental=False`` (delete path) forces a full stats recompute:
         an HLL sketch cannot subtract removed keys.
+
+        ``shared_df`` is a caller-persisted ``_read_files(files,
+        with_meta=True)`` — a multi-index table passes it so the batch is
+        scanned ONCE for all posting builds instead of once per index
+        (write-amplification ∝ index count otherwise).
         """
         if not files:
             return
@@ -519,7 +535,7 @@ class Store:
             self._append_blooms(spec, files, incremental=incremental)
             return
         part_rel = os.path.join("idx", spec.column, f"p{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}")
-        df = self._read_files(files, with_meta=True)
+        df = shared_df if shared_df is not None else self._read_files(files, with_meta=True)
         mapping = self._file_id_map(files)
         postings = (
             df.join(F.broadcast(mapping), "__file_path")
