@@ -118,6 +118,12 @@ HEADLINE = [
     ("store_bloom_lookup", "collect"),
     # one-pass data-quality gate (6 rules, single agg over one scan)
     ("data_checks", "collect"),
+    # as-of direction variants (forward / nearest share the backward plan
+    # shape: one key shuffle + window pass)
+    ("asof_next_order", "count"),
+    ("asof_nearest_order", "count"),
+    # corpus bigram-LM scoring (conditional-probability quality signal)
+    ("text_logprob2", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host
