@@ -449,9 +449,14 @@ def bigram_logprob(
     comparison (decimal detour on the order-sensitive weighted sum).
     """
     toks = tokens(F.lower(F.col(text_col)))
+    # the raw bigram stream is consumed exactly once: the LM table is
+    # derived from the (already per-doc-aggregated, much smaller) doc_tf
+    # rather than re-shuffling the stream a second time
     big = df.select(F.col(id_col), F.explode(_word_ngrams_raw(toks, 2)).alias("bg"))
-    doc_tf = big.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("tf"))
-    lm2 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    doc_tf = big.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint(
+        eager=False
+    )
+    lm2 = doc_tf.groupBy("bg").agg(F.sum("tf").cast("long").alias("c2"))
     lm1 = lm2.groupBy(F.substring_index("bg", " ", 1).alias("w1")).agg(
         F.sum("c2").alias("c1")
     )
