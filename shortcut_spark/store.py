@@ -1227,6 +1227,35 @@ class Store:
                 os.remove(os.path.join(mdir, f"v{v}.json"))
         return removed
 
+    def describe(self) -> DataFrame:
+        """Table-health view (the ``DESCRIBE EXTENDED`` a lakehouse user
+        expects): one row per column — type, index kind, cost-model stats
+        (rows / ndv estimate from the committed HLL sketch), and the
+        table-wide min/max folded from per-file manifest stats. PURELY
+        driver-side metadata — zero Spark jobs, any table size."""
+        rows = []
+        files = self.manifest.files
+        for f_ in self.manifest.schema.fields:
+            spec = self.manifest.indices.get(f_.name)
+            mins = [f.stats[f_.name][0] for f in files if f_.name in f.stats]
+            maxs = [f.stats[f_.name][1] for f in files if f_.name in f.stats]
+            rows.append(
+                (
+                    f_.name,
+                    f_.dataType.simpleString(),
+                    spec.kind if spec else None,
+                    int(spec.rows) if spec else None,
+                    int(spec.ndv) if spec else None,
+                    str(min(mins)) if len(mins) == len(files) and files else None,
+                    str(max(maxs)) if len(maxs) == len(files) and files else None,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "col_name string, dtype string, index string, idx_rows long, "
+            "idx_ndv long, min string, max string",
+        )
+
     def add_column(self, name: str, dtype: T.DataType | str) -> None:
         """Schema evolution: append a NULLABLE column — a metadata-only
         commit. No data file is touched: parquet reads against the widened

@@ -717,3 +717,18 @@ def test_merge_upsert_with_index_and_compact(spark, tmp_path):
     assert st.manifest.tombstone_rows == 0 and not st.manifest.tombstones
     assert rows_of(st.find([eq(0, "a")])) == [("a", "A2")]
     assert len(st) == 2
+
+
+def test_describe_health_view(spark, store_path):
+    """describe() is one metadata row per column: type, index kind, cost
+    stats, table-wide min/max — and stays correct as indexes/data change."""
+    st = make(spark, store_path, ABC, index_col=0)
+    d = {r["col_name"]: r for r in st.describe().collect()}
+    assert set(d) == set(st.colnames)
+    c0 = d[st.colnames[0]]
+    assert c0["index"] == "hash" and c0["idx_rows"] == 3 and c0["idx_ndv"] >= 2
+    assert c0["min"] == "a1" and c0["max"] == "c1"
+    assert d[st.colnames[1]]["index"] is None
+    st.insert([["z9", "z9"]])
+    d2 = {r["col_name"]: r for r in st.describe().collect()}
+    assert d2[st.colnames[0]]["max"] == "z9" and d2[st.colnames[0]]["idx_rows"] == 4
