@@ -1497,6 +1497,28 @@ def q_text_pack(spark, sf_dir):
     return text.pack_chunks(chunks.select("doc_id", "chunk_i", "n_tokens"), budget=20)
 
 
+def q_corpus_reservoir(spark, sf_dir):
+    """Exactly-k uniform reservoir sample (sampling.reservoir_sample):
+    the k smallest seeded doc_id hashes win — deterministic on any
+    engine/run/partitioning, distributed as a TakeOrdered top-k (no
+    global sort). The fixed-SIZE complement of the fixed-RATE mix
+    sample."""
+    from shortcut_spark.operators.sampling import reservoir_sample
+
+    return reservoir_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", 100, seed="rsv"
+    ).select("doc_id", "source")
+
+
+def q_events_windowed_topk(spark, sf_dir):
+    """Hourly top-3 trending event types (events.windowed_topk): one
+    partial-aggregated (hour, value) count shuffle + a rank window
+    partitioned by the hour — no single-reducer funnel."""
+    from shortcut_spark.operators.events import windowed_topk
+
+    return windowed_topk(_t(spark, sf_dir, "events"), k=3)
+
+
 def q_corpus_mix_sample(spark, sf_dir):
     """Deterministic stratified data-mixing sample over the source column
     (operators.sampling): all of src1, half of src2/src3, a quarter of
@@ -2041,6 +2063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_next_order": q_asof_next_order,
         "asof_nearest_order": q_asof_nearest_order,
         "text_logprob2": q_text_logprob2,
+        "corpus_reservoir": q_corpus_reservoir,
+        "events_windowed_topk": q_events_windowed_topk,
         "corpus_clean": q_corpus_clean,
         "store_find_range": q_store_find_range,
         "store_point_lookup": q_store_point_lookup,
@@ -3398,6 +3422,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE cum_before < CASE source WHEN 'src1' THEN 5000
                                            WHEN 'src2' THEN 2000
                                            ELSE 1000 END""",
+        "corpus_reservoir": """
+            SELECT doc_id, source FROM documents
+            ORDER BY ('0x' || substr(md5('rsv:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+                     doc_id ASC
+            LIMIT 100""",
+        "events_windowed_topk": f"""
+            WITH c AS (
+              SELECT {_EPOCH.format("date_trunc('hour', ts)")} AS hour_epoch,
+                     event_type AS value, count(*) AS n_events
+              FROM events GROUP BY 1, 2
+            )
+            SELECT hour_epoch, rank, value, n_events FROM (
+              SELECT hour_epoch, value, n_events,
+                     CAST(row_number() OVER (PARTITION BY hour_epoch
+                       ORDER BY n_events DESC, value ASC) AS BIGINT) AS rank
+              FROM c)
+            WHERE rank <= 3""",
         "corpus_mix_sample": """
             SELECT doc_id, source FROM documents
             WHERE (('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) <

@@ -17,7 +17,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["funnel_reach", "retention_cohorts", "gapfill_locf"]
+__all__ = ["funnel_reach", "retention_cohorts", "gapfill_locf", "windowed_topk"]
 
 
 def funnel_reach(
@@ -161,4 +161,28 @@ def gapfill_locf(
             F.col("sum_value"),
             F.last("sum_value", ignorenulls=True).over(w).alias("locf_sum_value"),
         )
+    )
+def windowed_topk(
+    events, k: int = 3, ts_col: str = "ts", by_col: str = "event_type"
+) -> "DataFrame":
+    """Top-k values per time window (the trending-now query): hourly
+    tumbling counts of ``by_col``, rank ≤ k inside each window by count
+    (ties break on the value for total-order determinism).
+
+    Shuffle shape: one partial-aggregated count shuffle on (hour, value),
+    then a rank window partitioned by the HOUR — thousands of keys, each
+    holding only the distinct values seen that hour, so no single-reducer
+    funnel. Output: (hour_epoch, rank, value, n_events).
+    """
+    from pyspark.sql import Window as W
+
+    counts = events.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col(ts_col))).alias("hour_epoch"),
+        F.col(by_col).alias("value"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = W.partitionBy("hour_epoch").orderBy(F.col("n_events").desc(), F.col("value").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("hour_epoch", "rank", "value", "n_events")
     )

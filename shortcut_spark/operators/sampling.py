@@ -20,6 +20,7 @@ from ..functions import hash32
 
 __all__ = [
     "hash_sample",
+    "reservoir_sample",
     "stratified_sample",
     "shuffle_shard",
     "token_budget_sample",
@@ -45,6 +46,34 @@ def hash_sample(
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     return df.filter(_keep(F.col(key_col), rate, seed))
+
+
+def reservoir_sample(
+    df: DataFrame, key_col: str, k: int, seed: str | int = "reservoir"
+) -> DataFrame:
+    """EXACTLY-k uniform sample without replacement, deterministic: rank
+    every row by a seeded key hash and keep the k smallest (hash ties
+    break on the key itself, so the selection is total-order stable on
+    any engine, any partitioning, any run). The fixed-size complement of
+    :func:`hash_sample`'s fixed-RATE membership — "give me exactly 10k
+    docs" for eval sets and audits, where a rate drifts with corpus size.
+
+    Scale shape: distributed top-k (TakeOrderedAndProject) — each
+    partition keeps its k best, the driver merges P×k candidates; no
+    global sort, no single-reducer funnel. Re-running after the corpus
+    grows keeps the overlap high (a row's rank key never changes — only
+    rows whose hash enters the new top-k swap in), the property that
+    makes incremental eval-set refreshes cheap to diff.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    rk = hash32(F.col(key_col), seed)
+    return (
+        df.withColumn("__rk", rk)
+        .orderBy(F.col("__rk").asc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__rk")
+    )
 
 
 def stratified_sample(

@@ -1485,3 +1485,42 @@ def test_bigram_logprob_sees_what_unigrams_cannot(spark):
     # <2-token docs drop out (no bigrams), mirroring the SQL twin
     tiny = spark.createDataFrame([(9, "one")], "doc_id long, text string")
     assert text.bigram_logprob(tiny).count() == 0
+
+
+def test_reservoir_sample_exact_k_and_stability(spark, docs):
+    """Exactly k rows, deterministic across runs/partitionings; growing
+    the corpus preserves every previous pick whose hash stays in the
+    top-k (high-overlap incremental refresh)."""
+    from shortcut_spark.operators.sampling import reservoir_sample
+
+    base = docs.select("doc_id", "text")
+    a = {r["doc_id"] for r in reservoir_sample(base, "doc_id", 50).collect()}
+    b = {r["doc_id"] for r in reservoir_sample(base.repartition(7), "doc_id", 50).collect()}
+    assert len(a) == 50 and a == b
+    # different seeds give different (independent) samples
+    c = {r["doc_id"] for r in reservoir_sample(base, "doc_id", 50, seed="other").collect()}
+    assert a != c
+    # grown corpus: picks only swap out when a new hash enters the top-k
+    grown = base.union(base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    g = {r["doc_id"] for r in reservoir_sample(grown, "doc_id", 50).collect()}
+    assert len(g) == 50 and len(a & g) > 0
+    surviving_originals = g & a
+    assert surviving_originals == {d for d in a if d in g}  # no arbitrary churn
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        reservoir_sample(base, "doc_id", 0)
+
+
+def test_windowed_topk_ranks_within_each_hour(spark):
+    """Planted counts: per hour, ranks follow counts desc with value-order
+    tiebreaks; nothing past k survives."""
+    from shortcut_spark.operators.events import windowed_topk
+
+    rows = [(3600, "a")] * 5 + [(3600, "b")] * 3 + [(3600, "c")] * 3 + [(3600, "d")] * 1 \
+         + [(7200, "x")] * 2 + [(7200, "y")] * 4
+    df = spark.createDataFrame(
+        [(i, t, v) for i, (t, v) in enumerate(rows)], "i long, t long, value string"
+    ).select("i", F.timestamp_seconds("t").alias("ts"), F.col("value").alias("event_type"))
+    out = {(r["hour_epoch"], r["rank"]): r["value"] for r in windowed_topk(df, k=2).collect()}
+    assert out == {(3600, 1): "a", (3600, 2): "b", (7200, 1): "y", (7200, 2): "x"}
