@@ -1408,6 +1408,24 @@ def q_dedup_passage_strip(spark, sf_dir):
     )
 
 
+def q_dedup_cdc_strip(spark, sf_dir):
+    """Content-defined-chunking substring REMOVAL: documents rebuilt
+    without any CDC chunk (k=2 context, ~4-token expected length) shared
+    with another document. Unlike the fixed-window strip, a copy of the
+    same substring at a DIFFERENT token offset still matches — CDC cut
+    points are a pure function of local content (the rolling-hash chunking
+    of dedup storage, standing in for suffix-array substring dedup at
+    corpus scale). md5 of the rebuilt text keeps the oracle row compact."""
+    out = dedup.strip_repeated_cdc_chunks(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=2, p=4, max_docs=1
+    )
+    return out.select(
+        "doc_id",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 def _augmented_pii_docs(spark, sf_dir):
     """The fixture corpus carries no PII, so deterministic synthetic PII is
     appended to a subset of documents (same construction in the SQL twin) —
@@ -2057,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next rotation's candidates) ----
         "store_zorder_find": q_store_zorder_find,
         "events_stream_heavy": q_events_stream_heavy,
+        "dedup_cdc_strip": q_dedup_cdc_strip,
         "store_cdc_changes": q_store_cdc_changes,
         "store_schema_evolution": q_store_schema_evolution,
         "store_merge_upsert": q_store_merge_upsert,
@@ -3138,6 +3157,35 @@ def oracle_sql() -> dict[str, str]:
             ph AS (SELECT doc_id, pos, passage, md5(passage) AS ph FROM p),
             boiler AS (SELECT ph FROM ph GROUP BY ph HAVING count(DISTINCT doc_id) > 1),
             kept AS (SELECT doc_id, pos, passage FROM ph ANTI JOIN boiler USING (ph)),
+            reb AS (SELECT doc_id, string_agg(passage, ' ' ORDER BY pos) AS clean_text
+                    FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(length(coalesce(r.clean_text, '')) AS BIGINT) AS clean_len,
+                   md5(coalesce(r.clean_text, '')) AS clean_md5
+            FROM documents d LEFT JOIN reb r USING (doc_id)""",
+        "dedup_cdc_strip": f"""
+            WITH base AS (SELECT doc_id,
+                   CASE WHEN trim(lower(text)) = '' THEN [] ELSE {toks} END AS t
+                 FROM documents),
+            n_ AS (SELECT doc_id, t, len(t) AS n FROM base),
+            cuts AS (SELECT doc_id, t, n,
+              CASE WHEN n <= 0 THEN CAST([] AS BIGINT[])
+                   WHEN n <= 2 THEN [CAST(1 AS BIGINT)]
+                   ELSE list_concat([CAST(1 AS BIGINT)],
+                        list_filter(generate_series(CAST(3 AS BIGINT), CAST(n AS BIGINT)),
+                          i -> ('0x' || substr(md5(array_to_string(t[i - 2 : i - 1], ' ')), 1, 8))::BIGINT % 4 = 0))
+              END AS c FROM n_),
+            chunks AS (SELECT doc_id, c, n, t,
+              CASE WHEN len(c) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE list_transform(generate_series(CAST(1 AS BIGINT), CAST(len(c) AS BIGINT)), j ->
+                        array_to_string(t[c[j] : coalesce(c[j+1], n + 1) - 1], ' '))
+              END AS ch FROM cuts),
+            p AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, ch[i] AS passage, md5(ch[i]) AS ph
+                  FROM (SELECT doc_id, ch,
+                               unnest(generate_series(CAST(1 AS BIGINT), CAST(len(ch) AS BIGINT))) AS i
+                        FROM chunks)),
+            boiler AS (SELECT ph FROM p GROUP BY ph HAVING count(DISTINCT doc_id) > 1),
+            kept AS (SELECT doc_id, pos, passage FROM p ANTI JOIN boiler USING (ph)),
             reb AS (SELECT doc_id, string_agg(passage, ' ' ORDER BY pos) AS clean_text
                     FROM kept GROUP BY doc_id)
             SELECT d.doc_id,

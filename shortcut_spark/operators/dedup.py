@@ -48,6 +48,9 @@ __all__ = [
     "cross_corpus_exact_dedup",
     "cross_corpus_near_dups",
     "cross_corpus_dedup",
+    "cdc_chunk_arrays",
+    "cdc_passage_dups",
+    "strip_repeated_cdc_chunks",
 ]
 
 
@@ -608,4 +611,129 @@ def dup_clusters(
         "cluster_rep",
         "cluster_size",
         (F.col(id_col) == F.col("cluster_rep")).alias("keep"),
+    )
+
+
+# -- content-defined chunking (offset-independent substring dedup) -----------
+
+
+def _cdc_chunks_expr(k: int, p: int) -> str:
+    """SQL expression for the content-defined chunk array of ``__toks``.
+
+    A cut lands BEFORE 1-based token position ``i`` (i in k+1..n) whenever
+    the 32-bit md5 hash of the k-gram ENDING at position i-1 is 0 mod
+    ``p`` — a decision that depends only on the k tokens of local context,
+    never on the token's offset in the document. Chunks are the spans
+    between consecutive cuts, so two copies of a long substring produce
+    IDENTICAL interior chunks no matter where each copy starts. Expected
+    chunk length is ~``p`` tokens (geometric); there is deliberately no
+    max-length re-split, which would reintroduce offset dependence (the
+    long-chunk tail risk is documented in docs/SCALE.md).
+    """
+    gram = f"concat_ws(' ', slice(__toks, i - {k}, {k}))"
+    cut = f"cast(conv(substring(md5({gram}), 1, 8), 16, 10) as bigint) % {p} = 0"
+    cuts = (
+        f"case when __n <= 0 then array() "
+        f"when __n <= {k} then array(1) "
+        f"else concat(array(1), filter(sequence({k + 1}, __n), i -> {cut})) end"
+    )
+    return (
+        f"case when __n <= 0 then array() else "
+        f"transform(sequence(1, size({cuts})), j -> concat_ws(' ', slice(__toks, "
+        f"element_at({cuts}, j), "
+        f"coalesce(try_element_at({cuts}, j + 1), __n + 1) - element_at({cuts}, j)))) end"
+    )
+
+
+def cdc_chunk_arrays(
+    df: DataFrame, id_col: str, text_col: str, k: int = 2, p: int = 4
+) -> DataFrame:
+    """(id, pos, passage): the document cut at CONTENT-DEFINED boundaries —
+    the rolling-hash chunking of dedup storage systems, applied to token
+    streams. Unlike :func:`passage_arrays` (disjoint fixed windows, whose
+    chunk identity breaks when the same substring appears at a different
+    token offset), CDC boundaries are a pure function of local content, so
+    a duplicated substring of length ≥ ~2p tokens yields at least one
+    identical interior chunk in every copy REGARDLESS of offset. This is
+    the scalable Spark approximation of suffix-array exact-substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): 1× corpus blow-up, entirely map-side — one tokenization, one
+    array expression chain, one explode. No shuffle.
+    """
+    df = _ensure_parallelism(df)
+    t = tokens(F.lower(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), t.alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .select(F.col(id_col), F.posexplode(F.expr(_cdc_chunks_expr(k, p))).alias("pos", "passage"))
+    )
+
+
+def cdc_passage_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 2,
+    p: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide repeated CDC chunks: (passage md5, n_docs, keeper) for
+    every content-defined chunk appearing in ≥ ``min_docs`` DISTINCT
+    documents. Within-doc repeats collapse map-side (``array_distinct``
+    over the per-row chunk array), so the doc-count is ONE shuffle on the
+    chunk hash with a plain ``count(*)`` — same shape as
+    :func:`passage_dups`, but catching misaligned copies."""
+    per_doc = (
+        cdc_chunk_arrays(df, id_col, text_col, k, p)
+        .select(F.col(id_col), F.md5("passage").alias("ph"))
+        .distinct()
+    )
+    return (
+        per_doc.groupBy("ph")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_repeated_cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 2,
+    p: int = 4,
+    max_docs: int = 1,
+) -> DataFrame:
+    """(id, clean_text): each document rebuilt WITHOUT content-defined
+    chunks occurring in more than ``max_docs`` distinct documents —
+    boilerplate/substring removal that still fires when the shared text
+    sits at DIFFERENT offsets in each document (the case the fixed-window
+    :func:`strip_repeated_passages` provably misses). Same plan shape:
+    map-side chunking → one agg shuffle for the boilerplate set →
+    anti-join → ordered rebuild; all-boilerplate docs keep an empty
+    string so cardinality is preserved."""
+    chunks = cdc_chunk_arrays(df, id_col, text_col, k, p).withColumn(
+        "ph", F.md5(F.col("passage"))
+    )
+    boiler = (
+        chunks.select(F.col(id_col), "ph")
+        .distinct()
+        .groupBy("ph")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+        .select("ph")
+    )
+    kept = chunks.join(boiler, "ph", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "passage"))),
+                lambda s: s["passage"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, id_col, "left")
+        .select(F.col(id_col), F.coalesce("clean_text", F.lit("")).alias("clean_text"))
     )

@@ -1524,3 +1524,77 @@ def test_windowed_topk_ranks_within_each_hour(spark):
     ).select("i", F.timestamp_seconds("t").alias("ts"), F.col("value").alias("event_type"))
     out = {(r["hour_epoch"], r["rank"]): r["value"] for r in windowed_topk(df, k=2).collect()}
     assert out == {(3600, 1): "a", (3600, 2): "b", (7200, 1): "y", (7200, 2): "x"}
+
+
+def test_cdc_chunks_catch_misaligned_substring(spark):
+    """The planted substring sits at DIFFERENT token offsets in the two
+    docs (1- vs 3-token prefixes), so the fixed disjoint-window tier
+    misses it while content-defined chunking still finds shared interior
+    chunks — the property CDC exists for."""
+    shared = (
+        "shared boilerplate sentence repeated tokens here many words indeed "
+        "quite long truly immense span of duplicated material continuing on"
+    )
+    rows = [
+        (1, "alpha beta gamma " + shared + " tail one"),
+        (2, "x " + shared + " other tail"),
+        (3, "totally different words without any repeats present here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cdc = dedup.cdc_passage_dups(df, "doc_id", "text", k=2, p=4, min_docs=2).collect()
+    assert len(cdc) >= 1 and all(r["n_docs"] == 2 and r["keeper"] == 1 for r in cdc)
+    fixed = dedup.passage_dups(df, "doc_id", "text", window=3, min_docs=2).count()
+    assert fixed == 0  # misaligned copies are invisible to disjoint windows
+
+
+def test_cdc_strip_removes_interior_keeps_unique(spark):
+    """strip_repeated_cdc_chunks removes the INTERIOR of a duplicated
+    span (chunks whose k-gram context lies fully inside it) in every copy,
+    keeps unique text, preserves cardinality, and round-trips untouched
+    docs exactly."""
+    shared = (
+        "shared boilerplate sentence repeated tokens here many words indeed "
+        "quite long truly immense span of duplicated material continuing on"
+    )
+    rows = [
+        (1, "alpha beta gamma " + shared + " tail one"),
+        (2, "x " + shared + " other tail"),
+        (3, "totally different words without any repeats present here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.strip_repeated_cdc_chunks(df, "doc_id", "text", k=2, p=4).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # interior tokens of the shared span are gone from BOTH copies
+    for t in ("indeed", "immense", "duplicated"):
+        assert t not in out[1] and t not in out[2]
+    # unique text survives
+    assert "alpha" in out[1] and "tail one" in out[1]
+    assert out[2].startswith("x ") and "other tail" in out[2]
+    assert out[3] == rows[2][1]
+
+
+def test_cdc_chunks_reconstruct_document(spark):
+    """CDC chunks concatenated in pos order reproduce the tokenized
+    document exactly — chunking is a partition, not a sample."""
+    rows = [(i, f"doc {i} with some words number {i * 7} trailing text here") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["rebuilt"]
+        for r in dedup.cdc_chunk_arrays(df, "doc_id", "text", k=2, p=4)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "passage"))),
+                    lambda s: s["passage"],
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+        .collect()
+    }
+    for i, text in rows:
+        assert got[i] == text.lower()
