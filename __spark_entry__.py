@@ -138,6 +138,20 @@ def q_store_find_and(spark, sf_dir):
     return st.find([eq("l_returnflag", "A"), eq("l_linestatus", "F")]).select(*_LINEITEM_SAFE)
 
 
+def q_store_composite_find(spark, sf_dir):
+    """AND-conjunction fully covered by a COMPOSITE (multi-column) index —
+    tuple postings give rows/ndv(o_custkey, o_orderstatus), far tighter
+    than either member, and the reference's min-estimate rule
+    (src/lib.rs:113) selects it over single candidates. No reference
+    analogue (per-column indices only, src/lib.rs:59); enters via the
+    Into<Index> seam (src/idx.rs:174-184). Index invisibility: result is
+    the plain conjunction."""
+    st = _cached_store(
+        spark, sf_dir, "orders", ((("o_custkey", "o_orderstatus"), "composite"),)
+    )
+    return st.find([eq("o_custkey", 37), eq("o_orderstatus", "O")]).select(*_ORDERS_SAFE)
+
+
 def q_store_find_col_eq_col(spark, sf_dir):
     """row[col] == row[other] — never uses an index (src/cmp.rs:12-14), O9."""
     st = _cached_store(spark, sf_dir, "lineitem", (("l_returnflag", "hash"), ("l_quantity", "btree")))
@@ -2076,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_zorder_find": q_store_zorder_find,
         "events_stream_heavy": q_events_stream_heavy,
         "dedup_cdc_strip": q_dedup_cdc_strip,
+        "store_composite_find": q_store_composite_find,
         "store_cdc_changes": q_store_cdc_changes,
         "store_schema_evolution": q_store_schema_evolution,
         "store_merge_upsert": q_store_merge_upsert,
@@ -2341,6 +2356,7 @@ def oracle_sql() -> dict[str, str]:
         # -- Store parity ---------------------------------------------------
         "store_find_eq": f"SELECT {li_cols} FROM lineitem WHERE l_returnflag = 'R'",
         "store_find_and": f"SELECT {li_cols} FROM lineitem WHERE l_returnflag = 'A' AND l_linestatus = 'F'",
+        "store_composite_find": f"SELECT {o_cols} FROM orders WHERE o_custkey = 37 AND o_orderstatus = 'O'",
         "store_find_col_eq_col": f"SELECT {li_cols} FROM lineitem WHERE l_partkey = l_suppkey",
         "store_find_range": f"SELECT {li_cols} FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 20",
         "store_zorder_find": f"SELECT {o_cols} FROM orders WHERE o_totalprice BETWEEN 100000.0 AND 150000.0",

@@ -17,7 +17,7 @@ Layers:
 """
 
 from .cmp import Bound, Comparison, Condition, Value, between, col_eq, eq
-from .idx import BloomIndex, BTreeIndex, HashIndex
+from .idx import BloomIndex, BTreeIndex, CompositeIndex, HashIndex
 from .session import get_spark
 from .store import Store
 
@@ -31,6 +31,7 @@ __all__ = [
     "eq",
     "BloomIndex",
     "BTreeIndex",
+    "CompositeIndex",
     "HashIndex",
     "get_spark",
     "Store",

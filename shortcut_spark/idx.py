@@ -33,15 +33,18 @@ from .cmp import Comparison
 HASH = "hash"
 BTREE = "btree"
 BLOOM = "bloom"
+COMPOSITE = "composite"
 
 __all__ = [
     "HASH",
     "BTREE",
     "BLOOM",
+    "COMPOSITE",
     "IndexSpec",
     "HashIndex",
     "BTreeIndex",
     "BloomIndex",
+    "CompositeIndex",
     "as_index_kind",
 ]
 
@@ -71,6 +74,10 @@ class IndexSpec:
     # BLOOM uses {"m_bits": int, "k": int} — bitset width and hash count,
     # fixed at index creation so every per-file bitset is probe-compatible.
     params: dict = field(default_factory=dict)
+    # COMPOSITE only: the member columns, in declaration order. ``column``
+    # then holds the canonical joined name ("a,b") used as the manifest
+    # key and the posting directory. None for single-column kinds.
+    columns: list[str] | None = None
 
     def supports(self, cmp: Comparison) -> bool:
         """Which comparisons this index can serve.
@@ -83,8 +90,14 @@ class IndexSpec:
         """
         if self.custom is not None and hasattr(self.custom, "supports"):
             return bool(self.custom.supports(cmp))
+        if self.kind == COMPOSITE:
+            # a composite index never serves a SINGLE condition — postings
+            # are keyed by the full tuple, so a prefix probe would be a
+            # posting scan, not a lookup. Whole-conjunction coverage is
+            # decided in plans.choose_access_path.
+            return False
         if cmp.is_const_eq:
-            return True  # all three kinds serve point equality
+            return True  # all single-column kinds serve point equality
         return cmp.op == "between" and self.kind == BTREE
 
     def estimate(self) -> float:
@@ -105,6 +118,7 @@ class IndexSpec:
             "ndv": self.ndv,
             "sketch": self.sketch,
             "params": dict(self.params),
+            "columns": list(self.columns) if self.columns else None,
         }
 
     @classmethod
@@ -117,7 +131,14 @@ class IndexSpec:
             d["ndv"],
             d.get("sketch"),
             params=dict(d.get("params") or {}),
+            columns=list(d["columns"]) if d.get("columns") else None,
         )
+
+    @property
+    def member_columns(self) -> list[str]:
+        """The data columns this index covers — the members for COMPOSITE,
+        the single ``column`` otherwise."""
+        return list(self.columns) if self.columns else [self.column]
 
 
 class HashIndex:
@@ -130,6 +151,29 @@ class BTreeIndex:
     """Constructor marker mirroring ``BTreeIndex::new`` (``src/idx.rs:99-104``)."""
 
     kind = BTREE
+
+
+class CompositeIndex:
+    """Multi-column hash index — no reference analogue (its indices are
+    strictly per-column, ``src/lib.rs:59``); enters through the same
+    ``Into<Index>`` seam (``src/idx.rs:174-184``). Postings are keyed by
+    the full column TUPLE, so ``estimate`` divides by the ndv of the
+    combined key — for correlated columns that is orders of magnitude
+    tighter than either single-column index, and access-path selection
+    picks it exactly when a find's AND-conjunction covers every member
+    column with const-equality (the reference's min-estimate rule,
+    ``src/lib.rs:113``, over one more candidate). Partial coverage never
+    uses it: a prefix probe over tuple postings would be a scan.
+    """
+
+    kind = COMPOSITE
+
+    def __init__(self, *columns: str):
+        if len(columns) < 2:
+            raise ValueError("composite index needs >= 2 columns")
+        if len(set(columns)) != len(columns):
+            raise ValueError("composite index columns must be distinct")
+        self.columns = [str(c) for c in columns]
 
 
 class BloomIndex:
@@ -167,11 +211,11 @@ def as_index_kind(indexer) -> str:
     ``kind`` decides the physical posting layout; a custom object may also
     carry ``supports``/``estimate`` overrides (see ``IndexSpec.custom``)."""
     if isinstance(indexer, str):
-        if indexer not in (HASH, BTREE, BLOOM):
+        if indexer not in (HASH, BTREE, BLOOM, COMPOSITE):
             raise ValueError(f"unknown index kind {indexer!r}")
         return indexer
     kind = getattr(indexer, "kind", None)
-    if kind in (HASH, BTREE, BLOOM):
+    if kind in (HASH, BTREE, BLOOM, COMPOSITE):
         return kind
     raise TypeError(f"cannot interpret {indexer!r} as an index")
 
@@ -182,7 +226,7 @@ def custom_indexer(indexer) -> object | None:
     kind strings carry no custom behavior."""
     if isinstance(indexer, (str, type)):
         return None
-    if isinstance(indexer, (HashIndex, BTreeIndex, BloomIndex)):
+    if isinstance(indexer, (HashIndex, BTreeIndex, BloomIndex, CompositeIndex)):
         return None
     if hasattr(indexer, "supports") or hasattr(indexer, "estimate"):
         return indexer

@@ -34,11 +34,13 @@ __all__ = ["AccessPath", "choose_access_path"]
 
 @dataclass
 class AccessPath:
-    """Either a full scan (``index is None``) or an index lookup driven by
-    one condition."""
+    """Either a full scan (``index is None``), an index lookup driven by
+    one condition, or a composite lookup driven by the conjunction subset
+    covering every member column (``conds``)."""
 
     index: IndexSpec | None = None
     cond: Condition | None = None
+    conds: tuple[Condition, ...] = ()  # COMPOSITE only: one per member column
 
     @property
     def is_full_scan(self) -> bool:
@@ -47,6 +49,12 @@ class AccessPath:
     def describe(self) -> str:
         if self.index is None:
             return "FullScan"
+        if self.conds:
+            return (
+                f"IndexLookup(columns={self.index.column}, kind={self.index.kind}, "
+                f"estimate={self.index.estimate():.2f}, "
+                f"conds=[{', '.join(str(c) for c in self.conds)}])"
+            )
         return (
             f"IndexLookup(column={self.index.column}, kind={self.index.kind}, "
             f"estimate={self.index.estimate():.2f}, cond={self.cond})"
@@ -68,5 +76,24 @@ def choose_access_path(
         est = spec.estimate()
         if est < best_est:
             best = AccessPath(spec, cond)
+            best_est = est
+    # composite candidates: usable only when the conjunction carries a
+    # const-equality on EVERY member column (tuple postings serve no
+    # prefix). Their estimate is rows / ndv(tuple) — for correlated
+    # columns far below any single-column candidate, so the reference's
+    # min-estimate rule (src/lib.rs:113) picks them exactly when they help.
+    by_name: dict[str, Condition] = {}
+    for cond in conds:
+        if cond.cmp.is_const_eq:
+            by_name.setdefault(cond.resolve(colnames), cond)
+    for spec in indices.values():
+        if not spec.columns:
+            continue
+        covering = [by_name.get(c) for c in spec.columns]
+        if any(c is None for c in covering):
+            continue
+        est = spec.estimate()
+        if est < best_est:
+            best = AccessPath(spec, None, tuple(covering))
             best_est = est
     return best

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .cmp import Condition, conjunction
-from .idx import BLOOM, BTREE, HASH, IndexSpec, as_index_kind
+from .idx import BLOOM, BTREE, COMPOSITE, HASH, IndexSpec, as_index_kind
 from .manifest import DataFile, Manifest
 from .plans import AccessPath, choose_access_path
 
@@ -305,17 +305,24 @@ class Store:
                 btree_cols[0]
             )
         else:
-            hash_cols = [s.column for s in self.manifest.indices.values() if s.kind == HASH]
+            # cluster the batch by the indexed key: each key lands in
+            # exactly one file, so file-level min/max stats alone prune
+            # a point lookup to ~1 file (zero posting jobs) and the
+            # posting set shrinks to ~ndv rows. This is the write
+            # amplification an index costs — one extra shuffle per
+            # batch, the distributed analogue of the reference's
+            # per-insert index maintenance (src/lib.rs:181-184).
+            # A composite index clusters by its full member tuple (lead
+            # column first), which also tightens every member's min/max.
+            hash_cols = [
+                s.member_columns
+                for s in self.manifest.indices.values()
+                if s.kind in (HASH, COMPOSITE)
+            ]
             if hash_cols:
-                # cluster the batch by the indexed key: each key lands in
-                # exactly one file, so file-level min/max stats alone prune
-                # a point lookup to ~1 file (zero posting jobs) and the
-                # posting set shrinks to ~ndv rows. This is the write
-                # amplification an index costs — one extra shuffle per
-                # batch, the distributed analogue of the reference's
-                # per-insert index maintenance (src/lib.rs:181-184).
-                with_id = with_id.repartitionByRange(n_files, hash_cols[0]).sortWithinPartitions(
-                    hash_cols[0]
+                cols = hash_cols[0]
+                with_id = with_id.repartitionByRange(n_files, *cols).sortWithinPartitions(
+                    *cols
                 )
             elif n_files < 32:
                 with_id = with_id.coalesce(n_files)
@@ -473,14 +480,44 @@ class Store:
 
     # -- indices (src/lib.rs:195-205, src/idx.rs) ---------------------------
 
-    def index(self, column: int | str, indexer: Any = "hash") -> None:
+    def index(self, column: int | str | Sequence[int | str], indexer: Any = "hash") -> None:
         """Create (or replace — ``src/lib.rs:204``) an index on ``column``.
 
         Backfills from all live rows (``src/lib.rs:199-202``); cheap when the
         store is empty, a full posting build when it is not (cost warning at
         ``src/lib.rs:193-194``).
+
+        A tuple/list of ≥2 columns (or a ``CompositeIndex``) creates a
+        COMPOSITE index: postings keyed by the full column tuple, served
+        only when a find's conjunction const-eq-covers every member
+        (see ``idx.CompositeIndex``). No reference analogue — its index
+        map is strictly per-column (``src/lib.rs:59``).
         """
-        from .idx import custom_indexer
+        from .idx import CompositeIndex, custom_indexer
+
+        if isinstance(column, (tuple, list)):
+            names = [self.colnames[c] if isinstance(c, int) else c for c in column]
+            if len(names) < 2:
+                raise ValueError("composite index needs >= 2 columns")
+            for nm in names:
+                if nm not in self.colnames:
+                    raise ValueError(f"no such column {nm!r}")
+            if len(set(names)) != len(names):
+                raise ValueError("composite index columns must be distinct")
+            kind = as_index_kind(indexer) if indexer != "hash" else COMPOSITE
+            if kind != COMPOSITE:
+                raise ValueError("multi-column indices support only the composite kind")
+            name = ",".join(names)
+            spec = IndexSpec(
+                column=name, kind=COMPOSITE, custom=custom_indexer(indexer), columns=names
+            )
+            if self.manifest.files:
+                self._append_postings(spec, self.manifest.files)
+            self.manifest.indices[name] = spec  # silent replace, parity :204
+            self._commit()
+            return
+        if isinstance(indexer, CompositeIndex):
+            return self.index(indexer.columns, indexer)
 
         kind = as_index_kind(indexer)
         name = self.colnames[column] if isinstance(column, int) else column
@@ -537,9 +574,13 @@ class Store:
         part_rel = os.path.join("idx", spec.column, f"p{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}")
         df = shared_df if shared_df is not None else self._read_files(files, with_meta=True)
         mapping = self._file_id_map(files)
+        if spec.columns:
+            key_cols = [F.col(c).alias(f"k{i}") for i, c in enumerate(spec.columns)]
+        else:
+            key_cols = [F.col(spec.column).alias("key")]
         postings = (
             df.join(F.broadcast(mapping), "__file_path")
-            .select(F.col(spec.column).alias("key"), "__file_id")
+            .select(*key_cols, "__file_id")
             .distinct()
         )
         if spec.kind == BTREE:
@@ -596,8 +637,27 @@ class Store:
     # keys are sketched as strings (injective per type) because HLL sketch
     # aggregation supports int/long/string/binary but not double
     @staticmethod
-    def _sketch_agg():
+    def _sketch_agg(spec: IndexSpec | None = None):
+        if spec is not None and spec.columns:
+            # composite: sketch the TUPLE — ndv of the combined key is the
+            # whole point of the index's cost-model advantage
+            key = F.concat_ws(
+                "\x1f", *[F.col(f"k{i}").cast("string") for i in range(len(spec.columns))]
+            )
+            return F.hll_sketch_agg(key).alias("__sk")
         return F.hll_sketch_agg(F.col("key").cast("string")).alias("__sk")
+
+    def _posting_schema(self, spec: IndexSpec) -> T.StructType:
+        """Schema of one posting part: (key, __file_id) for single-column
+        kinds, (k0..kn, __file_id) typed per member for COMPOSITE."""
+        if spec.columns:
+            fields = [
+                T.StructField(f"k{i}", self.manifest.schema[c].dataType, True)
+                for i, c in enumerate(spec.columns)
+            ]
+        else:
+            fields = [T.StructField("key", self.manifest.schema[spec.column].dataType, True)]
+        return T.StructType(fields + [T.StructField("__file_id", T.IntegerType(), True)])
 
     def _refresh_index_stats(self, spec: IndexSpec, new_parts: Sequence[str] | None = None) -> None:
         """rows/ndv for the cost model (``src/idx.rs:71-78``): rows = live
@@ -614,15 +674,10 @@ class Store:
             return
         spec.rows = self.manifest.total_rows
         if new_parts and spec.sketch:
-            part_df = self.spark.read.schema(
-                T.StructType(
-                    [
-                        T.StructField("key", self.manifest.schema[spec.column].dataType, True),
-                        T.StructField("__file_id", T.IntegerType(), True),
-                    ]
-                )
-            ).parquet(*[self._abs(p) for p in new_parts])
-            new_sk = part_df.agg(self._sketch_agg()).collect()[0]["__sk"]
+            part_df = self.spark.read.schema(self._posting_schema(spec)).parquet(
+                *[self._abs(p) for p in new_parts]
+            )
+            new_sk = part_df.agg(self._sketch_agg(spec)).collect()[0]["__sk"]
             if new_sk is None:
                 return
             merged_row = (
@@ -644,7 +699,7 @@ class Store:
             spec.sketch = None
             return
         row = (
-            post.agg(self._sketch_agg())
+            post.agg(self._sketch_agg(spec))
             .select(
                 F.when(
                     F.col("__sk").isNotNull(), F.hll_sketch_estimate("__sk")
@@ -715,14 +770,9 @@ class Store:
         if cached is not None:
             return cached
         live = {f.id for f in self.manifest.files}
-        df = self.spark.read.schema(
-            T.StructType(
-                [
-                    T.StructField("key", self.manifest.schema[spec.column].dataType, True),
-                    T.StructField("__file_id", T.IntegerType(), True),
-                ]
-            )
-        ).parquet(*[self._abs(p) for p in spec.parts])
+        df = self.spark.read.schema(self._posting_schema(spec)).parquet(
+            *[self._abs(p) for p in spec.parts]
+        )
         if live:
             ids = self.spark.createDataFrame([(i,) for i in sorted(live)], "__file_id int")
             df = df.join(F.broadcast(ids), "__file_id", "left_semi")
@@ -807,6 +857,42 @@ class Store:
                         for f in files
                         if f.id not in bmap or self._bloom_hit(bmap[f.id], pos)
                     ]
+            return path, files
+        if path.index is not None and files and path.conds:
+            # composite lookup: the conjunction const-eq-covers every member
+            # column (guaranteed by choose_access_path). Probe the tuple
+            # postings — driver map when small enough and every member
+            # probe's Python equality agrees with SQL coercion, else one
+            # small Spark job filtering all key columns.
+            worth_it = len(files) > 4 and path.index.ndv > 2 * len(self.manifest.files)
+            if worth_it:
+                probes = [c.cmp.value.payload for c in path.conds]
+                hit_ids = None
+                if path.index.rows <= self.POSTING_MAP_MAX and all(
+                    self._probe_type_ok(col, pv)
+                    for col, pv in zip(path.index.columns, probes)
+                ):
+                    pmap = self._posting_map(path.index)
+                    if pmap is not None:
+                        hit_ids = pmap.get(tuple(probes), set())
+                if hit_ids is None:
+                    post = self._read_postings(path.index)
+                    if post is not None:
+                        pred = None
+                        for i, cond in enumerate(path.conds):
+                            c = Condition(f"k{i}", cond.cmp).to_column(
+                                [f"k{j}" for j in range(len(path.conds))]
+                            )
+                            pred = c if pred is None else (pred & c)
+                        hit_ids = {
+                            r["__file_id"]
+                            for r in post.filter(pred)
+                            .select("__file_id")
+                            .distinct()
+                            .collect()
+                        }
+                if hit_ids is not None:
+                    files = [f for f in files if f.id in hit_ids]
             return path, files
         if path.index is not None and files:
             worth_it = len(files) > 4 and path.index.ndv > 2 * len(self.manifest.files)
@@ -907,8 +993,13 @@ class Store:
             if post is None:
                 return None
             pmap = {}
-            for r in post.collect():
-                pmap.setdefault(r["key"], set()).add(r["__file_id"])
+            if spec.columns:
+                kcols = [f"k{i}" for i in range(len(spec.columns))]
+                for r in post.collect():
+                    pmap.setdefault(tuple(r[c] for c in kcols), set()).add(r["__file_id"])
+            else:
+                for r in post.collect():
+                    pmap.setdefault(r["key"], set()).add(r["__file_id"])
             self._posting_maps[key] = pmap
         return pmap
 
@@ -1286,6 +1377,12 @@ class Store:
             raise ValueError(f"no such column {name!r}")
         if name in self.manifest.indices:
             raise ValueError(f"column {name!r} is indexed — drop the index first")
+        for spec in self.manifest.indices.values():
+            if spec.columns and name in spec.columns:
+                raise ValueError(
+                    f"column {name!r} is a member of composite index "
+                    f"{spec.column!r} — drop the index first"
+                )
         if len(schema.fields) == 1:
             raise ValueError("cannot drop the last column")
         self.manifest.schema_json = T.StructType(

@@ -732,3 +732,87 @@ def test_describe_health_view(spark, store_path):
     st.insert([["z9", "z9"]])
     d2 = {r["col_name"]: r for r in st.describe().collect()}
     assert d2[st.colnames[0]]["max"] == "z9" and d2[st.colnames[0]]["idx_rows"] == 4
+
+
+# -- composite (multi-column) index ------------------------------------------
+
+
+def _composite_fixture(spark, store_path):
+    """6 insert batches → 6 files. Within every batch x spans 0..9 and y
+    spans 0..10, so per-member min/max stats prune NOTHING; but each
+    (x, y) pair lives in exactly one batch (y = (x + b) % 11), so tuple
+    postings prune a covered lookup to one file."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("x", T.LongType(), True),
+            T.StructField("y", T.LongType(), True),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    st = Store.create(spark, store_path, schema)
+    st.index(("x", "y"))
+    for b in range(6):
+        st.insert([(x, (x + b) % 11, f"b{b}r{x}c{c}") for x in range(10) for c in range(3)])
+    return st
+
+
+def test_composite_index_joint_pruning(spark, store_path):
+    st = _composite_fixture(spark, store_path)
+    assert len(st.manifest.files) == 6
+    path, files = st._prune_files([eq("x", 0), eq("y", 2)])  # only batch b=2
+    assert path.index is not None and path.index.kind == "composite"
+    assert len(files) == 1
+    # either member alone: stats can't prune, composite can't serve
+    p1, f1 = st._prune_files([eq("x", 0)])
+    assert p1.is_full_scan and len(f1) == 6
+    got = st.find([eq("x", 0), eq("y", 2)]).collect()
+    assert len(got) == 3 and all(r["x"] == 0 and r["y"] == 2 for r in got)
+
+
+def test_composite_beats_singles_and_reopens(spark, store_path):
+    """Min-estimate rule: tuple ndv ≥ member ndv, so the composite wins
+    whenever the conjunction covers it; the spec round-trips through the
+    manifest; delete and compact maintain tuple postings."""
+    st = _composite_fixture(spark, store_path)
+    st.index("x", HashIndex)
+    ex = st.explain_find([eq("x", 3), eq("y", 5)])
+    assert "kind=composite" in ex and "columns=x,y" in ex
+    # single cond → the single-column index (composite can't serve prefixes)
+    ex1 = st.explain_find([eq("x", 3)])
+    assert "kind=hash" in ex1 and "composite" not in ex1
+
+    st2 = Store.open(spark, st.path)
+    assert st2.manifest.indices["x,y"].columns == ["x", "y"]
+    expected = st2.find([eq("x", 3), eq("y", 5)]).count()
+    assert expected > 0
+
+    st2.delete([eq("y", 5)])
+    assert st2.find([eq("x", 3), eq("y", 5)]).count() == 0
+    assert st2.find([eq("x", 3), eq("y", 4)]).count() > 0
+    st2.compact()
+    got = st2.find([eq("x", 3), eq("y", 4)])
+    assert got.count() > 0 and all(r["y"] != 5 for r in st2.find([]).collect())
+
+
+def test_composite_validation_and_drop(spark, store_path):
+    from shortcut_spark.idx import CompositeIndex
+
+    st = _composite_fixture(spark, store_path)
+    with pytest.raises(ValueError):
+        st.index(("x",))  # needs >= 2 columns
+    with pytest.raises(ValueError):
+        st.index(("x", "x"))  # distinct members
+    with pytest.raises(ValueError):
+        st.index(("x", "nope"))  # unknown column
+    with pytest.raises(ValueError):
+        st.index(("x", "y"), "btree")  # only composite kind for multi-col
+    with pytest.raises(ValueError):
+        CompositeIndex("x")  # marker validates too
+    with pytest.raises(ValueError):
+        st.drop_column("x")  # member of a composite
+    st.drop_index("x,y")
+    assert "x,y" not in st.manifest.indices
+    # after dropping, results are unchanged (index invisibility)
+    assert st.find([eq("x", 0), eq("y", 2)]).count() == 3
