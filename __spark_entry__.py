@@ -1440,6 +1440,27 @@ def q_dedup_cdc_strip(spark, sf_dir):
     )
 
 
+def q_text_encoding(spark, sf_dir):
+    """Encoding-quality scrubbing signals (control chars / U+FFFD /
+    mojibake pairs / ASCII ratio). The fixture corpus is clean, so
+    deterministic corruption is injected into a subset (same construction
+    in the SQL twin) — the counts, ratios and the enc_ok verdict are then
+    hash-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(" cafÃ© menu")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 9 == 0, F.lit(" bad�decode")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 10 == 0, F.lit(" ctlend")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.encoding_stats(aug, "doc_id", "text")
+
+
 def _augmented_pii_docs(spark, sf_dir):
     """The fixture corpus carries no PII, so deterministic synthetic PII is
     appended to a subset of documents (same construction in the SQL twin) —
@@ -2091,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_heavy": q_events_stream_heavy,
         "dedup_cdc_strip": q_dedup_cdc_strip,
         "store_composite_find": q_store_composite_find,
+        "text_encoding": q_text_encoding,
         "store_cdc_changes": q_store_cdc_changes,
         "store_schema_evolution": q_store_schema_evolution,
         "store_merge_upsert": q_store_merge_upsert,
@@ -3179,6 +3201,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(coalesce(r.clean_text, '')) AS BIGINT) AS clean_len,
                    md5(coalesce(r.clean_text, '')) AS clean_md5
             FROM documents d LEFT JOIN reb r USING (doc_id)""",
+        "text_encoding": """
+            WITH aug AS (
+              SELECT doc_id, text
+                || CASE WHEN doc_id % 6 = 0 THEN ' cafÃ© menu' ELSE '' END
+                || CASE WHEN doc_id % 9 = 0 THEN ' bad' || chr(65533) || 'decode' ELSE '' END
+                || CASE WHEN doc_id % 10 = 0 THEN ' ctl' || chr(1) || 'end' ELSE '' END
+                AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(text) - length(regexp_replace(text, '[\\x20-\\x7e\\t\\n\\r]', '', 'g')) AS DOUBLE)
+                     / CAST(greatest(length(text), 1) AS DOUBLE) AS ascii_ratio,
+                   CAST(length(text) - length(regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')) AS BIGINT) AS n_control,
+                   CAST(length(text) - length(regexp_replace(text, chr(65533), '', 'g')) AS BIGINT) AS n_replacement,
+                   CAST(len(regexp_extract_all(text, 'â€|Ã©|Ã¨|Ã¼|Ã¶|Ã¤|Ã±|Ã³|Ã­|Ã§|Â«|Â»')) AS BIGINT) AS n_mojibake,
+                   (length(text) - length(regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')) = 0
+                    AND length(text) - length(regexp_replace(text, chr(65533), '', 'g')) = 0
+                    AND len(regexp_extract_all(text, 'â€|Ã©|Ã¨|Ã¼|Ã¶|Ã¤|Ã±|Ã³|Ã­|Ã§|Â«|Â»')) = 0) AS enc_ok
+            FROM aug""",
         "dedup_cdc_strip": f"""
             WITH base AS (SELECT doc_id,
                    CASE WHEN trim(lower(text)) = '' THEN [] ELSE {toks} END AS t

@@ -36,6 +36,8 @@ __all__ = [
     "bigram_logprob",
     "ngram_contamination",
     "repetition_stats",
+    "encoding_stats",
+    "MOJIBAKE_RE",
 ]
 
 # Dialect-portable patterns (valid and equivalent in Java regex and RE2 /
@@ -613,4 +615,57 @@ def repetition_stats(
         ).alias("top_token_frac"),
         "dup_2gram_frac",
         "dup_3gram_frac",
+    )
+
+
+# Mojibake markers: UTF-8 bytes decoded as Latin-1 leave these character
+# pairs (C3 x -> "Ã?", C2 x -> "Â?", E2 80 x -> "â€?"). Literal characters,
+# not escapes, so the Java-regex and RE2 twins see identical patterns. The
+# bare "Ã"-prefix is NOT matched (legit in "São"); only pairings that are
+# vanishingly rare in real prose.
+MOJIBAKE_RE = "â€|Ã©|Ã¨|Ã¼|Ã¶|Ã¤|Ã±|Ã³|Ã­|Ã§|Â«|Â»"
+# C0 controls except \t \n \r, plus DEL — never legitimate in corpus text
+CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+# printable ASCII plus the whitespace trio
+ASCII_RE = "[\\x20-\\x7e\\t\\n\\r]"
+REPLACEMENT_CHAR = "�"
+
+
+def encoding_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Encoding-quality signals per document — the scrubbing pass that
+    catches broken ingestion (wrong charset, binary spill, lossy decode)
+    before any language-level filter sees the text:
+
+    * ``n_chars`` — string length in code points.
+    * ``ascii_ratio`` — printable-ASCII (plus tab/newline/CR) fraction;
+      NOT a filter by itself (legit non-English text is non-ASCII), a
+      feature for per-source drift monitoring.
+    * ``n_control`` — C0 control chars (minus whitespace) + DEL: binary
+      spill.
+    * ``n_replacement`` — U+FFFD count: upstream lossy decode.
+    * ``n_mojibake`` — UTF-8-decoded-as-Latin-1 artifact pairs ("â€",
+      "Ã©", ...): the double-decode bug.
+    * ``enc_ok`` — no control, no replacement, no mojibake hits.
+
+    Entirely map-side JVM regex; ratios are integer-count divisions in
+    DOUBLE with identical expression trees in the DuckDB twin.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    non_ascii = F.length(F.regexp_replace(t, ASCII_RE, ""))
+    ctrl = n - F.length(F.regexp_replace(t, CONTROL_RE, ""))
+    repl = n - F.length(F.regexp_replace(t, REPLACEMENT_CHAR, ""))
+    moji = F.regexp_count(t, F.lit(MOJIBAKE_RE))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        (
+            (n - non_ascii).cast("double") / F.greatest(n, F.lit(1)).cast("double")
+        ).alias("ascii_ratio"),
+        ctrl.cast("long").alias("n_control"),
+        repl.cast("long").alias("n_replacement"),
+        moji.cast("long").alias("n_mojibake"),
+        ((ctrl == 0) & (repl == 0) & (moji == 0)).alias("enc_ok"),
     )

@@ -1598,3 +1598,26 @@ def test_cdc_chunks_reconstruct_document(spark):
     }
     for i, text in rows:
         assert got[i] == text.lower()
+
+
+def test_encoding_stats_known_values(spark):
+    """Clean ASCII scores enc_ok; control chars, U+FFFD, and mojibake
+    pairs are each counted exactly; legit uses of 'Ã' (São) do NOT
+    trigger the mojibake rule; ascii_ratio is exact."""
+    rows = [
+        (1, "plain ascii text only"),
+        (2, "broken \x01\x02 spill \x7f here"),
+        (3, "lossy � decode � twice"),
+        (4, "cafÃ© and â€quotedâ€"),  # mojibake pairs
+        (5, "São Paulo travel notes"),  # a-tilde alone — legit
+        (6, "tabs\tand\nnewlines are fine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.encoding_stats(df).collect()}
+    assert out[1]["enc_ok"] and out[1]["ascii_ratio"] == 1.0
+    assert out[2]["n_control"] == 3 and not out[2]["enc_ok"]
+    assert out[3]["n_replacement"] == 2 and not out[3]["enc_ok"]
+    assert out[4]["n_mojibake"] == 3 and not out[4]["enc_ok"]
+    assert out[5]["enc_ok"] and out[5]["n_mojibake"] == 0
+    assert out[6]["enc_ok"] and out[6]["ascii_ratio"] == 1.0
+    assert out[4]["n_chars"] == len(rows[3][1])
