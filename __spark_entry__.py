@@ -251,6 +251,35 @@ def q_store_cdc_changes(spark, sf_dir):
     return st.changes(v0).select("change_type", *_ORDERS_SAFE)
 
 
+def q_store_replicate(spark, sf_dir):
+    """CDC replication — Store.apply_changes: a follower bootstraps from
+    the leader's creation-time delta, the leader then mutates (CoW
+    delete + tombstone delete + append), and the follower converges by
+    applying ONE incremental delta whose cost is ∝ the delta, not the
+    table. The follower preserves the leader rowid space so later deltas
+    keep applying; deletes ride the same atomic commit as the inserted
+    files. Oracle replays the leader's final state in SQL."""
+    import tempfile as _tf
+
+    src = _t(spark, sf_dir, "nation")
+    base = _tf.mkdtemp(prefix="screpl_")
+    leader = Store.create(spark, os.path.join(base, "L"), src.schema)
+    vc = leader.manifest.version
+    leader.insert(src)
+    v0 = leader.manifest.version
+    follower = Store.create(spark, os.path.join(base, "F"), src.schema)
+    follower.apply_changes(leader.changes(vc))  # bootstrap = full-table delta
+    leader.delete([eq("n_nationkey", 3)])
+    leader.delete([eq("n_nationkey", 14)], defer=True)
+    leader.insert(
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 2)
+        .select("n_nationkey", F.concat(F.col("n_name"), F.lit("_r")).alias("n_name"), "n_regionkey")
+    )
+    follower.apply_changes(leader.changes(v0))
+    return follower.find([])
+
+
 def q_store_schema_evolution(spark, sf_dir):
     """Schema evolution (Store.add_column): widen nation with a nullable
     long column — metadata-only commit, untouched old files read null —
@@ -2113,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cdc_strip": q_dedup_cdc_strip,
         "store_composite_find": q_store_composite_find,
         "text_encoding": q_text_encoding,
+        "store_replicate": q_store_replicate,
         "store_cdc_changes": q_store_cdc_changes,
         "store_schema_evolution": q_store_schema_evolution,
         "store_merge_upsert": q_store_merge_upsert,
@@ -2386,6 +2416,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'delete' AS change_type, {o_cols} FROM orders WHERE o_orderkey = 500
             UNION ALL
             SELECT 'insert' AS change_type, {o_cols} FROM orders WHERE o_orderkey < 5""",
+        "store_replicate": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+            WHERE n_nationkey NOT IN (3, 14)
+            UNION ALL
+            SELECT n_nationkey, n_name || '_r' AS n_name, n_regionkey
+            FROM nation WHERE n_nationkey < 2""",
         "store_schema_evolution": """
             SELECT n_nationkey, n_name, n_regionkey,
                    CAST(NULL AS BIGINT) AS key_doubled FROM nation

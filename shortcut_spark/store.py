@@ -285,7 +285,16 @@ class Store:
         )
 
         batch_rel = os.path.join("data", f"b{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}")
-        out_dir = self._abs(batch_rel)
+        self._cluster_batch(with_id, n).write.parquet(self._abs(batch_rel))
+        self._register_and_index(batch_rel)
+        self.manifest.rowid = watermark + n
+        self._commit()
+        return n
+
+    def _cluster_batch(self, with_id: DataFrame, n: int) -> DataFrame:
+        """Partition a rowid-tagged batch for writing: size files, and honor
+        any index's clustering (shared by ``insert`` and ``apply_changes``).
+        """
         # file sizing: cap rows per file (manifest/small-files hygiene) but
         # never collapse write parallelism below what the batch supports —
         # coalesce propagates upstream, and a 1-task write serializes the
@@ -326,9 +335,12 @@ class Store:
                 )
             elif n_files < 32:
                 with_id = with_id.coalesce(n_files)
-        with_id.write.parquet(out_dir)
-        new_files = self._register_files(batch_rel)
+        return with_id
 
+    def _register_and_index(self, batch_rel: str) -> list["DataFile"]:
+        """Register freshly-written batch files and build postings for every
+        index — the shared epilogue of ``insert`` and ``apply_changes``."""
+        new_files = self._register_files(batch_rel)
         specs = [s for s in self.manifest.indices.values()]
         if len([s for s in specs if s.kind != BLOOM]) > 1 and new_files:
             # multi-index: scan the fresh batch once for every posting build
@@ -341,10 +353,7 @@ class Store:
         else:
             for spec in specs:
                 self._append_postings(spec, new_files)
-
-        self.manifest.rowid = watermark + n
-        self._commit()
-        return n
+        return new_files
 
     def merge(self, rows: DataFrame | Iterable[Sequence[Any]], on: int | str) -> tuple[int, int]:
         """Atomic upsert by key (EXTENSION — the reference is
@@ -1435,6 +1444,82 @@ class Store:
             )
             .select("change_type", *cols)
         )
+
+    def apply_changes(self, delta: DataFrame) -> tuple[int, int]:
+        """Apply an upstream store's ``changes()`` delta to this store —
+        the consumer half of CDC: a follower converges to the leader by
+        applying each (change_type, __rowid, *cols) delta in order, at
+        cost ∝ delta size instead of re-copying the table.
+
+        The follower PRESERVES the leader's rowid space (legal because
+        rowids are never reused upstream and rewrites preserve them), so
+        later deltas — whose delete rows are addressed by rowid — keep
+        applying. Corollary: a follower must take writes ONLY through
+        ``apply_changes``; a local ``insert`` would mint rowids that
+        collide with future leader batches (guarded below).
+
+        Atomicity mirrors ``merge``: deletes are staged as a merge-on-read
+        tombstone that rides the SAME manifest commit as the inserted
+        files — a reader sees the pre-delta or the fully-applied table,
+        never half. Deletes can only reference pre-delta rows
+        (``changes()`` nets out rows appended and deleted inside the
+        window), so staging deletes first is safe.
+
+        Returns (rows_inserted, rows_deleted).
+        """
+        expect = ["change_type", ROWID, *self.manifest.schema.fieldNames()]
+        got = [f.name for f in delta.schema.fields]
+        if got != expect:
+            raise ValueError(f"delta schema mismatch: expected {expect}, got {got}")
+        delta = delta.persist()
+        try:
+            n_del = 0
+            dels = delta.filter(F.col("change_type") == "delete").select(ROWID)
+            if self.manifest.files:
+                # semi-join against the live set keeps tombstone_rows an
+                # exact live-row correction even on a malformed delta
+                live = self.find([], with_rowid=True).select(ROWID)
+                victims_rel = os.path.join(
+                    "tomb", f"r{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
+                )
+                dels.join(live, ROWID, "left_semi").write.parquet(self._abs(victims_rel))
+                n_del = (
+                    self.spark.read.schema(f"{ROWID} long")
+                    .parquet(self._abs(victims_rel))
+                    .count()
+                )
+                if n_del:
+                    self.manifest.tombstones.append(victims_rel)
+                    self.manifest.tombstone_rows += n_del
+                else:
+                    import shutil
+
+                    shutil.rmtree(self._abs(victims_rel), ignore_errors=True)
+            ins = delta.filter(F.col("change_type") == "insert").select(
+                ROWID, *self.manifest.schema.fieldNames()
+            )
+            st = ins.agg(
+                F.count(F.lit(1)).alias("n"), F.min(ROWID).alias("lo"), F.max(ROWID).alias("hi")
+            ).collect()[0]
+            n_ins = int(st["n"] or 0)
+            if n_ins:
+                if st["lo"] < self.manifest.rowid:
+                    raise ValueError(
+                        f"delta rowids start at {st['lo']} below the follower "
+                        f"watermark {self.manifest.rowid} — the follower took a "
+                        "local write, or a delta was applied twice"
+                    )
+                batch_rel = os.path.join(
+                    "data", f"r{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
+                )
+                self._cluster_batch(ins, n_ins).write.parquet(self._abs(batch_rel))
+                self._register_and_index(batch_rel)
+                self.manifest.rowid = int(st["hi"]) + 1
+            if n_ins or n_del:
+                self._commit()
+            return n_ins, n_del
+        finally:
+            delta.unpersist()
 
     def _zorder_key(self, df: DataFrame, zcols: Sequence[str]) -> Column:
         """Interleaved-bit z-key over 2+ numeric columns: each value is

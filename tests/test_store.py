@@ -816,3 +816,57 @@ def test_composite_validation_and_drop(spark, store_path):
     assert "x,y" not in st.manifest.indices
     # after dropping, results are unchanged (index invisibility)
     assert st.find([eq("x", 0), eq("y", 2)]).count() == 3
+
+
+# -- CDC replication (apply_changes) -----------------------------------------
+
+
+def test_apply_changes_replica_converges(spark, store_path, tmp_path):
+    """Follower bootstraps from the creation-time delta, then converges
+    through CoW deletes, tombstone deletes and appends by applying ONE
+    incremental delta; compact on the leader is CDC-invisible."""
+    leader = Store.create(spark, store_path, 2)
+    vc = leader.manifest.version
+    leader.insert([(f"k{i}", f"v{i}") for i in range(20)])
+    v0 = leader.manifest.version
+
+    follower = Store.create(spark, str(tmp_path / "follower"), 2)
+    ni, nd = follower.apply_changes(leader.changes(vc))
+    assert (ni, nd) == (20, 0)
+    assert rows_of(follower.find([])) == rows_of(leader.find([]))
+
+    leader.delete([eq(0, "k3")])
+    leader.insert([("new1", "x"), ("new2", "y")])
+    leader.delete([eq(0, "k7")], defer=True)
+    ni, nd = follower.apply_changes(leader.changes(v0))
+    assert (ni, nd) == (2, 2)
+    assert rows_of(follower.find([])) == rows_of(leader.find([]))
+
+    v1 = leader.manifest.version
+    leader.compact()
+    assert leader.changes(v1).count() == 0  # rewrites preserve rowids
+
+    # double-apply (or local follower write) is detected, not silent
+    with pytest.raises(ValueError):
+        follower.apply_changes(leader.changes(v0))
+
+
+def test_apply_changes_validates_schema_and_maintains_index(spark, store_path, tmp_path):
+    """The follower rejects a delta in the wrong shape; an indexed
+    follower maintains postings through apply_changes (lookup stays
+    exact after replication)."""
+    from pyspark.sql import functions as F
+
+    leader = Store.create(spark, store_path, 2)
+    vc = leader.manifest.version
+    leader.insert([(f"k{i % 5}", f"v{i}") for i in range(25)])
+
+    follower = Store.create(spark, str(tmp_path / "f2"), 2)
+    follower.index(0, HashIndex)
+    with pytest.raises(ValueError):
+        follower.apply_changes(leader.find([]))  # not a delta shape
+    follower.apply_changes(leader.changes(vc))
+    got = follower.find([eq(0, "k2")]).collect()
+    assert len(got) == 5 and all(r[0] == "k2" for r in got)
+    spec = follower.manifest.indices[follower.colnames[0]]
+    assert spec.rows == 25 and spec.parts
