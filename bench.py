@@ -124,6 +124,13 @@ HEADLINE = [
     ("asof_nearest_order", "count"),
     # corpus bigram-LM scoring (conditional-probability quality signal)
     ("text_logprob2", "count"),
+    # this session: offset-independent substring dedup (CDC chunking),
+    # composite-index covered lookup, encoding scrubbing signals, and
+    # follower replication via one CDC delta (bootstrap + incremental)
+    ("dedup_cdc_strip", "count"),
+    ("store_composite_find", "count"),
+    ("text_encoding", "count"),
+    ("store_replicate", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host
