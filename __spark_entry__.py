@@ -1769,6 +1769,20 @@ def q_text_contamination(spark, sf_dir):
     return text.ngram_contamination(corpus, bench, n=3)
 
 
+def q_text_decontaminate(spark, sf_dir):
+    """Decontamination gate (text.decontaminate): corpus documents whose
+    benchmark 3-gram overlap ratio exceeds 20% are DROPPED — the action
+    half of contamination control. Survivors keep every original column;
+    returned as (doc_id, n_chars) so the oracle row stays compact while
+    still certifying which documents survived AND that their text rode
+    through intact."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    out = text.decontaminate(corpus, bench, n=3, max_ratio=0.2)
+    return out.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+
+
 def q_text_repetition(spark, sf_dir):
     """Repetition-based quality signals (text.repetition_stats, the
     Gopher-rule family): top-token fraction via one (doc, token) count
@@ -1921,6 +1935,41 @@ def q_mm_wav_chunks(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     wavs = docs.mapInPandas(gen, "doc_id long, payload binary")
     return multimodal.audio_chunk_plan_wav(wavs, "doc_id", "payload", chunk_ms=100)
+
+
+def q_mm_png_tiles(spark, sf_dir):
+    """REAL image decode end-to-end (multimodal.parse_png_meta +
+    image_tile_plan): deterministic PNG payloads (signature + CRC-correct
+    IHDR, dimensions a doc_id formula) are synthesized per document, the
+    pure-Python header parser reads width/height BACK from the bytes, and
+    the ViT-style 224px tile plan runs off each image's OWN parsed
+    dimensions. The oracle recomputes the tile arithmetic from the same
+    formulas — a wrong parse ⇒ wrong tiles ⇒ hash mismatch, so the parser
+    is inside the certified path."""
+    import struct
+    import zlib
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                w = 100 + (int(i) % 5) * 90
+                h = 80 + (int(i) % 7) * 60
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                chunk = b"IHDR" + ihdr
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + struct.pack(">I", 13)
+                    + chunk
+                    + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pngs = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.image_tile_plan(pngs, "doc_id", "payload", tile=224)
 
 
 def q_embed_dup_clusters(spark, sf_dir):
@@ -2143,6 +2192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_composite_find": q_store_composite_find,
         "text_encoding": q_text_encoding,
         "store_replicate": q_store_replicate,
+        "mm_png_tiles": q_mm_png_tiles,
+        "text_decontaminate": q_text_decontaminate,
         "store_cdc_changes": q_store_cdc_changes,
         "store_schema_evolution": q_store_schema_evolution,
         "store_merge_upsert": q_store_merge_upsert,
@@ -3134,6 +3185,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      unnest(generate_series(0, CAST(floor((n_chars * 10) / 1000.0) AS INT))) AS i
               FROM documents)""",
+        "mm_png_tiles": """
+            WITH dims AS (
+              SELECT doc_id,
+                     100 + (doc_id % 5) * 90 AS w,
+                     80 + (doc_id % 7) * 60 AS h
+              FROM documents
+            ),
+            ti AS (
+              SELECT doc_id, w, h,
+                     unnest(generate_series(CAST(0 AS BIGINT), CAST(ceil(h / 224.0) AS BIGINT) - 1)) AS tile_i
+              FROM dims
+            ),
+            tt AS (
+              SELECT doc_id, w, h, tile_i,
+                     unnest(generate_series(CAST(0 AS BIGINT), CAST(ceil(w / 224.0) AS BIGINT) - 1)) AS tile_j
+              FROM ti
+            )
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   tile_i, tile_j,
+                   CAST(tile_j * 224 AS BIGINT) AS x0,
+                   CAST(tile_i * 224 AS BIGINT) AS y0,
+                   CAST(least(tile_j * 224 + 224, w) AS BIGINT) AS x1,
+                   CAST(least(tile_i * 224 + 224, h) AS BIGINT) AS y1
+            FROM tt""",
         "mm_wav_chunks": """
             WITH p AS (
               SELECT doc_id,
@@ -3399,6 +3475,31 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT doc_id FROM corpus) c
             LEFT JOIN tot t USING (doc_id)
             LEFT JOIN ov o USING (doc_id)""",
+        "text_decontaminate": f"""
+            WITH corpus AS (
+              SELECT doc_id, text, {toks} AS t FROM documents WHERE doc_id % 10 <> 0
+            ), bench AS (
+              SELECT {toks} AS t FROM documents WHERE doc_id % 10 = 0
+            ), cg AS (
+              SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                    FROM corpus)
+            ), bg AS (
+              SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS g
+              FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i
+                    FROM bench)
+            ), tot AS (
+              SELECT doc_id, count(DISTINCT g) AS n_grams FROM cg GROUP BY doc_id
+            ), ov AS (
+              SELECT cg.doc_id, count(DISTINCT cg.g) AS n_overlap
+              FROM cg JOIN bg ON cg.g = bg.g GROUP BY cg.doc_id
+            )
+            SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars
+            FROM corpus c
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN ov o USING (doc_id)
+            WHERE CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)
+                    / greatest(COALESCE(t.n_grams, 0), 1) <= 0.2""",
         "events_funnel": f"""
             WITH base AS (SELECT user_id, ts, event_type FROM events),
             s0 AS (

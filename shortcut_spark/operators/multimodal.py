@@ -38,6 +38,8 @@ __all__ = [
     "audio_chunk_plan",
     "parse_wav_meta",
     "audio_chunk_plan_wav",
+    "parse_png_meta",
+    "image_tile_plan",
 ]
 
 MEDIA_META = T.StructType(
@@ -321,5 +323,117 @@ def audio_chunk_plan(
             F.col("chunk_i").cast("long").alias("chunk_i"),
             (F.col("chunk_i") * spc).cast("long").alias("start_sample"),
             F.least(F.col("chunk_i") * spc + spc, F.col("__ns")).cast("long").alias("end_sample"),
+        )
+    )
+
+
+# -- real image decode (header layer): PNG -----------------------------------
+
+_PNG_META_SCHEMA = (
+    "id long, width long, height long, bit_depth int, color_type int, "
+    "n_channels int, interlaced boolean"
+)
+
+# channels per PNG color type (spec §11.2.2): gray, rgb, palette,
+# gray+alpha, rgba
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _parse_png(raw: bytes):
+    """Parse a PNG signature + IHDR chunk: (width, height, bit_depth,
+    color_type, n_channels, interlaced) or None if not a well-formed PNG.
+    Pure byte arithmetic — the IHDR layer needs no codec library (pixel
+    data would need zlib + defiltering; that stays behind the stubbed
+    decoder)."""
+    import struct
+
+    if len(raw) < 33 or raw[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    (length,) = struct.unpack_from(">I", raw, 8)
+    if length != 13 or raw[12:16] != b"IHDR":
+        return None
+    w, h, depth, ctype, comp, filt, inter = struct.unpack_from(">IIBBBBB", raw, 16)
+    if comp != 0 or filt != 0 or inter not in (0, 1) or w == 0 or h == 0:
+        return None
+    channels = _PNG_CHANNELS.get(ctype)
+    if channels is None:
+        return None
+    return w, h, depth, ctype, channels, bool(inter)
+
+
+def parse_png_meta(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL image decode (header layer): pure-Python PNG signature + IHDR
+    parse over Arrow-batched ``mapInPandas`` — like :func:`parse_wav_meta`,
+    the one image decoder that needs no codec dependency, so it is NOT
+    stubbed. Extracts per-blob (width, height, bit_depth, color_type,
+    n_channels, interlaced). Non-PNG / malformed payloads are dropped
+    (downstream plans only see rows that really parsed)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "id", "width", "height", "bit_depth", "color_type",
+                "n_channels", "interlaced",
+            )}
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                parsed = _parse_png(bytes(blob) if blob is not None else b"")
+                if parsed is None:
+                    continue
+                w, h, depth, ctype, channels, inter = parsed
+                out["id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bit_depth"].append(depth)
+                out["color_type"].append(ctype)
+                out["n_channels"].append(channels)
+                out["interlaced"].append(inter)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, _PNG_META_SCHEMA
+    )
+
+
+def image_tile_plan(
+    df: DataFrame, id_col: str, payload_col: str, tile: int = 224
+) -> DataFrame:
+    """Tiling *plan* from REAL parsed PNG headers: one row per (image,
+    tile) with exact pixel bounds, each image tiled by its OWN parsed
+    dimensions — the vision-pipeline analogue of
+    :func:`audio_chunk_plan_wav` (patch extraction for a ViT-style
+    encoder plans here; the pixel crop runs wherever the stubbed decoder
+    does). Edge tiles are clipped, so bounds always cover the image
+    exactly once. Tile math stays JVM-side; only the header parse is
+    Python (Arrow-batched).
+
+    Output: (id, width, height, tile_i, tile_j, x0, y0, x1, y1)."""
+    meta = parse_png_meta(df, id_col, payload_col)
+    nx = F.ceil(F.col("width") / F.lit(tile)).cast("long")
+    ny = F.ceil(F.col("height") / F.lit(tile)).cast("long")
+    return (
+        meta.select(
+            F.col("id").alias(id_col),
+            "width",
+            "height",
+            F.explode(F.sequence(F.lit(0), ny - 1)).alias("tile_i"),
+            nx.alias("__nx"),
+        )
+        .select(
+            F.col(id_col),
+            "width",
+            "height",
+            "tile_i",
+            F.explode(F.sequence(F.lit(0), F.col("__nx") - 1)).alias("tile_j"),
+        )
+        .select(
+            F.col(id_col),
+            "width",
+            "height",
+            F.col("tile_i").cast("long").alias("tile_i"),
+            F.col("tile_j").cast("long").alias("tile_j"),
+            (F.col("tile_j") * tile).cast("long").alias("x0"),
+            (F.col("tile_i") * tile).cast("long").alias("y0"),
+            F.least(F.col("tile_j") * tile + tile, F.col("width")).cast("long").alias("x1"),
+            F.least(F.col("tile_i") * tile + tile, F.col("height")).cast("long").alias("y1"),
         )
     )

@@ -35,6 +35,7 @@ __all__ = [
     "unigram_logprob",
     "bigram_logprob",
     "ngram_contamination",
+    "decontaminate",
     "repetition_stats",
     "encoding_stats",
     "MOJIBAKE_RE",
@@ -669,3 +670,24 @@ def encoding_stats(
         moji.cast("long").alias("n_mojibake"),
         ((ctrl == 0) & (repl == 0) & (moji == 0)).alias("enc_ok"),
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_ratio: float = 0.2,
+) -> DataFrame:
+    """The ACTION half of contamination control: drop every corpus
+    document whose distinct word-``n``-gram overlap with the benchmark
+    exceeds ``max_ratio`` (the standard pre-training decontamination
+    gate; detection alone doesn't protect the eval set). Same plan shape
+    as :func:`ngram_contamination` — broadcast benchmark gram set,
+    map-only corpus shingling, one doc-key shuffle — plus one semi-join
+    back to the corpus rows, so survivors keep every original column.
+    """
+    scored = ngram_contamination(corpus, bench, id_col, text_col, n)
+    keep = scored.filter(F.col("contam_ratio") <= max_ratio).select(id_col)
+    return corpus.join(keep, id_col, "left_semi")

@@ -1621,3 +1621,75 @@ def test_encoding_stats_known_values(spark):
     assert out[5]["enc_ok"] and out[5]["n_mojibake"] == 0
     assert out[6]["enc_ok"] and out[6]["ascii_ratio"] == 1.0
     assert out[4]["n_chars"] == len(rows[3][1])
+
+
+def _mk_png(w, h, color_type=2, depth=8, interlace=0):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def test_parse_png_meta_real_headers(spark):
+    """Well-formed PNG headers parse to exact dimensions/channels; non-PNG,
+    truncated, and spec-violating payloads are dropped, not guessed."""
+    rows = [
+        (1, _mk_png(640, 480)),                       # rgb
+        (2, _mk_png(32, 16, color_type=6)),           # rgba
+        (3, _mk_png(9, 7, color_type=0, interlace=1)),  # gray, adam7
+        (4, b"not a png at all"),
+        (5, _mk_png(10, 10)[:20]),                    # truncated
+        (6, b"\x89PNG\r\n\x1a\n" + b"\x00" * 30),     # sig but no IHDR
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["id"]: r for r in multimodal.parse_png_meta(df, "doc_id", "payload").collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["width"], out[1]["height"], out[1]["n_channels"]) == (640, 480, 3)
+    assert out[2]["n_channels"] == 4 and not out[2]["interlaced"]
+    assert out[3]["interlaced"] and out[3]["n_channels"] == 1
+
+
+def test_image_tile_plan_covers_exactly(spark):
+    """Tiles partition each image exactly: clipped edges, no overlap, and
+    the union of tile areas equals width x height — per image, from its
+    OWN parsed header."""
+    rows = [(1, _mk_png(500, 300)), (2, _mk_png(224, 224)), (3, _mk_png(10, 10))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    tiles = multimodal.image_tile_plan(df, "doc_id", "payload", tile=224).collect()
+    by_img = {}
+    for r in tiles:
+        by_img.setdefault(r["doc_id"], []).append(r)
+    assert {k: len(v) for k, v in by_img.items()} == {1: 6, 2: 1, 3: 1}
+    for i, (w, h) in ((1, (500, 300)), (2, (224, 224)), (3, (10, 10))):
+        area = sum((r["x1"] - r["x0"]) * (r["y1"] - r["y0"]) for r in by_img[i])
+        assert area == w * h
+        assert all(0 <= r["x0"] < r["x1"] <= w and 0 <= r["y0"] < r["y1"] <= h for r in by_img[i])
+
+
+def test_decontaminate_drops_leaked_doc_keeps_clean(spark):
+    """A corpus doc that quotes a benchmark item above the ratio gate is
+    dropped; clean docs survive with ALL original columns intact; a doc
+    with only incidental overlap stays."""
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark question about ancient roman aqueducts")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the secret benchmark question about ancient roman aqueducts copied verbatim", "web"),
+            (2, "a completely unrelated essay on deep sea creatures and light", "book"),
+            (3, "mentions ancient roman engineering once but otherwise distinct content entirely fresh", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = text.decontaminate(corpus, bench, n=3, max_ratio=0.2)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {2, 3}
+    assert got[2]["source"] == "book"  # survivors keep every column
