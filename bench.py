@@ -131,6 +131,8 @@ HEADLINE = [
     ("store_composite_find", "count"),
     ("text_encoding", "count"),
     ("store_replicate", "count"),
+    ("mm_png_tiles", "count"),
+    ("text_decontaminate", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host
