@@ -270,3 +270,50 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == _py_components(edges)
+
+
+def _model_cdc_chunks(toks, k=2, p=4):
+    """Python reimplementation of dedup._cdc_chunks_expr: a cut lands
+    before 1-based position i (i in k+1..n) iff the first-8-hex-digit
+    value of md5(k-gram ending at i-1) is 0 mod p."""
+    import hashlib
+
+    n = len(toks)
+    if n == 0:
+        return []
+    cuts = [1]
+    if n > k:
+        for i in range(k + 1, n + 1):
+            gram = " ".join(toks[i - k - 1 : i - 1])
+            if int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % p == 0:
+                cuts.append(i)
+    chunks = []
+    for j, c in enumerate(cuts):
+        end = cuts[j + 1] if j + 1 < len(cuts) else n + 1
+        chunks.append(" ".join(toks[c - 1 : end - 1]))
+    return chunks
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(st.lists(st.sampled_from(WORDS), min_size=0, max_size=40), min_size=1, max_size=6))
+def test_cdc_chunks_match_model(spark, docs):
+    """Spark's content-defined chunking equals a from-scratch Python model
+    (cut rule, chunk spans, and order) on arbitrary token streams —
+    including the n=0, n<=k, and no-interior-cut edge cases — and the
+    chunks partition the document."""
+    from shortcut_spark.operators.dedup import cdc_chunk_arrays
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in cdc_chunk_arrays(df, "doc_id", "text", k=2, p=4).collect():
+        got.setdefault(r["doc_id"], []).append((r["pos"], r["passage"]))
+    for i, toks in enumerate(docs):
+        want = _model_cdc_chunks(toks, k=2, p=4)
+        have = [p for _, p in sorted(got.get(i, []))]
+        assert have == want, f"doc {i}: {have} != {want}"
+        assert " ".join(have).split() == toks  # exact partition
