@@ -1653,6 +1653,17 @@ def q_events_gapfill(spark, sf_dir):
     return gapfill_locf(_t(spark, sf_dir, "events"))
 
 
+def q_events_gapfill_interp(spark, sf_dir):
+    """Hypertable-style gapfill with LINEAR interpolation
+    (events.gapfill_interp): empty hourly buckets estimated on the
+    straight line between the nearest observed buckets either side; a
+    non-empty bucket interpolates to exactly its own value. Same
+    one-exchange shape as the LOCF twin."""
+    from shortcut_spark.operators.events import gapfill_interp
+
+    return gapfill_interp(_t(spark, sf_dir, "events"))
+
+
 def q_events_heavy_hitters(spark, sf_dir):
     """Exact frequency heavy hitters (sketch.heavy_hitters): users with
     >0.1% of all events. Output bounded by 1/support at any scale."""
@@ -2194,6 +2205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_replicate": q_store_replicate,
         "mm_png_tiles": q_mm_png_tiles,
         "text_decontaminate": q_text_decontaminate,
+        "events_gapfill_interp": q_events_gapfill_interp,
         "store_cdc_changes": q_store_cdc_changes,
         "store_schema_evolution": q_store_schema_evolution,
         "store_merge_upsert": q_store_merge_upsert,
@@ -3732,6 +3744,42 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY s.event_type ORDER BY s.bucket_epoch
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum_value
             FROM spine s LEFT JOIN base b USING (event_type, bucket_epoch)""",
+        "events_gapfill_interp": f"""
+            WITH base AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_epoch,
+                     count(*) AS n_events, {_DSUM('value')} AS sum_value
+              FROM events GROUP BY 1, 2
+            ), span AS (
+              SELECT event_type, min(bucket_epoch) AS mn, max(bucket_epoch) AS mx
+              FROM base GROUP BY 1
+            ), spine AS (
+              SELECT event_type, unnest(generate_series(mn, mx, 3600)) AS bucket_epoch
+              FROM span
+            ), j AS (
+              SELECT s.event_type, s.bucket_epoch,
+                     coalesce(b.n_events, 0) AS n_events,
+                     b.sum_value,
+                     last_value(b.sum_value IGNORE NULLS) OVER (
+                       PARTITION BY s.event_type ORDER BY s.bucket_epoch
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                     last_value(CASE WHEN b.sum_value IS NOT NULL THEN s.bucket_epoch END IGNORE NULLS) OVER (
+                       PARTITION BY s.event_type ORDER BY s.bucket_epoch
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+                     first_value(b.sum_value IGNORE NULLS) OVER (
+                       PARTITION BY s.event_type ORDER BY s.bucket_epoch
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                     first_value(CASE WHEN b.sum_value IS NOT NULL THEN s.bucket_epoch END IGNORE NULLS) OVER (
+                       PARTITION BY s.event_type ORDER BY s.bucket_epoch
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+              FROM spine s LEFT JOIN base b USING (event_type, bucket_epoch)
+            )
+            SELECT event_type, bucket_epoch, n_events, sum_value,
+                   CASE WHEN nb = pb THEN pv
+                        ELSE pv + (nv - pv) * (CAST(bucket_epoch - pb AS DOUBLE)
+                                               / CAST(nb - pb AS DOUBLE))
+                   END AS interp_sum_value
+            FROM j""",
         "dedup_clusters": f"""
             WITH RECURSIVE toks AS (
               SELECT DISTINCT doc_id, unnest({toks}) AS tok FROM documents

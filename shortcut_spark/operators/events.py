@@ -17,7 +17,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["funnel_reach", "retention_cohorts", "gapfill_locf", "windowed_topk"]
+__all__ = ["funnel_reach", "retention_cohorts", "gapfill_locf", "gapfill_interp", "windowed_topk"]
 
 
 def funnel_reach(
@@ -185,4 +185,83 @@ def windowed_topk(
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("hour_epoch", "rank", "value", "n_events")
+    )
+
+
+def gapfill_interp(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """:func:`gapfill_locf`'s numeric sibling — LINEAR interpolation
+    across empty buckets (the hypertable `interpolate` shape): an empty
+    bucket's estimate is the straight line between the nearest non-empty
+    bucket on each side. The spine spans first..last observation per key,
+    so both neighbors always exist; a non-empty bucket interpolates to
+    its own value exactly (zero-width step on the guard branch).
+
+    Same shuffle shape as LOCF: one (key, bucket) rollup, a generated
+    spine, and two window passes (backward last / forward first, both
+    IGNORE NULLS) over the SAME key partitioning — one exchange total.
+    Arithmetic is a single double expression mirrored verbatim in the
+    DuckDB twin, so interpolated values hash-compare exactly.
+
+    Output: (key, bucket_epoch, n_events, sum_value nullable,
+    interp_sum_value).
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions import dsum
+
+    step = F.lit(int(bucket_seconds)).cast("long")
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds) * bucket_seconds
+    ).cast("long")
+    base = events.groupBy(F.col(key_col), bucket.alias("bucket_epoch")).agg(
+        F.count(F.lit(1)).alias("n_events"), dsum(value_col, "sum_value")
+    )
+    span = base.groupBy(key_col).agg(
+        F.min("bucket_epoch").alias("__mn"), F.max("bucket_epoch").alias("__mx")
+    )
+    spine = span.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.col("__mn"), F.col("__mx"), step)).alias("bucket_epoch"),
+    )
+    back = (
+        W.partitionBy(key_col)
+        .orderBy("bucket_epoch")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy(key_col)
+        .orderBy("bucket_epoch")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("sum_value").isNotNull(), F.col("bucket_epoch"))
+    joined = spine.join(base, [key_col, "bucket_epoch"], "left").select(
+        F.col(key_col),
+        F.col("bucket_epoch"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("sum_value"),
+        F.last("sum_value", ignorenulls=True).over(back).alias("__pv"),
+        F.last(obs_bucket, ignorenulls=True).over(back).alias("__pb"),
+        F.first("sum_value", ignorenulls=True).over(fwd).alias("__nv"),
+        F.first(obs_bucket, ignorenulls=True).over(fwd).alias("__nb"),
+    )
+    interp = F.when(F.col("__nb") == F.col("__pb"), F.col("__pv")).otherwise(
+        F.col("__pv")
+        + (F.col("__nv") - F.col("__pv"))
+        * (
+            (F.col("bucket_epoch") - F.col("__pb")).cast("double")
+            / (F.col("__nb") - F.col("__pb")).cast("double")
+        )
+    )
+    return joined.select(
+        F.col(key_col),
+        "bucket_epoch",
+        "n_events",
+        "sum_value",
+        interp.alias("interp_sum_value"),
     )

@@ -1693,3 +1693,28 @@ def test_decontaminate_drops_leaked_doc_keeps_clean(spark):
     got = {r["doc_id"]: r for r in out.collect()}
     assert set(got) == {2, 3}
     assert got[2]["source"] == "book"  # survivors keep every column
+
+
+def test_gapfill_interp_linear_values(spark):
+    """Gap buckets land exactly on the line between their neighbors;
+    observed buckets interpolate to exactly their own value; counts
+    zero-fill."""
+    from shortcut_spark.operators.events import gapfill_interp
+
+    rows = [
+        ("a", 0, 10.0),
+        ("a", 3 * 3600 + 10, 40.0),  # two empty buckets between
+        ("b", 3600, 7.0),  # single-observation key: spine of 1
+    ]
+    df = spark.createDataFrame(rows, "event_type string, t long, value double").select(
+        "event_type", F.timestamp_seconds("t").alias("ts"), "value"
+    )
+    out = {
+        (r["event_type"], r["bucket_epoch"]): r for r in gapfill_interp(df).collect()
+    }
+    assert len(out) == 5
+    a = [out[("a", h * 3600)] for h in range(4)]
+    assert [r["interp_sum_value"] for r in a] == [10.0, 20.0, 30.0, 40.0]
+    assert [r["n_events"] for r in a] == [1, 0, 0, 1]
+    assert a[1]["sum_value"] is None
+    assert out[("b", 3600)]["interp_sum_value"] == 7.0
