@@ -878,6 +878,37 @@ def q_intersect_custkeys(spark, sf_dir):
     return f.intersect(p)
 
 
+def q_except_custkeys(spark, sf_dir):
+    """EXCEPT (set difference) — customers with finished orders but no
+    open ones; completes the set-op trio with union and intersect."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(p)  # EXCEPT DISTINCT semantics (exceptAll is the multiset variant)
+
+
+def q_full_outer_reconcile(spark, sf_dir):
+    """FULL OUTER join — the reconciliation shape: per-customer order
+    counts in two status tiers side by side, customers present in either
+    tier preserved with zero-filled counts for the missing side."""
+    o = _t(spark, sf_dir, "orders")
+    f = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    p = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_o"))
+    )
+    return f.join(p, "o_custkey", "full_outer").select(
+        "o_custkey",
+        F.coalesce("n_f", F.lit(0)).cast("long").alias("n_f"),
+        F.coalesce("n_o", F.lit(0)).cast("long").alias("n_o"),
+    )
+
+
 def q_rollup_counts(spark, sf_dir):
     return (
         _t(spark, sf_dir, "lineitem")
@@ -2206,6 +2237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_png_tiles": q_mm_png_tiles,
         "text_decontaminate": q_text_decontaminate,
         "events_gapfill_interp": q_events_gapfill_interp,
+        "except_custkeys": q_except_custkeys,
+        "full_outer_reconcile": q_full_outer_reconcile,
         "store_cdc_changes": q_store_cdc_changes,
         "store_schema_evolution": q_store_schema_evolution,
         "store_merge_upsert": q_store_merge_upsert,
@@ -2569,6 +2602,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
             INTERSECT
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+        "except_custkeys": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+        "full_outer_reconcile": """
+            WITH f AS (
+              SELECT o_custkey, count(*) AS n_f FROM orders
+              WHERE o_orderstatus = 'F' GROUP BY o_custkey
+            ), p AS (
+              SELECT o_custkey, count(*) AS n_o FROM orders
+              WHERE o_orderstatus = 'O' GROUP BY o_custkey
+            )
+            SELECT coalesce(f.o_custkey, p.o_custkey) AS o_custkey,
+                   coalesce(f.n_f, 0) AS n_f,
+                   coalesce(p.n_o, 0) AS n_o
+            FROM f FULL OUTER JOIN p ON f.o_custkey = p.o_custkey""",
         "rollup_counts": """
             SELECT l_returnflag, l_linestatus, count(*) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
