@@ -2207,7 +2207,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new centroid-blocked cosine join takes store_find_range's slot
         # (2 driver-green rounds; stays locally oracle-checked at #51+)
         "embed_cosine_ivf": q_embed_cosine_ivf,
-        "store_delete_pred": q_store_delete_pred,
+        # composite-index covered lookup takes store_delete_pred's slot
+        # (3 driver-green rounds; stays locally oracle-checked at #51+).
+        # It is the regression guard for this session's riskiest change:
+        # the generalized posting build + shared insert epilogue + the new
+        # access-path candidate kind all sit on its path.
+        "store_composite_find": q_store_composite_find,
         "store_compact_invariant": q_store_compact_invariant,
         # new-this-session operator families (cross-corpus dedup tiers +
         # per-source cap) take the slots of q1_pricing_summary /
@@ -2231,7 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_zorder_find": q_store_zorder_find,
         "events_stream_heavy": q_events_stream_heavy,
         "dedup_cdc_strip": q_dedup_cdc_strip,
-        "store_composite_find": q_store_composite_find,
+        "store_delete_pred": q_store_delete_pred,
         "text_encoding": q_text_encoding,
         "store_replicate": q_store_replicate,
         "mm_png_tiles": q_mm_png_tiles,
