@@ -856,6 +856,47 @@ def q_distinct_parts(spark, sf_dir):
     )
 
 
+def q_salted_join_revenue(spark, sf_dir):
+    """Skew-safe SALTED equi-join (joins.salted_join): orders spread over
+    16 salt sub-keys, customer replicated per salt, joined on (key,
+    salt) — no single reducer owns a hot customer. Semantically identical
+    to the plain join, which is exactly what the oracle asserts: the
+    salting must be invisible in the result."""
+    from shortcut_spark.operators.joins import salted_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    return (
+        salted_join(o, c, "o_custkey", salts=16)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"), dsum("o_totalprice", "revenue"))
+    )
+
+
+def q_csv_roundtrip_stats(spark, sf_dir):
+    """Sources facade certification: orders (safe columns) written to CSV
+    via sources.write, read back via sources.read with an explicit
+    schema, aggregated — format round-trip must be value-invisible, which
+    the plain-SQL oracle over the ORIGINAL parquet asserts."""
+    import tempfile as _tf
+
+    from shortcut_spark import sources as src
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    df = _t(spark, sf_dir, "orders").select(*cols)
+    path = os.path.join(_tf.mkdtemp(prefix="sccsv_"), "orders_csv")
+    src.write(df, "csv", path)
+    back = src.read(spark, "csv", path, schema=df.schema)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum("o_totalprice", "sum_price"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )
+
+
 def q_semi_join(spark, sf_dir):
     """EXISTS → left-semi."""
     o = _t(spark, sf_dir, "orders")
@@ -2244,6 +2285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill_interp": q_events_gapfill_interp,
         "except_custkeys": q_except_custkeys,
         "full_outer_reconcile": q_full_outer_reconcile,
+        "salted_join_revenue": q_salted_join_revenue,
+        "csv_roundtrip_stats": q_csv_roundtrip_stats,
         "store_cdc_changes": q_store_cdc_changes,
         "store_schema_evolution": q_store_schema_evolution,
         "store_merge_upsert": q_store_merge_upsert,
@@ -2607,6 +2650,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
             INTERSECT
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+        "salted_join_revenue": f"""
+            SELECT c.c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   {_DSUM('o.o_totalprice')} AS revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey""",
+        "csv_roundtrip_stats": f"""
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   {_DSUM('o_totalprice')} AS sum_price,
+                   CAST(min(o_orderkey) AS BIGINT) AS min_key,
+                   CAST(max(o_orderkey) AS BIGINT) AS max_key
+            FROM orders GROUP BY o_orderstatus""",
         "except_custkeys": """
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
             EXCEPT

@@ -451,11 +451,16 @@ def bigram_logprob(
     Output: (id, n_bigrams, logprob2) — rounded to 6 for engine-stable
     comparison (decimal detour on the order-sensitive weighted sum).
     """
-    toks = tokens(F.lower(F.col(text_col)))
+    # tokens materialized into a COLUMN before the bigram transform:
+    # higher-order-function lambdas re-evaluate lambda-external child
+    # expressions per element, so an inlined tokens() would regex-re-split
+    # the text once per bigram position (same trap as ngram_contamination,
+    # measured ~3x here)
+    base = df.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t"))
     # the raw bigram stream is consumed exactly once: the LM table is
     # derived from the (already per-doc-aggregated, much smaller) doc_tf
     # rather than re-shuffling the stream a second time
-    big = df.select(F.col(id_col), F.explode(_word_ngrams_raw(toks, 2)).alias("bg"))
+    big = base.select(F.col(id_col), F.explode(_word_ngrams_raw(F.col("__t"), 2)).alias("bg"))
     doc_tf = big.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint(
         eager=False
     )
@@ -463,7 +468,7 @@ def bigram_logprob(
     lm1 = lm2.groupBy(F.substring_index("bg", " ", 1).alias("w1")).agg(
         F.sum("c2").alias("c1")
     )
-    vocab = df.select(F.explode(toks).alias("term")).agg(
+    vocab = base.select(F.explode("__t").alias("term")).agg(
         F.count_distinct("term").alias("__v")
     )
     return (
@@ -533,18 +538,19 @@ def ngram_contamination(
     Output: (id, n_grams, n_overlap, contam_ratio) — ratio over
     ``greatest(n_grams, 1)`` so gram-less (short) docs score 0.
     """
-    c_toks = tokens(F.lower(corpus[text_col]))
-    b_toks = tokens(F.lower(bench[text_col]))
+    # Materialize the token array into a COLUMN before the n-gram
+    # transform: higher-order-function lambdas re-evaluate lambda-external
+    # child expressions per element, so an inlined tokens() would regex-
+    # re-split the whole text once per gram position (measured 10-20x on
+    # the fixture). A bound column reference inside the lambda is free.
+    # (_word_ngrams references the array several times, which also keeps
+    # CollapseProject from re-inlining the alias.)
+    c = corpus.select(F.col(id_col), tokens(F.lower(corpus[text_col])).alias("__t"))
+    b = bench.select(tokens(F.lower(bench[text_col])).alias("__t"))
 
-    c_grams = corpus.select(
-        F.col(id_col), F.explode(_word_ngrams(c_toks, n)).alias("g")
-    )
-    b_grams = (
-        bench.select(F.explode(_word_ngrams(b_toks, n)).alias("g")).distinct()
-    )
-    totals = corpus.select(
-        F.col(id_col), F.size(_word_ngrams(c_toks, n)).alias("n_grams")
-    )
+    c_grams = c.select(F.col(id_col), F.explode(_word_ngrams(F.col("__t"), n)).alias("g"))
+    b_grams = b.select(F.explode(_word_ngrams(F.col("__t"), n)).alias("g")).distinct()
+    totals = c.select(F.col(id_col), F.size(_word_ngrams(F.col("__t"), n)).alias("n_grams"))
     overlap = (
         c_grams.join(F.broadcast(b_grams), "g")
         .groupBy(id_col)
