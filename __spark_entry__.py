@@ -1370,6 +1370,17 @@ def q_embed_topk(spark, sf_dir):
     return similarity.topk_cosine(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def q_embed_topk_trunc(spark, sf_dir):
+    """Matryoshka-truncated exact top-k (similarity.topk_cosine_truncated):
+    both corpus and query sliced to the first 16 of 64 dimensions before
+    the exact-decimal cosine — the cheap first stage of an MRL retrieval
+    funnel (4x less dot-product work and bandwidth; full-dim rescoring
+    would run on the survivors only). Same broadcast + sort-limit shape
+    as embed_topk, hash-exact vs the sliced SQL twin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.topk_cosine_truncated(emb, _query_vec(spark, sf_dir), dims=16, k=10)
+
+
 def q_embed_norm_stats(spark, sf_dir):
     return similarity.norm_stats(_t(spark, sf_dir, "embeddings"))
 
@@ -2287,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer_reconcile": q_full_outer_reconcile,
         "salted_join_revenue": q_salted_join_revenue,
         "csv_roundtrip_stats": q_csv_roundtrip_stats,
+        "embed_topk_trunc": q_embed_topk_trunc,
         "store_cdc_changes": q_store_cdc_changes,
         "store_schema_evolution": q_store_schema_evolution,
         "store_merge_upsert": q_store_merge_upsert,
@@ -3229,6 +3241,23 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (
               SELECT vec_id, unnest(embedding) AS v,
                      unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings
+            ), q AS (
+              SELECT v, i FROM e WHERE vec_id = 0
+            ), dots AS (
+              SELECT e.vec_id, {dot} AS dot
+              FROM e JOIN q USING (i) GROUP BY e.vec_id
+            ), norms AS (
+              SELECT vec_id, {nsq} AS nsq FROM e GROUP BY vec_id
+            )
+            SELECT d.vec_id,
+                   d.dot / (sqrt(n.nsq) * sqrt((SELECT nsq FROM norms WHERE vec_id = 0))) AS cosine
+            FROM dots d JOIN norms n ON d.vec_id = n.vec_id
+            ORDER BY cosine DESC, d.vec_id LIMIT 10""",
+        "embed_topk_trunc": f"""
+            WITH e AS (
+              SELECT vec_id, unnest(embedding[1:16]) AS v,
+                     unnest(generate_series(1, least(len(embedding), 16))) AS i
               FROM embeddings
             ), q AS (
               SELECT v, i FROM e WHERE vec_id = 0

@@ -37,6 +37,8 @@ __all__ = [
     "norm_stats",
     "quantize_embeddings",
     "semantic_dup_clusters",
+    "truncate_embeddings",
+    "topk_cosine_truncated",
 ]
 
 
@@ -627,4 +629,45 @@ def semantic_dup_clusters(
         "cluster_rep",
         "cluster_size",
         (F.col(id_col) == F.col("cluster_rep")).alias("keep"),
+    )
+
+
+def truncate_embeddings(
+    emb: DataFrame, dims: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Matryoshka-style truncation: keep the first ``dims`` components of
+    each embedding (MRL-trained models front-load information, so a
+    prefix is a usable lower-dimensional embedding). Pure map-side
+    ``slice`` — no renormalization is stored; cosine renormalizes by
+    construction, so downstream scorers work unchanged. The memory /
+    bandwidth / compute lever that composes with int8 quantization:
+    truncate THEN quantize for (d/dims)×4 total compression.
+
+    Output: (id, embedding<float array of dims>).
+    """
+    if dims < 1:
+        raise ValueError("dims must be >= 1")
+    return emb.select(
+        F.col(id_col),
+        F.slice(F.col(vec_col), 1, dims).alias(vec_col),
+    )
+
+
+def topk_cosine_truncated(
+    emb: DataFrame,
+    query: DataFrame,
+    dims: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine in the TRUNCATED (first ``dims`` components)
+    space — the cheap first stage of a Matryoshka funnel (truncated scan
+    narrows candidates; full-dimension rescoring, when wanted, runs on
+    the top-k only). Same broadcast + sort-limit shape and the same
+    exact-decimal scorer as :func:`topk_cosine`, so the DuckDB twin is
+    hash-exact."""
+    tq = query.select(F.slice(F.col("qvec"), 1, dims).alias("qvec"))
+    return topk_cosine(
+        truncate_embeddings(emb, dims, id_col, vec_col), tq, k, id_col, vec_col
     )

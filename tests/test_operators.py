@@ -1718,3 +1718,27 @@ def test_gapfill_interp_linear_values(spark):
     assert [r["n_events"] for r in a] == [1, 0, 0, 1]
     assert a[1]["sum_value"] is None
     assert out[("b", 3600)]["interp_sum_value"] == 7.0
+
+
+def test_truncated_topk_matches_numpy_model(spark):
+    """Matryoshka truncation: top-k in the first-d-dims space equals a
+    numpy recompute over the same prefix (order, ids, and cosine values
+    to float tolerance); truncation really drops the tail components."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(30, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+
+    out = similarity.topk_cosine_truncated(emb, q, dims=3, k=5).collect()
+    t = vecs[:, :3].astype("float64")
+    cos = (t @ t[0]) / (np.linalg.norm(t, axis=1) * np.linalg.norm(t[0]))
+    want = sorted(range(30), key=lambda i: (-cos[i], i))[:5]
+    assert [r["vec_id"] for r in out] == want
+    for r in out:
+        assert abs(r["cosine"] - cos[r["vec_id"]]) < 1e-9
+
+    trunc = similarity.truncate_embeddings(emb, 3).collect()
+    assert all(len(r["embedding"]) == 3 for r in trunc)
