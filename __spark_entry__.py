@@ -1381,6 +1381,19 @@ def q_embed_topk_trunc(spark, sf_dir):
     return similarity.topk_cosine_truncated(emb, _query_vec(spark, sf_dir), dims=16, k=10)
 
 
+def q_embed_funnel_topk(spark, sf_dir):
+    """Full Matryoshka funnel (similarity.funnel_topk): exact truncated
+    (16-dim) scan keeps a 50-id shortlist; only the shortlist is rescored
+    at full 64 dims and cut to top-10. Deterministic end to end — the
+    only approximation is the shortlist cut, which the SQL twin
+    reproduces — so this funnel, unlike the LSH/IVF tiers, earns a
+    hash-exact oracle row."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.funnel_topk(
+        emb, _query_vec(spark, sf_dir), dims=16, shortlist=50, k=10
+    )
+
+
 def q_embed_norm_stats(spark, sf_dir):
     return similarity.norm_stats(_t(spark, sf_dir, "embeddings"))
 
@@ -2299,6 +2312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_revenue": q_salted_join_revenue,
         "csv_roundtrip_stats": q_csv_roundtrip_stats,
         "embed_topk_trunc": q_embed_topk_trunc,
+        "embed_funnel_topk": q_embed_funnel_topk,
         "store_cdc_changes": q_store_cdc_changes,
         "store_schema_evolution": q_store_schema_evolution,
         "store_merge_upsert": q_store_merge_upsert,
@@ -3264,6 +3278,43 @@ def oracle_sql() -> dict[str, str]:
             ), dots AS (
               SELECT e.vec_id, {dot} AS dot
               FROM e JOIN q USING (i) GROUP BY e.vec_id
+            ), norms AS (
+              SELECT vec_id, {nsq} AS nsq FROM e GROUP BY vec_id
+            )
+            SELECT d.vec_id,
+                   d.dot / (sqrt(n.nsq) * sqrt((SELECT nsq FROM norms WHERE vec_id = 0))) AS cosine
+            FROM dots d JOIN norms n ON d.vec_id = n.vec_id
+            ORDER BY cosine DESC, d.vec_id LIMIT 10""",
+        "embed_funnel_topk": f"""
+            WITH et AS (
+              SELECT vec_id, unnest(embedding[1:16]) AS v,
+                     unnest(generate_series(1, least(len(embedding), 16))) AS i
+              FROM embeddings
+            ), qt AS (
+              SELECT v, i FROM et WHERE vec_id = 0
+            ), dots_t AS (
+              SELECT et.vec_id, {dot.replace('e.', 'et.').replace('q.', 'qt.')} AS dot
+              FROM et JOIN qt USING (i) GROUP BY et.vec_id
+            ), norms_t AS (
+              SELECT vec_id, {nsq} AS nsq FROM et GROUP BY vec_id
+            ), short AS (
+              SELECT d.vec_id
+              FROM dots_t d JOIN norms_t n ON d.vec_id = n.vec_id
+              ORDER BY d.dot / (sqrt(n.nsq) * sqrt((SELECT nsq FROM norms_t WHERE vec_id = 0))) DESC,
+                       d.vec_id
+              LIMIT 50
+            ), e AS (
+              SELECT vec_id, unnest(embedding) AS v,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings
+              WHERE vec_id = 0 OR vec_id IN (SELECT vec_id FROM short)
+            ), q AS (
+              SELECT v, i FROM e WHERE vec_id = 0
+            ), dots AS (
+              SELECT e.vec_id, {dot} AS dot
+              FROM e JOIN q USING (i)
+              WHERE e.vec_id IN (SELECT vec_id FROM short)
+              GROUP BY e.vec_id
             ), norms AS (
               SELECT vec_id, {nsq} AS nsq FROM e GROUP BY vec_id
             )

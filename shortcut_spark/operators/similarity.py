@@ -39,6 +39,7 @@ __all__ = [
     "semantic_dup_clusters",
     "truncate_embeddings",
     "topk_cosine_truncated",
+    "funnel_topk",
 ]
 
 
@@ -671,3 +672,35 @@ def topk_cosine_truncated(
     return topk_cosine(
         truncate_embeddings(emb, dims, id_col, vec_col), tq, k, id_col, vec_col
     )
+
+
+def funnel_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    dims: int,
+    shortlist: int = 100,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full Matryoshka retrieval funnel: a truncated-space exact scan
+    keeps a ``shortlist``, then ONLY the shortlist is rescored with the
+    full-dimension exact cosine and cut to ``k``.
+
+    Scale shape: the expensive full-dimension scorer touches ``shortlist``
+    rows instead of the corpus — the corpus-wide pass runs on d'/d of the
+    bytes (and composes with the int8 tier). The shortlist (ids only)
+    broadcasts back onto the corpus as a semi-join, so full vectors are
+    re-read only for survivors; with column pruning the truncated scan
+    never materializes the tail components. Deterministic end to end
+    (exact-decimal scorers both stages, id tiebreaks), so the DuckDB twin
+    is hash-exact — unlike the LSH/IVF tiers this funnel is approximate
+    ONLY through the shortlist cut, which the twin reproduces.
+
+    Output: (id, cosine) — full-dimension cosines, top-k of the shortlist.
+    """
+    short_ids = topk_cosine_truncated(
+        emb, query, dims, shortlist, id_col, vec_col
+    ).select(id_col)
+    survivors = emb.join(F.broadcast(short_ids), id_col, "left_semi")
+    return topk_cosine(survivors, query, k, id_col, vec_col)

@@ -1742,3 +1742,34 @@ def test_truncated_topk_matches_numpy_model(spark):
 
     trunc = similarity.truncate_embeddings(emb, 3).collect()
     assert all(len(r["embedding"]) == 3 for r in trunc)
+
+
+def test_funnel_topk_rescore_semantics(spark):
+    """The funnel returns FULL-dimension cosines for the truncated-space
+    shortlist: with a generous shortlist it equals the exact full top-k;
+    with shortlist == k it equals the truncated ordering rescored — both
+    checked against numpy."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.rand(40, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+
+    v = vecs.astype("float64")
+    full = (v @ v[0]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    t = v[:, :3]
+    tr = (t @ t[0]) / (np.linalg.norm(t, axis=1) * np.linalg.norm(t[0]))
+
+    # shortlist covers everything -> exact full top-k
+    out = similarity.funnel_topk(emb, q, dims=3, shortlist=40, k=5).collect()
+    want = sorted(range(40), key=lambda i: (-full[i], i))[:5]
+    assert [r["vec_id"] for r in out] == want
+
+    # tight shortlist -> rescore exactly the truncated winners
+    out2 = similarity.funnel_topk(emb, q, dims=3, shortlist=5, k=5).collect()
+    short = set(sorted(range(40), key=lambda i: (-tr[i], i))[:5])
+    assert {r["vec_id"] for r in out2} == short
+    got = [r["vec_id"] for r in out2]
+    assert got == sorted(short, key=lambda i: (-full[i], i))  # full-dim order
