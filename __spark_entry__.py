@@ -1760,6 +1760,16 @@ def q_events_gapfill_interp(spark, sf_dir):
     return gapfill_interp(_t(spark, sf_dir, "events"))
 
 
+def q_events_rolling_dau(spark, sf_dir):
+    """Rolling 7-day distinct active users (events.rolling_active_users):
+    sliding-window COUNT(DISTINCT) via contribution explode of the
+    distinct (user, day) pairs — exactly 7x pair blow-up, one day-key
+    shuffle, no self-join."""
+    from shortcut_spark.operators.events import rolling_active_users
+
+    return rolling_active_users(_t(spark, sf_dir, "events"), window_days=7)
+
+
 def q_events_heavy_hitters(spark, sf_dir):
     """Exact frequency heavy hitters (sketch.heavy_hitters): users with
     >0.1% of all events. Output bounded by 1/support at any scale."""
@@ -2313,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip_stats": q_csv_roundtrip_stats,
         "embed_topk_trunc": q_embed_topk_trunc,
         "embed_funnel_topk": q_embed_funnel_topk,
+        "events_rolling_dau": q_events_rolling_dau,
         "store_cdc_changes": q_store_cdc_changes,
         "store_schema_evolution": q_store_schema_evolution,
         "store_merge_upsert": q_store_merge_upsert,
@@ -3934,6 +3945,21 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY s.event_type ORDER BY s.bucket_epoch
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum_value
             FROM spine s LEFT JOIN base b USING (event_type, bucket_epoch)""",
+        "events_rolling_dau": """
+            WITH pairs AS (
+              SELECT DISTINCT user_id AS u,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS d
+              FROM events
+            ), b AS (
+              SELECT min(d) AS mn, max(d) AS mx FROM pairs
+            ), contrib AS (
+              SELECT u, unnest(generate_series(d, d + 6 * 86400, 86400)) AS day_epoch
+              FROM pairs
+            )
+            SELECT day_epoch, CAST(count(DISTINCT u) AS BIGINT) AS n_active
+            FROM contrib, b
+            WHERE day_epoch BETWEEN b.mn AND b.mx
+            GROUP BY day_epoch""",
         "events_gapfill_interp": f"""
             WITH base AS (
               SELECT event_type,

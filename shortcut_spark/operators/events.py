@@ -17,7 +17,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["funnel_reach", "retention_cohorts", "gapfill_locf", "gapfill_interp", "windowed_topk"]
+__all__ = ["funnel_reach", "retention_cohorts", "gapfill_locf", "gapfill_interp", "windowed_topk", "rolling_active_users"]
 
 
 def funnel_reach(
@@ -264,4 +264,40 @@ def gapfill_interp(
         "n_events",
         "sum_value",
         interp.alias("interp_sum_value"),
+    )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Rolling N-day active users (the DAU/WAU/MAU family): for every day
+    d in the data's span, the count of DISTINCT users active in
+    [d-N+1, d]. COUNT(DISTINCT) over a sliding frame has no direct window
+    form; the scalable shape is CONTRIBUTION EXPLODE: each distinct
+    (user, day) pair contributes to the N report days it can appear in,
+    then one groupBy(report_day) count-distinct. Blow-up is exactly N×
+    the (user, day) pair count — pairs, not raw events, and N is small —
+    followed by ONE shuffle on the day key. No day-range self-join, no
+    per-day re-scan. Report days are clipped to the observed span (edge
+    windows are partial by definition).
+
+    Output: (day_epoch, n_active) for every day min_day..max_day.
+    """
+    day = (F.floor(F.unix_timestamp(F.col(ts_col)) / 86400) * 86400).cast("long")
+    pairs = events.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    bounds = F.broadcast(pairs.agg(F.min("d").alias("__mn"), F.max("d").alias("__mx")))
+    contrib = pairs.select(
+        "u",
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + F.lit((window_days - 1) * 86400), F.lit(86400))
+        ).alias("day_epoch"),
+    )
+    return (
+        contrib.crossJoin(bounds)
+        .filter((F.col("day_epoch") >= F.col("__mn")) & (F.col("day_epoch") <= F.col("__mx")))
+        .groupBy("day_epoch")
+        .agg(F.count_distinct("u").cast("long").alias("n_active"))
     )

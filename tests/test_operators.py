@@ -1773,3 +1773,26 @@ def test_funnel_topk_rescore_semantics(spark):
     assert {r["vec_id"] for r in out2} == short
     got = [r["vec_id"] for r in out2]
     assert got == sorted(short, key=lambda i: (-full[i], i))  # full-dim order
+
+
+def test_rolling_active_users_window_semantics(spark):
+    """Each day reports distinct users active in the trailing 7 days;
+    multi-event users count once; span is clipped to observed days."""
+    from shortcut_spark.operators.events import rolling_active_users
+
+    D = 86400
+    rows = [
+        (1, 0), (1, 10), (2, 0),          # day 0: users 1,2
+        (3, 3 * D),                        # day 3: user 3
+        (1, 9 * D),                        # day 9: user 1 again
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t long").select(
+        "user_id", F.timestamp_seconds("t").alias("ts")
+    )
+    out = {r["day_epoch"] // D: r["n_active"] for r in rolling_active_users(df, 7).collect()}
+    assert min(out) == 0 and max(out) == 9
+    assert out[0] == 2           # users 1,2
+    assert out[3] == 3           # 1,2 (day 0 in window) + 3
+    assert out[6] == 3           # day 0 still within [0..6]
+    assert out[7] == 1           # window [1..7]: only user 3 (day 3)
+    assert out[9] == 2           # window [3..9]: users 3 and 1
