@@ -1760,6 +1760,28 @@ def q_events_gapfill_interp(spark, sf_dir):
     return gapfill_interp(_t(spark, sf_dir, "events"))
 
 
+def q_events_session_overlaps(spark, sf_dir):
+    """Interval×interval OVERLAP join (joins.interval_overlap_pairs):
+    cross-user pairs of concurrent sessions. Sessions become [start, end]
+    intervals; the grid-bucketized join replicates each interval to its
+    hour cells, equi-joins on the cell, and counts each pair exactly once
+    via the canonical overlap-start cell — never an all-pairs theta join.
+    The oracle is the plain quadratic overlap join, certifying the grid
+    is result-invisible. Session ids encode (user, session_i) so the
+    cross-user filter stays expressible on the pair output."""
+    from shortcut_spark.operators.joins import interval_overlap_pairs
+
+    s = stream_ops.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30).select(
+        (F.col("user_id") * 100000 + F.col("session_i")).cast("long").alias("sid"),
+        "start_epoch",
+        "end_epoch",
+    )
+    pairs = interval_overlap_pairs(s, "sid", "start_epoch", "end_epoch", cell_s=3600)
+    return pairs.filter(
+        (F.col("id_a") / 100000).cast("long") != (F.col("id_b") / 100000).cast("long")
+    )
+
+
 def q_events_rolling_dau(spark, sf_dir):
     """Rolling 7-day distinct active users (events.rolling_active_users):
     sliding-window COUNT(DISTINCT) via contribution explode of the
@@ -2324,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk_trunc": q_embed_topk_trunc,
         "embed_funnel_topk": q_embed_funnel_topk,
         "events_rolling_dau": q_events_rolling_dau,
+        "events_session_overlaps": q_events_session_overlaps,
         "store_cdc_changes": q_store_cdc_changes,
         "store_schema_evolution": q_store_schema_evolution,
         "store_merge_upsert": q_store_merge_upsert,
@@ -3945,6 +3968,29 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY s.event_type ORDER BY s.bucket_epoch
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum_value
             FROM spine s LEFT JOIN base b USING (event_type, bucket_epoch)""",
+        "events_session_overlaps": f"""
+            WITH t AS (
+              SELECT user_id, event_id, ts, {_EPOCH.format('ts')} AS es FROM events
+            ), m AS (
+              SELECT user_id, event_id, ts, es,
+                     CASE WHEN lag(es) OVER w IS NULL THEN 1
+                          WHEN es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+              FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sgrp AS (
+              SELECT user_id, es,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_i
+              FROM m
+            ), s AS (
+              SELECT user_id * 100000 + CAST(session_i AS BIGINT) AS sid,
+                     min(es) AS st, max(es) AS en
+              FROM sgrp GROUP BY user_id, session_i
+            )
+            SELECT a.sid AS id_a, b.sid AS id_b,
+                   CAST(least(a.en, b.en) - greatest(a.st, b.st) AS BIGINT) AS overlap_s
+            FROM s a JOIN s b
+              ON a.sid < b.sid AND a.st <= b.en AND b.st <= a.en
+            WHERE a.sid // 100000 <> b.sid // 100000""",
         "events_rolling_dau": """
             WITH pairs AS (
               SELECT DISTINCT user_id AS u,

@@ -23,7 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["asof_max", "range_pairs_within", "salted_join", "fuzzy_join"]
+__all__ = ["asof_max", "range_pairs_within", "salted_join", "fuzzy_join"    "interval_overlap_pairs",
+]
 
 
 def salted_join(
@@ -290,3 +291,64 @@ def fuzzy_join(
         & (F.col("l.__pblk") != F.col("r.__pblk")),
     ).select(*out_cols)
     return verify(c1.unionByName(c2))
+
+
+def interval_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    cell_s: int = 3600,
+) -> DataFrame:
+    """All pairs of rows whose [start, end] intervals OVERLAP (inclusive
+    bounds: touching endpoints count, overlap_s = 0) — the interval×
+    interval upgrade of the point-in-window range join
+    (:func:`range_pairs_within`).
+
+    Scale shape — GRID bucketing, the standard interval-join plan:
+    each interval replicates to the ``cell_s``-wide time cells it spans
+    (factor ≈ duration/cell_s + 1; pick cell_s near the typical
+    duration), candidates come from ONE equi-join on the cell, and each
+    overlapping pair is counted EXACTLY ONCE without a distinct: a
+    candidate survives only in the canonical cell containing the
+    overlap's start (``floor(max(starts)/cell_s)``), which both
+    intervals' cell ranges provably cover. Never an all-pairs theta
+    join; no dedup shuffle.
+
+    Output: (id_a, id_b, overlap_s) with id_a < id_b.
+    """
+    from ..functions import ensure_parallelism
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        F.col(start_col).cast("long").alias("__st"),
+        F.col(end_col).cast("long").alias("__en"),
+    )
+    w = F.lit(int(cell_s))
+    cells = base.select(
+        "__id", "__st", "__en",
+        F.explode(F.sequence(F.floor(F.col("__st") / w), F.floor(F.col("__en") / w))).alias(
+            "__cell"
+        ),
+    )
+    a = cells.select(
+        F.col("__id").alias("__id_a"), F.col("__st").alias("__st_a"),
+        F.col("__en").alias("__en_a"), "__cell",
+    )
+    b = cells.select(
+        F.col("__id").alias("__id_b"), F.col("__st").alias("__st_b"),
+        F.col("__en").alias("__en_b"), "__cell",
+    )
+    pairs = a.join(b, "__cell").filter(
+        (F.col("__id_a") < F.col("__id_b"))
+        & (F.col("__st_a") <= F.col("__en_b"))
+        & (F.col("__st_b") <= F.col("__en_a"))
+        & (F.col("__cell") == F.floor(F.greatest("__st_a", "__st_b") / w))
+    )
+    return pairs.select(
+        F.col("__id_a").alias("id_a"),
+        F.col("__id_b").alias("id_b"),
+        (F.least("__en_a", "__en_b") - F.greatest("__st_a", "__st_b"))
+        .cast("long")
+        .alias("overlap_s"),
+    )

@@ -185,3 +185,32 @@ def test_asof_directions_and_tolerance(spark):
 
     with _pt.raises(ValueError):
         got(direction="sideways")
+
+
+def test_interval_overlap_pairs_grid_invisible(spark):
+    """Grid-bucketized interval overlap equals the brute-force quadratic
+    answer: long intervals spanning many cells pair exactly once,
+    touching endpoints count with overlap 0, disjoint intervals don't
+    pair."""
+    from shortcut_spark.operators.joins import interval_overlap_pairs
+
+    rows = [
+        (1, 0, 10_000),      # spans 3 cells at cell_s=3600
+        (2, 500, 700),       # inside 1
+        (3, 9_000, 20_000),  # overlaps 1's tail across cells
+        (4, 20_000, 20_500), # touches 3's endpoint exactly
+        (5, 50_000, 50_010), # disjoint
+    ]
+    df = spark.createDataFrame(rows, "iid long, st long, en long")
+    got = {
+        (r["id_a"], r["id_b"]): r["overlap_s"]
+        for r in interval_overlap_pairs(df, "iid", "st", "en", cell_s=3600).collect()
+    }
+    brute = {}
+    for i, (ia, sa, ea) in enumerate(rows):
+        for ib, sb, eb in rows[i + 1 :]:
+            if sa <= eb and sb <= ea:
+                brute[(ia, ib)] = min(ea, eb) - max(sa, sb)
+    assert got == brute
+    assert got[(3, 4)] == 0  # touching endpoints
+    assert (1, 5) not in got and (4, 5) not in got
