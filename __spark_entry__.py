@@ -1381,6 +1381,17 @@ def q_embed_topk_trunc(spark, sf_dir):
     return similarity.topk_cosine_truncated(emb, _query_vec(spark, sf_dir), dims=16, k=10)
 
 
+def q_embed_topk_int8(spark, sf_dir):
+    """Exact top-k over the int8-quantized tier
+    (similarity.topk_cosine_int8): integer dot products over the
+    quantized codes — the per-vector scales factor out of the cosine, so
+    the score is a pure function of the int8 codes and the whole pipeline
+    is order-insensitive-exact (long-integer sums). What a byte-packed
+    index computes per candidate at 100 TB; hash-exact SQL twin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.topk_cosine_int8(emb, _query_vec(spark, sf_dir), k=10)
+
+
 def q_embed_funnel_topk(spark, sf_dir):
     """Full Matryoshka funnel (similarity.funnel_topk): exact truncated
     (16-dim) scan keeps a 50-id shortlist; only the shortlist is rescored
@@ -2345,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip_stats": q_csv_roundtrip_stats,
         "embed_topk_trunc": q_embed_topk_trunc,
         "embed_funnel_topk": q_embed_funnel_topk,
+        "embed_topk_int8": q_embed_topk_int8,
         "events_rolling_dau": q_events_rolling_dau,
         "events_session_overlaps": q_events_session_overlaps,
         "store_cdc_changes": q_store_cdc_changes,
@@ -3319,6 +3331,32 @@ def oracle_sql() -> dict[str, str]:
                    d.dot / (sqrt(n.nsq) * sqrt((SELECT nsq FROM norms WHERE vec_id = 0))) AS cosine
             FROM dots d JOIN norms n ON d.vec_id = n.vec_id
             ORDER BY cosine DESC, d.vec_id LIMIT 10""",
+        "embed_topk_int8": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id,
+                     CASE WHEN scale > 0
+                          THEN list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS BIGINT))
+                          ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+              FROM s
+            ), p AS (
+              SELECT qv AS pv FROM q WHERE vec_id = 0
+            ), scored AS (
+              SELECT q.vec_id,
+                     CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * p.pv[i])) AS BIGINT) AS idot,
+                     CAST(list_sum(list_transform(q.qv, x -> x * x)) AS BIGINT) AS nq,
+                     (SELECT CAST(list_sum(list_transform(pv, x -> x * x)) AS BIGINT) FROM p) AS np
+              FROM q, p
+            )
+            SELECT vec_id,
+                   CASE WHEN nq > 0 AND np > 0
+                        THEN CAST(idot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(np AS DOUBLE)))
+                        ELSE 0.0 END AS cosine_q
+            FROM scored
+            ORDER BY cosine_q DESC, vec_id LIMIT 10""",
         "embed_funnel_topk": f"""
             WITH et AS (
               SELECT vec_id, unnest(embedding[1:16]) AS v,

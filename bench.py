@@ -135,6 +135,10 @@ HEADLINE = [
     ("text_decontaminate", "count"),
     ("events_gapfill_interp", "count"),
     ("salted_join_revenue", "collect"),
+    ("embed_topk_trunc", "collect"),
+    ("embed_funnel_topk", "collect"),
+    ("events_rolling_dau", "count"),
+    ("events_session_overlaps", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -1796,3 +1796,34 @@ def test_rolling_active_users_window_semantics(spark):
     assert out[6] == 3           # day 0 still within [0..6]
     assert out[7] == 1           # window [1..7]: only user 3 (day 3)
     assert out[9] == 2           # window [3..9]: users 3 and 1
+
+
+def test_int8_topk_matches_numpy_quantized_model(spark):
+    """Quantized top-k equals a numpy model that quantizes the same way:
+    integer dots with scales factored out of the cosine; recall vs the
+    float tier stays high (the <1% quantization-error contract)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(50, 16).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+
+    out = similarity.topk_cosine_int8(emb, q, k=10).collect()
+
+    v = vecs.astype("float64")
+    scales = np.abs(v).max(axis=1) / 127.0
+    qv = np.round(v / scales[:, None]).astype("int64")
+    dots = qv @ qv[0]
+    norms = np.sqrt((qv * qv).sum(axis=1).astype("float64"))
+    cos = dots / (norms * norms[0])
+    want = sorted(range(50), key=lambda i: (-cos[i], i))[:10]
+    assert [r["vec_id"] for r in out] == want
+    for r in out:
+        assert abs(r["cosine_q"] - cos[r["vec_id"]]) < 1e-12
+
+    full = (v @ v[0]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    top_f = set(sorted(range(50), key=lambda i: (-full[i], i))[:10])
+    recall = len(top_f & {r["vec_id"] for r in out}) / 10
+    assert recall >= 0.9
