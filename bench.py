@@ -139,6 +139,7 @@ HEADLINE = [
     ("embed_funnel_topk", "collect"),
     ("events_rolling_dau", "count"),
     ("events_session_overlaps", "count"),
+    ("embed_topk_int8", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host
@@ -381,7 +382,8 @@ def main():
             "queries": {k: round(v, 2) for k, v in results.items()},
             "sf": sf,
             "detail_file": "BENCH_DETAIL.json",
-        }
+        },
+        separators=(",", ":"),  # compact: every entry must fit the window
     )
     if len(headline) > 1900:  # keep the whole line inside the tail window
         headline = json.dumps(
