@@ -1919,6 +1919,27 @@ def q_text_contamination(spark, sf_dir):
     return text.ngram_contamination(corpus, bench, n=3)
 
 
+def q_dedup_source_matrix(spark, sf_dir):
+    """Cross-source duplication matrix (dedup.source_overlap_matrix):
+    distinct shared content fingerprints per source pair — the
+    observability view for which feeds copy from which. The fixture
+    corpus has no exact duplicates, so deterministic shared templates are
+    injected into the doc_id % 7 slice (same construction in the SQL
+    twin), giving a non-degenerate matrix to certify."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("shared template "), (F.col("doc_id") % 3).cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.source_overlap_matrix(aug, "doc_id", "text", "source")
+
+
 def q_text_decontaminate(spark, sf_dir):
     """Decontamination gate (text.decontaminate): corpus documents whose
     benchmark 3-gram overlap ratio exceeds 20% are DROPPED — the action
@@ -2357,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk_trunc": q_embed_topk_trunc,
         "embed_funnel_topk": q_embed_funnel_topk,
         "embed_topk_int8": q_embed_topk_int8,
+        "dedup_source_matrix": q_dedup_source_matrix,
         "events_rolling_dau": q_events_rolling_dau,
         "events_session_overlaps": q_events_session_overlaps,
         "store_cdc_changes": q_store_cdc_changes,
@@ -2931,6 +2953,20 @@ def oracle_sql() -> dict[str, str]:
                    min(es) AS start_epoch, max(es) AS end_epoch
             FROM s GROUP BY user_id, session_i""",
         # -- extensions -----------------------------------------------------
+        "dedup_source_matrix": f"""
+            WITH aug AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN 'shared template ' || CAST(doc_id % 3 AS VARCHAR)
+                          ELSE text END AS text
+              FROM documents
+            ), fs AS (
+              SELECT DISTINCT {fingerprint} AS fp, source FROM aug
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+            GROUP BY 1, 2""",
         "dedup_exact": f"""
             SELECT {fingerprint} AS fp, min(doc_id) AS keeper, count(*) AS n_docs
             FROM documents GROUP BY 1""",

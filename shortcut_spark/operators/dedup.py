@@ -51,6 +51,7 @@ __all__ = [
     "cdc_chunk_arrays",
     "cdc_passage_dups",
     "strip_repeated_cdc_chunks",
+    "source_overlap_matrix",
 ]
 
 
@@ -736,4 +737,35 @@ def strip_repeated_cdc_chunks(
         df.select(F.col(id_col))
         .join(rebuilt, id_col, "left")
         .select(F.col(id_col), F.coalesce("clean_text", F.lit("")).alias("clean_text"))
+    )
+
+
+def source_overlap_matrix(
+    df: DataFrame, id_col: str, text_col: str, source_col: str
+) -> DataFrame:
+    """(source_a, source_b, n_shared): for every UNORDERED pair of
+    distinct sources, how many DISTINCT content fingerprints occur in
+    both — the dedup-leakage observability view (which crawls/feeds copy
+    from which, what exact dedup will collapse across sources, and where
+    a per-source cap will bite).
+
+    Shuffle shape: one distinct over (fingerprint, source) — map-side
+    combine on the md5 — then a self-join on the fingerprint whose per-key
+    fan-out is bounded by the SOURCE count (tiny), then a rollup on the
+    source pair (output is at most |sources|² rows at any corpus size).
+    """
+    fs = (
+        df.select(
+            fingerprint(F.col(text_col)).alias("__fp"),
+            F.col(source_col).alias("__src"),
+        )
+        .distinct()
+    )
+    a = fs.select("__fp", F.col("__src").alias("source_a"))
+    b = fs.select("__fp", F.col("__src").alias("source_b"))
+    return (
+        a.join(b, "__fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )

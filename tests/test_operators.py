@@ -1827,3 +1827,28 @@ def test_int8_topk_matches_numpy_quantized_model(spark):
     top_f = set(sorted(range(50), key=lambda i: (-full[i], i))[:10])
     recall = len(top_f & {r["vec_id"] for r in out}) / 10
     assert recall >= 0.9
+
+
+def test_source_overlap_matrix_counts_shared_fingerprints(spark):
+    """Each unordered source pair counts DISTINCT content shared by both;
+    within-source duplicates don't pair; unique content contributes
+    nothing."""
+    rows = [
+        (1, "common article one", "web"),
+        (2, "common article one", "books"),   # shared web-books
+        (3, "common article one", "wiki"),    # shared all three
+        (4, "second shared piece", "web"),
+        (5, "second shared piece", "books"),  # another web-books share
+        (6, "second shared piece", "web"),    # within-source dup: no effect
+        (7, "totally unique text", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in dedup.source_overlap_matrix(df, "doc_id", "text", "source").collect()
+    }
+    assert out == {
+        ("books", "web"): 2,
+        ("books", "wiki"): 1,
+        ("web", "wiki"): 1,
+    }
