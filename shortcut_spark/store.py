@@ -1582,6 +1582,48 @@ class Store:
             return F.lit(0).cast("long")
         return functools.reduce(lambda a, b: a.bitwiseOR(b), terms)
 
+    def maybe_compact(
+        self,
+        max_files: int = 64,
+        min_rows_per_file: int | None = None,
+        target_files: int | None = None,
+        sort_by: str | Sequence[str] | None = None,
+    ) -> bool:
+        """Auto-OPTIMIZE policy: run :meth:`compact` only when the table's
+        layout has degraded — the decision is METADATA-ONLY (zero Spark
+        jobs at any table size), so a writer can call this after every
+        batch and pay nothing until compaction is actually due.
+
+        Triggers when EITHER holds:
+        * live file count exceeds ``max_files`` (small-files problem:
+          per-file task/manifest/open overheads dominate), or
+        * tombstoned rows exceed half the live rows (merge-on-read debt:
+          every read is paying the anti-join for more dead weight than
+          data), or
+        * mean rows per live file falls below ``min_rows_per_file``
+          (default ROWS_PER_FILE / 4 — files too small to amortize a
+          scan task).
+
+        Returns True iff a compaction ran. The 100 TB analogue is the
+        background OPTIMIZE service every lakehouse runs; the thresholds
+        are per-table knobs, not magic.
+        """
+        files = self.manifest.files
+        if not files:
+            return False
+        if min_rows_per_file is None:
+            min_rows_per_file = self.ROWS_PER_FILE // 4
+        n = len(files)
+        mean_rows = self.manifest.total_rows / n
+        debt = self.manifest.tombstone_rows > self.manifest.live_rows / 2
+        # the small-files rules need n > 1: a single-file table cannot be
+        # improved by merging files, however small it is (tiny DEV tables
+        # would otherwise recompact forever)
+        if debt or (n > 1 and (n > max_files or mean_rows < min_rows_per_file)):
+            self.compact(target_files=target_files, sort_by=sort_by)
+            return True
+        return False
+
     def compact(
         self,
         target_files: int | None = None,

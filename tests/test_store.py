@@ -870,3 +870,30 @@ def test_apply_changes_validates_schema_and_maintains_index(spark, store_path, t
     assert len(got) == 5 and all(r[0] == "k2" for r in got)
     spec = follower.manifest.indices[follower.colnames[0]]
     assert spec.rows == 25 and spec.parts
+
+
+def test_maybe_compact_policy(spark, store_path):
+    """maybe_compact fires only when layout degrades: not on a healthy
+    table; yes past the file-count threshold (files merge, rows intact);
+    yes under tombstone debt (tombstones materialize away)."""
+    st = Store.create(spark, store_path, 2)
+    st.insert([("a", "1"), ("b", "2")])
+    assert st.maybe_compact(max_files=10) is False  # healthy: 1 file (n=1 guard)
+
+    for i in range(5):
+        st.insert([(f"k{i}", str(i))])
+    n_before = len(st)
+    assert len(st.manifest.files) == 6
+    assert st.maybe_compact(max_files=4, target_files=2, min_rows_per_file=1) is True
+    assert len(st.manifest.files) <= 2 and len(st) == n_before
+    assert st.maybe_compact(max_files=4, min_rows_per_file=1) is False  # healthy again
+
+    # tombstone debt: defer-delete most rows ("1"/"2" match two rows
+    # each: a/b and k1/k2 — 6 victims of 7), then the policy fires
+    st.delete([eq(1, "1")], defer=True)
+    st.delete([eq(1, "2")], defer=True)
+    st.delete([eq(1, "0")], defer=True)
+    st.delete([eq(1, "3")], defer=True)
+    assert st.manifest.tombstone_rows > len(st) / 2
+    assert st.maybe_compact(max_files=100) is True
+    assert st.manifest.tombstone_rows == 0 and len(st) == n_before - 6
