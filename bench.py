@@ -140,6 +140,7 @@ HEADLINE = [
     ("events_rolling_dau", "count"),
     ("events_session_overlaps", "count"),
     ("embed_topk_int8", "collect"),
+    ("dedup_source_matrix", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host
