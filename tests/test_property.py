@@ -317,3 +317,39 @@ def test_cdc_chunks_match_model(spark, docs):
         have = [p for _, p in sorted(got.get(i, []))]
         assert have == want, f"doc {i}: {have} != {want}"
         assert " ".join(have).split() == toks  # exact partition
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(op_st, min_size=1, max_size=4), data=st.data())
+def test_replica_converges_under_random_schedules(spark, tmp_path_factory, ops, data):
+    """apply_changes model check: under ARBITRARY leader schedules
+    (inserts, CoW and tombstone deletes, index builds, compactions), a
+    follower that applies one delta per round converges to the leader's
+    exact row multiset every round — including rounds whose net delta is
+    empty (compact-only)."""
+    base = tmp_path_factory.mktemp("repl")
+    leader = Store.create(spark, str(base / "L"), 2)
+    follower = Store.create(spark, str(base / "F"), 2)
+    synced = leader.manifest.version
+
+    def rows_of(st):
+        return sorted(tuple(r) for r in st.find([]).collect())
+
+    for op in ops:
+        if op[0] == "insert":
+            leader.insert(op[1])
+        elif op[0] == "delete_eq":
+            _, col, v = op
+            leader.delete([eq(col, v)], defer=data.draw(st.booleans()))
+        elif op[0] == "index":
+            leader.index(op[1], HashIndex)
+        elif op[0] == "compact":
+            leader.compact(target_files=2)
+        follower.apply_changes(leader.changes(synced))
+        synced = leader.manifest.version
+        assert rows_of(follower) == rows_of(leader)
+        assert len(follower) == len(leader)
