@@ -353,3 +353,40 @@ def test_replica_converges_under_random_schedules(spark, tmp_path_factory, ops, 
         synced = leader.manifest.version
         assert rows_of(follower) == rows_of(leader)
         assert len(follower) == len(leader)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 4000)), min_size=2, max_size=12
+    ),
+    shift=st.integers(0, 10_000),
+)
+def test_interval_overlap_shift_invariant_and_exact(spark, iv, shift):
+    """Metamorphic: translating every interval by the same shift must not
+    change the pair set (grid cell boundaries move, results cannot), and
+    both translations equal the brute-force quadratic answer."""
+    from shortcut_spark.operators.joins import interval_overlap_pairs
+
+    rows = [(i, s, s + d) for i, (s, d) in enumerate(iv)]
+
+    def run(delta):
+        df = spark.createDataFrame(
+            [(i, s + delta, e + delta) for i, s, e in rows], "iid long, st long, en long"
+        )
+        return {
+            (r["id_a"], r["id_b"]): r["overlap_s"]
+            for r in interval_overlap_pairs(df, "iid", "st", "en", cell_s=1000).collect()
+        }
+
+    brute = {}
+    for i, (ia, sa, ea) in enumerate(rows):
+        for ib, sb, eb in rows[i + 1 :]:
+            if sa <= eb and sb <= ea:
+                brute[(ia, ib)] = min(ea, eb) - max(sa, sb)
+    assert run(0) == brute
+    assert run(shift) == brute
