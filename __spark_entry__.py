@@ -1274,6 +1274,19 @@ def q_events_stream_rollup_append(spark, sf_dir):
     )
 
 
+def q_events_stream_hopping_append(spark, sf_dir):
+    """Append-mode HOPPING rollup with a real file sink
+    (streaming.run_stream_hopping_append): sliding windows finalize when
+    the watermark passes their end and their state is evicted — the
+    production twin of events_stream_hopping's complete-mode driver.
+    Oracle = the batch hopping rollup cut at hop_epoch + width <=
+    max(ts) - delay."""
+    _pin_utc(spark)
+    return stream_ops.run_stream_hopping_append(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
 def q_events_stream_sessionize(spark, sf_dir):
     """Custom STATEFUL streaming operator (applyInPandasWithState gap
     sessionization, per-user GroupState); certified by the batch
@@ -2379,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_funnel_topk": q_embed_funnel_topk,
         "embed_topk_int8": q_embed_topk_int8,
         "dedup_source_matrix": q_dedup_source_matrix,
+        "events_stream_hopping_append": q_events_stream_hopping_append,
         "events_rolling_dau": q_events_rolling_dau,
         "events_session_overlaps": q_events_session_overlaps,
         "store_cdc_changes": q_store_cdc_changes,
@@ -4162,6 +4176,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    {_DSUM('value')} AS sum_value
             FROM hops GROUP BY 1, 2""",
+        "events_stream_hopping_append": f"""
+            WITH e AS (
+              SELECT event_type, value, {_EPOCH.format('ts')} AS es FROM events
+            ), hops AS (
+              SELECT event_type, value,
+                     (CAST(floor(es / 900) AS BIGINT) - k) * 900 AS hop_epoch
+              FROM e, UNNEST(generate_series(0, 3)) AS u(k)
+            ), cutoff AS (
+              SELECT max(es) - 3600 AS wm FROM e
+            )
+            SELECT hop_epoch, event_type,
+                   count(*) AS n_events,
+                   {_DSUM('value')} AS sum_value
+            FROM hops, cutoff
+            WHERE hop_epoch + 3600 <= wm
+            GROUP BY 1, 2""",
         "events_stream_hopping": f"""
             WITH e AS (
               SELECT event_type, value, {_EPOCH.format('ts')} AS es FROM events

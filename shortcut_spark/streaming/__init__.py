@@ -29,6 +29,7 @@ __all__ = [
     "run_stream_heavy_hitters",
     "distinct_user_actions",
     "stream_into_store",
+    "run_stream_hopping_append",
 ]
 
 
@@ -569,9 +570,9 @@ def run_stream_hopping_rollup(
     NOTE: under ``outputMode("complete")`` Spark keeps ALL window state
     and the watermark does NOT evict or drop anything — right for oracle
     certification on a bounded fixture, but it exercises no late-data
-    semantics. :func:`run_stream_rollup_append` is the production-shaped
-    twin: append mode + file sink, where the watermark actually finalizes
-    windows and evicts state."""
+    semantics. :func:`run_stream_hopping_append` is this family's
+    production-shaped twin: append mode + file sink, where the watermark
+    actually finalizes each hop and evicts its state."""
     stream = _file_stream(spark, events_parquet_dir).withWatermark("ts", "1 hour")
     agg = hopping_rollup(stream, width_s, hop_s)
     q = (
@@ -885,3 +886,44 @@ def run_stream_heavy_hitters(
             "err",
         )
     )
+
+
+def run_stream_hopping_append(
+    spark: SparkSession,
+    events_parquet_dir: str,
+    out_dir: str | None = None,
+    width_s: int = 3600,
+    hop_s: int = 900,
+    delay: str = "1 hour",
+    progress_out: list | None = None,
+) -> DataFrame:
+    """The HOPPING rollup in production shape: ``outputMode("append")`` +
+    parquet file sink + watermark finalization — the sliding-window twin
+    of :func:`run_stream_rollup_append`, closing the same gap for this
+    family (the complete-mode driver certifies values but never evicts
+    state). A sliding window finalizes when the watermark passes its END
+    (start + width), and every hop an event belongs to finalizes
+    independently — so the sink holds exactly the hops with
+    ``hop_epoch + width_s <= max(ts) − delay``, the cutoff the batch
+    oracle applies. State rows for closed windows are EVICTED
+    (``numRowsRemoved`` via ``progress_out``)."""
+    import tempfile
+
+    out_dir = out_dir or tempfile.mkdtemp(prefix="hopping_append_sink_")
+    cp_dir = tempfile.mkdtemp(prefix="hopping_append_cp_")
+    stream = _file_stream(spark, events_parquet_dir).withWatermark("ts", delay)
+    agg = hopping_rollup(stream, width_s, hop_s)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
+    finally:
+        q.stop()
+    return spark.read.schema(agg.schema).parquet(out_dir)

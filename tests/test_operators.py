@@ -1852,3 +1852,23 @@ def test_source_overlap_matrix_counts_shared_fingerprints(spark):
         ("books", "wiki"): 1,
         ("web", "wiki"): 1,
     }
+
+
+def test_stream_hopping_append_finalizes_and_evicts(spark):
+    """Append-mode HOPPING rollup: the file sink holds exactly the hops
+    whose window END the watermark passed (batch hopping rollup cut at
+    hop_epoch + width <= max(ts) - delay), and their state is evicted —
+    every hop of a sliding family finalizes independently."""
+    from shortcut_spark.sources import load_fixture
+    from shortcut_spark.streaming import hopping_rollup, run_stream_hopping_append
+
+    prog = []
+    got = run_stream_hopping_append(
+        spark, f"{SF_DIR}/events.parquet", progress_out=prog
+    )
+    ev = load_fixture(spark, SF_DIR, "events")
+    mx_epoch = ev.agg(F.unix_timestamp(F.max("ts")).alias("m")).collect()[0]["m"]
+    batch = hopping_rollup(ev).filter(F.col("hop_epoch") + 3600 <= mx_epoch - 3600)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+    state = [o for p in prog for o in (p.get("stateOperators") or [])]
+    assert sum(o.get("numRowsRemoved", 0) for o in state) > 0, state
