@@ -1272,6 +1272,63 @@ class Store:
 
     # -- maintenance --------------------------------------------------------
 
+    def history(self) -> DataFrame:
+        """Snapshot history (the lakehouse ``DESCRIBE HISTORY`` view): one
+        row per retained manifest version — committed_at epoch, live/total
+        rows, tombstoned rows, file count, rowid watermark, index count.
+        PURELY driver-side metadata (one small JSON per retained version;
+        bounded by vacuum retention) — zero Spark jobs at any table size.
+        """
+        mdir = Manifest._dir(self.path)
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        rows = []
+        for v in versions:
+            m = Manifest.load(self.path, v)
+            rows.append(
+                (
+                    v,
+                    float(m.committed_at) if m.committed_at else None,
+                    m.live_rows,
+                    m.total_rows,
+                    m.tombstone_rows,
+                    len(m.files),
+                    m.rowid,
+                    len(m.indices),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version int, committed_at double, live_rows long, total_rows long, "
+            "tombstone_rows long, n_files int, rowid_watermark long, n_indices int",
+        )
+
+    def restore(self, version: int) -> None:
+        """RESTORE the table to snapshot ``version`` — as a NEW commit
+        (the lakehouse undo button): the current manifest's successor
+        points at the old version's files/tombstones/indices, so history
+        is preserved (a restore can itself be undone) and readers flip
+        atomically. METADATA-ONLY — no data movement at any table size;
+        valid exactly while the target snapshot's files survive vacuum
+        retention (the same contract as time-travel reads). The rowid
+        watermark keeps its CURRENT value: rowids minted after the
+        restored snapshot are never reused, so CDC consumers downstream
+        of a restore stay exact."""
+        if version == self.manifest.version:
+            return
+        old = Manifest.load(self.path, version)  # raises if expired/unknown
+        cur = self.manifest
+        cur.files = list(old.files)
+        cur.tombstones = list(old.tombstones)
+        cur.tombstone_rows = old.tombstone_rows
+        cur.schema_json = old.schema_json
+        cur.indices = {c: s for c, s in old.indices.items()}
+        cur.rowid = max(cur.rowid, old.rowid)  # never reuse rowids
+        self._commit()
+
     def vacuum(self, retain_versions: int = 1) -> int:
         """Garbage-collect files no longer referenced by the retained
         manifest versions (copy-on-write deletes and compactions leave the

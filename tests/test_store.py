@@ -897,3 +897,36 @@ def test_maybe_compact_policy(spark, store_path):
     assert st.manifest.tombstone_rows > len(st) / 2
     assert st.maybe_compact(max_files=100) is True
     assert st.manifest.tombstone_rows == 0 and len(st) == n_before - 6
+
+
+def test_history_and_restore(spark, store_path):
+    """history() lists every retained snapshot with exact row accounting;
+    restore(v) flips back to v's contents as a NEW commit (undoable),
+    moves no data, and never reuses rowids minted after v."""
+    st = Store.create(spark, store_path, 2)
+    st.insert([("a", "1"), ("b", "2")])
+    v_good = st.manifest.version
+    st.delete([eq(0, "a")])
+    st.insert([("c", "3")])
+    v_bad = st.manifest.version
+    wm = st.manifest.rowid
+
+    h = {r["version"]: r for r in st.history().collect()}
+    assert v_good in h and v_bad in h
+    assert h[v_good]["live_rows"] == 2 and h[v_bad]["live_rows"] == 2
+    assert all(r["committed_at"] is not None for r in h.values())
+
+    st.restore(v_good)
+    assert st.manifest.version == v_bad + 1  # restore is a NEW commit
+    assert rows_of(st.find([])) == [("a", "1"), ("b", "2")]
+    assert st.manifest.rowid == wm  # post-snapshot rowids never reused
+
+    # the restore itself is undoable (history preserved)
+    st.restore(v_bad)
+    assert sorted(r[0] for r in st.find([]).collect()) == ["b", "c"]
+
+    # reopening sees the restored state; expired versions raise
+    st2 = Store.open(spark, store_path)
+    assert len(st2) == 2
+    with pytest.raises(Exception):
+        st2.restore(99999)
