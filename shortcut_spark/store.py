@@ -1485,8 +1485,20 @@ class Store:
             appended = self._empty(True)
         old_store = Store(self.spark, self.path, old)
         old_rows = old_store.find([], with_rowid=True)
-        cur_ids = self.find([], with_rowid=True).select(ROWID)
+        old_ids = old_rows.select(ROWID)
+        cur_rows = self.find([], with_rowid=True)
+        cur_ids = cur_rows.select(ROWID)
         deleted = old_rows.join(cur_ids, ROWID, "left_anti")
+        # RESURRECTED tier: live rows BELOW the watermark that the old
+        # snapshot did not have. Impossible in an append/delete-only
+        # history (sub-watermark rowids only ever disappear), so this
+        # anti-join is empty and free-ish on normal timelines — it exists
+        # for restore(): a rollback un-deletes old rowids, and without
+        # this tier the delta could not express them (pinned by
+        # test_changes_exact_across_restore).
+        resurrected = cur_rows.filter(F.col(ROWID) < wm).join(
+            old_ids, ROWID, "left_anti"
+        )
         cols = [ROWID, *self.manifest.schema.fieldNames()]
         # schema evolution between the snapshots: the delta is expressed in
         # the CURRENT schema — a column added since the old snapshot is
@@ -1495,6 +1507,7 @@ class Store:
         old_cols = [c for c in cols if c == ROWID or c in old.schema.fieldNames()]
         return (
             appended.select(F.lit("insert").alias("change_type"), *cols)
+            .unionByName(resurrected.select(F.lit("insert").alias("change_type"), *cols))
             .unionByName(
                 deleted.select(F.lit("delete").alias("change_type"), *old_cols),
                 allowMissingColumns=True,
@@ -1560,18 +1573,29 @@ class Store:
             ).collect()[0]
             n_ins = int(st["n"] or 0)
             if n_ins:
-                if st["lo"] < self.manifest.rowid:
-                    raise ValueError(
-                        f"delta rowids start at {st['lo']} below the follower "
-                        f"watermark {self.manifest.rowid} — the follower took a "
-                        "local write, or a delta was applied twice"
-                    )
+                # Legitimacy guard: an insert's rowid may sit below the
+                # follower watermark (a RESTORE on the leader resurrects
+                # old rowids — changes() emits them as inserts), so the
+                # check is COLLISION against the live set, not a watermark
+                # floor: a colliding rowid means the delta was applied
+                # twice or the follower took a local write. One semi-join
+                # on the column-pruned rowid scan; live set is empty on a
+                # fresh follower, so bootstrap pays nothing.
+                if self.manifest.files:
+                    live_ids = self.find([], with_rowid=True).select(ROWID)
+                    n_clash = ins.select(ROWID).join(live_ids, ROWID, "left_semi").count()
+                    if n_clash:
+                        raise ValueError(
+                            f"{n_clash} delta insert rowid(s) collide with live "
+                            "follower rows — the delta was applied twice, or the "
+                            "follower took a local write"
+                        )
                 batch_rel = os.path.join(
                     "data", f"r{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
                 )
                 self._cluster_batch(ins, n_ins).write.parquet(self._abs(batch_rel))
                 self._register_and_index(batch_rel)
-                self.manifest.rowid = int(st["hi"]) + 1
+                self.manifest.rowid = max(self.manifest.rowid, int(st["hi"]) + 1)
             if n_ins or n_del:
                 self._commit()
             return n_ins, n_del

@@ -930,3 +930,35 @@ def test_history_and_restore(spark, store_path):
     assert len(st2) == 2
     with pytest.raises(Exception):
         st2.restore(99999)
+
+
+def test_changes_exact_across_restore(spark, store_path, tmp_path):
+    """CDC across a restore: the delta carries restored-away rows as
+    deletes AND resurrected pre-watermark rows as inserts (the
+    resurrected tier exists exactly for this), so a follower converges
+    across a rollback without re-bootstrapping; double-apply is still
+    caught (now by rowid collision, not a watermark floor)."""
+    leader = Store.create(spark, store_path, 2)
+    vc = leader.manifest.version
+    leader.insert([("a", "1"), ("b", "2")])
+    v_good = leader.manifest.version
+    leader.insert([("c", "3")])
+    leader.delete([eq(0, "a")])
+    v_synced = leader.manifest.version  # consumer state: {b, c}
+
+    follower = Store.create(spark, str(tmp_path / "f"), 2)
+    follower.apply_changes(leader.changes(vc))
+    assert rows_of(follower.find([])) == rows_of(leader.find([]))
+
+    leader.restore(v_good)  # back to {a, b}
+    delta = leader.changes(v_synced)
+    got = {(r["change_type"], r[2], r[3]) for r in delta.collect()}
+    assert got == {("delete", "c", "3"), ("insert", "a", "1")}
+
+    ni, nd = follower.apply_changes(delta)
+    assert (ni, nd) == (1, 1)
+    assert rows_of(follower.find([])) == rows_of(leader.find([]))
+
+    # double-apply still detected: the resurrected rowid now collides
+    with pytest.raises(ValueError):
+        follower.apply_changes(leader.changes(v_synced))
