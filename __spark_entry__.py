@@ -1448,6 +1448,45 @@ def _fitted_ivf(spark, sf_dir):
     return fitted
 
 
+_PQ_CACHE: dict[tuple, tuple] = {}
+
+
+def _fitted_pq(spark, sf_dir):
+    """The standing PQ codebook for a corpus dir — like the IVF index,
+    built once (deterministic multi-subspace k-means), persisted, and
+    shared by every ADC consumer."""
+    key = (sf_dir, 16, 32, 3)
+    fitted = _PQ_CACHE.get(key)
+    if fitted is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        codes, codebook = similarity.pq_fit(emb, "vec_id", "embedding", m=16, ksub=32, iters=3)
+        fitted = (codes.persist(), codebook.persist())
+        _PQ_CACHE[key] = fitted
+    return fitted
+
+
+def q_embed_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (similarity.pq_topk): the scan
+    reads only the m=16 small-int codes per vector (~3% of float bytes)
+    and sums m distance-table lookups. Approximate by design → rows-only
+    check; recall (and the shortlist+rescore funnel's recovery) is
+    pinned in tests and reported in BENCH detail.ann_recall."""
+    codes, codebook = _fitted_pq(spark, sf_dir)
+    return similarity.pq_topk(codes, codebook, _query_vec(spark, sf_dir), k=10)
+
+
+def q_embed_pq_funnel(spark, sf_dir):
+    """PQ shortlist + exact rescore (similarity.pq_funnel_topk): the
+    integer-code scan keeps 50 candidates; only they re-read float
+    vectors for the exact cosine top-10. Approximate only through the
+    shortlist (rows-only check; recall pinned in tests)."""
+    codes, codebook = _fitted_pq(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_funnel_topk(
+        emb, codes, codebook, _query_vec(spark, sf_dir), shortlist=50, k=10
+    )
+
+
 def q_embed_ivf_topk(spark, sf_dir):
     """IVF ANN tier (deterministic k-means-lite, nprobe inverted lists).
     Approximate by design → rows-only check; recall vs the exact tier is
@@ -2393,6 +2432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk_int8": q_embed_topk_int8,
         "dedup_source_matrix": q_dedup_source_matrix,
         "events_stream_hopping_append": q_events_stream_hopping_append,
+        "embed_pq_topk": q_embed_pq_topk,
+        "embed_pq_funnel": q_embed_pq_funnel,
         "events_rolling_dau": q_events_rolling_dau,
         "events_session_overlaps": q_events_session_overlaps,
         "store_cdc_changes": q_store_cdc_changes,

@@ -141,6 +141,11 @@ HEADLINE = [
     ("events_session_overlaps", "count"),
     ("embed_topk_int8", "collect"),
     ("dedup_source_matrix", "collect"),
+    # PQ ADC tier (approximate; recall in detail.ann_recall): integer-code
+    # scan + shortlist/rescore funnel — the fitted codebook is a standing
+    # cache like the IVF index, so headline timings measure the probe
+    ("embed_pq_topk", "collect"),
+    ("embed_pq_funnel", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host
@@ -190,6 +195,12 @@ def _ann_recall(spark, queries) -> dict:
     ivf_topk = {
         r["vec_id"] for r in queries["embed_ivf_topk"](spark, SF_DIR).collect()
     }
+    pq_topk = {
+        r["vec_id"] for r in queries["embed_pq_topk"](spark, SF_DIR).collect()
+    }
+    pq_funnel = {
+        r["vec_id"] for r in queries["embed_pq_funnel"](spark, SF_DIR).collect()
+    }
     # pair recall: LSH-banded candidates vs the exact all-pairs set at the
     # same threshold (fast double scorer on both sides — recall measures
     # candidate generation, not the scorer)
@@ -212,6 +223,8 @@ def _ann_recall(spark, queries) -> dict:
     return {
         "embed_lsh_topk": round(len(exact_topk & lsh_topk) / k, 3),
         "embed_ivf_topk": round(len(exact_topk & ivf_topk) / k, 3),
+        "embed_pq_topk": round(len(exact_topk & pq_topk) / k, 3),
+        "embed_pq_funnel": round(len(exact_topk & pq_funnel) / k, 3),
         "embed_cosine_lsh": round(
             len(exact_pairs & lsh_pairs) / max(1, len(exact_pairs)), 3
         ),

@@ -41,6 +41,9 @@ __all__ = [
     "topk_cosine_truncated",
     "funnel_topk",
     "topk_cosine_int8",
+    "pq_fit",
+    "pq_topk",
+    "pq_funnel_topk",
 ]
 
 
@@ -758,4 +761,177 @@ def topk_cosine_int8(
         )
         .orderBy(F.col("cosine_q").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def _unit(vec_col: str) -> F.Column:
+    """v / ||v|| in double (zero vectors pass through unchanged)."""
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+    )
+    return F.when(
+        nrm > 0, F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm)
+    ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+
+
+def pq_fit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization codebook fit: vectors are L2-normalized (so
+    squared L2 is monotone with cosine), split into ``m`` contiguous
+    subvectors, and a deterministic k-means-lite runs over ALL subspaces
+    SIMULTANEOUSLY — the training set is the exploded (id, sub, subvec)
+    table, centroids are keyed by (sub, cluster), and each Lloyd round is
+    one broadcast-join assignment plus one (sub, cluster, dim) shuffle —
+    m independent fits for the price of one pipeline. Seeding mirrors
+    :func:`ivf_fit`: the ``ksub`` smallest ids' subvectors, no RNG, so
+    the build is restartable and executor-independent.
+
+    Returns (codes (id, codes array<int> length m),
+             codebook (sub, cluster, centroid array<double>)).
+    Memory: codes are m small ints per vector — with m=8 on 64-dim
+    floats that is a 32× compression of the search state.
+    """
+    spark = emb.sparkSession
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    d = int(first["d"])
+    if d % m:
+        raise ValueError(f"dims {d} not divisible by m={m}")
+    dsub = d // m
+    unit = ensure_parallelism(emb).select(F.col(id_col), _unit(vec_col).alias("__u"))
+    subs = unit.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> slice(__u, s * {dsub} + 1, {dsub}))"
+            )
+        ).alias("sub", "subvec"),
+    ).persist()
+    seed_rows = unit.orderBy(id_col).limit(ksub).collect()
+    codebook = spark.createDataFrame(
+        [
+            (s, i, [float(x) for x in r["__u"][s * dsub : (s + 1) * dsub]])
+            for i, r in enumerate(seed_rows)
+            for s in range(m)
+        ],
+        "sub int, cluster int, centroid array<double>",
+    )
+    assigned = None
+    for _ in range(iters):
+        scored = subs.join(F.broadcast(codebook), "sub").select(
+            F.col(id_col),
+            "sub",
+            "cluster",
+            F.aggregate(
+                F.zip_with(
+                    F.col("subvec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            ).alias("dist"),
+        )
+        assigned = scored.groupBy(id_col, "sub").agg(
+            F.min_by("cluster", F.struct("dist", "cluster")).alias("cluster")
+        )
+        codebook = (
+            assigned.join(subs, [id_col, "sub"])
+            .select("sub", "cluster", F.posexplode("subvec").alias("pos", "v"))
+            .groupBy("sub", "cluster", "pos")
+            .agg(F.avg("v").alias("mdim"))
+            .groupBy("sub", "cluster")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "mdim"))),
+                    lambda s: s["mdim"],
+                ).alias("centroid")
+            )
+        )
+    codes = assigned.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("sub", "cluster"))),
+            lambda s: s["cluster"],
+        ).alias("codes")
+    )
+    subs.unpersist()
+    return codes, codebook
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query is
+    normalized and sliced per subspace, a (sub, cluster) → squared-L2
+    distance TABLE is computed against the codebook (m × ksub rows —
+    broadcast), and each corpus vector's approximate distance is the sum
+    of m table lookups on its codes. The scan touches only the codes
+    (m small ints per vector — never the original embeddings), which is
+    the entire point at 100 TB: the ADC pass reads ~3% of the bytes of a
+    float scan. Approximate by design (rows-only oracle tier like
+    LSH/IVF; recall pinned by test). Output: (id, approx_dist) ascending
+    — on normalized vectors squared L2 is monotone with cosine."""
+    m = codebook.groupBy().agg(F.max("sub")).first()[0] + 1
+    q = query.select(_unit("qvec").alias("__qu")).first()["__qu"]
+    dsub = len(q) // m
+    spark = codes.sparkSession
+    qsubs = spark.createDataFrame(
+        [(s, [float(x) for x in q[s * dsub : (s + 1) * dsub]]) for s in range(m)],
+        "sub int, qsub array<double>",
+    )
+    table = (
+        codebook.join(F.broadcast(qsubs), "sub")
+        .select(
+            "sub",
+            "cluster",
+            F.aggregate(
+                F.zip_with(
+                    F.col("centroid"), F.col("qsub"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            ).alias("dsq"),
+        )
+    )
+    exploded = codes.select(F.col(id_col), F.posexplode("codes").alias("sub", "cluster"))
+    return (
+        exploded.join(F.broadcast(table), ["sub", "cluster"])
+        .groupBy(id_col)
+        .agg(F.sum("dsq").alias("approx_dist"))
+        .orderBy(F.col("approx_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_funnel_topk(
+    emb: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    query: DataFrame,
+    shortlist: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ shortlist + exact rescore — the production ADC pipeline: the
+    cheap integer-code scan (:func:`pq_topk`) keeps ``shortlist``
+    candidates, then only those re-read their float vectors for the exact
+    cosine cut to ``k``. Same funnel economics as
+    :func:`funnel_topk`, with the corpus-wide pass reading PQ codes
+    (~3% of float bytes) instead of truncated floats; the rescore
+    recovers most of the quantization-error recall (pinned by test)."""
+    short = pq_topk(codes, codebook, query, shortlist, id_col).select(id_col)
+    return topk_cosine(
+        emb.join(F.broadcast(short), id_col, "left_semi"), query, k, id_col, vec_col
     )

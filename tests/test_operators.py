@@ -1872,3 +1872,26 @@ def test_stream_hopping_append_finalizes_and_evicts(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
     state = [o for p in prog for o in (p.get("stateOperators") or [])]
     assert sum(o.get("numRowsRemoved", 0) for o in state) > 0, state
+
+
+def test_pq_topk_recall_and_funnel_recovery(spark, emb):
+    """PQ ADC must recover a meaningful share of the exact top-10 from
+    integer codes alone, find the query vector itself (its own codes are
+    the nearest reconstruction), and the shortlist+rescore funnel must
+    recover strictly more recall than the raw ADC cut."""
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    exact = {r["vec_id"] for r in similarity.topk_cosine(emb, q, 10).collect()}
+    codes, cb = similarity.pq_fit(emb, m=16, ksub=32, iters=3)
+    codes, cb = codes.persist(), cb.persist()
+    adc = [r["vec_id"] for r in similarity.pq_topk(codes, cb, q, 10).collect()]
+    assert adc[0] == 0  # self-match: zero reconstruction gap beats all
+    assert len(exact & set(adc)) >= 3
+    fun = {
+        r["vec_id"]
+        for r in similarity.pq_funnel_topk(emb, codes, cb, q, shortlist=50, k=10).collect()
+    }
+    assert len(exact & fun) >= len(exact & set(adc))
+    assert len(exact & fun) >= 5
+    # codes really are m small ints
+    row = codes.first()
+    assert len(row["codes"]) == 16 and all(0 <= c < 32 for c in row["codes"])
