@@ -2411,9 +2411,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup": q_events_stream_dedup,
         "bucketed_join": q_bucketed_join,
         "stream_ingest": q_stream_ingest,
-        # ---- entry #51+: 2-3 driver-green rounds each; locally oracle-checked
-        # (store_zorder_find / events_stream_heavy are new this session —
-        # next rotation's candidates) ----
+        # ---- entry #51+: 2-3 driver-green rounds each; locally oracle-checked.
+        # NEXT ROTATION'S first-time candidates (never driver-certified, all
+        # local-oracle green via scripts/oracle_check.py): store_zorder_find,
+        # events_stream_heavy, dedup_cdc_strip, store_delete_pred (rotated
+        # out this round after 3 greens), text_encoding, store_replicate,
+        # mm_png_tiles, text_decontaminate, events_gapfill_interp,
+        # except_custkeys, full_outer_reconcile, salted_join_revenue,
+        # csv_roundtrip_stats, embed_topk_trunc, embed_funnel_topk,
+        # embed_topk_int8, events_rolling_dau, events_session_overlaps,
+        # dedup_source_matrix, events_stream_hopping_append,
+        # embed_pq_topk + embed_pq_funnel (rows-only tiers) ----
         "store_zorder_find": q_store_zorder_find,
         "events_stream_heavy": q_events_stream_heavy,
         "dedup_cdc_strip": q_dedup_cdc_strip,
