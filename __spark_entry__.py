@@ -1487,6 +1487,19 @@ def q_embed_pq_funnel(spark, sf_dir):
     )
 
 
+def q_embed_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ (similarity.ivf_pq_topk): probe the nprobe nearest IVF
+    cells, ADC-score only their members from integer codes — the
+    standard large-scale ANN composition, multiplying both standing
+    indexes' savings. Approximate by design → rows-only; recall pinned
+    in tests and reported in BENCH detail.ann_recall."""
+    codes, codebook = _fitted_pq(spark, sf_dir)
+    return similarity.ivf_pq_topk(
+        codes, codebook, _fitted_ivf(spark, sf_dir), _query_vec(spark, sf_dir),
+        k=10, nprobe=6,
+    )
+
+
 def q_embed_ivf_topk(spark, sf_dir):
     """IVF ANN tier (deterministic k-means-lite, nprobe inverted lists).
     Approximate by design → rows-only check; recall vs the exact tier is
@@ -2442,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_hopping_append": q_events_stream_hopping_append,
         "embed_pq_topk": q_embed_pq_topk,
         "embed_pq_funnel": q_embed_pq_funnel,
+        "embed_ivf_pq_topk": q_embed_ivf_pq_topk,
         "events_rolling_dau": q_events_rolling_dau,
         "events_session_overlaps": q_events_session_overlaps,
         "store_cdc_changes": q_store_cdc_changes,

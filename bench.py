@@ -146,6 +146,7 @@ HEADLINE = [
     # cache like the IVF index, so headline timings measure the probe
     ("embed_pq_topk", "collect"),
     ("embed_pq_funnel", "collect"),
+    ("embed_ivf_pq_topk", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host
@@ -201,6 +202,9 @@ def _ann_recall(spark, queries) -> dict:
     pq_funnel = {
         r["vec_id"] for r in queries["embed_pq_funnel"](spark, SF_DIR).collect()
     }
+    ivf_pq = {
+        r["vec_id"] for r in queries["embed_ivf_pq_topk"](spark, SF_DIR).collect()
+    }
     # pair recall: LSH-banded candidates vs the exact all-pairs set at the
     # same threshold (fast double scorer on both sides — recall measures
     # candidate generation, not the scorer)
@@ -225,6 +229,7 @@ def _ann_recall(spark, queries) -> dict:
         "embed_ivf_topk": round(len(exact_topk & ivf_topk) / k, 3),
         "embed_pq_topk": round(len(exact_topk & pq_topk) / k, 3),
         "embed_pq_funnel": round(len(exact_topk & pq_funnel) / k, 3),
+        "embed_ivf_pq_topk": round(len(exact_topk & ivf_pq) / k, 3),
         "embed_cosine_lsh": round(
             len(exact_pairs & lsh_pairs) / max(1, len(exact_pairs)), 3
         ),

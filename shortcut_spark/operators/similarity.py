@@ -44,6 +44,7 @@ __all__ = [
     "pq_fit",
     "pq_topk",
     "pq_funnel_topk",
+    "ivf_pq_topk",
 ]
 
 
@@ -935,3 +936,51 @@ def pq_funnel_topk(
     return topk_cosine(
         emb.join(F.broadcast(short), id_col, "left_semi"), query, k, id_col, vec_col
     )
+
+
+def ivf_pq_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    ivf_fitted: tuple[DataFrame, DataFrame],
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ — the standard large-scale ANN composition: the IVF layer
+    ranks centroids against the query and keeps the ``nprobe`` nearest
+    cells' members; the PQ layer ADC-scores ONLY those candidates from
+    their integer codes. Per query the work is nprobe/n_clusters of the
+    corpus touched, at ~3% of float bytes per candidate — multiplying
+    both indexes' savings; neither the probe nor the scoring ever reads
+    an original embedding. Both index builds are standing, per-corpus
+    artifacts (``ivf_fit``, ``pq_fit``). Output: (id, approx_dist)
+    ascending (normalized-space squared L2 — monotone with cosine).
+    Approximate by design; recall pinned by test, funnel rescore
+    (:func:`pq_funnel_topk` shape) recovers the tail when needed."""
+    assigned, centroids = ivf_fitted
+    q = query.select(F.col("qvec"))
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "cluster",
+            F.aggregate(
+                F.zip_with(
+                    F.col("centroid"), F.col("qvec"), lambda x, y: (x - y.cast("double")) ** 2
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            ).alias("dist"),
+        )
+        .orderBy("dist", "cluster")
+        .limit(nprobe)
+        .select("cluster")
+    )
+    cand_codes = codes.join(
+        assigned.join(F.broadcast(probe), "cluster", "left_semi").select(id_col),
+        id_col,
+        "left_semi",
+    )
+    # ADC over the candidate codes only — same table build as pq_topk
+    out = pq_topk(cand_codes, codebook, query, k, id_col)
+    return out

@@ -1895,3 +1895,27 @@ def test_pq_topk_recall_and_funnel_recovery(spark, emb):
     # codes really are m small ints
     row = codes.first()
     assert len(row["codes"]) == 16 and all(0 <= c < 32 for c in row["codes"])
+
+
+def test_ivf_pq_topk_recall_and_probe_bound(spark, emb):
+    """IVF-PQ finds the query's own vector (its cell is probed, its codes
+    reconstruct best), recovers a meaningful share of the exact top-10,
+    and at full probe width equals plain PQ (the IVF layer only ever
+    REMOVES candidates)."""
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    exact = {r["vec_id"] for r in similarity.topk_cosine(emb, q, 10).collect()}
+    codes, cb = similarity.pq_fit(emb, m=16, ksub=32, iters=3)
+    codes, cb = codes.persist(), cb.persist()
+    fitted = similarity.ivf_fit(emb, "vec_id", "embedding", 16, 2)
+    out = [
+        r["vec_id"]
+        for r in similarity.ivf_pq_topk(codes, cb, fitted, q, k=10, nprobe=6).collect()
+    ]
+    assert out[0] == 0
+    assert len(exact & set(out)) >= 3
+    full = [
+        r["vec_id"]
+        for r in similarity.ivf_pq_topk(codes, cb, fitted, q, k=10, nprobe=16).collect()
+    ]
+    plain = [r["vec_id"] for r in similarity.pq_topk(codes, cb, q, 10).collect()]
+    assert full == plain  # probing every cell = no IVF filtering at all
