@@ -23,7 +23,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["asof_max", "range_pairs_within", "salted_join", "fuzzy_join"    "interval_overlap_pairs",
+__all__ = [
+    "asof_max",
+    "range_pairs_within",
+    "salted_join",
+    "fuzzy_join",
+    "interval_overlap_pairs",
 ]
 
 

@@ -437,6 +437,7 @@ def ivf_fit(
     vec_col: str = "embedding",
     k: int = 16,
     iters: int = 2,
+    normalize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic k-means-lite for an IVF index: centroids seeded from
     the k smallest ids, Lloyd iterations done with array expressions
@@ -447,8 +448,19 @@ def ivf_fit(
     a min_by reduction, centroid update is one shuffle on (cluster, dim).
     No RNG state: restartable and executor-independent, which is what an
     IVF build job needs at 100 TB.
+
+    ``normalize=True`` fits on L2-normalized vectors — REQUIRED when the
+    index feeds :func:`ivf_pq_topk`, whose PQ layer lives in normalized
+    (cosine-monotone) space: fitting IVF on raw vectors while ADC scores
+    normalized codes mixes metric spaces, and when norms vary the probed
+    cells stop matching cosine neighborhoods (recall collapses beyond
+    what either index alone costs). The probe side normalizes the query
+    to match (standard IVF-PQ construction).
     """
-    vecs = ensure_parallelism(emb.select(F.col(id_col), F.col(vec_col))).persist()
+    src = emb.select(F.col(id_col), F.col(vec_col))
+    if normalize:
+        src = emb.select(F.col(id_col), _unit(vec_col).alias(vec_col))
+    vecs = ensure_parallelism(src).persist()
     # Seed from the k smallest ids via distributed top-k
     # (TakeOrderedAndProject) and number the k rows on the driver — k is a
     # small constant, so the collect is bounded bookkeeping, not a data
@@ -817,7 +829,13 @@ def pq_fit(
             )
         ).alias("sub", "subvec"),
     ).persist()
-    seed_rows = unit.orderBy(id_col).limit(ksub).collect()
+    # Seed DIVERSELY but deterministically: order by md5(id) rather than id
+    # — consecutive ids are often correlated (same source/batch), and
+    # correlated seeds collapse Lloyd iterations into few effective
+    # clusters, which is exactly the low-recall failure mode. md5 ordering
+    # is a fixed pseudo-random permutation: restartable, executor-
+    # independent, and spread across the corpus.
+    seed_rows = unit.orderBy(F.md5(F.col(id_col).cast("string")), id_col).limit(ksub).collect()
     codebook = spark.createDataFrame(
         [
             (s, i, [float(x) for x in r["__u"][s * dsub : (s + 1) * dsub]])
@@ -946,6 +964,9 @@ def ivf_pq_topk(
     k: int = 10,
     nprobe: int = 4,
     id_col: str = "vec_id",
+    refine: int = 0,
+    emb: DataFrame | None = None,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF-PQ — the standard large-scale ANN composition: the IVF layer
     ranks centroids against the query and keeps the ``nprobe`` nearest
@@ -957,9 +978,21 @@ def ivf_pq_topk(
     artifacts (``ivf_fit``, ``pq_fit``). Output: (id, approx_dist)
     ascending (normalized-space squared L2 — monotone with cosine).
     Approximate by design; recall pinned by test, funnel rescore
-    (:func:`pq_funnel_topk` shape) recovers the tail when needed."""
+    (:func:`pq_funnel_topk` shape) recovers the tail when needed.
+
+    The IVF index must be fit with ``ivf_fit(..., normalize=True)`` so
+    both layers share the normalized (cosine-monotone) space the PQ codes
+    live in; the probe normalizes the query to match.
+
+    ``refine > 0`` appends the standard refine stage (Faiss
+    ``IndexRefineFlat`` shape): ADC keeps ``refine`` candidates, then
+    ONLY those re-read their float vectors (``emb`` required) for an
+    exact cosine cut to ``k`` — output (id, score) descending. When the
+    k-nearest cosine margins sit below PQ quantization noise (common for
+    near-uniform corpora), the rescore recovers the recall the raw ADC
+    ranking cannot; the corpus-wide pass still reads only integer codes."""
     assigned, centroids = ivf_fitted
-    q = query.select(F.col("qvec"))
+    q = query.select(_unit("qvec").alias("qvec"))
     probe = (
         centroids.crossJoin(F.broadcast(q))
         .select(
@@ -982,5 +1015,11 @@ def ivf_pq_topk(
         "left_semi",
     )
     # ADC over the candidate codes only — same table build as pq_topk
-    out = pq_topk(cand_codes, codebook, query, k, id_col)
-    return out
+    if not refine:
+        return pq_topk(cand_codes, codebook, query, k, id_col)
+    if emb is None:
+        raise ValueError("refine > 0 requires the float-vector table (emb=...)")
+    short = pq_topk(cand_codes, codebook, query, refine, id_col).select(id_col)
+    return topk_cosine(
+        emb.join(F.broadcast(short), id_col, "left_semi"), query, k, id_col, vec_col
+    )

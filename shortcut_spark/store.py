@@ -650,8 +650,18 @@ class Store:
         if spec is not None and spec.columns:
             # composite: sketch the TUPLE — ndv of the combined key is the
             # whole point of the index's cost-model advantage
+            # Injective tuple encoding: concat_ws SKIPS null members, which
+            # would collapse ('a', NULL), (NULL, 'a') and ('a',) into one
+            # sketch key and underestimate tuple ndv (a cost-model input).
+            # Hash each member to a fixed-width token (null → a marker no
+            # md5 can produce) before joining, so distinct tuples always
+            # yield distinct keys.
             key = F.concat_ws(
-                "\x1f", *[F.col(f"k{i}").cast("string") for i in range(len(spec.columns))]
+                "\x1f",
+                *[
+                    F.coalesce(F.md5(F.col(f"k{i}").cast("string")), F.lit("<null>"))
+                    for i in range(len(spec.columns))
+                ],
             )
             return F.hll_sketch_agg(key).alias("__sk")
         return F.hll_sketch_agg(F.col("key").cast("string")).alias("__sk")
@@ -1542,7 +1552,74 @@ class Store:
         if got != expect:
             raise ValueError(f"delta schema mismatch: expected {expect}, got {got}")
         delta = delta.persist()
+        # All in-memory manifest staging below is guarded by a snapshot:
+        # any failure (the collision guard, an IO error mid-write) restores
+        # the pre-delta manifest so a later unrelated _commit can never
+        # persist a rejected delta's staged deletes. Orphan parquet dirs
+        # left behind are inert and vacuumable, same as merge().
+        snapshot = Manifest.from_json(self.manifest.to_json())
         try:
+            ins = delta.filter(F.col("change_type") == "insert").select(
+                ROWID, *self.manifest.schema.fieldNames()
+            )
+            st = ins.agg(
+                F.count(F.lit(1)).alias("n"), F.min(ROWID).alias("lo"), F.max(ROWID).alias("hi")
+            ).collect()[0]
+            n_ins = int(st["n"] or 0)
+            # Legitimacy guard — runs BEFORE any manifest staging so a
+            # rejected delta leaves no state behind. An insert's rowid may
+            # sit below the follower watermark (a RESTORE on the leader
+            # resurrects old rowids — changes() emits them as inserts), so
+            # the check is COLLISION against the live set, not a watermark
+            # floor: a colliding rowid means the delta was applied twice or
+            # the follower took a local write. One semi-join on the
+            # column-pruned rowid scan; live set is empty on a fresh
+            # follower, so bootstrap pays nothing.
+            if n_ins and self.manifest.files:
+                live_ids = self.find([], with_rowid=True).select(ROWID)
+                n_clash = ins.select(ROWID).join(live_ids, ROWID, "left_semi").count()
+                if n_clash:
+                    raise ValueError(
+                        f"{n_clash} delta insert rowid(s) collide with live "
+                        "follower rows — the delta was applied twice, or the "
+                        "follower took a local write"
+                    )
+            # Resurrection via tombstone purge: a delta insert may carry a
+            # rowid this follower previously TOMBSTONED (leader deleted
+            # then RESTOREd across the window; changes() nets within-
+            # window, so the same delta never both deletes and inserts one
+            # rowid). The masked PHYSICAL copy still sits in a live file —
+            # rows are immutable (add/remove only), so a rowid always maps
+            # to the same content and un-masking it IS the resurrection;
+            # inserting a second physical copy would duplicate the rowid.
+            # Without the purge the insert path would also leave the row
+            # permanently masked (reads anti-join the whole tombstone set)
+            # — silent divergence from the leader. Consolidate the
+            # tombstone parts minus the delta's insert rowids in the SAME
+            # commit; rowids absent from the tombstone set (including
+            # resurrections whose masked copy was since compacted away)
+            # fall through to the physical-insert path below. Skipped
+            # entirely (one semi-join probe) when nothing is resurrected.
+            n_res = 0
+            if n_ins and self.manifest.tombstones:
+                tomb = self._tombstone_df()
+                ins_ids = ins.select(ROWID)
+                n_res = tomb.join(ins_ids, ROWID, "left_semi").count()
+                if n_res:
+                    keep_rel = os.path.join(
+                        "tomb", f"p{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
+                    )
+                    tomb.join(ins_ids, ROWID, "left_anti").write.parquet(self._abs(keep_rel))
+                    n_keep = (
+                        self.spark.read.schema(f"{ROWID} long")
+                        .parquet(self._abs(keep_rel))
+                        .count()
+                    )
+                    # tomb lazily re-reads the OLD part paths (still on
+                    # disk) — safe to keep using after the manifest swap
+                    ins = ins.join(tomb, ROWID, "left_anti")
+                    self.manifest.tombstones = [keep_rel] if n_keep else []
+                    self.manifest.tombstone_rows = n_keep
             n_del = 0
             dels = delta.filter(F.col("change_type") == "delete").select(ROWID)
             if self.manifest.files:
@@ -1565,40 +1642,20 @@ class Store:
                     import shutil
 
                     shutil.rmtree(self._abs(victims_rel), ignore_errors=True)
-            ins = delta.filter(F.col("change_type") == "insert").select(
-                ROWID, *self.manifest.schema.fieldNames()
-            )
-            st = ins.agg(
-                F.count(F.lit(1)).alias("n"), F.min(ROWID).alias("lo"), F.max(ROWID).alias("hi")
-            ).collect()[0]
-            n_ins = int(st["n"] or 0)
-            if n_ins:
-                # Legitimacy guard: an insert's rowid may sit below the
-                # follower watermark (a RESTORE on the leader resurrects
-                # old rowids — changes() emits them as inserts), so the
-                # check is COLLISION against the live set, not a watermark
-                # floor: a colliding rowid means the delta was applied
-                # twice or the follower took a local write. One semi-join
-                # on the column-pruned rowid scan; live set is empty on a
-                # fresh follower, so bootstrap pays nothing.
-                if self.manifest.files:
-                    live_ids = self.find([], with_rowid=True).select(ROWID)
-                    n_clash = ins.select(ROWID).join(live_ids, ROWID, "left_semi").count()
-                    if n_clash:
-                        raise ValueError(
-                            f"{n_clash} delta insert rowid(s) collide with live "
-                            "follower rows — the delta was applied twice, or the "
-                            "follower took a local write"
-                        )
+            if n_ins - n_res > 0:
                 batch_rel = os.path.join(
                     "data", f"r{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
                 )
-                self._cluster_batch(ins, n_ins).write.parquet(self._abs(batch_rel))
+                self._cluster_batch(ins, n_ins - n_res).write.parquet(self._abs(batch_rel))
                 self._register_and_index(batch_rel)
+            if n_ins:
                 self.manifest.rowid = max(self.manifest.rowid, int(st["hi"]) + 1)
             if n_ins or n_del:
                 self._commit()
             return n_ins, n_del
+        except BaseException:
+            self.manifest = snapshot
+            raise
         finally:
             delta.unpersist()
 

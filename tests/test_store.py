@@ -962,3 +962,74 @@ def test_changes_exact_across_restore(spark, store_path, tmp_path):
     # double-apply still detected: the resurrected rowid now collides
     with pytest.raises(ValueError):
         follower.apply_changes(leader.changes(v_synced))
+
+
+def test_apply_changes_resurrection_purges_follower_tombstone(spark, store_path, tmp_path):
+    """r4 ADVICE (high): a delta insert may carry a rowid the follower
+    previously TOMBSTONED (leader delete applied, then the leader
+    restore()d across the window). Reads anti-join the whole tombstone
+    set, so without purging it the resurrected copy is inserted yet
+    permanently masked — the leader shows the row, the follower doesn't,
+    and apply_changes reports success. The fix consolidates the stale
+    tombstone away in the SAME commit as the insert."""
+    leader = Store.create(spark, store_path, 2)
+    vc = leader.manifest.version
+    leader.insert([("a", "1"), ("b", "2"), ("c", "3")])
+    v0 = leader.manifest.version
+
+    follower = Store.create(spark, str(tmp_path / "f"), 2)
+    follower.apply_changes(leader.changes(vc))
+
+    leader.delete([eq(0, "a")])
+    v1 = leader.manifest.version
+    ni, nd = follower.apply_changes(leader.changes(v0))
+    assert (ni, nd) == (0, 1)
+    assert follower.manifest.tombstone_rows == 1  # "a"'s rowid masked
+
+    leader.restore(v0)  # resurrects "a" under its ORIGINAL rowid
+    ni, nd = follower.apply_changes(leader.changes(v1))
+    assert (ni, nd) == (1, 0)
+    # convergence: the resurrected row is VISIBLE on the follower
+    assert rows_of(follower.find([])) == rows_of(leader.find([]))
+    # and the stale tombstone was purged in the same commit
+    assert follower.manifest.tombstone_rows == 0
+    # reopen from disk: the purge was committed, not in-memory-only
+    reopened = Store.open(spark, str(tmp_path / "f"))
+    assert rows_of(reopened.find([])) == rows_of(leader.find([]))
+
+
+def test_apply_changes_rejected_delta_stages_nothing(spark, store_path, tmp_path):
+    """r4 ADVICE (medium): a delta that fails the insert-collision guard
+    must leave ZERO staged manifest state — previously its deletes were
+    staged first, survived the raise, and the next unrelated _commit
+    silently persisted them. The guard now runs before any staging and
+    the whole apply is wrapped in a manifest-snapshot rollback."""
+    leader = Store.create(spark, store_path, 2)
+    vc = leader.manifest.version
+    leader.insert([(f"k{i}", str(i)) for i in range(6)])
+    follower = Store.create(spark, str(tmp_path / "f"), 2)
+    follower.apply_changes(leader.changes(vc))
+
+    live = {
+        r[follower.colnames[0]]: r["__rowid"]
+        for r in follower.find([], with_rowid=True).collect()
+    }
+    # crafted bad delta: a delete that targets a LIVE follower row plus
+    # an insert whose rowid collides with another live row
+    bad = spark.createDataFrame(
+        [
+            ("delete", live["k3"], "k3", "3"),
+            ("insert", live["k1"], "k1", "dup"),
+        ],
+        f"change_type string, __rowid long, "
+        f"{follower.colnames[0]} string, {follower.colnames[1]} string",
+    )
+    before = follower.manifest.to_json()
+    with pytest.raises(ValueError, match="collide"):
+        follower.apply_changes(bad)
+    assert follower.manifest.to_json() == before  # nothing staged
+    # a later legitimate write carries none of the rejected delta's state
+    leader.insert([("tail", "9")])
+    follower.apply_changes(leader.changes(leader.manifest.version - 1))
+    assert rows_of(follower.find([])) == rows_of(leader.find([]))
+    assert follower.manifest.tombstone_rows == 0
