@@ -78,6 +78,14 @@ class IndexSpec:
     # then holds the canonical joined name ("a,b") used as the manifest
     # key and the posting directory. None for single-column kinds.
     columns: list[str] | None = None
+    # per-part [min, max] of the range key ("key", or "k0" for COMPOSITE),
+    # recorded at part write for primitive orderable key types — the
+    # index-layer analogue of DataFile.stats: a point probe prunes whole
+    # posting parts driver-side before any Spark job, so probe cost scales
+    # with the parts that can contain the key, not the posting total.
+    # Parts absent from the map (legacy, or non-orderable keys) are always
+    # probed — conservative superset contract.
+    part_stats: dict = field(default_factory=dict)
 
     def supports(self, cmp: Comparison) -> bool:
         """Which comparisons this index can serve.
@@ -119,6 +127,7 @@ class IndexSpec:
             "sketch": self.sketch,
             "params": dict(self.params),
             "columns": list(self.columns) if self.columns else None,
+            "part_stats": {k: list(v) for k, v in self.part_stats.items()},
         }
 
     @classmethod
@@ -132,6 +141,7 @@ class IndexSpec:
             d.get("sketch"),
             params=dict(d.get("params") or {}),
             columns=list(d["columns"]) if d.get("columns") else None,
+            part_stats={k: list(v) for k, v in (d.get("part_stats") or {}).items()},
         )
 
     @property

@@ -587,16 +587,64 @@ class Store:
             key_cols = [F.col(c).alias(f"k{i}") for i, c in enumerate(spec.columns)]
         else:
             key_cols = [F.col(spec.column).alias("key")]
+        rkey = "k0" if spec.columns else "key"
         postings = (
             df.join(F.broadcast(mapping), "__file_path")
             .select(*key_cols, "__file_id")
             .distinct()
-        )
-        if spec.kind == BTREE:
-            postings = postings.sortWithinPartitions("key")
-        postings.write.parquet(self._abs(part_rel))
-        spec.parts.append(part_rel)
-        self._refresh_index_stats(spec, new_parts=[part_rel] if incremental else None)
+        ).persist()
+        try:
+            # ONE fused agg over the cached batch: posting count + range-key
+            # min/max (part-level pruning stats) + the HLL key sketch the
+            # incremental ndv merge needs — replaces the separate
+            # part-re-read the stats refresh used to do, so the insert path
+            # runs the same number of jobs as before sharding existed.
+            st = postings.agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.min(rkey).alias("__lo"),
+                F.max(rkey).alias("__hi"),
+                self._sketch_agg(spec),
+            ).collect()[0]
+            n_post = int(st["__n"] or 0)
+            # range-shard the part so every output file covers a disjoint
+            # key range: a point probe's pushed-down key predicate then
+            # reads ~one shard's row groups, keeping probe IO sublinear in
+            # posting size however large the part grows
+            n_shards = min(64, max(1, n_post // self.POSTING_SHARD_ROWS + 1))
+            out = postings
+            if self._stats_ok(st["__lo"]) and self._stats_ok(st["__hi"]):
+                if n_shards > 1:
+                    out = postings.repartitionByRange(n_shards, rkey)
+                out = out.sortWithinPartitions(rkey)  # tight per-file footer ranges
+                spec.part_stats[part_rel] = [
+                    self._stats_val(st["__lo"]), self._stats_val(st["__hi"])
+                ]
+            elif spec.kind == BTREE:
+                out = postings.sortWithinPartitions("key")
+            out.write.parquet(self._abs(part_rel))
+            spec.parts.append(part_rel)
+            self._refresh_index_stats(
+                spec,
+                new_parts=[part_rel] if incremental else None,
+                new_sketch=bytes(st["__sk"]) if (incremental and st["__sk"] is not None) else None,
+            )
+        finally:
+            postings.unpersist()
+
+    # posting parts are range-sharded into files of ~this many rows so a
+    # pushed-down point probe reads one shard, not the whole part
+    POSTING_SHARD_ROWS = 1_000_000
+
+    @staticmethod
+    def _stats_ok(v) -> bool:
+        """Part-level pruning stats are recorded only for the primitive
+        orderable types whose Python comparisons agree with SQL ordering
+        (the DataFile.stats convention) — numbers and strings."""
+        return isinstance(v, (int, float, str)) and not isinstance(v, bool)
+
+    @staticmethod
+    def _stats_val(v):
+        return v if isinstance(v, (int, str)) else float(v)
 
     def _append_blooms(
         self, spec: IndexSpec, files: Sequence[DataFile], incremental: bool = True
@@ -678,14 +726,21 @@ class Store:
             fields = [T.StructField("key", self.manifest.schema[spec.column].dataType, True)]
         return T.StructType(fields + [T.StructField("__file_id", T.IntegerType(), True)])
 
-    def _refresh_index_stats(self, spec: IndexSpec, new_parts: Sequence[str] | None = None) -> None:
+    def _refresh_index_stats(
+        self,
+        spec: IndexSpec,
+        new_parts: Sequence[str] | None = None,
+        new_sketch: bytes | None = None,
+    ) -> None:
         """rows/ndv for the cost model (``src/idx.rs:71-78``): rows = live
         table rows; ndv from a mergeable HLL sketch kept in the manifest.
 
         With ``new_parts`` and an existing sketch (the insert path), the
         new keys are sketched alone and union-merged — commit cost is
-        O(new batch), not O(all postings). Otherwise (index backfill,
-        deletes) the sketch is rebuilt from the live postings."""
+        O(new batch), not O(all postings); ``new_sketch`` (computed by the
+        posting build's own fused agg) skips even that part re-read.
+        Otherwise (index backfill, deletes) the sketch is rebuilt from the
+        live postings."""
         import base64
 
         if spec.kind == BLOOM:  # bloom keeps no key postings — sketch the data
@@ -693,10 +748,13 @@ class Store:
             return
         spec.rows = self.manifest.total_rows
         if new_parts and spec.sketch:
-            part_df = self.spark.read.schema(self._posting_schema(spec)).parquet(
-                *[self._abs(p) for p in new_parts]
-            )
-            new_sk = part_df.agg(self._sketch_agg(spec)).collect()[0]["__sk"]
+            if new_sketch is not None:
+                new_sk = new_sketch
+            else:
+                part_df = self.spark.read.schema(self._posting_schema(spec)).parquet(
+                    *[self._abs(p) for p in new_parts]
+                )
+                new_sk = part_df.agg(self._sketch_agg(spec)).collect()[0]["__sk"]
             if new_sk is None:
                 return
             merged_row = (
@@ -801,6 +859,52 @@ class Store:
         self._posting_cache[cache_key] = df
         return df
 
+    def _parts_for_probe(self, spec: IndexSpec, point) -> list[str]:
+        """Posting parts that may contain range-key value ``point`` —
+        driver-side pruning on the per-part [min, max] recorded at part
+        write (zero Spark jobs; the index-layer analogue of the manifest's
+        DataFile.stats pruning). Parts without stats, and incomparable
+        probe types, stay in — conservative superset contract."""
+        keep = []
+        for p in spec.parts:
+            st = spec.part_stats.get(p)
+            if st is None:
+                keep.append(p)
+                continue
+            try:
+                if st[0] <= point <= st[1]:
+                    keep.append(p)
+            except TypeError:
+                keep.append(p)
+        return keep
+
+    def _probe_postings(self, spec: IndexSpec, point) -> DataFrame | None:
+        """Point-probe scan over the posting parts: part-level pruning via
+        ``_parts_for_probe`` first, then a FRESH (uncached) parquet read so
+        the caller's key predicate pushes down to the parquet scan — parts
+        are range-sharded at write, so the pushed filter skips every shard
+        whose footer range excludes the key. Probe IO is therefore ~one
+        shard of one part however large the posting total; the whole-set
+        cached read (``_read_postings``) stays for small/hot indexes and
+        full rebuilds."""
+        if not spec.parts:
+            return None
+        parts = self._parts_for_probe(spec, point)
+        if not parts:
+            return self._read_postings(spec).limit(0)
+        if len(parts) == len(spec.parts):
+            # no pruning possible (legacy stats or odd probe type): the
+            # cached whole-set read amortizes better across probes
+            return self._read_postings(spec)
+        live = {f.id for f in self.manifest.files}
+        df = self.spark.read.schema(self._posting_schema(spec)).parquet(
+            *[self._abs(p) for p in parts]
+        )
+        if not live:
+            return df.limit(0)
+        ids = self.spark.createDataFrame([(i,) for i in sorted(live)], "__file_id int")
+        return df.join(F.broadcast(ids), "__file_id", "left_semi")
+
     # -- find (src/lib.rs:130-137) ------------------------------------------
 
     @staticmethod
@@ -895,7 +999,9 @@ class Store:
                     if pmap is not None:
                         hit_ids = pmap.get(tuple(probes), set())
                 if hit_ids is None:
-                    post = self._read_postings(path.index)
+                    post = self._probe_postings(
+                        path.index, path.conds[0].cmp.value.payload
+                    )
                     if post is not None:
                         pred = None
                         for i, cond in enumerate(path.conds):
@@ -930,7 +1036,12 @@ class Store:
                     if pmap is not None:
                         hit_ids = pmap.get(path.cond.cmp.value.payload, set())
                 if hit_ids is None:
-                    post = self._read_postings(path.index)
+                    if path.cond.cmp.is_const_eq:
+                        post = self._probe_postings(
+                            path.index, path.cond.cmp.value.payload
+                        )
+                    else:
+                        post = self._read_postings(path.index)
                     if post is not None:
                         key_cond = Condition("key", path.cond.cmp)
                         hit_ids = {
@@ -1818,6 +1929,7 @@ class Store:
         new_files = self._register_files(batch_rel)
         for spec in self.manifest.indices.values():
             spec.parts = []
+            spec.part_stats = {}
             spec.sketch = None  # rebuilt from the compacted postings
             self._append_postings(spec, new_files, incremental=False)
         self._commit()
