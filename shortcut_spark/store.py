@@ -110,6 +110,10 @@ class Store:
         # (column, version) -> {file_id: bitset bytes} for BLOOM indices —
         # m_bits/8 bytes per live file, probed driver-side with zero jobs
         self._bloom_maps: dict[tuple, dict] = {}
+        # (column, version) -> vectorized per-file stats arrays for the
+        # driver-side pruning loop (the SCALE.md graduation: numpy columns
+        # instead of a Python loop over files)
+        self._stats_np: dict[tuple, tuple] = {}
 
     POSTING_MAP_MAX = 2_000_000
 
@@ -429,6 +433,8 @@ class Store:
             del self._posting_maps[key]
         for key in [k for k in self._bloom_maps if k[1] != v]:
             del self._bloom_maps[key]
+        for key in [k for k in self._stats_np if k[1] != v]:
+            del self._stats_np[key]
 
     def _register_files(self, batch_rel: str) -> list[DataFile]:
         """Scan freshly-written parquet footers (metadata-only, no Spark job)
@@ -940,6 +946,120 @@ class Store:
                 return True
         return True
 
+    _STATS_SAFE_ABS = float(2**52)  # beyond this, float64 can't hold ints exactly
+
+    def _stats_arrays(self, name: str):
+        """Columnar (has, los, his, kind) numpy views of the per-file
+        min/max stats for ``name``, cached per manifest version — the
+        SCALE.md graduation of the O(files) pruning loop: the per-query
+        cost becomes a handful of vectorized comparisons instead of a
+        Python loop over every file. Returns None (cached) when the
+        column's stats can't be vectorized safely: mixed/boolean/exotic
+        types, or numeric magnitudes past 2^52 where float64 rounding
+        could wrongly EXCLUDE a file (pruning must stay a superset)."""
+        import numpy as np
+
+        key = (name, self.manifest.version)
+        cached = self._stats_np.get(key, "MISS")
+        if cached != "MISS":
+            return cached
+        files = self.manifest.files
+        n = len(files)
+        has = np.zeros(n, dtype=bool)
+        raw_lo: list = [None] * n
+        raw_hi: list = [None] * n
+        kind = None
+        ok = True
+        for i, f in enumerate(files):
+            st = f.stats.get(name)
+            if not st or st[0] is None or st[1] is None:
+                continue
+            lo, hi = st[0], st[1]
+            k = None
+            for v in (lo, hi):
+                if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+                    ok = False
+                    break
+                vk = "str" if isinstance(v, str) else "num"
+                if k is None:
+                    k = vk
+                elif vk != k:
+                    ok = False
+                    break
+                if vk == "num" and abs(v) > self._STATS_SAFE_ABS:
+                    ok = False
+                    break
+            if not ok:
+                break
+            if kind is None:
+                kind = k
+            elif k != kind:
+                ok = False
+                break
+            has[i] = True
+            raw_lo[i] = lo
+            raw_hi[i] = hi
+        if not ok or kind is None:
+            res = None
+        elif kind == "num":
+            los = np.array([v if v is not None else np.nan for v in raw_lo], dtype=np.float64)
+            his = np.array([v if v is not None else np.nan for v in raw_hi], dtype=np.float64)
+            res = (has, los, his, "num")
+        else:
+            los = np.array(raw_lo, dtype=object)
+            his = np.array(raw_hi, dtype=object)
+            res = (has, los, his, "str")
+        self._stats_np[key] = res
+        return res
+
+    def _prune_mask(self, cond: Condition, name: str):
+        """Vectorized may-match mask over ``manifest.files`` for one
+        condition, or None when the (column, probe) pair can't be
+        vectorized safely (caller falls back to `_file_may_match` per
+        file). Semantics mirror `_file_may_match` exactly: conservative
+        superset — files without stats always stay; NaN comparisons are
+        False, which the ``~has`` union absorbs."""
+        import numpy as np
+
+        arr = self._stats_arrays(name)
+        if arr is None:
+            return None
+        has, los, his, kind = arr
+        cmp = cond.cmp
+
+        def _typed(v) -> bool:
+            if kind == "str":
+                return isinstance(v, str)
+            return (
+                isinstance(v, (int, float))
+                and not isinstance(v, bool)
+                and abs(v) <= self._STATS_SAFE_ABS
+            )
+
+        try:
+            if cmp.is_const_eq:
+                v = cmp.value.payload
+                if not _typed(v):
+                    return None
+                return (~has) | ((los <= v) & (his >= v))
+            if cmp.op == "between":
+                from .cmp import Bound
+
+                for b in (cmp.lower, cmp.upper):
+                    if b is not None and not _typed(b.value):
+                        return None
+                viol = np.zeros(len(has), dtype=bool)
+                b = cmp.lower
+                if b is not None:
+                    viol |= (his < b.value) if b.kind == Bound.INCLUDED else (his <= b.value)
+                b = cmp.upper
+                if b is not None:
+                    viol |= (los > b.value) if b.kind == Bound.INCLUDED else (los >= b.value)
+                return (~has) | (has & ~viol)
+        except TypeError:
+            return None
+        return np.ones(len(has), dtype=bool)  # op this layer can't prune on
+
     def _prune_files(self, conds: Sequence[Condition]) -> tuple[AccessPath, list[DataFile]]:
         """Two pruning layers before Catalyst (both yield supersets; the
         residual filter in find() restores exactness, src/lib.rs:89-91):
@@ -953,14 +1073,32 @@ class Store:
            file granularity).
         """
         path = choose_access_path(conds, self.manifest.indices, self.colnames)
-        files = self.manifest.files
+        mask = None  # None = all manifest files still candidates
         for cond in conds:
             if cond.cmp.op == "eq" and (cond.cmp.value is None or cond.cmp.value.is_column):
                 continue
             name = cond.resolve(self.colnames)
-            files = [f for f in files if self._file_may_match(f, cond, name)]
-            if not files:
-                return path, files
+            m = self._prune_mask(cond, name)
+            if m is None:
+                # vectorization not safe for this (column, probe) pair —
+                # per-file Python check over the surviving candidates only
+                import numpy as np
+
+                if mask is None:
+                    mask = np.ones(len(self.manifest.files), dtype=bool)
+                for i, f in enumerate(self.manifest.files):
+                    if mask[i] and not self._file_may_match(f, cond, name):
+                        mask[i] = False
+            else:
+                mask = m if mask is None else (mask & m)
+            if mask is not None and not mask.any():
+                return path, []
+        if mask is None:
+            files = self.manifest.files
+        else:
+            files = [f for f, keep in zip(self.manifest.files, mask) if keep]
+        if not files:
+            return path, files
         if path.index is not None and files and path.index.kind == BLOOM:
             # zero-job path: bitsets live in a driver map (one tiny cached
             # read); a missing bitset or non-portable probe type keeps the
