@@ -1105,3 +1105,61 @@ def test_posting_part_pruning_and_sharding(spark, tmp_path):
     got = st.find([eq("k", 1050)]).collect()
     assert len(got) == 1 and got[0]["v"] == "v1050"
     assert st.find([eq("k", 777)]).count() == 0
+
+
+def test_prune_mask_edges_match_per_file_check(spark, tmp_path):
+    """The vectorized prune must agree with the per-file check on every
+    edge it claims to handle, and must FALL BACK (return None) whenever
+    vectorization could over-prune: mixed stat types, bools, and numeric
+    magnitudes past 2^52 (float64 rounding)."""
+    from pyspark.sql import types as T
+
+    from shortcut_spark import Bound, between
+    from shortcut_spark.manifest import DataFile, Manifest
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("s", T.StringType())]
+    )
+    man = Manifest(schema_json=schema.json())
+
+    def add(i, stats):
+        man.files.append(
+            DataFile(id=i, path=f"data/f{i}.parquet", rows=10,
+                     min_rowid=i * 10, max_rowid=i * 10 + 9, stats=stats)
+        )
+
+    add(0, {"k": [0, 9], "s": ["a", "f"]})
+    add(1, {"k": [10, 19], "s": ["g", "m"]})
+    add(2, {})  # no stats: must always survive
+    man.next_file_id = 3
+    st = Store(spark, str(tmp_path / "edge"), man)
+
+    # numeric eq + between, inclusive/exclusive bounds, vs the python check
+    for conds in (
+        [eq("k", 5)],
+        [eq("k", 10)],
+        [between("k", 9, 10)],
+        [between("k", Bound.excluded(9), Bound.excluded(10))],
+        [between("k", None, Bound.included(0))],
+        [eq("s", "g")],
+        [eq("s", "zz")],
+    ):
+        _, fast = st._prune_files(conds)
+        cond = conds[0]
+        name = cond.resolve(st.colnames)
+        slow = [f for f in man.files if Store._file_may_match(f, cond, name)]
+        assert [f.id for f in fast] == [f.id for f in slow], conds
+    # the no-stats file survived every prune above
+    assert all(2 in {f.id for f in st._prune_files(c)[1]} for c in ([eq("k", 5)],))
+
+    # unsafe cases fall back (None) rather than risk over-pruning
+    man2 = Manifest(schema_json=schema.json())
+    man2.files.append(DataFile(0, "data/a.parquet", 1, 0, 0, {"k": [0, 2**53]}))
+    st2 = Store(spark, str(tmp_path / "edge2"), man2)
+    assert st2._stats_arrays("k") is None  # magnitude past 2^52
+    man3 = Manifest(schema_json=schema.json())
+    man3.files.append(DataFile(0, "data/a.parquet", 1, 0, 0, {"k": [0, "x"]}))
+    st3 = Store(spark, str(tmp_path / "edge3"), man3)
+    assert st3._stats_arrays("k") is None  # mixed types
+    # safe store: string-typed probe on a numeric column falls back too
+    assert st._prune_mask(eq("k", "notanumber"), "k") is None
