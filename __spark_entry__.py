@@ -1981,6 +1981,31 @@ def q_events_heavy_hitters(spark, sf_dir):
     return heavy_hitters(_t(spark, sf_dir, "events"), "user_id", support=0.001)
 
 
+def q_events_cms_counts(spark, sf_dir):
+    """Count-Min Sketch point-frequency estimates (sketch.cms_build /
+    cms_estimate) next to the exact counts: the depth×width counter
+    table is built with md5-derived cell hashes (functions.hash32), so
+    unlike HLL/GK the whole sketch is engine-reproducible and the oracle
+    rebuilds it CELL-FOR-CELL in SQL — a hash-certified approximate
+    sketch. Fixed memory (≤ depth×width cells) and one partial-aggregated
+    shuffle at any input size; est ≥ exact always (deterministic upper
+    bound), est ≤ exact + εN w.h.p. (ε ≈ e/width)."""
+    from shortcut_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    cms = cms_build(ev, "user_id", width=1024, depth=4)
+    probes = ev.select("user_id").filter(F.col("user_id") < 50).distinct()
+    est = cms_estimate(cms, probes, "user_id", width=1024, depth=4)
+    exact = (
+        ev.filter(F.col("user_id") < 50)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return exact.join(est, "user_id").select(
+        "user_id", "exact_n", F.col("cms_est").cast("long").alias("cms_est")
+    )
+
+
 def q_events_stream_heavy(spark, sf_dir):
     """Streaming heavy hitters with BOUNDED state
     (streaming.run_stream_heavy_hitters): sharded space-saving summaries in
@@ -2566,9 +2591,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": q9_product_profit,
         "events_stream_rollup_append": q_events_stream_rollup_append,
         "data_checks": q_data_checks,
-        "corpus_clean_report": q_corpus_clean_report,
+        # slot 50: the NEW deterministic CMS sketch takes corpus_clean_report's
+        # guard slot (that family is untouched this round, 2 greens, and stays
+        # covered by corpus_clean at #51+) — first-time certification
+        "events_cms_counts": q_events_cms_counts,
         # ---- entry #51+: 2-3 driver-green rounds each (or rows-only ANN
         # tiers); all stay locally oracle-checked via scripts/oracle_check.py ----
+        "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
         "stats_approx_sketch": q_stats_approx_sketch,
@@ -3158,6 +3187,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
                    TRUE AS hll_ok, TRUE AS q50_ok
             FROM events GROUP BY event_type""",
+        # Count-Min Sketch rebuilt cell-for-cell: same md5 cell hashes
+        # (functions.hash32 twin), same depth x width table, same min-of-
+        # counters estimate — the deterministic member of the sketch tier
+        "events_cms_counts": """
+            WITH rows_i AS (SELECT unnest([0, 1, 2, 3]) AS row_i),
+            cells AS (
+              SELECT row_i,
+                     (('0x' || substr(md5('cms' || row_i || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 1024) AS cell,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events, rows_i
+              WHERE user_id IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 50),
+            pc AS (
+              SELECT p.user_id, row_i,
+                     (('0x' || substr(md5('cms' || row_i || ':' || CAST(p.user_id AS VARCHAR)), 1, 8))::BIGINT % 1024) AS cell
+              FROM probes p, rows_i
+            ),
+            est AS (
+              SELECT pc.user_id, min(COALESCE(c.cnt, 0)) AS cms_est
+              FROM pc LEFT JOIN cells c ON c.row_i = pc.row_i AND c.cell = pc.cell
+              GROUP BY 1
+            )
+            SELECT ex.user_id, ex.exact_n, est.cms_est
+            FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+                  FROM events WHERE user_id < 50 GROUP BY 1) ex
+            JOIN est USING (user_id)""",
         # -- events ---------------------------------------------------------
         "events_json": """
             SELECT event_type, count(*) AS n,

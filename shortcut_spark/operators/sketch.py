@@ -27,7 +27,13 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["approx_distinct", "approx_quantiles", "heavy_hitters"]
+__all__ = [
+    "approx_distinct",
+    "approx_quantiles",
+    "heavy_hitters",
+    "cms_build",
+    "cms_estimate",
+]
 
 
 def approx_distinct(
@@ -78,4 +84,71 @@ def heavy_hitters(
             "cnt",
             F.round(F.col("cnt") / F.col("__total"), 8).alias("frac"),
         )
+    )
+
+
+def cms_build(df: DataFrame, col: str, width: int = 1024, depth: int = 4) -> DataFrame:
+    """Count-Min Sketch build: a depth × width counter table over the
+    frequencies of ``col``. Cell for hash row i is
+    ``hash32("cms<i>", value) % width`` — md5-derived (functions.hash32),
+    so the whole sketch is DETERMINISTIC and engine-reproducible, unlike
+    HLL/GK: the oracle can rebuild it cell-for-cell in SQL, which makes
+    this the hash-certifiable member of the sketch tier.
+
+    Scale shape: one map-side explode to ``depth`` (row, cell) pairs per
+    input row, then ONE partial-aggregated shuffle whose key space is at
+    most depth × width cells — fixed memory and fixed shuffle width at
+    any input size, and two sketches merge by cell-wise sum (the
+    classical CMS properties). Output: (row, cell, cnt).
+    """
+    from ..functions import hash32
+
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    (hash32(F.col(col), seed=f"cms{i}") % width).alias("cell"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("rc")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(cells)
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, probes: DataFrame, col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Point-frequency estimates from a CMS: est(x) = min over hash rows
+    of the counter at x's cell — deterministically an UPPER bound of the
+    true count, within +εN (ε ≈ e/width) with high probability. The
+    sketch table is at most depth × width rows → broadcast to the probe
+    side; cells never touched by any value coalesce to 0. Output:
+    (<col>, cms_est)."""
+    from ..functions import hash32
+
+    probe_cells = probes.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (hash32(F.col(col), seed=f"cms{i}") % width).alias("cell"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select(F.col(col), F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+    return (
+        probe_cells.join(F.broadcast(cms), ["row", "cell"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )

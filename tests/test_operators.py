@@ -1930,3 +1930,38 @@ def test_ivf_pq_topk_recall_and_probe_bound(spark, emb):
         ).collect()
     }
     assert len(exact & refined) >= 8  # headline recall floor (judge ask r4 #4)
+
+
+def test_cms_upper_bound_and_merge(spark, docs):
+    """Count-Min Sketch invariants: est(x) >= true count ALWAYS (the
+    deterministic guarantee), est within +eps*N for a comfortable eps,
+    and two sketches built on disjoint halves merge by cell-wise sum
+    into exactly the whole-corpus sketch (the property that makes CMS
+    map-side combinable at 100 TB)."""
+    from shortcut_spark.operators.sketch import cms_build, cms_estimate
+
+    src = docs.select("doc_id", "source")
+    n = src.count()
+    cms = cms_build(src, "source", width=256, depth=4).persist()
+    probes = src.select("source").distinct()
+    est = {r["source"]: r["cms_est"] for r in
+           cms_estimate(cms, probes, "source", width=256, depth=4).collect()}
+    exact = {r["source"]: r["cnt"] for r in
+             src.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(est) == set(exact)
+    for k in exact:
+        assert est[k] >= exact[k], (k, est[k], exact[k])
+        assert est[k] <= exact[k] + 0.05 * n  # eps ~ e/256 ~ 0.011, slack 5x
+
+    # mergeability: sum of half-sketches == whole sketch, cell for cell
+    a = cms_build(src.filter(F.col("doc_id") % 2 == 0), "source", width=256, depth=4)
+    b = cms_build(src.filter(F.col("doc_id") % 2 == 1), "source", width=256, depth=4)
+    merged = (
+        a.unionByName(b)
+        .groupBy("row", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r["row"], r["cell"]): r["cnt"] for r in cms.collect()}
+    got = {(r["row"], r["cell"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
+    cms.unpersist()
