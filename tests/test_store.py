@@ -1101,6 +1101,14 @@ def test_posting_part_pruning_and_sharding(spark, tmp_path):
     probed = {p.split("/idx/")[-1].rsplit("/", 1)[0] for p in probe_df.inputFiles()}
     assert probed == {spec.parts[1].split("idx/")[-1]}
 
+    # the key predicate pushes down INTO the posting scan, so footer
+    # ranges skip non-matching shards (the IO guarantee of the sharding)
+    plan = (
+        probe_df.filter(F.col("key") == 1050)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EqualTo(key,1050)" in plan and "PushedFilters" in plan
+
     # end-to-end exactness through the sharded probe path
     got = st.find([eq("k", 1050)]).collect()
     assert len(got) == 1 and got[0]["v"] == "v1050"
