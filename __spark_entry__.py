@@ -1639,6 +1639,23 @@ def q_embed_cosine_lsh(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 10).alias("cosine"))
 
 
+def q_embed_cross_source(spark, sf_dir):
+    """Cross-source semantic near-dups (similarity.cross_source_dups):
+    LSH-banded cosine pairs, exact-decimal scored, restricted to pairs
+    from DIFFERENT document sources — embedding-space contamination
+    between corpus sources that text hashing misses. Hash-certified via
+    the same bit-exact hyperplane twin as embed_cosine_lsh, extended
+    with the source join."""
+    return similarity.cross_source_dups(
+        _t(spark, sf_dir, "embeddings"),
+        _t(spark, sf_dir, "documents"),
+        threshold=0.4,
+    ).select(
+        "id_a", "id_b", "source_a", "source_b",
+        F.round("cosine", 10).alias("cosine"),
+    )
+
+
 def q_embed_cosine_ivf(spark, sf_dir):
     """Centroid-blocked cosine near-dup pairs (`similarity.cosine_join_ivf`)
     — the MODERATE-threshold scale tier: candidates are pairs sharing one
@@ -2598,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entry #51+: 2-3 driver-green rounds each (or rows-only ANN
         # tiers); all stay locally oracle-checked via scripts/oracle_check.py ----
         "corpus_clean_report": q_corpus_clean_report,
+        "embed_cross_source": q_embed_cross_source,  # new r5; next window
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
         "stats_approx_sketch": q_stats_approx_sketch,
@@ -3746,6 +3764,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms na ON na.vec_id = p.id_a
             JOIN norms nb ON nb.vec_id = p.id_b
             WHERE p.dot / (sqrt(na.nsq) * sqrt(nb.nsq)) >= 0.4""",
+        # the cross-source restriction of the same banded + exact-scored
+        # pair tier: identical bit-exact hyperplane twin + a source join
+        "embed_cross_source": f"""
+            WITH bits AS (
+              SELECT vec_id, {lsh_bits16}
+              FROM embeddings
+            ), cand AS (
+              SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+              FROM bits a JOIN bits bb
+                ON a.vec_id < bb.vec_id AND ({lsh16_band})
+            ), e AS (
+              SELECT vec_id, unnest(embedding) AS v,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings
+            ), norms AS (
+              SELECT vec_id, {nsq} AS nsq FROM e GROUP BY vec_id
+            ), pd AS (
+              SELECT c.id_a, c.id_b, {dot} AS dot
+              FROM cand c
+              JOIN e ON e.vec_id = c.id_a
+              JOIN e q ON q.vec_id = c.id_b AND q.i = e.i
+              GROUP BY c.id_a, c.id_b
+            )
+            SELECT p.id_a, p.id_b, da.source AS source_a, db.source AS source_b,
+                   round(p.dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 10) AS cosine
+            FROM pd p
+            JOIN norms na ON na.vec_id = p.id_a
+            JOIN norms nb ON nb.vec_id = p.id_b
+            JOIN documents da ON da.doc_id = p.id_a
+            JOIN documents db ON db.doc_id = p.id_b
+            WHERE p.dot / (sqrt(na.nsq) * sqrt(nb.nsq)) >= 0.4
+              AND da.source <> db.source""",
         "embed_topk_trunc": f"""
             WITH e AS (
               SELECT vec_id, unnest(embedding[1:16]) AS v,

@@ -31,6 +31,7 @@ __all__ = [
     "lsh_topk",
     "cosine_join",
     "cosine_join_ivf",
+    "cross_source_dups",
     "ivf_fit",
     "ivf_assign_multi",
     "ivf_topk",
@@ -362,6 +363,44 @@ def _score_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def cross_source_dups(
+    emb: DataFrame,
+    meta: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    meta_id_col: str = "doc_id",
+    group_col: str = "source",
+    exact: bool = False,
+    exact_score: bool = True,
+) -> DataFrame:
+    """Cross-source SEMANTIC near-duplicates: cosine near-dup pairs
+    (``cosine_join`` — LSH-banded at scale) restricted to pairs whose
+    metadata groups DIFFER — the embedding-space twin of
+    ``dedup.cross_corpus_*``: a document leaked from source A into source
+    B still surfaces after paraphrase/re-encoding that text hashing
+    cannot see. The group columns attach AFTER the banded pair join (id
+    pairs only travel through the join; the metadata join is one
+    broadcast-able hash join per side), so the cross-source filter costs
+    nothing extra at scale. Output: (id_a, id_b, source_a, source_b,
+    cosine), default exact-decimal scoring → hash-certifiable."""
+    pairs = cosine_join(
+        emb, threshold, id_col, vec_col, exact=exact, exact_score=exact_score
+    )
+    ga = meta.select(
+        F.col(meta_id_col).alias("id_a"), F.col(group_col).alias("source_a")
+    )
+    gb = meta.select(
+        F.col(meta_id_col).alias("id_b"), F.col(group_col).alias("source_b")
+    )
+    return (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .select("id_a", "id_b", "source_a", "source_b", "cosine")
     )
 
 

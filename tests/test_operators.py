@@ -1965,3 +1965,29 @@ def test_cms_upper_bound_and_merge(spark, docs):
     got = {(r["row"], r["cell"]): r["cnt"] for r in merged.collect()}
     assert got == whole
     cms.unpersist()
+
+
+def test_cross_source_dups_planted_pair(spark, emb, docs):
+    """Plant a duplicate embedding under a different source and a second
+    one under the SAME source: cross_source_dups must surface only the
+    cross-source pair, with both source labels attached."""
+    meta = docs.select("doc_id", "source")
+    base_src = docs.filter(F.col("doc_id") == 1).collect()[0]["source"]
+    v1 = emb.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    extra_emb = spark.createDataFrame(
+        [(100001, list(v1)), (100002, list(v1))],
+        "vec_id long, embedding array<float>",
+    )
+    extra_meta = spark.createDataFrame(
+        [(100001, "planted_other"), (100002, base_src)],
+        "doc_id long, source string",
+    )
+    out = similarity.cross_source_dups(
+        emb.select("vec_id", "embedding").unionByName(extra_emb),
+        meta.unionByName(extra_meta),
+        threshold=0.99,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): (r["source_a"], r["source_b"]) for r in out}
+    assert (1, 100001) in got and got[(1, 100001)] == (base_src, "planted_other")
+    assert (1, 100002) not in got  # same source: excluded
+    assert all(a != b for a, b in got.values())
