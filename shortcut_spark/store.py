@@ -959,7 +959,18 @@ class Store:
         could wrongly EXCLUDE a file (pruning must stay a superset)."""
         import numpy as np
 
-        key = (name, self.manifest.version)
+        # key includes next_file_id and len(files), not just the version:
+        # a transaction in flight (insert/merge/CoW delete) mutates the
+        # file list BEFORE the commit bumps the version, and a stale
+        # array misaligned with the list would prune the wrong files.
+        # Every registration bumps next_file_id and every pure removal
+        # changes len, so the pair detects any mid-transaction change.
+        key = (
+            name,
+            self.manifest.version,
+            self.manifest.next_file_id,
+            len(self.manifest.files),
+        )
         cached = self._stats_np.get(key, "MISS")
         if cached != "MISS":
             return cached
