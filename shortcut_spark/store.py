@@ -1071,6 +1071,36 @@ class Store:
             return None
         return np.ones(len(has), dtype=bool)  # op this layer can't prune on
 
+    def _prune_mask_multi(self, name: str, keys: Sequence[Any]):
+        """Vectorized multi-key may-match mask over ``manifest.files`` —
+        the batched form of `_prune_mask` for find_many: one
+        files × keys broadcast against the cached stat arrays instead of
+        an interpreted double loop. None = caller falls back."""
+        import numpy as np
+
+        arr = self._stats_arrays(name)
+        if arr is None or not keys:
+            return None
+        has, los, his, kind = arr
+        if kind == "num":
+            if not all(
+                isinstance(k, (int, float))
+                and not isinstance(k, bool)
+                and abs(k) <= self._STATS_SAFE_ABS
+                for k in keys
+            ):
+                return None
+            ks = np.asarray(list(keys), dtype=np.float64)
+        else:
+            if not all(isinstance(k, str) for k in keys):
+                return None
+            ks = np.array(list(keys), dtype=object)
+        try:
+            inside = (los[:, None] <= ks[None, :]) & (his[:, None] >= ks[None, :])
+            return (~has) | inside.any(axis=1)
+        except TypeError:
+            return None
+
     def _prune_files(self, conds: Sequence[Condition]) -> tuple[AccessPath, list[DataFile]]:
         """Two pruning layers before Catalyst (both yield supersets; the
         residual filter in find() restores exactness, src/lib.rs:89-91):
@@ -1369,13 +1399,19 @@ class Store:
                     or any(self._bloom_hit(bmap[f.id], pos) for pos in probes)
                 ]
         elif len(keys) <= 1000:
-            # stats layer: a file can match only if some key is in range
-            files = [
-                f
-                for f in files
-                if not f.stats.get(name)
-                or any(self._key_in_range(f.stats[name], k) for k in keys)
-            ]
+            # stats layer: a file can match only if some key is in range.
+            # Vectorized (files × keys broadcast over the cached stat
+            # arrays) with the same per-file fallback as _prune_mask.
+            m = self._prune_mask_multi(name, keys)
+            if m is not None:
+                files = [f for f, keep in zip(files, m) if keep]
+            else:
+                files = [
+                    f
+                    for f in files
+                    if not f.stats.get(name)
+                    or any(self._key_in_range(f.stats[name], k) for k in keys)
+                ]
         if not files:
             return self._empty()
         df = self._read_files(files).drop(ROWID)
