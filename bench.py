@@ -147,6 +147,14 @@ HEADLINE = [
     ("embed_pq_topk", "collect"),
     ("embed_pq_funnel", "collect"),
     ("embed_ivf_pq_topk", "collect"),
+    # round-5 session additions: the deterministic CMS sketch, the
+    # cross-source semantic near-dup tier, the sketch-bounds wrapper,
+    # and the history/as-of metadata surfaces (expected ~0: driver-side)
+    ("events_cms_counts", "collect"),
+    ("embed_cross_source", "count"),
+    ("stats_sketch_bounds", "collect"),
+    ("store_history", "collect"),
+    ("store_asof_open", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host
