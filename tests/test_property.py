@@ -26,6 +26,12 @@ op_st = st.one_of(
     # range-based tombstone consolidation (ADVICE r3: consolidate by
     # membership, not range)
     st.tuples(st.just("compact"), st.sampled_from([0, 1])),
+    # restore to a random retained snapshot: changes() then emits
+    # RESURRECTED pre-watermark rowids as inserts — the schedule that
+    # broke follower convergence when the follower had tombstoned the
+    # same rowid (ADVICE r4 high: resurrection must purge the tombstone,
+    # not insert a second masked copy)
+    st.tuples(st.just("restore")),
 )
 
 
@@ -327,14 +333,17 @@ def test_cdc_chunks_match_model(spark, docs):
 @given(ops=st.lists(op_st, min_size=1, max_size=4), data=st.data())
 def test_replica_converges_under_random_schedules(spark, tmp_path_factory, ops, data):
     """apply_changes model check: under ARBITRARY leader schedules
-    (inserts, CoW and tombstone deletes, index builds, compactions), a
-    follower that applies one delta per round converges to the leader's
-    exact row multiset every round — including rounds whose net delta is
-    empty (compact-only)."""
+    (inserts, CoW and tombstone deletes, index builds, compactions, and
+    RESTOREs to random retained snapshots), a follower that applies one
+    delta per round converges to the leader's exact row multiset every
+    round — including rounds whose net delta is empty (compact-only) and
+    rounds that resurrect rowids the follower had tombstoned (the r4
+    ADVICE divergence: the purge path must un-mask, not double-insert)."""
     base = tmp_path_factory.mktemp("repl")
     leader = Store.create(spark, str(base / "L"), 2)
     follower = Store.create(spark, str(base / "F"), 2)
     synced = leader.manifest.version
+    versions = [leader.manifest.version]
 
     def rows_of(st):
         return sorted(tuple(r) for r in st.find([]).collect())
@@ -349,6 +358,9 @@ def test_replica_converges_under_random_schedules(spark, tmp_path_factory, ops, 
             leader.index(op[1], HashIndex)
         elif op[0] == "compact":
             leader.compact(target_files=2)
+        elif op[0] == "restore":
+            leader.restore(data.draw(st.sampled_from(versions)))
+        versions.append(leader.manifest.version)
         follower.apply_changes(leader.changes(synced))
         synced = leader.manifest.version
         assert rows_of(follower) == rows_of(leader)
