@@ -432,14 +432,22 @@ def main():
         },
         separators=(",", ":"),  # compact: every entry must fit the window
     )
-    if len(headline) > 1900:  # keep the whole line inside the tail window
+    # keep the whole line inside the driver's ~2000-byte tail window: if
+    # over budget, omit the CHEAPEST queries first (the expensive entries
+    # carry the regression signal; everything omitted stays in
+    # BENCH_DETAIL.json run_times) and say how many were omitted
+    omitted = 0
+    kept = dict(sorted(results.items(), key=lambda kv: -kv[1]))
+    while len(headline) > 1900 and len(kept) > 1:
+        kept.popitem()  # drops the current smallest (dict is desc-sorted)
+        omitted = len(results) - len(kept)
         headline = json.dumps(
             {
                 "metric": "total_bench_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in results.items()
-                            if not k.startswith("store_")},
+                "queries": {k: round(v, 2) for k, v in kept.items()},
+                "queries_omitted_see_detail": omitted,
                 "sf": sf,
                 "detail_file": "BENCH_DETAIL.json",
             },
