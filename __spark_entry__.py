@@ -1998,6 +1998,28 @@ def q_events_heavy_hitters(spark, sf_dir):
     return heavy_hitters(_t(spark, sf_dir, "events"), "user_id", support=0.001)
 
 
+def q_events_anomaly(spark, sf_dir):
+    """Per-type daily-volume anomaly detection (events.daily_anomalies):
+    z-score each (type, day) count against its type's own daily-count
+    moments, flag |z| > 2 — the ingestion-monitoring query (a dead or
+    double-feeding source is a volume z-spike before any content check
+    fires). Moments derive from integer daily counts, so mean/var/sqrt
+    are bit-reproducible across engines; z rounded to 6 dp."""
+    from shortcut_spark.operators.events import daily_anomalies
+
+    return daily_anomalies(_t(spark, sf_dir, "events"))
+
+
+def q_docs_length_hist(spark, sf_dir):
+    """Log2-bucketed per-source document-length histogram
+    (text.length_histogram): the corpus length-distribution report for
+    tokenization budgeting. Pure integer arithmetic, one shuffle whose
+    key space is |sources| x ~40 buckets at any corpus size."""
+    from shortcut_spark.operators.text import length_histogram
+
+    return length_histogram(_t(spark, sf_dir, "documents"))
+
+
 def q_events_cms_counts(spark, sf_dir):
     """Count-Min Sketch point-frequency estimates (sketch.cms_build /
     cms_estimate) next to the exact counts: the depth×width counter
@@ -2616,6 +2638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tiers); all stay locally oracle-checked via scripts/oracle_check.py ----
         "corpus_clean_report": q_corpus_clean_report,
         "embed_cross_source": q_embed_cross_source,  # new r5; next window
+        "events_anomaly": q_events_anomaly,  # new r5; next window
+        "docs_length_hist": q_docs_length_hist,  # new r5; next window
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
         "stats_approx_sketch": q_stats_approx_sketch,
@@ -3205,6 +3229,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
                    TRUE AS hll_ok, TRUE AS q50_ok
             FROM events GROUP BY event_type""",
+        # z from integer daily counts: identical double expression tree
+        # (mean = s/n, var = (sq - s*s/n)/n) on exact integer sums, so the
+        # score is bit-reproducible; is_anomaly tests the UNROUNDED z
+        "events_anomaly": """
+            WITH daily AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS day_epoch,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2
+            ), m AS (
+              SELECT event_type, day_epoch, n_events,
+                     CAST(count(*) OVER w AS DOUBLE) AS n,
+                     CAST(SUM(n_events) OVER w AS DOUBLE) AS s,
+                     CAST(SUM(n_events * n_events) OVER w AS DOUBLE) AS sq
+              FROM daily WINDOW w AS (PARTITION BY event_type)
+            ), z AS (
+              SELECT event_type, day_epoch, n_events,
+                     CASE WHEN sqrt((sq - s * s / n) / n) > 0
+                          THEN (n_events - s / n) / sqrt((sq - s * s / n) / n)
+                          ELSE 0.0 END AS zval
+              FROM m
+            )
+            SELECT event_type, day_epoch, n_events,
+                   round(zval, 6) AS z, (abs(zval) > 2.0) AS is_anomaly
+            FROM z""",
+        "docs_length_hist": """
+            WITH h AS (
+              SELECT source,
+                     CASE WHEN n_chars <= 0 THEN -1
+                          ELSE CAST(floor(log2(CAST(n_chars AS DOUBLE))) AS INT)
+                     END AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(min(n_chars) AS BIGINT) AS min_len,
+                     CAST(max(n_chars) AS BIGINT) AS max_len
+              FROM documents GROUP BY 1, 2
+            )
+            SELECT source, bucket,
+                   CASE WHEN bucket < 0 THEN 0
+                        ELSE CAST(pow(2.0, bucket) AS BIGINT) END AS lo,
+                   CASE WHEN bucket < 0 THEN 0
+                        ELSE CAST(pow(2.0, bucket + 1) - 1 AS BIGINT) END AS hi,
+                   n_docs, min_len, max_len
+            FROM h""",
         # Count-Min Sketch rebuilt cell-for-cell: same md5 cell hashes
         # (functions.hash32 twin), same depth x width table, same min-of-
         # counters estimate — the deterministic member of the sketch tier

@@ -17,7 +17,15 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["funnel_reach", "retention_cohorts", "gapfill_locf", "gapfill_interp", "windowed_topk", "rolling_active_users"]
+__all__ = [
+    "funnel_reach",
+    "retention_cohorts",
+    "gapfill_locf",
+    "gapfill_interp",
+    "windowed_topk",
+    "rolling_active_users",
+    "daily_anomalies",
+]
 
 
 def funnel_reach(
@@ -300,4 +308,53 @@ def rolling_active_users(
         .filter((F.col("day_epoch") >= F.col("__mn")) & (F.col("day_epoch") <= F.col("__mx")))
         .groupBy("day_epoch")
         .agg(F.count_distinct("u").cast("long").alias("n_active"))
+    )
+
+
+def daily_anomalies(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-group daily-volume anomaly detection: z-score each (group,
+    day) event count against ITS group's mean/stddev of daily counts and
+    flag |z| > threshold — the ingestion-monitoring query every pipeline
+    runs (a scraper dying or double-feeding shows up as a volume z-spike
+    long before content checks notice).
+
+    Scale shape: one (group, day) count shuffle over pairs (not raw
+    events), then the per-group moments come from ONE window over groups
+    (group cardinality partitions; each holds #days rows — bounded), not
+    a self-join. Determinism: the moments derive from integer daily
+    counts (exact in double far below 2^53), so mean/variance/sqrt are
+    bit-reproducible across engines; z is rounded to 6 dp for the hash.
+
+    Output: (group, day_epoch, n_events, z, is_anomaly) for every day
+    with at least one event.
+    """
+    from pyspark.sql import Window as W
+
+    day = (F.floor(F.unix_timestamp(F.col(ts_col)) / 86400) * 86400).cast("long")
+    daily = (
+        events.select(F.col(group_col).alias("grp"), day.alias("day_epoch"))
+        .groupBy("grp", "day_epoch")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = W.partitionBy("grp")
+    # population moments from integer sums: n, sum, sumsq are exact longs,
+    # so mean/var are identical double expressions in any engine
+    n = F.count(F.lit(1)).over(w).cast("double")
+    s = F.sum("n_events").over(w).cast("double")
+    sq = F.sum(F.col("n_events") * F.col("n_events")).over(w).cast("double")
+    mean = s / n
+    var = (sq - s * s / n) / n
+    std = F.sqrt(var)
+    z = F.when(std > 0, (F.col("n_events") - mean) / std).otherwise(F.lit(0.0))
+    return daily.select(
+        F.col("grp").alias(group_col),
+        "day_epoch",
+        "n_events",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > z_threshold).alias("is_anomaly"),
     )

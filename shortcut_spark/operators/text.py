@@ -39,6 +39,7 @@ __all__ = [
     "repetition_stats",
     "encoding_stats",
     "MOJIBAKE_RE",
+    "length_histogram",
 ]
 
 # Dialect-portable patterns (valid and equivalent in Java regex and RE2 /
@@ -697,3 +698,39 @@ def decontaminate(
     scored = ngram_contamination(corpus, bench, id_col, text_col, n)
     keep = scored.filter(F.col("contam_ratio") <= max_ratio).select(id_col)
     return corpus.join(keep, id_col, "left_semi")
+
+
+def length_histogram(
+    df: DataFrame,
+    len_col: str = "n_chars",
+    group_col: str | None = "source",
+) -> DataFrame:
+    """Log2-bucketed document-length histogram, optionally per group —
+    the corpus length-distribution report every pretraining pipeline
+    checks before tokenization budgeting (truncation loss lives in the
+    right tail; boilerplate in the left). Bucket b holds lengths in
+    [2^b, 2^(b+1)); length 0 gets bucket -1. Pure integer expressions
+    (floor(log2)), one partial-aggregated shuffle whose key space is
+    |groups| × ~40 buckets at ANY corpus size. Output: (group?, bucket,
+    lo, hi, n_docs, min_len, max_len) — all integers, hash-exact.
+    """
+    L = F.col(len_col).cast("long")
+    bucket = F.when(L <= 0, F.lit(-1)).otherwise(
+        F.floor(F.log2(L.cast("double")))
+    ).cast("int")
+    keys = ([F.col(group_col)] if group_col else []) + [bucket.alias("bucket")]
+    out = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(L).alias("min_len"),
+        F.max(L).alias("max_len"),
+    )
+    lo = F.when(F.col("bucket") < 0, F.lit(0)).otherwise(
+        F.pow(F.lit(2.0), F.col("bucket")).cast("long")
+    )
+    hi = F.when(F.col("bucket") < 0, F.lit(0)).otherwise(
+        (F.pow(F.lit(2.0), F.col("bucket") + 1) - 1).cast("long")
+    )
+    cols = ([group_col] if group_col else []) + [
+        "bucket", lo.alias("lo"), hi.alias("hi"), "n_docs", "min_len", "max_len"
+    ]
+    return out.select(*cols)

@@ -1991,3 +1991,42 @@ def test_cross_source_dups_planted_pair(spark, emb, docs):
     assert (1, 100001) in got and got[(1, 100001)] == (base_src, "planted_other")
     assert (1, 100002) not in got  # same source: excluded
     assert all(a != b for a, b in got.values())
+
+
+def test_daily_anomalies_planted_spike(spark):
+    """A 20x volume spike on one day must be the unique flagged anomaly;
+    uniform days must not flag."""
+    import datetime as dt
+
+    from shortcut_spark.operators.events import daily_anomalies
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for d in range(12):
+        n = 200 if d == 7 else 10  # planted spike on day 7
+        for i in range(n):
+            rows.append((d * 1000 + i, base + dt.timedelta(days=d, seconds=i), "click"))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id string")
+    out = daily_anomalies(
+        ev.withColumnRenamed("user_id", "event_type")
+        .select("event_id", "ts", F.lit("click").alias("event_type"))
+    ).collect()
+    flagged = [r for r in out if r["is_anomaly"]]
+    assert len(flagged) == 1
+    assert flagged[0]["n_events"] == 200 and flagged[0]["z"] > 2
+    assert all(abs(r["z"]) <= 2 for r in out if not r["is_anomaly"])
+
+
+def test_length_histogram_partitions_corpus(spark, docs):
+    """Histogram rows partition the corpus: doc counts sum to the total,
+    and every row's observed [min_len, max_len] lies inside its bucket's
+    [lo, hi] span."""
+    from shortcut_spark.operators.text import length_histogram
+
+    out = length_histogram(docs).collect()
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    for r in out:
+        if r["bucket"] < 0:
+            assert r["min_len"] <= 0
+        else:
+            assert r["lo"] <= r["min_len"] <= r["max_len"] <= r["hi"]
