@@ -1998,6 +1998,20 @@ def q_events_heavy_hitters(spark, sf_dir):
     return heavy_hitters(_t(spark, sf_dir, "events"), "user_id", support=0.001)
 
 
+def q_corpus_temperature_mix(spark, sf_dir):
+    """Temperature (α = 0.5) source mixing (sampling.temperature_mix):
+    per-source quotas ∝ √n_s, scaled to an expected 250 kept docs —
+    data-dependent rates, md5-deterministic membership. α is pinned at
+    0.5 (sqrt is correctly rounded everywhere; general pow is not) and
+    the normalizing sum runs over integer-scaled weights, so the whole
+    selection is hash-exact against the SQL twin."""
+    from shortcut_spark.operators.sampling import temperature_mix
+
+    return temperature_mix(
+        _t(spark, sf_dir, "documents"), "doc_id", "source", total_target=250
+    ).select("doc_id", "source", "rate_bucket")
+
+
 def q_events_anomaly(spark, sf_dir):
     """Per-type daily-volume anomaly detection (events.daily_anomalies):
     z-score each (type, day) count against its type's own daily-count
@@ -2640,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cross_source": q_embed_cross_source,  # new r5; next window
         "events_anomaly": q_events_anomaly,  # new r5; next window
         "docs_length_hist": q_docs_length_hist,  # new r5; next window
+        "corpus_temperature_mix": q_corpus_temperature_mix,  # new r5; next window
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
         "stats_approx_sketch": q_stats_approx_sketch,
@@ -3229,6 +3244,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
                    TRUE AS hll_ok, TRUE AS q50_ok
             FROM events GROUP BY event_type""",
+        # α=0.5 temperature mixing: integer-scaled sqrt weights (exact
+        # integer normalizing sum), a fixed left-associated double tree
+        # for the rate, md5 membership — mirrored term for term
+        "corpus_temperature_mix": """
+            WITH c AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+            ), w AS (
+              SELECT source, n,
+                     CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS wt
+              FROM c
+            ), t AS (SELECT SUM(wt) AS tw FROM w),
+            r AS (
+              SELECT source,
+                     LEAST(CAST(10000 AS BIGINT),
+                           CAST(floor(250.0 * CAST(wt AS DOUBLE) / CAST(tw AS DOUBLE)
+                                      / CAST(n AS DOUBLE) * 10000.0) AS BIGINT)) AS rb
+              FROM w, t
+            )
+            SELECT d.doc_id, d.source, r.rb AS rate_bucket
+            FROM documents d JOIN r USING (source)
+            WHERE (('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) < r.rb""",
         # z from integer daily counts: identical double expression tree
         # (mean = s/n, var = (sq - s*s/n)/n) on exact integer sums, so the
         # score is bit-reproducible; is_anomaly tests the UNROUNDED z

@@ -25,6 +25,7 @@ __all__ = [
     "shuffle_shard",
     "token_budget_sample",
     "per_source_cap",
+    "temperature_mix",
 ]
 
 _BUCKETS = 10_000  # rate resolution: 0.01%
@@ -226,4 +227,62 @@ def per_source_cap(
     return (
         df.withColumn("rank_in_source", F.row_number().over(w).cast("long"))
         .filter(F.col("rank_in_source") <= int(cap))
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    total_target: int,
+    seed: str | int = "temp",
+) -> DataFrame:
+    """Temperature-based source mixing at α = 0.5 — the classic
+    multilingual/pretraining re-weighting: source s is sampled toward a
+    quota ∝ √n_s (big sources down-weighted, small ones boosted) scaled
+    so the expected total is ``total_target``. Unlike
+    :func:`stratified_sample` the per-source rates are DATA-DEPENDENT
+    (computed from the source sizes in the same job), and membership is
+    still a pure md5 function of the key — deterministic across runs,
+    partitionings, and engines.
+
+    Engine-reproducibility is engineered, not assumed: α is fixed at 0.5
+    because ``sqrt`` is correctly rounded under IEEE-754 in every engine
+    while general ``pow`` is not; each √n_s is scaled to an INTEGER
+    weight (round(√n·10⁶)) so the cross-strata normalizing sum is exact
+    integer arithmetic (a float sum would be aggregation-order-
+    dependent); the remaining rate arithmetic is a fixed left-associated
+    tree of single correctly-rounded double ops, mirrored verbatim in
+    the SQL twin.
+
+    Scale shape: one |strata|-sized aggregate, broadcast back; the
+    membership filter is map-only. Output: input rows kept, plus the
+    stratum's rate_bucket (of 10 000) for auditability.
+    """
+    counts = df.groupBy(F.col(strata_col)).agg(F.count(F.lit(1)).alias("__n"))
+    weights = counts.select(
+        F.col(strata_col),
+        F.col("__n"),
+        F.round(F.sqrt(F.col("__n").cast("double")) * F.lit(1_000_000.0), 0)
+        .cast("long")
+        .alias("__w"),
+    )
+    tot = weights.agg(F.sum("__w").alias("__tw"))
+    rate = (
+        F.lit(float(total_target))
+        * F.col("__w").cast("double")
+        / F.col("__tw").cast("double")
+        / F.col("__n").cast("double")
+    )
+    buckets = F.least(
+        F.lit(_BUCKETS).cast("long"), F.floor(rate * F.lit(float(_BUCKETS)))
+    )
+    rates = weights.crossJoin(F.broadcast(tot)).select(
+        F.col(strata_col), buckets.alias("__rb")
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(F.pmod(hash32(F.col(key_col), seed), F.lit(_BUCKETS)) < F.col("__rb"))
+        .withColumn("rate_bucket", F.col("__rb"))
+        .drop("__rb")
     )

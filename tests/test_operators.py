@@ -2030,3 +2030,27 @@ def test_length_histogram_partitions_corpus(spark, docs):
             assert r["min_len"] <= 0
         else:
             assert r["lo"] <= r["min_len"] <= r["max_len"] <= r["hi"]
+
+
+def test_temperature_mix_boosts_small_sources(spark, docs):
+    """α=0.5 temperature mixing must keep a HIGHER fraction of small
+    sources than of large ones (the re-balancing that is its purpose),
+    hit the expected total within hash-bucket tolerance, and be exactly
+    reproducible run to run."""
+    from shortcut_spark.operators.sampling import temperature_mix
+
+    out = temperature_mix(docs, "doc_id", "source", total_target=250)
+    kept = out.groupBy("source").agg(F.count(F.lit(1)).alias("k")).collect()
+    totals = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    fracs = {r["source"]: r["k"] / totals[r["source"]] for r in kept}
+    big = max(totals, key=totals.get)
+    small = min(totals, key=totals.get)
+    if totals[big] > 2 * totals[small]:  # only meaningful when sizes differ
+        assert fracs.get(small, 0) > fracs.get(big, 0)
+    n_kept = sum(r["k"] for r in kept)
+    assert abs(n_kept - 250) <= 0.2 * 250  # md5-bucket variance tolerance
+    again = temperature_mix(docs, "doc_id", "source", total_target=250)
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in again.select("doc_id").collect()
+    )
