@@ -1998,6 +1998,25 @@ def q_events_heavy_hitters(spark, sf_dir):
     return heavy_hitters(_t(spark, sf_dir, "events"), "user_id", support=0.001)
 
 
+def q_events_transitions(spark, sf_dir):
+    """Top-20 user-path transitions (events.transition_counts): per-user
+    lag over a (ts, event_id) total order — one user-keyed shuffle, no
+    global sort — then a |types|²-bounded count and a sort-limit. The
+    behavioral Markov matrix product analytics runs on event streams."""
+    from shortcut_spark.operators.events import transition_counts
+
+    return transition_counts(_t(spark, sf_dir, "events"), k=20)
+
+
+def q_docs_dedup_rate(spark, sf_dir):
+    """Per-source exact-duplication audit (dedup.dedup_rate_report):
+    docs, distinct content fingerprints, duplicate rate — the dedup-stage
+    health report, one |sources|-bounded aggregate."""
+    from shortcut_spark.operators.dedup import dedup_rate_report
+
+    return dedup_rate_report(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_temperature_mix(spark, sf_dir):
     """Temperature (α = 0.5) source mixing (sampling.temperature_mix):
     per-source quotas ∝ √n_s, scaled to an expected 250 kept docs —
@@ -2658,6 +2677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,  # new r5; next window
         "docs_length_hist": q_docs_length_hist,  # new r5; next window
         "corpus_temperature_mix": q_corpus_temperature_mix,  # new r5; next window
+        "events_transitions": q_events_transitions,  # new r5; next window
+        "docs_dedup_rate": q_docs_dedup_rate,  # new r5; next window
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
         "stats_approx_sketch": q_stats_approx_sketch,
@@ -3247,6 +3268,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
                    TRUE AS hll_ok, TRUE AS q50_ok
             FROM events GROUP BY event_type""",
+        "events_transitions": """
+            WITH seq AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ), pairs AS (
+              SELECT prev AS prev_type, event_type AS next_type,
+                     CAST(count(*) AS BIGINT) AS n_transitions
+              FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+            ), ranked AS (
+              SELECT CAST(row_number() OVER (
+                       ORDER BY n_transitions DESC, prev_type, next_type) AS BIGINT) AS rank,
+                     prev_type, next_type, n_transitions
+              FROM pairs
+            )
+            SELECT rank, prev_type, next_type, n_transitions
+            FROM ranked WHERE rank <= 20""",
         # α=0.5 temperature mixing: integer-scaled sqrt weights (exact
         # integer normalizing sum), a fixed left-associated double tree
         # for the rate, md5 membership — mirrored term for term
@@ -3429,6 +3467,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_shared
             FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
             GROUP BY 1, 2""",
+        "docs_dedup_rate": f"""
+            WITH f AS (SELECT source, {fingerprint} AS fp FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+                   round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+            FROM f GROUP BY 1""",
         "dedup_exact": f"""
             SELECT {fingerprint} AS fp, min(doc_id) AS keeper, count(*) AS n_docs
             FROM documents GROUP BY 1""",

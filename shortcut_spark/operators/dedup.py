@@ -52,6 +52,7 @@ __all__ = [
     "cdc_passage_dups",
     "strip_repeated_cdc_chunks",
     "source_overlap_matrix",
+    "dedup_rate_report",
 ]
 
 
@@ -768,4 +769,33 @@ def source_overlap_matrix(
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+def dedup_rate_report(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-source exact-duplication audit: total docs, distinct content
+    fingerprints, and the duplicate rate — the before/after health number
+    every dedup stage reports. One |sources|-keyed aggregate over
+    fingerprints (map-side combined); output bounded by |sources|.
+    Output: (source, n_docs, n_distinct, dup_rate)."""
+    from ..functions import fingerprint
+
+    return (
+        df.select(F.col(group_col), fingerprint(F.col(text_col)).alias("__fp"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("__fp").alias("n_distinct"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
     )

@@ -25,6 +25,7 @@ __all__ = [
     "windowed_topk",
     "rolling_active_users",
     "daily_anomalies",
+    "transition_counts",
 ]
 
 
@@ -357,4 +358,44 @@ def daily_anomalies(
         "n_events",
         F.round(z, 6).alias("z"),
         (F.abs(z) > z_threshold).alias("is_anomaly"),
+    )
+
+
+def transition_counts(
+    events: DataFrame,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k user-path transitions (the behavioral Markov matrix): for
+    each user's event stream ordered by (ts, event_id) — the id breaks
+    timestamp ties so the sequence is total-ordered and deterministic —
+    count every consecutive (prev_type → next_type) pair, rank globally.
+
+    Scale shape: ONE user-keyed shuffle feeds the lag window (per-user
+    partitions, never a global sort), then one partial-aggregated count
+    shuffle on the |types|² pair space; top-k is a sort-limit over that
+    tiny aggregate. Output: (prev_type, next_type, n_transitions, rank),
+    rank ties broken by the pair for total order.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(user_col, ts_col, id_col, type_col)
+        .withColumn("__prev", F.lag(type_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(F.col("__prev").alias("prev_type"), F.col(type_col).alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    rw = W.orderBy(
+        F.col("n_transitions").desc(), F.col("prev_type"), F.col("next_type")
+    )
+    # the rank window runs over the aggregated |types|^2 rows, not raw data
+    return (
+        pairs.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "prev_type", "next_type", "n_transitions")
     )

@@ -2054,3 +2054,44 @@ def test_temperature_mix_boosts_small_sources(spark, docs):
     assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == sorted(
         r["doc_id"] for r in again.select("doc_id").collect()
     )
+
+
+def test_transition_counts_planted_sequence(spark):
+    """A scripted per-user stream must yield exactly the transitions of
+    its total order (ties broken by event_id), with deterministic rank."""
+    import datetime as dt
+
+    from shortcut_spark.operators.events import transition_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: a -> b -> b -> c ; user 2: a -> b (same ts tie broken by id)
+    for i, et in enumerate(["a", "b", "b", "c"]):
+        rows.append((i, t0 + dt.timedelta(seconds=i), 1, et))
+    rows.append((10, t0, 2, "a"))
+    rows.append((11, t0, 2, "b"))  # same ts as id 10: id orders it after
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {(r["prev_type"], r["next_type"]): r["n_transitions"]
+           for r in transition_counts(ev, k=10).collect()}
+    assert got == {("a", "b"): 2, ("b", "b"): 1, ("b", "c"): 1}
+
+
+def test_dedup_rate_report_counts_planted_dups(spark, docs):
+    """Doubling one source's docs under new ids must push exactly that
+    source's dup_rate to >= 0.5 and leave others unchanged."""
+    from shortcut_spark.operators.dedup import dedup_rate_report
+
+    base = dedup_rate_report(docs)
+    src = docs.select("source").first()["source"]
+    doubled = docs.select("doc_id", "text", "source").union(
+        docs.filter(F.col("source") == src)
+        .select((F.col("doc_id") + 500000).alias("doc_id"), "text", "source")
+    )
+    after = {r["source"]: r for r in dedup_rate_report(doubled).collect()}
+    before = {r["source"]: r for r in base.collect()}
+    assert after[src]["n_docs"] == 2 * before[src]["n_docs"]
+    assert after[src]["n_distinct"] == before[src]["n_distinct"]
+    assert after[src]["dup_rate"] >= 0.5
+    for s in before:
+        if s != src:
+            assert after[s]["dup_rate"] == before[s]["dup_rate"]
