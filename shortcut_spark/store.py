@@ -108,8 +108,12 @@ class Store:
         # small indexes (POSTING_MAP_MAX entries); big ones stay on disk
         self._posting_maps: dict[tuple, dict] = {}
         # (column, version) -> {file_id: bitset bytes} for BLOOM indices —
-        # m_bits/8 bytes per live file, probed driver-side with zero jobs
+        # m_bits/8 bytes per live file, probed driver-side with zero jobs.
+        # Above BLOOM_EAGER_MAX files the map fills LAZILY per candidate;
+        # _bloom_fetched tracks which ids were already requested so an
+        # absent bitset is not re-fetched on every probe.
         self._bloom_maps: dict[tuple, dict] = {}
+        self._bloom_fetched: dict[tuple, set] = {}
         # (column, version) -> vectorized per-file stats arrays for the
         # driver-side pruning loop (the SCALE.md graduation: numpy columns
         # instead of a Python loop over files)
@@ -433,6 +437,8 @@ class Store:
             del self._posting_maps[key]
         for key in [k for k in self._bloom_maps if k[1] != v]:
             del self._bloom_maps[key]
+        for key in [k for k in self._bloom_fetched if k[1] != v]:
+            del self._bloom_fetched[key]
         for key in [k for k in self._stats_np if k[1] != v]:
             del self._stats_np[key]
 
@@ -1147,7 +1153,7 @@ class Store:
             if path.cond.cmp.is_const_eq and self._bloom_probe_ok(
                 path.index.column, path.cond.cmp.value.payload
             ):
-                bmap = self._bloom_map(path.index)
+                bmap = self._bloom_bitsets(path.index, [f.id for f in files])
                 if bmap:
                     pos = _bloom_positions_py(
                         path.cond.cmp.value.payload,
@@ -1269,6 +1275,40 @@ class Store:
             return isinstance(probe, int) and not isinstance(probe, bool)
         return False
 
+    # below this many live files the whole bloom map loads eagerly (one
+    # read, zero jobs on every later probe); above it, probes fetch ONLY
+    # their candidates' bitsets — at 1M files the full map is ~16 GB,
+    # per-candidate loading is the difference between usable and not
+    BLOOM_EAGER_MAX = 4096
+
+    def _bloom_bitsets(self, spec: IndexSpec, candidate_ids) -> dict | None:
+        """Bitsets for the CANDIDATE files only — the lazy per-candidate
+        loading SCALE.md promised: big tables fetch just the bitsets the
+        stats layer's survivors need (a filtered, pushdown-friendly read
+        of the (file_id, bloom) parts), cached incrementally per manifest
+        version so repeated probes re-fetch nothing. Small tables keep
+        the eager whole-map path (zero jobs after the first load). Files
+        whose bitset is absent simply stay candidates — superset contract."""
+        if not spec.parts:
+            return None
+        live = {f.id for f in self.manifest.files}
+        if len(live) <= self.BLOOM_EAGER_MAX:
+            return self._bloom_map(spec)
+        key = (spec.column, self.manifest.version)
+        bmap = self._bloom_maps.setdefault(key, {})
+        fetched = self._bloom_fetched.setdefault(key, set())
+        need = [int(i) for i in candidate_ids if i in live and i not in fetched]
+        if need:
+            df = (
+                self.spark.read.schema("__file_id int, bloom binary")
+                .parquet(*[self._abs(p) for p in spec.parts])
+                .filter(F.col("__file_id").isin(need))
+            )
+            for r in df.collect():
+                bmap[r["__file_id"]] = bytes(r["bloom"])
+            fetched.update(need)
+        return bmap
+
     def _bloom_map(self, spec: IndexSpec) -> dict | None:
         """{file_id: bitset bytes} for a BLOOM index — one tiny read of
         #files rows, cached per manifest version. Later parts win when a
@@ -1388,7 +1428,7 @@ class Store:
             and len(keys) <= 10_000  # k hashes per key, driver-side
             and all(self._bloom_probe_ok(name, k) for k in keys)
         ):
-            bmap = self._bloom_map(spec)
+            bmap = self._bloom_bitsets(spec, [f.id for f in files])
             if bmap:
                 m_bits, kh = int(spec.params["m_bits"]), int(spec.params["k"])
                 probes = [_bloom_positions_py(k, m_bits, kh) for k in keys]

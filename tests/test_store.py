@@ -1171,3 +1171,41 @@ def test_prune_mask_edges_match_per_file_check(spark, tmp_path):
     assert st3._stats_arrays("k") is None  # mixed types
     # safe store: string-typed probe on a numeric column falls back too
     assert st._prune_mask(eq("k", "notanumber"), "k") is None
+
+
+def test_bloom_lazy_per_candidate_loading(spark, store_path):
+    """Above BLOOM_EAGER_MAX live files, a bloom probe fetches ONLY the
+    candidate files' bitsets (incrementally cached), never the whole map
+    — and pruning results are identical to the eager path."""
+    from shortcut_spark import BloomIndex
+
+    st = Store.create(spark, store_path, 2)
+    st.index(0, BloomIndex)
+    for b in range(6):
+        st.insert([(f"k{b}_{i}", f"v{b}_{i}") for i in range(10)])
+    assert len(st.manifest.files) == 6
+    spec = st.manifest.indices[st.colnames[0]]
+
+    # eager baseline
+    eager = dict(st._bloom_map(spec))
+    assert len(eager) == 6
+
+    # fresh store object → cold caches; force the lazy path
+    st2 = Store.open(spark, store_path)
+    st2.BLOOM_EAGER_MAX = 0
+    spec2 = st2.manifest.indices[st2.colnames[0]]
+    key = (spec2.column, st2.manifest.version)
+    cand = [f.id for f in st2.manifest.files[:2]]
+    got = st2._bloom_bitsets(spec2, cand)
+    assert set(st2._bloom_fetched[key]) == set(cand)  # only candidates fetched
+    assert all(got[i] == eager[i] for i in cand)
+    # incremental: a second probe adds only the new ids
+    more = [f.id for f in st2.manifest.files[:4]]
+    st2._bloom_bitsets(spec2, more)
+    assert set(st2._bloom_fetched[key]) == set(more)
+    assert len(st2._bloom_maps[key]) <= 4 < 6  # never the whole map
+
+    # end-to-end exactness through the lazy path
+    got_rows = st2.find([eq(0, "k3_7")]).collect()
+    assert len(got_rows) == 1 and got_rows[0][1] == "v3_7"
+    assert st2.find([eq(0, "nope")]).count() == 0
