@@ -2017,6 +2017,29 @@ def q_docs_dedup_rate(spark, sf_dir):
     return dedup_rate_report(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Directed shingle containment (dedup.containment_pairs): catches a
+    document EMBEDDED inside a larger one — the asymmetric case jaccard
+    under-scores because the union is dominated by the big side. Same
+    inverted-index join shape as dedup_jaccard (never all-pairs); integer
+    counts make the ratio engine-exact."""
+    from shortcut_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    )
+
+
+def q_docs_novelty(spark, sf_dir):
+    """Per-document n-gram novelty (dedup.novelty_scores): share of a
+    doc's distinct shingles FIRST seen (min doc_id corpus-wide) in that
+    doc — the curation signal for pruning recombined tail crawls. One
+    shingle-keyed window-min shuffle + one id aggregate."""
+    from shortcut_spark.operators.dedup import novelty_scores
+
+    return novelty_scores(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_temperature_mix(spark, sf_dir):
     """Temperature (α = 0.5) source mixing (sampling.temperature_mix):
     per-source quotas ∝ √n_s, scaled to an expected 250 kept docs —
@@ -2679,6 +2702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_temperature_mix": q_corpus_temperature_mix,  # new r5; next window
         "events_transitions": q_events_transitions,  # new r5; next window
         "docs_dedup_rate": q_docs_dedup_rate,  # new r5; next window
+        "dedup_containment": q_dedup_containment,  # new r5; next window
+        "docs_novelty": q_docs_novelty,  # new r5; next window
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
         "stats_approx_sketch": q_stats_approx_sketch,
@@ -3477,6 +3502,39 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": f"""
             SELECT {fingerprint} AS fp, min(doc_id) AS keeper, count(*) AS n_docs
             FROM documents GROUP BY 1""",
+        "dedup_containment": f"""
+            WITH {shingle_cte},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            dirs AS (
+              SELECT id_a AS src_id, id_b AS sup_id,
+                     CAST(inter AS DOUBLE) / sa.sz AS containment
+              FROM inter JOIN sizes sa ON sa.doc_id = id_a
+              UNION ALL
+              SELECT id_b, id_a, CAST(inter AS DOUBLE) / sb.sz
+              FROM inter JOIN sizes sb ON sb.doc_id = id_b
+            )
+            SELECT src_id, sup_id, containment
+            FROM dirs WHERE containment >= 0.5""",
+        "docs_novelty": f"""
+            WITH {shingle_cte},
+            own AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY shingle) AS first_id
+              FROM sh
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS novelty
+            FROM own GROUP BY 1""",
         "dedup_jaccard": f"""
             WITH {shingle_cte},
             {jaccard_tail}

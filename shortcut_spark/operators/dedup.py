@@ -53,6 +53,8 @@ __all__ = [
     "strip_repeated_cdc_chunks",
     "source_overlap_matrix",
     "dedup_rate_report",
+    "containment_pairs",
+    "novelty_scores",
 ]
 
 
@@ -798,4 +800,87 @@ def dedup_rate_report(
                 6,
             ).alias("dup_rate"),
         )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """DIRECTED shingle containment C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)|:
+    the asymmetric near-dup measure that catches a document EMBEDDED in a
+    larger one (quote farms, page-plus-boilerplate wrappers, concatenated
+    crawls) where symmetric jaccard stays low because the union is
+    dominated by the big side.
+
+    Output: (src_id, sup_id, containment) — ``containment`` of src inside
+    sup, both directions of a pair emitted independently whenever they
+    clear ``threshold``.
+
+    Shuffle shape: identical to :func:`jaccard_pairs` — one inverted-index
+    self-join on shingle (pairs sharing ≥1 shingle only, never all-pairs)
+    plus per-doc size joins; the direction split is a post-aggregation
+    union on already-small pair rows. Integer counts → the double ratio is
+    bit-identical in any engine."""
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    pairs = inter.join(sa, "id_a").join(sb, "id_b")
+    fwd = pairs.select(
+        F.col("id_a").alias("src_id"),
+        F.col("id_b").alias("sup_id"),
+        (F.col("inter") / F.col("sz_a")).alias("containment"),
+    )
+    rev = pairs.select(
+        F.col("id_b").alias("src_id"),
+        F.col("id_a").alias("sup_id"),
+        (F.col("inter") / F.col("sz_b")).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= threshold)
+
+
+def novelty_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against the growing corpus: the share
+    of a document's distinct shingles whose FIRST occurrence (minimum id
+    over the whole corpus) is the document itself. Low-novelty documents
+    are recombinations of text already seen — the streaming-order cousin
+    of dedup that curation pipelines use to prune low-value tail crawls
+    without picking explicit duplicate pairs.
+
+    Shuffle shape: ONE shuffle on shingle (a window-min replaces the
+    owner-table self-join), then one aggregate back on the id. Counts are
+    integers, so novelty = novel/total is engine-exact.
+
+    Output: (id, n_shingles, n_novel, novelty) for every document with at
+    least one shingle."""
+    from pyspark.sql import Window
+
+    sh = shingles(df, id_col, text_col, n)
+    first = F.min(id_col).over(Window.partitionBy("shingle"))
+    return (
+        sh.withColumn("__first", first)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("__first") == F.col(id_col)).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn("novelty", F.col("n_novel") / F.col("n_shingles"))
     )

@@ -2095,3 +2095,42 @@ def test_dedup_rate_report_counts_planted_dups(spark, docs):
     for s in before:
         if s != src:
             assert after[s]["dup_rate"] == before[s]["dup_rate"]
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A doc EMBEDDED in a larger one has containment 1.0 in that
+    direction while symmetric jaccard stays low — the asymmetry that
+    motivates the directed measure."""
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"pad{i} filler{i} extra{i}" for i in range(20))
+    df = spark.createDataFrame([(1, small), (2, big)], ["doc_id", "text"])
+    rows = {
+        (r["src_id"], r["sup_id"]): r["containment"]
+        for r in dedup.containment_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert rows[(1, 2)] == 1.0  # every shingle of the small doc is in the big one
+    assert (2, 1) not in rows  # the big doc is NOT contained in the small one
+    jac = dedup.jaccard_pairs(
+        dedup.shingles(df, "doc_id", "text", 3), "doc_id", threshold=0.0
+    ).collect()
+    assert all(r["jaccard"] < 0.5 for r in jac)  # jaccard misses this pair
+
+
+def test_novelty_first_occurrence_wins(spark):
+    """Novelty credits a shingle to the MINIMUM doc_id: an exact copy
+    scores 0, the original 1, a half-recombination in between."""
+    orig = "one two three four five six seven"
+    fresh = "red green blue cyan magenta yellow black"
+    mixed = orig + " " + fresh
+    df = spark.createDataFrame(
+        [(1, orig), (2, orig), (3, mixed)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in dedup.novelty_scores(df, "doc_id", "text").collect()}
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["novelty"] == 0.0
+    assert 0.0 < out[3]["novelty"] < 1.0
+    # exactly the 5 orig-part trigrams are non-novel in the mixed doc
+    assert out[3]["n_shingles"] - out[3]["n_novel"] == 5
+    # ratio is exactly n_novel / n_shingles (integer-derived, engine-exact)
+    r3 = out[3]
+    assert r3["novelty"] == r3["n_novel"] / r3["n_shingles"]
