@@ -155,6 +155,11 @@ HEADLINE = [
     ("events_cms_counts", "collect"),
     ("embed_cross_source", "count"),
     ("stats_sketch_bounds", "collect"),
+    # directed containment (the asymmetric dedup tier — same inverted
+    # shingle index as jaccard) and first-seen n-gram novelty (one
+    # shingle-keyed window-min shuffle)
+    ("dedup_containment", "count"),
+    ("docs_novelty", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

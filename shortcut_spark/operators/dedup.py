@@ -840,17 +840,27 @@ def containment_pairs(
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     pairs = inter.join(sa, "id_a").join(sb, "id_b")
-    fwd = pairs.select(
-        F.col("id_a").alias("src_id"),
-        F.col("id_b").alias("sup_id"),
-        (F.col("inter") / F.col("sz_a")).alias("containment"),
+    # both directions via ONE map-side explode — a union of two projections
+    # would duplicate the whole inverted-index subtree in the plan
+    dirs = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src_id"),
+                    F.col("id_b").alias("sup_id"),
+                    (F.col("inter") / F.col("sz_a")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src_id"),
+                    F.col("id_a").alias("sup_id"),
+                    (F.col("inter") / F.col("sz_b")).alias("containment"),
+                ),
+            )
+        ).alias("d")
     )
-    rev = pairs.select(
-        F.col("id_b").alias("src_id"),
-        F.col("id_a").alias("sup_id"),
-        (F.col("inter") / F.col("sz_b")).alias("containment"),
+    return dirs.select("d.src_id", "d.sup_id", "d.containment").filter(
+        F.col("containment") >= threshold
     )
-    return fwd.unionAll(rev).filter(F.col("containment") >= threshold)
 
 
 def novelty_scores(
