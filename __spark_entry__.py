@@ -2040,6 +2040,27 @@ def q_docs_novelty(spark, sf_dir):
     return novelty_scores(_t(spark, sf_dir, "documents"))
 
 
+def q_text_collocations(spark, sf_dir):
+    """Top-50 collocations by LIFT (text.collocations): p(x,y)/(p(x)p(y))
+    orders identically to PMI but needs no logarithm — DECIMAL(38,0)
+    products + one double division make the ranking engine-exact. Bigram
+    and unigram count shuffles, vocab-keyed joins, sort-limit top-k."""
+    from shortcut_spark.operators.text import collocations
+
+    return collocations(_t(spark, sf_dir, "documents"), min_count=5, k=50)
+
+
+def q_docs_vocab_growth(spark, sf_dir):
+    """Vocabulary-growth curve (text.vocab_growth): per-doc NEW distinct
+    tokens + cumulative vocabulary in id order — Heaps'-law diminishing
+    returns for corpus expansion. The cumulative sum is a distributed
+    two-phase prefix sum (range buckets + a ≤32-row offset window), never
+    a single-partition global window."""
+    from shortcut_spark.operators.text import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_temperature_mix(spark, sf_dir):
     """Temperature (α = 0.5) source mixing (sampling.temperature_mix):
     per-source quotas ∝ √n_s, scaled to an expected 250 kept docs —
@@ -2704,6 +2725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_rate": q_docs_dedup_rate,  # new r5; next window
         "dedup_containment": q_dedup_containment,  # new r5; next window
         "docs_novelty": q_docs_novelty,  # new r5; next window
+        "text_collocations": q_text_collocations,  # new r5; next window
+        "docs_vocab_growth": q_docs_vocab_growth,  # new r5; next window
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
         "stats_approx_sketch": q_stats_approx_sketch,
@@ -3521,6 +3544,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_id, sup_id, containment
             FROM dirs WHERE containment >= 0.5""",
+        "text_collocations": f"""
+            WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+            pairs AS (
+              SELECT t[i] AS w1, t[i + 1] AS w2
+              FROM (SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+                    FROM toks)
+            ),
+            big AS (
+              SELECT w1, w2, count(*) AS n_xy FROM pairs
+              GROUP BY 1, 2 HAVING count(*) >= 5
+            ),
+            uni AS (
+              SELECT w, count(*) AS n_w
+              FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+            ),
+            tot AS (SELECT CAST(sum(n_xy) AS DECIMAL(38,0)) AS n FROM big)
+            SELECT b.w1, b.w2, b.n_xy, ux.n_w AS n_x, uy.n_w AS n_y,
+                   CAST(CAST(b.n_xy AS DECIMAL(38,0)) * tot.n AS DOUBLE)
+                   / CAST(CAST(ux.n_w AS DECIMAL(38,0)) * uy.n_w AS DOUBLE) AS lift
+            FROM big b
+            JOIN uni ux ON ux.w = b.w1
+            JOIN uni uy ON uy.w = b.w2
+            CROSS JOIN tot
+            ORDER BY lift DESC, b.w1, b.w2 LIMIT 50""",
+        "docs_vocab_growth": f"""
+            WITH terms AS (
+              SELECT doc_id, unnest(t) AS w
+              FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+            ),
+            firsts AS (SELECT w, min(doc_id) AS first_id FROM terms GROUP BY 1),
+            news AS (SELECT first_id AS doc_id, count(*) AS n_new
+                     FROM firsts GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+                   CAST(sum(coalesce(n.n_new, 0))
+                        OVER (ORDER BY d.doc_id) AS BIGINT) AS cum_vocab
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN news n ON n.doc_id = d.doc_id""",
         "docs_novelty": f"""
             WITH {shingle_cte},
             own AS (

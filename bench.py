@@ -160,6 +160,10 @@ HEADLINE = [
     # shingle-keyed window-min shuffle)
     ("dedup_containment", "count"),
     ("docs_novelty", "count"),
+    # lift-ranked collocations (log-free PMI twin) and the Heaps'-law
+    # vocabulary curve (distributed two-phase prefix sum)
+    ("text_collocations", "collect"),
+    ("docs_vocab_growth", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -40,6 +40,8 @@ __all__ = [
     "encoding_stats",
     "MOJIBAKE_RE",
     "length_histogram",
+    "collocations",
+    "vocab_growth",
 ]
 
 # Dialect-portable patterns (valid and equivalent in Java regex and RE2 /
@@ -734,3 +736,135 @@ def length_histogram(
         "bucket", lo.alias("lo"), hi.alias("hi"), "n_docs", "min_len", "max_len"
     ]
     return out.select(*cols)
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k collocations (adjacent word pairs) ranked by LIFT —
+    p(x,y) / (p(x)·p(y)), the phrase-mining signal tokenizer and vocab
+    builders use. Lift orders identically to PMI (PMI = ln lift) but
+    needs NO logarithm, so the score is an exact integer ratio and the
+    ranking is bit-identical in any engine: the products run in
+    DECIMAL(38,0) (exact), and only the final division is a double.
+
+    Shuffle shape: one (x, y) bigram count shuffle (map-side combined),
+    one unigram count shuffle, then the bigram table joins the unigram
+    counts on x and on y (vocab-keyed shuffle joins; at web scale the
+    vocab is millions of rows — never driver-side). ``min_count`` prunes
+    the hapax tail BEFORE the joins. Final top-k is a sort-limit
+    (TakeOrderedAndProject), never a global sort.
+
+    Output: (w1, w2, n_xy, n_x, n_y, lift), top k by (lift desc, w1, w2).
+    """
+    toks = df.select(tokens(F.lower(F.col(text_col))).alias("__toks"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(__toks) - 1, 0)),"
+                " i -> struct(__toks[i - 1] as w1, __toks[i] as w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    big = big.filter(F.col("n_xy") >= min_count)
+    uni = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    total = big.agg(F.sum("n_xy").cast("decimal(38,0)").alias("__n"))
+    ux = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_x"))
+    uy = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_y"))
+    scored = (
+        big.join(ux, "w1")
+        .join(uy, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            "n_x",
+            "n_y",
+            (
+                (F.col("n_xy").cast("decimal(38,0)") * F.col("__n")).cast("double")
+                / (F.col("n_x").cast("decimal(38,0)") * F.col("n_y")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "w1", "w2").limit(k)
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 32,
+) -> DataFrame:
+    """Vocabulary-growth curve (Heaps' law): for every document, the
+    number of NEW distinct tokens it introduces (first corpus occurrence
+    by minimum id) and the cumulative vocabulary size up to and including
+    it in id order — the diminishing-returns report for corpus expansion.
+
+    The cumulative sum is the classic DISTRIBUTED prefix sum, not a
+    single-partition global window: ids are range-bucketed on the
+    (min, max) id span, per-bucket totals (≤ ``buckets`` rows) take the
+    only unpartitioned window, and each doc adds its within-bucket prefix
+    — so no task ever sees more than one bucket of rows. All counts are
+    integers → hash-exact.
+
+    Output: (id, n_new, cum_vocab) for every document.
+    """
+    from pyspark.sql import Window as W
+
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("__t")
+    )
+    firsts = terms.groupBy("__t").agg(F.min(id_col).alias("__first"))
+    news = firsts.groupBy(F.col("__first").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    # persisted: the (id, n_new) table feeds the bucket totals AND the
+    # final prefix join — without it the terms explode + first-occurrence
+    # aggregate run once per reference (same convention as the shingle
+    # arrays in dedup.minhash_near_dups)
+    docs = (
+        df.select(id_col)
+        .distinct()
+        .join(news, id_col, "left")
+        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)).cast("long"))
+        .persist()
+    )
+    span = docs.agg(
+        F.min(id_col).alias("__lo"),
+        (F.max(id_col) - F.min(id_col) + 1).alias("__span"),
+    )
+    docs = docs.crossJoin(F.broadcast(span)).withColumn(
+        "__bkt",
+        F.least(
+            F.floor(
+                (F.col(id_col) - F.col("__lo"))
+                * F.lit(int(buckets))
+                / F.col("__span")
+            ),
+            F.lit(int(buckets) - 1),
+        ).cast("int"),
+    )
+    per_bucket = docs.groupBy("__bkt").agg(F.sum("n_new").alias("__bsum"))
+    # ≤ `buckets` rows: the only unpartitioned window runs on a tiny table
+    w_b = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = per_bucket.withColumn(
+        "__off", F.coalesce(F.sum("__bsum").over(w_b), F.lit(0))
+    ).select("__bkt", "__off")
+    w_in = W.partitionBy("__bkt").orderBy(id_col).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        docs.join(F.broadcast(offsets), "__bkt")
+        .withColumn("cum_vocab", (F.col("__off") + F.sum("n_new").over(w_in)).cast("long"))
+        .select(id_col, "n_new", "cum_vocab")
+    )

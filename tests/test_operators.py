@@ -2134,3 +2134,33 @@ def test_novelty_first_occurrence_wins(spark):
     # ratio is exactly n_novel / n_shingles (integer-derived, engine-exact)
     r3 = out[3]
     assert r3["novelty"] == r3["n_novel"] / r3["n_shingles"]
+
+
+def test_collocations_planted_phrase_tops_lift(spark):
+    """A pair that ALWAYS co-occurs ("new york") outranks pairs of
+    independently-frequent words, and the lift value is the exact
+    integer ratio n_xy * N / (n_x * n_y)."""
+    rows = [(i, "new york " + "the cat sat on the mat " * 3) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.collocations(df, min_count=5, k=5).collect()
+    top = out[0]
+    assert (top["w1"], top["w2"]) == ("new", "york")
+    n = sum(r["n_xy"] for r in text.collocations(df, min_count=1, k=10**6).collect())
+    assert top["lift"] == top["n_xy"] * n / (top["n_x"] * top["n_y"])
+    assert all(out[i]["lift"] >= out[i + 1]["lift"] for i in range(len(out) - 1))
+
+
+def test_vocab_growth_prefix_sum_and_sparse_ids(spark):
+    """Cumulative vocabulary equals the running union of distinct tokens
+    even with sparse, non-contiguous ids (exercises the range-bucketed
+    two-phase prefix sum, buckets >> docs)."""
+    rows = [
+        (3, "a b c"),          # 3 new
+        (90, "a b d"),         # 1 new (d)
+        (91, "a a a"),         # 0 new
+        (1000, "e f"),         # 2 new
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.vocab_growth(df).collect()}
+    assert [out[i]["n_new"] for i in (3, 90, 91, 1000)] == [3, 1, 0, 2]
+    assert [out[i]["cum_vocab"] for i in (3, 90, 91, 1000)] == [3, 4, 4, 6]
