@@ -762,14 +762,16 @@ def collocations(
     Output: (w1, w2, n_xy, n_x, n_y, lift), top k by (lift desc, w1, w2).
     """
     toks = df.select(tokens(F.lower(F.col(text_col))).alias("__toks"))
-    pairs = toks.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(__toks) - 1, 0)),"
-                " i -> struct(__toks[i - 1] as w1, __toks[i] as w2))"
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
+    # guard size >= 2: Spark's sequence(1, 0) steps DOWNWARD ([1, 0]),
+    # so the unguarded expression indexes past a 1-token array
+    pair_arr = F.when(
+        F.size(F.col("__toks")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(__toks) - 1),"
+            " i -> struct(__toks[i - 1] as w1, __toks[i] as w2))"
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = toks.select(F.explode(pair_arr).alias("p")).select("p.w1", "p.w2")
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
     big = big.filter(F.col("n_xy") >= min_count)
     uni = (

@@ -402,3 +402,130 @@ def test_interval_overlap_shift_invariant_and_exact(spark, iv, shift):
                 brute[(ia, ib)] = min(ea, eb) - max(sa, sb)
     assert run(0) == brute
     assert run(shift) == brute
+
+
+def _model_shingles(toks, n=3):
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(doc_st, min_size=1, max_size=6))
+def test_containment_matches_set_model(spark, docs):
+    """containment == |sh(a) ∩ sh(b)| / |sh(a)| for every ordered pair
+    sharing a shingle, per a plain-Python set model."""
+    from shortcut_spark.operators.dedup import containment_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["src_id"], r["sup_id"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", "text", threshold=0.0).collect()
+    }
+    sh = {i: _model_shingles(toks) for i, toks in enumerate(docs)}
+    want = {}
+    for a in sh:
+        for b in sh:
+            if a == b or not sh[a]:
+                continue
+            inter = len(sh[a] & sh[b])
+            if inter:
+                want[(a, b)] = inter / len(sh[a])
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(doc_st, min_size=1, max_size=6))
+def test_novelty_matches_first_seen_model(spark, docs):
+    """(n_shingles, n_novel) per doc match min-id ownership; summed
+    n_novel equals the corpus's distinct shingle count."""
+    from shortcut_spark.operators.dedup import novelty_scores
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"])
+        for r in novelty_scores(df, "doc_id", "text").collect()
+    }
+    sh = {i: _model_shingles(toks) for i, toks in enumerate(docs)}
+    owner = {}
+    for i in sorted(sh):
+        for s in sh[i]:
+            owner.setdefault(s, i)
+    want = {
+        i: (len(s), sum(1 for x in s if owner[x] == i))
+        for i, s in sh.items()
+        if s
+    }
+    assert got == want
+    assert sum(n for _, n in got.values()) == len(owner)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(doc_st, min_size=1, max_size=6))
+def test_collocations_match_count_model(spark, docs):
+    """Full (min_count=1) collocation table matches adjacent-pair /
+    unigram count models, lift included (integer-derived doubles)."""
+    from collections import Counter
+
+    from shortcut_spark.operators.text import collocations
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = collocations(df, min_count=1, k=10**6).collect()
+    big = Counter()
+    uni = Counter()
+    for toks in docs:
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n = sum(big.values())
+    got = {(r["w1"], r["w2"]): (r["n_xy"], r["n_x"], r["n_y"], r["lift"]) for r in out}
+    want = {
+        (x, y): (c, uni[x], uni[y], c * n / (uni[x] * uni[y]))
+        for (x, y), c in big.items()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(doc_st, min_size=1, max_size=6), data=st.data())
+def test_vocab_growth_bucket_invariance(spark, docs, data):
+    """The cumulative vocabulary curve equals the running-union model and
+    is INVARIANT to the prefix-sum bucket count (1, 3, or 32 buckets)."""
+    from shortcut_spark.operators.text import vocab_growth
+
+    # sparse ids: stress range bucketing with gaps
+    ids = sorted(
+        data.draw(
+            st.sets(st.integers(min_value=0, max_value=10**6), min_size=len(docs), max_size=len(docs))
+        )
+    )
+    rows = [(ids[i], " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seen: set = set()
+    want = {}
+    for i, toks in zip(ids, (d for d in docs)):
+        new = set(toks) - seen
+        seen |= set(toks)
+        want[i] = (len(new), len(seen))
+    for buckets in (1, 3, 32):
+        got = {
+            r["doc_id"]: (r["n_new"], r["cum_vocab"])
+            for r in vocab_growth(df, buckets=buckets).collect()
+        }
+        assert got == want, f"buckets={buckets}"
