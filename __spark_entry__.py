@@ -2061,6 +2061,32 @@ def q_docs_vocab_growth(spark, sf_dir):
     return vocab_growth(_t(spark, sf_dir, "documents"))
 
 
+def q_events_pagerank(spark, sf_dir):
+    """Integer fixed-point PageRank (graph.pagerank) over the user-path
+    transition graph — node importance in the behavioral Markov chain.
+    Every step is BIGINT multiply/floor-divide, so the ITERATIVE
+    computation is engine-exact and the 5 fixed iterations unroll into a
+    plain CTE chain the oracle replicates verbatim. Per round: one src-
+    keyed join shuffle + one dst-keyed partial-agg sum, the classic
+    distributed PageRank shape."""
+    from pyspark.sql import Window as W
+
+    from shortcut_spark.operators.graph import pagerank
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__prev", F.lag("event_type").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("src"), F.col("event_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank(edges, weight="w")
+
+
 def q_corpus_temperature_mix(spark, sf_dir):
     """Temperature (α = 0.5) source mixing (sampling.temperature_mix):
     per-source quotas ∝ √n_s, scaled to an expected 250 kept docs —
@@ -2727,6 +2753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_novelty": q_docs_novelty,  # new r5; next window
         "text_collocations": q_text_collocations,  # new r5; next window
         "docs_vocab_growth": q_docs_vocab_growth,  # new r5; next window
+        "events_pagerank": q_events_pagerank,  # new r5; next window
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
         "stats_approx_sketch": q_stats_approx_sketch,
@@ -2864,6 +2891,47 @@ def oracle_sql() -> dict[str, str]:
       sh AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
         FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 0))) AS i FROM toks)
+      )"""
+
+    # integer fixed-point PageRank (graph.pagerank spec, BIGINT floor
+    # arithmetic): the 5 fixed iterations unroll into c{i}/it{i} CTE pairs
+    PR_SCALE, PR_DN, PR_DD, PR_IT = 10**9, 17, 20, 5
+    pr_chain = f"""
+      eseq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+      ),
+      ee AS (
+        SELECT prev AS s, event_type AS d, CAST(count(*) AS BIGINT) AS w
+        FROM eseq WHERE prev IS NOT NULL GROUP BY 1, 2
+      ),
+      pnodes AS (
+        SELECT DISTINCT node
+        FROM (SELECT s AS node FROM ee UNION SELECT d FROM ee)
+      ),
+      pn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pnodes),
+      poutw AS (SELECT s, sum(w) AS ow FROM ee GROUP BY 1),
+      it0 AS (
+        SELECT node, CAST({PR_SCALE} AS BIGINT) // n AS r, n
+        FROM pnodes CROSS JOIN pn
+      )"""
+    for _i in range(1, PR_IT + 1):
+        pr_chain += f""",
+      c{_i} AS (
+        SELECT ee.d AS node,
+               sum((q.r * ee.w * {PR_DN}) // (poutw.ow * {PR_DD})) AS cs
+        FROM ee
+        JOIN poutw ON poutw.s = ee.s
+        JOIN it{_i - 1} q ON q.node = ee.s
+        GROUP BY 1
+      ),
+      it{_i} AS (
+        SELECT p.node,
+               (CAST({PR_SCALE} AS BIGINT) * {PR_DD - PR_DN}) // (p.n * {PR_DD})
+               + coalesce(c{_i}.cs, 0) AS r,
+               p.n
+        FROM it{_i - 1} p LEFT JOIN c{_i} ON c{_i}.node = p.node
       )"""
 
     jaccard_tail = """
@@ -3544,6 +3612,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_id, sup_id, containment
             FROM dirs WHERE containment >= 0.5""",
+        "events_pagerank": f"""
+            WITH {pr_chain}
+            SELECT node, CAST(r AS BIGINT) AS rank_i,
+                   CAST(r AS BIGINT) / CAST({PR_SCALE} AS BIGINT) AS "rank"
+            FROM it{PR_IT}""",
         "text_collocations": f"""
             WITH toks AS (SELECT {_TOKS} AS t FROM documents),
             pairs AS (

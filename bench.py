@@ -164,6 +164,8 @@ HEADLINE = [
     # vocabulary curve (distributed two-phase prefix sum)
     ("text_collocations", "collect"),
     ("docs_vocab_growth", "count"),
+    # integer fixed-point PageRank over the user-path transition graph
+    ("events_pagerank", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "pagerank"]
 
 
 def connected_components(
@@ -89,3 +89,84 @@ def connected_components(
             break
 
     return labels.select(F.col("node").alias(out_node), F.col("lbl").alias(out_comp))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 5,
+    d_num: int = 17,
+    d_den: int = 20,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Weighted PageRank in integer FIXED-POINT arithmetic — every step is
+    BIGINT multiply / floor-divide, so the whole iterative computation is
+    bit-identical in any engine and (unlike float PageRank, whose
+    reduce-order drift defies certification) has an exact SQL twin: the
+    fixed ``iters`` unroll into a chain of plain CTEs.
+
+    Per node: rank mass out of ``scale``; damping d = d_num/d_den (17/20 =
+    0.85). Each iteration, spec (the oracle replicates it verbatim):
+
+        contrib(u→v) = (r_u · w_uv · d_num) div (out_u · d_den)
+        r'_v = (scale · (d_den − d_num)) div (N · d_den) + Σ_u contrib(u→v)
+
+    Floor-rounding loses ≤1 unit per edge per iteration — at scale=1e9
+    that is noise; dangling-node mass evaporates (the standard
+    simplification). Overflow bound: r_u·w_uv·d_num must fit in int64,
+    i.e. max edge weight ≲ 5·10⁸ at the default scale — raise/lower
+    ``scale`` to trade precision against weight headroom.
+
+    Scale shape: per iteration one shuffle joining ranks to edges on the
+    src key and one partial-aggregated sum on the dst key — the classic
+    distributed PageRank round. Plan depth is bounded by an eager
+    localCheckpoint per round (reliable ``checkpoint()`` on a real
+    cluster), same convention as :func:`connected_components`.
+
+    Output: (node, rank_i, rank) — the integer mass and its double form
+    (exact: both < 2^53).
+    """
+    w_col = (F.col(weight) if weight else F.lit(1)).cast("long")
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d"), w_col.alias("w")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    outw = e.groupBy("s").agg(F.sum("w").alias("ow"))
+    n1 = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r = (
+        nodes.crossJoin(F.broadcast(n1))
+        .select("node", F.expr(f"CAST({scale} AS BIGINT) div n").alias("r"), "n")
+        .localCheckpoint(eager=True)
+    )
+    teleport = F.expr(f"CAST({scale} AS BIGINT) * {d_den - d_num} div (n * {d_den})")
+    for _ in range(iters):
+        contrib = (
+            e.join(outw, "s")
+            .join(r.select(F.col("node").alias("s"), "r"), "s")
+            .select(
+                F.col("d").alias("node"),
+                F.expr(f"r * w * {d_num} div (ow * {d_den})").alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("cs"))
+        r = (
+            r.select("node", "n")
+            .join(summed, "node", "left")
+            .select(
+                "node",
+                (teleport + F.coalesce(F.col("cs"), F.lit(0))).alias("r"),
+                "n",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r.select(
+        "node",
+        F.col("r").alias("rank_i"),
+        (F.col("r") / F.lit(scale).cast("long")).alias("rank"),
+    )

@@ -2164,3 +2164,17 @@ def test_vocab_growth_prefix_sum_and_sparse_ids(spark):
     out = {r["doc_id"]: r for r in text.vocab_growth(df).collect()}
     assert [out[i]["n_new"] for i in (3, 90, 91, 1000)] == [3, 1, 0, 2]
     assert [out[i]["cum_vocab"] for i in (3, 90, 91, 1000)] == [3, 4, 4, 6]
+
+
+def test_pagerank_hub_outranks_spokes(spark):
+    """A node every other node links to accumulates the most rank; total
+    mass stays ≤ scale (floor loss + dangling evaporation only shrink)."""
+    from shortcut_spark.operators.graph import pagerank
+
+    edges = [(s, "hub", 1) for s in ("a", "b", "c", "d")] + [("hub", "a", 1)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    out = {r["node"]: r for r in pagerank(df, weight="w").collect()}
+    assert max(out, key=lambda v: out[v]["rank_i"]) == "hub"
+    assert sum(r["rank_i"] for r in out.values()) <= 10**9
+    for r in out.values():
+        assert r["rank"] == r["rank_i"] / 10**9

@@ -529,3 +529,44 @@ def test_vocab_growth_bucket_invariance(spark, docs, data):
             for r in vocab_growth(df, buckets=buckets).collect()
         }
         assert got == want, f"buckets={buckets}"
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_pagerank_matches_integer_model(spark, edges):
+    """Fixed-point PageRank is bit-identical to a plain-Python rendition
+    of the same BIGINT floor-arithmetic spec (any engine must agree)."""
+    from collections import defaultdict
+
+    from shortcut_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r["node"]: r["rank_i"] for r in pagerank(df, weight="w").collect()}
+    # duplicate (src, dst) edges contribute independently, as in the operator
+    SCALE, DN, DD, IT = 10**9, 17, 20, 5
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    outw = defaultdict(int)
+    for s, _, w in edges:
+        outw[s] += w
+    r = {v: SCALE // n for v in nodes}
+    for _ in range(IT):
+        nr = {v: (SCALE * (DD - DN)) // (n * DD) for v in nodes}
+        for s, d, w in edges:
+            nr[d] += (r[s] * w * DN) // (outw[s] * DD)
+        r = nr
+    assert got == r
