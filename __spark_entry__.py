@@ -2665,15 +2665,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stats_sketch_bounds); slots 33-50 are regression guards for the code
     # touched this round (apply_changes resurrection/rollback rewrite,
     # composite-ndv sketch encoding, similarity/joins edits) plus the
-    # flagships. A green round leaves only the 4 queries ADDED this round
+    # flagships. A green round leaves only the 11 queries ADDED this round
     # after the window froze (embed_cross_source, events_anomaly,
-    # docs_length_hist, corpus_temperature_mix — all locally hash-green)
-    # without a driver row in the 162-query deterministic inventory; the 6
-    # genuinely-approximate ANN/sketch tiers are rows-only by construction,
-    # live OUTSIDE the window, and are recall-bounded in
-    # BENCH_DETAIL.ann_recall + property tests instead. Everything rotated
-    # out has 1-3 driver-green rounds and stays fully oracle-checked
-    # locally (scripts/oracle_check.py).
+    # docs_length_hist, corpus_temperature_mix, events_transitions,
+    # docs_dedup_rate, dedup_containment, docs_novelty, text_collocations,
+    # docs_vocab_growth, events_pagerank — all locally hash-green, the
+    # next rotation's first-certification slate) without a driver row in
+    # the 169-query deterministic inventory; the 6 genuinely-approximate
+    # ANN/sketch tiers are rows-only by construction, live OUTSIDE the
+    # window, and are recall-bounded in BENCH_DETAIL.ann_recall + property
+    # tests instead. Everything rotated out has 1-3 driver-green rounds
+    # and stays fully oracle-checked locally (scripts/oracle_check.py).
     return {
         # ---- slots 1-32: FIRST driver certification (round 5 = the
         # terminal rotation: every deterministic registry query that has
