@@ -951,6 +951,33 @@ def q_csv_roundtrip_stats(spark, sf_dir):
     )
 
 
+def q_jsonl_roundtrip_docs(spark, sf_dir):
+    """JSONL round-trip certification on the LLM-interchange format: the
+    documents table written to JSON-lines via sources.write, read back
+    with an explicit schema, aggregated per source WITH an md5 content
+    signature (sum of hash32(text)) — a single corrupted byte anywhere in
+    the trip flips the signature, so JSON escaping/decoding is inside the
+    certified path. Oracle runs on the ORIGINAL parquet: round-trip must
+    be value-invisible."""
+    import tempfile as _tf
+
+    from shortcut_spark import sources as src
+    from shortcut_spark.functions import hash32
+
+    df = _t(spark, sf_dir, "documents")
+    path = os.path.join(_tf.mkdtemp(prefix="scjsonl_"), "docs_jsonl")
+    src.write(df, "json", path)
+    back = src.read(spark, "json", path, schema=df.schema)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.length("text")).cast("long").alias("sum_len"),
+        F.sum(hash32(F.col("text"), "jsonl")).cast("long").alias("content_sig"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+    )
+
+
 def q_semi_join(spark, sf_dir):
     """EXISTS → left-semi."""
     o = _t(spark, sf_dir, "orders")
@@ -2756,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": q_text_collocations,  # new r5; next window
         "docs_vocab_growth": q_docs_vocab_growth,  # new r5; next window
         "events_pagerank": q_events_pagerank,  # new r5; next window
+        "jsonl_roundtrip_docs": q_jsonl_roundtrip_docs,  # new r5; next window
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
         "stats_approx_sketch": q_stats_approx_sketch,
@@ -3614,6 +3642,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_id, sup_id, containment
             FROM dirs WHERE containment >= 0.5""",
+        "jsonl_roundtrip_docs": f"""
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_len,
+                   CAST(sum({_H32('jsonl', 'text')}) AS BIGINT) AS content_sig,
+                   CAST(min(doc_id) AS BIGINT) AS min_id,
+                   CAST(max(doc_id) AS BIGINT) AS max_id
+            FROM documents GROUP BY 1""",
         "events_pagerank": f"""
             WITH {pr_chain}
             SELECT node, CAST(r AS BIGINT) AS rank_i,

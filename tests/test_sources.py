@@ -55,3 +55,27 @@ def test_nanos_pyarrow_fallback(spark):
     a = sorted(map(tuple, via_conf.select("event_id", "ts").collect()))
     b = sorted(map(tuple, via_arrow.select("event_id", "ts").collect()))
     assert a == b
+
+
+def test_jsonl_roundtrip_preserves_unicode_exactly(spark, tmp_path):
+    """JSON-lines round-trip is byte-faithful for the content LLM corpora
+    actually carry — escapes, unicode, embedded quotes/newlines — proven
+    via the same hash32 content signature the certified query uses."""
+    from pyspark.sql import functions as F
+
+    from shortcut_spark.functions import hash32
+
+    rows = [
+        (1, 'plain ascii'),
+        (2, 'quote " backslash \\ tab \t newline \n done'),
+        (3, 'unicode: café Ümläut 中文 \U0001f600'),
+        (4, ''),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "docs_jsonl")
+    sources.write(df, "json", path)
+    back = sources.read(spark, "json", path, schema=df.schema)
+    sig = lambda d: d.agg(F.sum(hash32(F.col("text"), "t")).alias("s")).collect()[0]["s"]
+    assert sig(back) == sig(df)
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == dict(rows)  # incl. the empty string surviving as ''
