@@ -2602,6 +2602,21 @@ def q_events_stream_funnel(spark, sf_dir):
     )
 
 
+def q_events_stream_transitions(spark, sf_dir):
+    """Streaming user-path transition counts (streaming.
+    run_stream_transitions, applyInPandasWithState): per-user event-list
+    state re-derives the pair multiset each trigger — late events rewrite
+    adjacent transitions, so pairs are amended, not appended. Oracle is
+    the batch lag-window transition count."""
+    _pin_utc(spark)
+    _STREAM_COUNTER[0] += 1
+    return stream_ops.run_stream_transitions(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        query_name=f"transitions_{_STREAM_COUNTER[0]}",
+    )
+
+
 def q_corpus_clean(spark, sf_dir):
     """Composite cleaning cascade (quality >= 0.3, lang = en, exact dedup,
     minhash near-dedup at jaccard >= 0.5) as ONE lazy plan — proves the
@@ -2784,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_vocab_growth": q_docs_vocab_growth,  # new r5; next window
         "events_pagerank": q_events_pagerank,  # new r5; next window
         "jsonl_roundtrip_docs": q_jsonl_roundtrip_docs,  # new r5; next window
+        "events_stream_transitions": q_events_stream_transitions,  # new r5; next window
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
         "stats_approx_sketch": q_stats_approx_sketch,
@@ -3642,6 +3658,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_id, sup_id, containment
             FROM dirs WHERE containment >= 0.5""",
+        "events_stream_transitions": """
+            WITH seq AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            )
+            SELECT prev AS prev_type, event_type AS next_type,
+                   CAST(count(*) AS BIGINT) AS n_transitions
+            FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2""",
         "jsonl_roundtrip_docs": f"""
             SELECT source,
                    CAST(count(*) AS BIGINT) AS n_docs,

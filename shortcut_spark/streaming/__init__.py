@@ -30,6 +30,7 @@ __all__ = [
     "distinct_user_actions",
     "stream_into_store",
     "run_stream_hopping_append",
+    "run_stream_transitions",
 ]
 
 
@@ -448,6 +449,7 @@ def _file_stream(
     source_parquet: str,
     want_event_ts: bool = True,
     link_dir: str | None = None,
+    options: dict | None = None,
 ) -> DataFrame:
     """Shared file-source preamble: the stream source needs a directory
     (single files are exposed via a symlinked dir — pass a stable
@@ -468,7 +470,10 @@ def _file_stream(
             os.symlink(source_parquet, link)
         source_parquet = d
     schema = spark.read.parquet(source_parquet).schema
-    stream = spark.readStream.schema(schema).parquet(source_parquet)
+    reader = spark.readStream.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(source_parquet)
     if want_event_ts:
         stream = normalize_event_ts(stream)
     return stream
@@ -927,3 +932,104 @@ def run_stream_hopping_append(
     finally:
         q.stop()
     return spark.read.schema(agg.schema).parquet(out_dir)
+
+
+def run_stream_transitions(
+    spark: SparkSession,
+    events_parquet_dir: str,
+    query_name: str = "transitions_stream",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator: INCREMENTAL user-path
+    transition counts via ``applyInPandasWithState`` — the streaming twin
+    of ``operators.events.transition_counts`` (the behavioral Markov
+    matrix, certified against the same batch SQL).
+
+    A transition is not an append-only fact: a late event lands BETWEEN
+    two already-paired events and rewrites both adjacent transitions, so
+    per-user state keeps the (es_micros, event_id, type) list and each
+    trigger re-derives the user's full pair multiset, emitting amended
+    (user, prev, next, n) rows in update mode. The state bound is the
+    user's event count — the same open-tail trade documented for the
+    funnel and sessionize operators; deployments expire idle users on a
+    watermark timeout. Ordering uses MICROsecond epochs + event_id, the
+    exact (ts, event_id) total order the batch oracle sorts by.
+
+    Each emission carries a per-user VERSION; the batch read of the sink
+    keeps only each user's latest version before summing, so amended rows
+    from earlier triggers never double-count (the memory sink appends
+    every update batch)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    opts = (
+        {"maxFilesPerTrigger": str(max_files_per_trigger)}
+        if max_files_per_trigger
+        else None
+    )
+    stream = _file_stream(spark, events_parquet_dir, options=opts)
+    ev = stream.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("es"),
+        "event_id",
+        "event_type",
+    )
+    out_schema = (
+        "user_id long, ver int, prev_type string, next_type string, n long"
+    )
+    state_schema = "evs array<struct<es:long,eid:long,et:string>>, ver int"
+
+    def fn(key, pdfs, state: GroupState):
+        from collections import Counter
+
+        (user_id,) = key
+        evs, ver = (
+            ([list(e) for e in state.get[0]], int(state.get[1]))
+            if state.exists
+            else ([], 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        for es, eid, et in zip(rows["es"], rows["event_id"], rows["event_type"]):
+            evs.append([int(es), int(eid), str(et)])
+        ver += 1
+        state.update(([tuple(e) for e in evs], ver))
+        evs.sort(key=lambda r: (r[0], r[1]))
+        pairs = Counter(
+            (a[2], b[2]) for a, b in zip(evs, evs[1:])
+        )
+        if not pairs:
+            return
+        items = sorted(pairs.items())
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array([user_id] * len(items), dtype="Int64"),
+                "ver": pd.array([ver] * len(items), dtype="Int32"),
+                "prev_type": [p for (p, _), _ in items],
+                "next_type": [nx for (_, nx), _ in items],
+                "n": pd.array([c for _, c in items], dtype="Int64"),
+            }
+        )
+
+    trans = ev.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    q = (
+        trans.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"""
+        WITH latest AS (
+          SELECT user_id, max(ver) AS mv FROM {query_name} GROUP BY 1
+        )
+        SELECT prev_type, next_type, CAST(sum(n) AS BIGINT) AS n_transitions
+        FROM {query_name} s JOIN latest l
+          ON s.user_id = l.user_id AND s.ver = l.mv
+        GROUP BY 1, 2"""
+    )

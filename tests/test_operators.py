@@ -2178,3 +2178,33 @@ def test_pagerank_hub_outranks_spokes(spark):
     assert sum(r["rank_i"] for r in out.values()) <= 10**9
     for r in out.values():
         assert r["rank"] == r["rank_i"] / 10**9
+
+
+def test_stream_transitions_amend_across_triggers(spark, tmp_path):
+    """Two triggers (maxFilesPerTrigger=1): file 2's LATE event lands
+    between file 1's already-paired events, so the user's A→C transition
+    must be REWRITTEN to A→B, B→C — and the versioned sink read must not
+    double-count the superseded trigger-1 row."""
+    import datetime as dt
+
+    from shortcut_spark.streaming import run_stream_transitions
+
+    src = str(tmp_path / "src")
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    f1 = spark.createDataFrame(
+        [(1, t(0), 7, "A", 0.0, "{}"), (3, t(20), 7, "C", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    f2 = spark.createDataFrame(
+        [(2, t(10), 7, "B", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    f1.coalesce(1).write.parquet(src)
+    f2.coalesce(1).write.mode("append").parquet(src)
+    out = {
+        (r["prev_type"], r["next_type"]): r["n_transitions"]
+        for r in run_stream_transitions(
+            spark, src, query_name="t_amend_test", max_files_per_trigger=1
+        ).collect()
+    }
+    assert out == {("A", "B"): 1, ("B", "C"): 1}, out
