@@ -978,6 +978,29 @@ def q_jsonl_roundtrip_docs(spark, sf_dir):
     )
 
 
+def q_orc_roundtrip_lineitem(spark, sf_dir):
+    """ORC round-trip certification (completes the sink matrix: parquet
+    storage layer + CSV + JSONL + ORC all value-invisible): lineitem safe
+    columns written to ORC via sources.write, read back with an explicit
+    schema, aggregated with the decimal-detour sum so the check is exact.
+    Oracle runs on the ORIGINAL parquet."""
+    import tempfile as _tf
+
+    from shortcut_spark import sources as src
+
+    df = _t(spark, sf_dir, "lineitem").select(*_LINEITEM_SAFE)
+    path = os.path.join(_tf.mkdtemp(prefix="scorc_"), "lineitem_orc")
+    src.write(df, "orc", path)
+    back = src.read(spark, "orc", path, schema=df.schema)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        F.min("l_orderkey").cast("long").alias("min_key"),
+        F.max("l_orderkey").cast("long").alias("max_key"),
+    )
+
+
 def q_semi_join(spark, sf_dir):
     """EXISTS → left-semi."""
     o = _t(spark, sf_dir, "orders")
@@ -2707,14 +2730,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stats_sketch_bounds); slots 33-50 are regression guards for the code
     # touched this round (apply_changes resurrection/rollback rewrite,
     # composite-ndv sketch encoding, similarity/joins edits) plus the
-    # flagships. A green round leaves only the 11 queries ADDED this round
+    # flagships. A green round leaves only the 14 queries ADDED this round
     # after the window froze (embed_cross_source, events_anomaly,
     # docs_length_hist, corpus_temperature_mix, events_transitions,
     # docs_dedup_rate, dedup_containment, docs_novelty, text_collocations,
-    # docs_vocab_growth, events_pagerank — all locally hash-green, the
-    # next rotation's first-certification slate) without a driver row in
-    # the 169-query deterministic inventory; the 6 genuinely-approximate
-    # ANN/sketch tiers are rows-only by construction, live OUTSIDE the
+    # docs_vocab_growth, events_pagerank, jsonl_roundtrip_docs,
+    # events_stream_transitions, orc_roundtrip_lineitem — all locally
+    # hash-green, the next rotation's first-certification slate) without
+    # a driver row in the 172-query deterministic inventory; the 6
+    # genuinely-approximate ANN/sketch tiers are rows-only by
+    # construction, live OUTSIDE the
     # window, and are recall-bounded in BENCH_DETAIL.ann_recall + property
     # tests instead. Everything rotated out has 1-3 driver-green rounds
     # and stays fully oracle-checked locally (scripts/oracle_check.py).
@@ -2800,6 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pagerank": q_events_pagerank,  # new r5; next window
         "jsonl_roundtrip_docs": q_jsonl_roundtrip_docs,  # new r5; next window
         "events_stream_transitions": q_events_stream_transitions,  # new r5; next window
+        "orc_roundtrip_lineitem": q_orc_roundtrip_lineitem,  # new r5; next window
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
         "stats_approx_sketch": q_stats_approx_sketch,
@@ -3658,6 +3684,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_id, sup_id, containment
             FROM dirs WHERE containment >= 0.5""",
+        "orc_roundtrip_lineitem": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   {_DSUM('l_quantity')} AS sum_qty,
+                   {_DSUM('l_extendedprice')} AS sum_price,
+                   CAST(min(l_orderkey) AS BIGINT) AS min_key,
+                   CAST(max(l_orderkey) AS BIGINT) AS max_key
+            FROM lineitem GROUP BY 1, 2""",
         "events_stream_transitions": """
             WITH seq AS (
               SELECT user_id, event_type,
@@ -3688,15 +3722,15 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
                     FROM toks)
             ),
-            big AS (
-              SELECT w1, w2, count(*) AS n_xy FROM pairs
-              GROUP BY 1, 2 HAVING count(*) >= 5
+            bigall AS (
+              SELECT w1, w2, count(*) AS n_xy FROM pairs GROUP BY 1, 2
             ),
+            big AS (SELECT * FROM bigall WHERE n_xy >= 5),
             uni AS (
               SELECT w, count(*) AS n_w
               FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
             ),
-            tot AS (SELECT CAST(sum(n_xy) AS DECIMAL(38,0)) AS n FROM big)
+            tot AS (SELECT CAST(sum(n_xy) AS DECIMAL(38,0)) AS n FROM bigall)
             SELECT b.w1, b.w2, b.n_xy, ux.n_w AS n_x, uy.n_w AS n_y,
                    CAST(CAST(b.n_xy AS DECIMAL(38,0)) * tot.n AS DOUBLE)
                    / CAST(CAST(ux.n_w AS DECIMAL(38,0)) * uy.n_w AS DOUBLE) AS lift

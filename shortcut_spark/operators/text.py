@@ -773,13 +773,15 @@ def collocations(
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     pairs = toks.select(F.explode(pair_arr).alias("p")).select("p.w1", "p.w2")
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    # N is the TRUE corpus bigram total — computed before the hapax
+    # filter, which only prunes the join input, never the denominator
+    total = big.agg(F.sum("n_xy").cast("decimal(38,0)").alias("__n"))
     big = big.filter(F.col("n_xy") >= min_count)
     uni = (
         df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
     )
-    total = big.agg(F.sum("n_xy").cast("decimal(38,0)").alias("__n"))
     ux = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_x"))
     uy = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_y"))
     scored = (
