@@ -2137,6 +2137,15 @@ def q_events_pagerank(spark, sf_dir):
     return pagerank(edges, weight="w")
 
 
+def q_embed_dispersion(spark, sf_dir):
+    """Per-label embedding dispersion (similarity.embedding_dispersion):
+    mean squared distance to the group centroid — the embedding-space
+    diversity diagnostic (monoculture vs varied source). Decimal-exact at
+    every aggregation; the N·D element table is never shuffled (centroids
+    return as one broadcast array per group, d² is a map-side fold)."""
+    return similarity.embedding_dispersion(_t(spark, sf_dir, "embeddings"))
+
+
 def q_corpus_temperature_mix(spark, sf_dir):
     """Temperature (α = 0.5) source mixing (sampling.temperature_mix):
     per-source quotas ∝ √n_s, scaled to an expected 250 kept docs —
@@ -2730,14 +2739,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stats_sketch_bounds); slots 33-50 are regression guards for the code
     # touched this round (apply_changes resurrection/rollback rewrite,
     # composite-ndv sketch encoding, similarity/joins edits) plus the
-    # flagships. A green round leaves only the 14 queries ADDED this round
+    # flagships. A green round leaves only the 15 queries ADDED this round
     # after the window froze (embed_cross_source, events_anomaly,
     # docs_length_hist, corpus_temperature_mix, events_transitions,
     # docs_dedup_rate, dedup_containment, docs_novelty, text_collocations,
     # docs_vocab_growth, events_pagerank, jsonl_roundtrip_docs,
-    # events_stream_transitions, orc_roundtrip_lineitem — all locally
-    # hash-green, the next rotation's first-certification slate) without
-    # a driver row in the 172-query deterministic inventory; the 6
+    # events_stream_transitions, orc_roundtrip_lineitem, embed_dispersion
+    # — all locally hash-green, the next rotation's first-certification
+    # slate) without a driver row in the 173-query deterministic
+    # inventory; the 6
     # genuinely-approximate ANN/sketch tiers are rows-only by
     # construction, live OUTSIDE the
     # window, and are recall-bounded in BENCH_DETAIL.ann_recall + property
@@ -2826,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip_docs": q_jsonl_roundtrip_docs,  # new r5; next window
         "events_stream_transitions": q_events_stream_transitions,  # new r5; next window
         "orc_roundtrip_lineitem": q_orc_roundtrip_lineitem,  # new r5; next window
+        "embed_dispersion": q_embed_dispersion,  # new r5; next window
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
         "stats_approx_sketch": q_stats_approx_sketch,
@@ -3684,6 +3695,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_id, sup_id, containment
             FROM dirs WHERE containment >= 0.5""",
+        "embed_dispersion": """
+            WITH ex AS (
+              SELECT label, vec_id,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                                + 0.5) AS BIGINT) AS qv,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings
+            ),
+            an AS (
+              SELECT label,
+                     CAST(SUM(CAST(qv AS DECIMAL(38,0)) * qv) AS DECIMAL(38,0))
+                       AS a,
+                     CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+              FROM ex GROUP BY 1
+            ),
+            sj AS (
+              SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS s
+              FROM ex GROUP BY 1, 2
+            ),
+            b AS (
+              SELECT label,
+                     CAST(SUM(CAST(s AS DECIMAL(38,0)) * s) AS DECIMAL(38,0))
+                       AS b
+              FROM sj GROUP BY 1
+            )
+            SELECT an.label, an.n AS n_vecs,
+                   CAST(CAST(an.n AS DECIMAL(38,0)) * an.a - b.b AS DOUBLE)
+                   / (CAST(an.n AS DOUBLE) * CAST(an.n AS DOUBLE)
+                      * (1000000.0 * 1000000.0)) AS dispersion
+            FROM an JOIN b ON b.label = an.label""",
         "orc_roundtrip_lineitem": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(count(*) AS BIGINT) AS n,

@@ -38,6 +38,7 @@ __all__ = [
     "norm_stats",
     "quantize_embeddings",
     "semantic_dup_clusters",
+    "embedding_dispersion",
     "truncate_embeddings",
     "topk_cosine_truncated",
     "funnel_topk",
@@ -1092,4 +1093,77 @@ def ivf_pq_topk(
     short = pq_topk(cand_codes, codebook, query, refine, id_col).select(id_col)
     return topk_cosine(
         emb.join(F.broadcast(short), id_col, "left_semi"), query, k, id_col, vec_col
+    )
+
+
+def embedding_dispersion(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    quant: int = 10**6,
+) -> DataFrame:
+    """Per-group embedding DISPERSION: mean squared distance to the
+    group's centroid (the trace of the within-group covariance) — the
+    diversity diagnostic that tells a curation pipeline which sources are
+    embedding-space monocultures (low) vs genuinely varied (high).
+
+    Elements are quantized to 1/``quant`` (floor(x·quant + 0.5) — exact
+    double arithmetic, identical in every engine) and the statistic is
+    computed from integer sufficient statistics, so it is hash-exact:
+
+        A_g = Σ_i Σ_j q_ij²   (per-vector map-side fold)
+        B_g = Σ_j S_j²        with S_j = Σ_i q_ij
+        dispersion = (n·A − B) / (n² · quant²)
+
+    Raw floats must NOT be cast to DECIMAL directly — synthetic/quantized
+    float corpora sit exactly on decimal-half boundaries where engines
+    round differently (HALF_UP vs half-even); integer quantization has no
+    rounding step at all. Quantization bias is ≤ (1/quant)² per dim.
+
+    Scale shape: A and n come from a map-side per-vector fold + one
+    |groups|-keyed rollup (the N·D element table is never shuffled for
+    them); only the per-dim sums S_j take a (group, dim) shuffle, whose
+    key space is |groups|·D at any corpus size. DECIMAL(38,0) holds the
+    exact products up to ~1e9 vectors/group at 64 dims — shard beyond.
+
+    Output: (group, n_vecs, dispersion).
+    """
+    dec38 = "decimal(38,0)"
+    q = lambda x: F.floor(x.cast("double") * quant + F.lit(0.5)).cast("long")
+    # A: per-vector Σ q² folds map-side (≤ D·quant² fits long), then one
+    # group-keyed decimal-exact rollup
+    per_vec_sq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: q(x)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+    an = (
+        emb.select(F.col(group_col), per_vec_sq.alias("__sq"))
+        .groupBy(group_col)
+        .agg(
+            F.sum(F.col("__sq").cast(dec38)).alias("__A"),
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        )
+    )
+    ex = emb.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("__pos", "__x")
+    )
+    sj = ex.groupBy(group_col, "__pos").agg(F.sum(q(F.col("__x"))).alias("__s"))
+    b = sj.groupBy(group_col).agg(
+        F.sum(F.col("__s").cast(dec38) * F.col("__s")).alias("__B")
+    )
+    n_d = F.col("n_vecs").cast("double")
+    return (
+        an.join(b, group_col)
+        .select(
+            group_col,
+            "n_vecs",
+            (
+                (F.col("n_vecs").cast(dec38) * F.col("__A") - F.col("__B")).cast(
+                    "double"
+                )
+                / (n_d * n_d * F.lit(float(quant) * float(quant)))
+            ).alias("dispersion"),
+        )
     )

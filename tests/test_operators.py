@@ -2208,3 +2208,21 @@ def test_stream_transitions_amend_across_triggers(spark, tmp_path):
         ).collect()
     }
     assert out == {("A", "B"): 1, ("B", "C"): 1}, out
+
+
+def test_embedding_dispersion_planted_groups(spark):
+    """Identical vectors → 0; two opposite unit vectors → centroid at the
+    origin and mean squared distance exactly 1 (quantization-exact for
+    these dyadic values)."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, [1.0, 0.0], 1),
+        (4, [-1.0, 0.0], 1),
+        (5, [0.5, 0.5], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in similarity.embedding_dispersion(df).collect()}
+    assert out[0]["dispersion"] == 0.0 and out[0]["n_vecs"] == 2
+    assert out[1]["dispersion"] == 1.0
+    assert out[2]["dispersion"] == 0.0 and out[2]["n_vecs"] == 1
