@@ -166,6 +166,8 @@ HEADLINE = [
     ("docs_vocab_growth", "count"),
     # integer fixed-point PageRank over the user-path transition graph
     ("events_pagerank", "collect"),
+    # per-group embedding diversity from integer sufficient statistics
+    ("embed_dispersion", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host
