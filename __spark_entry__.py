@@ -2490,6 +2490,35 @@ def q_data_checks(spark, sf_dir):
     )
 
 
+def q_data_checks_ref(spark, sf_dir):
+    """Referential-integrity report (validation.references): three FK
+    rules over lineitem (→ orders, supplier, part) plus the volume guard,
+    still ONE aggregate pass — each dimension's distinct key set attaches
+    as a broadcast left-join marker before the agg. The cross-table
+    constraint the single-table rule kinds cannot express; a planted
+    violation is pinned in `test_references_rule_catches_orphans`."""
+    from shortcut_spark.operators import validation as V
+
+    return V.check(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            V.min_rows(1000),
+            V.references(
+                "l_orderkey", _t(spark, sf_dir, "orders"), "o_orderkey",
+                dim_name="orders.o_orderkey",
+            ),
+            V.references(
+                "l_suppkey", _t(spark, sf_dir, "supplier"), "s_suppkey",
+                dim_name="supplier.s_suppkey",
+            ),
+            V.references(
+                "l_partkey", _t(spark, sf_dir, "part"), "p_partkey",
+                dim_name="part.p_partkey",
+            ),
+        ],
+    )
+
+
 def q_corpus_clean_report(spark, sf_dir):
     """Cleaning-funnel observability (pipeline.clean_corpus_report):
     documents surviving each cascade stage (total → quality → language →
@@ -2837,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_transitions": q_events_stream_transitions,  # new r5; next window
         "orc_roundtrip_lineitem": q_orc_roundtrip_lineitem,  # new r5; next window
         "embed_dispersion": q_embed_dispersion,  # new r5; next window
+        "data_checks_ref": q_data_checks_ref,  # new r5; next window
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
         "stats_approx_sketch": q_stats_approx_sketch,
@@ -3695,6 +3725,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_id, sup_id, containment
             FROM dirs WHERE containment >= 0.5""",
+        "data_checks_ref": """
+            WITH f AS (
+              SELECT
+                CAST(count(*) AS DOUBLE) AS n_rows,
+                CAST(sum(CASE WHEN l_orderkey IS NULL
+                       OR l_orderkey IN (SELECT o_orderkey FROM orders)
+                       THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS m_ord,
+                CAST(sum(CASE WHEN l_suppkey IS NULL
+                       OR l_suppkey IN (SELECT s_suppkey FROM supplier)
+                       THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS m_sup,
+                CAST(sum(CASE WHEN l_partkey IS NULL
+                       OR l_partkey IN (SELECT p_partkey FROM part)
+                       THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS m_prt
+              FROM lineitem
+            )
+            SELECT 'min_rows' AS check_name, '*' AS col_name,
+                   round(n_rows, 8) AS metric, '>= 1000' AS expected,
+                   n_rows >= 1000 AS passed FROM f
+            UNION ALL
+            SELECT 'references', 'l_orderkey', round(m_ord, 8),
+                   'in orders.o_orderkey', m_ord = 1.0 FROM f
+            UNION ALL
+            SELECT 'references', 'l_suppkey', round(m_sup, 8),
+                   'in supplier.s_suppkey', m_sup = 1.0 FROM f
+            UNION ALL
+            SELECT 'references', 'l_partkey', round(m_prt, 8),
+                   'in part.p_partkey', m_prt = 1.0 FROM f""",
         "embed_dispersion": """
             WITH ex AS (
               SELECT label, vec_id,

@@ -36,6 +36,7 @@ __all__ = [
     "matches",
     "min_rows",
     "satisfies",
+    "references",
     "check",
 ]
 
@@ -127,6 +128,43 @@ def satisfies(predicate: str | Column, name: str, min_fraction: float = 1.0) -> 
     )
 
 
+def references(col: str, dim: DataFrame, dim_col: str, dim_name: str = "") -> Rule:
+    """Referential integrity: every non-null ``col`` value exists in the
+    dimension's ``dim_col`` key set (the Deequ isContainedIn-other-table
+    shape — the one constraint a single-table aggregate cannot express).
+
+    Compiled as a PREPARE step: the dimension's distinct keys left-join
+    onto the fact table (broadcast-able marker column), and the rule's
+    metric is then an ordinary aggregate over that marker — so the report
+    still runs as ONE pass over the fact table, with the key set attached
+    map-side. At 100 TB the fanout is zero (keys are distinct) and a
+    too-big-to-broadcast dimension degrades to a shuffle join on the FK,
+    which is the honest cost of checking it."""
+    # unique per (col, dim_col); a duplicate rule on the same pair is
+    # already rejected by check()'s (check, col_name) key
+    marker = f"__ref_{col}_{dim_col}"
+
+    def prepare(df: DataFrame) -> DataFrame:
+        keys = (
+            dim.select(F.col(dim_col).alias(col))
+            .distinct()
+            .withColumn(marker, F.lit(1))
+        )
+        return df.join(F.broadcast(keys), col, "left")
+
+    ok = F.sum(F.when(F.col(col).isNull() | F.col(marker).isNotNull(), 1).otherwise(0))
+    frac = ok / F.count(F.lit(1))
+    rule = Rule(
+        "references",
+        col,
+        frac,
+        lambda m: m == F.lit(1.0),
+        f"in {dim_name or dim_col}",
+    )
+    rule.prepare = prepare
+    return rule
+
+
 def check(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     """Evaluate all ``rules`` against ``df`` in ONE aggregate pass.
 
@@ -134,9 +172,17 @@ def check(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     expected string, passed boolean) — the report a pipeline gates a
     batch promotion on (``passed`` all true) and ships to its data-quality
     dashboard. Rule order is not significant (the report is a set).
+
+    Rules may carry a ``prepare`` hook (see :func:`references`) that
+    attaches derived columns before the aggregate — the pass count over
+    the fact table stays one.
     """
     if not rules:
         raise ValueError("check() needs at least one rule")
+    for r in rules:
+        prep = getattr(r, "prepare", None)
+        if prep is not None:
+            df = prep(df)
     names = {}
     for r in rules:
         key = (r.check, r.col_name)

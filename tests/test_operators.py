@@ -2226,3 +2226,31 @@ def test_embedding_dispersion_planted_groups(spark):
     assert out[0]["dispersion"] == 0.0 and out[0]["n_vecs"] == 2
     assert out[1]["dispersion"] == 1.0
     assert out[2]["dispersion"] == 0.0 and out[2]["n_vecs"] == 1
+
+
+def test_references_rule_catches_orphans(spark):
+    """FK rule: a fact row whose key is missing from the dimension fails
+    the report with the exact violation fraction; a full-coverage column
+    passes — and the extra marker join must not multiply rows (distinct
+    keys), so sibling rules still see the true row count."""
+    from shortcut_spark.operators import validation as V
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long"
+    )
+    dim = spark.createDataFrame([(10,), (20,), (20,)], "k long")
+    out = {
+        (r["check_name"], r["col_name"]): r
+        for r in V.check(
+            fact,
+            [
+                V.min_rows(4),
+                V.references("fk", dim, "k", dim_name="dim.k"),
+                V.references("id", fact.select("id"), "id"),
+            ],
+        ).collect()
+    }
+    ref = out[("references", "fk")]
+    assert ref["passed"] is False and ref["metric"] == 0.75  # 99 orphan; NULL ok
+    assert out[("references", "id")]["passed"] is True
+    assert out[("min_rows", "*")]["metric"] == 4.0  # no join fanout
