@@ -570,3 +570,46 @@ def test_pagerank_matches_integer_model(spark, edges):
             nr[d] += (r[s] * w * DN) // (outw[s] * DD)
         r = nr
     assert got == r
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # label
+            st.lists(
+                st.floats(min_value=-1, max_value=1, allow_nan=False, width=32),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_embedding_dispersion_matches_integer_model(spark, vecs):
+    """Dispersion equals the plain-Python rendition of the quantized
+    sufficient-statistics formula (n·A − B)/(n²·s²) on any group shape."""
+    import math
+
+    from shortcut_spark.operators.similarity import embedding_dispersion
+
+    rows = [(i, list(v), g) for i, (g, v) in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: (r["n_vecs"], r["dispersion"]) for r in embedding_dispersion(df).collect()}
+    S = 10**6
+    groups = {}
+    for g, v in vecs:
+        q = [math.floor(float(__import__("numpy").float32(x)) * S + 0.5) for x in v]
+        groups.setdefault(g, []).append(q)
+    want = {}
+    for g, qs in groups.items():
+        n = len(qs)
+        A = sum(x * x for q in qs for x in q)
+        B = sum(sum(q[j] for q in qs) ** 2 for j in range(len(qs[0])))
+        want[g] = (n, float(n * A - B) / (float(n) * float(n) * float(S) * float(S)))
+    assert got == want
