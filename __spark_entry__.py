@@ -2519,6 +2519,20 @@ def q_data_checks_ref(spark, sf_dir):
     )
 
 
+def q_store_stats_agg(spark, sf_dir):
+    """Metadata-only aggregate (Store.stats_agg): COUNT/MIN/MAX answered
+    by folding per-file manifest stats driver-side — zero Spark jobs on
+    the fast path (guards: no tombstones, every live file carries usable
+    stats; otherwise the same row comes from a column-pruned scan). The
+    'SELECT min(x) hits the manifest' lakehouse optimization as a
+    certified query."""
+    st = _cached_store(
+        spark, sf_dir, "lineitem",
+        (("l_returnflag", "hash"), ("l_quantity", "btree")),
+    )
+    return st.stats_agg("l_quantity")
+
+
 def q_corpus_clean_report(spark, sf_dir):
     """Cleaning-funnel observability (pipeline.clean_corpus_report):
     documents surviving each cascade stage (total → quality → language →
@@ -2768,15 +2782,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stats_sketch_bounds); slots 33-50 are regression guards for the code
     # touched this round (apply_changes resurrection/rollback rewrite,
     # composite-ndv sketch encoding, similarity/joins edits) plus the
-    # flagships. A green round leaves only the 15 queries ADDED this round
+    # flagships. A green round leaves only the 17 queries ADDED this round
     # after the window froze (embed_cross_source, events_anomaly,
     # docs_length_hist, corpus_temperature_mix, events_transitions,
     # docs_dedup_rate, dedup_containment, docs_novelty, text_collocations,
     # docs_vocab_growth, events_pagerank, jsonl_roundtrip_docs,
-    # events_stream_transitions, orc_roundtrip_lineitem, embed_dispersion
-    # — all locally hash-green, the next rotation's first-certification
-    # slate) without a driver row in the 173-query deterministic
-    # inventory; the 6
+    # events_stream_transitions, orc_roundtrip_lineitem, embed_dispersion,
+    # data_checks_ref, store_stats_agg — all locally hash-green, the next
+    # rotation's first-certification slate) without a driver row in the
+    # 175-query deterministic inventory; the 6
     # genuinely-approximate ANN/sketch tiers are rows-only by
     # construction, live OUTSIDE the
     # window, and are recall-bounded in BENCH_DETAIL.ann_recall + property
@@ -2867,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip_lineitem": q_orc_roundtrip_lineitem,  # new r5; next window
         "embed_dispersion": q_embed_dispersion,  # new r5; next window
         "data_checks_ref": q_data_checks_ref,  # new r5; next window
+        "store_stats_agg": q_store_stats_agg,  # new r5; next window
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
         "stats_approx_sketch": q_stats_approx_sketch,
@@ -3725,6 +3740,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_id, sup_id, containment
             FROM dirs WHERE containment >= 0.5""",
+        "store_stats_agg": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   min(l_quantity) AS min_val,
+                   max(l_quantity) AS max_val
+            FROM lineitem""",
         "data_checks_ref": """
             WITH f AS (
               SELECT

@@ -1759,6 +1759,55 @@ class Store:
             "idx_ndv long, min string, max string",
         )
 
+    def stats_agg(self, name: str) -> DataFrame:
+        """Metadata-only COUNT/MIN/MAX for one column — the aggregate the
+        stats layer answers with ZERO Spark jobs (the lakehouse
+        "SELECT min(x) hits the manifest" optimization; per-file stats
+        fold driver-side exactly like pruning reads them).
+
+        Exactness guards — the fast path is taken only when it cannot be
+        wrong, otherwise the SAME (n_rows, min_val, max_val) row comes
+        from a column-pruned distributed scan:
+
+        - tombstones present → fallback (a masked row may hold the
+          current extreme; file stats cannot see deletes under
+          merge-on-read);
+        - any live file missing a usable (lo, hi) for the column →
+          fallback (an all-null file and an uncollected stat look the
+          same, and pruning-style superset reasoning is NOT enough for an
+          exact aggregate).
+
+        ``n_rows`` is always ``live_rows`` (exact from the manifest even
+        with tombstones — tombstone_rows is an exact correction).
+        Output: 1 row (n_rows, min_val, max_val)."""
+        if name not in self.colnames:
+            raise KeyError(name)
+        files = self.manifest.files
+        fast = self.manifest.tombstone_rows == 0 and len(files) > 0
+        lo = hi = None
+        if fast:
+            for f in files:
+                st = f.stats.get(name)
+                if not st or st[0] is None or st[1] is None:
+                    fast = False
+                    break
+                lo = st[0] if lo is None else min(lo, st[0])
+                hi = st[1] if hi is None else max(hi, st[1])
+        dtype = self.schema[name].dataType.simpleString()
+        out_schema = f"n_rows long, min_val {dtype}, max_val {dtype}"
+        if fast:
+            return self.spark.createDataFrame(
+                [(int(self.manifest.live_rows), lo, hi)], out_schema
+            )
+        scan = self._read_files(files).select(name) if files else None
+        if scan is None:
+            return self.spark.createDataFrame([(0, None, None)], out_schema)
+        return scan.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(name).alias("min_val"),
+            F.max(name).alias("max_val"),
+        )
+
     def add_column(self, name: str, dtype: T.DataType | str) -> None:
         """Schema evolution: append a NULLABLE column — a metadata-only
         commit. No data file is touched: parquet reads against the widened

@@ -1209,3 +1209,28 @@ def test_bloom_lazy_per_candidate_loading(spark, store_path):
     got_rows = st2.find([eq(0, "k3_7")]).collect()
     assert len(got_rows) == 1 and got_rows[0][1] == "v3_7"
     assert st2.find([eq(0, "nope")]).count() == 0
+
+
+def test_stats_agg_fast_path_and_tombstone_fallback(spark, store_path):
+    """COUNT/MIN/MAX from manifest stats: the fast path must not touch
+    data files (poisoned _read_files), and a tombstoned extreme must
+    force the scan fallback rather than returning the stale stats max."""
+    st = make(spark, store_path, [("a", "1"), ("b", "9"), ("c", "5")])
+    col = st.colnames[1]
+    row = st.stats_agg(col).collect()[0]
+    assert (row["n_rows"], row["min_val"], row["max_val"]) == (3, "1", "9")
+
+    orig = st._read_files
+    st._read_files = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("fast path scanned data files")
+    )
+    try:
+        row2 = st.stats_agg(col).collect()[0]
+    finally:
+        st._read_files = orig
+    assert (row2["n_rows"], row2["min_val"], row2["max_val"]) == (3, "1", "9")
+
+    # merge-on-read delete of the CURRENT max: stats alone would be stale
+    st.delete([eq(1, "9")], defer=True)
+    row3 = st.stats_agg(col).collect()[0]
+    assert (row3["n_rows"], row3["min_val"], row3["max_val"]) == (2, "1", "5")
