@@ -1783,7 +1783,15 @@ class Store:
         if name not in self.colnames:
             raise KeyError(name)
         files = self.manifest.files
-        fast = self.manifest.tombstone_rows == 0 and len(files) > 0
+        # fast path only for dtypes whose JSON-manifest stat values
+        # round-trip losslessly into createDataFrame (numbers, strings);
+        # timestamps/decimals/binary go through the scan
+        dt = self.schema[name].dataType.simpleString()
+        fast = (
+            self.manifest.tombstone_rows == 0
+            and len(files) > 0
+            and dt in ("tinyint", "smallint", "int", "bigint", "float", "double", "string")
+        )
         lo = hi = None
         if fast:
             for f in files:
@@ -1793,8 +1801,7 @@ class Store:
                     break
                 lo = st[0] if lo is None else min(lo, st[0])
                 hi = st[1] if hi is None else max(hi, st[1])
-        dtype = self.schema[name].dataType.simpleString()
-        out_schema = f"n_rows long, min_val {dtype}, max_val {dtype}"
+        out_schema = f"n_rows long, min_val {dt}, max_val {dt}"
         if fast:
             return self.spark.createDataFrame(
                 [(int(self.manifest.live_rows), lo, hi)], out_schema
