@@ -2140,9 +2140,10 @@ def q_events_pagerank(spark, sf_dir):
 def q_embed_dispersion(spark, sf_dir):
     """Per-label embedding dispersion (similarity.embedding_dispersion):
     mean squared distance to the group centroid — the embedding-space
-    diversity diagnostic (monoculture vs varied source). Decimal-exact at
-    every aggregation; the N·D element table is never shuffled (centroids
-    return as one broadcast array per group, d² is a map-side fold)."""
+    diversity diagnostic (monoculture vs varied source). Computed from
+    INTEGER sufficient statistics over 1e-6-quantized elements
+    ((n·A − B)/(n²·s²)): A folds map-side per vector, only the per-dim
+    sums S_j take a (group, dim) shuffle — hash-exact throughout."""
     return similarity.embedding_dispersion(_t(spark, sf_dir, "embeddings"))
 
 
@@ -3033,6 +3034,7 @@ def oracle_sql() -> dict[str, str]:
       ee AS (
         SELECT prev AS s, event_type AS d, CAST(count(*) AS BIGINT) AS w
         FROM eseq WHERE prev IS NOT NULL GROUP BY 1, 2
+        HAVING count(*) > 0
       ),
       pnodes AS (
         SELECT DISTINCT node

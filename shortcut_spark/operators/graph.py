@@ -129,9 +129,16 @@ def pagerank(
     (exact: both < 2^53).
     """
     w_col = (F.col(weight) if weight else F.lit(1)).cast("long")
-    e = edges.select(
-        F.col(src).alias("s"), F.col(dst).alias("d"), w_col.alias("w")
-    ).localCheckpoint(eager=True)
+    # weights are counts: non-positive rows are dropped up front — a
+    # zero-total-out-weight source would otherwise divide by zero (an
+    # ERROR in strict engines, a silent NULL in Spark) and negative
+    # weights break floor-division parity (Spark div truncates, SQL //
+    # floors). A node whose every edge is dropped becomes dangling.
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"), w_col.alias("w"))
+        .filter(F.col("w") > 0)
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))

@@ -740,7 +740,6 @@ def length_histogram(
 
 def collocations(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 5,
     k: int = 50,

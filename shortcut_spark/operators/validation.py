@@ -134,15 +134,22 @@ def references(col: str, dim: DataFrame, dim_col: str, dim_name: str = "") -> Ru
     shape — the one constraint a single-table aggregate cannot express).
 
     Compiled as a PREPARE step: the dimension's distinct keys left-join
-    onto the fact table (broadcast-able marker column), and the rule's
+    onto the fact table (a marker column; the planner broadcasts small
+    key sets itself), and the rule's
     metric is then an ordinary aggregate over that marker — so the report
     still runs as ONE pass over the fact table, with the key set attached
     map-side. At 100 TB the fanout is zero (keys are distinct) and a
     too-big-to-broadcast dimension degrades to a shuffle join on the FK,
     which is the honest cost of checking it."""
-    # unique per (col, dim_col); a duplicate rule on the same pair is
-    # already rejected by check()'s (check, col_name) key
-    marker = f"__ref_{col}_{dim_col}"
+    # marker must be unique per RULE: dim_name (which also distinguishes
+    # the rules in check()'s dedup key) joins the suffix so two dimensions
+    # that happen to share a key-column name cannot collide
+    import hashlib
+
+    suffix = (
+        "_" + hashlib.md5(dim_name.encode()).hexdigest()[:6] if dim_name else ""
+    )
+    marker = f"__ref_{col}_{dim_col}{suffix}"
 
     def prepare(df: DataFrame) -> DataFrame:
         keys = (
@@ -150,7 +157,10 @@ def references(col: str, dim: DataFrame, dim_col: str, dim_name: str = "") -> Ru
             .distinct()
             .withColumn(marker, F.lit(1))
         )
-        return df.join(F.broadcast(keys), col, "left")
+        # no forced broadcast hint: small key sets broadcast via the
+        # planner's threshold/AQE; a too-big dimension genuinely degrades
+        # to the shuffle join the docstring promises
+        return df.join(keys, col, "left")
 
     ok = F.sum(F.when(F.col(col).isNull() | F.col(marker).isNotNull(), 1).otherwise(0))
     frac = ok / F.count(F.lit(1))
@@ -185,7 +195,9 @@ def check(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
             df = prep(df)
     names = {}
     for r in rules:
-        key = (r.check, r.col_name)
+        # expected joins the key so two references() rules on one fact
+        # column against DIFFERENT dimensions are both admissible
+        key = (r.check, r.col_name, r.expected)
         if key in names:
             raise ValueError(f"duplicate rule {r.check} on {r.col_name!r}")
         names[key] = r

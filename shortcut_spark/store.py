@@ -1794,9 +1794,25 @@ class Store:
         )
         lo = hi = None
         if fast:
+            import math
+
+            def _unsafe(v):
+                # NaN breaks Python's min/max fold (comparisons all False)
+                # and -0.0 could surface with a different sign than the
+                # scan's answer — both force the exact fallback
+                return isinstance(v, float) and (
+                    math.isnan(v) or (v == 0.0 and math.copysign(1.0, v) < 0)
+                )
+
             for f in files:
                 st = f.stats.get(name)
-                if not st or st[0] is None or st[1] is None:
+                if (
+                    not st
+                    or st[0] is None
+                    or st[1] is None
+                    or _unsafe(st[0])
+                    or _unsafe(st[1])
+                ):
                     fast = False
                     break
                 lo = st[0] if lo is None else min(lo, st[0])

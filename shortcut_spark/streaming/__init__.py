@@ -990,16 +990,20 @@ def run_stream_transitions(
         )
         rows = pd.concat(list(pdfs), ignore_index=True)
         for es, eid, et in zip(rows["es"], rows["event_id"], rows["event_type"]):
-            evs.append([int(es), int(eid), str(et)])
+            # null ts sorts FIRST (Spark window NULLS FIRST order); null
+            # event_type stays None — the batch twin keeps (A, NULL)
+            # pairs and drops NULL-prev ones, so must we
+            es_key = -(2**62) if pd.isna(es) else int(es)
+            evs.append([es_key, int(eid), None if et is None else str(et)])
         ver += 1
         state.update(([tuple(e) for e in evs], ver))
         evs.sort(key=lambda r: (r[0], r[1]))
         pairs = Counter(
-            (a[2], b[2]) for a, b in zip(evs, evs[1:])
+            (a[2], b[2]) for a, b in zip(evs, evs[1:]) if a[2] is not None
         )
         if not pairs:
             return
-        items = sorted(pairs.items())
+        items = sorted(pairs.items(), key=lambda kv: (kv[0][0], kv[0][1] or ""))
         yield pd.DataFrame(
             {
                 "user_id": pd.array([user_id] * len(items), dtype="Int64"),

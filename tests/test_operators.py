@@ -2254,3 +2254,18 @@ def test_references_rule_catches_orphans(spark):
     assert ref["passed"] is False and ref["metric"] == 0.75  # 99 orphan; NULL ok
     assert out[("references", "id")]["passed"] is True
     assert out[("min_rows", "*")]["metric"] == 4.0  # no join fanout
+
+    # two FK rules on ONE fact column against DIFFERENT dimensions must
+    # coexist (distinct dim_name ⇒ distinct dedup key and join marker)
+    dim2 = spark.createDataFrame([(10,), (20,), (99,)], "k long")
+    out2 = {
+        r["expected"]: r["passed"]
+        for r in V.check(
+            fact,
+            [
+                V.references("fk", dim, "k", dim_name="dim1.k"),
+                V.references("fk", dim2, "k", dim_name="dim2.k"),
+            ],
+        ).collect()
+    }
+    assert out2 == {"in dim1.k": False, "in dim2.k": True}
