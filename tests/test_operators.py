@@ -1375,8 +1375,13 @@ def test_validation_check_rejects_bad_rule_sets(spark):
     df = spark.range(3)
     with pytest.raises(ValueError):
         V.check(df, [])
+    # EXACT duplicates (same kind, column, threshold) are rejected...
     with pytest.raises(ValueError):
-        V.check(df, [V.min_rows(1), V.min_rows(2)])
+        V.check(df, [V.min_rows(1), V.min_rows(1)])
+    # ...but differing thresholds are distinct rules (the key includes
+    # `expected` so e.g. two FK rules on one column can coexist)
+    rows = V.check(df, [V.min_rows(1), V.min_rows(2)]).collect()
+    assert len(rows) == 2
 
 
 def test_validation_satisfies_cross_column(spark):
