@@ -2147,6 +2147,18 @@ def q_embed_dispersion(spark, sf_dir):
     return similarity.embedding_dispersion(_t(spark, sf_dir, "embeddings"))
 
 
+def q_docs_quantiles(spark, sf_dir):
+    """Scalable exact type-1 quantiles (sketch.exact_quantiles): per-source
+    n_chars order statistics from (group, value) COUNTS — no per-group
+    value buffering (Spark's exact percentile is O(rows-per-group) buffer
+    memory; this is bounded by distinct values). rank = ceil(q·n), answer
+    = smallest value with cumulative count ≥ rank; all integers →
+    hash-exact."""
+    from shortcut_spark.operators.sketch import exact_quantiles
+
+    return exact_quantiles(_t(spark, sf_dir, "documents"), "n_chars", "source")
+
+
 def q_corpus_temperature_mix(spark, sf_dir):
     """Temperature (α = 0.5) source mixing (sampling.temperature_mix):
     per-source quotas ∝ √n_s, scaled to an expected 250 kept docs —
@@ -2783,15 +2795,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stats_sketch_bounds); slots 33-50 are regression guards for the code
     # touched this round (apply_changes resurrection/rollback rewrite,
     # composite-ndv sketch encoding, similarity/joins edits) plus the
-    # flagships. A green round leaves only the 17 queries ADDED this round
+    # flagships. A green round leaves only the 18 queries ADDED this round
     # after the window froze (embed_cross_source, events_anomaly,
     # docs_length_hist, corpus_temperature_mix, events_transitions,
     # docs_dedup_rate, dedup_containment, docs_novelty, text_collocations,
     # docs_vocab_growth, events_pagerank, jsonl_roundtrip_docs,
     # events_stream_transitions, orc_roundtrip_lineitem, embed_dispersion,
-    # data_checks_ref, store_stats_agg — all locally hash-green, the next
-    # rotation's first-certification slate) without a driver row in the
-    # 175-query deterministic inventory; the 6
+    # data_checks_ref, store_stats_agg, docs_quantiles — all locally
+    # hash-green, the next rotation's first-certification slate) without
+    # a driver row in the 176-query deterministic inventory; the 6
     # genuinely-approximate ANN/sketch tiers are rows-only by
     # construction, live OUTSIDE the
     # window, and are recall-bounded in BENCH_DETAIL.ann_recall + property
@@ -2883,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_dispersion": q_embed_dispersion,  # new r5; next window
         "data_checks_ref": q_data_checks_ref,  # new r5; next window
         "store_stats_agg": q_store_stats_agg,  # new r5; next window
+        "docs_quantiles": q_docs_quantiles,  # new r5; next window
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
         "stats_approx_sketch": q_stats_approx_sketch,
@@ -3742,6 +3755,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_id, sup_id, containment
             FROM dirs WHERE containment >= 0.5""",
+        "docs_quantiles": """
+            WITH counts AS (
+              SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+              FROM documents GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT source, n_chars, c,
+                     sum(c) OVER (PARTITION BY source ORDER BY n_chars
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(c) OVER (PARTITION BY source) AS n
+              FROM counts
+            ),
+            hit AS (
+              SELECT source, q.q AS q, n_chars, cum, n
+              FROM cum CROSS JOIN (
+                SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q
+              ) q
+              WHERE cum >= ceil(q.q * n)
+            )
+            SELECT source, q, min(n_chars) AS value,
+                   CAST(max(n) AS BIGINT) AS n_rows
+            FROM hit GROUP BY 1, 2""",
         "store_stats_agg": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    min(l_quantity) AS min_val,

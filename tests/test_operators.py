@@ -2274,3 +2274,19 @@ def test_references_rule_catches_orphans(spark):
         ).collect()
     }
     assert out2 == {"in dim1.k": False, "in dim2.k": True}
+
+
+def test_exact_quantiles_match_sorted_order_statistics(spark):
+    """Type-1 quantiles from counts equal the brute-force sorted-list
+    order statistic ceil(q*n) on ties-heavy data."""
+    import math
+
+    from shortcut_spark.operators.sketch import exact_quantiles
+
+    vals = [1, 1, 2, 2, 2, 3, 7, 7, 9, 100]
+    df = spark.createDataFrame([("g", v) for v in vals], "source string, x long")
+    out = {r["q"]: (r["value"], r["n_rows"]) for r in exact_quantiles(df, "x", "source").collect()}
+    sv = sorted(vals)
+    for q in (0.25, 0.5, 0.75, 0.95):
+        r = math.ceil(q * len(vals))
+        assert out[q] == (sv[r - 1], len(vals)), q
