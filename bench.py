@@ -168,6 +168,8 @@ HEADLINE = [
     ("events_pagerank", "collect"),
     # per-group embedding diversity from integer sufficient statistics
     ("embed_dispersion", "collect"),
+    # count-based exact order statistics (the percentile scale path)
+    ("docs_quantiles", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host
