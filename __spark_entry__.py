@@ -3770,7 +3770,11 @@ def oracle_sql() -> dict[str, str]:
             hit AS (
               SELECT source, q.q AS q, n_chars, cum, n
               FROM cum CROSS JOIN (
-                SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q
+                -- DOUBLE, not DuckDB's DECIMAL(3,2) list inference: the
+                -- rank must be ceil of the IEEE-double product exactly as
+                -- Spark computes it (decimal 0.95*n is exact and ceils
+                -- DIFFERENTLY whenever 0.95*n is a whole number)
+                SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS q
               ) q
               WHERE cum >= ceil(q.q * n)
             )
