@@ -196,16 +196,46 @@ def minhash_candidates(
     )
 
 
+def _drop_hot_shingles(sh: DataFrame, id_col: str, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df`` — the
+    stop-shingle / df-cap guard for inverted-index self-joins. A shingle
+    shared by d documents contributes d·(d-1)/2 candidate pairs, so ONE
+    boilerplate trigram in 1M docs creates ~10¹² pairs; shingles that hot
+    carry no discriminative signal and are dropped BEFORE the join.
+
+    Shape: one (shingle → df) aggregate, then a left-anti join of the
+    shingle relation against the (tiny at any scale — it is the set of
+    shingles hotter than max_df) hot set, which AQE broadcasts."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > F.lit(max_df))
+        .select("shingle")
+    )
+    return sh.join(hot, "shingle", "left_anti")
+
+
 def jaccard_pairs(
     sh: DataFrame,
     id_col: str,
     threshold: float,
     candidates: DataFrame | None = None,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact jaccard over shingle sets for every pair sharing ≥1 shingle
     (or only ``candidates`` pairs when given): inverted-index self-join,
     |A∩B| from the join, |A| and |B| from per-doc counts. Integer counts →
-    the similarity double is identical in any engine."""
+    the similarity double is identical in any engine.
+
+    ``max_df`` (default 10 000) drops shingles hotter than that document
+    frequency BEFORE the join (see :func:`_drop_hot_shingles`); sizes are
+    computed AFTER the cap, so the result is exact jaccard over the
+    df-capped shingle space — the standard stop-shingle semantics, and
+    self-consistent (|A∩B| and |A|,|B| count the same universe). Pass
+    ``max_df=None`` to disable. The cap applies to the candidates path
+    too, so the MinHash verify stage scores the same space."""
+    if max_df is not None:
+        sh = _drop_hot_shingles(sh, id_col, max_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
         # verify-only path: expand each candidate pair by its shingle sets —
@@ -809,6 +839,7 @@ def containment_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """DIRECTED shingle containment C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)|:
     the asymmetric near-dup measure that catches a document EMBEDDED in a
@@ -824,8 +855,17 @@ def containment_pairs(
     self-join on shingle (pairs sharing ≥1 shingle only, never all-pairs)
     plus per-doc size joins; the direction split is a post-aggregation
     union on already-small pair rows. Integer counts → the double ratio is
-    bit-identical in any engine."""
+    bit-identical in any engine.
+
+    ``max_df`` (default 10 000) drops shingles hotter than that document
+    frequency BEFORE the self-join (:func:`_drop_hot_shingles`) — the
+    100 TB skew guard: one boilerplate shingle in 1M docs would otherwise
+    emit ~10¹² pairs from a single join key. Sizes are computed AFTER the
+    cap so containment is exact over the df-capped shingle space. Pass
+    ``max_df=None`` to disable."""
     sh = shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        sh = _drop_hot_shingles(sh, id_col, max_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

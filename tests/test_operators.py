@@ -2121,6 +2121,39 @@ def test_containment_catches_embedded_doc(spark):
     assert all(r["jaccard"] < 0.5 for r in jac)  # jaccard misses this pair
 
 
+def test_max_df_drops_boilerplate_shingles(spark):
+    """Planted-boilerplate skew guard: a shingle shared by EVERY doc
+    (cookie banner, license header) is dropped by the max_df cap before
+    the self-join, so (a) pairs that only share boilerplate vanish, (b)
+    genuinely-similar pairs survive scored over the capped space, and
+    (c) max_df=None restores the uncapped behavior."""
+    boiler = "accept all cookies to continue browsing"
+    docs = [(i, boiler + f" unique{i} filler{i} pad{i} tail{i}") for i in range(1, 9)]
+    # docs 7 and 8 additionally share real content
+    docs[-2] = (7, boiler + " shared body text common to both here")
+    docs[-1] = (8, boiler + " shared body text common to both here")
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sh = dedup.shingles(df, "doc_id", "text", 3)
+
+    capped = dedup.jaccard_pairs(sh, "doc_id", threshold=0.01, max_df=4).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped}
+    # boilerplate-only pairs are gone; the real near-dup pair survives at 1.0
+    assert set(pairs) == {(7, 8)}
+    assert pairs[(7, 8)] == 1.0
+
+    uncapped = dedup.jaccard_pairs(sh, "doc_id", threshold=0.01, max_df=None).collect()
+    assert len(uncapped) == 28  # all C(8,2) pairs share the boilerplate shingles
+
+    cont = dedup.containment_pairs(df, "doc_id", "text", threshold=0.5, max_df=4).collect()
+    assert {(r["src_id"], r["sup_id"]) for r in cont} == {(7, 8), (8, 7)}
+    cont_off = dedup.containment_pairs(
+        df, "doc_id", "text", threshold=0.99, max_df=None
+    ).collect()
+    # uncapped, boilerplate-only pairs reappear below the threshold but the
+    # exact-copy pair still tops out at 1.0 both ways
+    assert {(r["src_id"], r["sup_id"]) for r in cont_off} == {(7, 8), (8, 7)}
+
+
 def test_novelty_first_occurrence_wins(spark):
     """Novelty credits a shingle to the MINIMUM doc_id: an exact copy
     scores 0, the original 1, a half-recombination in between."""
