@@ -15,6 +15,7 @@ computed column is aliased identically on both sides.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 from collections.abc import Callable
@@ -2637,6 +2638,71 @@ def q_mm_png_tiles(spark, sf_dir):
     return multimodal.image_tile_plan(pngs, "doc_id", "payload", tile=224)
 
 
+def q_mm_png_pixels(spark, sf_dir):
+    """REAL image decode end-to-end at the PIXEL layer
+    (multimodal.encode_png + decode_png_pixels): md5-derived grayscale
+    pixels are encoded into genuine PNGs — zlib-deflated IDAT, CRC
+    chunks, scanline filters cycling None/Sub/Up/Average/Paeth by row —
+    then decoded BACK (inflate + unfilter) and reduced to integer pixel
+    stats incl. a position-weighted checksum. The oracle recomputes the
+    stats from the md5 pixel formula directly, so a single wrong pixel
+    value or position anywhere in the codec breaks the hash: the full
+    decoder is inside the certified path. Map-only; blobs never
+    shuffle."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w = 16 + (i % 2) * 16
+                h = 8 + (i % 5) * 4
+                px = b"".join(
+                    b"".join(
+                        hashlib.md5(f"px:{i}:{r}:{blk}".encode()).digest()
+                        for blk in range((w + 15) // 16)
+                    )[:w]
+                    for r in range(h)
+                )
+                payloads.append(multimodal.encode_png(px, w, h, channels=1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pngs = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_png_pixels(pngs, "doc_id", "payload")
+
+
+def q_mm_wav_samples(spark, sf_dir):
+    """REAL audio decode end-to-end at the SAMPLE layer
+    (multimodal.encode_wav + decode_wav_samples): md5-derived 16-bit LE
+    PCM is wrapped in genuine RIFF/WAVE files, then the samples are
+    unpacked back (vectorized numpy, signed little-endian) and reduced
+    to integer amplitude stats + a position-weighted checksum. The
+    oracle rebuilds each sample from the md5 hex pairs with the same
+    sign fold, so byte order, sign handling, and sample positions are
+    all inside the certified path."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                rate = 8000 * (1 + i % 2)
+                n = 64 + (i % 32)
+                pcm = b"".join(
+                    hashlib.md5(f"pcm:{i}:{blk}".encode()).digest()
+                    for blk in range((n + 7) // 8)
+                )[: 2 * n]
+                payloads.append(multimodal.encode_wav(pcm, rate, 1, 16))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    wavs = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.decode_wav_samples(wavs, "doc_id", "payload")
+
+
 def q_embed_dup_clusters(spark, sf_dir):
     """Semantic dedup clusters (similarity.semantic_dup_clusters): cosine
     near-dup pairs → connected components → cluster labels over embedding
@@ -2889,6 +2955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join_names": q_fuzzy_join_names,
         "stats_sketch_bounds": q_stats_sketch_bounds,
         "events_cms_counts": q_events_cms_counts,
+        "mm_png_pixels": q_mm_png_pixels,  # new r6; next window
+        "mm_wav_samples": q_mm_wav_samples,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4562,6 +4630,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(tile_j * 224 + 224, w) AS BIGINT) AS x1,
                    CAST(least(tile_i * 224 + 224, h) AS BIGINT) AS y1
             FROM tt""",
+        # decode-certification twins: rebuild the md5-derived pixel /
+        # sample values directly (no PNG/WAV involved) — equality proves
+        # Spark's decode(encode(x)) == x byte-for-byte, position-for-
+        # position (the chk term is position-weighted).
+        "mm_png_pixels": """
+            WITH dims AS (
+              SELECT doc_id,
+                     16 + (doc_id % 2) * 16 AS w,
+                     8 + (doc_id % 5) * 4 AS h
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, w, h, r.r AS r, j.j AS j,
+                     ('0x' || substr(
+                        md5('px:' || doc_id || ':' || r.r || ':' || (j.j // 16)),
+                        (j.j % 16) * 2 + 1, 2))::BIGINT AS v
+              FROM dims,
+                   unnest(generate_series(CAST(0 AS BIGINT), h - 1)) AS r(r),
+                   unnest(generate_series(CAST(0 AS BIGINT), w - 1)) AS j(j)
+            )
+            SELECT doc_id AS id,
+                   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(1 AS INT) AS n_channels,
+                   CAST(count(*) AS BIGINT) AS n_px,
+                   CAST(sum(v) AS BIGINT) AS sum_px,
+                   CAST(min(v) AS INT) AS min_px,
+                   CAST(max(v) AS INT) AS max_px,
+                   CAST(sum(v * (r * w + j + 1)) AS BIGINT) AS chk
+            FROM px GROUP BY doc_id, w, h""",
+        "mm_wav_samples": """
+            WITH p AS (
+              SELECT doc_id,
+                     8000 * (1 + doc_id % 2) AS rate,
+                     64 + (doc_id % 32) AS n
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, rate, n, q.s AS s,
+                     ('0x' || substr(md5('pcm:' || doc_id || ':' || (q.s // 8)),
+                                     (q.s % 8) * 4 + 1, 2))::BIGINT AS b0,
+                     ('0x' || substr(md5('pcm:' || doc_id || ':' || (q.s // 8)),
+                                     (q.s % 8) * 4 + 3, 2))::BIGINT AS b1
+              FROM p, unnest(generate_series(CAST(0 AS BIGINT), n - 1)) AS q(s)
+            ),
+            v AS (
+              SELECT doc_id, rate, n, s,
+                     b0 + 256 * b1 - CASE WHEN b1 >= 128 THEN 65536 ELSE 0 END AS amp
+              FROM b
+            )
+            SELECT doc_id AS id, CAST(rate AS INT) AS sample_rate,
+                   CAST(1 AS INT) AS n_channels,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(sum(amp) AS BIGINT) AS sum_amp,
+                   CAST(min(amp) AS INT) AS min_amp,
+                   CAST(max(amp) AS INT) AS max_amp,
+                   CAST(sum(amp * (s + 1)) AS BIGINT) AS chk
+            FROM v GROUP BY doc_id, rate, n""",
         "mm_wav_chunks": """
             WITH p AS (
               SELECT doc_id,

@@ -13,10 +13,13 @@ Python worker sees a columnar batch of blobs — the only sane shape for
 CPU-bound media work on a cluster (batch amortizes serde; partition count
 controls decode parallelism).
 
-The container has no image/audio codecs, so the actual decode is stubbed
-(`NotImplementedError`) behind ``decoder="real"``; ``decoder="fake"`` is a
-deterministic md5-seeded pixel generator that keeps every Spark-side piece
-— schema, batching, partitioning, UDF signatures — real and testable.
+The container has no image/audio codec libraries, but two formats need
+none: PNG pixel data is stdlib ``zlib`` inflate + per-row unfilter math,
+and WAV PCM samples are a ``struct``/numpy unpack — so ``decoder="real"``
+REALLY decodes both (:func:`decode_png_pixels`, :func:`decode_wav_samples`,
+and the real paths of :func:`decode_features` / :func:`resize_media`).
+``decoder="fake"`` remains as a deterministic md5-seeded generator for
+plumbing tests that want payload-independent output.
 """
 
 from __future__ import annotations
@@ -40,6 +43,10 @@ __all__ = [
     "audio_chunk_plan_wav",
     "parse_png_meta",
     "image_tile_plan",
+    "encode_png",
+    "decode_png_pixels",
+    "encode_wav",
+    "decode_wav_samples",
 ]
 
 MEDIA_META = T.StructType(
@@ -88,11 +95,11 @@ def decode_features(
 ) -> DataFrame:
     """Per-blob feature extraction over ``mapInPandas``.
 
-    ``decoder="real"`` raises NotImplementedError (no codecs in this
-    container — plug PIL/ffmpeg there on a real cluster). ``decoder="fake"``
-    derives 64 deterministic pseudo-pixels from the payload's md5 and
-    computes mean/std — exercising the exact Arrow batch path a real decoder
-    would use.
+    ``decoder="real"`` REALLY decodes PNG payloads (stdlib zlib inflate +
+    unfilter, :func:`_decode_png_pixels`) and computes mean/std over the
+    actual pixels; payloads that aren't decodable PNGs are dropped.
+    ``decoder="fake"`` derives 64 deterministic pseudo-pixels from the
+    payload's md5 — payload-format-independent plumbing tests.
     """
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
@@ -101,16 +108,17 @@ def decode_features(
         import numpy as np
 
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real media decode needs PIL/ffmpeg on the executors; "
-                    "use decoder='fake' for plumbing tests"
-                )
             ids, shas, sizes, means, stds = [], [], [], [], []
             for i, blob in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(blob) if blob is not None else b""
-                digest = hashlib.md5(raw).digest()
-                px = np.frombuffer((digest * 4)[:64], dtype=np.uint8).astype(np.float64)
+                if decoder == "real":
+                    dec = _decode_png_pixels(raw)
+                    if dec is None:
+                        continue
+                    px = np.frombuffer(dec[3], dtype=np.uint8).astype(np.float64)
+                else:
+                    digest = hashlib.md5(raw).digest()
+                    px = np.frombuffer((digest * 4)[:64], dtype=np.uint8).astype(np.float64)
                 ids.append(i)
                 shas.append(hashlib.sha256(raw).hexdigest())
                 sizes.append(len(raw))
@@ -130,37 +138,51 @@ def resize_media(
     df: DataFrame, id_col: str, payload_col: str, width: int, height: int, decoder: str = "fake"
 ) -> DataFrame:
     """Resize step over ``mapInPandas`` — binary in, binary out, new
-    dimensions in the metadata. ``decoder="real"`` raises (no codecs in
-    this container; plug PIL there). ``decoder="fake"`` emits a
-    deterministic width×height-byte grayscale payload derived from the
-    source's md5 (the digest hex repeated and re-binarized), so the full
-    binary→Python→binary round trip is exercised AND the output is
-    reproducible in SQL for the oracle."""
+    dimensions in the metadata.
+
+    ``decoder="real"`` REALLY resizes PNG payloads: decode
+    (:func:`_decode_png_pixels`), nearest-neighbor resample to
+    width×height (vectorized numpy fancy-indexing, channel count
+    preserved), re-encode (:func:`encode_png`); non-PNG payloads are
+    dropped. ``decoder="fake"`` emits a deterministic
+    width×height-byte grayscale payload derived from the source's md5 —
+    payload-format-independent and SQL-reproducible for the oracle."""
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
     n_out = width * height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real image resize needs PIL on the executors; "
-                    "use decoder='fake' for plumbing tests"
-                )
-            ids, payloads = [], []
+            ids, payloads, sizes = [], [], []
             for i, blob in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(blob) if blob is not None else b""
-                digest_hex = hashlib.md5(raw).hexdigest()
-                out = bytes.fromhex(digest_hex * (-(-n_out // 16)))[:n_out]
+                if decoder == "real":
+                    dec = _decode_png_pixels(raw)
+                    if dec is None:
+                        continue
+                    w0, h0, ch, px = dec
+                    arr = np.frombuffer(px, dtype=np.uint8).reshape(h0, w0, ch)
+                    # nearest-neighbor: PIL/OpenCV NEAREST pixel-center map
+                    ys = (np.arange(height) * h0) // height
+                    xs = (np.arange(width) * w0) // width
+                    out = encode_png(
+                        arr[ys][:, xs].tobytes(), width, height, channels=ch
+                    )
+                else:
+                    digest_hex = hashlib.md5(raw).hexdigest()
+                    out = bytes.fromhex(digest_hex * (-(-n_out // 16)))[:n_out]
                 ids.append(i)
                 payloads.append(out)
+                sizes.append(len(out))
             yield pd.DataFrame(
                 {
                     "id": ids,
                     "payload": payloads,
                     "width": [width] * len(ids),
                     "height": [height] * len(ids),
-                    "n_bytes": [n_out] * len(ids),
+                    "n_bytes": sizes,
                 }
             )
 
@@ -436,4 +458,295 @@ def image_tile_plan(
             F.least(F.col("tile_j") * tile + tile, F.col("width")).cast("long").alias("x1"),
             F.least(F.col("tile_i") * tile + tile, F.col("height")).cast("long").alias("y1"),
         )
+    )
+
+
+# -- real pixel / sample decode (no codec library needed) ---------------------
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unfilter(data: bytes, width: int, height: int, bpp: int) -> bytes | None:
+    """Reverse PNG scanline filtering (spec §9): each scanline is one
+    filter-type byte + width*bpp filtered bytes; reconstruct with the
+    Sub/Up/Average/Paeth predictors. Returns the raw pixel bytes
+    (row-major, channels interleaved) or None on malformed input."""
+    stride = width * bpp
+    if len(data) != height * (stride + 1):
+        return None
+    out = bytearray(height * stride)
+    prior = bytes(stride)
+    pos = 0
+    for r in range(height):
+        ftype = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prior[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prior[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(left, prior[i], ul)) & 0xFF
+        elif ftype != 0:
+            return None
+        out[r * stride : (r + 1) * stride] = row
+        prior = bytes(row)
+    return bytes(out)
+
+
+def _decode_png_pixels(raw: bytes):
+    """Full REAL PNG decode: signature + IHDR via :func:`_parse_png`, IDAT
+    concatenation, stdlib-zlib inflate, per-row unfilter. Supports 8-bit
+    depth, color types 0/2/4/6 (byte-per-sample), non-interlaced — the
+    common ML-corpus shapes. Returns (width, height, channels, pixels:
+    bytes) or None (palette / 16-bit / interlaced / malformed drop, same
+    null-safe convention as the header parsers)."""
+    import struct
+    import zlib
+
+    parsed = _parse_png(raw)
+    if parsed is None:
+        return None
+    w, h, depth, _ctype, channels, interlaced = parsed
+    if depth != 8 or interlaced:
+        return None
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(raw):
+        (size,) = struct.unpack_from(">I", raw, pos)
+        cid = raw[pos + 4 : pos + 8]
+        body = pos + 8
+        if body + size > len(raw):
+            return None
+        if cid == b"IDAT":
+            idat += raw[body : body + size]
+        elif cid == b"IEND":
+            break
+        pos = body + size + 4  # skip CRC
+    if not idat:
+        return None
+    try:
+        data = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    px = _png_unfilter(data, w, h, channels)
+    if px is None:
+        return None
+    return w, h, channels, px
+
+
+def encode_png(pixels: bytes, width: int, height: int, channels: int = 1) -> bytes:
+    """Write a real PNG (8-bit, color type 0/2/4/6 by ``channels``,
+    non-interlaced) from raw row-major pixel bytes. Scanline filters cycle
+    None→Sub→Up→Average→Paeth by row index so a decode round-trip
+    exercises every unfilter path. Driver side of the
+    :func:`decode_png_pixels` certification; also the re-encode half of
+    the real :func:`resize_media` path."""
+    import struct
+    import zlib
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixels length != width*height*channels")
+    filtered = bytearray()
+    prior = bytes(stride)
+    for r in range(height):
+        row = pixels[r * stride : (r + 1) * stride]
+        f = r % 5
+        filtered.append(f)
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = bytes(
+                (row[i] - (row[i - channels] if i >= channels else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif f == 2:
+            enc = bytes((row[i] - prior[i]) & 0xFF for i in range(stride))
+        elif f == 3:
+            enc = bytes(
+                (row[i] - (((row[i - channels] if i >= channels else 0) + prior[i]) >> 1))
+                & 0xFF
+                for i in range(stride)
+            )
+        else:
+            enc = bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - channels] if i >= channels else 0,
+                        prior[i],
+                        prior[i - channels] if i >= channels else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        filtered += enc
+        prior = row
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + cid
+            + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+_PNG_PIXEL_SCHEMA = (
+    "id long, width long, height long, n_channels int, n_px long, "
+    "sum_px long, min_px int, max_px int, chk long"
+)
+
+
+def decode_png_pixels(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL image decode (pixel layer): zlib-inflate + unfilter every PNG
+    payload over Arrow-batched ``mapInPandas`` and emit integer pixel
+    statistics — count, sum, min, max, and a position-weighted checksum
+    ``chk = Σ px[k]·(k+1)`` (row-major, flattened) that breaks if any
+    pixel value OR position is wrong. All-integer output keeps the
+    certification hash-exact. Undecodable payloads (palette / 16-bit /
+    interlaced / malformed) are dropped.
+
+    100 TB shape: map-only; blobs never shuffle. CPU-bound decode
+    parallelism = partition count, exactly like a codec-backed decoder."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "id", "width", "height", "n_channels", "n_px",
+                "sum_px", "min_px", "max_px", "chk",
+            )}
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                dec = _decode_png_pixels(bytes(blob) if blob is not None else b"")
+                if dec is None:
+                    continue
+                w, h, channels, px = dec
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                out["id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_channels"].append(channels)
+                out["n_px"].append(arr.size)
+                out["sum_px"].append(int(arr.sum()))
+                out["min_px"].append(int(arr.min()))
+                out["max_px"].append(int(arr.max()))
+                out["chk"].append(int((arr * (np.arange(arr.size) + 1)).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, _PNG_PIXEL_SCHEMA
+    )
+
+
+def encode_wav(
+    pcm: bytes, sample_rate: int, n_channels: int = 1, bits: int = 16
+) -> bytes:
+    """Write a real RIFF/WAVE file around raw little-endian PCM bytes —
+    driver side of the :func:`decode_wav_samples` certification."""
+    import struct
+
+    block_align = n_channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+        + (b"\x00" if len(pcm) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+_WAV_SAMPLE_SCHEMA = (
+    "id long, sample_rate int, n_channels int, n_samples long, "
+    "sum_amp long, min_amp int, max_amp int, chk long"
+)
+
+
+def decode_wav_samples(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL audio decode (sample layer): parse the RIFF header
+    (:func:`_parse_wav`), then unpack the PCM data chunk — 16-bit signed
+    or 8-bit unsigned, any channel count — with a vectorized numpy
+    frombuffer (no per-sample Python). Emits integer amplitude stats and
+    the position-weighted checksum ``chk = Σ amp[s]·(s+1)`` over the
+    interleaved sample stream; all-integer → hash-exact certification.
+    Non-PCM / truncated payloads are dropped."""
+    import struct
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "id", "sample_rate", "n_channels", "n_samples",
+                "sum_amp", "min_amp", "max_amp", "chk",
+            )}
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(blob) if blob is not None else b""
+                parsed = _parse_wav(raw)
+                if parsed is None:
+                    continue
+                rate, channels, bits, n_frames = parsed
+                if bits not in (8, 16) or n_frames == 0:
+                    continue
+                # locate the data chunk body (second pass; header parse
+                # already validated the chunk walk)
+                pos, body, dlen = 12, None, 0
+                while pos + 8 <= len(raw):
+                    cid = raw[pos : pos + 4]
+                    (size,) = struct.unpack_from("<I", raw, pos + 4)
+                    if cid == b"data":
+                        body = pos + 8
+                        dlen = min(size, len(raw) - body)
+                        break
+                    pos = pos + 8 + size + (size & 1)
+                if body is None:
+                    continue
+                n_vals = n_frames * channels
+                if bits == 16:
+                    arr = np.frombuffer(raw, dtype="<i2", count=n_vals, offset=body)
+                else:
+                    arr = np.frombuffer(raw, dtype=np.uint8, count=n_vals, offset=body)
+                arr = arr.astype(np.int64)
+                out["id"].append(i)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(channels)
+                out["n_samples"].append(n_frames)
+                out["sum_amp"].append(int(arr.sum()))
+                out["min_amp"].append(int(arr.min()))
+                out["max_amp"].append(int(arr.max()))
+                out["chk"].append(int((arr * (np.arange(n_vals) + 1)).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, _WAV_SAMPLE_SCHEMA
     )

@@ -2,6 +2,8 @@
 scripts/oracle_check.py + the driver cover exact equivalence; these cover
 the semantic properties oracles can't express)."""
 
+import hashlib
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -151,16 +153,97 @@ def test_multimodal_plumbing(spark, docs):
     feats = multimodal.decode_features(payload, "doc_id", "payload").collect()
     assert len(feats) == 50
     assert all(0 <= r["mean_px"] <= 255 for r in feats)
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        multimodal.decode_features(payload, "doc_id", "payload", decoder="real").collect()
+    # decoder="real" drops payloads that are not decodable PNGs
+    assert multimodal.decode_features(payload, "doc_id", "payload", decoder="real").count() == 0
     # resize: binary -> Python -> binary round trip, deterministic output
     resized = multimodal.resize_media(payload, "doc_id", "payload", 8, 4).collect()
     assert len(resized) == 50
     assert all(len(bytes(r["payload"])) == 32 and r["width"] == 8 and r["height"] == 4 for r in resized)
     again = {r["id"]: bytes(r["payload"]) for r in multimodal.resize_media(payload, "doc_id", "payload", 8, 4).collect()}
     assert all(bytes(r["payload"]) == again[r["id"]] for r in resized)
-    with pytest.raises(Exception, match="NotImplementedError|real image resize"):
-        multimodal.resize_media(payload, "doc_id", "payload", 8, 4, decoder="real").collect()
+    assert multimodal.resize_media(payload, "doc_id", "payload", 8, 4, decoder="real").count() == 0
+
+
+def test_png_pixel_decode_roundtrip(spark):
+    """REAL PNG codec round trip: encode_png cycles all five scanline
+    filters by row, decode_png_pixels must invert every one of them —
+    grayscale, RGB, and RGBA, non-multiple-of-filter-cycle heights, plus
+    a 1×1 edge case. Stats are checked against numpy ground truth."""
+    import numpy as np
+
+    rng = [(1, 13, 9, 1), (2, 24, 7, 3), (3, 5, 11, 4), (4, 1, 1, 1)]
+    rows, truth = [], {}
+    for i, w, h, ch in rng:
+        full = b"".join(
+            bytes(hashlib.md5(f"t:{i}:{r}".encode()).digest() * ((w * ch) // 16 + 1))[
+                : w * ch
+            ]
+            for r in range(h)
+        )
+        rows.append((i, bytearray(multimodal.encode_png(full, w, h, channels=ch))))
+        arr = np.frombuffer(full, dtype=np.uint8).astype(np.int64)
+        truth[i] = (w, h, ch, int(arr.sum()), int((arr * (np.arange(arr.size) + 1)).sum()))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["id"]: (r["width"], r["height"], r["n_channels"], r["sum_px"], r["chk"])
+        for r in multimodal.decode_png_pixels(df, "doc_id", "payload").collect()
+    }
+    assert got == truth
+    # real resize: decoded output of the resized PNG matches numpy
+    # nearest-neighbor resampling of the decoded source
+    res = multimodal.resize_media(df, "doc_id", "payload", 6, 6, decoder="real")
+    res_px = {
+        r["id"]: (r["width"], r["height"], r["sum_px"])
+        for r in multimodal.decode_png_pixels(
+            res, "id", "payload"
+        ).collect()
+    }
+    for i, w, h, ch in rng:
+        full = b"".join(
+            bytes(hashlib.md5(f"t:{i}:{r}".encode()).digest() * ((w * ch) // 16 + 1))[
+                : w * ch
+            ]
+            for r in range(h)
+        )
+        arr = np.frombuffer(full, dtype=np.uint8).reshape(h, w, ch)
+        ys = (np.arange(6) * h) // 6
+        xs = (np.arange(6) * w) // 6
+        assert res_px[i] == (6, 6, int(arr[ys][:, xs].astype(np.int64).sum()))
+    # real feature decode: mean over actual pixels
+    feats = {
+        r["id"]: r["mean_px"]
+        for r in multimodal.decode_features(df, "doc_id", "payload", decoder="real").collect()
+    }
+    for i, w, h, ch, s, _ in [(i, *truth[i]) for i in truth]:
+        assert abs(feats[i] - s / (w * h * ch)) < 1e-9
+
+
+def test_wav_sample_decode_roundtrip(spark):
+    """REAL WAV PCM round trip: encode_wav wraps known 16-bit samples,
+    decode_wav_samples must unpack them exactly (signed LE), including
+    stereo interleave and an 8-bit unsigned variant."""
+    import struct
+
+    import numpy as np
+
+    cases = []
+    truth = {}
+    for i, rate, ch, bits, n in [(1, 8000, 1, 16, 37), (2, 16000, 2, 16, 24), (3, 8000, 1, 8, 50)]:
+        vals = [((j * 2654435761 + i * 97) % 65536) - 32768 for j in range(n * ch)]
+        if bits == 8:
+            vals = [(v + 32768) >> 8 for v in vals]
+            pcm = bytes(vals)
+        else:
+            pcm = b"".join(struct.pack("<h", v) for v in vals)
+        cases.append((i, bytearray(multimodal.encode_wav(pcm, rate, ch, bits))))
+        arr = np.array(vals, dtype=np.int64)
+        truth[i] = (rate, ch, n, int(arr.sum()), int((arr * (np.arange(arr.size) + 1)).sum()))
+    df = spark.createDataFrame(cases, "doc_id long, payload binary")
+    got = {
+        r["id"]: (r["sample_rate"], r["n_channels"], r["n_samples"], r["sum_amp"], r["chk"])
+        for r in multimodal.decode_wav_samples(df, "doc_id", "payload").collect()
+    }
+    assert got == truth
 
 
 def test_streaming_matches_batch(spark):
