@@ -3189,9 +3189,13 @@ def oracle_sql() -> dict[str, str]:
         f"(CAST(v.b{2*b} <> q.b{2*b} AS INT) + CAST(v.b{2*b+1} <> q.b{2*b+1} AS INT) <= 1)"
         for b in range(4)
     )
-    # exact band match (per_band=4): all four bits of some band equal
+    # multi-probe band match (per_band=4, cosine_join multiprobe=True
+    # default): some band's 4-bit signatures within Hamming distance 1 —
+    # the twin of the one-side 1-bit-flip expansion in similarity.py
     lsh16_band = " OR ".join(
-        "(" + " AND ".join(f"a.b{4*b+i} = bb.b{4*b+i}" for i in range(4)) + ")"
+        "("
+        + " + ".join(f"CAST(a.b{4*b+i} <> bb.b{4*b+i} AS INT)" for i in range(4))
+        + " <= 1)"
         for b in range(4)
     )
 
