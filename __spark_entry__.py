@@ -2138,6 +2138,37 @@ def q_events_pagerank(spark, sf_dir):
     return pagerank(edges, weight="w")
 
 
+def q_events_pagerank_rd(spark, sf_dir):
+    """PageRank with DANGLING-MASS REDISTRIBUTION (graph.pagerank
+    dangling='redistribute'): the lexicographically-largest event type's
+    out-edges are dropped, making it a genuine sink; its rank mass is
+    redistributed uniformly each iteration via the standard
+    (D·d_num) div (N·d_den) term — one extra 1-row broadcast aggregate
+    per round, still pure BIGINT floor arithmetic, so the 5 iterations
+    (now with a dangling-mass CTE each) unroll into the oracle verbatim
+    and total rank mass is conserved up to floor losses."""
+    from pyspark.sql import Window as W
+
+    from shortcut_spark.operators.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    maxt = ev.agg(F.max("event_type").alias("__mt"))
+    edges = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__prev", F.lag("event_type").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("src"), F.col("event_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .crossJoin(F.broadcast(maxt))
+        .filter(F.col("src") != F.col("__mt"))
+        .drop("__mt")
+    )
+    return pagerank(edges, weight="w", dangling="redistribute")
+
+
 def q_embed_dispersion(spark, sf_dir):
     """Per-label embedding dispersion (similarity.embedding_dispersion):
     mean squared distance to the group centroid — the embedding-space
@@ -2957,6 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_counts": q_events_cms_counts,
         "mm_png_pixels": q_mm_png_pixels,  # new r6; next window
         "mm_wav_samples": q_mm_wav_samples,  # new r6; next window
+        "events_pagerank_rd": q_events_pagerank_rd,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -3129,6 +3161,59 @@ def oracle_sql() -> dict[str, str]:
                + coalesce(c{_i}.cs, 0) AS r,
                p.n
         FROM it{_i - 1} p LEFT JOIN c{_i} ON c{_i}.node = p.node
+      )"""
+
+    # redistribute variant (graph.pagerank dangling='redistribute'): the
+    # max event type's out-edges are dropped (genuine sink), and each
+    # iteration gains a 1-row dangling-mass CTE d{i} whose uniform
+    # BIGINT-floor share joins back CROSS — the exact twin of the
+    # broadcast 1-row aggregate in graph.py
+    pr_rd_chain = f"""
+      eseq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+      ),
+      ee AS (
+        SELECT prev AS s, event_type AS d, CAST(count(*) AS BIGINT) AS w
+        FROM eseq
+        WHERE prev IS NOT NULL
+          AND prev <> (SELECT max(event_type) FROM events)
+        GROUP BY 1, 2
+        HAVING count(*) > 0
+      ),
+      pnodes AS (
+        SELECT DISTINCT node
+        FROM (SELECT s AS node FROM ee UNION SELECT d FROM ee)
+      ),
+      pn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pnodes),
+      poutw AS (SELECT s, sum(w) AS ow FROM ee GROUP BY 1),
+      it0 AS (
+        SELECT node, CAST({PR_SCALE} AS BIGINT) // n AS r, n
+        FROM pnodes CROSS JOIN pn
+      )"""
+    for _i in range(1, PR_IT + 1):
+        pr_rd_chain += f""",
+      d{_i} AS (
+        SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm
+        FROM it{_i - 1} WHERE node NOT IN (SELECT s FROM poutw)
+      ),
+      c{_i} AS (
+        SELECT ee.d AS node,
+               sum((q.r * ee.w * {PR_DN}) // (poutw.ow * {PR_DD})) AS cs
+        FROM ee
+        JOIN poutw ON poutw.s = ee.s
+        JOIN it{_i - 1} q ON q.node = ee.s
+        GROUP BY 1
+      ),
+      it{_i} AS (
+        SELECT p.node,
+               (CAST({PR_SCALE} AS BIGINT) * {PR_DD - PR_DN}) // (p.n * {PR_DD})
+               + (dd.dm * {PR_DN}) // (p.n * {PR_DD})
+               + coalesce(c{_i}.cs, 0) AS r,
+               p.n
+        FROM it{_i - 1} p CROSS JOIN d{_i} dd
+        LEFT JOIN c{_i} ON c{_i}.node = p.node
       )"""
 
     # hot-shingle df-cap twin (dedup._drop_hot_shingles, max_df=10000
@@ -3939,6 +4024,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1""",
         "events_pagerank": f"""
             WITH {pr_chain}
+            SELECT node, CAST(r AS BIGINT) AS rank_i,
+                   CAST(r AS BIGINT) / CAST({PR_SCALE} AS BIGINT) AS "rank"
+            FROM it{PR_IT}""",
+        "events_pagerank_rd": f"""
+            WITH {pr_rd_chain}
             SELECT node, CAST(r AS BIGINT) AS rank_i,
                    CAST(r AS BIGINT) / CAST({PR_SCALE} AS BIGINT) AS "rank"
             FROM it{PR_IT}""",

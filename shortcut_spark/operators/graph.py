@@ -100,6 +100,7 @@ def pagerank(
     d_num: int = 17,
     d_den: int = 20,
     scale: int = 10**9,
+    dangling: str = "evaporate",
 ) -> DataFrame:
     """Weighted PageRank in integer FIXED-POINT arithmetic — every step is
     BIGINT multiply / floor-divide, so the whole iterative computation is
@@ -114,8 +115,15 @@ def pagerank(
         r'_v = (scale · (d_den − d_num)) div (N · d_den) + Σ_u contrib(u→v)
 
     Floor-rounding loses ≤1 unit per edge per iteration — at scale=1e9
-    that is noise; dangling-node mass evaporates (the standard
-    simplification). Overflow bound: r_u·w_uv·d_num must fit in int64,
+    that is noise. ``dangling`` picks the no-out-edge policy:
+    ``"evaporate"`` (default) lets dangling mass vanish (the cheap
+    simplification); ``"redistribute"`` adds the standard uniform
+    redistribution term ``(D·d_num) div (N·d_den)`` with D = Σ dangling
+    rank that iteration — ONE extra 1-row broadcast aggregate per round,
+    still pure BIGINT floor arithmetic, so the variant stays
+    oracle-unrollable and the total rank mass stays ≈ ``scale`` (up to
+    ≤1-unit floor losses per node/edge). Overflow bound:
+    r_u·w_uv·d_num must fit in int64,
     i.e. max edge weight ≲ 5·10⁸ at the default scale — raise/lower
     ``scale`` to trade precision against weight headroom.
 
@@ -128,6 +136,8 @@ def pagerank(
     Output: (node, rank_i, rank) — the integer mass and its double form
     (exact: both < 2^53).
     """
+    if dangling not in ("evaporate", "redistribute"):
+        raise ValueError(f"dangling must be 'evaporate' or 'redistribute', got {dangling!r}")
     w_col = (F.col(weight) if weight else F.lit(1)).cast("long")
     # weights are counts: non-positive rows are dropped up front — a
     # zero-total-out-weight source would otherwise divide by zero (an
@@ -162,16 +172,35 @@ def pagerank(
             )
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("cs"))
-        r = (
-            r.select("node", "n")
-            .join(summed, "node", "left")
-            .select(
-                "node",
-                (teleport + F.coalesce(F.col("cs"), F.lit(0))).alias("r"),
-                "n",
+        if dangling == "redistribute":
+            # this iteration's dangling mass D: rank held by nodes with
+            # no surviving out-edge — a 1-row aggregate, broadcast back
+            dang = r.join(
+                outw.select(F.col("s").alias("node")), "node", "left_anti"
+            ).agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+            extra = F.expr(f"dm * {d_num} div (n * {d_den})")
+            r = (
+                r.select("node", "n")
+                .crossJoin(F.broadcast(dang))
+                .join(summed, "node", "left")
+                .select(
+                    "node",
+                    (teleport + extra + F.coalesce(F.col("cs"), F.lit(0))).alias("r"),
+                    "n",
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
+        else:
+            r = (
+                r.select("node", "n")
+                .join(summed, "node", "left")
+                .select(
+                    "node",
+                    (teleport + F.coalesce(F.col("cs"), F.lit(0))).alias("r"),
+                    "n",
+                )
+                .localCheckpoint(eager=True)
+            )
     return r.select(
         "node",
         F.col("r").alias("rank_i"),

@@ -2308,6 +2308,42 @@ def test_pagerank_hub_outranks_spokes(spark):
         assert r["rank"] == r["rank_i"] / 10**9
 
 
+def test_pagerank_redistribute_conserves_mass(spark):
+    """dangling='redistribute': a sink node's mass is returned to the
+    pool each iteration, so total rank stays ≈ scale (up to BIGINT floor
+    losses), while the evaporate default visibly leaks it; both match a
+    plain-Python rendition of the integer spec bit-for-bit."""
+    from shortcut_spark.operators.graph import pagerank
+
+    SCALE, DN, DD, IT = 10**9, 17, 20, 5
+    edges = [("a", "b", 1), ("b", "c", 2), ("a", "c", 1), ("c2", "a", 3)]
+    # 'c' is a genuine sink: appears only as dst
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    ev = {r["node"]: r["rank_i"] for r in pagerank(df, weight="w").collect()}
+    rd = {
+        r["node"]: r["rank_i"]
+        for r in pagerank(df, weight="w", dangling="redistribute").collect()
+    }
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    outw = {v: sum(w for s, _, w in edges if s == v) for v in nodes}
+    r = {v: SCALE // n for v in nodes}
+    for _ in range(IT):
+        dm = sum(r[v] for v in nodes if outw[v] == 0)
+        nr = {v: (SCALE * (DD - DN)) // (n * DD) + (dm * DN) // (n * DD) for v in nodes}
+        for s, d, w in edges:
+            nr[d] += (r[s] * w * DN) // (outw[s] * DD)
+        r = nr
+    assert rd == r  # bit-identical to the integer spec
+    # mass conservation: redistribute stays within floor losses of scale;
+    # evaporate leaks the sink's damped mass (strictly less)
+    loss_bound = IT * (2 * n + len(edges))
+    assert SCALE - loss_bound <= sum(rd.values()) <= SCALE
+    assert sum(ev.values()) < sum(rd.values())
+    with pytest.raises(ValueError):
+        pagerank(df, weight="w", dangling="nope")
+
+
 def test_stream_transitions_amend_across_triggers(spark, tmp_path):
     """Two triggers (maxFilesPerTrigger=1): file 2's LATE event lands
     between file 1's already-paired events, so the user's A→C transition
