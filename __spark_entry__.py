@@ -1915,6 +1915,24 @@ def q_text_logprob2(spark, sf_dir):
     return text.bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_text_lm_pipeline(spark, sf_dir):
+    """Composed LM scoring pass (text.tokenized + unigram_logprob +
+    bigram_logprob): both quality signals computed off ONE persisted
+    (id, tokens) relation — the pipeline shape a curation job actually
+    runs, where the regex tokenize is the dominant map cost and must not
+    be paid once per signal. The plan has a single tokenize subtree
+    (docs/PLANS.md); the oracle joins the two certified LM twins. Inner
+    join: docs with <2 tokens have no bigram score, matching the
+    bigram twin's natural dropout."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = text.tokenized(docs).persist()
+    u = text.unigram_logprob(docs, toks=tk)
+    b = text.bigram_logprob(docs, toks=tk)
+    return u.join(b, "doc_id").select(
+        "doc_id", "n_tokens", "logprob", "n_bigrams", "logprob2"
+    )
+
+
 def q_text_pack(spark, sf_dir):
     """Greedy sequence packing (text.pack_chunks): 8-token chunks (2
     overlap) packed into 20-token training sequences — a per-doc
@@ -2989,6 +3007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_png_pixels": q_mm_png_pixels,  # new r6; next window
         "mm_wav_samples": q_mm_wav_samples,  # new r6; next window
         "events_pagerank_rd": q_events_pagerank_rd,  # new r6; next window
+        "text_lm_pipeline": q_text_lm_pipeline,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -3415,6 +3434,39 @@ def oracle_sql() -> dict[str, str]:
       SELECT '04_near_dedup', CAST(count(*) AS BIGINT) FROM base2 b
       WHERE b.doc_id NOT IN (SELECT doc_id FROM losers)"""
     )
+
+
+    # LM-twin bodies shared by text_logprob / text_logprob2 and their
+    # composed pipeline twin (text_lm_pipeline)
+    lm_uni_sql = f"""
+            WITH terms AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+            doc_tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+            lm AS (SELECT term, count(*) AS cnt FROM terms GROUP BY 1),
+            totals AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(*) AS v FROM lm)
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   round(CAST(SUM(CAST(tf * ln((cnt + 1.0) / (n + v)) AS DECIMAL(28,14))) AS DOUBLE) / SUM(tf), 6) AS logprob
+            FROM doc_tf JOIN lm USING (term) CROSS JOIN totals
+            GROUP BY doc_id"""
+    lm_big_sql = f"""
+
+            WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+            bg AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM toks WHERE len(t) >= 2)
+            ),
+            doc_tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
+            lm2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+            lm1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+                    FROM lm2 GROUP BY 1),
+            vocab AS (SELECT count(DISTINCT term) AS v
+                      FROM (SELECT unnest(t) AS term FROM toks))
+            SELECT d.doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                   round(CAST(SUM(CAST(tf * ln((c2 + 1.0) / (c1 + v)) AS DECIMAL(28,14))) AS DOUBLE) / SUM(tf), 6) AS logprob2
+            FROM doc_tf d JOIN lm2 USING (bg)
+            JOIN lm1 ON split_part(d.bg, ' ', 1) = lm1.w1
+            CROSS JOIN vocab
+            GROUP BY d.doc_id"""
 
     return {
         # -- Store parity ---------------------------------------------------
@@ -5158,34 +5210,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, round(s, 6) AS score, CAST(rn AS BIGINT) AS "rank"
             FROM ranked WHERE rn <= 3""",
-        "text_logprob": f"""
-            WITH terms AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
-            doc_tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
-            lm AS (SELECT term, count(*) AS cnt FROM terms GROUP BY 1),
-            totals AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(*) AS v FROM lm)
-            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-                   round(CAST(SUM(CAST(tf * ln((cnt + 1.0) / (n + v)) AS DECIMAL(28,14))) AS DOUBLE) / SUM(tf), 6) AS logprob
-            FROM doc_tf JOIN lm USING (term) CROSS JOIN totals
-            GROUP BY doc_id""",
-        "text_logprob2": f"""
-            WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
-            bg AS (
-              SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
-              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
-                    FROM toks WHERE len(t) >= 2)
-            ),
-            doc_tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
-            lm2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
-            lm1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
-                    FROM lm2 GROUP BY 1),
-            vocab AS (SELECT count(DISTINCT term) AS v
-                      FROM (SELECT unnest(t) AS term FROM toks))
-            SELECT d.doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-                   round(CAST(SUM(CAST(tf * ln((c2 + 1.0) / (c1 + v)) AS DECIMAL(28,14))) AS DOUBLE) / SUM(tf), 6) AS logprob2
-            FROM doc_tf d JOIN lm2 USING (bg)
-            JOIN lm1 ON split_part(d.bg, ' ', 1) = lm1.w1
-            CROSS JOIN vocab
-            GROUP BY d.doc_id""",
+        "text_logprob": lm_uni_sql,
+        "text_logprob2": lm_big_sql,
+        # composed LM pipeline: one tokenize pass feeds both scorers
+        # (text.tokenized shared relation); the oracle joins the two
+        # certified LM twins — inner join drops <2-token docs exactly as
+        # the bigram scorer does
+        "text_lm_pipeline": f"""
+            WITH u AS ({lm_uni_sql}), b AS ({lm_big_sql})
+            SELECT u.doc_id, u.n_tokens, u.logprob, b.n_bigrams, b.logprob2
+            FROM u JOIN b USING (doc_id)""",
         "text_pack": f"""
             WITH RECURSIVE toks AS (SELECT doc_id, {toks} AS t FROM documents),
             c AS (

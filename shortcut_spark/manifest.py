@@ -33,7 +33,14 @@ from pyspark.sql import types as T
 
 from .idx import IndexSpec
 
-__all__ = ["DataFile", "Manifest"]
+__all__ = ["DataFile", "Manifest", "PartedFileList", "MANIFEST_PART_SIZE"]
+
+# above this many data files, commit() splits the file list into JSON
+# parts with aggregated per-part column stats, and load() returns a lazy
+# PartedFileList — the Iceberg manifest-list shape SCALE.md:12-14 names
+# for millions of files. Reads that prune (the hot path) then open only
+# the parts whose aggregate stats survive, never the full list.
+MANIFEST_PART_SIZE = 8192
 
 
 @dataclass
@@ -69,6 +76,100 @@ class DataFile:
         )
 
 
+def _agg_part_stats(chunk: list[DataFile]) -> dict:
+    """Column → [min, max] over a part's files — the part-level prune
+    bound. A column is included only when EVERY file in the chunk has
+    comparable non-null stats for it (a missing per-file bound means the
+    part-level bound is unknown → the part must always survive pruning
+    on that column, which omitting achieves)."""
+    out: dict = {}
+    cols = set()
+    for f in chunk:
+        cols.update(f.stats.keys())
+    for c in cols:
+        sts = [f.stats.get(c) for f in chunk]
+        if any(s is None or s[0] is None or s[1] is None for s in sts):
+            continue
+        try:
+            out[c] = [min(s[0] for s in sts), max(s[1] for s in sts)]
+        except TypeError:
+            continue
+    return out
+
+
+class PartedFileList:
+    """Lazy list of :class:`DataFile` backed by manifest part files.
+
+    Sequence-shaped enough for every ``Store`` access pattern (len /
+    bool / iter / index / append); full iteration materializes all parts
+    (and caches them), while the prune fast path in
+    ``Store._stats_prune`` reads ONLY the parts whose aggregate stats
+    survive — ``part_stubs`` exposes each part as a synthetic DataFile
+    so the same ``_file_may_match`` logic prunes at part granularity.
+    ``len()`` and the stubs never touch part files. Appends land in
+    ``tail`` (re-partitioned at the next commit)."""
+
+    def __init__(self, mdir: str, parts_meta: list[dict]):
+        self._mdir = mdir
+        self._meta = parts_meta
+        self._cache: dict[int, list[DataFile]] = {}
+        self.tail: list[DataFile] = []
+
+    @property
+    def n_parts(self) -> int:
+        return len(self._meta)
+
+    @property
+    def fully_loaded(self) -> bool:
+        return len(self._cache) == len(self._meta)
+
+    @property
+    def part_stubs(self) -> list[DataFile]:
+        return [
+            DataFile(
+                id=-1 - k,
+                path=m["part"],
+                rows=m["rows"],
+                min_rowid=m["min_rowid"],
+                max_rowid=m["max_rowid"],
+                stats=m["stats"],
+            )
+            for k, m in enumerate(self._meta)
+        ]
+
+    def part_files(self, k: int) -> list[DataFile]:
+        if k not in self._cache:
+            with open(os.path.join(self._mdir, self._meta[k]["part"])) as fh:
+                self._cache[k] = [DataFile.from_json(d) for d in json.load(fh)]
+        return self._cache[k]
+
+    def _all(self) -> list[DataFile]:
+        out: list[DataFile] = []
+        for k in range(len(self._meta)):
+            out.extend(self.part_files(k))
+        out.extend(self.tail)
+        return out
+
+    def __len__(self) -> int:
+        return sum(m["n"] for m in self._meta) + len(self.tail)
+
+    def __bool__(self) -> bool:
+        return len(self) > 0
+
+    def __iter__(self):
+        return iter(self._all())
+
+    def __getitem__(self, i):
+        return self._all()[i]
+
+    def append(self, f: DataFile) -> None:
+        self.tail.append(f)
+
+    def sum_rows(self) -> int:
+        """Total rows without opening any part (meta-only)."""
+        return sum(m["rows"] for m in self._meta) + sum(f.rows for f in self.tail)
+
+
 @dataclass
 class Manifest:
     schema_json: str
@@ -102,6 +203,8 @@ class Manifest:
 
     @property
     def total_rows(self) -> int:
+        if isinstance(self.files, PartedFileList):
+            return self.files.sum_rows()
         return sum(f.rows for f in self.files)
 
     @property
@@ -124,13 +227,22 @@ class Manifest:
         }
 
     @classmethod
-    def from_json(cls, d: dict) -> "Manifest":
+    def from_json(cls, d: dict, parts_dir: str | None = None) -> "Manifest":
+        if d.get("file_parts"):
+            if parts_dir is None:
+                raise ValueError(
+                    "manifest has partitioned file lists; load it via "
+                    "Manifest.load so the parts directory is known"
+                )
+            files: list = PartedFileList(parts_dir, d["file_parts"])
+        else:
+            files = [DataFile.from_json(f) for f in d["files"]]
         return cls(
             schema_json=json.dumps(d["schema"]),
             rowid=d["rowid"],
             next_file_id=d["next_file_id"],
             version=d["version"],
-            files=[DataFile.from_json(f) for f in d["files"]],
+            files=files,
             indices={c: IndexSpec.from_json(s) for c, s in d["indices"].items()},
             props=dict(d.get("props", {})),
             tombstones=list(d.get("tombstones", [])),
@@ -151,7 +263,7 @@ class Manifest:
             with open(os.path.join(mdir, "CURRENT")) as fh:
                 version = int(fh.read().strip())
         with open(os.path.join(mdir, f"v{version}.json")) as fh:
-            return cls.from_json(json.load(fh))
+            return cls.from_json(json.load(fh), parts_dir=mdir)
 
     @classmethod
     def version_as_of(cls, table_path: str, ts: float) -> int:
@@ -200,10 +312,40 @@ class Manifest:
         self.version += 1
         self.committed_at = time.time()
         os.makedirs(mdir, exist_ok=True)
+        d = self.to_json()
+        if len(d["files"]) > MANIFEST_PART_SIZE:
+            # Iceberg-manifest-list shape: split the file list into JSON
+            # parts with aggregated per-part stats; the root manifest
+            # stays O(parts) and reads prune at part granularity before
+            # opening any part. (Prototype trade-off: every commit
+            # rewrites all parts — O(files), same as the monolithic
+            # layout it replaces; the next step at true millions-of-files
+            # scale is Iceberg-style reuse of unchanged parts.)
+            all_files = list(self.files)
+            parts_meta = []
+            for k in range(0, len(all_files), MANIFEST_PART_SIZE):
+                chunk = all_files[k : k + MANIFEST_PART_SIZE]
+                name = f"v{self.version}-files-p{k // MANIFEST_PART_SIZE}.json"
+                ptmp = os.path.join(mdir, name + ".tmp")
+                with open(ptmp, "w") as fh:
+                    json.dump([f.to_json() for f in chunk], fh)
+                os.replace(ptmp, os.path.join(mdir, name))
+                parts_meta.append(
+                    {
+                        "part": name,
+                        "n": len(chunk),
+                        "rows": sum(f.rows for f in chunk),
+                        "min_rowid": min(f.min_rowid for f in chunk),
+                        "max_rowid": max(f.max_rowid for f in chunk),
+                        "stats": _agg_part_stats(chunk),
+                    }
+                )
+            d["files"] = []
+            d["file_parts"] = parts_meta
         mpath = os.path.join(mdir, f"v{self.version}.json")
         tmp = mpath + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump(self.to_json(), fh, indent=1)
+            json.dump(d, fh, indent=1)
         os.replace(tmp, mpath)
         cur_tmp = os.path.join(mdir, "CURRENT.tmp")
         with open(cur_tmp, "w") as fh:

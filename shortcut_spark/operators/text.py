@@ -32,6 +32,7 @@ __all__ = [
     "chunk_documents",
     "tfidf_top_terms",
     "pack_chunks",
+    "tokenized",
     "unigram_logprob",
     "bigram_logprob",
     "ngram_contamination",
@@ -380,8 +381,25 @@ def pack_chunks(
     )
 
 
-def unigram_logprob(
+def tokenized(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Shared ``(id, __t token-array)`` relation for the LM-family
+    operators: ``persist()`` it and pass as ``toks=`` to
+    :func:`unigram_logprob`, :func:`bigram_logprob` and
+    :func:`collocations` so a pipeline computing several text signals
+    tokenizes (regex-splits) the corpus ONCE instead of once per signal
+    — the same share-the-expensive-subtree convention as the shingle
+    cache in ``dedup.containment_pairs``. At warehouse scale this is the
+    materialized tokens table every downstream pass reads."""
+    return df.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t"))
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean token log-probability under the corpus's own
     add-one-smoothed unigram LM — the cheapest perplexity-style quality
@@ -397,10 +415,13 @@ def unigram_logprob(
 
     Output: (id, n_tokens, logprob) — logprob rounded to 6 for
     engine-stable comparison.
+
+    ``toks``: optional pre-tokenized ``(id, __t)`` relation from
+    :func:`tokenized` — lets pipelines share ONE tokenize subtree across
+    the LM family.
     """
-    terms = df.select(
-        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
-    )
+    base = toks if toks is not None else tokenized(df, id_col, text_col)
+    terms = base.select(F.col(id_col), F.explode("__t").alias("term"))
     doc_tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     lm = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     totals = lm.agg(
@@ -434,7 +455,10 @@ def unigram_logprob(
 
 
 def bigram_logprob(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean BIGRAM log-probability under the corpus's own
     add-one-smoothed bigram LM — the conditional-probability upgrade of
@@ -458,8 +482,9 @@ def bigram_logprob(
     # higher-order-function lambdas re-evaluate lambda-external child
     # expressions per element, so an inlined tokens() would regex-re-split
     # the text once per bigram position (same trap as ngram_contamination,
-    # measured ~3x here)
-    base = df.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t"))
+    # measured ~3x here). ``toks`` (see :func:`tokenized`) shares the
+    # subtree across the LM family.
+    base = toks if toks is not None else tokenized(df, id_col, text_col)
     # the raw bigram stream is consumed exactly once: the LM table is
     # derived from the (already per-doc-aggregated, much smaller) doc_tf
     # rather than re-shuffling the stream a second time
@@ -743,6 +768,7 @@ def collocations(
     text_col: str = "text",
     min_count: int = 5,
     k: int = 50,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k collocations (adjacent word pairs) ranked by LIFT —
     p(x,y) / (p(x)·p(y)), the phrase-mining signal tokenizer and vocab
@@ -759,8 +785,17 @@ def collocations(
     (TakeOrderedAndProject), never a global sort.
 
     Output: (w1, w2, n_xy, n_x, n_y, lift), top k by (lift desc, w1, w2).
+
+    ``toks``: optional pre-tokenized relation from :func:`tokenized` —
+    shares one tokenize subtree across the LM family AND inside this
+    operator (the unigram table reads the same relation instead of
+    re-splitting the corpus).
     """
-    toks = df.select(tokens(F.lower(F.col(text_col))).alias("__toks"))
+    base = (
+        toks.select(F.col("__t").alias("__toks"))
+        if toks is not None
+        else df.select(tokens(F.lower(F.col(text_col))).alias("__toks"))
+    )
     # guard size >= 2: Spark's sequence(1, 0) steps DOWNWARD ([1, 0]),
     # so the unguarded expression indexes past a 1-token array
     pair_arr = F.when(
@@ -770,14 +805,14 @@ def collocations(
             " i -> struct(__toks[i - 1] as w1, __toks[i] as w2))"
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    pairs = toks.select(F.explode(pair_arr).alias("p")).select("p.w1", "p.w2")
+    pairs = base.select(F.explode(pair_arr).alias("p")).select("p.w1", "p.w2")
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
     # N is the TRUE corpus bigram total — computed before the hapax
     # filter, which only prunes the join input, never the denominator
     total = big.agg(F.sum("n_xy").cast("decimal(38,0)").alias("__n"))
     big = big.filter(F.col("n_xy") >= min_count)
     uni = (
-        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        base.select(F.explode("__toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
     )

@@ -1120,32 +1120,63 @@ class Store:
            file granularity).
         """
         path = choose_access_path(conds, self.manifest.indices, self.colnames)
-        mask = None  # None = all manifest files still candidates
-        for cond in conds:
-            if cond.cmp.op == "eq" and (cond.cmp.value is None or cond.cmp.value.is_column):
-                continue
-            name = cond.resolve(self.colnames)
-            m = self._prune_mask(cond, name)
-            if m is None:
-                # vectorization not safe for this (column, probe) pair —
-                # per-file Python check over the surviving candidates only
-                import numpy as np
+        eligible = [
+            c
+            for c in conds
+            if not (c.cmp.op == "eq" and (c.cmp.value is None or c.cmp.value.is_column))
+        ]
+        from .manifest import PartedFileList
 
-                if mask is None:
-                    mask = np.ones(len(self.manifest.files), dtype=bool)
-                for i, f in enumerate(self.manifest.files):
-                    if mask[i] and not self._file_may_match(f, cond, name):
-                        mask[i] = False
-            else:
-                mask = m if mask is None else (mask & m)
-            if mask is not None and not mask.any():
-                return path, []
-        if mask is None:
-            files = self.manifest.files
+        pf = self.manifest.files
+        if isinstance(pf, PartedFileList) and not pf.fully_loaded and eligible:
+            # partitioned-manifest fast path: prune at PART granularity
+            # first — each part stub is a synthetic DataFile carrying the
+            # part's aggregated column stats, so the same conservative
+            # _file_may_match logic applies — then open ONLY surviving
+            # parts and run the per-file check over that bounded subset.
+            # The full file list is never materialized: a selective probe
+            # against a 100k-file table reads ~one part.
+            cand: list[DataFile] = []
+            for k, stub in enumerate(pf.part_stubs):
+                if all(
+                    self._file_may_match(stub, c, c.resolve(self.colnames))
+                    for c in eligible
+                ):
+                    cand.extend(pf.part_files(k))
+            cand.extend(pf.tail)
+            files = [
+                f
+                for f in cand
+                if all(
+                    self._file_may_match(f, c, c.resolve(self.colnames))
+                    for c in eligible
+                )
+            ]
         else:
-            files = [f for f, keep in zip(self.manifest.files, mask) if keep]
+            mask = None  # None = all manifest files still candidates
+            for cond in eligible:
+                name = cond.resolve(self.colnames)
+                m = self._prune_mask(cond, name)
+                if m is None:
+                    # vectorization not safe for this (column, probe) pair —
+                    # per-file Python check over the surviving candidates only
+                    import numpy as np
+
+                    if mask is None:
+                        mask = np.ones(len(self.manifest.files), dtype=bool)
+                    for i, f in enumerate(self.manifest.files):
+                        if mask[i] and not self._file_may_match(f, cond, name):
+                            mask[i] = False
+                else:
+                    mask = m if mask is None else (mask & m)
+                if mask is not None and not mask.any():
+                    return path, []
+            if mask is None:
+                files = self.manifest.files
+            else:
+                files = [f for f, keep in zip(self.manifest.files, mask) if keep]
         if not files:
-            return path, files
+            return path, list(files)
         if path.index is not None and files and path.index.kind == BLOOM:
             # zero-job path: bitsets live in a driver map (one tiny cached
             # read); a missing bitset or non-portable probe type keeps the

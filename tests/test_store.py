@@ -389,6 +389,73 @@ def test_manifest_prune_latency_10k_files(spark, tmp_path):
     assert dt_eq < 0.01, f"warm eq prune took {dt_eq:.4f}s over 10k files"
 
 
+def test_partitioned_manifest_prunes_without_full_load(spark, tmp_path):
+    """SCALE.md manifest graduation (r6): above MANIFEST_PART_SIZE files,
+    commit() splits the file list into JSON parts with aggregated
+    per-part stats and load() returns a lazy PartedFileList. A selective
+    probe over a 100k-file table must (a) prune correctly, (b) open only
+    the part(s) whose aggregate stats survive — never the full list —
+    and (c) stay under a driver-latency bound."""
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from shortcut_spark import between
+    from shortcut_spark.manifest import DataFile, Manifest, PartedFileList
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    man = Manifest(schema_json=schema.json())
+    n_files = 100_000
+    for i in range(n_files):
+        man.files.append(
+            DataFile(
+                id=i,
+                path=f"data/f{i}.parquet",
+                rows=1_000,
+                min_rowid=i * 1_000,
+                max_rowid=i * 1_000 + 999,
+                stats={"k": [i * 10, i * 10 + 9], "v": ["a", "z"]},
+            )
+        )
+    man.next_file_id = n_files
+    man.rowid = n_files * 1_000
+    path = str(tmp_path / "parted")
+    os.makedirs(path)
+    man.commit(path)
+
+    loaded = Manifest.load(path)
+    pf = loaded.files
+    assert isinstance(pf, PartedFileList) and pf.n_parts > 1
+    assert len(pf) == n_files and loaded.total_rows == n_files * 1_000
+    assert not pf.fully_loaded  # len/total_rows are meta-only
+
+    st = Store(spark, path, loaded)
+    t0 = time.perf_counter()
+    _, hit = st._prune_files([eq("k", 424_242)])
+    dt = time.perf_counter() - t0
+    assert [f.id for f in hit] == [42_424]
+    assert len(pf._cache) == 1  # exactly one part was opened
+    assert not pf.fully_loaded
+    assert dt < 0.5, f"parted prune took {dt:.3f}s over 100k files"
+
+    # a range probe crossing a part boundary opens exactly the two parts
+    lo_file, hi_file = 8_190, 8_195  # part size 8192 → files straddle parts 0/1
+    _, rng = st._prune_files([between("k", lo_file * 10, hi_file * 10 + 9)])
+    assert [f.id for f in rng] == list(range(lo_file, hi_file + 1))
+    assert set(pf._cache) == {0, 1, 5}  # the two straddled parts + the eq probe's
+    # warm repeat is cheap
+    t0 = time.perf_counter()
+    st._prune_files([eq("k", 424_242)])
+    assert time.perf_counter() - t0 < 0.1
+    # full materialization still works (correctness fallback for
+    # stat-less probes) and is only triggered when actually needed
+    assert sum(1 for _ in pf) == n_files
+    assert pf.fully_loaded
+
+
 def test_tombstone_consolidation_overlapping_rowid_ranges(spark, tmp_path):
     """Regression (ADVICE r3, high): CoW-delete tombstone consolidation must
     be membership-based. compact(sort_by=<non-rowid col>) range-partitions
