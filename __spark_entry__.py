@@ -1933,6 +1933,23 @@ def q_text_lm_pipeline(spark, sf_dir):
     )
 
 
+def q_text_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (text.bm25_topk): top-10 documents for three
+    fixed multi-term queries — the lexical search primitive next to the
+    embedding ANN tiers. Query terms broadcast onto the corpus inverted
+    stats (tf/df/dl shuffle the corpus once; a standing index at scale);
+    per-query top-k is one rank window. k1=1.25 / b=0.75 are exactly
+    binary-representable so every literal is engine-identical, integer
+    stats + a fixed double expression tree + the DECIMAL(28,14) sum
+    detour make score AND rank hash-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [("q1", "spark join"), ("q2", "hash table scan"), ("q3", "window agg stream")],
+        ["query_id", "query"],
+    )
+    return text.bm25_topk(docs, qs, k=10)
+
+
 def q_text_pack(spark, sf_dir):
     """Greedy sequence packing (text.pack_chunks): 8-token chunks (2
     overlap) packed into 20-token training sequences — a per-doc
@@ -2096,6 +2113,22 @@ def q_dedup_containment(spark, sf_dir):
 
     return containment_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    )
+
+
+def q_dedup_winnow(spark, sf_dir):
+    """MOSS-style winnowing overlap pairs (dedup.winnow_pairs): token
+    4-gram hashes → per-window-of-4 minimum fingerprints (rightmost tie
+    via the packed (hash, pos) BIGINT) → exact jaccard over fingerprint
+    sets through the same capped inverted-index join as dedup_jaccard.
+    Winnowing guarantees any shared run of ≥ 7 tokens yields a shared
+    fingerprint while keeping ~40% of the hashes — a recall CONTRACT
+    (MinHash only gives a probability) at a fraction of the shingle
+    volume. Every step is integer/md5 arithmetic → hash-exact twin."""
+    from shortcut_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.1
     )
 
 
@@ -3008,6 +3041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_wav_samples": q_mm_wav_samples,  # new r6; next window
         "events_pagerank_rd": q_events_pagerank_rd,  # new r6; next window
         "text_lm_pipeline": q_text_lm_pipeline,  # new r6; next window
+        "text_bm25": q_text_bm25,  # new r6; next window
+        "dedup_winnow": q_dedup_winnow,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -3938,6 +3973,38 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": f"""
             SELECT {fingerprint} AS fp, min(doc_id) AS keeper, count(*) AS n_docs
             FROM documents GROUP BY 1""",
+        # winnowing twin: same packed (hash*2^20 + (2^20-1-pos)) BIGINT
+        # min-in-window selection, then the capped jaccard tail over the
+        # selected fingerprint sets
+        "dedup_winnow": f"""
+            WITH base AS (SELECT doc_id, {toks} AS t FROM documents),
+            g AS (
+              SELECT doc_id, i - 1 AS pos,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS gram
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, greatest(len(t) - 3, 0))) AS i
+                    FROM base)
+            ),
+            hp AS (
+              SELECT doc_id, pos,
+                     ('0x' || substr(md5('wf:' || gram), 1, 8))::BIGINT * 1048576
+                       + (1048575 - pos) AS packed
+              FROM g
+            ),
+            w AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY doc_id) AS m,
+                     min(packed) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+              FROM hp
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, wmin // 1048576 AS shingle
+              FROM w WHERE pos <= m - 4
+            ),
+            {jaccard_tail.lstrip()}
+            SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.1""",
         "dedup_containment": f"""
             WITH {shingle_cte},
             -- hot-shingle df-cap (max_df=10000 default; no-op at sf0.01)
@@ -5211,6 +5278,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, round(s, 6) AS score, CAST(rn AS BIGINT) AS "rank"
             FROM ranked WHERE rn <= 3""",
         "text_logprob": lm_uni_sql,
+        # BM25 twin: literals CAST AS DOUBLE (DuckDB types bare 0.75 as
+        # DECIMAL) and the expression tree mirrors text.bm25_topk token
+        # for token so the double arithmetic is bit-identical
+        "text_bm25": f"""
+            WITH base AS (SELECT doc_id, {toks} AS t FROM documents),
+            dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM base),
+            terms AS (SELECT doc_id, unnest(t) AS term FROM base),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+            dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(dl) AS BIGINT) AS total FROM dl),
+            qt(query_id, term) AS (VALUES
+              ('q1', 'spark'), ('q1', 'join'),
+              ('q2', 'hash'), ('q2', 'table'), ('q2', 'scan'),
+              ('q3', 'window'), ('q3', 'agg'), ('q3', 'stream')),
+            sc AS (
+              SELECT qt.query_id, tf.doc_id,
+                round(CAST(SUM(CAST(
+                  ln(CAST(1.0 AS DOUBLE)
+                     + (tot.n - dfq.df + CAST(0.5 AS DOUBLE))
+                       / (dfq.df + CAST(0.5 AS DOUBLE)))
+                  * (tf.tf * CAST(2.25 AS DOUBLE))
+                  / (tf.tf + CAST(1.25 AS DOUBLE)
+                       * (CAST(0.25 AS DOUBLE)
+                          + (CAST(0.75 AS DOUBLE) * dl.dl * tot.n) / tot.total))
+                AS DECIMAL(28,14))) AS DOUBLE), 6) AS score
+              FROM tf
+              JOIN qt USING (term)
+              JOIN dfq USING (term)
+              JOIN dl USING (doc_id)
+              CROSS JOIN tot
+              GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, score,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id ORDER BY score DESC, doc_id
+                   ) AS BIGINT) AS rank
+            FROM sc QUALIFY rank <= 10""",
         "text_logprob2": lm_big_sql,
         # composed LM pipeline: one tokenize pass feeds both scorers
         # (text.tokenized shared relation); the oracle joins the two

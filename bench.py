@@ -170,6 +170,15 @@ HEADLINE = [
     ("embed_dispersion", "collect"),
     # count-based exact order statistics (the percentile scale path)
     ("docs_quantiles", "collect"),
+    # round-6 session additions: REAL codec-free PNG pixel / WAV sample
+    # decode (zlib inflate + unfilter / PCM unpack inside the certified
+    # path), dangling-mass-redistributing PageRank, and the composed LM
+    # pass sharing ONE tokenize subtree across both scorers (its bench
+    # delta vs text_logprob2-alone records the saved tokenize scan)
+    ("mm_png_pixels", "count"),
+    ("mm_wav_samples", "count"),
+    ("events_pagerank_rd", "collect"),
+    ("text_lm_pipeline", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -55,6 +55,8 @@ __all__ = [
     "dedup_rate_report",
     "containment_pairs",
     "novelty_scores",
+    "winnow_fingerprints",
+    "winnow_pairs",
 ]
 
 
@@ -934,3 +936,84 @@ def novelty_scores(
         )
         .withColumn("novelty", F.col("n_novel") / F.col("n_shingles"))
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every token ``n``-gram, then in
+    each window of ``window`` consecutive hashes keep the minimum
+    (rightmost position on hash ties). Winnowing GUARANTEES any shared
+    run of ≥ window+n-1 tokens yields a shared fingerprint while keeping
+    only ~2/(window+1) of the hashes — a density/recall contract MinHash
+    does not give, which is why plagiarism and overlap detectors use it.
+
+    The tie-break is made engine-exact by packing (hash, position) into
+    ONE BIGINT — ``h·2²⁰ + (2²⁰−1−pos)`` — so a plain window ``min``
+    selects (smallest hash, largest position); positions are bounded at
+    2²⁰ tokens per document (hash < 2³², so the pack stays < 2⁵², exact
+    in any engine). Hashes are md5-derived (:func:`hash32`), hence
+    SQL-replicable.
+
+    Shuffle shape: ONE shuffle on the id key for the per-doc window pass
+    (at scale the sort is per-document and documents are independent);
+    distinct is per-doc. Only full windows select (the Schleimer spec) —
+    docs with fewer than ``window`` n-grams emit nothing.
+
+    Output: (id, fp) — distinct selected 32-bit fingerprint hashes.
+    """
+    from pyspark.sql import Window as W
+
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    grams = F.when(
+        F.size("__t") >= n,
+        F.expr(
+            f"transform(sequence(1, size(__t) - {n - 1}),"
+            f" i -> array_join(slice(__t, i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = base.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "g")
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        (
+            hash32(F.col("g"), seed="wf") * F.lit(1048576)
+            + (F.lit(1048575) - F.col("pos"))
+        ).alias("packed"),
+    )
+    win = W.partitionBy(id_col).orderBy("pos").rowsBetween(W.currentRow, window - 1)
+    m = W.partitionBy(id_col)
+    sel = (
+        hashed.withColumn("__m", F.count(F.lit(1)).over(m))
+        .withColumn("__wmin", F.min("packed").over(win))
+        .filter(F.col("pos") <= F.col("__m") - F.lit(window))
+        .select(F.col(id_col), F.expr("__wmin div 1048576").alias("fp"))
+        .distinct()
+    )
+    return sel
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    window: int = 4,
+    threshold: float = 0.2,
+    max_df: int | None = 10_000,
+) -> DataFrame:
+    """Document overlap pairs by exact jaccard over WINNOWED fingerprint
+    sets: the MOSS-style overlap detector — any shared token run of
+    ≥ window+n-1 tokens is guaranteed to contribute a shared
+    fingerprint, at ~2/(window+1) of the full shingle volume, so the
+    inverted-index join (:func:`jaccard_pairs`, including its
+    hot-fingerprint ``max_df`` cap) runs on a corpus several times
+    smaller than shingle-level jaccard with a recall floor instead of a
+    probability. Output: (id_a, id_b, jaccard)."""
+    fp = winnow_fingerprints(df, id_col, text_col, n, window).select(
+        F.col(id_col), F.col("fp").alias("shingle")
+    )
+    return jaccard_pairs(fp, id_col, threshold, max_df=max_df)

@@ -42,6 +42,7 @@ __all__ = [
     "MOJIBAKE_RE",
     "length_histogram",
     "collocations",
+    "bm25_topk",
     "vocab_growth",
 ]
 
@@ -905,4 +906,88 @@ def vocab_growth(
         docs.join(F.broadcast(offsets), "__bkt")
         .withColumn("cum_vocab", (F.col("__off") + F.sum("n_new").over(w_in)).cast("long"))
         .select(id_col, "n_new", "cum_vocab")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 ranked retrieval: top-k documents per query — the lexical
+    search primitive every corpus-curation stack needs next to the
+    embedding ANN tiers (and the classic hard-negative miner for
+    training retrieval models).
+
+    score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (the always-positive
+    Lucene variant) and k1 = 1.25, b = 0.75 — constants chosen exactly
+    representable in binary so every literal is engine-identical.
+
+    Shuffle shape: doc stats (tf / dl / df) shuffle the corpus once on
+    the term key — at warehouse scale these are a standing inverted
+    index, maintained per ingest, not rebuilt per query. Query terms
+    BROADCAST onto the tf relation (queries are tiny by definition), the
+    (N, total_len) scalar rides a 1-row cross join, and per-query top-k
+    is a rank window over ≤ |matched docs| rows. Nothing is ever
+    all-pairs.
+
+    Determinism: integer tf/df/dl/N; avgdl enters as dl·N/total (exact
+    double products of integers, one correctly-rounded division);
+    per-term scores are fixed double expression trees; the per-doc SUM
+    runs through the DECIMAL(28,14) detour and rounds to 6 (the
+    logprob convention), and ranking orders by the ROUNDED score with a
+    doc-id tiebreak, so row set AND ranks are engine-exact.
+
+    ``toks``: optional shared :func:`tokenized` relation.
+
+    Output: (query_id, doc_id, score, rank), rank 1..k per query.
+    """
+    from pyspark.sql import Window
+
+    base = toks if toks is not None else tokenized(df, id_col, text_col)
+    dl = base.select(F.col(id_col), F.size("__t").cast("long").alias("dl"))
+    terms = base.select(F.col(id_col), F.explode("__t").alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    totals = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("total"),
+    )
+    qt = (
+        queries.select(
+            F.col(query_id_col), F.explode(tokens(F.lower(F.col(query_col)))).alias("term")
+        )
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    den = F.col("tf") + F.lit(1.25) * (
+        F.lit(0.25) + (F.lit(0.75) * F.col("dl") * F.col("n")) / F.col("total")
+    )
+    term_score = idf * (F.col("tf") * F.lit(2.25)) / den
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(totals))
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.round(
+                F.sum(term_score.cast("decimal(28,14)")).cast("double"), 6
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
     )

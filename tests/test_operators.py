@@ -2308,6 +2308,61 @@ def test_pagerank_hub_outranks_spokes(spark):
         assert r["rank"] == r["rank_i"] / 10**9
 
 
+def test_winnowing_guarantee_and_density(spark):
+    """Schleimer's contract: any shared token run of >= window+n-1 (=7)
+    tokens MUST yield a shared fingerprint; selected density ~2/(w+1).
+    Also: a doc with fewer than `window` n-grams emits nothing."""
+    import random
+
+    from shortcut_spark.operators.dedup import winnow_fingerprints, winnow_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(200)]
+    run = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    d1 = " ".join(rng.choice(vocab) for _ in range(60)) + " " + run
+    d2 = run + " " + " ".join(rng.choice(vocab) for _ in range(60))
+    d3 = " ".join(rng.choice(vocab) for _ in range(60))
+    tiny = "a b c d"  # 1 four-gram < window → no full window
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, tiny)], ["doc_id", "text"]
+    )
+    fp = winnow_fingerprints(df, "doc_id", "text").collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert 4 not in by_doc
+    assert by_doc[1] & by_doc[2]  # the shared 7-token run fingerprints
+    # density: 67 tokens → 64 grams → expect ~2/5, allow wide slack
+    assert 0.2 * 64 <= len(by_doc[1]) <= 0.7 * 64
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_pairs(df, "doc_id", "text", threshold=0.01).collect()
+    }
+    assert (1, 2) in pairs
+
+
+def test_bm25_ranking_semantics(spark):
+    """BM25 sanity: matching docs only; rarity (idf) outweighs a common
+    term; shorter docs outrank longer ones at equal tf (length norm)."""
+    docs = [
+        (1, "rare term here"),
+        (2, "common common common words words"),
+        (3, "common words"),
+        (4, "nothing relevant at all"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    qs = spark.createDataFrame([("q", "rare common")], ["query_id", "query"])
+    out = {r["doc_id"]: r for r in text.bm25_topk(df, qs, k=10).collect()}
+    assert set(out) == {1, 2, 3}  # doc 4 matches no query term
+    # 'rare' appears in one doc, 'common' in two → doc 1 wins on idf
+    assert out[1]["rank"] == 1
+    # saturation: doc 2 has 3x doc 3's tf but scores well under 3x
+    # (k1 term-frequency damping + the longer-doc length penalty)
+    assert out[2]["score"] > out[3]["score"]
+    assert out[2]["score"] < 2 * out[3]["score"]
+    assert [out[i]["rank"] for i in (1, 2, 3)] == [1, 2, 3]
+
+
 def test_pagerank_redistribute_conserves_mass(spark):
     """dangling='redistribute': a sink node's mass is returned to the
     pool each iteration, so total rank stays ≈ scale (up to BIGINT floor
