@@ -2116,6 +2116,22 @@ def q_dedup_containment(spark, sf_dir):
     )
 
 
+def q_dedup_wjaccard(spark, sf_dir):
+    """Rarity-weighted jaccard pairs (dedup.jaccard_pairs_weighted):
+    shingles weighted N div df (the idf idea with NO logarithm — every
+    weight an exact BIGINT), so distinctive-content overlap outscores
+    boilerplate overlap. Same capped inverted-index join as
+    dedup_jaccard plus one standing df aggregate; the similarity is one
+    engine-exact integer ratio."""
+    from shortcut_spark.operators.dedup import jaccard_pairs_weighted, shingles
+
+    return jaccard_pairs_weighted(
+        shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3),
+        "doc_id",
+        0.2,
+    )
+
+
 def q_dedup_winnow(spark, sf_dir):
     """MOSS-style winnowing overlap pairs (dedup.winnow_pairs): token
     4-gram hashes → per-window-of-4 minimum fingerprints (rightmost tie
@@ -2785,6 +2801,21 @@ def q_mm_wav_samples(spark, sf_dir):
     return multimodal.decode_wav_samples(wavs, "doc_id", "payload")
 
 
+def q_events_stream_kmv(spark, sf_dir):
+    """Streaming KMV bottom-k distinct sketch
+    (streaming.run_stream_bottomk): per-shard bottom-256 md5 ranks in
+    applyInPandasWithState — state ≤ shards·k entries however large the
+    stream — merged exactly at read (bottom-k summaries are mergeable),
+    so the streaming sketch EQUALS the batch bottom-k over all distinct
+    values and the oracle certifies both the hash-uniform distinct
+    sample and the (k−1)·2³²/rank_k NDV estimate bit-for-bit."""
+    from shortcut_spark.streaming import run_stream_bottomk
+
+    return run_stream_bottomk(
+        spark, os.path.join(sf_dir, "events.parquet"), query_name="kmv_drv_sink"
+    )
+
+
 def q_embed_dup_clusters(spark, sf_dir):
     """Semantic dedup clusters (similarity.semantic_dup_clusters): cosine
     near-dup pairs → connected components → cluster labels over embedding
@@ -3043,6 +3074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_pipeline": q_text_lm_pipeline,  # new r6; next window
         "text_bm25": q_text_bm25,  # new r6; next window
         "dedup_winnow": q_dedup_winnow,  # new r6; next window
+        "dedup_wjaccard": q_dedup_wjaccard,  # new r6; next window
+        "events_stream_kmv": q_events_stream_kmv,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -3973,6 +4006,35 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": f"""
             SELECT {fingerprint} AS fp, min(doc_id) AS keeper, count(*) AS n_docs
             FROM documents GROUP BY 1""",
+        # rarity-weighted jaccard: integer N div df weights over the
+        # capped shingle space — every quantity BIGINT until the final
+        # single ratio
+        "dedup_wjaccard": f"""
+            WITH {shingle_cte},
+            hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 10000),
+            shf AS (SELECT doc_id, shingle FROM sh ANTI JOIN hot USING (shingle)),
+            dfreq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+                      FROM shf GROUP BY 1),
+            nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM shf),
+            wsh AS (
+              SELECT doc_id, shingle, n // df AS w
+              FROM shf JOIN dfreq USING (shingle) CROSS JOIN nn
+            ),
+            sizes AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS wsz
+                      FROM wsh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(sum(a.w) AS BIGINT) AS wi
+              FROM wsh a JOIN wsh b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(wi AS DOUBLE) / (sa.wsz + sb.wsz - wi) AS wjaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(wi AS DOUBLE) / (sa.wsz + sb.wsz - wi) >= 0.2""",
         # winnowing twin: same packed (hash*2^20 + (2^20-1-pos)) BIGINT
         # min-in-window selection, then the capped jaccard tail over the
         # selected fingerprint sets
@@ -5415,6 +5477,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE cnt > total * 0.001""",
         # streaming twin: at driver capacity the space-saving summary is
         # exact (no eviction), so the oracle is the same query + err = 0
+        # KMV twin: rebuild the bottom-256 sketch from ALL distinct
+        # values — exact-merge of the shard sketches makes the streaming
+        # result equal this batch sketch
+        "events_stream_kmv": """
+            WITH d AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS value FROM events),
+            h AS (SELECT value,
+                         ('0x' || substr(md5('kmv:' || value), 1, 8))::BIGINT AS rank_h
+                  FROM d),
+            bk AS (
+              SELECT value, rank_h,
+                     CAST(row_number() OVER (ORDER BY rank_h, value) AS BIGINT) AS pos
+              FROM h QUALIFY pos <= 256
+            ),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                          CAST(max(rank_h) AS BIGINT) AS rk FROM bk)
+            SELECT pos, value, rank_h,
+                   round(CASE WHEN m >= 256
+                              THEN CAST(1095216660480 AS DOUBLE) / rk
+                              ELSE CAST(m AS DOUBLE) END, 6) AS est_ndv
+            FROM bk CROSS JOIN st""",
         "events_stream_heavy": """
             WITH t AS (SELECT count(*) AS total FROM events),
             g AS (SELECT user_id AS value, count(*) AS cnt FROM events GROUP BY 1)

@@ -57,6 +57,7 @@ __all__ = [
     "novelty_scores",
     "winnow_fingerprints",
     "winnow_pairs",
+    "jaccard_pairs_weighted",
 ]
 
 
@@ -1017,3 +1018,61 @@ def winnow_pairs(
         F.col(id_col), F.col("fp").alias("shingle")
     )
     return jaccard_pairs(fp, id_col, threshold, max_df=max_df)
+
+
+def jaccard_pairs_weighted(
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_df: int | None = 10_000,
+) -> DataFrame:
+    """RARITY-WEIGHTED jaccard over shingle sets: each shingle carries
+    weight ``N div df`` (corpus size over its document frequency, BIGINT
+    floor), so two documents sharing distinctive content score far above
+    two sharing only boilerplate — the idf idea with NO logarithm,
+    keeping every weight an exact integer and the final similarity a
+    single engine-exact BIGINT ratio.
+
+        sim(A,B) = Σ_{s∈A∩B} w(s) / (Σ_{A} w + Σ_{B} w − Σ_{A∩B} w)
+
+    Shuffle shape: identical to :func:`jaccard_pairs` plus one
+    vocab-keyed df aggregate (at scale a standing statistic); the
+    corpus-size scalar rides a 1-row broadcast. The ``max_df`` cap
+    (default 10 000) applies BEFORE everything — the same hot-shingle
+    skew guard, and under this weighting a capped shingle would have
+    carried weight ≈ N/10⁴ anyway. Output: (id_a, id_b, wjaccard)."""
+    if max_df is not None:
+        sh = _drop_hot_shingles(sh, id_col, max_df)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    nn = sh.agg(F.count_distinct(id_col).cast("long").alias("__n"))
+    wsh = (
+        sh.join(dfreq, "shingle")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col(id_col),
+            "shingle",
+            F.expr("__n div __df").alias("w"),
+        )
+    )
+    sizes = wsh.groupBy(id_col).agg(F.sum("w").cast("long").alias("wsz"))
+    a = wsh.alias("a")
+    b = wsh.select(id_col, "shingle").alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.sum("a.w").cast("long").alias("wi"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("wsz").alias("wa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("wsz").alias("wb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "wjaccard", F.col("wi") / (F.col("wa") + F.col("wb") - F.col("wi"))
+        )
+        .filter(F.col("wjaccard") >= threshold)
+        .select("id_a", "id_b", "wjaccard")
+    )

@@ -31,6 +31,7 @@ __all__ = [
     "stream_into_store",
     "run_stream_hopping_append",
     "run_stream_transitions",
+    "run_stream_bottomk",
 ]
 
 
@@ -1036,4 +1037,112 @@ def run_stream_transitions(
         FROM {query_name} s JOIN latest l
           ON s.user_id = l.user_id AND s.ver = l.mv
         GROUP BY 1, 2"""
+    )
+
+
+def run_stream_bottomk(
+    spark: SparkSession,
+    events_parquet_dir: str,
+    col: str = "user_id",
+    k: int = 256,
+    n_shards: int = 8,
+    query_name: str = "stream_kmv",
+) -> DataFrame:
+    """Streaming KMV (bottom-k) distinct sketch with BOUNDED state: the
+    k smallest md5 hash ranks of the distinct values seen — the
+    mergeable distinct-count sketch (Bar-Yossef et al. 2002) whose
+    estimator is (k−1)·2³² / rank_k, plus a uniform distinct-value
+    SAMPLE for free (the bottom-k values are a hash-uniform sample).
+
+    Sharded ``applyInPandasWithState``: per-shard state is the shard's
+    bottom-k (value, rank) pairs — ≤ n_shards·k entries TOTAL however
+    large the stream — and bottom-k summaries MERGE exactly, so taking
+    the k global smallest over the shards' latest snapshots equals the
+    batch sketch over all data: that exact-merge property is what lets
+    the driver oracle certify a streaming sketch bit-for-bit. Ranks are
+    md5-derived (``functions.hash32`` convention, seed 'kmv'), so the
+    DuckDB twin rebuilds the identical sketch.
+
+    Output: (pos 1..k, value, rank_h, est_ndv) — est_ndv is the KMV
+    estimate when the sketch is full, the exact distinct count when the
+    stream held fewer than k distinct values.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _file_stream(spark, events_parquet_dir, want_event_ts=False).select(
+        F.pmod(F.xxhash64(F.col(col)), F.lit(n_shards)).cast("int").alias("__shard"),
+        F.col(col).cast("string").alias("value"),
+    )
+    out_schema = "shard int, value string, rank_h long, n_seen long"
+    state_schema = "vals array<string>, ranks array<long>, n_seen long"
+
+    def fn(key, pdfs, state: GroupState):
+        (shard,) = key
+        if state.exists:
+            vals, ranks, n = state.get
+            bk = dict(zip(vals, (int(r) for r in ranks)))
+            n = int(n)
+        else:
+            bk, n = {}, 0
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                n += 1
+                if v not in bk:
+                    bk[v] = int(hashlib.md5(f"kmv:{v}".encode()).hexdigest()[:8], 16)
+        if len(bk) > k:
+            keep = sorted(bk.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+            bk = dict(keep)
+        state.update((list(bk.keys()), list(bk.values()), n))
+        yield pd.DataFrame(
+            {
+                "shard": [int(shard)] * len(bk),
+                "value": list(bk.keys()),
+                "rank_h": list(bk.values()),
+                "n_seen": [n] * len(bk),
+            }
+        )
+
+    res = stream.groupBy("__shard").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    q = (
+        res.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap = spark.sql(f"SELECT * FROM {query_name}")
+    latest = snap.withColumn(
+        "__mx", F.max("n_seen").over(W.partitionBy("shard"))
+    ).filter(F.col("n_seen") == F.col("__mx"))
+    merged = (
+        latest.select("value", "rank_h")
+        .distinct()
+        .withColumn(
+            "pos",
+            F.row_number()
+            .over(W.orderBy("rank_h", "value"))
+            .cast("long"),
+        )
+        .filter(F.col("pos") <= k)
+    )
+    st = merged.agg(
+        F.count(F.lit(1)).cast("long").alias("__m"),
+        F.max("rank_h").cast("long").alias("__rk"),
+    )
+    est = F.when(
+        F.col("__m") >= k,
+        F.lit(float((k - 1) * 2**32)) / F.col("__rk"),
+    ).otherwise(F.col("__m").cast("double"))
+    return (
+        merged.crossJoin(F.broadcast(st))
+        .select("pos", "value", "rank_h", F.round(est, 6).alias("est_ndv"))
     )

@@ -2308,6 +2308,70 @@ def test_pagerank_hub_outranks_spokes(spark):
         assert r["rank"] == r["rank_i"] / 10**9
 
 
+def test_stream_bottomk_matches_batch_sketch(spark, tmp_path):
+    """KMV bottom-k with k << NDV (eviction across triggers, two files →
+    two triggers): the streaming sketch must equal the batch bottom-k
+    over all distinct values, and the estimator must be within 3/sqrt(k)
+    of the true distinct count (KMV's standard error is ~1/sqrt(k))."""
+    import hashlib
+
+    from shortcut_spark.streaming import run_stream_bottomk
+
+    src = str(tmp_path / "ev")
+    rows1 = [(i, i % 400, "a") for i in range(600)]
+    rows2 = [(i + 600, (i * 7) % 900, "b") for i in range(600)]
+    for name, rows in (("f1", rows1), ("f2", rows2)):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string"
+        ).coalesce(1).write.mode("append").parquet(src)
+    out = run_stream_bottomk(spark, src, k=64, query_name=f"kmv_t_{name}").collect()
+    true_distinct = {u for _, u, _ in rows1 + rows2}
+    ranks = sorted(
+        (int(hashlib.md5(f"kmv:{u}".encode()).hexdigest()[:8], 16), str(u))
+        for u in true_distinct
+    )[:64]
+    got = sorted((r["rank_h"], r["value"]) for r in out)
+    assert got == ranks  # streaming sketch == batch bottom-k, exactly
+    est = out[0]["est_ndv"]
+    n = len(true_distinct)
+    assert abs(est - n) / n < 3 / (64**0.5), (est, n)
+
+
+def test_weighted_jaccard_downweights_boilerplate(spark):
+    """Two pairs with IDENTICAL plain jaccard: one shares a rare
+    shingle, one shares a corpus-wide boilerplate shingle. Weighted
+    jaccard must rank the rare-sharing pair strictly higher."""
+    from shortcut_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_weighted,
+        shingles,
+    )
+
+    boiler = "all rights reserved"
+    docs = [
+        # docs 1/2 share the rare trigram 'quantum flux capacitor'
+        (1, "quantum flux capacitor " + "unique1a unique1b unique1c"),
+        (2, "quantum flux capacitor " + "unique2a unique2b unique2c"),
+        # docs 3/4 share only the boilerplate that EVERY doc carries
+        (3, boiler + " unique3a unique3b unique3c"),
+        (4, boiler + " unique4a unique4b unique4c"),
+        (5, boiler + " unique5a unique5b unique5c"),
+        (6, boiler + " unique6a unique6b unique6c"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sh = shingles(df, "doc_id", "text", 3)
+    plain = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(sh, "doc_id", 0.01, max_df=None).collect()
+    }
+    weighted = {
+        (r["id_a"], r["id_b"]): r["wjaccard"]
+        for r in jaccard_pairs_weighted(sh, "doc_id", 0.0, max_df=None).collect()
+    }
+    assert plain[(1, 2)] == plain[(3, 4)]  # plain jaccard can't tell them apart
+    assert weighted[(1, 2)] > weighted[(3, 4)]
+
+
 def test_winnowing_guarantee_and_density(spark):
     """Schleimer's contract: any shared token run of >= window+n-1 (=7)
     tokens MUST yield a shared fingerprint; selected density ~2/(w+1).
