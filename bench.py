@@ -179,6 +179,12 @@ HEADLINE = [
     ("mm_wav_samples", "count"),
     ("events_pagerank_rd", "collect"),
     ("text_lm_pipeline", "count"),
+    # BM25 lexical retrieval, MOSS winnowing overlap, idf-without-log
+    # weighted jaccard, and the streaming KMV distinct sketch
+    ("text_bm25", "collect"),
+    ("dedup_winnow", "count"),
+    ("dedup_wjaccard", "count"),
+    ("events_stream_kmv", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host
