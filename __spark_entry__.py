@@ -2816,6 +2816,26 @@ def q_events_stream_kmv(spark, sf_dir):
     )
 
 
+def q_events_stream_join(spark, sf_dir):
+    """STREAM-STREAM inner join (streaming.run_stream_stream_join): two
+    file streams over events joined on user + an event-time range
+    (view→purchase within 60 min) under watermarks on both sides — the
+    time bound is what lets Spark EVICT join state (a buffered row is
+    droppable once the other side's watermark passes its match horizon),
+    so state is the watermark's worth of events, not the stream. Inner
+    matches emit as found (append mode is complete), so the batch
+    conversion-pairs join is the exact oracle."""
+    from shortcut_spark.streaming import run_stream_stream_join
+
+    _pin_utc(spark)
+    _STREAM_COUNTER[0] += 1
+    return run_stream_stream_join(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        query_name=f"ssjoin_{_STREAM_COUNTER[0]}",
+    )
+
+
 def q_embed_dup_clusters(spark, sf_dir):
     """Semantic dedup clusters (similarity.semantic_dup_clusters): cosine
     near-dup pairs → connected components → cluster labels over embedding
@@ -3076,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow": q_dedup_winnow,  # new r6; next window
         "dedup_wjaccard": q_dedup_wjaccard,  # new r6; next window
         "events_stream_kmv": q_events_stream_kmv,  # new r6; next window
+        "events_stream_join": q_events_stream_join,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -5497,6 +5518,21 @@ def oracle_sql() -> dict[str, str]:
                               THEN CAST(1095216660480 AS DOUBLE) / rk
                               ELSE CAST(m AS DOUBLE) END, 6) AS est_ndv
             FROM bk CROSS JOIN st""",
+        "events_stream_join": f"""
+            WITH l AS (SELECT user_id, event_id, ts FROM events
+                       WHERE event_type = 'view'),
+                 r AS (SELECT user_id, event_id, ts FROM events
+                       WHERE event_type = 'purchase')
+            SELECT l.user_id,
+                   l.event_id AS left_event_id,
+                   r.event_id AS right_event_id,
+                   {_EPOCH.format('l.ts')} AS left_epoch,
+                   {_EPOCH.format('r.ts')} AS right_epoch,
+                   {_EPOCH.format('r.ts')} - {_EPOCH.format('l.ts')} AS lag_s
+            FROM l JOIN r
+              ON l.user_id = r.user_id
+             AND r.ts >= l.ts
+             AND r.ts <= l.ts + INTERVAL 60 MINUTE""",
         "events_stream_heavy": """
             WITH t AS (SELECT count(*) AS total FROM events),
             g AS (SELECT user_id AS value, count(*) AS cnt FROM events GROUP BY 1)

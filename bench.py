@@ -185,6 +185,8 @@ HEADLINE = [
     ("dedup_winnow", "count"),
     ("dedup_wjaccard", "count"),
     ("events_stream_kmv", "count"),
+    # stream-stream inner join (user + event-time range under watermarks)
+    ("events_stream_join", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -32,6 +32,8 @@ __all__ = [
     "run_stream_hopping_append",
     "run_stream_transitions",
     "run_stream_bottomk",
+    "conversion_pairs",
+    "run_stream_stream_join",
 ]
 
 
@@ -1146,3 +1148,130 @@ def run_stream_bottomk(
         merged.crossJoin(F.broadcast(st))
         .select("pos", "value", "rank_h", F.round(est, 6).alias("est_ndv"))
     )
+
+
+def conversion_pairs(
+    events: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within_minutes: int = 60,
+) -> DataFrame:
+    """Batch form of the stream-stream conversion join: every
+    (``left_type``, ``right_type``) event pair of the SAME user where the
+    right event lands in ``[left.ts, left.ts + within_minutes]`` — the
+    attribution primitive (view→purchase within the window). Equi-join on
+    user plus an event-time range; at scale the equi key carries the
+    shuffle and the range is a residual, so no interval blow-up.
+
+    Output: (user_id, left/right event ids + epoch seconds, lag_s)."""
+    lhs = events.filter(F.col("event_type") == left_type).select(
+        F.col("user_id"),
+        F.col("event_id").alias("left_event_id"),
+        F.col("ts").alias("left_ts"),
+    )
+    rhs = events.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("event_id").alias("right_event_id"),
+        F.col("ts").alias("right_ts"),
+    )
+    bound = F.expr(f"left_ts + INTERVAL {int(within_minutes)} MINUTES")
+    return (
+        lhs.join(
+            rhs,
+            (F.col("user_id") == F.col("r_user_id"))
+            & (F.col("right_ts") >= F.col("left_ts"))
+            & (F.col("right_ts") <= bound),
+            "inner",
+        )
+        .select(
+            "user_id",
+            "left_event_id",
+            "right_event_id",
+            F.unix_timestamp("left_ts").alias("left_epoch"),
+            F.unix_timestamp("right_ts").alias("right_epoch"),
+            (F.unix_timestamp("right_ts") - F.unix_timestamp("left_ts")).alias(
+                "lag_s"
+            ),
+        )
+    )
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    events_parquet_dir: str,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within_minutes: int = 60,
+    query_name: str = "stream_join",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAM-STREAM inner join — two independent file streams over the
+    events source, joined on user plus an event-time range under
+    watermarks on BOTH sides. The time-range condition plus the
+    watermarks lets Spark bound join state: a buffered left row is
+    droppable once the right watermark passes ``left.ts +
+    within_minutes`` (state eviction, not output gating — inner-join
+    matches emit as found, so append mode returns the complete result
+    and the batch twin :func:`conversion_pairs` is the exact oracle).
+
+    100 TB story: join state is the watermark horizon's worth of events
+    per side, partitioned by user — NOT the whole stream. Without the
+    time bound Spark would buffer both streams forever; this operator is
+    the pattern that makes stream-stream joins bounded."""
+    opts = (
+        {"maxFilesPerTrigger": str(max_files_per_trigger)}
+        if max_files_per_trigger
+        else None
+    )
+    lhs = (
+        _file_stream(spark, events_parquet_dir, options=opts)
+        .withWatermark("ts", "2 hours")
+    )
+    rhs = (
+        _file_stream(spark, events_parquet_dir, options=opts)
+        .withWatermark("ts", "2 hours")
+    )
+    # Same select/join/condition shapes as :func:`conversion_pairs`, but
+    # each side filters its OWN stream source (the batch helper carves
+    # both sides out of one relation; streams need two).
+    lhs_f = lhs.filter(F.col("event_type") == left_type).select(
+        F.col("user_id"),
+        F.col("event_id").alias("left_event_id"),
+        F.col("ts").alias("left_ts"),
+    )
+    rhs_f = rhs.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("event_id").alias("right_event_id"),
+        F.col("ts").alias("right_ts"),
+    )
+    bound = F.expr(f"left_ts + INTERVAL {int(within_minutes)} MINUTES")
+    joined = (
+        lhs_f.join(
+            rhs_f,
+            (F.col("user_id") == F.col("r_user_id"))
+            & (F.col("right_ts") >= F.col("left_ts"))
+            & (F.col("right_ts") <= bound),
+            "inner",
+        )
+        .select(
+            "user_id",
+            "left_event_id",
+            "right_event_id",
+            F.unix_timestamp("left_ts").alias("left_epoch"),
+            F.unix_timestamp("right_ts").alias("right_epoch"),
+            (F.unix_timestamp("right_ts") - F.unix_timestamp("left_ts")).alias(
+                "lag_s"
+            ),
+        )
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -2568,3 +2568,49 @@ def test_exact_quantiles_match_sorted_order_statistics(spark):
     for q in (0.25, 0.5, 0.75, 0.95):
         r = math.ceil(q * len(vals))
         assert out[q] == (sv[r - 1], len(vals)), q
+
+
+def test_stream_stream_join_matches_batch_across_triggers(spark, tmp_path):
+    """Stream-stream join: the view in file 1 must match the purchase
+    arriving in file 2 (cross-trigger buffered state), the purchase
+    outside the 60-min bound must not match, and the append-mode result
+    must equal the batch conversion_pairs twin exactly."""
+    import datetime as dt
+
+    from shortcut_spark.streaming import conversion_pairs, run_stream_stream_join
+
+    src = str(tmp_path / "src")
+    t = lambda m: dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(minutes=m)
+    sch = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    f1 = spark.createDataFrame(
+        [
+            (1, t(0), 7, "view", 0.0, "{}"),
+            (2, t(5), 7, "purchase", 0.0, "{}"),  # in-window, same trigger
+            (3, t(0), 8, "view", 0.0, "{}"),
+        ],
+        sch,
+    )
+    f2 = spark.createDataFrame(
+        [
+            (4, t(30), 7, "purchase", 0.0, "{}"),  # matches view 1 cross-trigger
+            (5, t(90), 8, "purchase", 0.0, "{}"),  # outside 60-min bound
+        ],
+        sch,
+    )
+    f1.coalesce(1).write.parquet(src)
+    f2.coalesce(1).write.mode("append").parquet(src)
+    got = {
+        (r["left_event_id"], r["right_event_id"], r["lag_s"])
+        for r in run_stream_stream_join(
+            spark, src, query_name="ssj_test", max_files_per_trigger=1
+        ).collect()
+    }
+    assert got == {(1, 2, 300), (1, 4, 1800)}, got
+    batch = {
+        (r["left_event_id"], r["right_event_id"], r["lag_s"])
+        for r in conversion_pairs(spark.read.parquet(src)).collect()
+    }
+    assert got == batch
