@@ -2246,6 +2246,16 @@ def q_embed_dispersion(spark, sf_dir):
     return similarity.embedding_dispersion(_t(spark, sf_dir, "embeddings"))
 
 
+def q_embed_centroid_matrix(spark, sf_dir):
+    """Cross-group centroid cosine matrix (similarity.centroid_similarity):
+    cosine between every label pair's mean embedding — the between-group
+    drift companion to embed_dispersion's within-group view. The n/quant
+    factors cancel, so the cosine needs only the per-dim integer sums
+    S_gj: one |groups|·D shuffle, then a broadcast-sized pair join of the
+    sums — exact DECIMAL dots, bit-stable √/÷, hash-exact."""
+    return similarity.centroid_similarity(_t(spark, sf_dir, "embeddings"))
+
+
 def q_docs_quantiles(spark, sf_dir):
     """Scalable exact type-1 quantiles (sketch.exact_quantiles): per-source
     n_chars order statistics from (group, value) COUNTS — no per-group
@@ -3097,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_wjaccard": q_dedup_wjaccard,  # new r6; next window
         "events_stream_kmv": q_events_stream_kmv,  # new r6; next window
         "events_stream_join": q_events_stream_join,  # new r6; next window
+        "embed_centroid_matrix": q_embed_centroid_matrix,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4198,6 +4209,44 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(an.n AS DOUBLE) * CAST(an.n AS DOUBLE)
                       * (1000000.0 * 1000000.0)) AS dispersion
             FROM an JOIN b ON b.label = an.label""",
+        "embed_centroid_matrix": """
+            WITH ex AS (
+              SELECT label,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                                + 0.5) AS BIGINT) AS qv,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings
+            ),
+            sj AS (
+              SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS s
+              FROM ex GROUP BY 1, 2
+            ),
+            nrm AS (
+              SELECT label,
+                     CAST(SUM(CAST(s AS DECIMAL(38,0)) * s) AS DECIMAL(38,0))
+                       AS nrm
+              FROM sj GROUP BY 1
+            ),
+            cnt AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS n
+              FROM embeddings GROUP BY 1
+            ),
+            dot AS (
+              SELECT a.label AS ga, b.label AS gb,
+                     CAST(SUM(CAST(a.s AS DECIMAL(38,0)) * b.s)
+                          AS DECIMAL(38,0)) AS dot
+              FROM sj a JOIN sj b ON a.pos = b.pos AND a.label < b.label
+              GROUP BY 1, 2
+            )
+            SELECT ga AS group_a, gb AS group_b, ca.n AS n_a, cb.n AS n_b,
+                   CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+                     AS cosine
+            FROM dot
+            JOIN nrm na ON na.label = ga
+            JOIN nrm nb ON nb.label = gb
+            JOIN cnt ca ON ca.label = ga
+            JOIN cnt cb ON cb.label = gb""",
         "orc_roundtrip_lineitem": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(count(*) AS BIGINT) AS n,

@@ -187,6 +187,9 @@ HEADLINE = [
     ("events_stream_kmv", "count"),
     # stream-stream inner join (user + event-time range under watermarks)
     ("events_stream_join", "count"),
+    # cross-group centroid cosine matrix (between-group drift companion
+    # to embed_dispersion; |groups|·D sums, broadcast pair join)
+    ("embed_centroid_matrix", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -39,6 +39,7 @@ __all__ = [
     "quantize_embeddings",
     "semantic_dup_clusters",
     "embedding_dispersion",
+    "centroid_similarity",
     "truncate_embeddings",
     "topk_cosine_truncated",
     "funnel_topk",
@@ -1184,5 +1185,81 @@ def embedding_dispersion(
                 )
                 / (n_d * n_d * F.lit(float(quant) * float(quant)))
             ).alias("dispersion"),
+        )
+    )
+
+
+def centroid_similarity(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    quant: int = 10**6,
+) -> DataFrame:
+    """Cross-group centroid COSINE matrix: for every group pair (a < b),
+    the cosine between the groups' mean embeddings — the drift/overlap
+    diagnostic that tells a curation pipeline which sources occupy the
+    same embedding region (near 1) vs genuinely distinct material, the
+    companion to the within-group view of :func:`embedding_dispersion`.
+
+    Same integer-sufficient-statistics scheme as dispersion (quantize to
+    1/``quant``, exact DECIMAL(38,0) folds), and the n/quant scale factors
+    CANCEL in the cosine, so only the per-dim integer sums S_gj matter:
+
+        cos(a, b) = (S_a·S_b) / (√(S_a·S_a) · √(S_b·S_b))
+
+    dot and norms are exact integers; the final √/÷ run on exactly-known
+    values in one fixed expression order, so the result is bit-stable
+    across engines and the DuckDB twin certifies it hash-exact.
+
+    Scale shape: the N·D element table collapses to |groups|·D per-dim
+    sums in ONE shuffle; the pair matrix is a self-join of that tiny
+    relation on dim (|groups|²·D intermediate — broadcast-sized for any
+    realistic source count). Nothing pairwise ever touches row data.
+
+    Output: (group_a, group_b, n_a, n_b, cosine).
+    """
+    dec38 = "decimal(38,0)"
+    q = lambda x: F.floor(x.cast("double") * quant + F.lit(0.5)).cast("long")
+    ex = emb.select(
+        F.col(group_col).alias("g"), F.posexplode(F.col(vec_col)).alias("__pos", "__x")
+    )
+    sj = ex.groupBy("g", "__pos").agg(F.sum(q(F.col("__x"))).alias("__s"))
+    sj = sj.localCheckpoint(eager=False)  # reused 3x: norms + both join sides
+    nrm = sj.groupBy("g").agg(
+        F.sum(F.col("__s").cast(dec38) * F.col("__s")).alias("__nrm")
+    )
+    cnt = emb.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    a = sj.select(F.col("g").alias("ga"), "__pos", F.col("__s").alias("__sa"))
+    b = sj.select(F.col("g").alias("gb"), "__pos", F.col("__s").alias("__sb"))
+    dot = (
+        a.join(b, "__pos")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.sum(F.col("__sa").cast(dec38) * F.col("__sb")).alias("__dot"))
+    )
+    na = nrm.select(F.col("g").alias("ga"), F.col("__nrm").alias("__na"))
+    nb = nrm.select(F.col("g").alias("gb"), F.col("__nrm").alias("__nb"))
+    ca = cnt.select(F.col("g").alias("ga"), F.col("__n").alias("n_a"))
+    cb = cnt.select(F.col("g").alias("gb"), F.col("__n").alias("n_b"))
+    return (
+        dot.join(F.broadcast(na), "ga")
+        .join(F.broadcast(nb), "gb")
+        .join(F.broadcast(ca), "ga")
+        .join(F.broadcast(cb), "gb")
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "n_a",
+            "n_b",
+            (
+                F.col("__dot").cast("double")
+                / (
+                    F.sqrt(F.col("__na").cast("double"))
+                    * F.sqrt(F.col("__nb").cast("double"))
+                )
+            ).alias("cosine"),
         )
     )

@@ -2614,3 +2614,27 @@ def test_stream_stream_join_matches_batch_across_triggers(spark, tmp_path):
         for r in conversion_pairs(spark.read.parquet(src)).collect()
     }
     assert got == batch
+
+
+def test_centroid_similarity_planted_groups(spark):
+    """Orthogonal group centroids → cosine 0; identical → 1; opposite →
+    −1 (all quantization-exact for these dyadic values)."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.0, 0.5], 1),
+        (5, [-1.0, 0.0], 2),
+        (6, [1.0, 0.0], 3),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in similarity.centroid_similarity(df).collect()
+    }
+    assert len(out) == 6  # all 4-choose-2 pairs
+    assert out[(0, 1)]["cosine"] == 0.0
+    assert out[(0, 2)]["cosine"] == -1.0
+    assert out[(0, 3)]["cosine"] == 1.0
+    assert out[(1, 2)]["cosine"] == 0.0
+    assert out[(0, 1)]["n_a"] == 2 and out[(0, 1)]["n_b"] == 2
