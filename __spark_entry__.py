@@ -2418,6 +2418,18 @@ def _corpus_split(spark, sf_dir):
     return docs.filter(F.length("source") == 5), docs.filter(F.length("source") == 4)
 
 
+def q_corpus_split(spark, sf_dir):
+    """Leakage-proof train/val/test split (sampling.leakproof_split):
+    the 80/10/10 assignment is decided per NEAR-DUP CLUSTER (SimHash
+    transitive closure), so no near-duplicate of an eval document can
+    land in train — the eval-contamination hole a per-doc hash split
+    leaves open. Bucket = md5-hash32('split:'||cluster_rep) mod 100 —
+    no RNG, stable across re-runs and corpus growth."""
+    from shortcut_spark.operators.sampling import leakproof_split
+
+    return leakproof_split(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_cross_corpus(spark, sf_dir):
     """Cross-corpus EXACT dedup (dedup.cross_corpus_exact_dedup): new-batch
     docs whose normalized content fingerprint already exists in the
@@ -3108,6 +3120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_kmv": q_events_stream_kmv,  # new r6; next window
         "events_stream_join": q_events_stream_join,  # new r6; next window
         "embed_centroid_matrix": q_embed_centroid_matrix,  # new r6; next window
+        "corpus_split": q_corpus_split,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -5717,6 +5730,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.doc_id, l.cluster_rep, s.cluster_size,
                    l.doc_id = l.cluster_rep AS keep
             FROM lab l JOIN sizes s USING (cluster_rep)""",
+        "corpus_split": f"""
+            WITH RECURSIVE toks AS (
+              SELECT DISTINCT doc_id, unnest({toks}) AS tok FROM documents
+            ), h AS (
+              SELECT doc_id, {_H32(0, 'tok')} AS h FROM toks
+            ), bits AS (
+              SELECT doc_id,
+               {simhash_bits}
+              FROM h GROUP BY doc_id
+            ), sims AS (
+              SELECT doc_id, {simhash_fp} AS sh FROM bits
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sh, b.sh)) <= 3
+            ), edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION
+              SELECT id_b AS s, id_a AS d FROM pairs
+            ), reach(node, lbl) AS (
+              SELECT s, s FROM edges
+              UNION
+              SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.node = e.d
+            ), comp AS (
+              SELECT node, min(lbl) AS component FROM reach GROUP BY node
+            ), lab AS (
+              SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_rep
+              FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+            ), sizes AS (
+              SELECT cluster_rep, count(*) AS cluster_size FROM lab GROUP BY 1
+            ), bk AS (
+              SELECT l.doc_id, l.cluster_rep,
+                     CAST(s.cluster_size AS BIGINT) AS cluster_size,
+                     {_H32('split', 'l.cluster_rep')} % 100 AS b
+              FROM lab l JOIN sizes s USING (cluster_rep)
+            )
+            SELECT doc_id, cluster_rep, cluster_size,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM bk""",
         "events_hopping": f"""
             WITH e AS (
               SELECT event_type, value, {_EPOCH.format('ts')} AS es FROM events

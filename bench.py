@@ -190,6 +190,9 @@ HEADLINE = [
     # cross-group centroid cosine matrix (between-group drift companion
     # to embed_dispersion; |groups|·D sums, broadcast pair join)
     ("embed_centroid_matrix", "collect"),
+    # cluster-aware 80/10/10 split (near-dup transitive closure decides
+    # the bucket, so eval contamination by near-dups is impossible)
+    ("corpus_split", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

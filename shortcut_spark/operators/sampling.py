@@ -26,6 +26,7 @@ __all__ = [
     "token_budget_sample",
     "per_source_cap",
     "temperature_mix",
+    "leakproof_split",
 ]
 
 _BUCKETS = 10_000  # rate resolution: 0.01%
@@ -285,4 +286,46 @@ def temperature_mix(
         .filter(F.pmod(hash32(F.col(key_col), seed), F.lit(_BUCKETS)) < F.col("__rb"))
         .withColumn("rate_bucket", F.col("__rb"))
         .drop("__rb")
+    )
+
+
+def leakproof_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """LEAKAGE-PROOF train/val/test split: assignment is decided per
+    NEAR-DUP CLUSTER, not per document — every member of a SimHash
+    cluster (``dedup.dup_clusters`` transitive closure) lands in the same
+    split, so no near-duplicate of a test document can sit in train (the
+    eval-contamination failure mode a naive per-doc hash split has).
+
+    Deterministic: bucket = md5-hash32('split:' || cluster_rep) mod 100,
+    train if < train_pct, val if < train_pct+val_pct, else test — no RNG
+    state, stable under re-runs and corpus growth (a cluster keeps its
+    split as long as its representative survives).
+
+    Scale shape: inherits the cluster pass (banded SimHash pairs + O(log
+    d) component rounds); the assignment itself is one map-side
+    expression on the |docs| label relation. Output: (doc_id,
+    cluster_rep, cluster_size, split).
+    """
+    if not (0 < train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
+        raise ValueError("percentages must satisfy 0<train, 0<=val, sum<=100")
+    from ..functions import hash32
+    from .dedup import dup_clusters
+
+    lab = dup_clusters(df, id_col, text_col, max_hamming=max_hamming)
+    b = F.pmod(hash32(F.col("cluster_rep"), "split"), F.lit(100))
+    return lab.select(
+        F.col(id_col),
+        "cluster_rep",
+        "cluster_size",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
     )

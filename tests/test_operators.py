@@ -2638,3 +2638,25 @@ def test_centroid_similarity_planted_groups(spark):
     assert out[(0, 3)]["cosine"] == 1.0
     assert out[(1, 2)]["cosine"] == 0.0
     assert out[(0, 1)]["n_a"] == 2 and out[(0, 1)]["n_b"] == 2
+
+
+def test_leakproof_split_keeps_clusters_together(spark):
+    """Every near-dup cluster lands in exactly one split; percentages
+    validate; the split is a pure function of the cluster rep (stable
+    under corpus re-partitioning)."""
+    import pytest as _pt
+
+    from shortcut_spark.operators.sampling import leakproof_split
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    out = leakproof_split(docs).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_rep"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    # deterministic under re-run
+    out2 = {r["doc_id"]: r["split"] for r in leakproof_split(docs).collect()}
+    assert out2 == {r["doc_id"]: r["split"] for r in out}
+    with _pt.raises(ValueError):
+        leakproof_split(docs, train_pct=95, val_pct=10)
