@@ -2418,6 +2418,18 @@ def _corpus_split(spark, sf_dir):
     return docs.filter(F.length("source") == 5), docs.filter(F.length("source") == 4)
 
 
+def q_events_skew_profile(spark, sf_dir):
+    """Key-skew profile (sketch.key_skew_profile): top-10 heaviest
+    user_ids with corpus share + exact Gini concentration — the
+    pre-flight diagnostic for choosing salted vs plain shuffles. Gini
+    comes from the count-of-counts relation (ties collapse), so no
+    per-key global sort; division-free decimal arithmetic makes it
+    hash-exact."""
+    from shortcut_spark.operators.sketch import key_skew_profile
+
+    return key_skew_profile(_t(spark, sf_dir, "events"), "user_id")
+
+
 def q_corpus_split(spark, sf_dir):
     """Leakage-proof train/val/test split (sampling.leakproof_split):
     the 80/10/10 assignment is decided per NEAR-DUP CLUSTER (SimHash
@@ -3121,6 +3133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_join": q_events_stream_join,  # new r6; next window
         "embed_centroid_matrix": q_embed_centroid_matrix,  # new r6; next window
         "corpus_split": q_corpus_split,  # new r6; next window
+        "events_skew_profile": q_events_skew_profile,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4222,6 +4235,43 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(an.n AS DOUBLE) * CAST(an.n AS DOUBLE)
                       * (1000000.0 * 1000000.0)) AS dispersion
             FROM an JOIN b ON b.label = an.label""",
+        "events_skew_profile": """
+            WITH cnt AS (
+              SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1
+            ), cc AS (
+              SELECT cnt, CAST(count(*) AS BIGINT) AS m FROM cnt GROUP BY 1
+            ), cc2 AS (
+              SELECT cnt, m,
+                     1 + coalesce(SUM(m) OVER (ORDER BY cnt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS s0
+              FROM cc
+            ), st AS (
+              SELECT CAST(SUM(CAST(cnt AS DECIMAL(38,0))
+                       * (2 * CAST(m AS DECIMAL(38,0)) * s0
+                          + CAST(m AS DECIMAL(38,0)) * (m - 1)))
+                       AS DECIMAL(38,0)) AS s2,
+                     CAST(SUM(CAST(m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS n,
+                     CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * m)
+                       AS DECIMAL(38,0)) AS t
+              FROM cc2
+            ), top AS (
+              SELECT key, cnt,
+                     CAST(row_number() OVER (ORDER BY cnt DESC, key ASC)
+                       AS BIGINT) AS rank,
+                     SUM(cnt) OVER (ORDER BY cnt DESC, key ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM cnt QUALIFY rank <= 10
+            )
+            SELECT rank, key, cnt,
+                   CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE) AS share,
+                   CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) AS cum_share,
+                   CAST(n AS BIGINT) AS n_keys,
+                   CAST(t AS BIGINT) AS n_rows,
+                   CAST(s2 - (n + 1) * t AS DOUBLE) / CAST(n * t AS DOUBLE)
+                     AS gini
+            FROM top CROSS JOIN st""",
         "embed_centroid_matrix": """
             WITH ex AS (
               SELECT label,

@@ -193,6 +193,8 @@ HEADLINE = [
     # cluster-aware 80/10/10 split (near-dup transitive closure decides
     # the bucket, so eval contamination by near-dups is impossible)
     ("corpus_split", "count"),
+    # top-k heavy keys + exact Gini from count-of-counts (salting pre-check)
+    ("events_skew_profile", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -34,6 +34,7 @@ __all__ = [
     "cms_build",
     "cms_estimate",
     "exact_quantiles",
+    "key_skew_profile",
 ]
 
 
@@ -200,4 +201,88 @@ def exact_quantiles(
     return hit.groupBy(group_col, "q").agg(
         F.min(value_col).alias("value"),
         F.max("__n").cast("long").alias("n_rows"),
+    )
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Key-distribution SKEW profile — the diagnostic you run BEFORE
+    picking a join/agg strategy at scale: the top-k heaviest keys with
+    their corpus share, plus exact global concentration stats (distinct
+    keys, total rows, Gini coefficient). A top-1 share of 0.3 says
+    "salt this key"; a Gini near 0 says the plain hash shuffle is fine.
+
+    Everything is EXACT and engine-portable: shares divide exact integer
+    counts; the Gini uses Σ i·cᵢ over counts sorted ascending, computed
+    from the COUNT-OF-COUNTS relation — ties contribute c·Σi regardless
+    of intra-tie order, so the statistic needs no per-key global sort:
+
+        gini = (2·S − (n+1)·T) / (n·T),  S = Σ i·cᵢ,  T = Σ cᵢ
+
+    Scale shape: one key-count shuffle (map-side combine), then the
+    count-of-counts rollup — the only unpartitioned window runs on
+    |distinct count values| rows (the same honest degeneration bound as
+    ``exact_quantiles``), and the top-k is a distributed
+    TakeOrderedAndProject, never a global sort.
+
+    Output: top_k rows (rank, key, cnt, share, cum_share, n_keys,
+    n_rows, gini) — the aggregate stats repeat on every row.
+    """
+    from pyspark.sql import Window as W
+
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    dec38 = "decimal(38,0)"
+    cnt = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cnt = cnt.localCheckpoint(eager=False)  # reused: top-k + count-of-counts
+    cc = cnt.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    w = W.orderBy("cnt").rowsBetween(W.unboundedPreceding, -1)
+    cc2 = cc.withColumn(
+        "s0", F.lit(1) + F.coalesce(F.sum("m").over(w), F.lit(0))
+    )
+    # block of m keys with count c starting at sorted index s0 contributes
+    # c * (2*m*s0 + m*(m-1)) to 2S (doubled so the arithmetic stays
+    # division-free — decimal division would introduce scale/rounding)
+    m_d = F.col("m").cast(dec38)
+    blk2 = F.col("cnt").cast(dec38) * (
+        F.lit(2).cast(dec38) * m_d * F.col("s0")
+        + m_d * (F.col("m") - F.lit(1))
+    )
+    stats = cc2.agg(
+        F.sum(blk2).cast(dec38).alias("__S2"),
+        F.sum(F.col("m").cast(dec38)).cast(dec38).alias("__n"),
+        F.sum(F.col("cnt").cast(dec38) * F.col("m")).cast(dec38).alias("__T"),
+    ).select(
+        F.col("__n").cast("long").alias("n_keys"),
+        F.col("__T").cast("long").alias("n_rows"),
+        (
+            (F.col("__S2") - (F.col("__n") + F.lit(1)) * F.col("__T")).cast("double")
+            / (F.col("__n") * F.col("__T")).cast("double")
+        ).alias("gini"),
+    )
+    top = cnt.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(top_k)
+    wr = W.orderBy(F.col("cnt").desc(), F.col("key").asc())  # k rows only
+    top = (
+        top.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .withColumn(
+            "__cum",
+            F.sum("cnt").over(wr.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "rank",
+        "key",
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("n_rows").cast("double")).alias(
+            "share"
+        ),
+        (F.col("__cum").cast("double") / F.col("n_rows").cast("double")).alias(
+            "cum_share"
+        ),
+        "n_keys",
+        "n_rows",
+        "gini",
     )

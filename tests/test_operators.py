@@ -2660,3 +2660,18 @@ def test_leakproof_split_keeps_clusters_together(spark):
     assert out2 == {r["doc_id"]: r["split"] for r in out}
     with _pt.raises(ValueError):
         leakproof_split(docs, train_pct=95, val_pct=10)
+
+
+def test_key_skew_profile_exact_gini(spark):
+    """Counts (1,3,6): S=25 → gini=(50-40)/30=1/3; shares and cum_share
+    follow the exact integer counts; uniform keys → gini 0."""
+    from shortcut_spark.operators.sketch import key_skew_profile
+
+    df = spark.createDataFrame([(k,) for k in "aaaaaabbbc"], "k string")
+    out = {r["rank"]: r for r in key_skew_profile(df, "k", top_k=3).collect()}
+    assert out[1]["key"] == "a" and out[1]["share"] == 0.6
+    assert out[3]["cum_share"] == 1.0
+    assert abs(out[1]["gini"] - 1 / 3) < 1e-15
+    uni = spark.createDataFrame([(k,) for k in "abcabc"], "k string")
+    g = key_skew_profile(uni, "k", top_k=1).collect()[0]
+    assert g["gini"] == 0.0 and g["n_keys"] == 3 and g["n_rows"] == 6
