@@ -2418,6 +2418,16 @@ def _corpus_split(spark, sf_dir):
     return docs.filter(F.length("source") == 5), docs.filter(F.length("source") == 4)
 
 
+def q_docs_quality_cut(spark, sf_dir):
+    """Per-source quality percentile cut (text.quality_percentile_cut):
+    keep the top 70% of EACH source by heuristic quality — the
+    FineWeb-style curation move that an absolute threshold gets wrong
+    (it silently drops whole low-scoring sources and skews the mixture).
+    Membership is exact integer arithmetic (rn·10⁴ ≤ K·n), rank windows
+    are per-source — no global sort, hash-exact."""
+    return text.quality_percentile_cut(_t(spark, sf_dir, "documents"))
+
+
 def q_events_skew_profile(spark, sf_dir):
     """Key-skew profile (sketch.key_skew_profile): top-10 heaviest
     user_ids with corpus share + exact Gini concentration — the
@@ -3134,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_centroid_matrix": q_embed_centroid_matrix,  # new r6; next window
         "corpus_split": q_corpus_split,  # new r6; next window
         "events_skew_profile": q_events_skew_profile,  # new r6; next window
+        "docs_quality_cut": q_docs_quality_cut,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4235,6 +4246,33 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(an.n AS DOUBLE) * CAST(an.n AS DOUBLE)
                       * (1000000.0 * 1000000.0)) AS dispersion
             FROM an JOIN b ON b.label = an.label""",
+        "docs_quality_cut": f"""
+            WITH feat AS (
+              SELECT doc_id, source,
+                     len({toks}) AS n_tok,
+                     len(list_distinct({toks})) AS n_uniq,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit,
+                     ((({hits['en']} + {hits['fr']}) + {hits['de']}) + {hits['es']}) AS sw
+              FROM documents
+            ), q AS (
+              SELECT doc_id, source,
+                     round(0.3 * least(n_tok / 100.0, 1.0)
+                         + 0.3 * (CASE WHEN n_tok > 0 THEN CAST(n_uniq AS DOUBLE) / n_tok ELSE 0.0 END)
+                         + 0.2 * least(sw / 5.0, 1.0)
+                         + 0.2 * (1.0 - least((punct + digit) * 5.0, 1.0)), 6) AS quality
+              FROM feat
+            ), r AS (
+              SELECT doc_id, source, quality,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY quality DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM q
+            )
+            SELECT doc_id, source, quality
+            FROM r WHERE rn * 10000 <= 7000 * n""",
         "events_skew_profile": """
             WITH cnt AS (
               SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt

@@ -195,6 +195,8 @@ HEADLINE = [
     ("corpus_split", "count"),
     # top-k heavy keys + exact Gini from count-of-counts (salting pre-check)
     ("events_skew_profile", "collect"),
+    # per-source quality percentile cut (keep top 70% of each source)
+    ("docs_quality_cut", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

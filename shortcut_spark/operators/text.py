@@ -23,6 +23,7 @@ __all__ = [
     "text_stats",
     "language_id",
     "quality_score",
+    "quality_percentile_cut",
     "quality_expr",
     "lang_guess_expr",
     "token_frequencies",
@@ -990,4 +991,52 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def quality_percentile_cut(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    keep_frac: float = 0.7,
+) -> DataFrame:
+    """PER-SOURCE quality percentile cut: keep the top ``keep_frac`` of
+    each source ranked by the heuristic quality score — the FineWeb-style
+    curation move. An absolute threshold (``quality >= c``) silently
+    drops whole sources whose score distribution sits low (different
+    language, different register); a per-source percentile keeps the
+    best of EVERY source, preserving the mixture.
+
+    The cut is exact integer arithmetic — keep iff rn·10000 ≤ K·n with
+    K = round(keep_frac·10000) — so membership is engine-portable (no
+    float percent_rank boundary). Ties break by id: deterministic.
+
+    Scale shape: one tokenize+score map pass, then rank/count windows
+    PARTITIONED BY source — each source streams through its own task;
+    no global sort. Output: (id, group, quality) for survivors.
+    """
+    from pyspark.sql import Window as W
+
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    k = int(round(keep_frac * 10000))
+    pre = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(text_col),
+        tokens(F.lower(F.col(text_col))).alias("__toks_l"),
+    )
+    scored = pre.select(
+        F.col(id_col),
+        F.col(group_col),
+        quality_expr(F.col(text_col), F.col("__toks_l")).alias("quality"),
+    )
+    w = W.partitionBy(group_col).orderBy(F.col("quality").desc(), F.col(id_col))
+    wn = W.partitionBy(group_col)
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("__rn") * F.lit(10000) <= F.lit(k) * F.col("__n"))
+        .select(id_col, group_col, "quality")
     )

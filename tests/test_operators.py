@@ -2675,3 +2675,24 @@ def test_key_skew_profile_exact_gini(spark):
     uni = spark.createDataFrame([(k,) for k in "abcabc"], "k string")
     g = key_skew_profile(uni, "k", top_k=1).collect()[0]
     assert g["gini"] == 0.0 and g["n_keys"] == 3 and g["n_rows"] == 6
+
+
+def test_quality_percentile_cut_per_source(spark):
+    """Each source keeps ceil-free exactly floor-by-integer 70%: with 10
+    docs per source, 7 survive per source regardless of absolute score
+    level — a uniformly low-scoring source is NOT wiped out (the failure
+    mode of an absolute threshold)."""
+    rows = []
+    for s, base in [("good", "word " * 120), ("bad", "zz")]:
+        for i in range(10):
+            rows.append((len(rows), base + "x " * i, s))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = text.quality_percentile_cut(df, keep_frac=0.7).collect()
+    per = {}
+    for r in out:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert per == {"good": 7, "bad": 7}, per
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        text.quality_percentile_cut(df, keep_frac=0.0)
