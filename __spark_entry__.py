@@ -2815,6 +2815,48 @@ def q_mm_png_pixels(spark, sf_dir):
     return multimodal.decode_png_pixels(pngs, "doc_id", "payload")
 
 
+def q_mm_image_dups(spark, sf_dir):
+    """Image near-dup pairs by PERCEPTUAL HASH over real decoded pixels
+    (multimodal.image_near_dups): synthesized 32×16 grayscale PNGs where
+    doc i carries base image i mod 50 — optionally perturbed (first /
+    last-row pixel inversions for i%3==0 / i%7==0) — are genuinely
+    encoded (deflate + filters), decoded back (inflate + unfilter),
+    aHashed (8×4 block grid, integer cross-multiplied mean bits), and
+    byte-band joined at hamming ≤ 3. The oracle rebuilds pixels from the
+    md5 formula, recomputes the aHash in SQL, and takes the all-pairs
+    hamming filter — equal by the 4-band pigeonhole, so the whole
+    decode→hash→band pipeline is inside the certified path."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i, w, h = int(i), 32, 16
+                base = i % 50
+                rows = []
+                for r in range(h):
+                    row = bytearray(
+                        b"".join(
+                            hashlib.md5(f"img:{base}:{r}:{blk}".encode()).digest()
+                            for blk in range(2)
+                        )
+                    )
+                    if r == 0 and i % 3 == 0:
+                        for j in range(3):
+                            row[j] ^= 255
+                    if r == h - 1 and i % 7 == 0:
+                        for j in range(3):
+                            row[j] ^= 255
+                    rows.append(bytes(row))
+                payloads.append(multimodal.encode_png(b"".join(rows), w, h, channels=1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pngs = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.image_near_dups(pngs, "doc_id", "payload")
+
+
 def q_mm_wav_samples(spark, sf_dir):
     """REAL audio decode end-to-end at the SAMPLE layer
     (multimodal.encode_wav + decode_wav_samples): md5-derived 16-bit LE
@@ -3145,6 +3187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,  # new r6; next window
         "events_skew_profile": q_events_skew_profile,  # new r6; next window
         "docs_quality_cut": q_docs_quality_cut,  # new r6; next window
+        "mm_image_dups": q_mm_image_dups,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -5080,6 +5123,42 @@ def oracle_sql() -> dict[str, str]:
         # sample values directly (no PNG/WAV involved) — equality proves
         # Spark's decode(encode(x)) == x byte-for-byte, position-for-
         # position (the chk term is position-weighted).
+        "mm_image_dups": """
+            WITH px AS (
+              SELECT doc_id, r.r AS r, j.j AS j,
+                     CASE WHEN (r.r = 0 AND doc_id % 3 = 0 AND j.j < 3)
+                            OR (r.r = 15 AND doc_id % 7 = 0 AND j.j < 3)
+                          THEN xor(('0x' || substr(
+                                 md5('img:' || (doc_id % 50) || ':' || r.r
+                                     || ':' || (j.j // 16)),
+                                 (j.j % 16) * 2 + 1, 2))::BIGINT, 255)
+                          ELSE ('0x' || substr(
+                                 md5('img:' || (doc_id % 50) || ':' || r.r
+                                     || ':' || (j.j // 16)),
+                                 (j.j % 16) * 2 + 1, 2))::BIGINT
+                     END AS v
+              FROM documents,
+                   unnest(generate_series(CAST(0 AS BIGINT), 15)) AS r(r),
+                   unnest(generate_series(CAST(0 AS BIGINT), 31)) AS j(j)
+            ),
+            bs AS (
+              SELECT doc_id,
+                     ((r * 8) // 16) * 4 + ((j * 4) // 32) AS blk,
+                     SUM(v) AS bsum, count(*) AS bn
+              FROM px GROUP BY 1, 2
+            ),
+            tot AS (SELECT doc_id, SUM(v) AS total FROM px GROUP BY 1),
+            ah AS (
+              SELECT b.doc_id,
+                     CAST(SUM(CASE WHEN b.bsum * 512 > t.total * b.bn
+                                   THEN (CAST(1 AS BIGINT) << blk)
+                                   ELSE 0 END) AS BIGINT) AS ahash
+              FROM bs b JOIN tot t USING (doc_id) GROUP BY 1
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+            FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""",
         "mm_png_pixels": """
             WITH dims AS (
               SELECT doc_id,

@@ -197,6 +197,8 @@ HEADLINE = [
     ("events_skew_profile", "collect"),
     # per-source quality percentile cut (keep top 70% of each source)
     ("docs_quality_cut", "count"),
+    # perceptual-hash image near-dedup over REAL decoded pixels
+    ("mm_image_dups", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

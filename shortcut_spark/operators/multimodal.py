@@ -45,6 +45,8 @@ __all__ = [
     "image_tile_plan",
     "encode_png",
     "decode_png_pixels",
+    "image_ahash",
+    "image_near_dups",
     "encode_wav",
     "decode_wav_samples",
 ]
@@ -750,3 +752,71 @@ def decode_wav_samples(df: DataFrame, id_col: str, payload_col: str) -> DataFram
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         run, _WAV_SAMPLE_SCHEMA
     )
+
+
+def image_ahash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Perceptual AVERAGE-HASH over REAL decoded pixels: inflate +
+    unfilter the PNG (:func:`decode_png_pixels` path), collapse channels
+    by per-pixel sum, split into an 8×4 block grid (block of pixel (r,j)
+    is ((r·8)//h, (j·4)//w) — exact integer bucketing, any dims ≥ 8×4),
+    and set bit r·4+c iff the block's mean exceeds the image mean. The
+    comparison cross-multiplies exact integer sums (block_sum·n_px >
+    total_sum·block_n), so the 32-bit fingerprint is engine-portable —
+    the oracle can rebuild it from the pixel formula alone.
+
+    aHash is the image-side analogue of SimHash: brightness-pattern
+    robust to re-encoding and mild noise, cheap enough to run inline
+    with the decode. Map-only; blobs never shuffle; output (id, ahash).
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                dec = _decode_png_pixels(bytes(blob) if blob is not None else b"")
+                if dec is None:
+                    continue
+                w, h, channels, px = dec
+                if h < 8 or w < 4:
+                    continue
+                arr = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w, channels)
+                    .sum(axis=2)
+                )
+                br = (np.arange(h) * 8) // h
+                bc = (np.arange(w) * 4) // w
+                blk = br[:, None] * 4 + bc[None, :]
+                bsum = np.bincount(blk.ravel(), weights=arr.ravel(), minlength=32).astype(np.int64)
+                bn = np.bincount(blk.ravel(), minlength=32).astype(np.int64)
+                total = int(arr.sum())
+                n = h * w
+                bits = (bsum * n) > (total * bn)
+                ids.append(i)
+                hashes.append(int((bits.astype(np.int64) << np.arange(32)).sum()))
+            yield pd.DataFrame({"id": ids, "ahash": pd.array(hashes, dtype="int64")})
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, "id long, ahash long"
+    )
+
+
+def image_near_dups(
+    df: DataFrame, id_col: str, payload_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Image NEAR-DUP pairs by perceptual hash: real decode → aHash →
+    byte-banded hamming join (the same lossless 4-band candidate
+    generation as text SimHash — pigeonhole guarantees recall 1.0 at
+    hamming ≤ 3). Pairs between same-hash cliques are quadratic in the
+    clique by definition of the output; route mass-duplicate corpora
+    through the cluster form (collapse identical hashes first, as
+    ``dedup.dup_clusters`` does) when the pair LIST itself is the
+    blow-up. Output: (id_a, id_b, hamming)."""
+    from .dedup import _fp_hamming_pairs
+
+    fp = image_ahash(df, id_col, payload_col).select(
+        F.col("id").alias(id_col), F.col("ahash").alias("simhash")
+    )
+    return _fp_hamming_pairs(fp, id_col, max_hamming)

@@ -2696,3 +2696,32 @@ def test_quality_percentile_cut_per_source(spark):
 
     with _pt.raises(ValueError):
         text.quality_percentile_cut(df, keep_frac=0.0)
+
+
+def test_image_near_dups_planted(spark):
+    """Identical images pair at hamming 0; the inverted image pairs with
+    nobody (hamming 32 > 3); the half-flipped-block variant stays within
+    the band threshold. Real encode→decode round-trip in the loop."""
+    w, h = 32, 16
+    left_bright = bytes(
+        (255 if j < w // 2 else 0) for _ in range(h) for j in range(w)
+    )
+    one_block = bytearray(left_bright)
+    for r in range(2):      # darken block (0,0): rows 0-1, cols 0-7
+        for j in range(8):
+            one_block[r * w + j] = 0
+    inverted = bytes(255 - b for b in left_bright)
+    imgs = [
+        (1, multimodal.encode_png(left_bright, w, h, 1)),
+        (2, multimodal.encode_png(left_bright, w, h, 1)),
+        (3, multimodal.encode_png(bytes(one_block), w, h, 1)),
+        (4, multimodal.encode_png(inverted, w, h, 1)),
+    ]
+    df = spark.createDataFrame(imgs, "doc_id long, payload binary")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.image_near_dups(df, "doc_id", "payload").collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and 1 <= pairs[(1, 3)] <= 3
+    assert not any(4 in p for p in pairs)
