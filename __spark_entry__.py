@@ -2418,6 +2418,19 @@ def _corpus_split(spark, sf_dir):
     return docs.filter(F.length("source") == 5), docs.filter(F.length("source") == 4)
 
 
+def q_events_attribution(spark, sf_dir):
+    """Last-touch attribution (events.last_touch_attribution): each
+    purchase credited to the latest same-user click/view within 7 days —
+    the single-shuffle as-of union shape (never the |p|×|m| theta join),
+    with the matched (ts, id, type) carried in one struct so the window
+    pass resolves id and channel together. Ties at one timestamp take
+    the highest event id, matching the twin's (ts DESC, id DESC) rank."""
+    from shortcut_spark.operators.events import last_touch_attribution
+
+    _pin_utc(spark)
+    return last_touch_attribution(_t(spark, sf_dir, "events"))
+
+
 def q_docs_quality_cut(spark, sf_dir):
     """Per-source quality percentile cut (text.quality_percentile_cut):
     keep the top 70% of EACH source by heuristic quality — the
@@ -3188,6 +3201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_skew_profile": q_events_skew_profile,  # new r6; next window
         "docs_quality_cut": q_docs_quality_cut,  # new r6; next window
         "mm_image_dups": q_mm_image_dups,  # new r6; next window
+        "events_attribution": q_events_attribution,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4289,6 +4303,30 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(an.n AS DOUBLE) * CAST(an.n AS DOUBLE)
                       * (1000000.0 * 1000000.0)) AS dispersion
             FROM an JOIN b ON b.label = an.label""",
+        "events_attribution": f"""
+            WITH p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ), m AS (
+              SELECT event_id, user_id, ts, event_type FROM events
+              WHERE event_type IN ('click', 'view')
+            ), j AS (
+              SELECT p.event_id AS purchase_id,
+                     m.event_id AS attributed_id,
+                     m.event_type AS attributed_type,
+                     {_EPOCH.format('p.ts')} - {_EPOCH.format('m.ts')} AS lag_s,
+                     row_number() OVER (PARTITION BY p.event_id
+                       ORDER BY m.ts DESC, m.event_id DESC) AS rn
+              FROM p JOIN m
+                ON m.user_id = p.user_id
+               AND m.ts <= p.ts
+               AND m.ts >= p.ts - INTERVAL 7 DAY
+            )
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   {_EPOCH.format('p.ts')} AS purchase_epoch,
+                   j.attributed_id, j.attributed_type, j.lag_s
+            FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+              ON j.purchase_id = p.event_id""",
         "docs_quality_cut": f"""
             WITH feat AS (
               SELECT doc_id, source,

@@ -199,6 +199,8 @@ HEADLINE = [
     ("docs_quality_cut", "count"),
     # perceptual-hash image near-dedup over REAL decoded pixels
     ("mm_image_dups", "count"),
+    # last-touch attribution via the single-shuffle as-of union shape
+    ("events_attribution", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -26,6 +26,7 @@ __all__ = [
     "rolling_active_users",
     "daily_anomalies",
     "transition_counts",
+    "last_touch_attribution",
 ]
 
 
@@ -398,4 +399,81 @@ def transition_counts(
         pairs.withColumn("rank", F.row_number().over(rw).cast("long"))
         .filter(F.col("rank") <= k)
         .select("rank", "prev_type", "next_type", "n_transitions")
+    )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    purchase_type: str = "purchase",
+    channel_types: tuple = ("click", "view"),
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """LAST-TOUCH attribution: every conversion event is credited to the
+    latest preceding channel event (click/view) of the same user within
+    ``window_days`` — the standard marketing-attribution primitive.
+
+    Single-shuffle as-of shape (the ``joins.asof_max`` union trick, with
+    the matched row's (ts, id, type) carried in a struct): both sides
+    merge on one time axis per user, ``last(ignorenulls)`` picks the
+    attribution, the window bound nulls out stale matches. Ties at the
+    same timestamp resolve to the highest event id — deterministic, and
+    exactly what the SQL twin's (ts DESC, id DESC) rank picks. Per-key
+    cost is the sorted event count; the theta-join form would
+    materialize |purchases|×|channel| rows per hot user first.
+
+    Output: (purchase_id, user_id, purchase_epoch, attributed_id,
+    attributed_type, lag_s) — NULL attribution for unmatched conversions.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+
+    p = events.filter(F.col(type_col) == purchase_type)
+    m = events.filter(F.col(type_col).isin(*channel_types))
+    mstruct = T.StructType(
+        [
+            T.StructField("ts", events.schema[ts_col].dataType),
+            T.StructField("eid", T.LongType()),
+            T.StructField("etype", T.StringType()),
+        ]
+    )
+    l = p.select(
+        F.col(user_col).alias("__k"),
+        F.col(ts_col).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(mstruct).alias("__m"),
+        F.col(id_col).alias("purchase_id"),
+    )
+    r = m.select(
+        F.col(user_col).alias("__k"),
+        F.col(ts_col).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).cast("long").alias("eid"),
+            F.col(type_col).cast("string").alias("etype"),
+        ).alias("__m"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    w = (
+        W.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), F.col("__m.eid").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = l.unionByName(r).withColumn(
+        "__att", F.last("__m", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("__is_left") == 1)
+    lag = F.unix_timestamp("__t") - F.unix_timestamp("__att.ts")
+    in_window = lag <= F.lit(window_days * 86400)
+    return out.select(
+        "purchase_id",
+        F.col("__k").alias(user_col),
+        F.unix_timestamp("__t").alias("purchase_epoch"),
+        F.when(in_window, F.col("__att.eid")).alias("attributed_id"),
+        F.when(in_window, F.col("__att.etype")).alias("attributed_type"),
+        F.when(in_window, lag).alias("lag_s"),
     )

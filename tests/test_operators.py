@@ -2725,3 +2725,35 @@ def test_image_near_dups_planted(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and 1 <= pairs[(1, 3)] <= 3
     assert not any(4 in p for p in pairs)
+
+
+def test_last_touch_attribution_semantics(spark):
+    """Latest in-window channel event wins; same-ts ties pick the higher
+    event id; stale (> window) and absent channels attribute NULL."""
+    import datetime as dt
+
+    from shortcut_spark.operators.events import last_touch_attribution
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)
+    rows = [
+        (1, sec(0), 7, "view", 0.0, "{}"),
+        (2, sec(5), 7, "click", 0.0, "{}"),   # latest before purchase → wins
+        (3, sec(10), 7, "purchase", 0.0, "{}"),
+        (4, sec(100), 8, "view", 0.0, "{}"),
+        (5, sec(100), 8, "click", 0.0, "{}"),  # tie ts → higher id wins
+        (6, sec(101), 8, "purchase", 0.0, "{}"),
+        (7, t0 - dt.timedelta(days=8), 9, "click", 0.0, "{}"),  # stale
+        (8, sec(0), 9, "purchase", 0.0, "{}"),
+        (9, sec(0), 10, "purchase", 0.0, "{}"),  # no channel at all
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["purchase_id"]: r for r in last_touch_attribution(df).collect()}
+    assert out[3]["attributed_id"] == 2 and out[3]["lag_s"] == 5
+    assert out[6]["attributed_id"] == 5 and out[6]["attributed_type"] == "click"
+    assert out[8]["attributed_id"] is None
+    assert out[9]["attributed_id"] is None and out[9]["lag_s"] is None
