@@ -2418,6 +2418,18 @@ def _corpus_split(spark, sf_dir):
     return docs.filter(F.length("source") == 5), docs.filter(F.length("source") == 4)
 
 
+def q_events_cube(spark, sf_dir):
+    """CUBE rollup (events.cube_rollup): all four grouping sets of
+    (event_type, day) — type+day, type, day, grand total — in one
+    expand+aggregate pass (one scan, map-side partials), with
+    grouping_id disambiguating rollup NULLs. Decimal-detour sum keeps
+    the double totals engine-exact."""
+    from shortcut_spark.operators.events import cube_rollup
+
+    _pin_utc(spark)
+    return cube_rollup(_t(spark, sf_dir, "events"))
+
+
 def q_events_attribution(spark, sf_dir):
     """Last-touch attribution (events.last_touch_attribution): each
     purchase credited to the latest same-user click/view within 7 days —
@@ -3202,6 +3214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_cut": q_docs_quality_cut,  # new r6; next window
         "mm_image_dups": q_mm_image_dups,  # new r6; next window
         "events_attribution": q_events_attribution,  # new r6; next window
+        "events_cube": q_events_cube,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4303,6 +4316,18 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(an.n AS DOUBLE) * CAST(an.n AS DOUBLE)
                       * (1000000.0 * 1000000.0)) AS dispersion
             FROM an JOIN b ON b.label = an.label""",
+        "events_cube": f"""
+            WITH e AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400
+                       AS day_epoch,
+                     value
+              FROM events
+            )
+            SELECT event_type, day_epoch,
+                   CAST(GROUPING_ID(event_type, day_epoch) AS BIGINT) AS gid,
+                   count(*) AS n_events, {_DSUM('value')} AS sum_value
+            FROM e GROUP BY CUBE (event_type, day_epoch)""",
         "events_attribution": f"""
             WITH p AS (
               SELECT event_id, user_id, ts FROM events

@@ -201,6 +201,8 @@ HEADLINE = [
     ("mm_image_dups", "count"),
     # last-touch attribution via the single-shuffle as-of union shape
     ("events_attribution", "count"),
+    # one-pass CUBE over (type, day): 4 grouping sets, one scan
+    ("events_cube", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

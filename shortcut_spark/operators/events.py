@@ -27,6 +27,7 @@ __all__ = [
     "daily_anomalies",
     "transition_counts",
     "last_touch_attribution",
+    "cube_rollup",
 ]
 
 
@@ -476,4 +477,37 @@ def last_touch_attribution(
         F.when(in_window, F.col("__att.eid")).alias("attributed_id"),
         F.when(in_window, F.col("__att.etype")).alias("attributed_type"),
         F.when(in_window, lag).alias("lag_s"),
+    )
+
+
+def cube_rollup(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Native multi-dimensional CUBE over (event_type, day): all four
+    grouping sets — per type+day, per type, per day, grand total — in
+    ONE pass. Spark computes cube/rollup as a single expand+aggregate
+    (each input row fans into its grouping sets map-side, partial aggs
+    combine before the shuffle), which beats four separate groupBys by
+    reading the scan once; ``grouping_id`` disambiguates a NULL group
+    key from a NULL produced by the rollup.
+
+    Output: (event_type, day_epoch, gid, n_events, sum_value)."""
+    from ..functions import dsum
+
+    day = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+        * F.lit(86400)
+    ).alias("day_epoch")
+    return (
+        events.select(F.col(type_col), day, F.col(value_col))
+        .cube(type_col, "day_epoch")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(value_col, "sum_value"),
+        )
+        .select(type_col, "day_epoch", "gid", "n_events", "sum_value")
     )

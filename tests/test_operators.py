@@ -2757,3 +2757,31 @@ def test_last_touch_attribution_semantics(spark):
     assert out[6]["attributed_id"] == 5 and out[6]["attributed_type"] == "click"
     assert out[8]["attributed_id"] is None
     assert out[9]["attributed_id"] is None and out[9]["lag_s"] is None
+
+
+def test_cube_rollup_grouping_sets(spark):
+    """The grand-total row (gid=3) equals the sum of the per-type rows
+    (gid=1), which equal the sums of their type+day rows (gid=0)."""
+    import datetime as dt
+
+    from shortcut_spark.operators.events import cube_rollup
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "a", 1.0, "{}"),
+        (2, t0 + dt.timedelta(days=1), 7, "a", 2.0, "{}"),
+        (3, t0, 8, "b", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = cube_rollup(df).collect()
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert len(by_gid[0]) == 3 and len(by_gid[1]) == 2 and len(by_gid[3]) == 1
+    assert by_gid[3][0]["n_events"] == 3 and by_gid[3][0]["sum_value"] == 7.0
+    a_total = [r for r in by_gid[1] if r["event_type"] == "a"][0]
+    assert a_total["sum_value"] == 3.0 and a_total["day_epoch"] is None
