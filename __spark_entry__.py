@@ -2882,6 +2882,42 @@ def q_mm_image_dups(spark, sf_dir):
     return multimodal.image_near_dups(pngs, "doc_id", "payload")
 
 
+def q_mm_audio_dups(spark, sf_dir):
+    """Audio near-dup pairs by ENERGY-ENVELOPE hash over real decoded
+    PCM (multimodal.audio_near_dups): 64-sample 16-bit WAVs where doc i
+    carries base clip i mod 50, optionally silenced at the head/tail
+    (i%3==0 / i%7==0), are genuinely RIFF-encoded, sample-decoded back,
+    bucketed into 32 time slots of |amplitude| energy, bit-thresholded
+    against the stream mean (integer cross-multiply), and byte-band
+    joined at hamming ≤ 3. The oracle rebuilds samples from the md5
+    formula and takes the all-pairs hamming filter — equal by the
+    4-band pigeonhole."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                base = i % 50
+                pcm = bytearray(
+                    b"".join(
+                        hashlib.md5(f"snd:{base}:{blk}".encode()).digest()
+                        for blk in range(8)
+                    )
+                )
+                if i % 3 == 0:
+                    pcm[:8] = b"\x00" * 8      # silence samples 0-3
+                if i % 7 == 0:
+                    pcm[-8:] = b"\x00" * 8     # silence samples 60-63
+                payloads.append(multimodal.encode_wav(bytes(pcm), 8000, 1, 16))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    wavs = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return multimodal.audio_near_dups(wavs, "doc_id", "payload")
+
+
 def q_mm_wav_samples(spark, sf_dir):
     """REAL audio decode end-to-end at the SAMPLE layer
     (multimodal.encode_wav + decode_wav_samples): md5-derived 16-bit LE
@@ -3215,6 +3251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_dups": q_mm_image_dups,  # new r6; next window
         "events_attribution": q_events_attribution,  # new r6; next window
         "events_cube": q_events_cube,  # new r6; next window
+        "mm_audio_dups": q_mm_audio_dups,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -5247,6 +5284,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(v) AS INT) AS max_px,
                    CAST(sum(v * (r * w + j + 1)) AS BIGINT) AS chk
             FROM px GROUP BY doc_id, w, h""",
+        "mm_audio_dups": """
+            WITH b AS (
+              SELECT doc_id, q.s AS s,
+                     ('0x' || substr(md5('snd:' || (doc_id % 50) || ':'
+                                         || (q.s // 8)),
+                                     (q.s % 8) * 4 + 1, 2))::BIGINT AS b0,
+                     ('0x' || substr(md5('snd:' || (doc_id % 50) || ':'
+                                         || (q.s // 8)),
+                                     (q.s % 8) * 4 + 3, 2))::BIGINT AS b1
+              FROM documents,
+                   unnest(generate_series(CAST(0 AS BIGINT), 63)) AS q(s)
+            ),
+            v AS (
+              SELECT doc_id, s,
+                     CASE WHEN (doc_id % 3 = 0 AND s < 4)
+                            OR (doc_id % 7 = 0 AND s >= 60) THEN 0
+                          ELSE abs(b0 + 256 * b1
+                                   - CASE WHEN b1 >= 128 THEN 65536 ELSE 0 END)
+                     END AS e,
+                     (s * 32) // 64 AS bk
+              FROM b
+            ),
+            bs AS (
+              SELECT doc_id, bk, SUM(e) AS esum, count(*) AS bn
+              FROM v GROUP BY 1, 2
+            ),
+            tot AS (SELECT doc_id, SUM(e) AS total FROM v GROUP BY 1),
+            ah AS (
+              SELECT b.doc_id,
+                     CAST(SUM(CASE WHEN b.esum * 64 > t.total * b.bn
+                                   THEN (CAST(1 AS BIGINT) << bk)
+                                   ELSE 0 END) AS BIGINT) AS ahash
+              FROM bs b JOIN tot t USING (doc_id) GROUP BY 1
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+            FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""",
         "mm_wav_samples": """
             WITH p AS (
               SELECT doc_id,

@@ -203,6 +203,8 @@ HEADLINE = [
     ("events_attribution", "count"),
     # one-pass CUBE over (type, day): 4 grouping sets, one scan
     ("events_cube", "collect"),
+    # energy-envelope audio near-dedup over real decoded PCM
+    ("mm_audio_dups", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

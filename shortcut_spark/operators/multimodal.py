@@ -47,6 +47,8 @@ __all__ = [
     "decode_png_pixels",
     "image_ahash",
     "image_near_dups",
+    "audio_ahash",
+    "audio_near_dups",
     "encode_wav",
     "decode_wav_samples",
 ]
@@ -817,6 +819,75 @@ def image_near_dups(
     from .dedup import _fp_hamming_pairs
 
     fp = image_ahash(df, id_col, payload_col).select(
+        F.col("id").alias(id_col), F.col("ahash").alias("simhash")
+    )
+    return _fp_hamming_pairs(fp, id_col, max_hamming)
+
+
+def audio_ahash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Energy-envelope fingerprint over REAL decoded PCM: unpack the WAV
+    samples (:func:`decode_wav_samples` path), split the interleaved
+    sample stream into 32 equal time buckets (sample k → (k·32)//n), and
+    set bit b iff the bucket's |amplitude| energy exceeds the stream
+    mean — cross-multiplied exact integers, the audio analogue of
+    :func:`image_ahash`'s brightness grid. Robust to gain-preserving
+    re-encoding and padding-free trims; clips shorter than 32 samples
+    are dropped. Map-only; output (id, ahash)."""
+    import struct
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(blob) if blob is not None else b""
+                parsed = _parse_wav(raw)
+                if parsed is None:
+                    continue
+                rate, channels, bits, n_frames = parsed
+                if bits not in (8, 16) or n_frames * channels < 32:
+                    continue
+                pos, body = 12, None
+                while pos + 8 <= len(raw):
+                    cid = raw[pos : pos + 4]
+                    (size,) = struct.unpack_from("<I", raw, pos + 4)
+                    if cid == b"data":
+                        body = pos + 8
+                        break
+                    pos = pos + 8 + size + (size & 1)
+                if body is None:
+                    continue
+                n_vals = n_frames * channels
+                dt = "<i2" if bits == 16 else np.uint8
+                arr = np.abs(
+                    np.frombuffer(raw, dtype=dt, count=n_vals, offset=body).astype(
+                        np.int64
+                    )
+                )
+                bk = (np.arange(n_vals) * 32) // n_vals
+                esum = np.bincount(bk, weights=arr, minlength=32).astype(np.int64)
+                bn = np.bincount(bk, minlength=32).astype(np.int64)
+                total = int(arr.sum())
+                bits_v = (esum * n_vals) > (total * bn)
+                ids.append(i)
+                hashes.append(int((bits_v.astype(np.int64) << np.arange(32)).sum()))
+            yield pd.DataFrame({"id": ids, "ahash": pd.array(hashes, dtype="int64")})
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, "id long, ahash long"
+    )
+
+
+def audio_near_dups(
+    df: DataFrame, id_col: str, payload_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Audio NEAR-DUP pairs: real PCM decode → energy-envelope hash →
+    the same lossless 4-band hamming join as the image/text tiers.
+    Output: (id_a, id_b, hamming)."""
+    from .dedup import _fp_hamming_pairs
+
+    fp = audio_ahash(df, id_col, payload_col).select(
         F.col("id").alias(id_col), F.col("ahash").alias("simhash")
     )
     return _fp_hamming_pairs(fp, id_col, max_hamming)

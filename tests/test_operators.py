@@ -2785,3 +2785,32 @@ def test_cube_rollup_grouping_sets(spark):
     assert by_gid[3][0]["n_events"] == 3 and by_gid[3][0]["sum_value"] == 7.0
     a_total = [r for r in by_gid[1] if r["event_type"] == "a"][0]
     assert a_total["sum_value"] == 3.0 and a_total["day_epoch"] is None
+
+
+def test_audio_near_dups_planted(spark):
+    """Identical clips pair at hamming 0; a head-silenced variant stays
+    within hamming 3; an energy-inverted clip (loud tail vs loud head)
+    pairs with nobody. Real RIFF encode→decode in the loop."""
+    import struct
+
+    loud_head = b"".join(
+        struct.pack("<h", 20000 if k < 32 else 100) for k in range(64)
+    )
+    head_trim = b"\x00" * 8 + loud_head[8:]
+    loud_tail = b"".join(
+        struct.pack("<h", 100 if k < 32 else 20000) for k in range(64)
+    )
+    clips = [
+        (1, multimodal.encode_wav(loud_head, 8000, 1, 16)),
+        (2, multimodal.encode_wav(loud_head, 8000, 1, 16)),
+        (3, multimodal.encode_wav(head_trim, 8000, 1, 16)),
+        (4, multimodal.encode_wav(loud_tail, 8000, 1, 16)),
+    ]
+    df = spark.createDataFrame(clips, "doc_id long, payload binary")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.audio_near_dups(df, "doc_id", "payload").collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+    assert not any(4 in p for p in pairs)
