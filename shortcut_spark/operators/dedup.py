@@ -239,6 +239,8 @@ def jaccard_pairs(
     too, so the MinHash verify stage scores the same space."""
     if max_df is not None:
         sh = _drop_hot_shingles(sh, id_col, max_df)
+    # capped relation feeds sizes + both join sides: compute it once
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
         # verify-only path: expand each candidate pair by its shingle sets —
@@ -869,6 +871,8 @@ def containment_pairs(
     sh = shingles(df, id_col, text_col, n)
     if max_df is not None:
         sh = _drop_hot_shingles(sh, id_col, max_df)
+    # capped relation feeds sizes + both join sides: compute it once
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1043,6 +1047,9 @@ def jaccard_pairs_weighted(
     carried weight ≈ N/10⁴ anyway. Output: (id_a, id_b, wjaccard)."""
     if max_df is not None:
         sh = _drop_hot_shingles(sh, id_col, max_df)
+    # the capped shingle relation feeds df/N/weights/both join sides —
+    # checkpoint so the tokenize+explode subtree computes ONCE
+    sh = sh.localCheckpoint(eager=False)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     nn = sh.agg(F.count_distinct(id_col).cast("long").alias("__n"))
     wsh = (
@@ -1053,7 +1060,7 @@ def jaccard_pairs_weighted(
             "shingle",
             F.expr("__n div __df").alias("w"),
         )
-    )
+    ).localCheckpoint(eager=False)  # reused 3x: sizes + both pair sides
     sizes = wsh.groupBy(id_col).agg(F.sum("w").cast("long").alias("wsz"))
     a = wsh.alias("a")
     b = wsh.select(id_col, "shingle").alias("b")
