@@ -2418,6 +2418,18 @@ def _corpus_split(spark, sf_dir):
     return docs.filter(F.length("source") == 5), docs.filter(F.length("source") == 4)
 
 
+def q_events_top_paths(spark, sf_dir):
+    """Top user journeys (events.session_top_paths): most frequent
+    3-step event-type sequences inside 30-min gap sessions — one
+    user-key window shuffle, a session-bounded collect, then n-gram
+    counts over a tiny |distinct paths| key space; deterministic
+    (count DESC, path ASC) ranking, hash-exact."""
+    from shortcut_spark.operators.events import session_top_paths
+
+    _pin_utc(spark)
+    return session_top_paths(_t(spark, sf_dir, "events"))
+
+
 def q_events_cube(spark, sf_dir):
     """CUBE rollup (events.cube_rollup): all four grouping sets of
     (event_type, day) — type+day, type, day, grand total — in one
@@ -3252,6 +3264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": q_events_attribution,  # new r6; next window
         "events_cube": q_events_cube,  # new r6; next window
         "mm_audio_dups": q_mm_audio_dups,  # new r6; next window
+        "events_top_paths": q_events_top_paths,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4353,6 +4366,40 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(an.n AS DOUBLE) * CAST(an.n AS DOUBLE)
                       * (1000000.0 * 1000000.0)) AS dispersion
             FROM an JOIN b ON b.label = an.label""",
+        "events_top_paths": f"""
+            WITH t AS (
+              SELECT user_id, event_id, ts, event_type,
+                     {_EPOCH.format('ts')} AS es
+              FROM events
+            ), m AS (
+              SELECT user_id, event_id, ts, event_type, es,
+                     CASE WHEN lag(es) OVER w IS NULL THEN 1
+                          WHEN es - lag(es) OVER w > 1800 THEN 1
+                          ELSE 0 END AS brk
+              FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, event_id, ts, event_type,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+              FROM m
+            ), ty AS (
+              SELECT user_id, sess,
+                     list(event_type ORDER BY ts, event_id) AS types
+              FROM s GROUP BY 1, 2
+            ), g AS (
+              SELECT types[q.i] || '>' || types[q.i + 1] || '>'
+                       || types[q.i + 2] AS path
+              FROM ty,
+                   unnest(generate_series(1, greatest(len(types) - 2, 0)))
+                     AS q(i)
+            ), c AS (
+              SELECT path, count(*) AS n_occurrences FROM g GROUP BY 1
+            )
+            SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC,
+                                           path ASC) AS BIGINT) AS rank,
+                   path, n_occurrences
+            FROM c
+            QUALIFY rank <= 20""",
         "events_cube": f"""
             WITH e AS (
               SELECT event_type,

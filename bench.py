@@ -205,6 +205,8 @@ HEADLINE = [
     ("events_cube", "collect"),
     # energy-envelope audio near-dedup over real decoded PCM
     ("mm_audio_dups", "count"),
+    # session path mining: top 3-step journeys inside gap sessions
+    ("events_top_paths", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -28,6 +28,7 @@ __all__ = [
     "transition_counts",
     "last_touch_attribution",
     "cube_rollup",
+    "session_top_paths",
 ]
 
 
@@ -510,4 +511,84 @@ def cube_rollup(
             dsum(value_col, "sum_value"),
         )
         .select(type_col, "day_epoch", "gid", "n_events", "sum_value")
+    )
+
+
+def session_top_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    n: int = 3,
+    top: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """TOP USER JOURNEYS: the most frequent length-``n`` event-type
+    sequences inside gap-based sessions — path mining, the "what do
+    users actually do" query. Sessionization is the same lag+cumsum
+    composition as :func:`~..streaming.sessionize` (break iff gap >
+    ``gap_minutes``); each session's ordered type list is sliced into
+    sliding n-grams ("view>click>purchase") and counted corpus-wide.
+
+    Scale shape: one user-key shuffle for the session windows, one
+    session-key collect (bounded by session length — the open-tail
+    trade every sessionizer makes), then the n-gram counts partial-
+    aggregate map-side into a tiny |distinct paths| key space; top-k is
+    distributed TakeOrdered. Ties rank by path string: deterministic.
+
+    Output: (rank, path, n_sessions_rows: count of occurrences).
+    """
+    from pyspark.sql import Window as W
+
+    w_user = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = F.lit(gap_minutes * 60)
+    with_break = events.withColumn(
+        "__brk",
+        (
+            F.coalesce(
+                F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(w_user)),
+                F.lit(None).cast("long"),
+            )
+            > gap
+        ).cast("int"),
+    ).withColumn(
+        "__sess", F.sum(F.coalesce(F.col("__brk"), F.lit(1))).over(w_user)
+    )
+    types = (
+        with_break.groupBy(user_col, "__sess")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts_col).alias("t"),
+                            F.col(id_col).alias("i"),
+                            F.col(type_col).cast("string").alias("y"),
+                        )
+                    )
+                ),
+                lambda s: s["y"],
+            ).alias("__types")
+        )
+    )
+    grams = types.select(
+        F.explode(
+            # sequence(1, 0) yields a DESCENDING [1,0] in Spark, so the
+            # short-session case needs an explicit empty array
+            F.expr(
+                f"CASE WHEN size(__types) >= {n} THEN"
+                f" transform(sequence(1, size(__types) - {n - 1}),"
+                f" i -> concat_ws('>', slice(__types, i, {n})))"
+                f" ELSE array() END"
+            )
+        ).alias("path")
+    )
+    counts = grams.groupBy("path").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    w = W.orderBy(F.col("n_occurrences").desc(), F.col("path").asc())  # top rows only
+    return (
+        counts.orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        .limit(top)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "path", "n_occurrences")
     )

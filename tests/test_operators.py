@@ -2814,3 +2814,34 @@ def test_audio_near_dups_planted(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and pairs[(1, 3)] <= 3
     assert not any(4 in p for p in pairs)
+
+
+def test_session_top_paths_counts_ngrams(spark):
+    """A session of types a,b,c,b yields trigrams a>b>c and b>c>b; a
+    2-event session yields none; a gap break splits the path."""
+    import datetime as dt
+
+    from shortcut_spark.operators.events import session_top_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)
+    rows = [
+        (1, sec(0), 7, "a", 0.0, "{}"),
+        (2, sec(10), 7, "b", 0.0, "{}"),
+        (3, sec(20), 7, "c", 0.0, "{}"),
+        (4, sec(30), 7, "b", 0.0, "{}"),
+        # gap > 30 min → new session; only 2 events → no trigram
+        (5, sec(30 * 60 + 31 + 30), 7, "a", 0.0, "{}"),
+        (6, sec(30 * 60 + 40 + 30), 7, "b", 0.0, "{}"),
+        # second user contributes another a>b>c
+        (7, sec(0), 8, "a", 0.0, "{}"),
+        (8, sec(1), 8, "b", 0.0, "{}"),
+        (9, sec(2), 8, "c", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["path"]: (r["rank"], r["n_occurrences"]) for r in session_top_paths(df).collect()}
+    assert out == {"a>b>c": (1, 2), "b>c>b": (2, 1)}, out
