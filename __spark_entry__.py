@@ -3147,9 +3147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order. The window ROTATES each round so every family accumulates
     # driver-green rows over time. Round 6 rotation: slots 1-18 are the 18
     # deterministic queries added in round 5 after that window froze — the
-    # last queries in the 176-query exact-oracle inventory without a
-    # driver-green row (all 18 passed the judge's independent oracle
-    # replica in r5). Slots 19-50 are regression guards chosen for the
+    # last r5 queries in the exact-oracle inventory (194 exact twins + 6
+    # rows-only ANN tiers = 200 registered) without a driver-green row
+    # (all 18 passed the judge's independent oracle replica in r5). Slots 19-50 are regression guards chosen for the
     # code touched THIS round: dedup.py (hot-shingle max_df cap),
     # similarity.py (LSH multi-probe / auto-routing), graph.py (PageRank
     # dangling-mass redistribute), multimodal.py (real PNG pixel + WAV
