@@ -2418,6 +2418,16 @@ def _corpus_split(spark, sf_dir):
     return docs.filter(F.length("source") == 5), docs.filter(F.length("source") == 4)
 
 
+def q_events_json_profile(spark, sf_dir):
+    """Semi-structured JSON profiling (events.json_field_profile):
+    get_json_object extraction JVM-side + one |groups|×|fields|
+    integer aggregate — the schema-discovery pass before promoting a
+    JSON blob column to real columns. Hash-exact (all-integer)."""
+    from shortcut_spark.operators.events import json_field_profile
+
+    return json_field_profile(_t(spark, sf_dir, "events"))
+
+
 def q_events_top_paths(spark, sf_dir):
     """Top user journeys (events.session_top_paths): most frequent
     3-step event-type sequences inside 30-min gap sessions — one
@@ -3265,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": q_events_cube,  # new r6; next window
         "mm_audio_dups": q_mm_audio_dups,  # new r6; next window
         "events_top_paths": q_events_top_paths,  # new r6; next window
+        "events_json_profile": q_events_json_profile,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4366,6 +4377,15 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(an.n AS DOUBLE) * CAST(an.n AS DOUBLE)
                       * (1000000.0 * 1000000.0)) AS dispersion
             FROM an JOIN b ON b.label = an.label""",
+        "events_json_profile": """
+            SELECT event_type, 'k' AS field,
+                   count(*) AS n_rows,
+                   count(CAST(props->>'$.k' AS BIGINT)) AS n_present,
+                   count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_distinct,
+                   min(CAST(props->>'$.k' AS BIGINT)) AS min_v,
+                   max(CAST(props->>'$.k' AS BIGINT)) AS max_v,
+                   CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_v
+            FROM events GROUP BY 1""",
         "events_top_paths": f"""
             WITH t AS (
               SELECT user_id, event_id, ts, event_type,

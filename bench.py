@@ -207,6 +207,8 @@ HEADLINE = [
     ("mm_audio_dups", "count"),
     # session path mining: top 3-step journeys inside gap sessions
     ("events_top_paths", "collect"),
+    # JVM-side JSON field profiling (schema discovery for blob columns)
+    ("events_json_profile", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

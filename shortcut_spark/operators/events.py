@@ -29,6 +29,7 @@ __all__ = [
     "last_touch_attribution",
     "cube_rollup",
     "session_top_paths",
+    "json_field_profile",
 ]
 
 
@@ -591,4 +592,51 @@ def session_top_paths(
         .limit(top)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "path", "n_occurrences")
+    )
+
+
+def json_field_profile(
+    df: DataFrame,
+    json_col: str = "props",
+    fields: Sequence[str] = ("k",),
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Semi-structured payload profiling: extract JSON fields from a
+    string column JVM-side (``get_json_object`` — no Python in the
+    path) and profile each per group: presence, null rate, integer
+    min/max/sum, distinct count. The schema-discovery pass you run
+    before promoting a JSON blob column to real columns.
+
+    Scale shape: one scan, one |groups|×|fields| aggregate — the
+    extraction is a map expression, so predicate pushdown and column
+    pruning on the OTHER columns are unaffected. All-integer output:
+    hash-exact.
+
+    Output: (group, field, n_rows, n_present, n_distinct, min_v,
+    max_v, sum_v).
+    """
+    parts = []
+    for f_name in fields:
+        v = F.get_json_object(F.col(json_col), f"$.{f_name}").cast("long")
+        parts.append(
+            df.select(F.col(group_col).alias("grp"), F.lit(f_name).alias("field"), v.alias("v"))
+        )
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    return (
+        un.groupBy("grp", "field")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("v").alias("n_present"),
+            F.count_distinct("v").alias("n_distinct"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.sum("v").alias("sum_v"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "field", "n_rows", "n_present", "n_distinct",
+            "min_v", "max_v", "sum_v",
+        )
     )

@@ -2845,3 +2845,29 @@ def test_session_top_paths_counts_ngrams(spark):
     )
     out = {r["path"]: (r["rank"], r["n_occurrences"]) for r in session_top_paths(df).collect()}
     assert out == {"a>b>c": (1, 2), "b>c>b": (2, 1)}, out
+
+
+def test_json_field_profile_extraction(spark):
+    """JVM-side JSON extraction: present/missing/malformed fields count
+    correctly, integer stats are exact."""
+    from shortcut_spark.operators.events import json_field_profile
+
+    rows = [
+        (1, None, 7, "a", 0.0, '{"k": 5, "x": 2}'),
+        (2, None, 7, "a", 0.0, '{"k": 7}'),
+        (3, None, 7, "a", 0.0, '{"other": 1}'),     # k missing
+        (4, None, 7, "b", 0.0, "not json"),          # malformed
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        (r["event_type"], r["field"]): r
+        for r in json_field_profile(df, fields=("k", "x")).collect()
+    }
+    a_k = out[("a", "k")]
+    assert (a_k["n_rows"], a_k["n_present"], a_k["sum_v"]) == (3, 2, 12)
+    assert out[("a", "x")]["n_present"] == 1 and out[("a", "x")]["sum_v"] == 2
+    assert out[("b", "k")]["n_present"] == 0 and out[("b", "k")]["sum_v"] is None
