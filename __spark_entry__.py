@@ -2418,6 +2418,15 @@ def _corpus_split(spark, sf_dir):
     return docs.filter(F.length("source") == 5), docs.filter(F.length("source") == 4)
 
 
+def q_text_rake(spark, sf_dir):
+    """RAKE keyphrase mining (text.rake_keywords): maximal stopword-free
+    token runs scored by Σ word degree/frequency — integer-scaled
+    (floor(deg·10⁶/freq) BIGINTs, no float accumulation), so score AND
+    rank are hash-exact. Map-only phrase extraction, vocab-bounded word
+    stats, distinct-phrase scoring join, TakeOrdered top-20."""
+    return text.rake_keywords(_t(spark, sf_dir, "documents"))
+
+
 def q_events_json_profile(spark, sf_dir):
     """Semi-structured JSON profiling (events.json_field_profile):
     get_json_object extraction JVM-side + one |groups|×|fields|
@@ -3276,6 +3285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_dups": q_mm_audio_dups,  # new r6; next window
         "events_top_paths": q_events_top_paths,  # new r6; next window
         "events_json_profile": q_events_json_profile,  # new r6; next window
+        "text_rake": q_text_rake,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4377,6 +4387,42 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(an.n AS DOUBLE) * CAST(an.n AS DOUBLE)
                       * (1000000.0 * 1000000.0)) AS dispersion
             FROM an JOIN b ON b.label = an.label""",
+        "text_rake": f"""
+            WITH t AS (SELECT {toks} AS toks FROM documents),
+            ph AS (
+              SELECT trim(p) AS phrase
+              FROM (
+                SELECT unnest(string_split(
+                  array_to_string(list_transform(toks, t ->
+                    CASE WHEN list_contains(['a','and','das','de','der','des','die','ein','el','es','est','et','in','is','ist','it','la','le','les','los','mit','nicht','of','que','the','to','un','und','une','y'], t)
+                         THEN '|' ELSE t END), ' '), '|')) AS p
+                FROM t)
+              WHERE trim(p) != '' AND len(string_split(trim(p), ' ')) <= 4
+            ),
+            wrd AS (
+              SELECT unnest(string_split(phrase, ' ')) AS w,
+                     len(string_split(phrase, ' ')) AS plen
+              FROM ph
+            ),
+            st AS (
+              SELECT w, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS deg
+              FROM wrd GROUP BY 1
+            ),
+            cnt AS (
+              SELECT phrase, count(*) AS n_occurrences FROM ph GROUP BY 1
+            ),
+            sc AS (
+              SELECT c.phrase, c.n_occurrences,
+                     CAST(SUM(s.deg * 1000000 // s.freq) AS BIGINT) AS sv
+              FROM (SELECT phrase, n_occurrences,
+                           unnest(string_split(phrase, ' ')) AS w FROM cnt) c
+              JOIN st s ON s.w = c.w GROUP BY 1, 2
+            )
+            SELECT CAST(row_number() OVER (ORDER BY sv DESC,
+                     n_occurrences DESC, phrase ASC) AS BIGINT) AS rank,
+                   phrase, n_occurrences,
+                   CAST(sv AS DOUBLE) / 1000000.0 AS score
+            FROM sc QUALIFY rank <= 20""",
         "events_json_profile": """
             SELECT event_type, 'k' AS field,
                    count(*) AS n_rows,

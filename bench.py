@@ -209,6 +209,8 @@ HEADLINE = [
     ("events_top_paths", "collect"),
     # JVM-side JSON field profiling (schema discovery for blob columns)
     ("events_json_profile", "collect"),
+    # RAKE keyphrase mining with integer-scaled exact scoring
+    ("text_rake", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

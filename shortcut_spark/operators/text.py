@@ -24,6 +24,7 @@ __all__ = [
     "language_id",
     "quality_score",
     "quality_percentile_cut",
+    "rake_keywords",
     "quality_expr",
     "lang_guess_expr",
     "token_frequencies",
@@ -1039,4 +1040,83 @@ def quality_percentile_cut(
         .withColumn("__n", F.count(F.lit(1)).over(wn))
         .filter(F.col("__rn") * F.lit(10000) <= F.lit(k) * F.col("__n"))
         .select(id_col, group_col, "quality")
+    )
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top: int = 20,
+    max_phrase_len: int = 4,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    the maximal stopword-free token runs; each word scores
+    degree/frequency (degree = Σ phrase length over its occurrences —
+    words that keep multi-word company outrank words that appear alone);
+    a phrase scores the sum of its words' scores. The corpus-level
+    keyphrase miner — top phrases are what the corpus is ABOUT.
+
+    Engine-exact scoring: word score is the integer
+    ``floor(degree·10⁶ / freq)`` and the phrase score sums those BIGINTs
+    — no float accumulates anywhere; the displayed score divides by 10⁶
+    at the end. Stopwords are the union of the four language lists.
+
+    Scale shape: phrase extraction is a map-only expression chain
+    (stopwords → separators → re-split); word stats are one
+    vocab-bounded aggregate; scoring joins DISTINCT phrases (not
+    occurrences) to the word stats; top-k is TakeOrdered. Output:
+    (rank, phrase, n_occurrences, score).
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions import STOPWORDS, tokens
+
+    sw = sorted({w for ws in STOPWORDS.values() for w in ws})
+    sw_arr = "array(" + ",".join(f"'{w}'" for w in sw) + ")"
+    toks = tokens(F.lower(F.col(text_col)))
+    phrases_expr = F.expr(
+        f"""filter(
+              transform(
+                split(concat_ws(' ',
+                  transform({'`toks`'}, t ->
+                    IF(array_contains({sw_arr}, t), '|', t))), '\\\\|'),
+                p -> trim(p)),
+              p -> p != '' AND size(split(p, ' ')) <= {max_phrase_len})"""
+    )
+    occ = (
+        df.select(toks.alias("toks"))
+        .select(F.explode(phrases_expr).alias("phrase"))
+    )
+    occ = occ.localCheckpoint(eager=False)  # reused: word stats + counts
+    words = occ.select(
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+        F.size(F.split(F.col("phrase"), " ")).cast("long").alias("plen"),
+    )
+    stats = words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    counts = occ.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    scored = (
+        counts.select("phrase", "n_occurrences",
+                      F.explode(F.split(F.col("phrase"), " ")).alias("w"))
+        .join(stats, "w")
+        .groupBy("phrase", "n_occurrences")
+        .agg(
+            F.sum(F.expr("deg * 1000000 div freq")).cast("long").alias("__s")
+        )
+    )
+    w_rank = W.orderBy(
+        F.col("__s").desc(), F.col("n_occurrences").desc(), F.col("phrase").asc()
+    )  # top rows only
+    return (
+        scored.orderBy(
+            F.col("__s").desc(), F.col("n_occurrences").desc(), F.col("phrase").asc()
+        )
+        .limit(top)
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .select(
+            "rank", "phrase", "n_occurrences",
+            (F.col("__s").cast("double") / F.lit(1000000.0)).alias("score"),
+        )
     )

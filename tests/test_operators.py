@@ -2871,3 +2871,24 @@ def test_json_field_profile_extraction(spark):
     assert (a_k["n_rows"], a_k["n_present"], a_k["sum_v"]) == (3, 2, 12)
     assert out[("a", "x")]["n_present"] == 1 and out[("a", "x")]["sum_v"] == 2
     assert out[("b", "k")]["n_present"] == 0 and out[("b", "k")]["sum_v"] is None
+
+
+def test_rake_keywords_degree_over_frequency(spark):
+    """Multi-word-company words outrank loners: 'quick brown fox/field'
+    phrases score 9 (three words, each deg/freq 3); stopwords never
+    appear inside a phrase; phrases longer than the cap are dropped."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and lazy dog in the quick brown field"),
+            (2, "one two three four five six and word"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.rake_keywords(df, top=10)
+    rows = out.collect()
+    by_phrase = {r["phrase"]: r for r in rows}
+    assert by_phrase["quick brown fox"]["score"] == 9.0
+    assert by_phrase["lazy dog"]["score"] == 4.0
+    assert all(" the " not in f" {p} " and " and " not in f" {p} " for p in by_phrase)
+    assert "one two three four five six" not in by_phrase  # > 4-word cap
+    assert rows[0]["rank"] == 1 and rows[0]["score"] >= rows[-1]["score"]
