@@ -2256,6 +2256,16 @@ def q_embed_centroid_matrix(spark, sf_dir):
     return similarity.centroid_similarity(_t(spark, sf_dir, "embeddings"))
 
 
+def q_embed_outliers(spark, sf_dir):
+    """Per-group embedding outliers (similarity.embedding_outliers): the
+    5 vectors farthest from their own label's centroid — mislabel/
+    off-topic surfacing — from the same integer sufficient statistics
+    as dispersion (n²·d² = n²·A − 2n·B + C, all DECIMAL-exact). The
+    group sums broadcast back to the scan, so B folds map-side; the
+    only row-sized shuffle is the per-group rank window. Hash-exact."""
+    return similarity.embedding_outliers(_t(spark, sf_dir, "embeddings"))
+
+
 def q_docs_quantiles(spark, sf_dir):
     """Scalable exact type-1 quantiles (sketch.exact_quantiles): per-source
     n_chars order statistics from (group, value) COUNTS — no per-group
@@ -3286,6 +3296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_paths": q_events_top_paths,  # new r6; next window
         "events_json_profile": q_events_json_profile,  # new r6; next window
         "text_rake": q_text_rake,  # new r6; next window
+        "embed_outliers": q_embed_outliers,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4387,6 +4398,50 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(an.n AS DOUBLE) * CAST(an.n AS DOUBLE)
                       * (1000000.0 * 1000000.0)) AS dispersion
             FROM an JOIN b ON b.label = an.label""",
+        "embed_outliers": """
+            WITH ex AS (
+              SELECT vec_id, label,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                                + 0.5) AS BIGINT) AS qv,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings
+            ),
+            sj AS (
+              SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS s
+              FROM ex GROUP BY 1, 2
+            ),
+            grp AS (
+              SELECT label,
+                     CAST(SUM(CAST(s AS DECIMAL(38,0)) * s) AS DECIMAL(38,0))
+                       AS c
+              FROM sj GROUP BY 1
+            ),
+            cnt AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS n
+              FROM embeddings GROUP BY 1
+            ),
+            ab AS (
+              SELECT e.label, e.vec_id,
+                     CAST(SUM(CAST(e.qv * e.qv AS DECIMAL(38,0)))
+                       AS DECIMAL(38,0)) AS a,
+                     CAST(SUM(CAST(e.qv AS DECIMAL(38,0)) * s.s)
+                       AS DECIMAL(38,0)) AS b
+              FROM ex e JOIN sj s ON s.label = e.label AND s.pos = e.pos
+              GROUP BY 1, 2
+            ),
+            sc AS (
+              SELECT ab.label, ab.vec_id,
+                     CAST(CAST(n AS DECIMAL(38,0)) * n * a
+                          - 2 * CAST(n AS DECIMAL(38,0)) * b + c AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * (1000000.0 * 1000000.0)) AS dist2
+              FROM ab JOIN grp USING (label) JOIN cnt USING (label)
+            )
+            SELECT label,
+                   CAST(row_number() OVER (PARTITION BY label
+                     ORDER BY dist2 DESC, vec_id ASC) AS BIGINT) AS rank,
+                   vec_id, dist2
+            FROM sc QUALIFY rank <= 5""",
         "text_rake": f"""
             WITH t AS (SELECT {toks} AS toks FROM documents),
             ph AS (

@@ -211,6 +211,8 @@ HEADLINE = [
     ("events_json_profile", "collect"),
     # RAKE keyphrase mining with integer-scaled exact scoring
     ("text_rake", "collect"),
+    # per-group farthest-from-centroid outliers (mislabel surfacing)
+    ("embed_outliers", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

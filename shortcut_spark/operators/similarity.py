@@ -40,6 +40,7 @@ __all__ = [
     "semantic_dup_clusters",
     "embedding_dispersion",
     "centroid_similarity",
+    "embedding_outliers",
     "truncate_embeddings",
     "topk_cosine_truncated",
     "funnel_topk",
@@ -1262,4 +1263,88 @@ def centroid_similarity(
                 )
             ).alias("cosine"),
         )
+    )
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    k: int = 5,
+    quant: int = 10**6,
+) -> DataFrame:
+    """Per-group embedding OUTLIERS: the k vectors farthest from their
+    own group's centroid — the curation pass that surfaces mislabeled /
+    off-topic material inside an otherwise coherent source. Exact via
+    the same integer sufficient statistics as :func:`embedding_dispersion`:
+
+        n²·d²_i = n²·A_i − 2n·B_i + C
+        A_i = Σ_j q_ij²   (per-vector map fold)
+        B_i = q_i·S_g     (dot with the group's per-dim integer sums)
+        C   = Σ_j S_gj²   (group constant)
+
+    all in DECIMAL(38,0); the displayed distance² divides by n²·quant²
+    at the end — one fixed expression, engine-exact.
+
+    Scale shape: S_g is |groups|·D — broadcast back to the scan, so B_i
+    is a map-side per-vector fold too; the only row-count-sized shuffle
+    is the per-group top-k rank window (partitioned by group). Output:
+    (group, rank, id, dist2).
+    """
+    from pyspark.sql import Window as W
+
+    dec38 = "decimal(38,0)"
+    q = lambda x: F.floor(x.cast("double") * quant + F.lit(0.5)).cast("long")
+    ex = emb.select(
+        F.col(group_col).alias("g"), F.posexplode(F.col(vec_col)).alias("__pos", "__x")
+    )
+    sj = ex.groupBy("g", "__pos").agg(F.sum(q(F.col("__x"))).alias("__s"))
+    grp = sj.groupBy("g").agg(
+        F.sum(F.col("__s").cast(dec38) * F.col("__s")).alias("__C"),
+    )
+    cnt = emb.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    # per-vector A and B: B needs S_j per dim — collect the group's sums
+    # into an array via a broadcast join keyed on (g, pos) after exploding
+    # the vector once more
+    per_vec = emb.select(
+        F.col(id_col),
+        F.col(group_col).alias("g"),
+        F.posexplode(F.col(vec_col)).alias("__pos", "__x"),
+    )
+    ab = (
+        per_vec.join(F.broadcast(sj), ["g", "__pos"])
+        .groupBy("g", id_col)
+        .agg(
+            # q² fits long (≤ quant²·D); q·S casts to decimal BEFORE the
+            # multiply so huge groups (S ~ quant·n) cannot overflow long
+            F.sum((q(F.col("__x")) * q(F.col("__x"))).cast(dec38)).alias("__A"),
+            F.sum(q(F.col("__x")).cast(dec38) * F.col("__s")).alias("__B"),
+        )
+    )
+    n_d = F.col("__n").cast(dec38)
+    dist2_num = n_d * n_d * F.col("__A") - F.lit(2).cast(dec38) * n_d * F.col("__B") + F.col("__C")
+    scored = (
+        ab.join(F.broadcast(grp), "g")
+        .join(F.broadcast(cnt), "g")
+        .select(
+            "g",
+            F.col(id_col),
+            (
+                dist2_num.cast("double")
+                / (
+                    F.col("__n").cast("double")
+                    * F.col("__n").cast("double")
+                    * F.lit(float(quant) * float(quant))
+                )
+            ).alias("dist2"),
+        )
+    )
+    w = W.partitionBy("g").orderBy(F.col("dist2").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("g").alias(group_col), "rank", id_col, "dist2")
     )

@@ -2892,3 +2892,20 @@ def test_rake_keywords_degree_over_frequency(spark):
     assert all(" the " not in f" {p} " and " and " not in f" {p} " for p in by_phrase)
     assert "one two three four five six" not in by_phrase  # > 4-word cap
     assert rows[0]["rank"] == 1 and rows[0]["score"] >= rows[-1]["score"]
+
+
+def test_embedding_outliers_planted(spark):
+    """The orthogonal vector is group 0's top outlier with exact
+    distance² (centroid (0.75,0.25): 0.75²+0.75² = 1.125)."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, [1.0, 0.0], 0),
+        (4, [0.0, 1.0], 0),
+        (5, [0.5, 0.5], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r["label"], r["rank"]): r for r in similarity.embedding_outliers(df, k=2).collect()}
+    assert out[(0, 1)]["vec_id"] == 4 and out[(0, 1)]["dist2"] == 1.125
+    assert out[(0, 2)]["dist2"] == 0.125
+    assert out[(1, 1)]["dist2"] == 0.0
