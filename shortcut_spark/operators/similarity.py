@@ -473,7 +473,7 @@ def cosine_join_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_clusters: int = 16,
-    m_assign: int = 3,
+    m_assign: int = 4,
     iters: int = 2,
     exact_score: bool = False,
     fitted: tuple[DataFrame, DataFrame] | None = None,
@@ -500,7 +500,9 @@ def cosine_join_ivf(
     Measured on the sf0.1 fixture at threshold 0.4 (the adversarial bottom
     for any blocking scheme — pairs sit at 3σ of the random-cosine
     distribution, barely separated from noise): m_assign 2/3/4 →
-    recall 0.60/0.84/0.95 at 24/49/72% of all-pairs candidates. The
+    recall 0.60/0.84/0.95 at 24/49/72% of all-pairs candidates —
+    m_assign 4 is the default since r6 (the LSH tier's multi-probe took
+    it to 0.95; the IVF tier should not trail its sibling). The
     candidate FRACTION is a small-corpus artifact (16 cells over 2k
     vectors); at fixed cell size the count is linear in N.
     """
