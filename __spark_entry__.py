@@ -952,6 +952,37 @@ def q_csv_roundtrip_stats(spark, sf_dir):
     )
 
 
+def q_partitioned_roundtrip(spark, sf_dir):
+    """Hive-partitioned sink certification: events written
+    partitionBy(event_type) (sources.write partition_by), read back and
+    FILTERED on the partition column — the filter lands in
+    PartitionFilters (directory pruning, zero IO for excluded
+    partitions; plan pinned in tests/test_plans.py) — then aggregated
+    with a value signature. Partition-column round-trip is the subtle
+    part: the value moves from data to directory name and back
+    (string-encoded), so type restoration is inside the certified
+    path. Oracle runs on the ORIGINAL parquet."""
+    import tempfile as _tf
+
+    from shortcut_spark import sources as src
+    from shortcut_spark.functions import hash32
+
+    _pin_utc(spark)
+    df = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = os.path.join(_tf.mkdtemp(prefix="scpart_"), "events_part")
+    src.write(df, "parquet", path, partition_by=["event_type"])
+    back = src.read(spark, "parquet", path).filter(
+        F.col("event_type").isin("view", "purchase", "click")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum("value", "sum_value"),
+        F.sum(hash32(F.col("event_id"), "prt")).cast("long").alias("sig"),
+    )
+
+
 def q_jsonl_roundtrip_docs(spark, sf_dir):
     """JSONL round-trip certification on the LLM-interchange format: the
     documents table written to JSON-lines via sources.write, read back
@@ -3297,6 +3328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_profile": q_events_json_profile,  # new r6; next window
         "text_rake": q_text_rake,  # new r6; next window
         "embed_outliers": q_embed_outliers,  # new r6; next window
+        "partitioned_roundtrip": q_partitioned_roundtrip,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4398,6 +4430,14 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(an.n AS DOUBLE) * CAST(an.n AS DOUBLE)
                       * (1000000.0 * 1000000.0)) AS dispersion
             FROM an JOIN b ON b.label = an.label""",
+        "partitioned_roundtrip": f"""
+            SELECT event_type,
+                   count(*) AS n,
+                   {_DSUM('value')} AS sum_value,
+                   CAST(sum({_H32('prt', 'event_id')}) AS BIGINT) AS sig
+            FROM events
+            WHERE event_type IN ('view', 'purchase', 'click')
+            GROUP BY 1""",
         "embed_outliers": """
             WITH ex AS (
               SELECT vec_id, label,

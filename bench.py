@@ -213,6 +213,8 @@ HEADLINE = [
     ("text_rake", "collect"),
     # per-group farthest-from-centroid outliers (mislabel surfacing)
     ("embed_outliers", "collect"),
+    # hive-partitioned sink round-trip (partition-column restoration)
+    ("partitioned_roundtrip", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host
