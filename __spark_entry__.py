@@ -952,6 +952,18 @@ def q_csv_roundtrip_stats(spark, sf_dir):
     )
 
 
+def q_corpus_balanced(spark, sf_dir):
+    """Class-balanced downsample (sampling.balanced_sample): every lang
+    keeps exactly min-class-count docs in deterministic md5-hash order —
+    label balancing for classifier training. One |classes| aggregate
+    broadcast + per-class rank windows. Hash-exact."""
+    from shortcut_spark.operators.sampling import balanced_sample
+
+    return balanced_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id", "lang"
+    )
+
+
 def q_partitioned_roundtrip(spark, sf_dir):
     """Hive-partitioned sink certification: events written
     partitionBy(event_type) (sources.write partition_by), read back and
@@ -3329,6 +3341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rake": q_text_rake,  # new r6; next window
         "embed_outliers": q_embed_outliers,  # new r6; next window
         "partitioned_roundtrip": q_partitioned_roundtrip,  # new r6; next window
+        "corpus_balanced": q_corpus_balanced,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4430,6 +4443,18 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(an.n AS DOUBLE) * CAST(an.n AS DOUBLE)
                       * (1000000.0 * 1000000.0)) AS dispersion
             FROM an JOIN b ON b.label = an.label""",
+        "corpus_balanced": f"""
+            WITH c AS (
+              SELECT lang, count(*) AS n FROM documents GROUP BY 1
+            ), m AS (SELECT min(n) AS mn FROM c),
+            r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY {_H32('balance', 'doc_id')} ASC, doc_id ASC)
+                       AS rn
+              FROM documents
+            )
+            SELECT doc_id, lang FROM r CROSS JOIN m WHERE rn <= mn""",
         "partitioned_roundtrip": f"""
             SELECT event_type,
                    count(*) AS n,

@@ -215,6 +215,8 @@ HEADLINE = [
     ("embed_outliers", "collect"),
     # hive-partitioned sink round-trip (partition-column restoration)
     ("partitioned_roundtrip", "collect"),
+    # class-balanced downsample (min-class-count per label)
+    ("corpus_balanced", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

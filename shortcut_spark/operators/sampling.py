@@ -27,6 +27,7 @@ __all__ = [
     "per_source_cap",
     "temperature_mix",
     "leakproof_split",
+    "balanced_sample",
 ]
 
 _BUCKETS = 10_000  # rate resolution: 0.01%
@@ -328,4 +329,40 @@ def leakproof_split(
         .when(b < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test"))
         .alias("split"),
+    )
+
+
+def balanced_sample(
+    df: DataFrame,
+    key_col: str,
+    class_col: str,
+    seed: str | int = "balance",
+) -> DataFrame:
+    """CLASS-BALANCED downsample: every class keeps exactly
+    min-class-count rows, chosen in deterministic seeded-hash order —
+    the label-balancing move before training a classifier on skewed
+    data (and the degenerate-free alternative to per-class rates, which
+    drift as the distribution shifts).
+
+    Deterministic: per-class rank by (md5 hash, key); the min count is
+    one tiny aggregate broadcast back. Re-running reproduces the exact
+    sample; a grown majority class changes nothing unless new rows hash
+    into the kept prefix.
+
+    Scale shape: one |classes| aggregate + one rank window partitioned
+    by class (each class streams through its own task — same shape as
+    the percentile cut). Output: input columns, filtered.
+    """
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("__c"))
+    m = counts.agg(F.min("__c").alias("__m"))
+    w = W.partitionBy(class_col).orderBy(
+        hash32(F.col(key_col), seed).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("__rn") <= F.col("__m"))
+        .drop("__rn", "__m")
     )

@@ -2909,3 +2909,20 @@ def test_embedding_outliers_planted(spark):
     assert out[(0, 1)]["vec_id"] == 4 and out[(0, 1)]["dist2"] == 1.125
     assert out[(0, 2)]["dist2"] == 0.125
     assert out[(1, 1)]["dist2"] == 0.0
+
+
+def test_balanced_sample_equalizes_classes(spark):
+    """Every class keeps exactly min-class-count rows; deterministic
+    under re-run; majority-class growth leaves the kept set mostly
+    stable (hash-prefix property)."""
+    from shortcut_spark.operators.sampling import balanced_sample
+
+    rows = [(i, "big" if i < 20 else "small") for i in range(26)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = balanced_sample(df, "doc_id", "lang").collect()
+    per = {}
+    for r in out:
+        per[r["lang"]] = per.get(r["lang"], 0) + 1
+    assert per == {"big": 6, "small": 6}
+    again = {(r["doc_id"]) for r in balanced_sample(df, "doc_id", "lang").collect()}
+    assert again == {r["doc_id"] for r in out}
