@@ -952,6 +952,17 @@ def q_csv_roundtrip_stats(spark, sf_dir):
     )
 
 
+def q_events_pivot(spark, sf_dir):
+    """Wide pivot matrix (events.pivot_daily_matrix): one row per day,
+    a (count, decimal-exact sum) column pair per event type — explicit
+    type list keeps it ONE conditional-aggregation pass (no distinct
+    pre-scan). Hash-exact."""
+    from shortcut_spark.operators.events import pivot_daily_matrix
+
+    _pin_utc(spark)
+    return pivot_daily_matrix(_t(spark, sf_dir, "events"))
+
+
 def q_corpus_balanced(spark, sf_dir):
     """Class-balanced downsample (sampling.balanced_sample): every lang
     keeps exactly min-class-count docs in deterministic md5-hash order —
@@ -3342,6 +3353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_outliers": q_embed_outliers,  # new r6; next window
         "partitioned_roundtrip": q_partitioned_roundtrip,  # new r6; next window
         "corpus_balanced": q_corpus_balanced,  # new r6; next window
+        "events_pivot": q_events_pivot,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4443,6 +4455,20 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(an.n AS DOUBLE) * CAST(an.n AS DOUBLE)
                       * (1000000.0 * 1000000.0)) AS dispersion
             FROM an JOIN b ON b.label = an.label""",
+        "events_pivot": """
+            SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400
+                     AS day_epoch,
+                   count(CASE WHEN event_type = 'click' THEN 1 END) AS click_n,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE) AS click_sum,
+                   count(CASE WHEN event_type = 'view' THEN 1 END) AS view_n,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE) AS view_sum,
+                   count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_n,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE) AS purchase_sum,
+                   count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_n,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE) AS signup_sum,
+                   count(CASE WHEN event_type = 'error' THEN 1 END) AS error_n,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE) AS error_sum
+            FROM events GROUP BY 1""",
         "corpus_balanced": f"""
             WITH c AS (
               SELECT lang, count(*) AS n FROM documents GROUP BY 1

@@ -217,6 +217,8 @@ HEADLINE = [
     ("partitioned_roundtrip", "collect"),
     # class-balanced downsample (min-class-count per label)
     ("corpus_balanced", "count"),
+    # wide pivot matrix (one conditional-aggregation pass, no pre-scan)
+    ("events_pivot", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -30,6 +30,7 @@ __all__ = [
     "cube_rollup",
     "session_top_paths",
     "json_field_profile",
+    "pivot_daily_matrix",
 ]
 
 
@@ -639,4 +640,44 @@ def json_field_profile(
             "field", "n_rows", "n_present", "n_distinct",
             "min_v", "max_v", "sum_v",
         )
+    )
+
+
+def pivot_daily_matrix(
+    events: DataFrame,
+    types: Sequence[str] = ("click", "view", "purchase", "signup", "error"),
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """PIVOT to the wide analytic shape: one row per day, one (count,
+    decimal-exact value sum) column pair per event type — the
+    spreadsheet/BI export format. Passing the type list explicitly
+    keeps it ONE aggregation pass (Spark's pivot without values runs a
+    distinct pre-scan first); unknown types are simply absent, exactly
+    like the conditional-aggregation SQL it compiles to.
+
+    Scale shape: identical to the tall groupBy — pivot is conditional
+    aggregation, map-side partials included; |days| × (2·|types|)
+    output. Output: (day_epoch, <type>_n, <type>_sum ...).
+    """
+    from ..functions import dsum
+
+    day = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+        * F.lit(86400)
+    ).alias("day_epoch")
+    aggs = []
+    for t in types:
+        is_t = F.col(type_col) == t
+        aggs.append(
+            F.count(F.when(is_t, F.lit(1))).alias(f"{t}_n")
+        )
+        aggs.append(
+            dsum(F.when(is_t, F.col(value_col)), f"{t}_sum")
+        )
+    return (
+        events.select(day, F.col(type_col), F.col(value_col))
+        .groupBy("day_epoch")
+        .agg(*aggs)
     )

@@ -2926,3 +2926,30 @@ def test_balanced_sample_equalizes_classes(spark):
     assert per == {"big": 6, "small": 6}
     again = {(r["doc_id"]) for r in balanced_sample(df, "doc_id", "lang").collect()}
     assert again == {r["doc_id"] for r in out}
+
+
+def test_pivot_daily_matrix_wide_shape(spark):
+    """One row per day; per-type count/sum pairs are exact; absent
+    types yield 0 count and NULL sum."""
+    import datetime as dt
+
+    from shortcut_spark.operators.events import pivot_daily_matrix
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "click", 1.5, "{}"),
+        (2, t0, 8, "click", 2.5, "{}"),
+        (3, t0, 7, "view", 4.0, "{}"),
+        (4, t0 + dt.timedelta(days=1), 7, "purchase", 8.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["day_epoch"]: r for r in pivot_daily_matrix(df).collect()}
+    d0 = out[min(out)]
+    assert d0["click_n"] == 2 and d0["click_sum"] == 4.0
+    assert d0["view_n"] == 1 and d0["purchase_n"] == 0
+    assert d0["purchase_sum"] is None
+    assert len(out) == 2
