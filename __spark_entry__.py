@@ -2572,6 +2572,32 @@ def q_corpus_split(spark, sf_dir):
     return leakproof_split(_t(spark, sf_dir, "documents"))
 
 
+_NDI_CACHE: dict[str, object] = {}
+
+
+def q_dedup_index_query(spark, sf_dir):
+    """STANDING near-dup index (dedup.NearDupIndex): the accumulated
+    corpus's MinHash signatures persist in a Store (versioned commits,
+    CDC — the whole storage plane under the dedup service); each batch
+    adds at O(batch) and queries against everything so far WITHOUT
+    touching corpus text — banded candidates over stored signatures +
+    the slot-agreement jaccard estimator (k/16, exact rational). The
+    index is built once per session (a standing service); the oracle
+    recomputes both sides' signatures from scratch."""
+    import tempfile as _tf
+
+    from shortcut_spark.operators.dedup import NearDupIndex
+
+    new, std = _corpus_split(spark, sf_dir)
+    if sf_dir not in _NDI_CACHE:
+        idx = NearDupIndex.create(
+            spark, os.path.join(_tf.mkdtemp(prefix="scndi_"), "ndi")
+        )
+        idx.add(std)
+        _NDI_CACHE[sf_dir] = idx
+    return _NDI_CACHE[sf_dir].query(new, threshold=0.25)
+
+
 def q_dedup_cross_corpus(spark, sf_dir):
     """Cross-corpus EXACT dedup (dedup.cross_corpus_exact_dedup): new-batch
     docs whose normalized content fingerprint already exists in the
@@ -3354,6 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_roundtrip": q_partitioned_roundtrip,  # new r6; next window
         "corpus_balanced": q_corpus_balanced,  # new r6; next window
         "events_pivot": q_events_pivot,  # new r6; next window
+        "dedup_index_query": q_dedup_index_query,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4455,6 +4482,83 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(an.n AS DOUBLE) * CAST(an.n AS DOUBLE)
                       * (1000000.0 * 1000000.0)) AS dispersion
             FROM an JOIN b ON b.label = an.label""",
+        "dedup_index_query": f"""
+            WITH toks AS (SELECT doc_id, source, {toks} AS t FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, source,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+              FROM (SELECT doc_id, source, t,
+                           unnest(generate_series(1, greatest(len(t)-2, 0))) AS i
+                    FROM toks)
+            ),
+            qsig AS (
+              SELECT doc_id,
+                     min(('0x' || substr(md5('0:' || shingle), 1, 8))::BIGINT) AS sig_0,
+                     min(('0x' || substr(md5('0:' || shingle), 9, 8))::BIGINT) AS sig_1,
+                     min(('0x' || substr(md5('0:' || shingle), 17, 8))::BIGINT) AS sig_2,
+                     min(('0x' || substr(md5('0:' || shingle), 25, 8))::BIGINT) AS sig_3,
+                     min(('0x' || substr(md5('1:' || shingle), 1, 8))::BIGINT) AS sig_4,
+                     min(('0x' || substr(md5('1:' || shingle), 9, 8))::BIGINT) AS sig_5,
+                     min(('0x' || substr(md5('1:' || shingle), 17, 8))::BIGINT) AS sig_6,
+                     min(('0x' || substr(md5('1:' || shingle), 25, 8))::BIGINT) AS sig_7,
+                     min(('0x' || substr(md5('2:' || shingle), 1, 8))::BIGINT) AS sig_8,
+                     min(('0x' || substr(md5('2:' || shingle), 9, 8))::BIGINT) AS sig_9,
+                     min(('0x' || substr(md5('2:' || shingle), 17, 8))::BIGINT) AS sig_10,
+                     min(('0x' || substr(md5('2:' || shingle), 25, 8))::BIGINT) AS sig_11,
+                     min(('0x' || substr(md5('3:' || shingle), 1, 8))::BIGINT) AS sig_12,
+                     min(('0x' || substr(md5('3:' || shingle), 9, 8))::BIGINT) AS sig_13,
+                     min(('0x' || substr(md5('3:' || shingle), 17, 8))::BIGINT) AS sig_14,
+                     min(('0x' || substr(md5('3:' || shingle), 25, 8))::BIGINT) AS sig_15
+              FROM sh WHERE length(source) = 5 GROUP BY doc_id
+            ),
+            rsig AS (
+              SELECT doc_id,
+                     min(('0x' || substr(md5('0:' || shingle), 1, 8))::BIGINT) AS sig_0,
+                     min(('0x' || substr(md5('0:' || shingle), 9, 8))::BIGINT) AS sig_1,
+                     min(('0x' || substr(md5('0:' || shingle), 17, 8))::BIGINT) AS sig_2,
+                     min(('0x' || substr(md5('0:' || shingle), 25, 8))::BIGINT) AS sig_3,
+                     min(('0x' || substr(md5('1:' || shingle), 1, 8))::BIGINT) AS sig_4,
+                     min(('0x' || substr(md5('1:' || shingle), 9, 8))::BIGINT) AS sig_5,
+                     min(('0x' || substr(md5('1:' || shingle), 17, 8))::BIGINT) AS sig_6,
+                     min(('0x' || substr(md5('1:' || shingle), 25, 8))::BIGINT) AS sig_7,
+                     min(('0x' || substr(md5('2:' || shingle), 1, 8))::BIGINT) AS sig_8,
+                     min(('0x' || substr(md5('2:' || shingle), 9, 8))::BIGINT) AS sig_9,
+                     min(('0x' || substr(md5('2:' || shingle), 17, 8))::BIGINT) AS sig_10,
+                     min(('0x' || substr(md5('2:' || shingle), 25, 8))::BIGINT) AS sig_11,
+                     min(('0x' || substr(md5('3:' || shingle), 1, 8))::BIGINT) AS sig_12,
+                     min(('0x' || substr(md5('3:' || shingle), 9, 8))::BIGINT) AS sig_13,
+                     min(('0x' || substr(md5('3:' || shingle), 17, 8))::BIGINT) AS sig_14,
+                     min(('0x' || substr(md5('3:' || shingle), 25, 8))::BIGINT) AS sig_15
+              FROM sh WHERE length(source) = 4 GROUP BY doc_id
+            ),
+            qb AS (
+              SELECT doc_id, 0 AS band, md5(CAST(qsig.sig_0 AS VARCHAR) || ',' || CAST(qsig.sig_1 AS VARCHAR) || ',' || CAST(qsig.sig_2 AS VARCHAR) || ',' || CAST(qsig.sig_3 AS VARCHAR)) AS bh FROM qsig
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(CAST(qsig.sig_4 AS VARCHAR) || ',' || CAST(qsig.sig_5 AS VARCHAR) || ',' || CAST(qsig.sig_6 AS VARCHAR) || ',' || CAST(qsig.sig_7 AS VARCHAR)) AS bh FROM qsig
+              UNION ALL
+              SELECT doc_id, 2 AS band, md5(CAST(qsig.sig_8 AS VARCHAR) || ',' || CAST(qsig.sig_9 AS VARCHAR) || ',' || CAST(qsig.sig_10 AS VARCHAR) || ',' || CAST(qsig.sig_11 AS VARCHAR)) AS bh FROM qsig
+              UNION ALL
+              SELECT doc_id, 3 AS band, md5(CAST(qsig.sig_12 AS VARCHAR) || ',' || CAST(qsig.sig_13 AS VARCHAR) || ',' || CAST(qsig.sig_14 AS VARCHAR) || ',' || CAST(qsig.sig_15 AS VARCHAR)) AS bh FROM qsig
+            ),
+            rb AS (
+              SELECT doc_id, 0 AS band, md5(CAST(rsig.sig_0 AS VARCHAR) || ',' || CAST(rsig.sig_1 AS VARCHAR) || ',' || CAST(rsig.sig_2 AS VARCHAR) || ',' || CAST(rsig.sig_3 AS VARCHAR)) AS bh FROM rsig
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(CAST(rsig.sig_4 AS VARCHAR) || ',' || CAST(rsig.sig_5 AS VARCHAR) || ',' || CAST(rsig.sig_6 AS VARCHAR) || ',' || CAST(rsig.sig_7 AS VARCHAR)) AS bh FROM rsig
+              UNION ALL
+              SELECT doc_id, 2 AS band, md5(CAST(rsig.sig_8 AS VARCHAR) || ',' || CAST(rsig.sig_9 AS VARCHAR) || ',' || CAST(rsig.sig_10 AS VARCHAR) || ',' || CAST(rsig.sig_11 AS VARCHAR)) AS bh FROM rsig
+              UNION ALL
+              SELECT doc_id, 3 AS band, md5(CAST(rsig.sig_12 AS VARCHAR) || ',' || CAST(rsig.sig_13 AS VARCHAR) || ',' || CAST(rsig.sig_14 AS VARCHAR) || ',' || CAST(rsig.sig_15 AS VARCHAR)) AS bh FROM rsig
+            ),
+            cand AS (
+              SELECT DISTINCT qb.doc_id AS qid, rb.doc_id AS rid
+              FROM qb JOIN rb ON qb.band = rb.band AND qb.bh = rb.bh
+            )
+            SELECT c.qid AS query_id, c.rid AS ref_id,
+                   CAST((CASE WHEN q.sig_0 = r.sig_0 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_1 = r.sig_1 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_2 = r.sig_2 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_3 = r.sig_3 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_4 = r.sig_4 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_5 = r.sig_5 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_6 = r.sig_6 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_7 = r.sig_7 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_8 = r.sig_8 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_9 = r.sig_9 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_10 = r.sig_10 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_11 = r.sig_11 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_12 = r.sig_12 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_13 = r.sig_13 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_14 = r.sig_14 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_15 = r.sig_15 THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 AS est_jaccard
+            FROM cand c
+            JOIN qsig q ON q.doc_id = c.qid
+            JOIN rsig r ON r.doc_id = c.rid
+            WHERE CAST((CASE WHEN q.sig_0 = r.sig_0 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_1 = r.sig_1 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_2 = r.sig_2 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_3 = r.sig_3 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_4 = r.sig_4 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_5 = r.sig_5 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_6 = r.sig_6 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_7 = r.sig_7 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_8 = r.sig_8 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_9 = r.sig_9 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_10 = r.sig_10 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_11 = r.sig_11 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_12 = r.sig_12 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_13 = r.sig_13 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_14 = r.sig_14 THEN 1 ELSE 0 END) + (CASE WHEN q.sig_15 = r.sig_15 THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 >= 0.25""",
         "events_pivot": """
             SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400
                      AS day_epoch,

@@ -219,6 +219,8 @@ HEADLINE = [
     ("corpus_balanced", "count"),
     # wide pivot matrix (one conditional-aggregation pass, no pre-scan)
     ("events_pivot", "collect"),
+    # standing MinHash signature index: per-batch query vs the corpus
+    ("dedup_index_query", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -30,6 +30,7 @@ from ..functions import ensure_parallelism as _ensure_parallelism
 from ..functions import fingerprint, hash32, tokens
 
 __all__ = [
+    "NearDupIndex",
     "exact_dup_groups",
     "exact_dedup",
     "shingles",
@@ -1083,3 +1084,107 @@ def jaccard_pairs_weighted(
         .filter(F.col("wjaccard") >= threshold)
         .select("id_a", "id_b", "wjaccard")
     )
+
+
+class NearDupIndex:
+    """STANDING near-dup signature index — the incremental-ingestion
+    service shape: the corpus's MinHash signatures persist in a
+    :class:`~shortcut_spark.store.Store` (versioned commits, snapshots,
+    CDC replication to follower dedup services — the whole storage
+    plane comes along for free), each crawl batch ``add``s its
+    signatures at O(batch) cost, and ``query`` matches a batch against
+    EVERYTHING accumulated so far without ever touching corpus text.
+
+    Matching is banded candidate generation over the stored signatures
+    plus the MinHash similarity ESTIMATE (fraction of agreeing
+    signature slots — the textbook unbiased jaccard estimator), so the
+    index holds H longs per document instead of the document: at
+    100 TB of text the index is ~0.1% of corpus bytes, and the verify
+    step needs no shuffle of anything document-sized.
+
+    Reference parity note: the reference's Table+index kinds
+    (`/root/reference/src/idx.rs`) index VALUES for retrieval; this is
+    the same standing-index idea lifted to similarity space.
+    """
+
+    def __init__(self, store, num_hashes: int = 16, bands: int = 4, n: int = 3):
+        self.store = store
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.n = n
+
+    # -- lifecycle -----------------------------------------------------
+    @classmethod
+    def create(cls, spark, path: str, num_hashes: int = 16, bands: int = 4, n: int = 3):
+        from pyspark.sql import types as T
+
+        from ..store import Store
+
+        fields = [T.StructField("doc_id", T.LongType())] + [
+            T.StructField(f"sig_{i}", T.LongType()) for i in range(num_hashes)
+        ]
+        store = Store.create(spark, path, T.StructType(fields))
+        return cls(store, num_hashes, bands, n)
+
+    @classmethod
+    def open(cls, spark, path: str, num_hashes: int = 16, bands: int = 4, n: int = 3):
+        from ..store import Store
+
+        return cls(Store.open(spark, path), num_hashes, bands, n)
+
+    # -- writes --------------------------------------------------------
+    def add(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> int:
+        """Append a batch's signatures: one map-only signature build +
+        one Store commit. Cost ∝ batch, never the corpus."""
+        arr = shingle_arrays(docs, id_col, text_col, self.n)
+        sig = minhash_signature_arrays(arr, id_col, self.num_hashes)
+        cols = [F.col(id_col).alias("doc_id")] + [
+            F.col(f"sig_{i}") for i in range(self.num_hashes)
+        ]
+        return self.store.insert(sig.select(*cols))
+
+    # -- reads ---------------------------------------------------------
+    def query(
+        self, docs: DataFrame, threshold: float = 0.5,
+        id_col: str = "doc_id", text_col: str = "text",
+    ) -> DataFrame:
+        """Match a batch against the standing corpus: banded LSH
+        candidates (bands derived map-side on BOTH sides), then the
+        signature-agreement estimate — (query id, indexed id,
+        est_jaccard ≥ threshold). The batch side is typically small
+        enough that its banded keys broadcast."""
+        arr = shingle_arrays(docs, id_col, text_col, self.n)
+        qsig = minhash_signature_arrays(arr, id_col, self.num_hashes).localCheckpoint(
+            eager=False
+        )  # reused: band keys + agreement join
+        ref = self.store.find()
+        qb = _banded(
+            qsig.select(F.col(id_col).alias("doc_id"), *[F.col(f"sig_{i}") for i in range(self.num_hashes)]),
+            "doc_id", self.num_hashes, self.bands,
+        ).select(F.col("doc_id").alias("__qid"), "band", "bh")
+        rb = _banded(ref, "doc_id", self.num_hashes, self.bands).select(
+            F.col("doc_id").alias("__rid"), "band", "bh"
+        )
+        cand = (
+            qb.join(rb, ["band", "bh"])
+            .select("__qid", "__rid")
+            .distinct()
+        )
+        agree = sum(
+            (F.col(f"q.sig_{i}") == F.col(f"r.sig_{i}")).cast("int")
+            for i in range(self.num_hashes)
+        )
+        q = qsig.alias("q")
+        r = ref.alias("r")
+        return (
+            cand.join(q, F.col("__qid") == F.col(f"q.{id_col}"))
+            .join(r, F.col("__rid") == F.col("r.doc_id"))
+            .select(
+                F.col("__qid").alias("query_id"),
+                F.col("__rid").alias("ref_id"),
+                (agree.cast("double") / F.lit(float(self.num_hashes))).alias(
+                    "est_jaccard"
+                ),
+            )
+            .filter(F.col("est_jaccard") >= threshold)
+        )

@@ -2953,3 +2953,29 @@ def test_pivot_daily_matrix_wide_shape(spark):
     assert d0["view_n"] == 1 and d0["purchase_n"] == 0
     assert d0["purchase_sum"] is None
     assert len(out) == 2
+
+
+def test_neardup_index_incremental_lifecycle(spark, tmp_path):
+    """Standing index: batches add incrementally, a query matches
+    against EVERYTHING accumulated so far, and reopening the store
+    preserves the index (the persistence contract)."""
+    from shortcut_spark.operators.dedup import NearDupIndex
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    b1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    b2 = spark.createDataFrame([(2, "totally different words here now")],
+                               "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(10, base), (11, "unrelated content nothing shared at all")],
+        "doc_id long, text string",
+    )
+    idx = NearDupIndex.create(spark, str(tmp_path / "ndi"))
+    assert idx.add(b1) == 1
+    assert idx.add(b2) == 1
+    out = {(r["query_id"], r["ref_id"]): r["est_jaccard"]
+           for r in idx.query(q, threshold=0.5).collect()}
+    assert out == {(10, 1): 1.0}, out
+    # reopen: the signatures persisted through the Store
+    idx2 = NearDupIndex.open(spark, str(tmp_path / "ndi"))
+    out2 = {(r["query_id"], r["ref_id"]) for r in idx2.query(q, threshold=0.5).collect()}
+    assert out2 == {(10, 1)}
