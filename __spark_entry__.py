@@ -369,6 +369,79 @@ def q_store_merge_upsert(spark, sf_dir):
     return st.find([])
 
 
+def q_store_matview(spark, sf_dir):
+    """Incrementally-maintained materialized view (MatView over a Store):
+    a grouped COUNT/SUM/AVG aggregate kept in sync from the base store's
+    CDC delta — classic self-maintainable IVM. Each refresh reads ONLY
+    the delta and the touched groups' current state (NEVER the base
+    table — asserted), and lands as ONE atomic merge commit on the
+    view's own Store, so the view inherits snapshots/history/time-travel.
+    Sums live in the state as DECIMAL(27,6) (the dsum convention), so
+    incremental +/- is order-independent and the refreshed view is
+    bit-identical to the from-scratch recompute the oracle performs.
+    Refresh cost ∝ |delta| + |touched groups|, not |base| — changes()
+    prunes unread files driver-side by manifest max_rowid. Script:
+    create view → CoW delete status P → refresh → append keys<100 →
+    refresh → read."""
+    import tempfile as _tf
+
+    from shortcut_spark.matview import MatView
+
+    st = _fresh_store(spark, sf_dir, "orders")
+    mv = MatView.create(
+        spark,
+        os.path.join(_tf.mkdtemp(prefix="scmv_"), "v"),
+        st,
+        ["o_orderstatus"],
+        [
+            ("n", "count", None),
+            ("sum_price", "sum", "o_totalprice"),
+            ("avg_price", "avg", "o_totalprice"),
+        ],
+    )
+    st.delete([eq("o_orderstatus", "P")])
+    mv.refresh()
+    assert mv.last_refresh_scanned_base is False  # IVM fast path held
+    st.insert(_t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100))
+    mv.refresh()
+    assert mv.last_refresh_scanned_base is False
+    return mv.read()
+
+
+def q_store_matview_minmax(spark, sf_dir):
+    """MatView carrying MIN/MAX: not self-maintainable under deletes
+    (deleting the current max says nothing about the runner-up), so a
+    refresh recomputes ONLY the touched groups — one base scan
+    semi-joined to the delta's key set (file-stats-prunable when the
+    base is Z-ordered on a group key); untouched groups' state rows are
+    not rewritten, and a group that vanished entirely tombstones as an
+    __n=0 row in the SAME merge commit. Script: view over orders by
+    status (count, max price, min key) → closure-delete the F rows above
+    400k, which clips F's max and is exactly the case count/sum IVM
+    cannot repair → refresh (touches only F) → read."""
+    import tempfile as _tf
+
+    from shortcut_spark.matview import MatView
+
+    st = _fresh_store(spark, sf_dir, "orders")
+    mv = MatView.create(
+        spark,
+        os.path.join(_tf.mkdtemp(prefix="scmvx_"), "v"),
+        st,
+        ["o_orderstatus"],
+        [
+            ("n", "count", None),
+            ("max_price", "max", "o_totalprice"),
+            ("min_key", "min", "o_orderkey"),
+        ],
+    )
+    st.delete_filter([eq("o_orderstatus", "F")], F.col("o_totalprice") > 400000.0)
+    touched = mv.refresh()
+    assert mv.last_refresh_scanned_base is True  # recompute path taken
+    assert touched == 1  # only F was recomputed
+    return mv.read()
+
+
 def q_store_delete_closure(spark, sf_dir):
     """delete_filter(conds, closure) — O6: residual predicate beyond the
     cond list (src/lib.rs:149-169)."""
@@ -3381,6 +3454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_balanced": q_corpus_balanced,  # new r6; next window
         "events_pivot": q_events_pivot,  # new r6; next window
         "dedup_index_query": q_dedup_index_query,  # new r6; next window
+        "store_matview": q_store_matview,  # new r6; next window
+        "store_matview_minmax": q_store_matview_minmax,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -3888,6 +3963,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT n_nationkey, n_name || '_v2' AS n_name, n_regionkey
             FROM nation WHERE n_nationkey < 5""",
+        # matview: the oracle IS the from-scratch recompute over the
+        # replayed final base state — bit-identical to the incremental
+        # refresh because sums ride DECIMAL(27,6)
+        "store_matview": f"""
+            WITH final AS (
+                SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus <> 'P'
+                UNION ALL
+                SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey < 100
+            )
+            SELECT o_orderstatus, count(*) AS n,
+                   {_DSUM('o_totalprice')} AS sum_price,
+                   {_DSUM('o_totalprice')} / count(*) AS avg_price
+            FROM final GROUP BY o_orderstatus""",
+        "store_matview_minmax": """
+            SELECT o_orderstatus, count(*) AS n,
+                   max(o_totalprice) AS max_price, min(o_orderkey) AS min_key
+            FROM orders
+            WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 400000.0)
+            GROUP BY o_orderstatus""",
         "store_point_lookup": f"SELECT {o_cols} FROM orders WHERE o_orderkey = 500",
         "store_bloom_lookup": (
             "SELECT c_custkey, c_name, c_nationkey, c_mktsegment "

@@ -18,6 +18,7 @@ Layers:
 
 from .cmp import Bound, Comparison, Condition, Value, between, col_eq, eq
 from .idx import BloomIndex, BTreeIndex, CompositeIndex, HashIndex
+from .matview import MatView
 from .session import get_spark
 from .store import Store
 
@@ -34,6 +35,7 @@ __all__ = [
     "CompositeIndex",
     "HashIndex",
     "get_spark",
+    "MatView",
     "Store",
 ]
 

@@ -1,0 +1,204 @@
+"""Incremental materialized views (shortcut_spark/matview.py).
+
+The load-bearing property is IVM correctness: after ANY mutation script,
+an incrementally-refreshed view is bit-identical to a from-scratch
+recompute — on the self-maintainable fast path (count/sum/avg, no base
+scan) and on the min/max touched-group recompute path."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from shortcut_spark import Store, eq
+from shortcut_spark.matview import MatView
+
+ROWS = [
+    ("a", 10.5),
+    ("a", 1.25),
+    ("b", 3.0),
+    ("b", -2.5),
+    ("b", 100.0),
+    ("c", 7.0),
+]
+
+
+def _base(spark, path):
+    st = Store.create(
+        spark,
+        os.path.join(path, "b"),
+        T.StructType(
+            [T.StructField("k", T.StringType()), T.StructField("v", T.DoubleType())]
+        ),
+    )
+    st.insert(ROWS)
+    return st
+
+
+def _recompute(mv):
+    return {
+        tuple(r[k] for k in mv.keys): tuple(r[c] for c in r.asDict() if c not in mv.keys)
+        for r in mv._full_agg(mv.base.find([])).collect()
+    }
+
+
+def _view(mv):
+    out = {}
+    for r in mv.read().collect():
+        d = r.asDict()
+        out[tuple(d.pop(k) for k in mv.keys)] = d
+    return out
+
+
+def _assert_matches_recompute(mv):
+    """view == from-scratch recompute, group for group, value for value."""
+    full = {
+        tuple(r[k] for k in mv.keys): r.asDict()
+        for r in mv._full_agg(mv.base.find([])).collect()
+    }
+    view = _view(mv)
+    assert set(view) == set(full)
+    for g, got in view.items():
+        exp = full[g]
+        for name, kind, _col in mv.aggs:
+            if kind == "count":
+                assert got[name] == exp["__n"], (g, name)
+            elif kind == "sum":
+                assert got[name] == float(exp[f"__s_{name}"]), (g, name)
+            elif kind == "avg":
+                assert got[name] == float(exp[f"__s_{name}"]) / exp["__n"], (g, name)
+            elif kind == "min":
+                assert got[name] == exp[f"__m_{name}"], (g, name)
+            elif kind == "max":
+                assert got[name] == exp[f"__x_{name}"], (g, name)
+
+
+def test_fast_path_matches_recompute_and_never_scans_base(spark, store_path):
+    st = _base(spark, str(store_path))
+    mv = MatView.create(
+        spark,
+        os.path.join(str(store_path), "v"),
+        st,
+        ["k"],
+        [("n", "count", None), ("sv", "sum", "v"), ("av", "avg", "v")],
+    )
+    _assert_matches_recompute(mv)
+    st.delete([eq("k", "c")])  # group vanishes
+    st.insert([("a", 4.0), ("d", 9.5)])  # existing group grows + new group
+    touched = mv.refresh()
+    assert touched == 3  # a, c, d
+    assert mv.last_refresh_scanned_base is False
+    _assert_matches_recompute(mv)
+    assert ("c",) not in _view(mv)  # __n = 0 filtered by read()
+
+
+def test_vanished_group_comes_back_on_reinsert(spark, store_path):
+    st = _base(spark, str(store_path))
+    mv = MatView.create(
+        spark, os.path.join(str(store_path), "v"), st, ["k"], [("n", "count", None)]
+    )
+    st.delete([eq("k", "c")])
+    mv.refresh()
+    assert ("c",) not in _view(mv)
+    st.insert([("c", 50.0), ("c", 51.0)])
+    mv.refresh()
+    assert _view(mv)[("c",)]["n"] == 2
+    _assert_matches_recompute(mv)
+
+
+def test_minmax_path_recomputes_only_touched_groups(spark, store_path):
+    st = _base(spark, str(store_path))
+    mv = MatView.create(
+        spark,
+        os.path.join(str(store_path), "v"),
+        st,
+        ["k"],
+        [("n", "count", None), ("mx", "max", "v"), ("mn", "min", "v")],
+    )
+    # deleting the current max of b is the case sum/count IVM can't fix
+    st.delete_filter([eq("k", "b")], F.col("v") > 50.0)
+    touched = mv.refresh()
+    assert mv.last_refresh_scanned_base is True
+    assert touched == 1  # only b recomputed
+    assert _view(mv)[("b",)]["mx"] == 3.0
+    _assert_matches_recompute(mv)
+
+
+def test_refresh_is_one_atomic_state_commit_and_noop_is_free(spark, store_path):
+    st = _base(spark, str(store_path))
+    mv = MatView.create(
+        spark, os.path.join(str(store_path), "v"), st, ["k"], [("sv", "sum", "v")]
+    )
+    v0 = mv.state.manifest.version
+    assert mv.refresh() == 0  # no base changes → no state commit
+    assert mv.state.manifest.version == v0
+    st.insert([("a", 1.0)])
+    mv.refresh()
+    assert mv.state.manifest.version == v0 + 1  # exactly ONE merge commit
+
+
+def test_reopen_resumes_from_persisted_base_version(spark, store_path):
+    st = _base(spark, str(store_path))
+    path = os.path.join(str(store_path), "v")
+    mv = MatView.create(spark, path, st, ["k"], [("n", "count", None), ("sv", "sum", "v")])
+    st.delete([eq("k", "a")])
+    mv2 = MatView.open(spark, path)  # fresh handle, meta-driven
+    assert mv2.refresh() > 0
+    _assert_matches_recompute(mv2)
+    assert mv2.refresh() == 0
+
+
+def test_mutation_script_equivalence_both_paths(spark, store_path):
+    """Scripted mutation sequence, refresh after EVERY step, both agg
+    families — the IVM equivalence property end-to-end."""
+    st = _base(spark, str(store_path))
+    fast = MatView.create(
+        spark,
+        os.path.join(str(store_path), "vf"),
+        st,
+        ["k"],
+        [("n", "count", None), ("sv", "sum", "v"), ("av", "avg", "v")],
+    )
+    slow = MatView.create(
+        spark,
+        os.path.join(str(store_path), "vs"),
+        st,
+        ["k"],
+        [("n", "count", None), ("mx", "max", "v")],
+    )
+    steps = [
+        lambda: st.insert([("a", -1.5), ("e", 0.25)]),
+        lambda: st.delete([eq("k", "b")]),
+        lambda: st.insert([("b", 42.0)]),
+        lambda: st.delete([eq("k", "a")], defer=True),  # tombstone delete
+        lambda: st.merge([("c", 99.0)], on="k"),  # atomic upsert
+    ]
+    for step in steps:
+        step()
+        fast.refresh()
+        slow.refresh()
+        _assert_matches_recompute(fast)
+        _assert_matches_recompute(slow)
+
+
+def test_vacuum_groups_drops_zero_rows(spark, store_path):
+    st = _base(spark, str(store_path))
+    mv = MatView.create(
+        spark, os.path.join(str(store_path), "v"), st, ["k"], [("n", "count", None)]
+    )
+    st.delete([eq("k", "c")])
+    mv.refresh()
+    assert mv.vacuum_groups() == 1
+    assert ("c",) not in _view(mv)
+    _assert_matches_recompute(mv)
+
+
+def test_bad_specs_rejected(spark, store_path):
+    st = _base(spark, str(store_path))
+    with pytest.raises(ValueError):
+        MatView.create(spark, os.path.join(str(store_path), "v1"), st, ["nope"], [("n", "count", None)])
+    with pytest.raises(ValueError):
+        MatView.create(spark, os.path.join(str(store_path), "v2"), st, ["k"], [("x", "median", "v")])
+    with pytest.raises(ValueError):
+        MatView.create(spark, os.path.join(str(store_path), "v3"), st, ["k"], [("x", "sum", "nope")])
