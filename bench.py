@@ -221,6 +221,8 @@ HEADLINE = [
     ("events_pivot", "collect"),
     # standing MinHash signature index: per-batch query vs the corpus
     ("dedup_index_query", "count"),
+    # incremental materialized view: create + 2 CDC refreshes + read
+    ("store_matview", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host
