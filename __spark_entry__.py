@@ -369,6 +369,26 @@ def q_store_merge_upsert(spark, sf_dir):
     return st.find([])
 
 
+def q_store_topk(spark, sf_dir):
+    """Stats-pruned ORDER BY ... LIMIT k (Store.topk): the driver walks
+    the manifest's per-file (min, max, non-null-count) stats to derive a
+    sound value threshold T — at least k non-null values ≥ T even if the
+    entire tombstone debt lands on the walked files — then the scan is
+    find([between(col, T, None)]): vectorized file pruning + residual
+    re-check + tombstone anti-join, and TakeOrdered runs over only the
+    survivors. On this compact(sort_by=price) layout the prune leaves
+    ~1 of 8 files; on random layout it degrades to a full scan with
+    identical results. Deterministic under price ties via the
+    o_orderkey tiebreak, so the top-15 is hash-exact."""
+    st = _fresh_store(spark, sf_dir, "orders")
+    st.compact(target_files=8, sort_by="o_totalprice")
+    out = st.topk("o_totalprice", 15, tiebreak=("o_orderkey",)).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    assert st.last_topk_threshold is not None  # the prune actually engaged
+    return out
+
+
 def q_store_matview(spark, sf_dir):
     """Incrementally-maintained materialized view (MatView over a Store):
     a grouped COUNT/SUM/AVG aggregate kept in sync from the base store's
@@ -3455,6 +3475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,  # new r6; next window
         "dedup_index_query": q_dedup_index_query,  # new r6; next window
         "store_matview": q_store_matview,  # new r6; next window
+        "store_topk": q_store_topk,  # new r6; next window
         "store_matview_minmax": q_store_matview_minmax,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
@@ -3963,6 +3984,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT n_nationkey, n_name || '_v2' AS n_name, n_regionkey
             FROM nation WHERE n_nationkey < 5""",
+        "store_topk": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
         # matview: the oracle IS the from-scratch recompute over the
         # replayed final base state — bit-identical to the incremental
         # refresh because sums ride DECIMAL(27,6)

@@ -223,6 +223,8 @@ HEADLINE = [
     ("dedup_index_query", "count"),
     # incremental materialized view: create + 2 CDC refreshes + read
     ("store_matview", "collect"),
+    # stats-pruned ORDER BY LIMIT k over a sorted-compact layout
+    ("store_topk", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

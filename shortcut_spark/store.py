@@ -461,7 +461,9 @@ class Store:
             # to unknown, never narrow it
             mins: dict[str, object] = {}
             maxs: dict[str, object] = {}
+            nulls: dict[str, int] = {}
             incomplete: set[str] = set()
+            no_nullcount: set[str] = set()
             for rg in range(meta.num_row_groups):
                 rgm = meta.row_group(rg)
                 for ci in range(rgm.num_columns):
@@ -478,12 +480,25 @@ class Store:
                                 lo = hi = None
                         if lo is not None and not isinstance(lo, (int, float, str)):
                             lo = hi = None
+                    # non-null count (stats element #3, used by topk's
+                    # threshold walk): usable only if EVERY row group
+                    # reports one — a missing count must widen to unknown
+                    if st is None or not st.has_null_count or st.null_count is None:
+                        no_nullcount.add(cname)
+                    else:
+                        nulls[cname] = nulls.get(cname, 0) + int(st.null_count)
                     if lo is None:
                         incomplete.add(cname)
                         continue
                     mins[cname] = lo if cname not in mins else min(mins[cname], lo)
                     maxs[cname] = hi if cname not in maxs else max(maxs[cname], hi)
-            stats = {c: [mins[c], maxs[c]] for c in mins if c not in incomplete}
+            stats = {}
+            for c in mins:
+                if c in incomplete:
+                    continue
+                stats[c] = [mins[c], maxs[c]]
+                if c not in no_nullcount:
+                    stats[c].append(int(meta.num_rows) - nulls.get(c, 0))
             rid = stats.pop(ROWID, [-1, -1])
             fid = self.manifest.next_file_id
             self.manifest.next_file_id += 1
@@ -1508,6 +1523,81 @@ class Store:
     def df(self) -> DataFrame:
         """Escape hatch: the whole table as a plain DataFrame (no rowid)."""
         return self.find()
+
+    def topk(
+        self,
+        column: int | str,
+        k: int,
+        ascending: bool = False,
+        tiebreak: Sequence[str] = (),
+    ) -> DataFrame:
+        """``ORDER BY column [DESC] LIMIT k`` answered with manifest-stats
+        pruning — a sort the metadata can mostly skip (EXTENSION; the
+        reference has no ordered retrieval surface, its RangeIndex stops
+        at ``between``, ``src/idx.rs:83-87``).
+
+        Sound threshold derivation (descending case), zero Spark jobs:
+        walk the files by their column MIN descending, accumulating each
+        file's non-null value count (parquet-footer ``null_count``,
+        recorded as stats element #3; files predating it count as >=1).
+        Every value in a walked file is >= that file's min, so once the
+        accumulator — minus the table's whole tombstone debt, since a
+        tombstone could hit any accumulated row — reaches k, EVERY
+        top-k value is >= T = the current file's min. The scan is then
+        ``find([between(column, T, None)])``, which reuses the
+        vectorized stats prune, access-path selection, residual
+        re-check, and tombstone anti-join; files without stats survive
+        pruning per find's contract. The final sort-limit runs as
+        TakeOrdered over only the surviving rows.
+
+        Pruning power follows layout: on a btree-clustered or
+        ``compact(sort_by=column)`` table the scan touches ~k rows'
+        worth of files; on random layout it degrades to a full scan
+        with identical results. NULLs never participate (between()
+        excludes them — SQL `ORDER BY .. LIMIT` with NULLS LAST
+        semantics for k within the non-null count). ``tiebreak``
+        columns (ascending) make the result deterministic under ties.
+
+        Falls back to the plain full sort when no threshold is
+        derivable (missing stats, mixed types, or k not covered by the
+        walk)."""
+        name = self.colnames[column] if isinstance(column, int) else column
+        if name not in self.colnames:
+            raise ValueError(f"no such column {name!r}")
+        k = int(k)
+        if k <= 0:
+            return self._empty()
+        lohi = 1 if ascending else 0  # walk bound: max for asc, min for desc
+        walkable = []
+        for f in self.manifest.files:
+            st = f.stats.get(name)
+            if st and self._stats_ok(st[0]) and self._stats_ok(st[1]):
+                walkable.append((st[lohi], st))
+        threshold = None
+        try:
+            walkable.sort(key=lambda t: t[0], reverse=not ascending)
+            cum = 0
+            debt = self.manifest.tombstone_rows
+            for bound, st in walkable:
+                cum += st[2] if len(st) > 2 else 1
+                if cum - debt >= k:
+                    threshold = bound
+                    break
+        except TypeError:
+            threshold = None  # mixed incomparable stat types → full sort
+        #: observability: the stats-derived value bound (None = full sort)
+        self.last_topk_threshold = threshold
+        from .cmp import between
+
+        if threshold is None:
+            base = self.find([]).filter(F.col(name).isNotNull())
+        elif ascending:
+            base = self.find([between(name, None, threshold)])
+        else:
+            base = self.find([between(name, threshold, None)])
+        order = [F.col(name).asc() if ascending else F.col(name).desc()]
+        order += [F.col(t).asc() for t in tiebreak]
+        return base.orderBy(*order).limit(k)
 
     def explain_find(self, conds: Sequence[Condition] = ()) -> str:
         """Human-readable access-path report (Display parity spirit,

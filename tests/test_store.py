@@ -1301,3 +1301,96 @@ def test_stats_agg_fast_path_and_tombstone_fallback(spark, store_path):
     st.delete([eq(1, "9")], defer=True)
     row3 = st.stats_agg(col).collect()[0]
     assert (row3["n_rows"], row3["min_val"], row3["max_val"]) == (2, "1", "5")
+
+
+# -- topk: ORDER BY .. LIMIT k off manifest stats ----------------------------
+
+
+def _mk_typed(spark, path, rows, schema="k long, v double"):
+    from pyspark.sql import types as T
+
+    fields = []
+    for part in schema.split(","):
+        n, t = part.split()
+        fields.append(
+            T.StructField(n, T.LongType() if t == "long" else T.DoubleType())
+        )
+    st = Store.create(spark, path, T.StructType(fields))
+    st.insert(rows)
+    return st
+
+
+def test_topk_matches_full_sort_with_ties(spark, store_path):
+    from pyspark.sql import functions as F
+
+    rows = [(i, float(v)) for i, v in enumerate([5, 9, 9, 1, 7, 9, 3, 7, 2, 8])]
+    st = _mk_typed(spark, store_path, rows)
+    got = [tuple(r) for r in st.topk("v", 4, tiebreak=("k",)).collect()]
+    exp = [
+        tuple(r)
+        for r in st.find([]).orderBy(F.col("v").desc(), F.col("k")).limit(4).collect()
+    ]
+    assert got == exp
+    got_asc = [tuple(r) for r in st.topk("v", 4, ascending=True, tiebreak=("k",)).collect()]
+    exp_asc = [
+        tuple(r)
+        for r in st.find([]).orderBy(F.col("v").asc(), F.col("k")).limit(4).collect()
+    ]
+    assert got_asc == exp_asc
+
+
+def test_topk_prunes_files_on_range_layout(spark, store_path):
+    """On a compact(sort_by=col) layout the threshold walk must exclude
+    most files from the scan — the point of the feature."""
+    from shortcut_spark.cmp import between
+
+    rows = [(i, float(i)) for i in range(1000)]
+    st = _mk_typed(spark, store_path, rows)
+    st.compact(target_files=8, sort_by="v")
+    assert len(st.manifest.files) == 8
+    got = sorted(tuple(r) for r in st.topk("v", 5, tiebreak=("k",)).collect())
+    assert got == [(i, float(i)) for i in range(995, 1000)]
+    assert st.last_topk_threshold is not None
+    _, files = st._prune_files([between("v", st.last_topk_threshold, None)])
+    assert len(files) <= 2  # 5 of 1000 rows live in the last range file
+
+
+def test_topk_survives_tombstoned_maxima(spark, store_path):
+    """Tombstone-delete the current top values: the walk subtracts the
+    whole tombstone debt, so the threshold stays sound and the next tier
+    of values surfaces."""
+    rows = [(i, float(i)) for i in range(100)]
+    st = _mk_typed(spark, store_path, rows)
+    st.compact(target_files=5, sort_by="v")
+    st.delete([between("v", 90.0, None)], defer=True)
+    got = sorted(tuple(r) for r in st.topk("v", 3, tiebreak=("k",)).collect())
+    assert got == [(87, 87.0), (88, 88.0), (89, 89.0)]
+
+
+def test_topk_ignores_nulls_and_uses_nonnull_counts(spark, store_path):
+    rows = [(1, 5.0), (2, None), (3, 1.0), (4, None), (5, 3.0)]
+    st = _mk_typed(spark, store_path, rows)
+    got = [tuple(r) for r in st.topk("v", 2, tiebreak=("k",)).collect()]
+    assert got == [(1, 5.0), (5, 3.0)]
+    # stats element #3 is the NON-NULL count, not the row count
+    f = st.manifest.files[0]
+    assert f.stats["v"][2] == 3 and f.rows == 5
+
+
+def test_topk_full_sort_fallback_without_stats(spark, store_path):
+    rows = [(i, float(i % 7)) for i in range(50)]
+    st = _mk_typed(spark, store_path, rows)
+    for f in st.manifest.files:
+        f.stats.pop("v", None)  # simulate a writer that shipped no stats
+    got = [tuple(r) for r in st.topk("v", 3, tiebreak=("k",)).collect()]
+    assert st.last_topk_threshold is None
+    assert [v for _, v in got] == [6.0, 6.0, 6.0]
+    assert st.topk("v", 0).count() == 0
+
+
+def test_topk_bad_column_rejected(spark, store_path):
+    st = _mk_typed(spark, store_path, [(1, 1.0)])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        st.topk("nope", 3)
