@@ -2425,6 +2425,18 @@ def q_docs_quantiles(spark, sf_dir):
     return exact_quantiles(_t(spark, sf_dir, "documents"), "n_chars", "source")
 
 
+def q_docs_equidepth(spark, sf_dir):
+    """Equi-depth histogram (sketch.equidepth_histogram): 8
+    equal-frequency n_chars buckets per source — the selectivity /
+    range-partition-boundary statistic. Built from (group, value)
+    COUNTS (bounded by distinct values, never rows); each distinct
+    value lands in the bucket of its lower cumulative rank via
+    integral (cum_before·B) DIV n — all integers, hash-exact."""
+    from shortcut_spark.operators.sketch import equidepth_histogram
+
+    return equidepth_histogram(_t(spark, sf_dir, "documents"), "n_chars", "source")
+
+
 def q_corpus_temperature_mix(spark, sf_dir):
     """Temperature (α = 0.5) source mixing (sampling.temperature_mix):
     per-source quotas ∝ √n_s, scaled to an expected 250 kept docs —
@@ -2604,6 +2616,21 @@ def q_events_top_paths(spark, sf_dir):
 
     _pin_utc(spark)
     return session_top_paths(_t(spark, sf_dir, "events"))
+
+
+def q_events_cooccurrence(spark, sf_dir):
+    """Session co-occurrence lift (events.session_cooccurrence): which
+    event-type pairs share a 30-min gap session more than chance —
+    market-basket/PMI over behavioral sessions. One user-key window
+    shuffle sessionizes; pairs come from each session's sorted
+    distinct-type array (≤ |vocab|² per session, never a row self-join);
+    lift = n_ab·N/(n_a·n_b) with DECIMAL(38,0) products and ONE final
+    double division (the collocations convention) — score and rank
+    hash-exact."""
+    from shortcut_spark.operators.events import session_cooccurrence
+
+    _pin_utc(spark)
+    return session_cooccurrence(_t(spark, sf_dir, "events"))
 
 
 def q_events_cube(spark, sf_dir):
@@ -3476,6 +3503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index_query": q_dedup_index_query,  # new r6; next window
         "store_matview": q_store_matview,  # new r6; next window
         "store_topk": q_store_topk,  # new r6; next window
+        "events_cooccurrence": q_events_cooccurrence,  # new r6; next window
+        "docs_equidepth": q_docs_equidepth,  # new r6; next window
         "store_matview_minmax": q_store_matview_minmax,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
@@ -4538,6 +4567,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, q, min(n_chars) AS value,
                    CAST(max(n) AS BIGINT) AS n_rows
             FROM hit GROUP BY 1, 2""",
+        "docs_equidepth": """
+            WITH counts AS (
+              SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+              FROM documents GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT source, n_chars, c,
+                     sum(c) OVER (PARTITION BY source ORDER BY n_chars
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(c) OVER (PARTITION BY source) AS n
+              FROM counts
+            )
+            SELECT source, CAST(((cum - c) * 8) // n AS BIGINT) AS bucket,
+                   min(n_chars) AS lo, max(n_chars) AS hi,
+                   CAST(sum(c) AS BIGINT) AS n_rows
+            FROM cum GROUP BY 1, 2""",
         "store_stats_agg": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    min(l_quantity) AS min_val,
@@ -4834,6 +4879,47 @@ def oracle_sql() -> dict[str, str]:
                    path, n_occurrences
             FROM c
             QUALIFY rank <= 20""",
+        "events_cooccurrence": f"""
+            WITH t AS (
+              SELECT user_id, event_id, ts, event_type,
+                     {_EPOCH.format('ts')} AS es
+              FROM events
+            ), m AS (
+              SELECT user_id, event_id, ts, event_type, es,
+                     CASE WHEN lag(es) OVER w IS NULL THEN 1
+                          WHEN es - lag(es) OVER w > 1800 THEN 1
+                          ELSE 0 END AS brk
+              FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, event_type,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+              FROM m
+            ), st AS (
+              SELECT DISTINCT user_id, sess, event_type FROM s
+            ), nsess AS (
+              SELECT CAST(count(*) AS DECIMAL(38,0)) AS n
+              FROM (SELECT DISTINCT user_id, sess FROM st)
+            ), per_type AS (
+              SELECT event_type, count(*) AS n_t FROM st GROUP BY 1
+            ), pair_counts AS (
+              SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     count(*) AS n_ab
+              FROM st a JOIN st b
+                ON a.user_id = b.user_id AND a.sess = b.sess
+               AND a.event_type < b.event_type
+              GROUP BY 1, 2
+            )
+            SELECT p.type_a, p.type_b, p.n_ab,
+                   ta.n_t AS n_a, tb.n_t AS n_b,
+                   CAST(CAST(p.n_ab AS DECIMAL(38,0)) * nsess.n AS DOUBLE)
+                   / CAST(CAST(ta.n_t AS DECIMAL(38,0)) * tb.n_t AS DOUBLE)
+                     AS lift
+            FROM pair_counts p
+            JOIN per_type ta ON ta.event_type = p.type_a
+            JOIN per_type tb ON tb.event_type = p.type_b
+            CROSS JOIN nsess
+            ORDER BY lift DESC, p.type_a, p.type_b LIMIT 30""",
         "events_cube": f"""
             WITH e AS (
               SELECT event_type,

@@ -29,6 +29,7 @@ __all__ = [
     "last_touch_attribution",
     "cube_rollup",
     "session_top_paths",
+    "session_cooccurrence",
     "json_field_profile",
     "pivot_daily_matrix",
 ]
@@ -681,3 +682,90 @@ def pivot_daily_matrix(
         .groupBy("day_epoch")
         .agg(*aggs)
     )
+
+
+def session_cooccurrence(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    top: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """SESSION CO-OCCURRENCE LIFT: which event-type pairs appear in the
+    SAME session more than chance predicts — the market-basket / PMI
+    query over behavioral sessions (lift orders identically to PMI;
+    PMI = ln lift). For each unordered pair of distinct types,
+    lift = P(a,b) / (P(a)·P(b)) over sessions = n_ab·N / (n_a·n_b).
+
+    Exactness: numerator and denominator are DECIMAL(38,0) products;
+    only the FINAL division is a double — the collocations convention,
+    so both engines divide the same two exactly-represented integers
+    and score AND rank are hash-exact.
+
+    Scale shape: ONE user-key window shuffle sessionizes (same
+    lag+cumsum composition as session_top_paths); the distinct
+    (session, type) relation is bounded by sessions×|type vocabulary|;
+    pairs come from each session's sorted distinct-type array (≤
+    |vocab|² per session — never a row-level self-join); per-type
+    session counts are a |vocab|-row aggregate joined back; N rides a
+    broadcast 1-row aggregate.
+
+    Output: (type_a, type_b, n_ab, n_a, n_b, lift), top by
+    (lift desc, type_a, type_b) — deterministic.
+    """
+    from pyspark.sql import Window as W
+
+    w_user = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = F.lit(gap_minutes * 60)
+    with_break = events.withColumn(
+        "__brk",
+        (
+            F.coalesce(
+                F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(w_user)),
+                F.lit(None).cast("long"),
+            )
+            > gap
+        ).cast("int"),
+    ).withColumn("__sess", F.sum(F.coalesce(F.col("__brk"), F.lit(1))).over(w_user))
+    sess_types = (
+        with_break.select(user_col, "__sess", F.col(type_col).cast("string").alias("__ty"))
+        .distinct()
+    )
+    n_sessions = (
+        sess_types.select(user_col, "__sess")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__N"))
+    )
+    per_type = sess_types.groupBy("__ty").agg(F.count(F.lit(1)).alias("__n_t"))
+    type_arrays = sess_types.groupBy(user_col, "__sess").agg(
+        F.sort_array(F.collect_set("__ty")).alias("__tys")
+    )
+    # unordered pairs (i < j) straight off the sorted array — JVM-side
+    pair_arr = F.expr(
+        "flatten(transform(__tys, (x, i) ->"
+        " transform(slice(__tys, i + 2, size(__tys) - i - 1),"
+        " y -> struct(x as a, y as b))))"
+    )
+    pairs = type_arrays.select(F.explode(pair_arr).alias("p")).select("p.a", "p.b")
+    n_ab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    na = per_type.select(F.col("__ty").alias("a"), F.col("__n_t").alias("n_a"))
+    nb = per_type.select(F.col("__ty").alias("b"), F.col("__n_t").alias("n_b"))
+    scored = (
+        n_ab.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            F.col("a").alias("type_a"),
+            F.col("b").alias("type_b"),
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab").cast("decimal(38,0)") * F.col("__N")).cast("double")
+                / (F.col("n_a").cast("decimal(38,0)") * F.col("n_b").cast("decimal(38,0)")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "type_a", "type_b").limit(top)

@@ -34,6 +34,7 @@ __all__ = [
     "cms_build",
     "cms_estimate",
     "exact_quantiles",
+    "equidepth_histogram",
     "key_skew_profile",
 ]
 
@@ -285,4 +286,47 @@ def key_skew_profile(
         "n_keys",
         "n_rows",
         "gini",
+    )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """EQUI-DEPTH (equal-frequency) histogram per group — the optimizer
+    statistic behind selectivity estimation and the boundary table a
+    skew-aware range partitioner wants. Derived from (group, value)
+    COUNTS exactly like :func:`exact_quantiles`: shuffle and window
+    sizes are bounded by DISTINCT values per group, never rows (same
+    honest degeneration bound for continuous high-cardinality doubles).
+
+    Each distinct value lands in ONE bucket by its lower cumulative
+    rank: bucket = (cum_before · B) DIV n — integral arithmetic
+    end-to-end (no clamp needed: cum_before ≤ n−1 ⇒ bucket ≤ B−1), so
+    the whole report is hash-exact. A value heavier than a bucket's
+    depth makes buckets uneven — a value never splits across buckets,
+    which is precisely what a range partitioner needs to know (that
+    value must be salted, not split).
+
+    Output: (group, bucket, lo, hi, n_rows) — lo/hi the bucket's value
+    bounds, n_rows its exact depth.
+    """
+    from pyspark.sql import Window as W
+
+    b = int(buckets)
+    counts = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("__c"))
+    totals = counts.groupBy(group_col).agg(F.sum("__c").alias("__n"))
+    w = W.partitionBy(group_col).orderBy(value_col).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = counts.withColumn("__cum", F.sum("__c").over(w)).join(totals, group_col)
+    bucketed = cum.withColumn(
+        "bucket", F.expr(f"CAST(((__cum - __c) * {b}) DIV __n AS BIGINT)")
+    )
+    return bucketed.groupBy(group_col, "bucket").agg(
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+        F.sum("__c").cast("long").alias("n_rows"),
     )

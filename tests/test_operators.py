@@ -2979,3 +2979,68 @@ def test_neardup_index_incremental_lifecycle(spark, tmp_path):
     idx2 = NearDupIndex.open(spark, str(tmp_path / "ndi"))
     out2 = {(r["query_id"], r["ref_id"]) for r in idx2.query(q, threshold=0.5).collect()}
     assert out2 == {(10, 1)}
+
+
+def test_session_cooccurrence_exact_lift(spark):
+    """Planted sessions: 4 sessions total; (a,b) co-occur in 2, a in 3,
+    b in 2 → lift = 2·4/(3·2) = 4/3 exactly; (a,c) co-occur in 1, c in
+    1 → lift = 1·4/(3·1) = 4/3; (b,c) never share a session → absent.
+    Duplicate types within a session count once (session-set semantics)."""
+    import datetime as dt
+
+    from shortcut_spark.operators.events import session_cooccurrence
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)
+    rows = [
+        # user 7, session 1: a, a, b (duplicate a counts once)
+        (1, sec(0), 7, "a", 0.0, "{}"),
+        (2, sec(5), 7, "a", 0.0, "{}"),
+        (3, sec(10), 7, "b", 0.0, "{}"),
+        # user 7, session 2 (after the gap): a, b
+        (4, sec(3600), 7, "a", 0.0, "{}"),
+        (5, sec(3610), 7, "b", 0.0, "{}"),
+        # user 8, session 1: a, c
+        (6, sec(0), 8, "a", 0.0, "{}"),
+        (7, sec(1), 8, "c", 0.0, "{}"),
+        # user 8, session 2: b alone
+        (8, sec(3600), 8, "b", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        (r["type_a"], r["type_b"]): (r["n_ab"], r["n_a"], r["n_b"], r["lift"])
+        for r in session_cooccurrence(df).collect()
+    }
+    assert out == {
+        ("a", "b"): (2, 3, 3, 2 * 4 / (3 * 3)),
+        ("a", "c"): (1, 3, 1, 1 * 4 / (3 * 1)),
+    }, out
+
+
+def test_equidepth_histogram_depths_and_bounds(spark):
+    """Uniform 0..99 in 4 buckets → depth 25 each with contiguous
+    bounds; a single heavy value keeps its whole mass in ONE bucket
+    (values never split — the range-partitioner contract)."""
+    from shortcut_spark.operators.sketch import equidepth_histogram
+
+    rows = [("u", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = sorted(
+        (r["bucket"], r["lo"], r["hi"], r["n_rows"])
+        for r in equidepth_histogram(df, "v", "g", buckets=4).collect()
+    )
+    assert out == [
+        (0, 0.0, 24.0, 25),
+        (1, 25.0, 49.0, 25),
+        (2, 50.0, 74.0, 25),
+        (3, 75.0, 99.0, 25),
+    ]
+    heavy = [("h", 5.0)] * 90 + [("h", float(v)) for v in (1, 2, 3, 7, 8, 9)]
+    df2 = spark.createDataFrame(heavy, "g string, v double")
+    out2 = {r["bucket"]: r["n_rows"] for r in equidepth_histogram(df2, "v", "g", buckets=4).collect()}
+    # 5.0's 90 rows all land in the bucket of its lower rank (rank 3 → bucket 0)
+    assert out2[0] == 93 and sum(out2.values()) == 96
