@@ -1577,6 +1577,22 @@ def q_dedup_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    """LOSSLESS near-dup candidates via PPJoin-style prefix filtering
+    (dedup.jaccard_pairs_prefix): each doc indexes only its
+    |X|−ceil(t·|X|)+1 globally-RAREST shingles — the first-common-token
+    theorem guarantees every J≥t pair still collides (recall 1, unlike
+    banded MinHash), and boilerplate shingles never build hot posting
+    lists (unlike the raw inverted-index join). Scores the FULL shingle
+    space — the oracle is the brute-force exact jaccard, so losslessness
+    itself is what the hash certifies."""
+    return dedup.jaccard_pairs_prefix(
+        dedup.shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3),
+        "doc_id",
+        0.5,
+    )
+
+
 def q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_near_dups(
         _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.2
@@ -3505,6 +3521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_topk": q_store_topk,  # new r6; next window
         "events_cooccurrence": q_events_cooccurrence,  # new r6; next window
         "docs_equidepth": q_docs_equidepth,  # new r6; next window
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,  # new r6; next window
         "store_matview_minmax": q_store_matview_minmax,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
@@ -5150,6 +5167,23 @@ def oracle_sql() -> dict[str, str]:
             WITH {shingle_cte},
             {jaccard_tail}
             SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.2""",
+        # prefix filtering is lossless, so its oracle is the BRUTE-FORCE
+        # exact jaccard over the full shingle space
+        "dedup_jaccard_prefix": f"""
+            WITH {shingle_cte},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""",
         "dedup_cross_corpus": f"""
             SELECT doc_id, source, n_chars FROM documents
             WHERE length(source) = 5

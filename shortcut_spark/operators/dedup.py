@@ -39,6 +39,7 @@ __all__ = [
     "minhash_signature_arrays",
     "minhash_candidates",
     "jaccard_pairs",
+    "jaccard_pairs_prefix",
     "minhash_near_dups",
     "simhash",
     "simhash_near_dups",
@@ -1188,3 +1189,80 @@ class NearDupIndex:
             )
             .filter(F.col("est_jaccard") >= threshold)
         )
+
+
+def jaccard_pairs_prefix(
+    sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """EXACT jaccard >= threshold via PPJoin-style PREFIX FILTERING — the
+    lossless candidate generator (vs banded MinHash's probabilistic
+    recall, and vs the raw inverted-index join's hot-shingle quadratics).
+
+    Theorem (first-common-token): order all shingles by a GLOBAL total
+    order (here: document frequency ascending, shingle ascending). Give
+    each set X a prefix of its first p_X = |X| - ceil(t·|X|) + 1
+    shingles. If J(A,B) >= t, the globally-FIRST common shingle w lies
+    in BOTH prefixes: were w outside prefix_A, every common shingle
+    (all >= w in the order) would sit among A's last ceil(t|A|)-1
+    positions, so |A∩B| <= ceil(t|A|)-1 < t·|A| <= t·|A∪B| <= |A∩B| —
+    contradiction; symmetric for B. So an inverted index over PREFIXES
+    ONLY finds every qualifying pair: recall is 1 by construction.
+
+    Why this kills skew: df-ascending ordering puts boilerplate
+    (high-df) shingles at the END of every set — they enter a prefix
+    only when a document is almost nothing but boilerplate — so the
+    candidate index is built from each document's RAREST shingles and
+    the hottest posting lists never materialize. The df-cap of
+    :func:`jaccard_pairs` becomes unnecessary for runtime (and this
+    variant scores the FULL shingle space, not the capped one).
+
+    Integer hygiene: ceil(t·|X|) is computed as
+    (|X|·t_micro + 999999) DIV 1e6 with t_micro = floor(t·1e6) — never
+    larger than the true ceil, so prefixes are never shorter than the
+    theorem requires. The length filter min >= t·max is applied in the
+    same relaxed integer form (min·1e6 >= max·t_micro): both
+    relaxations only ADD candidates, never drop one. Verification is
+    the shared :func:`jaccard_pairs` candidates path (exact integer
+    intersections; one double division).
+
+    Scale shape: one shingle-key shuffle for df counts + the join back,
+    one id-key window for per-doc rank/size, then a prefix-only
+    inverted-index join whose hottest key is a RARE shingle, and a
+    candidates-bounded verify. Output: (id_a, id_b, jaccard).
+    """
+    import math
+
+    from pyspark.sql import Window as W
+
+    t_micro = int(math.floor(float(threshold) * 1_000_000))
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = sh.join(dfc, "shingle")
+    w_doc = W.partitionBy(id_col).orderBy("__df", "shingle")
+    sized = ranked.withColumn("__rn", F.row_number().over(w_doc)).withColumn(
+        "__sz", F.count(F.lit(1)).over(W.partitionBy(id_col))
+    )
+    ceil_t_sz = F.expr(
+        f"CAST((CAST(__sz AS BIGINT) * {t_micro} + 999999) DIV 1000000 AS BIGINT)"
+    )
+    pre = sized.filter(
+        F.col("__rn") <= F.col("__sz") - ceil_t_sz + F.lit(1)
+    ).select(F.col(id_col), "shingle", "__sz")
+    a = pre.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("__sz").alias("sz_a")
+    )
+    b = pre.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("__sz").alias("sz_b")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("sz_a", "sz_b") * F.lit(1_000_000)
+                >= F.greatest("sz_a", "sz_b") * F.lit(t_micro)
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_pairs(sh, id_col, threshold, candidates=cand, max_df=None)

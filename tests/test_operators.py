@@ -3044,3 +3044,51 @@ def test_equidepth_histogram_depths_and_bounds(spark):
     out2 = {r["bucket"]: r["n_rows"] for r in equidepth_histogram(df2, "v", "g", buckets=4).collect()}
     # 5.0's 90 rows all land in the bucket of its lower rank (rank 3 → bucket 0)
     assert out2[0] == 93 and sum(out2.values()) == 96
+
+
+def test_jaccard_prefix_lossless_and_boilerplate_immune(spark):
+    """Prefix filtering returns EXACTLY the brute-force jaccard pairs
+    (lossless by the first-common-token theorem), and a boilerplate
+    shingle shared by every document never enters the prefix index —
+    the hot posting list that quadratically explodes the raw
+    inverted-index join simply does not exist here."""
+    from shortcut_spark.operators import dedup
+
+    boiler = "subscribe to our newsletter "
+    rows = [
+        (i, boiler + " ".join(f"u{i}w{j}" for j in range(25))) for i in range(30)
+    ]
+    # a true near-dup pair: 20 shared tokens, one final token differs
+    # → 17 shared trigrams of 18, union 19 → J = 17/19 ≈ 0.895 ≥ 0.8
+    base = " ".join(f"v{j}" for j in range(19))
+    rows += [(100, base + " endA"), (101, base + " endB")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.shingles(df, "doc_id", "text", n=3)
+    got = sorted(
+        tuple(r) for r in dedup.jaccard_pairs_prefix(sh, "doc_id", 0.8).collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in dedup.jaccard_pairs(sh, "doc_id", 0.8, max_df=None).collect()
+    )
+    assert got == exp and (100, 101) in {(a, b) for a, b, _ in got}, (got, exp)
+    # the boilerplate trigrams (df = 30) are in nobody's prefix: every
+    # doc's 25 rarer shingles fill its ~20% prefix quota first
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+    import math
+
+    t_micro = int(math.floor(0.8 * 1_000_000))
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = sh.join(dfc, "shingle")
+    sized = ranked.withColumn(
+        "__rn", F.row_number().over(W.partitionBy("doc_id").orderBy("__df", "shingle"))
+    ).withColumn("__sz", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    pre = sized.filter(
+        F.col("__rn")
+        <= F.col("__sz")
+        - F.expr(f"CAST((CAST(__sz AS BIGINT) * {t_micro} + 999999) DIV 1000000 AS BIGINT)")
+        + F.lit(1)
+    )
+    hot_in_prefix = pre.filter(F.col("__df") >= 30).count()
+    assert hot_in_prefix == 0
