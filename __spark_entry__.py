@@ -3378,6 +3378,39 @@ def q_stream_ingest(spark, sf_dir):
     )
 
 
+def q_stream_matview(spark, sf_dir):
+    """Streaming ingest → Store → incremental MatView, end-to-end
+    (streaming.stream_into_store(matview=...)): the source is split into
+    4 files and paced one per trigger, so EACH micro-batch is one atomic
+    Store commit followed by one atomic view-merge refresh consuming
+    exactly that batch's CDC delta — the continuously-maintained
+    dashboard shape. The per-epoch batch split is free to vary:
+    DECIMAL-carried sums make the view a pure function of the final
+    table state, which is what the oracle recomputes from scratch. The
+    asserts pin that >1 epoch actually flowed and that every refresh
+    took the IVM fast path (no base scan)."""
+    from shortcut_spark.matview import MatView
+
+    ev = _t(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="sc_mvstream_")
+    src_dir = os.path.join(base, "src")
+    ev.repartition(4).write.parquet(src_dir)
+    store = Store.create(spark, os.path.join(base, "events"), ev.schema)
+    mv = MatView.create(
+        spark,
+        os.path.join(base, "view"),
+        store,
+        ["event_type"],
+        [("n", "count", None), ("sum_value", "sum", "value")],
+    )
+    stream_ops.stream_into_store(
+        spark, src_dir, store, matview=mv, options={"maxFilesPerTrigger": 1}
+    )
+    assert store.manifest.version >= 4  # multiple epochs really flowed
+    assert mv.last_refresh_scanned_base is False  # IVM fast path held
+    return mv.read()
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 
@@ -3522,6 +3555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cooccurrence": q_events_cooccurrence,  # new r6; next window
         "docs_equidepth": q_docs_equidepth,  # new r6; next window
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,  # new r6; next window
+        "events_stream_matview": q_stream_matview,  # new r6; next window
         "store_matview_minmax": q_store_matview_minmax,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
@@ -4350,6 +4384,12 @@ def oracle_sql() -> dict[str, str]:
         # Count-Min Sketch rebuilt cell-for-cell: same md5 cell hashes
         # (functions.hash32 twin), same depth x width table, same min-of-
         # counters estimate — the deterministic member of the sketch tier
+        # stream→store→matview: the oracle is the from-scratch aggregate
+        # over the whole source — certifying effectively-once ingest AND
+        # per-epoch IVM exactness in one hash
+        "events_stream_matview": f"""
+            SELECT event_type, count(*) AS n, {_DSUM('value')} AS sum_value
+            FROM events GROUP BY event_type""",
         "events_cms_counts": """
             WITH rows_i AS (SELECT unnest([0, 1, 2, 3]) AS row_i),
             cells AS (

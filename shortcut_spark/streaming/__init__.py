@@ -482,7 +482,13 @@ def _file_stream(
     return stream
 
 
-def stream_into_store(spark: SparkSession, source_parquet: str, store) -> int:
+def stream_into_store(
+    spark: SparkSession,
+    source_parquet: str,
+    store,
+    matview=None,
+    options: dict | None = None,
+) -> int:
     """Continuous ingestion: a file stream lands in a Store via
     ``foreachBatch`` — each micro-batch becomes one Store commit (dense
     rowids, index maintenance, atomic manifest flip).
@@ -493,7 +499,17 @@ def stream_into_store(spark: SparkSession, source_parquet: str, store) -> int:
     property — written in the SAME atomic manifest commit as the batch's
     data, so a crash can never land data without its epoch marker (or
     vice versa); a replayed ``foreachBatch`` epoch is skipped rather than
-    re-inserted. Returns rows ingested this run."""
+    re-inserted. Returns rows ingested this run.
+
+    ``matview``: an optional :class:`~..matview.MatView` over this store —
+    refreshed once per committed micro-batch, so the aggregate view
+    trails the stream by exactly one CDC delta (the continuously-
+    maintained-dashboard shape; each refresh is itself one atomic merge
+    commit on the view's own Store). A replayed epoch skips the insert
+    and the refresh no-ops on the unchanged base version — the
+    effectively-once contract extends to the view. ``options`` passes
+    stream reader options through (e.g. ``maxFilesPerTrigger`` to pace
+    epochs)."""
     import os
 
     from pyspark.sql import types as T
@@ -506,7 +522,11 @@ def stream_into_store(spark: SparkSession, source_parquet: str, store) -> int:
     state_dir = os.path.join(store.path, "_streaming")
     os.makedirs(state_dir, exist_ok=True)
     stream = _file_stream(
-        spark, source_parquet, want_event_ts=want_ts, link_dir=os.path.join(state_dir, "src")
+        spark,
+        source_parquet,
+        want_event_ts=want_ts,
+        link_dir=os.path.join(state_dir, "src"),
+        options=options,
     )
     last_epoch = int(store.manifest.props.get("stream_epoch", -1))
 
@@ -521,6 +541,8 @@ def stream_into_store(spark: SparkSession, source_parquet: str, store) -> int:
         # the latest epoch forward.
         store.manifest.props["stream_epoch"] = epoch
         ingested[0] += store.insert(batch_df)
+        if matview is not None:
+            matview.refresh()  # exactly this batch's CDC delta
 
     q = (
         stream.writeStream.foreachBatch(sink)

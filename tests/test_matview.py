@@ -202,3 +202,32 @@ def test_bad_specs_rejected(spark, store_path):
         MatView.create(spark, os.path.join(str(store_path), "v2"), st, ["k"], [("x", "median", "v")])
     with pytest.raises(ValueError):
         MatView.create(spark, os.path.join(str(store_path), "v3"), st, ["k"], [("x", "sum", "nope")])
+
+
+def test_stream_into_store_refreshes_matview_per_epoch(spark, store_path, tmp_path):
+    """foreachBatch ingest with a MatView attached: every committed
+    micro-batch triggers one fast-path refresh, and the final view equals
+    the from-scratch aggregate over everything ingested."""
+    import os
+
+    from shortcut_spark.streaming import stream_into_store
+
+    src = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(40)], "k long, v double"
+    ).withColumn("k", F.col("k") % 4)
+    src_dir = str(tmp_path / "src")
+    src.repartition(2).write.parquet(src_dir)
+    st = Store.create(
+        spark,
+        os.path.join(str(store_path), "b"),
+        T.StructType([T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]),
+    )
+    mv = MatView.create(
+        spark, os.path.join(str(store_path), "v"), st, ["k"], [("n", "count", None), ("sv", "sum", "v")]
+    )
+    n = stream_into_store(spark, src_dir, st, matview=mv, options={"maxFilesPerTrigger": 1})
+    assert n == 40
+    assert st.manifest.version >= 2  # one commit per file epoch
+    assert mv.last_refresh_scanned_base is False
+    assert mv.refresh() == 0  # view already current
+    _assert_matches_recompute(mv)
