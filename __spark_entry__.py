@@ -2331,6 +2331,17 @@ def q_text_collocations(spark, sf_dir):
     return collocations(_t(spark, sf_dir, "documents"), min_count=5, k=50)
 
 
+def q_docs_zipf(spark, sf_dir):
+    """Zipf frequency spectrum (text.zipf_spectrum): count-of-counts
+    V(f) over corpus tokens plus each row's exact-integer vocabulary
+    share — the corpus-health twin of docs_vocab_growth (Heaps). Two
+    nested aggregations, |vocab| then |distinct freqs| keys; all
+    integers, hash-exact."""
+    from shortcut_spark.operators.text import zipf_spectrum
+
+    return zipf_spectrum(_t(spark, sf_dir, "documents"))
+
+
 def q_docs_vocab_growth(spark, sf_dir):
     """Vocabulary-growth curve (text.vocab_growth): per-doc NEW distinct
     tokens + cumulative vocabulary in id order — Heaps'-law diminishing
@@ -3556,6 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_equidepth": q_docs_equidepth,  # new r6; next window
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,  # new r6; next window
         "events_stream_matview": q_stream_matview,  # new r6; next window
+        "docs_zipf": q_docs_zipf,  # new r6; next window
         "store_matview_minmax": q_store_matview_minmax,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
@@ -5175,6 +5187,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni uy ON uy.w = b.w2
             CROSS JOIN tot
             ORDER BY lift DESC, b.w1, b.w2 LIMIT 50""",
+        "docs_zipf": f"""
+            WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+            freqs AS (
+              SELECT w, count(*) AS freq
+              FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+            ),
+            spec AS (
+              SELECT freq, CAST(count(*) AS BIGINT) AS n_types
+              FROM freqs GROUP BY 1
+            ),
+            v AS (SELECT CAST(sum(n_types) AS DECIMAL(38,0)) AS v FROM spec)
+            SELECT freq, n_types,
+                   CAST((CAST(n_types AS DECIMAL(38,0)) * 1000000) // v.v
+                        AS BIGINT) AS types_share_micro
+            FROM spec CROSS JOIN v""",
         "docs_vocab_growth": f"""
             WITH terms AS (
               SELECT doc_id, unnest(t) AS w

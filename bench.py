@@ -225,6 +225,10 @@ HEADLINE = [
     ("store_matview", "collect"),
     # stats-pruned ORDER BY LIMIT k over a sorted-compact layout
     ("store_topk", "collect"),
+    # session co-occurrence lift (market-basket over gap sessions)
+    ("events_cooccurrence", "collect"),
+    # equi-depth histogram from (group, value) counts
+    ("docs_equidepth", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -46,6 +46,7 @@ __all__ = [
     "collocations",
     "bm25_topk",
     "vocab_growth",
+    "zipf_spectrum",
 ]
 
 # Dialect-portable patterns (valid and equivalent in Java regex and RE2 /
@@ -1119,4 +1120,38 @@ def rake_keywords(
             "rank", "phrase", "n_occurrences",
             (F.col("__s").cast("double") / F.lit(1000000.0)).alias("score"),
         )
+    )
+
+
+def zipf_spectrum(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """FREQUENCY SPECTRUM (Zipf's-law diagnostic): for every observed
+    token frequency f, how many distinct types occur exactly f times —
+    the count-of-counts relation V(f). Together with :func:`vocab_growth`
+    (Heaps' law) this is the standard pair of corpus-statistics curves:
+    a natural corpus shows V(f) ∝ f^(−1−1/s) (hapax-heavy tail); a
+    machine-duplicated or templated corpus bends the low-f end down —
+    making the spectrum a cheap corpus-health gate before training.
+
+    All integers (no log fitting — the judge of slope is the reader or a
+    downstream regression), so the report is hash-exact. Also emits each
+    spectrum row's share of the vocabulary as exact-integer micro units.
+
+    Scale shape: one token-count shuffle (map-side combine) into |vocab|
+    keys, then a count-of-counts rollup into |distinct frequencies| keys
+    — the same double-aggregation collapse as key_skew_profile; no
+    global sort, no windows.
+
+    Output: (freq, n_types, types_share_micro = n_types·10⁶ DIV |vocab|);
+    the f=1 row's share is the hapax rate.
+    """
+    toks = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+    freqs = toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    spectrum = freqs.groupBy("freq").agg(F.count(F.lit(1)).alias("n_types"))
+    vocab = spectrum.agg(F.sum("n_types").cast("decimal(38,0)").alias("__v"))
+    return spectrum.crossJoin(F.broadcast(vocab)).select(
+        "freq",
+        "n_types",
+        F.expr("CAST((CAST(n_types AS DECIMAL(38,0)) * 1000000) DIV __v AS BIGINT)").alias(
+            "types_share_micro"
+        ),
     )

@@ -3092,3 +3092,13 @@ def test_jaccard_prefix_lossless_and_boilerplate_immune(spark):
     )
     hot_in_prefix = pre.filter(F.col("__df") >= 30).count()
     assert hot_in_prefix == 0
+
+
+def test_zipf_spectrum_count_of_counts(spark):
+    """'a a a b b c' → V(3)=1, V(2)=1, V(1)=1; vocabulary 3 types →
+    each row's share is exactly 333333 micro (integral DIV)."""
+    from shortcut_spark.operators.text import zipf_spectrum
+
+    df = spark.createDataFrame([("a a a b b c",)], "text string")
+    out = {r["freq"]: (r["n_types"], r["types_share_micro"]) for r in zipf_spectrum(df).collect()}
+    assert out == {3: (1, 333333), 2: (1, 333333), 1: (1, 333333)}
