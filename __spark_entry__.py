@@ -2440,6 +2440,20 @@ def q_embed_outliers(spark, sf_dir):
     return similarity.embedding_outliers(_t(spark, sf_dir, "embeddings"))
 
 
+def q_embed_kmeans(spark, sf_dir):
+    """Integer fixed-point k-means (cluster.kmeans_exact): 8 clusters, 5
+    Lloyd iterations, every step BIGINT multiply/floor-divide over
+    1e-6-quantized elements — the ITERATIVE clustering is engine-exact
+    (float k-means argmins flip with reduce order) and unrolls into a
+    plain d/a/c CTE chain the oracle replicates verbatim, pagerank-style.
+    Per iteration: one map-only assignment pass (all k distances evaluate
+    row-locally against literal centroid arrays) + one partial-aggregated
+    (cluster, dim) shuffle whose key space is k·D at any corpus size."""
+    from shortcut_spark.operators.cluster import kmeans_exact
+
+    return kmeans_exact(_t(spark, sf_dir, "embeddings"), k=8, iters=5)
+
+
 def q_docs_quantiles(spark, sf_dir):
     """Scalable exact type-1 quantiles (sketch.exact_quantiles): per-source
     n_chars order statistics from (group, value) COUNTS — no per-group
@@ -3569,6 +3583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_matview": q_stream_matview,  # new r6; next window
         "docs_zipf": q_docs_zipf,  # new r6; next window
         "store_matview_minmax": q_store_matview_minmax,  # new r6; next window
+        "embed_kmeans": q_embed_kmeans,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -3794,6 +3809,59 @@ def oracle_sql() -> dict[str, str]:
                p.n
         FROM it{_i - 1} p CROSS JOIN d{_i} dd
         LEFT JOIN c{_i} ON c{_i}.node = p.node
+      )"""
+
+    # integer fixed-point k-means (cluster.kmeans_exact spec): seeds are
+    # the k smallest ids; each of the KM_IT iterations unrolls into a
+    # d{t} (distances) / a{t} (argmin, ties on smaller cid) / c{t}
+    # (sign-safe floor-div centroid update) CTE triple — the clustering
+    # analogue of the pagerank chain. DuckDB sums BIGINT into HUGEINT,
+    # so every cv/dist2 is cast back down explicitly.
+    KM_K, KM_IT, KM_Q = 8, 5, 10**6
+    km_chain = f"""
+      kex AS (
+        SELECT vec_id,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {KM_Q} + 0.5)
+                    AS BIGINT) AS qv,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+      ),
+      kseeds AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {KM_K})
+      ),
+      kc0 AS (
+        SELECT s.cid, kex.pos, kex.qv AS cv
+        FROM kseeds s JOIN kex ON kex.vec_id = s.vec_id
+      )"""
+    for _t_ in range(1, KM_IT + 1):
+        km_chain += f""",
+      kd{_t_} AS (
+        SELECT kex.vec_id, c.cid,
+               CAST(sum((kex.qv - c.cv) * (kex.qv - c.cv)) AS BIGINT) AS dist2
+        FROM kex JOIN kc{_t_ - 1} c ON c.pos = kex.pos
+        GROUP BY 1, 2
+      ),
+      ka{_t_} AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+          FROM kd{_t_}) WHERE rn = 1
+      ),
+      kc{_t_} AS (
+        SELECT a.cid, kex.pos,
+               CAST((sum(kex.qv)
+                     - ((sum(kex.qv) % count(*)) + count(*)) % count(*))
+                    // count(*) AS BIGINT) AS cv
+        FROM ka{_t_} a JOIN kex ON kex.vec_id = a.vec_id
+        GROUP BY 1, 2
+      )"""
+    km_chain += f""",
+      kdfin AS (
+        SELECT kex.vec_id, c.cid,
+               CAST(sum((kex.qv - c.cv) * (kex.qv - c.cv)) AS BIGINT) AS dist2
+        FROM kex JOIN kc{KM_IT} c ON c.pos = kex.pos
+        GROUP BY 1, 2
       )"""
 
     # hot-shingle df-cap twin (dedup._drop_hot_shingles, max_df=10000
@@ -4714,6 +4782,14 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(an.n AS DOUBLE) * CAST(an.n AS DOUBLE)
                       * (1000000.0 * 1000000.0)) AS dispersion
             FROM an JOIN b ON b.label = an.label""",
+        "embed_kmeans": f"""
+            WITH {km_chain}
+            SELECT vec_id, CAST(cid AS INTEGER) AS cluster, dist2
+            FROM (
+              SELECT vec_id, cid, dist2,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist2, cid) AS rn
+              FROM kdfin) WHERE rn = 1""",
         "dedup_index_query": f"""
             WITH toks AS (SELECT doc_id, source, {toks} AS t FROM documents),
             sh AS (

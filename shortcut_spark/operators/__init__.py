@@ -1,9 +1,9 @@
 from . import (
-    dedup, events, graph, joins, multimodal, pipeline, sampling, similarity, sketch, text,
-    validation,
+    cluster, dedup, events, graph, joins, multimodal, pipeline, sampling, similarity,
+    sketch, text, validation,
 )
 
 __all__ = [
-    "dedup", "events", "graph", "joins", "multimodal", "pipeline", "sampling",
-    "similarity", "sketch", "text", "validation",
+    "cluster", "dedup", "events", "graph", "joins", "multimodal", "pipeline",
+    "sampling", "similarity", "sketch", "text", "validation",
 ]

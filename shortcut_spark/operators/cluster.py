@@ -1,0 +1,142 @@
+"""Integer fixed-point k-means — hash-exact embedding clustering.
+
+Float k-means (``similarity.ivf_fit``) is the right tool for building ANN
+indexes, but its reduce-order drift makes the ASSIGNMENTS uncertifiable:
+two engines summing doubles in different orders can flip an argmin near a
+Voronoi boundary. This module is the certifiable sibling: every arithmetic
+step is BIGINT multiply / add / floor-divide over 1e-6-quantized elements
+(the convention of ``similarity.embedding_dispersion``), so a fixed number
+of Lloyd iterations is bit-identical in any engine and the whole iterative
+computation unrolls into a plain CTE chain a SQL oracle can replicate —
+the same certification trick as ``graph.pagerank``.
+
+The reference engine has no clustering surface (its world is single-Store
+predicate scans, ``/root/reference/src/lib.rs``); this is part of the
+LLM-pipeline extension surface: deterministic corpus partitioning for
+diversity-aware sampling, per-cluster dedup sharding, and balanced
+train/eval splits all need a clustering whose output is reproducible
+across engine versions and cluster sizes.
+
+Spec (the oracle replicates it verbatim):
+
+* quantize:   ``q_id = floor(x_id · quant + 0.5)`` per element (exact
+  double arithmetic — embeddings arrive as float32, widened identically
+  everywhere).
+* seed:       centroids c_0..c_{k-1} are the quantized vectors of the k
+  smallest ids (rank in id order = cluster id). Deterministic, no RNG.
+* assign:     ``cluster(v) = argmin_j Σ_d (q_vd − c_jd)²`` with ties
+  broken on the smaller j — integer distances make the argmin exact.
+* update:     ``c_jd = fdiv(Σ_{v∈j} q_vd, n_j)`` where ``fdiv`` is
+  mathematical FLOOR division expressed sign-safely as
+  ``(s − ((s % n) + n) % n) / n`` — Spark's ``div`` truncates toward
+  zero while some engines floor, so the operator never relies on either:
+  the adjusted numerator is exactly divisible. Empty clusters drop out
+  (both engines: the update aggregates only assigned members); surviving
+  clusters KEEP their original id, so assignments stay comparable across
+  iterations.
+* repeat ``iters`` times, then emit the final assignment.
+
+Scale shape: centroids are k·D integers — driver-resident metadata (the
+same bounded-collect class as ``ivf_fit``'s seeds). Each iteration is ONE
+map-only assignment pass (all k distances evaluate row-locally against
+literal centroid arrays — no crossJoin, no per-row shuffle) plus ONE
+partial-aggregated (cluster, dim) shuffle whose key space is k·D
+regardless of corpus size. Overflow: |x| ≤ ~30 keeps Σ_d diff² inside
+int64 at quant=1e6, D=64; lower ``quant`` for wilder ranges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["kmeans_exact"]
+
+
+def _quant_expr(vec_col: str, quant: int) -> F.Column:
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * quant + F.lit(0.5)).cast("long"),
+    )
+
+
+def _dist2(qv: F.Column, centroid: list[int]) -> F.Column:
+    c = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    return F.aggregate(
+        F.zip_with(qv, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_exact(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 5,
+    quant: int = 10**6,
+) -> DataFrame:
+    """(id, cluster, dist2) after ``iters`` exact Lloyd iterations.
+
+    ``cluster`` is the 0-based rank (in id order) of the seed vector whose
+    Voronoi cell the row landed in after the final update; ``dist2`` is
+    the integer squared distance to that centroid in quantized units.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    q = emb.select(
+        F.col(id_col).alias("__id"), _quant_expr(vec_col, quant).alias("__qv")
+    ).localCheckpoint(eager=True)  # scanned once per iteration
+
+    # seeds: quantized vectors of the k smallest ids (bounded: k rows)
+    cents: list[tuple[int, list[int]]] = [
+        (j, list(r["__qv"]))
+        for j, r in enumerate(q.orderBy("__id").limit(k).collect())
+    ]
+
+    def assign(cur: list[tuple[int, list[int]]]) -> DataFrame:
+        # all |cur| distances evaluate row-locally against literal arrays;
+        # argmin = array_min over (dist, cid) structs — map-only, no shuffle
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _dist2(F.col("__qv"), c).alias("d"),
+                        F.lit(int(cid)).alias("c"),
+                    )
+                    for cid, c in cur
+                ]
+            )
+        )
+        return q.select("__id", "__qv", best.alias("__best"))
+
+    for _ in range(iters):
+        # update: one (cluster, dim) shuffle, key space k·D; floor-div is
+        # sign-safe fdiv so Spark and the oracle agree on negatives
+        upd = (
+            assign(cents)
+            .select(
+                F.col("__best.c").alias("__c"),
+                F.posexplode("__qv").alias("__pos", "__q"),
+            )
+            .groupBy("__c", "__pos")
+            .agg(F.sum("__q").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .select(
+                "__c",
+                "__pos",
+                F.expr("(__s - ((__s % __n) + __n) % __n) div __n").alias("__cv"),
+            )
+        )
+        by_c: dict[int, dict[int, int]] = {}
+        for r in upd.collect():  # bounded: k·D integers (driver metadata)
+            by_c.setdefault(r["__c"], {})[r["__pos"]] = r["__cv"]
+        cents = [
+            (cid, [dims[p] for p in sorted(dims)]) for cid, dims in sorted(by_c.items())
+        ]
+
+    final = assign(cents)
+    return final.select(
+        F.col("__id").alias(id_col),
+        F.col("__best.c").alias("cluster"),
+        F.col("__best.d").alias("dist2"),
+    )

@@ -3102,3 +3102,45 @@ def test_zipf_spectrum_count_of_counts(spark):
     df = spark.createDataFrame([("a a a b b c",)], "text string")
     out = {r["freq"]: (r["n_types"], r["types_share_micro"]) for r in zipf_spectrum(df).collect()}
     assert out == {3: (1, 333333), 2: (1, 333333), 1: (1, 333333)}
+
+
+def test_kmeans_exact_planted_blobs(spark):
+    """Three well-separated planted blobs; every point must land with its
+    own blob's seed, iterations must not merge them, and the output must
+    be deterministic across two runs (integer arithmetic has no drift)."""
+    from shortcut_spark.operators.cluster import kmeans_exact
+
+    rows = []
+    centers = [(0.0, 0.0), (5.0, 5.0), (-5.0, 5.0)]
+    for b, (cx, cy) in enumerate(centers):
+        for i in range(20):
+            # deterministic jitter well inside the blob radius
+            dx, dy = ((i % 5) - 2) * 0.01, ((i % 7) - 3) * 0.01
+            rows.append((b * 100 + i, [cx + dx, cy + dy]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_exact(emb, k=3, iters=3).collect()
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r["vec_id"] // 100, set()).add(r["cluster"])
+    # each blob maps to exactly one cluster, and the three are distinct
+    assert all(len(s) == 1 for s in by_blob.values())
+    assert len({next(iter(s)) for s in by_blob.values()}) == 3
+    out2 = kmeans_exact(emb, k=3, iters=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_kmeans_exact_negative_floor_div(spark):
+    """A cluster whose coordinate sum is negative exercises the sign-safe
+    floor division: centroid of quantized {-1.5, -2.5} must floor to -2·q
+    + the exact integer mean, identically to the mathematical floor."""
+    from shortcut_spark.operators.cluster import kmeans_exact
+
+    emb = spark.createDataFrame(
+        [(1, [-1.5]), (2, [-2.6])], "vec_id long, embedding array<float>"
+    )
+    out = kmeans_exact(emb, k=1, iters=2).collect()
+    assert {r["cluster"] for r in out} == {0}
+    # centroid = floor((-1500000 + -2600000) / 2) = -2050000; dist2 exact
+    d = {r["vec_id"]: r["dist2"] for r in out}
+    assert d[1] == (-1_500_000 - -2_050_000) ** 2
+    assert d[2] == (-2_600_000 - -2_050_000) ** 2
