@@ -192,6 +192,25 @@ def q_store_bloom_lookup(spark, sf_dir):
     )
 
 
+def q_store_trigram_find(spark, sf_dir):
+    """Substring search through the TRIGRAM index — the fifth index kind
+    (shortcut_spark/idx.py TrigramIndex; no reference analogue — its one
+    comparison is Equal, src/cmp.rs:44-49 — entering via the same
+    user-indexer seam, src/idx.rs:8-21,174-184). Inverted (trigram,
+    file_id) postings, key space bounded by alphabet³; a contains() probe
+    keeps only files holding EVERY trigram of the needle, and the
+    residual `contains` re-check on the pruned scan restores exactness
+    (the superset-then-residual contract of src/lib.rs:89-91). The oracle
+    is a plain LIKE '%...%' — certifying that index pruning never drops
+    a matching row."""
+    from shortcut_spark.cmp import contains
+
+    st = _cached_store(spark, sf_dir, "documents", (("text", "trigram"),))
+    return st.find([contains("text", "merge batch")]).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_store_find_or(spark, sf_dir):
     """Disjunction of AND-branches via find_or (index union + rowid dedup)
     — the reference's 'issue multiple queries' (src/lib.rs:18) first-class."""
@@ -3584,6 +3603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_zipf": q_docs_zipf,  # new r6; next window
         "store_matview_minmax": q_store_matview_minmax,  # new r6; next window
         "embed_kmeans": q_embed_kmeans,  # new r6; next window
+        "store_trigram_find": q_store_trigram_find,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4782,6 +4802,10 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(an.n AS DOUBLE) * CAST(an.n AS DOUBLE)
                       * (1000000.0 * 1000000.0)) AS dispersion
             FROM an JOIN b ON b.label = an.label""",
+        "store_trigram_find": """
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE text LIKE '%merge batch%'""",
         "embed_kmeans": f"""
             WITH {km_chain}
             SELECT vec_id, CAST(cid AS INTEGER) AS cluster, dist2

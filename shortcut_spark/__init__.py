@@ -16,8 +16,8 @@ Layers:
 - ``streaming`` — structured-streaming equivalents for the events table
 """
 
-from .cmp import Bound, Comparison, Condition, Value, between, col_eq, eq
-from .idx import BloomIndex, BTreeIndex, CompositeIndex, HashIndex
+from .cmp import Bound, Comparison, Condition, Value, between, col_eq, contains, eq
+from .idx import BloomIndex, BTreeIndex, CompositeIndex, HashIndex, TrigramIndex
 from .matview import MatView
 from .session import get_spark
 from .store import Store
@@ -29,11 +29,13 @@ __all__ = [
     "Value",
     "between",
     "col_eq",
+    "contains",
     "eq",
     "BloomIndex",
     "BTreeIndex",
     "CompositeIndex",
     "HashIndex",
+    "TrigramIndex",
     "get_spark",
     "MatView",
     "Store",

@@ -39,6 +39,7 @@ __all__ = [
     "eq",
     "col_eq",
     "between",
+    "contains",
 ]
 
 
@@ -121,6 +122,14 @@ class Comparison:
     def between(cls, lower: Bound, upper: Bound) -> "Comparison":
         return cls("between", None, lower, upper)
 
+    @classmethod
+    def contains(cls, v: Value) -> "Comparison":
+        """Substring containment — our third comparison, not in the
+        reference (its one variant is ``Equal``, ``src/cmp.rs:44-49``).
+        Servable by a TRIGRAM index (``idx.TrigramIndex``): a file can
+        hold a match only if it holds EVERY trigram of the needle."""
+        return cls("contains", v)
+
     @property
     def is_const_eq(self) -> bool:
         """True iff this is ``Equal(Const)`` — the only comparison an index
@@ -130,6 +139,8 @@ class Comparison:
     def __str__(self) -> str:  # Display parity (src/cmp.rs:88-93)
         if self.op == "eq":
             return f"= {self.value}"
+        if self.op == "contains":
+            return f"contains {self.value}"
         parts = []
         lo, hi = self.lower, self.upper
         if lo and lo.kind != Bound.UNBOUNDED:
@@ -171,6 +182,8 @@ class Condition:
         c = F.col(name)
         if self.cmp.op == "eq":
             return c == self._operand(colnames)
+        if self.cmp.op == "contains":
+            return c.contains(self._operand(colnames))
         expr = F.lit(True)
         lo, hi = self.cmp.lower, self.cmp.upper
         if lo and lo.kind == Bound.INCLUDED:
@@ -198,6 +211,13 @@ class Condition:
             cell = row[list(colnames).index(self.column)]
         if cell is None:
             return False
+        if self.cmp.op == "contains":
+            v = self.cmp.value
+            assert v is not None and not v.is_column
+            other = v.payload
+            if other is None or not isinstance(cell, str):
+                return False
+            return str(other) in cell
         if self.cmp.op == "eq":
             v = self.cmp.value
             assert v is not None
@@ -249,6 +269,13 @@ def col_eq(column: int | str, other: int | str) -> Condition:
     """``row[column] == row[other]`` — may never use an index
     (``src/cmp.rs:12-14``)."""
     return Condition(column, Comparison.equal(Value.column(other)))
+
+
+def contains(column: int | str, needle: str) -> Condition:
+    """``needle in row[column]`` (substring, case-sensitive) — servable by
+    a TRIGRAM index when ``len(needle) >= 3``; always exact via the
+    residual re-check (``src/lib.rs:89-91`` contract)."""
+    return Condition(column, Comparison.contains(Value.new(needle)))
 
 
 def between(

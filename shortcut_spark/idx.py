@@ -34,17 +34,20 @@ HASH = "hash"
 BTREE = "btree"
 BLOOM = "bloom"
 COMPOSITE = "composite"
+TRIGRAM = "trigram"
 
 __all__ = [
     "HASH",
     "BTREE",
     "BLOOM",
     "COMPOSITE",
+    "TRIGRAM",
     "IndexSpec",
     "HashIndex",
     "BTreeIndex",
     "BloomIndex",
     "CompositeIndex",
+    "TrigramIndex",
     "as_index_kind",
 ]
 
@@ -104,6 +107,13 @@ class IndexSpec:
             # posting scan, not a lookup. Whole-conjunction coverage is
             # decided in plans.choose_access_path.
             return False
+        if self.kind == TRIGRAM:
+            # substring (and equality, which implies containment) probes
+            # with at least one full trigram; shorter needles have no gram
+            # to look up — residual-only, full scan
+            if cmp.op not in ("contains", "eq") or cmp.value is None or cmp.value.is_column:
+                return False
+            return isinstance(cmp.value.payload, str) and len(cmp.value.payload) >= 3
         if cmp.is_const_eq:
             return True  # all single-column kinds serve point equality
         return cmp.op == "between" and self.kind == BTREE
@@ -186,6 +196,39 @@ class CompositeIndex:
         self.columns = [str(c) for c in columns]
 
 
+class TrigramIndex:
+    """Fifth index kind — substring search, the classic inverted n-gram
+    index (pg_trgm / Lucene wildcard pattern). No reference analogue (its
+    one comparison is ``Equal``, ``src/cmp.rs:44-49``); enters through the
+    same user-indexer seam as the others (``src/idx.rs:8-21,174-184``).
+
+    Layout: posting rows ``(trigram, file_id)`` — every distinct 3-gram of
+    every value, deduplicated per file. A ``contains(col, needle)`` probe
+    keeps only files whose posting set holds EVERY trigram of the needle
+    (a match must contain them all); the residual ``contains`` re-check on
+    the pruned scan restores exactness — superset-then-residual, the same
+    contract as every other path (``src/lib.rs:89-91``).
+
+    100 TB story: the trigram key space is bounded by the alphabet³ (vs
+    ndv for hash postings), so posting size grows with files, not values;
+    probe cost is one cached-posting filter over |needle| grams. Equality
+    probes are served too (a value contains all its own grams) — useful
+    when the column carries long near-unique strings where a hash index's
+    posting build would dwarf this one. ``estimate`` keeps the reference
+    formula rows/ndv, which here reads "posting rows per distinct
+    trigram" — a pessimistic (large) number relative to hash indexes, so
+    min-estimate selection prefers an equality-capable index when both
+    exist, engaging trigram only for the probes nothing else can serve.
+    """
+
+    kind = TRIGRAM
+
+    def __init__(self, n: int = 3):
+        if n != 3:
+            raise ValueError("only n=3 (trigram) is supported")
+        self.params = {"n": 3}
+
+
 class BloomIndex:
     """Third index kind — no reference analogue; enters through the same
     user-indexer seam the reference exposes (``src/idx.rs:8-21,174-184``).
@@ -221,11 +264,11 @@ def as_index_kind(indexer) -> str:
     ``kind`` decides the physical posting layout; a custom object may also
     carry ``supports``/``estimate`` overrides (see ``IndexSpec.custom``)."""
     if isinstance(indexer, str):
-        if indexer not in (HASH, BTREE, BLOOM, COMPOSITE):
+        if indexer not in (HASH, BTREE, BLOOM, COMPOSITE, TRIGRAM):
             raise ValueError(f"unknown index kind {indexer!r}")
         return indexer
     kind = getattr(indexer, "kind", None)
-    if kind in (HASH, BTREE, BLOOM, COMPOSITE):
+    if kind in (HASH, BTREE, BLOOM, COMPOSITE, TRIGRAM):
         return kind
     raise TypeError(f"cannot interpret {indexer!r} as an index")
 
@@ -236,7 +279,7 @@ def custom_indexer(indexer) -> object | None:
     kind strings carry no custom behavior."""
     if isinstance(indexer, (str, type)):
         return None
-    if isinstance(indexer, (HashIndex, BTreeIndex, BloomIndex, CompositeIndex)):
+    if isinstance(indexer, (HashIndex, BTreeIndex, BloomIndex, CompositeIndex, TrigramIndex)):
         return None
     if hasattr(indexer, "supports") or hasattr(indexer, "estimate"):
         return indexer

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .cmp import Condition, conjunction
-from .idx import BLOOM, BTREE, COMPOSITE, HASH, IndexSpec, as_index_kind
+from .idx import BLOOM, BTREE, COMPOSITE, HASH, TRIGRAM, IndexSpec, as_index_kind
 from .manifest import DataFile, Manifest
 from .plans import AccessPath, choose_access_path
 
@@ -564,6 +564,10 @@ class Store:
             from .idx import BloomIndex
 
             params = {**BloomIndex().params, **params}
+        if kind == TRIGRAM:
+            if not isinstance(self.manifest.schema[name].dataType, T.StringType):
+                raise ValueError(f"trigram index requires a string column, not {name!r}")
+            params = {"n": 3, **params}
         spec = IndexSpec(
             column=name, kind=kind, custom=custom_indexer(indexer), params=params
         )
@@ -615,11 +619,31 @@ class Store:
         else:
             key_cols = [F.col(spec.column).alias("key")]
         rkey = "k0" if spec.columns else "key"
-        postings = (
-            df.join(F.broadcast(mapping), "__file_path")
-            .select(*key_cols, "__file_id")
-            .distinct()
-        ).persist()
+        if spec.kind == TRIGRAM:
+            # inverted n-gram postings: every distinct trigram of every
+            # value, deduped per file — key space bounded by alphabet³,
+            # not ndv. Values shorter than 3 chars contribute nothing
+            # (no gram to look up; such probes are residual-only anyway).
+            c = F.col(spec.column)
+            grams = F.when(
+                c.isNull() | (F.length(c) < 3), F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(c) - 2),
+                    lambda i: c.substr(i, F.lit(3)),
+                )
+            )
+            postings = (
+                df.join(F.broadcast(mapping), "__file_path")
+                .select(F.explode(F.array_distinct(grams)).alias("key"), "__file_id")
+                .distinct()
+            ).persist()
+        else:
+            postings = (
+                df.join(F.broadcast(mapping), "__file_path")
+                .select(*key_cols, "__file_id")
+                .distinct()
+            ).persist()
         try:
             # ONE fused agg over the cached batch: posting count + range-key
             # min/max (part-level pruning stats) + the HLL key sketch the
@@ -1211,6 +1235,36 @@ class Store:
                         for f in files
                         if f.id not in bmap or self._bloom_hit(bmap[f.id], pos)
                     ]
+            return path, files
+        if path.index is not None and files and path.index.kind == TRIGRAM:
+            # substring lookup: a file can hold a match only if its posting
+            # set holds EVERY trigram of the needle — intersect the grams'
+            # file sets (driver map when small enough, else one filter +
+            # count-distinct job over the cached postings). The residual
+            # `contains` re-check restores exactness, as always.
+            needle = path.cond.cmp.value.payload
+            grams = sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
+            if grams and len(files) > 1:
+                hit_ids = None
+                if path.index.rows <= self.POSTING_MAP_MAX:
+                    pmap = self._posting_map(path.index)
+                    if pmap is not None:
+                        hit_ids = set.intersection(
+                            *[pmap.get(g, set()) for g in grams]
+                        )
+                if hit_ids is None:
+                    post = self._read_postings(path.index)
+                    if post is not None:
+                        hit_ids = {
+                            r["__file_id"]
+                            for r in post.filter(F.col("key").isin(grams))
+                            .groupBy("__file_id")
+                            .agg(F.count_distinct("key").alias("__ng"))
+                            .filter(F.col("__ng") == len(grams))
+                            .collect()
+                        }
+                if hit_ids is not None:
+                    files = [f for f in files if f.id in hit_ids]
             return path, files
         if path.index is not None and files and path.conds:
             # composite lookup: the conjunction const-eq-covers every member

@@ -1394,3 +1394,93 @@ def test_topk_bad_column_rejected(spark, store_path):
 
     with _pytest.raises(ValueError):
         st.topk("nope", 3)
+
+
+def test_trigram_index_semantically_invisible(spark, store_path, tmp_path):
+    """The reference's metamorphic with/without-index property
+    (src/lib.rs:294-345) extended to the TRIGRAM kind and the `contains`
+    comparison: identical results for hits, misses, short (<3 char,
+    residual-only) needles, and equality probes served through grams."""
+    from shortcut_spark import TrigramIndex
+    from shortcut_spark.cmp import contains
+
+    data = [
+        ["the quick brown fox", "a"],
+        ["jumped over the lazy dog", "b"],
+        ["pack my box with five dozen jugs", "c"],
+        ["sphinx of black quartz", "d"],
+    ]
+    st = make(spark, store_path, data, index_col=0, kind=TrigramIndex())
+    plain = make(spark, str(tmp_path / "plain"), data)
+    for conds in (
+        [contains(0, "quick")],
+        [contains(0, "zebra")],
+        [contains(0, "ox")],  # short: residual-only
+        [contains(0, "the"), contains(1, "a")],
+        [eq(0, "sphinx of black quartz")],
+    ):
+        assert rows_of(st.find(conds)) == rows_of(plain.find(conds))
+
+
+def test_trigram_prunes_files_and_survives_reopen(spark, store_path):
+    """Multi-batch store: a needle planted in ONE batch must prune the
+    others (ALL-grams intersection), a needle whose grams never co-occur
+    prunes everything, and postings survive a manifest reopen."""
+    from shortcut_spark import TrigramIndex
+    from shortcut_spark.cmp import contains
+
+    st = Store.create(spark, store_path, 2)
+    st.index(0, TrigramIndex())
+    for b in range(4):
+        rows = [(f"filler text number {i} batch {b}", str(i)) for i in range(50)]
+        if b == 2:
+            rows.append(("the rare xylophone needle", "hit"))
+        st.insert(rows)
+    n_files = len(st.manifest.files)
+    assert n_files >= 4
+    report = st.explain_find([contains(0, "xylophone")])
+    kept = int(report.split("files=")[1].split("/")[0])
+    assert kept < n_files
+    assert rows_of(st.find([contains(0, "xylophone")])) == [
+        ("the rare xylophone needle", "hit")
+    ]
+    # grams exist individually ("fil", "ler") but never as this needle →
+    # files survive only via gram co-occurrence; residual drops all rows
+    assert st.find([contains(0, "fillerfiller")]).count() == 0
+    miss = st.explain_find([contains(0, "qqqzzzvvv")])
+    assert miss.endswith(f"files=0/{n_files}")
+    st2 = Store.open(spark, store_path)
+    assert rows_of(st2.find([contains(0, "xylophone")])) == [
+        ("the rare xylophone needle", "hit")
+    ]
+    assert st2.manifest.indices["c0"].kind == "trigram"
+
+
+def test_trigram_validation_and_access_path(spark, store_path):
+    """Non-string columns are rejected; min-estimate selection prefers a
+    hash index for equality but engages trigram for contains (the hash
+    can't serve it); <3-char needles never pick the index."""
+    import pytest as _pytest
+
+    from shortcut_spark import TrigramIndex
+    from shortcut_spark.cmp import contains
+
+    st = Store.create(
+        spark, store_path,
+        __import__("pyspark").sql.types.StructType()
+        .add("name", "string").add("n", "long"),
+    )
+    st.insert([(f"user-{i:04d}", i) for i in range(100)])
+    with _pytest.raises(ValueError):
+        st.index("n", TrigramIndex())
+    st.index("name", TrigramIndex())
+    st.index("name", "hash")  # replaces? no — same column: silent replace
+    # hash replaced trigram on the same column; re-create trigram to hold both
+    # on distinct columns is impossible (one index per column, parity) —
+    # so assert the replace semantics instead (src/lib.rs:204)
+    assert st.manifest.indices["name"].kind == "hash"
+    st.index("name", TrigramIndex())
+    assert st.manifest.indices["name"].kind == "trigram"
+    assert "IndexLookup" in st.explain_find([contains("name", "user-0042")])
+    assert "FullScan" in st.explain_find([contains("name", "42")])
+    assert rows_of(st.find([contains("name", "user-0042")])) == [("user-0042", 42)]
