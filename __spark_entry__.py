@@ -2473,6 +2473,19 @@ def q_embed_kmeans(spark, sf_dir):
     return kmeans_exact(_t(spark, sf_dir, "embeddings"), k=8, iters=5)
 
 
+def q_embed_maxsim(spark, sf_dir):
+    """Late-interaction MaxSim retrieval (similarity.maxsim_topk): each
+    embedding split into 4 token-standin subvectors, score = Σ_i max_j
+    (q_i · d_j) over BIGINT quantized dots — the ColBERT scoring shape
+    with engine-exact arithmetic, so max-pool and ranking certify
+    hash-exact. Query subvectors are driver literals; all 16 dots are
+    row-local inside codegen; the only distributed step is the global
+    top-k (TakeOrderedAndProject)."""
+    return similarity.maxsim_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, m=4, k=10
+    )
+
+
 def q_docs_quantiles(spark, sf_dir):
     """Scalable exact type-1 quantiles (sketch.exact_quantiles): per-source
     n_chars order statistics from (group, value) COUNTS — no per-group
@@ -3604,6 +3617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_matview_minmax": q_store_matview_minmax,  # new r6; next window
         "embed_kmeans": q_embed_kmeans,  # new r6; next window
         "store_trigram_find": q_store_trigram_find,  # new r6; next window
+        "embed_maxsim": q_embed_maxsim,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4806,6 +4820,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars
             FROM documents
             WHERE text LIKE '%merge batch%'""",
+        "embed_maxsim": """
+            WITH mex AS (
+              SELECT vec_id,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                                + 0.5) AS BIGINT) AS qv,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings
+            ),
+            msub AS (
+              SELECT vec_id, (pos - 1) // 16 AS sub_i, (pos - 1) % 16 AS ip, qv
+              FROM mex
+            ),
+            mq AS (SELECT sub_i, ip, qv AS qq FROM msub WHERE vec_id = 0),
+            mdots AS (
+              SELECT d.vec_id, q.sub_i AS qi, d.sub_i AS dj,
+                     CAST(sum(d.qv * q.qq) AS BIGINT) AS dot
+              FROM msub d JOIN mq q ON q.ip = d.ip
+              WHERE d.vec_id <> 0
+              GROUP BY 1, 2, 3
+            ),
+            mbest AS (SELECT vec_id, qi, max(dot) AS best FROM mdots GROUP BY 1, 2),
+            mscore AS (
+              SELECT vec_id, CAST(sum(best) AS BIGINT) AS score_i
+              FROM mbest GROUP BY 1
+            )
+            SELECT vec_id, score_i,
+                   CAST(score_i AS DOUBLE) / (1000000.0 * 1000000.0) AS score
+            FROM mscore
+            ORDER BY score_i DESC, vec_id LIMIT 10""",
         "embed_kmeans": f"""
             WITH {km_chain}
             SELECT vec_id, CAST(cid AS INTEGER) AS cluster, dist2

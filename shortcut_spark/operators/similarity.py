@@ -49,6 +49,7 @@ __all__ = [
     "pq_topk",
     "pq_funnel_topk",
     "ivf_pq_topk",
+    "maxsim_topk",
 ]
 
 
@@ -1349,4 +1350,84 @@ def embedding_outliers(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(F.col("g").alias(group_col), "rank", id_col, "dist2")
+    )
+
+
+def maxsim_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: int = 0,
+    m: int = 4,
+    k: int = 10,
+    quant: int = 10**6,
+) -> DataFrame:
+    """Late-interaction (ColBERT-style) MaxSim retrieval, hash-exact.
+
+    Multi-vector retrieval scores a document as the sum, over the QUERY's
+    token vectors, of each token's best match among the DOCUMENT's token
+    vectors:  ``score(q, d) = Σ_i max_j  q_i · d_j``.  The fixture carries
+    one vector per row, so each embedding is split into ``m`` contiguous
+    subvectors standing in for token vectors — the plumbing (slicing,
+    m² row-local dots, max-pool, sum, global top-k) is exactly what a real
+    per-token-embedding table needs; swap the slicer for an explode over
+    a ``array<array<float>>`` column and nothing else changes.
+
+    Dot products are BIGINT over 1e-6-quantized elements (the
+    ``embedding_dispersion`` convention), so max-pooling and the final
+    sum are engine-exact — no float drift can flip a ranking — and the
+    whole operator has a plain SQL twin. MaxSim here is the dot-product
+    form (standard for pre-normalized embedding sets); it is NOT
+    normalized per subvector, since a sqrt would leave the integers.
+
+    Scale shape: the query's m subvectors are driver literals (one
+    bounded 1-row lookup), every one of the m² dots evaluates row-locally
+    inside whole-stage codegen, and the only distributed step is the
+    global top-k (TakeOrderedAndProject — per-partition heads then one
+    driver merge). Nothing shuffles by key; cost is one scan at any
+    corpus size.
+
+    Output: (id, score_i, score) — integer score and its double form
+    (score_i / quant²), descending, ties on id; the query row excluded.
+    """
+    import math
+
+    if m < 1 or k < 1:
+        raise ValueError("m and k must be >= 1")
+    qrow = emb.filter(F.col(id_col) == query_id).select(vec_col).head()
+    if qrow is None:
+        raise ValueError(f"query id {query_id} not found")
+    qvec = [int(math.floor(float(x) * quant + 0.5)) for x in qrow[0]]
+    d = len(qvec)
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    qsubs = [qvec[i * sub : (i + 1) * sub] for i in range(m)]
+
+    qarr = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * quant + F.lit(0.5)).cast("long"),
+    )
+
+    def dot(i: int, j: int) -> F.Column:
+        qlit = F.array(*[F.lit(v).cast("long") for v in qsubs[i]])
+        dslice = F.slice(qarr, j * sub + 1, sub)
+        return F.aggregate(
+            F.zip_with(qlit, dslice, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    score = None
+    for i in range(m):
+        best = F.greatest(*[dot(i, j) for j in range(m)]) if m > 1 else dot(i, 0)
+        score = best if score is None else (score + best)
+    return (
+        emb.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), score.alias("score_i"))
+        .withColumn(
+            "score", F.col("score_i").cast("double") / F.lit(float(quant) * float(quant))
+        )
+        .orderBy(F.desc("score_i"), id_col)
+        .limit(k)
     )

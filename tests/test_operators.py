@@ -3144,3 +3144,29 @@ def test_kmeans_exact_negative_floor_div(spark):
     d = {r["vec_id"]: r["dist2"] for r in out}
     assert d[1] == (-1_500_000 - -2_050_000) ** 2
     assert d[2] == (-2_600_000 - -2_050_000) ** 2
+
+
+def test_maxsim_topk_scoring_and_order(spark):
+    """Hand-computable MaxSim: 4-dim vectors, m=2 (2-dim subvectors).
+    score(q,d) = Σ_i max_j (q_i · d_j) in quantized integer space."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 1.0]),   # query: subs q0=[1,0], q1=[0,1]
+            (1, [1.0, 0.0, 0.0, 1.0]),   # identical → Q² + Q²
+            (2, [0.0, 1.0, 1.0, 0.0]),   # swapped subs: MaxSim matches
+                                         # ACROSS positions → also 2·Q²
+            (3, [0.5, 0.0, 0.0, 0.5]),   # half magnitude → Q²
+            (4, [0.0, -1.0, -1.0, 0.0]), # anti-aligned → max dot 0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.maxsim_topk(emb, query_id=0, m=2, k=4).collect()
+    scores = {r["vec_id"]: r["score_i"] for r in out}
+    Q = 10**6
+    assert scores[1] == 2 * Q * Q
+    assert scores[2] == 2 * Q * Q  # position-invariance is the point of MaxSim
+    assert scores[3] == Q * Q
+    assert scores[4] == 0
+    # ties break on id: 1 before 2
+    assert [r["vec_id"] for r in out] == [1, 2, 3, 4]
+    assert all(abs(r["score"] - r["score_i"] / (Q * Q)) < 1e-12 for r in out)
