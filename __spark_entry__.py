@@ -2473,6 +2473,28 @@ def q_embed_kmeans(spark, sf_dir):
     return kmeans_exact(_t(spark, sf_dir, "embeddings"), k=8, iters=5)
 
 
+def q_events_triangles(spark, sf_dir):
+    """Exact per-node triangle counts (graph.triangle_counts) over the
+    user-level event-type co-occurrence graph — community density among
+    behaviors. The engine runs the DEGREE-ORDERED node-iterator (wedges
+    quadratic in out-degree, bounded O(sqrt E) by the orientation — the
+    celebrity-node guard); the oracle states the plain a<b<c triple
+    formulation. Same triangle set by construction → hash-exact."""
+    from shortcut_spark.operators.graph import triangle_counts
+
+    ut = _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    pairs = (
+        ut.alias("x")
+        .join(ut.alias("y"), "user_id")
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .select(
+            F.col("x.event_type").alias("src"), F.col("y.event_type").alias("dst")
+        )
+        .distinct()
+    )
+    return triangle_counts(pairs)
+
+
 def q_embed_maxsim(spark, sf_dir):
     """Late-interaction MaxSim retrieval (similarity.maxsim_topk): each
     embedding split into 4 token-standin subvectors, score = Σ_i max_j
@@ -3618,6 +3640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_kmeans": q_embed_kmeans,  # new r6; next window
         "store_trigram_find": q_store_trigram_find,  # new r6; next window
         "embed_maxsim": q_embed_maxsim,  # new r6; next window
+        "events_triangles": q_events_triangles,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4820,6 +4843,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars
             FROM documents
             WHERE text LIKE '%merge batch%'""",
+        "events_triangles": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            ted AS (
+              SELECT DISTINCT x.event_type AS a, y.event_type AS b
+              FROM ut x JOIN ut y ON y.user_id = x.user_id
+                                 AND x.event_type < y.event_type
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM ted e1
+              JOIN ted e2 ON e2.a = e1.b
+              JOIN ted e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            tn AS (
+              SELECT node, count(*) AS cnt
+              FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+              GROUP BY 1
+            ),
+            allnodes AS (
+              SELECT DISTINCT a AS node FROM ted
+              UNION SELECT DISTINCT b FROM ted
+            )
+            SELECT n.node, CAST(coalesce(c.cnt, 0) AS BIGINT) AS triangles
+            FROM allnodes n LEFT JOIN tn c USING (node)""",
         "embed_maxsim": """
             WITH mex AS (
               SELECT vec_id,

@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components", "pagerank"]
+__all__ = ["connected_components", "pagerank", "triangle_counts"]
 
 
 def connected_components(
@@ -205,4 +205,77 @@ def pagerank(
         "node",
         F.col("r").alias("rank_i"),
         (F.col("r") / F.lit(scale).cast("long")).alias("rank"),
+    )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    out_node: str = "node",
+    out_count: str = "triangles",
+) -> DataFrame:
+    """Exact per-node triangle counts — the clustering-coefficient /
+    community-density primitive over any pair graph this package emits
+    (near-dup pairs, co-occurrence pairs, interaction graphs).
+
+    Edges are undirected; self-loops and duplicates are dropped. Every
+    node appearing in an edge gets a row (0 when triangle-free). Pure
+    integer counting over one canonical triangle per vertex triple —
+    orientation-invariant, so it is hash-exact against a plain a<b<c
+    SQL formulation regardless of the join order used here.
+
+    Scale shape: the classic DEGREE-ORDERED node-iterator. Each edge is
+    oriented from its (degree, id)-smaller endpoint to the larger, so
+    wedge enumeration at a node is quadratic in its OUT-degree — which
+    the ordering bounds by O(sqrt(|E|)) (arboricity bound) instead of the
+    raw degree: the celebrity node with 10⁸ neighbors generates no wedge
+    explosion because nearly all its edges point INTO it. Three shuffles
+    total: degree count, wedge self-join on the pivot, closure join on
+    the (v, w) pair key.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    e = e.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct().localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .union(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient u -> v when (deg_u, u) < (deg_v, v): a strict total order, so
+    # every undirected edge gets exactly one direction
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    keyed = e.join(da, "a").join(db, "b")
+    fwd = F.col("da") < F.col("db")
+    tie = (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    oriented = keyed.select(
+        F.when(fwd | tie, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd | tie, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd | tie, F.col("da")).otherwise(F.col("db")).alias("ku"),
+        F.when(fwd | tie, F.col("db")).otherwise(F.col("da")).alias("kv"),
+    ).localCheckpoint(eager=True)
+    # wedges at pivot u: ordered out-neighbor pairs (v, w) with
+    # (kv, v) < (kw, w) — the closure edge, if it exists, is oriented
+    # v -> w under the same total order, so one semi-ordered join closes it
+    o1 = oriented.select("u", F.col("v"), F.col("kv"))
+    o2 = oriented.select(
+        F.col("u"), F.col("v").alias("w"), F.col("kv").alias("kw")
+    )
+    wedges = o1.join(o2, "u").filter(
+        (F.col("kv") < F.col("kw"))
+        | ((F.col("kv") == F.col("kw")) & (F.col("v") < F.col("w")))
+    )
+    closure = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tri = wedges.join(closure, ["v", "w"])
+    tn = tri.select(
+        F.explode(F.array("u", "v", "w")).alias(out_node)
+    ).groupBy(out_node).agg(F.count(F.lit(1)).cast("long").alias(out_count))
+    nodes = deg.select(F.col("n").alias(out_node))
+    return nodes.join(tn, out_node, "left").select(
+        out_node, F.coalesce(F.col(out_count), F.lit(0).cast("long")).alias(out_count)
     )

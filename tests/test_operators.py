@@ -3170,3 +3170,21 @@ def test_maxsim_topk_scoring_and_order(spark):
     # ties break on id: 1 before 2
     assert [r["vec_id"] for r in out] == [1, 2, 3, 4]
     assert all(abs(r["score"] - r["score_i"] / (Q * Q)) < 1e-12 for r in out)
+
+
+def test_triangle_counts_exact_with_hub(spark):
+    """K4 on {1,2,3,4} (4 triangles, 3 per node) + a hub node 0 connected
+    to everything (adds 6 triangles through the hub) + a pendant node 9
+    with zero triangles. Degree orientation must not lose or double-count
+    any triple."""
+    from shortcut_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    hub = [(0, n) for n in range(1, 5)]
+    edges = k4 + hub + [(4, 9), (9, 4)]  # duplicate + both directions
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    # K5 on {0..4}: every node in C(4,2)=6 triangles; 9 in none
+    assert out == {0: 6, 1: 6, 2: 6, 3: 6, 4: 6, 9: 0}
+    total = sum(out.values())
+    assert total == 3 * 10  # C(5,3)=10 triangles, 3 endpoints each
