@@ -2495,6 +2495,19 @@ def q_events_triangles(spark, sf_dir):
     return triangle_counts(pairs)
 
 
+def q_events_abtest(spark, sf_dir):
+    """A/B experiment readout (events.ab_test): md5-deterministic 2-arm
+    user split, conversion = ≥14 purchase events (the per-user purchase
+    count is ~13 at every sf, so a ≥1 flag saturates — every user
+    "converts" — while ≥14 splits near the median), two-proportion z-test
+    vs control. All z inputs are exact integer counts and both engines
+    evaluate the identical double expression tree, so rate/lift/z all
+    certify hash-exact. One user-keyed aggregate + a 2-row rollup."""
+    from shortcut_spark.operators.events import ab_test
+
+    return ab_test(_t(spark, sf_dir, "events"), min_conversions=14)
+
+
 def q_embed_maxsim(spark, sf_dir):
     """Late-interaction MaxSim retrieval (similarity.maxsim_topk): each
     embedding split into 4 token-standin subvectors, score = Σ_i max_j
@@ -3641,6 +3654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_trigram_find": q_store_trigram_find,  # new r6; next window
         "embed_maxsim": q_embed_maxsim,  # new r6; next window
         "events_triangles": q_events_triangles,  # new r6; next window
+        "events_abtest": q_events_abtest,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4843,6 +4857,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars
             FROM documents
             WHERE text LIKE '%merge batch%'""",
+        "events_abtest": """
+            WITH pu AS (
+              SELECT user_id AS u,
+                     CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                        THEN 1 ELSE 0 END) >= 14
+                          THEN 1 ELSE 0 END AS conv
+              FROM events GROUP BY 1
+            ),
+            arms AS (
+              SELECT CAST(('0x' || substr(md5('ab:' || CAST(u AS VARCHAR)), 1, 8))::BIGINT
+                          % 2 AS INTEGER) AS variant,
+                     CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(conv) AS BIGINT) AS n_converted
+              FROM pu GROUP BY 1
+            ),
+            ctl AS (SELECT n_users AS n0, n_converted AS x0 FROM arms WHERE variant = 0)
+            SELECT variant, n_users, n_converted,
+                   CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS rate,
+                   CASE WHEN variant = 0 THEN CAST(0 AS DOUBLE) ELSE
+                     CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
+                     - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                   END AS lift_vs_control,
+                   CASE WHEN variant = 0 THEN CAST(0 AS DOUBLE) ELSE
+                     (CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
+                      - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                     / sqrt(
+                         ((CAST(n_converted AS DOUBLE) + CAST(x0 AS DOUBLE))
+                          / (CAST(n_users AS DOUBLE) + CAST(n0 AS DOUBLE)))
+                         * (CAST(1 AS DOUBLE)
+                            - (CAST(n_converted AS DOUBLE) + CAST(x0 AS DOUBLE))
+                              / (CAST(n_users AS DOUBLE) + CAST(n0 AS DOUBLE)))
+                         * (CAST(1 AS DOUBLE) / CAST(n_users AS DOUBLE)
+                            + CAST(1 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+                   END AS z_vs_control
+            FROM arms CROSS JOIN ctl""",
         "events_triangles": """
             WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
             ted AS (

@@ -32,6 +32,7 @@ __all__ = [
     "session_cooccurrence",
     "json_field_profile",
     "pivot_daily_matrix",
+    "ab_test",
 ]
 
 
@@ -769,3 +770,89 @@ def session_cooccurrence(
         )
     )
     return scored.orderBy(F.desc("lift"), "type_a", "type_b").limit(top)
+
+
+def ab_test(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+    n_variants: int = 2,
+    seed: str = "ab",
+    min_conversions: int = 1,
+) -> DataFrame:
+    """A/B experiment readout with a two-proportion z-test, hash-exact.
+
+    Users are assigned to ``n_variants`` arms by a deterministic md5
+    bucket of their id (``functions.hash32`` — the same salt-free
+    assignment a real split service computes at the edge, and replayable
+    by any engine: no assignment table to join). A user converts if they
+    have ≥ ``min_conversions`` ``convert_type`` events (raise it above 1
+    for corpora where nearly everyone triggers the event once — a binary
+    flag that saturates makes every arm identical and the test
+    degenerate). Per arm vs the CONTROL (variant 0):
+
+        pooled p = (x_i + x_0) / (n_i + n_0)
+        z_i = (x_i/n_i − x_0/n_0) / sqrt(p·(1−p)·(1/n_i + 1/n_0))
+
+    Every input to the z expression is an exact integer count, and both
+    engines evaluate the identical double expression tree — so even the
+    z statistic certifies hash-exact (the usual float-drift hazard is
+    order-sensitive SUMs, and there are none: just counts).
+
+    Scale shape: ONE user-keyed aggregate (any-conversion flag rides the
+    same shuffle as the distinct), then an |arms|-row rollup and a
+    broadcast join against the 1-row control. Output: (variant, n_users,
+    n_converted, rate, lift_vs_control, z_vs_control), control included
+    with lift/z = 0.
+    """
+    from ..functions import hash32
+
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.when(
+            F.sum(
+                F.when(F.col(type_col) == convert_type, F.lit(1)).otherwise(F.lit(0))
+            )
+            >= min_conversions,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("conv")
+    )
+    arms = (
+        per_user.select(
+            (hash32(F.col("u"), seed) % n_variants).cast("int").alias("variant"),
+            "conv",
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("conv").cast("long").alias("n_converted"),
+        )
+    )
+    ctl = arms.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n0"), F.col("n_converted").alias("x0")
+    )
+    n, x = F.col("n_users").cast("double"), F.col("n_converted").cast("double")
+    n0, x0 = F.col("n0").cast("double"), F.col("x0").cast("double")
+    rate = x / n
+    rate0 = x0 / n0
+    pooled = (x + x0) / (n + n0)
+    se = F.sqrt(pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / n + F.lit(1.0) / n0))
+    # se == 0 means a degenerate experiment (0% or 100% pooled conversion)
+    # — z is undefined there; NULL rather than a division-by-zero under
+    # ANSI mode, and NULL is what the SQL twin yields too
+    z = (
+        F.when(F.col("variant") == 0, F.lit(0.0))
+        .when(se == F.lit(0.0), F.lit(None).cast("double"))
+        .otherwise((rate - rate0) / se)
+    )
+    lift = F.when(F.col("variant") == 0, F.lit(0.0)).otherwise(rate - rate0)
+    return arms.crossJoin(F.broadcast(ctl)).select(
+        "variant",
+        "n_users",
+        "n_converted",
+        rate.alias("rate"),
+        lift.alias("lift_vs_control"),
+        z.alias("z_vs_control"),
+    )

@@ -3188,3 +3188,44 @@ def test_triangle_counts_exact_with_hub(spark):
     assert out == {0: 6, 1: 6, 2: 6, 3: 6, 4: 6, 9: 0}
     total = sum(out.values())
     assert total == 3 * 10  # C(5,3)=10 triangles, 3 endpoints each
+
+
+def test_ab_test_z_statistic_exact(spark):
+    """Hand-built experiment: arm membership via the md5 split is fixed
+    per user id, so plant conversions per-arm and verify the z formula
+    against a python recomputation; degenerate (all-convert) experiments
+    yield NULL z, not a crash."""
+    import math
+
+    from shortcut_spark.functions import hash32
+    from shortcut_spark.operators.events import ab_test
+
+    users = list(range(40))
+    rows = []
+    arm_of = {}
+    arms_df = spark.createDataFrame(
+        [(u,) for u in users], "user_id long"
+    ).select("user_id", (hash32(F.col("user_id"), "ab") % 2).alias("v"))
+    for r in arms_df.collect():
+        arm_of[r["user_id"]] = r["v"]
+    # control converts at ~25%, treatment at ~75% (per arm order)
+    seen = {0: 0, 1: 0}
+    for u in users:
+        v = arm_of[u]
+        seen[v] += 1
+        convert = (seen[v] % 4 == 0) if v == 0 else (seen[v] % 4 != 0)
+        rows.append((u, "purchase" if convert else "view"))
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r["variant"]: r for r in ab_test(ev).collect()}
+    n0, x0 = out[0]["n_users"], out[0]["n_converted"]
+    n1, x1 = out[1]["n_users"], out[1]["n_converted"]
+    p = (x1 + x0) / (n1 + n0)
+    z = (x1 / n1 - x0 / n0) / math.sqrt(p * (1 - p) * (1 / n1 + 1 / n0))
+    assert abs(out[1]["z_vs_control"] - z) < 1e-12
+    assert out[0]["z_vs_control"] == 0.0
+    # degenerate: everyone converts -> NULL z on the treatment row
+    allconv = spark.createDataFrame(
+        [(u, "purchase") for u in users], "user_id long, event_type string"
+    )
+    d = {r["variant"]: r for r in ab_test(allconv).collect()}
+    assert d[1]["z_vs_control"] is None
