@@ -2495,6 +2495,21 @@ def q_events_triangles(spark, sf_dir):
     return triangle_counts(pairs)
 
 
+def q_stats_corr(spark, sf_dir):
+    """Exact Pearson correlation matrix (sketch.corr_matrix) over the four
+    lineitem measures: integer-quantized elements, DECIMAL(38,0)
+    sufficient statistics (associative-exact — no float reduce-order
+    drift), one fixed double expression at the end. ONE aggregate pass
+    computes all 6 pairs' statistics map-side; nothing shuffles but the
+    1-row result. Hash-exact including the correlations themselves."""
+    from shortcut_spark.operators.sketch import corr_matrix
+
+    return corr_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def q_events_abtest(spark, sf_dir):
     """A/B experiment readout (events.ab_test): md5-deterministic 2-arm
     user split, conversion = ≥14 purchase events (the per-user purchase
@@ -3655,6 +3670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_maxsim": q_embed_maxsim,  # new r6; next window
         "events_triangles": q_events_triangles,  # new r6; next window
         "events_abtest": q_events_abtest,  # new r6; next window
+        "stats_corr": q_stats_corr,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -3934,6 +3950,40 @@ def oracle_sql() -> dict[str, str]:
         FROM kex JOIN kc{KM_IT} c ON c.pos = kex.pos
         GROUP BY 1, 2
       )"""
+
+    # exact Pearson matrix twin (sketch.corr_matrix spec): per pair,
+    # pairwise-deleted integer-quantized sufficient statistics in
+    # DECIMAL(38,0), then the one fixed double expression — mirrored
+    # per column pair and UNION ALL'd
+    _corr_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    _corr_parts = []
+    for _i in range(len(_corr_cols)):
+        for _j in range(_i + 1, len(_corr_cols)):
+            _cx, _cy = _corr_cols[_i], _corr_cols[_j]
+            _corr_parts.append(f"""
+              SELECT col_x, col_y, n,
+                     CASE WHEN vx > 0 AND vy > 0
+                          THEN num / (sqrt(vx) * sqrt(vy)) ELSE NULL END AS corr
+              FROM (
+                SELECT '{_cx}' AS col_x, '{_cy}' AS col_y,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(CAST(count(*) AS DECIMAL(38,0)) * sum(CAST(qx AS DECIMAL(38,0)) * qy)
+                            - sum(CAST(qx AS DECIMAL(38,0))) * sum(CAST(qy AS DECIMAL(38,0)))
+                            AS DOUBLE) AS num,
+                       CAST(CAST(count(*) AS DECIMAL(38,0)) * sum(CAST(qx AS DECIMAL(38,0)) * qx)
+                            - sum(CAST(qx AS DECIMAL(38,0))) * sum(CAST(qx AS DECIMAL(38,0)))
+                            AS DOUBLE) AS vx,
+                       CAST(CAST(count(*) AS DECIMAL(38,0)) * sum(CAST(qy AS DECIMAL(38,0)) * qy)
+                            - sum(CAST(qy AS DECIMAL(38,0))) * sum(CAST(qy AS DECIMAL(38,0)))
+                            AS DOUBLE) AS vy
+                FROM (
+                  SELECT CAST(floor(CAST({_cx} AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qx,
+                         CAST(floor(CAST({_cy} AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qy
+                  FROM lineitem
+                  WHERE {_cx} IS NOT NULL AND {_cy} IS NOT NULL
+                )
+              )""")
+    corr_union = "\n            UNION ALL".join(_corr_parts)
 
     # hot-shingle df-cap twin (dedup._drop_hot_shingles, max_df=10000
     # default): shingles hotter than max_df are dropped BEFORE the
@@ -4857,6 +4907,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars
             FROM documents
             WHERE text LIKE '%merge batch%'""",
+        "stats_corr": f"""{corr_union}""",
         "events_abtest": """
             WITH pu AS (
               SELECT user_id AS u,

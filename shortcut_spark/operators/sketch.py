@@ -36,6 +36,7 @@ __all__ = [
     "exact_quantiles",
     "equidepth_histogram",
     "key_skew_profile",
+    "corr_matrix",
 ]
 
 
@@ -329,4 +330,77 @@ def equidepth_histogram(
         F.min(value_col).alias("lo"),
         F.max(value_col).alias("hi"),
         F.sum("__c").cast("long").alias("n_rows"),
+    )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    quant: int = 10**6,
+) -> DataFrame:
+    """Exact Pearson correlation matrix over ``cols`` — the profiling
+    pass behind feature selection and redundant-column detection, made
+    HASH-EXACT the house way: elements quantize to integers
+    (floor(x·quant + 0.5)), every sufficient statistic (Σx, Σx², Σxy, n)
+    accumulates in DECIMAL(38,0) where addition is associative-exact, and
+    the final correlation is ONE fixed double expression over those exact
+    integers — float reduce-order can't drift what was never a float sum.
+
+        corr(x,y) = (n·Σxy − Σx·Σy)
+                  / (sqrt(n·Σx² − (Σx)²) · sqrt(n·Σy² − (Σy)²))
+
+    (The quant scale cancels exactly between numerator and denominator.)
+    Rows where either column is NULL are dropped PER PAIR (pairwise
+    deletion, the SQL corr() convention).
+
+    Scale shape: one aggregate pass computes all C(k,2)+k statistics
+    map-side partial-aggregated — no shuffle wider than the single
+    1-row result; the matrix is assembled driver-free by unpivoting a
+    literal pair list. Overflow: DECIMAL(38,0) holds Σxy up to ~1e38 —
+    at quant=1e6 that is ~1e22 rows of unit-scale values; lower quant
+    for wide-range columns. Degenerate (zero-variance) columns yield
+    NULL correlations, both engines alike.
+
+    Output: (col_x, col_y, n, corr) for x < y in the given order.
+    """
+    if len(cols) < 2:
+        raise ValueError("need >= 2 columns")
+    dec38 = "decimal(38,0)"
+    q = {c: F.floor(F.col(c).cast("double") * quant + F.lit(0.5)).cast("long") for c in cols}
+    pairs = [(cols[i], cols[j]) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+    aggs = []
+    for cx, cy in pairs:
+        both = F.col(cx).isNotNull() & F.col(cy).isNotNull()
+        qx = F.when(both, q[cx]).otherwise(F.lit(None))
+        qy = F.when(both, q[cy]).otherwise(F.lit(None))
+        tag = f"{cx}__{cy}"
+        aggs += [
+            F.count(qx).cast("long").alias(f"n__{tag}"),
+            F.sum(qx.cast(dec38)).alias(f"sx__{tag}"),
+            F.sum(qy.cast(dec38)).alias(f"sy__{tag}"),
+            F.sum(qx.cast(dec38) * qx).alias(f"sxx__{tag}"),
+            F.sum(qy.cast(dec38) * qy).alias(f"syy__{tag}"),
+            F.sum(qx.cast(dec38) * qy).alias(f"sxy__{tag}"),
+        ]
+    stats = df.agg(*aggs)
+    rows = []
+    for cx, cy in pairs:
+        tag = f"{cx}__{cy}"
+        n = F.col(f"n__{tag}").cast(dec38)
+        num = (n * F.col(f"sxy__{tag}") - F.col(f"sx__{tag}") * F.col(f"sy__{tag}")).cast("double")
+        vx = (n * F.col(f"sxx__{tag}") - F.col(f"sx__{tag}") * F.col(f"sx__{tag}")).cast("double")
+        vy = (n * F.col(f"syy__{tag}") - F.col(f"sy__{tag}") * F.col(f"sy__{tag}")).cast("double")
+        corr = F.when(
+            (vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))
+        ).otherwise(F.lit(None).cast("double"))
+        rows.append(
+            F.struct(
+                F.lit(cx).alias("col_x"),
+                F.lit(cy).alias("col_y"),
+                F.col(f"n__{tag}").alias("n"),
+                corr.alias("corr"),
+            )
+        )
+    return stats.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.col_x", "r.col_y", "r.n", "r.corr"
     )

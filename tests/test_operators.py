@@ -3229,3 +3229,18 @@ def test_ab_test_z_statistic_exact(spark):
     )
     d = {r["variant"]: r for r in ab_test(allconv).collect()}
     assert d[1]["z_vs_control"] is None
+
+
+def test_corr_matrix_known_values(spark):
+    """y = 2x is corr 1; z = -x is corr -1; w constant is NULL (zero
+    variance); NULLs pairwise-deleted (n reflects the pair)."""
+    from shortcut_spark.operators.sketch import corr_matrix
+
+    rows = [(float(i), 2.0 * i, -float(i), 5.0 if i != 3 else None) for i in range(10)]
+    df = spark.createDataFrame(rows, "x double, y double, z double, w double")
+    out = {(r["col_x"], r["col_y"]): r for r in corr_matrix(df, ["x", "y", "z", "w"]).collect()}
+    assert abs(out[("x", "y")]["corr"] - 1.0) < 1e-12
+    assert abs(out[("x", "z")]["corr"] + 1.0) < 1e-12
+    assert out[("x", "w")]["corr"] is None  # constant column
+    assert out[("x", "w")]["n"] == 9       # pairwise deletion
+    assert out[("x", "y")]["n"] == 10
