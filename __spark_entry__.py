@@ -271,6 +271,56 @@ def q_store_cdc_changes(spark, sf_dir):
     return st.changes(v0).select("change_type", *_ORDERS_SAFE)
 
 
+def q_store_version_diff(spark, sf_dir):
+    """Time-travel diff — Store.diff(v_from, v_to): the row-level delta
+    between two historical snapshots, i.e. changes() generalized to a
+    bounded version window by pointing the CDC reader at v_to's manifest.
+    The mutation AFTER the window (delete of key 600) must be invisible —
+    that invisibility is what the oracle certifies, alongside the window's
+    own delete + insert."""
+    st = _fresh_store(spark, sf_dir, "orders")
+    v0 = st.manifest.version
+    st.delete([eq("o_orderkey", 500)])
+    st.insert(_t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5))
+    v2 = st.manifest.version
+    st.delete([eq("o_orderkey", 600)])  # outside the window: invisible
+    return st.diff(v0, v2).select("change_type", *_ORDERS_SAFE)
+
+
+def q_events_stream_upsert(spark, sf_dir):
+    """Streaming UPSERT into a Store (stream_into_store(merge_on=...)):
+    two controlled stream rounds against one durable checkpoint — round 1
+    lands every nation keyed '_v1'; round 2 adds a file re-keying
+    n_nationkey < 10 as '_v2', and the resumed stream consumes ONLY the
+    new file and merges it (tombstones + inserts + epoch marker in one
+    atomic commit). Final state = last write per key, which the oracle
+    states directly. Asserts pin that the second round was incremental
+    (exactly the 10 re-keyed rows) and that versions advanced per round."""
+    src = _t(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="sc_upsert_")
+    src_dir = os.path.join(base, "src")
+    v1 = src.select(
+        "n_nationkey",
+        F.concat(F.col("n_name"), F.lit("_v1")).alias("n_name"),
+        "n_regionkey",
+    )
+    v1.coalesce(1).write.mode("append").parquet(src_dir)
+    store = Store.create(spark, os.path.join(base, "nation"), v1.schema)
+    n1 = stream_ops.stream_into_store(spark, src_dir, store, merge_on="n_nationkey")
+    assert n1 == 25
+    va = store.manifest.version
+    v2 = src.filter(F.col("n_nationkey") < 10).select(
+        "n_nationkey",
+        F.concat(F.col("n_name"), F.lit("_v2")).alias("n_name"),
+        "n_regionkey",
+    )
+    v2.coalesce(1).write.mode("append").parquet(src_dir)
+    n2 = stream_ops.stream_into_store(spark, src_dir, store, merge_on="n_nationkey")
+    assert n2 == 10  # incremental: only the new file flowed
+    assert store.manifest.version > va
+    return store.df()
+
+
 def q_store_replicate(spark, sf_dir):
     """CDC replication — Store.apply_changes: a follower bootstraps from
     the leader's creation-time delta, the leader then mutates (CoW
@@ -3671,6 +3721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_triangles": q_events_triangles,  # new r6; next window
         "events_abtest": q_events_abtest,  # new r6; next window
         "stats_corr": q_stats_corr,  # new r6; next window
+        "store_version_diff": q_store_version_diff,  # new r6; next window
+        "events_stream_upsert": q_events_stream_upsert,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4908,6 +4960,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE text LIKE '%merge batch%'""",
         "stats_corr": f"""{corr_union}""",
+        "store_version_diff": f"""
+            SELECT 'delete' AS change_type, {o_cols} FROM orders WHERE o_orderkey = 500
+            UNION ALL
+            SELECT 'insert' AS change_type, {o_cols} FROM orders WHERE o_orderkey < 5""",
+        "events_stream_upsert": """
+            SELECT n_nationkey, n_name || '_v2' AS n_name, n_regionkey
+            FROM nation WHERE n_nationkey < 10
+            UNION ALL
+            SELECT n_nationkey, n_name || '_v1' AS n_name, n_regionkey
+            FROM nation WHERE n_nationkey >= 10""",
         "events_abtest": """
             WITH pu AS (
               SELECT user_id AS u,

@@ -2108,6 +2108,24 @@ class Store:
             .select("change_type", *cols)
         )
 
+    def diff(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Row-level delta between two SNAPSHOTS — time-travel diff, the
+        generalization of :meth:`changes` to a bounded version window
+        (``changes(v) ≡ diff(v, current)``). Implemented by pointing the
+        CDC reader at the target snapshot's manifest, so every changes()
+        invariant (rowid watermark file pruning, the resurrection tier for
+        restores, current-schema projection) applies verbatim; mutations
+        after ``to_version`` are invisible. Zero extra scan cost over
+        changes(): both snapshots are metadata loads."""
+        if to_version is None:
+            return self.changes(from_version)
+        if to_version < from_version:
+            raise ValueError(
+                f"to_version {to_version} must be >= from_version {from_version}"
+            )
+        to_man = Manifest.load(self.path, to_version)
+        return Store(self.spark, self.path, to_man).changes(from_version)
+
     def apply_changes(self, delta: DataFrame) -> tuple[int, int]:
         """Apply an upstream store's ``changes()`` delta to this store —
         the consumer half of CDC: a follower converges to the leader by

@@ -488,6 +488,7 @@ def stream_into_store(
     store,
     matview=None,
     options: dict | None = None,
+    merge_on: int | str | None = None,
 ) -> int:
     """Continuous ingestion: a file stream lands in a Store via
     ``foreachBatch`` — each micro-batch becomes one Store commit (dense
@@ -509,7 +510,16 @@ def stream_into_store(
     and the refresh no-ops on the unchanged base version — the
     effectively-once contract extends to the view. ``options`` passes
     stream reader options through (e.g. ``maxFilesPerTrigger`` to pace
-    epochs)."""
+    epochs).
+
+    ``merge_on``: streaming UPSERT — each micro-batch lands via
+    :meth:`Store.merge` on this key instead of a plain append, so a row
+    re-keyed in a later batch REPLACES its predecessor (the CDC-mirror /
+    dimension-table ingestion shape). The merge's tombstones and inserts
+    share one atomic manifest commit carrying the epoch marker, so
+    effectively-once holds exactly as in append mode; per-batch cost is
+    ∝ victims + batch (one indexed probe per key group), never a table
+    rewrite."""
     import os
 
     from pyspark.sql import types as T
@@ -540,7 +550,11 @@ def stream_into_store(
         # replay is a harmless no-op, and the next non-empty commit carries
         # the latest epoch forward.
         store.manifest.props["stream_epoch"] = epoch
-        ingested[0] += store.insert(batch_df)
+        if merge_on is not None:
+            inserted, _replaced = store.merge(batch_df, on=merge_on)
+            ingested[0] += inserted
+        else:
+            ingested[0] += store.insert(batch_df)
         if matview is not None:
             matview.refresh()  # exactly this batch's CDC delta
 

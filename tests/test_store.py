@@ -1484,3 +1484,24 @@ def test_trigram_validation_and_access_path(spark, store_path):
     assert "IndexLookup" in st.explain_find([contains("name", "user-0042")])
     assert "FullScan" in st.explain_find([contains("name", "42")])
     assert rows_of(st.find([contains("name", "user-0042")])) == [("user-0042", 42)]
+
+
+def test_version_diff_bounded_window(spark, store_path):
+    """diff(v0, v2) sees exactly the window's mutations; a delete AFTER
+    v2 is invisible; diff(v, None) ≡ changes(v); inverted windows raise."""
+    import pytest as _pytest
+
+    st = make(spark, store_path, [["a", "1"], ["b", "2"], ["c", "3"]])
+    v0 = st.manifest.version
+    st.delete([eq(0, "b")])
+    st.insert([["d", "4"]])
+    v2 = st.manifest.version
+    st.delete([eq(0, "a")])  # outside the window
+
+    d = {(r["change_type"], r["c0"]) for r in st.diff(v0, v2).collect()}
+    assert d == {("delete", "b"), ("insert", "d")}
+    full = {(r["change_type"], r["c0"]) for r in st.diff(v0).collect()}
+    assert full == {(r["change_type"], r["c0"]) for r in st.changes(v0).collect()}
+    assert ("delete", "a") in full
+    with _pytest.raises(ValueError):
+        st.diff(v2, v0)
