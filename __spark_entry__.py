@@ -2545,6 +2545,23 @@ def q_events_triangles(spark, sf_dir):
     return triangle_counts(pairs)
 
 
+def q_text_bpe_train(spark, sf_dir):
+    """BPE tokenizer TRAINING on the corpus (text.bpe_train): 5 learned
+    merges as (rank, left, right, merged, n). After the one-time token
+    count everything operates on the |vocab|-bounded word relation —
+    training cost is independent of corpus size past the first scan.
+    Double-space symbol joining makes one SQL replace() pass reproduce
+    canonical greedy BPE merging (including immediately-adjacent pairs),
+    so the 5 rounds unroll into p/b/w CTE triples the oracle replays
+    verbatim. Ties break to the lexicographically smaller pair."""
+    from shortcut_spark.operators.text import bpe_train
+
+    rows = bpe_train(_t(spark, sf_dir, "documents"), merges=5)
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, n long"
+    )
+
+
 def q_stats_corr(spark, sf_dir):
     """Exact Pearson correlation matrix (sketch.corr_matrix) over the four
     lineitem measures: integer-quantized elements, DECIMAL(38,0)
@@ -3582,8 +3599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order. The window ROTATES each round so every family accumulates
     # driver-green rows over time. Round 6 rotation: slots 1-18 are the 18
     # deterministic queries added in round 5 after that window froze — the
-    # last r5 queries in the exact-oracle inventory (194 exact twins + 6
-    # rows-only ANN tiers = 200 registered) without a driver-green row
+    # last r5 queries in the exact-oracle inventory (217 exact twins + 6
+    # rows-only ANN tiers = 223 registered) without a driver-green row
     # (all 18 passed the judge's independent oracle replica in r5). Slots 19-50 are regression guards chosen for the
     # code touched THIS round: dedup.py (hot-shingle max_df cap),
     # similarity.py (LSH multi-probe / auto-routing), graph.py (PageRank
@@ -3723,6 +3740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_corr": q_stats_corr,  # new r6; next window
         "store_version_diff": q_store_version_diff,  # new r6; next window
         "events_stream_upsert": q_events_stream_upsert,  # new r6; next window
+        "text_bpe_train": q_text_bpe_train,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4002,6 +4020,49 @@ def oracle_sql() -> dict[str, str]:
         FROM kex JOIN kc{KM_IT} c ON c.pos = kex.pos
         GROUP BY 1, 2
       )"""
+
+    # BPE training twin (text.bpe_train spec): w0 = double-space symbol
+    # strings over the counted vocab; each round = pair count (p) /
+    # argmax with lexicographic tiebreak (b) / single-pass replace
+    # rewrite (w) — the double separators make replace() reproduce
+    # canonical greedy merging, identically in both engines
+    BPE_IT = 5
+    bpe_chain = f"""
+      bw0 AS (
+        SELECT '  ' || array_to_string(
+                 list_transform(generate_series(1, length(w)), i -> w[i]),
+                 '  ') || '  ' AS w,
+               CAST(n AS BIGINT) AS n
+        FROM (
+          SELECT w, count(*) AS n
+          FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+          WHERE w <> '' GROUP BY 1
+        )
+      )"""
+    for _t_ in range(1, BPE_IT + 1):
+        bpe_chain += f""",
+      bp{_t_} AS (
+        SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(n) AS BIGINT) AS pn
+        FROM (
+          SELECT s, n,
+                 unnest(generate_series(1, greatest(len(s) - 1, 0))) AS i
+          FROM (SELECT string_split(trim(w), '  ') AS s, n FROM bw{_t_ - 1})
+        )
+        GROUP BY 1, 2
+      ),
+      bb{_t_} AS (
+        SELECT l, r, pn FROM bp{_t_} ORDER BY pn DESC, l, r LIMIT 1
+      ),
+      bw{_t_} AS (
+        SELECT replace(w, ' ' || b.l || '  ' || b.r || ' ',
+                          ' ' || b.l || b.r || ' ') AS w, n
+        FROM bw{_t_ - 1} CROSS JOIN bb{_t_} b
+      )"""
+    bpe_final = "\n            UNION ALL ".join(
+        f"""SELECT {_t_} AS rank, l AS "left", r AS "right",
+                   l || r AS merged, pn AS n FROM bb{_t_}"""
+        for _t_ in range(1, BPE_IT + 1)
+    )
 
     # exact Pearson matrix twin (sketch.corr_matrix spec): per pair,
     # pairwise-deleted integer-quantized sufficient statistics in
@@ -4960,6 +5021,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE text LIKE '%merge batch%'""",
         "stats_corr": f"""{corr_union}""",
+        "text_bpe_train": f"""
+            WITH {bpe_chain}
+            {bpe_final}""",
         "store_version_diff": f"""
             SELECT 'delete' AS change_type, {o_cols} FROM orders WHERE o_orderkey = 500
             UNION ALL

@@ -229,6 +229,23 @@ HEADLINE = [
     ("events_cooccurrence", "collect"),
     # equi-depth histogram from (group, value) counts
     ("docs_equidepth", "collect"),
+    # integer fixed-point k-means (5 exact Lloyd iterations, k=8)
+    ("embed_kmeans", "count"),
+    # trigram-index substring search (build + probe on first run; the
+    # cached-store second run measures the probe)
+    ("store_trigram_find", "count"),
+    # ColBERT-style MaxSim top-k over subvector splits (map-only dots)
+    ("embed_maxsim", "collect"),
+    # degree-ordered exact triangle counting on the type co-occurrence graph
+    ("events_triangles", "collect"),
+    # md5-armed A/B readout with exact two-proportion z
+    ("events_abtest", "collect"),
+    # one-pass exact Pearson matrix over the 4 lineitem measures
+    ("stats_corr", "collect"),
+    # bounded-window time-travel diff (post-window mutation invisible)
+    ("store_version_diff", "count"),
+    # streaming upsert: two checkpointed rounds of Store.merge ingestion
+    ("events_stream_upsert", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -47,6 +47,7 @@ __all__ = [
     "bm25_topk",
     "vocab_growth",
     "zipf_spectrum",
+    "bpe_train",
 ]
 
 # Dialect-portable patterns (valid and equivalent in Java regex and RE2 /
@@ -1155,3 +1156,100 @@ def zipf_spectrum(df: DataFrame, text_col: str = "text") -> DataFrame:
             "types_share_micro"
         ),
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    merges: int = 5,
+) -> list:
+    """Train a byte-pair-encoding tokenizer ON THE CORPUS — the learned
+    merge list (rank, left, right, merged, n) that IS a BPE vocabulary.
+
+    The key scale property of BPE training is that after the first token
+    count, EVERYTHING operates on the vocabulary, not the corpus: words
+    collapse to (word, count) once, and each merge round is a pair count
+    + argmax + rewrite over |vocab| rows. A 100 TB corpus and a 100 GB
+    corpus with the same vocabulary train at the same per-round cost.
+
+    Determinism spec (the oracle unrolls it round for round):
+
+    * words are lowercased whitespace tokens, counted once;
+    * a word's symbol string is its characters joined by DOUBLE spaces,
+      with double-space sentinels at both ends ("ab" → "␣␣a␣␣b␣␣") —
+      the double separator makes one single-pass left-to-right
+      ``replace`` of " l  r " by " lr " merge EVERY occurrence,
+      including immediately adjacent ones ("a a a a" merges to
+      "(aa) (aa)" in one pass), reproducing canonical greedy BPE with
+      plain SQL replace semantics (identical in Spark and DuckDB);
+    * best pair per round = max total count, ties to the
+      lexicographically smaller (left, right);
+    * ``merges`` fixed rounds (certifiability requires a fixed unroll).
+
+    Per round: one (pair)-keyed partial-aggregated shuffle over the
+    vocab relation, a TakeOrdered(1) argmax, and a map-only rewrite.
+    Returns the merge rows as a LIST of Rows (rank, left, right, merged,
+    n) — the trained artifact is driver-sized by definition (vocab
+    construction for a tokenizer), and callers turn it into a DataFrame
+    via ``spark.createDataFrame`` when they want one.
+
+    Raises if the corpus runs out of pairs before ``merges`` rounds
+    (single-char vocabulary fully merged) — shrink ``merges``.
+    """
+    from ..functions import tokens
+
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.concat(
+                F.lit("  "),
+                F.concat_ws(
+                    "  ",
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("w")),
+                        lambda i: F.col("w").substr(i, F.lit(1)),
+                    ),
+                ),
+                F.lit("  "),
+            ).alias("w"),
+            "n",
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = []
+    for rank in range(1, merges + 1):
+        pairs = (
+            words.select(
+                F.explode(
+                    # sequence(1, 0) DESCENDS in Spark — single-symbol
+                    # words must yield an empty pair list explicitly
+                    F.expr(
+                        "transform(IF(size(split(trim(w), '  ')) < 2,"
+                        "             CAST(array() AS ARRAY<INT>),"
+                        "             sequence(1, size(split(trim(w), '  ')) - 1)),"
+                        " i -> struct(split(trim(w), '  ')[i - 1] AS l,"
+                        "            split(trim(w), '  ')[i] AS r))"
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("pn"))
+        )
+        best = pairs.orderBy(F.desc("pn"), "l", "r").limit(1).collect()
+        if not best:
+            raise ValueError(f"corpus exhausted after {rank - 1} merges")
+        b = best[0]
+        out.append((rank, b["l"], b["r"], b["l"] + b["r"], int(b["pn"])))
+        words = words.select(
+            F.replace(
+                F.col("w"),
+                F.lit(f" {b['l']}  {b['r']} "),
+                F.lit(f" {b['l']}{b['r']} "),
+            ).alias("w"),
+            "n",
+        ).localCheckpoint(eager=True)
+    return out

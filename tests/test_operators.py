@@ -3244,3 +3244,26 @@ def test_corr_matrix_known_values(spark):
     assert out[("x", "w")]["corr"] is None  # constant column
     assert out[("x", "w")]["n"] == 9       # pairwise deletion
     assert out[("x", "y")]["n"] == 10
+
+
+def test_bpe_train_canonical_merging(spark):
+    """Hand-traceable corpus: 'aaaa' ×3 — the first merge must be
+    ('a','a') with count 9 (3 pairs per word), and the REWRITE must merge
+    adjacent occurrences in one pass (aaaa → (aa)(aa), not (aa)a a), so
+    the second round counts ('aa','aa') = 3 — the double-separator
+    replace property. Ties break lexicographically."""
+    from shortcut_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([("aaaa aaaa aaaa",)], "text string")
+    out = bpe_train(df, merges=2)
+    assert out[0] == (1, "a", "a", "aa", 9)
+    assert out[1] == (2, "aa", "aa", "aaaa", 3)
+    # lexicographic tie: 'ab'×1 vs 'ba'×1 in 'ab ba' → ('a','b') wins
+    df2 = spark.createDataFrame([("ab ba",)], "text string")
+    out2 = bpe_train(df2, merges=1)
+    assert out2[0][:3] == (1, "a", "b")
+    # exhaustion raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bpe_train(spark.createDataFrame([("a b",)], "text string"), merges=1)
