@@ -3271,6 +3271,48 @@ def q_mm_png_pixels(spark, sf_dir):
     return multimodal.decode_png_pixels(pngs, "doc_id", "payload")
 
 
+def q_mm_binary_ingest(spark, sf_dir):
+    """Loose-file media ingestion round-trip (multimodal.write_blobs →
+    binaryFile read_blobs → real pixel decode): synthesized PNGs for
+    doc_id < 64 are written ONE FILE PER ROW by executors, re-ingested
+    through Spark's binaryFile source (the crawled-corpus object-store
+    shape), ids parsed from filenames, and the contents REALLY decoded
+    (inflate + unfilter) down to position-weighted integer pixel stats.
+    The oracle recomputes the stats from the md5 pixel formula — one
+    corrupted byte anywhere in sink, listing, or source flips the hash,
+    so the whole loose-file round trip is inside the certified path."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w = 16 + (i % 2) * 16
+                h = 8 + (i % 5) * 4
+                px = b"".join(
+                    b"".join(
+                        hashlib.md5(f"px:{i}:{r}:{blk}".encode()).digest()
+                        for blk in range((w + 15) // 16)
+                    )[:w]
+                    for r in range(h)
+                )
+                payloads.append(multimodal.encode_png(px, w, h, channels=1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 64)
+    pngs = docs.mapInPandas(gen, "doc_id long, payload binary")
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="sc_blobs_"), "pngs")
+    n = multimodal.write_blobs(pngs, "doc_id", "payload", out_dir, ext="png").count()
+    assert n == 64
+    blobs = multimodal.read_blobs(spark, out_dir, glob="*.png")
+    return multimodal.decode_png_pixels(
+        blobs.select(F.col("blob_id").alias("doc_id"), F.col("content")),
+        "doc_id",
+        "content",
+    )
+
+
 def q_mm_image_dups(spark, sf_dir):
     """Image near-dup pairs by PERCEPTUAL HASH over real decoded pixels
     (multimodal.image_near_dups): synthesized 32×16 grayscale PNGs where
@@ -3741,6 +3783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_version_diff": q_store_version_diff,  # new r6; next window
         "events_stream_upsert": q_events_stream_upsert,  # new r6; next window
         "text_bpe_train": q_text_bpe_train,  # new r6; next window
+        "mm_binary_ingest": q_mm_binary_ingest,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -6343,6 +6386,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
             FROM ah a JOIN ah b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""",
+        "mm_binary_ingest": """
+            WITH dims AS (
+              SELECT doc_id,
+                     16 + (doc_id % 2) * 16 AS w,
+                     8 + (doc_id % 5) * 4 AS h
+              FROM documents WHERE doc_id < 64
+            ),
+            px AS (
+              SELECT doc_id, w, h, r.r AS r, j.j AS j,
+                     ('0x' || substr(
+                        md5('px:' || doc_id || ':' || r.r || ':' || (j.j // 16)),
+                        (j.j % 16) * 2 + 1, 2))::BIGINT AS v
+              FROM dims,
+                   unnest(generate_series(CAST(0 AS BIGINT), h - 1)) AS r(r),
+                   unnest(generate_series(CAST(0 AS BIGINT), w - 1)) AS j(j)
+            )
+            SELECT doc_id AS id,
+                   CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+                   CAST(1 AS INT) AS n_channels,
+                   CAST(count(*) AS BIGINT) AS n_px,
+                   CAST(sum(v) AS BIGINT) AS sum_px,
+                   CAST(min(v) AS INT) AS min_px,
+                   CAST(max(v) AS INT) AS max_px,
+                   CAST(sum(v * (r * w + j + 1)) AS BIGINT) AS chk
+            FROM px GROUP BY doc_id, w, h""",
         "mm_png_pixels": """
             WITH dims AS (
               SELECT doc_id,

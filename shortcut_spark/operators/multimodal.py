@@ -51,6 +51,8 @@ __all__ = [
     "audio_near_dups",
     "encode_wav",
     "decode_wav_samples",
+    "write_blobs",
+    "read_blobs",
 ]
 
 MEDIA_META = T.StructType(
@@ -891,3 +893,61 @@ def audio_near_dups(
         F.col("id").alias(id_col), F.col("ahash").alias("simhash")
     )
     return _fp_hamming_pairs(fp, id_col, max_hamming)
+
+
+def write_blobs(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    out_dir: str,
+    ext: str = "bin",
+) -> DataFrame:
+    """Blob SINK: one file per row, named ``<id>.<ext>`` under
+    ``out_dir`` — how decoded/derived media leaves the engine for
+    downstream consumers that expect loose files (training loaders,
+    labeling UIs). Executor-side ``mapInPandas``: every partition writes
+    its own rows, so the sink scales with partitions like any other
+    write (plain ``open()`` here is the local-FS stand-in for an
+    object-store PUT — the partitioning story is identical). Returns
+    (id, path, n_bytes) for manifesting.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, paths, sizes = [], [], []
+            for i, blob in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(blob) if blob is not None else b""
+                path = os.path.join(out_dir, f"{i}.{ext}")
+                with open(path, "wb") as fh:
+                    fh.write(b)
+                ids.append(i)
+                paths.append(path)
+                sizes.append(len(b))
+            yield pd.DataFrame({"id": ids, "path": paths, "n_bytes": sizes})
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, "id long, path string, n_bytes long"
+    )
+
+
+def read_blobs(spark, path: str, glob: str | None = None) -> DataFrame:
+    """Blob SOURCE: Spark's built-in ``binaryFile`` format — the
+    ingestion path for media sitting as loose objects (the usual shape
+    of a crawled image/audio corpus on object storage). Emits
+    (path, modificationTime, length, content) plus a parsed ``blob_id``
+    when filenames follow the ``<digits>.<ext>`` convention of
+    :func:`write_blobs` (NULL otherwise). Listing parallelizes like any
+    file source; content never shuffles — chain straight into the
+    decode operators.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    stem = F.regexp_extract(F.col("path"), r"/(\d+)\.[^/.]+$", 1)
+    return df.withColumn(
+        "blob_id", F.when(stem != "", stem.cast("long")).otherwise(F.lit(None))
+    )

@@ -3267,3 +3267,23 @@ def test_bpe_train_canonical_merging(spark):
 
     with _pytest.raises(ValueError):
         bpe_train(spark.createDataFrame([("a b",)], "text string"), merges=1)
+
+
+def test_blob_sink_source_roundtrip(spark, tmp_path):
+    """write_blobs → binaryFile read_blobs: per-row files land with id
+    names, content survives byte-exact, ids parse back, the glob filter
+    excludes foreign files."""
+    from shortcut_spark.operators import multimodal
+
+    rows = [(i, bytes([i] * (i + 1))) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out_dir = str(tmp_path / "blobs")
+    manifest = multimodal.write_blobs(df, "doc_id", "payload", out_dir, ext="png").collect()
+    assert sorted(r["id"] for r in manifest) == [0, 1, 2, 3, 4]
+    assert all(r["n_bytes"] == r["id"] + 1 for r in manifest)
+    (tmp_path / "blobs" / "stray.txt").write_text("not a png")
+    back = multimodal.read_blobs(spark, out_dir, glob="*.png").collect()
+    assert len(back) == 5
+    got = {r["blob_id"]: bytes(r["content"]) for r in back}
+    assert got == {i: bytes([i] * (i + 1)) for i in range(5)}
+    assert all(r["length"] == r["blob_id"] + 1 for r in back)
