@@ -2545,6 +2545,23 @@ def q_events_triangles(spark, sf_dir):
     return triangle_counts(pairs)
 
 
+def q_docs_sparse_cosine(spark, sf_dir):
+    """Sparse TF-IDF cosine near-dup pairs (text.sparse_cosine_pairs):
+    the lexical vector-space sibling of the dense embedding join — docs
+    as integer-weighted 3-gram vectors (w = tf · (N·1000 DIV df), the
+    log-free rarity weighting), pairs scored over SHARED terms only via
+    the inverted index (df-capped, the boilerplate skew guard), dots and
+    norms in DECIMAL(38,0), cosine one fixed double expression. 3-grams
+    instead of tokens because the fixture vocabulary is 31 words — every
+    token is stop-word-common; n-grams restore a selective term space
+    (the same reason the jaccard family shingles)."""
+    from shortcut_spark.operators.text import sparse_cosine_pairs
+
+    return sparse_cosine_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.35, ngram=3
+    )
+
+
 def q_text_bpe_train(spark, sf_dir):
     """BPE tokenizer TRAINING on the corpus (text.bpe_train): 5 learned
     merges as (rank, left, right, merged, n). After the one-time token
@@ -3784,6 +3801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_upsert": q_events_stream_upsert,  # new r6; next window
         "text_bpe_train": q_text_bpe_train,  # new r6; next window
         "mm_binary_ingest": q_mm_binary_ingest,  # new r6; next window
+        "docs_sparse_cosine": q_docs_sparse_cosine,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -5067,6 +5085,47 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_train": f"""
             WITH {bpe_chain}
             {bpe_final}""",
+        "docs_sparse_cosine": """
+            WITH toksr AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents
+            ),
+            sterms AS (
+              SELECT doc_id, array_to_string(t[i:i+2], ' ') AS term
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+                    FROM toksr)
+            ),
+            stf AS (
+              SELECT doc_id AS d, term, CAST(count(*) AS BIGINT) AS tf
+              FROM sterms WHERE term <> '' GROUP BY 1, 2
+            ),
+            sdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM stf GROUP BY 1),
+            skept AS (SELECT * FROM sdf WHERE df <= 10000),
+            sn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+            sw AS (
+              SELECT d, term, tf * ((sn.n * CAST(1000 AS BIGINT)) // skept.df) AS w
+              FROM stf JOIN skept USING (term) CROSS JOIN sn
+            ),
+            snorm AS (
+              SELECT d, CAST(sum(CAST(w AS DECIMAL(38,0)) * w) AS DECIMAL(38,0)) AS nn
+              FROM sw GROUP BY 1
+            ),
+            sdots AS (
+              SELECT a.d AS id_a, b.d AS id_b,
+                     CAST(sum(CAST(a.w AS DECIMAL(38,0)) * b.w) AS DECIMAL(38,0)) AS dot
+              FROM sw a JOIN sw b ON b.term = a.term AND a.d < b.d
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, cosine FROM (
+              SELECT id_a, id_b,
+                     CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+                       AS cosine
+              FROM sdots
+              JOIN snorm na ON na.d = id_a
+              JOIN snorm nb ON nb.d = id_b
+            ) WHERE cosine >= 0.35""",
         "store_version_diff": f"""
             SELECT 'delete' AS change_type, {o_cols} FROM orders WHERE o_orderkey = 500
             UNION ALL

@@ -48,6 +48,7 @@ __all__ = [
     "vocab_growth",
     "zipf_spectrum",
     "bpe_train",
+    "sparse_cosine_pairs",
 ]
 
 # Dialect-portable patterns (valid and equivalent in Java regex and RE2 /
@@ -1253,3 +1254,107 @@ def bpe_train(
             "n",
         ).localCheckpoint(eager=True)
     return out
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df: int = 10_000,
+    scale: int = 1_000,
+    ngram: int = 1,
+) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs — the LEXICAL sibling of the
+    dense ``similarity.cosine_join``: documents as sparse term-weight
+    vectors, pairs scored over SHARED terms only via an inverted index,
+    so the join never goes quadratic and pairs with no common term cost
+    nothing (exactly why search engines use sparse retrieval at scale).
+
+    Hash-exact the house way: weights are INTEGERS —
+    ``w(d,t) = tf(d,t) · ((N·scale) DIV df(t))`` — the same
+    log-free rarity weighting as ``jaccard_pairs_weighted`` (idf's
+    ORDERING without its float), dots and norms accumulate in
+    DECIMAL(38,0), and the cosine is one fixed double expression
+    ``dot / (√norm_a · √norm_b)``.
+
+    Terms with document frequency above ``max_df`` are excluded from the
+    VECTOR SPACE entirely (weights and candidates alike — a consistent
+    spec the oracle replicates): they carry no discriminative signal and
+    their posting lists are exactly the quadratic-blowup keys. The same
+    df-cap skew guard as the jaccard family.
+
+    ``ngram`` > 1 switches the term space from single tokens to word
+    n-grams (with repeats — tf counts them): on tiny-vocabulary or
+    templated corpora single tokens are all stop-word-common (every df
+    near N, every pair a candidate), while n-grams restore a Zipfian
+    term space where the inverted index is selective — the same reason
+    the jaccard family shingles.
+
+    Scale shape: one (doc, term) shuffle for tf, a |vocab|-bounded df
+    aggregate, the inverted-index self-join keyed by term (fan-out
+    bounded by the df cap), and a (pair)-keyed dot aggregate. Output:
+    (id_a, id_b, cosine) for cosine ≥ threshold, id_a < id_b.
+    """
+    from ..functions import tokens
+
+    dec38 = "decimal(38,0)"
+    if ngram > 1:
+        tcol = f"split(trim(lower({text_col})), '\\\\s+')"
+        # sequence(1, 0) DESCENDS in Spark — short docs need the explicit
+        # empty branch (same guard as bpe_train)
+        terms = F.expr(
+            f"transform(IF(size({tcol}) < {ngram}, CAST(array() AS ARRAY<INT>), "
+            f"sequence(1, size({tcol}) - {ngram - 1})), "
+            f"i -> concat_ws(' ', slice({tcol}, i, {ngram})))"
+        )
+    else:
+        terms = tokens(F.lower(F.col(text_col)))
+    tf = (
+        docs.select(F.col(id_col).alias("d"), F.explode(terms).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("d", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    kept = dfreq.filter(F.col("df") <= max_df)
+    n1 = docs.agg(F.count_distinct(F.col(id_col)).cast("long").alias("n"))
+    w = (
+        tf.join(kept, "t")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "d",
+            "t",
+            (F.col("tf") * F.expr(f"(n * CAST({scale} AS BIGINT)) div df")).alias("w"),
+        )
+        .localCheckpoint(eager=True)  # feeds norms AND both join sides
+    )
+    norms = w.groupBy("d").agg(
+        F.sum(F.col("w").cast(dec38) * F.col("w")).alias("nn")
+    )
+    a = w.select(F.col("d").alias("id_a"), "t", F.col("w").alias("wa"))
+    b = w.select(F.col("d").alias("id_b"), "t", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa").cast(dec38) * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("d").alias("id_a"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("d").alias("id_b"), F.col("nn").alias("nb"))
+    cos = (
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("dot").cast("double").alias("dot_d"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -3287,3 +3287,30 @@ def test_blob_sink_source_roundtrip(spark, tmp_path):
     got = {r["blob_id"]: bytes(r["content"]) for r in back}
     assert got == {i: bytes([i] * (i + 1)) for i in range(5)}
     assert all(r["length"] == r["blob_id"] + 1 for r in back)
+
+
+def test_sparse_cosine_pairs_planted(spark):
+    """Identical docs → cosine 1.0; disjoint docs → no pair; the df cap
+    removes a boilerplate term from the vector space (pairs sharing ONLY
+    it vanish)."""
+    from shortcut_spark.operators.text import sparse_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),
+            (3, "delta epsilon zeta"),
+            (4, "common boiler plate"),
+            (5, "common other words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in sparse_cosine_pairs(df, threshold=0.01).collect()}
+    assert abs(out[(1, 2)] - 1.0) < 1e-12
+    assert (1, 3) not in out and (2, 3) not in out
+    assert (4, 5) in out  # share 'common'
+    # max_df=1 removes every term with df ≥ 2 from the vector space; a
+    # SHARED term always has df ≥ 2, so no candidate pair survives
+    out2 = sparse_cosine_pairs(df, threshold=0.01, max_df=1).collect()
+    assert out2 == []
