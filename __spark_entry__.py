@@ -2545,6 +2545,18 @@ def q_events_triangles(spark, sf_dir):
     return triangle_counts(pairs)
 
 
+def q_events_anomaly_robust(spark, sf_dir):
+    """Median/MAD daily anomalies (events.robust_anomalies): the robust
+    sibling of events_anomaly — mean/std z-scores are dragged by the very
+    outliers they hunt; median and MAD have a 50% breakdown point. Both
+    medians are exact type-1 order statistics from (group, value) COUNT
+    relations (integers), the robust z is one fixed double expression, so
+    the report certifies hash-exact."""
+    from shortcut_spark.operators.events import robust_anomalies
+
+    return robust_anomalies(_t(spark, sf_dir, "events"), z_cut=2.0)
+
+
 def q_docs_sparse_cosine(spark, sf_dir):
     """Sparse TF-IDF cosine near-dup pairs (text.sparse_cosine_pairs):
     the lexical vector-space sibling of the dense embedding join — docs
@@ -3802,6 +3814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_train": q_text_bpe_train,  # new r6; next window
         "mm_binary_ingest": q_mm_binary_ingest,  # new r6; next window
         "docs_sparse_cosine": q_docs_sparse_cosine,  # new r6; next window
+        "events_anomaly_robust": q_events_anomaly_robust,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -5085,6 +5098,44 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_train": f"""
             WITH {bpe_chain}
             {bpe_final}""",
+        "events_anomaly_robust": """
+            WITH rdaily AS (
+              SELECT event_type AS g,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS day_epoch,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            rc AS (SELECT g, n AS v, count(*) AS c FROM rdaily GROUP BY 1, 2),
+            rtot AS (SELECT g, sum(c) AS nn FROM rc GROUP BY 1),
+            rcum AS (
+              SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM rc
+            ),
+            rmed AS (
+              SELECT g, CAST(min(v) AS BIGINT) AS med
+              FROM rcum JOIN rtot USING (g)
+              WHERE cum >= ceil(0.5 * nn) GROUP BY g
+            ),
+            rdev AS (
+              SELECT d.g, abs(d.n - m.med) AS ad
+              FROM rdaily d JOIN rmed m USING (g)
+            ),
+            dc AS (SELECT g, ad AS v, count(*) AS c FROM rdev GROUP BY 1, 2),
+            dtot AS (SELECT g, sum(c) AS nn FROM dc GROUP BY 1),
+            dcum AS (
+              SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM dc
+            ),
+            rmad AS (
+              SELECT g, CAST(min(v) AS BIGINT) AS mad
+              FROM dcum JOIN dtot USING (g)
+              WHERE cum >= ceil(0.5 * nn) GROUP BY g
+            )
+            SELECT g AS event_type, day_epoch, n, med, mad, z FROM (
+              SELECT d.g, d.day_epoch, d.n, m.med, a.mad,
+                     CAST(d.n - m.med AS DOUBLE)
+                     / (1.4826 * CAST(a.mad AS DOUBLE)) AS z
+              FROM rdaily d JOIN rmed m USING (g) JOIN rmad a USING (g)
+              WHERE a.mad > 0
+            ) WHERE abs(z) >= 2.0""",
         "docs_sparse_cosine": """
             WITH toksr AS (
               SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t

@@ -33,6 +33,7 @@ __all__ = [
     "json_field_profile",
     "pivot_daily_matrix",
     "ab_test",
+    "robust_anomalies",
 ]
 
 
@@ -855,4 +856,68 @@ def ab_test(
         rate.alias("rate"),
         lift.alias("lift_vs_control"),
         z.alias("z_vs_control"),
+    )
+
+
+def robust_anomalies(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    z_cut: float = 2.5,
+) -> DataFrame:
+    """Median/MAD daily-volume anomalies — the ROBUST sibling of
+    :func:`daily_anomalies`: mean/std z-scores are themselves dragged by
+    the outliers they hunt (one huge spike inflates σ and masks the
+    rest); the median and the median absolute deviation have a 50%
+    breakdown point, so a day is compared against what a TYPICAL day
+    looks like.
+
+    Hash-exact: daily counts are integers; the median is an exact type-1
+    order statistic (an actual count value — integer); MAD = median of
+    |count − median| (integer again); the robust z is ONE fixed double
+    expression ``(x − med) / (1.4826 · mad)`` (1.4826 ≈ 1/Φ⁻¹(3/4), the
+    normal-consistency constant, a literal). mad = 0 (≥half the days
+    identical) → z is NULL: no division, no false fire.
+
+    Scale shape: one (type, day) count shuffle; both medians come from
+    (group, value) COUNT relations (the exact_quantiles trick — bounded
+    by distinct daily-count values, never days); the per-day join back
+    is |types|-keyed broadcast-sized. Output: (event_type, day, n,
+    med, mad, z) for |z| ≥ z_cut, plus all mad=0 days excluded.
+    """
+    from .sketch import exact_quantiles
+
+    day = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / 86400).cast("long") * 86400
+    ).alias("day_epoch")  # BIGINT epoch day: engine-portable (house convention)
+    daily = (
+        events.groupBy(F.col(type_col).alias("g"), day)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)  # feeds both medians + the final join
+    )
+    med = exact_quantiles(daily, "n", "g", qs=(0.5,)).select(
+        F.col("g"), F.col("value").alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("n") - F.col("med")).alias("ad")
+    )
+    mad = exact_quantiles(dev, "ad", "g", qs=(0.5,)).select(
+        F.col("g"), F.col("value").alias("mad")
+    )
+    z = (F.col("n") - F.col("med")).cast("double") / (
+        F.lit(1.4826) * F.col("mad").cast("double")
+    )
+    return (
+        daily.join(F.broadcast(med), "g")
+        .join(F.broadcast(mad), "g")
+        .filter(F.col("mad") > 0)
+        .select(
+            F.col("g").alias(type_col),
+            "day_epoch",
+            "n",
+            "med",
+            "mad",
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= z_cut)
     )

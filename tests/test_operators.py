@@ -3314,3 +3314,33 @@ def test_sparse_cosine_pairs_planted(spark):
     # SHARED term always has df ≥ 2, so no candidate pair survives
     out2 = sparse_cosine_pairs(df, threshold=0.01, max_df=1).collect()
     assert out2 == []
+
+
+def test_robust_anomalies_median_mad(spark):
+    """Planted series for type 'a': daily counts [8,9,10,10,10,11,12,100]
+    → med=10, deviations [2,1,0,0,0,1,2,90] → mad=1, so the spike's
+    z = (100−10)/1.4826 ≈ 60.7. Type 'b' (all-identical days) has mad=0
+    and must be excluded, not divide by zero."""
+    import datetime
+
+    from shortcut_spark.operators.events import robust_anomalies
+
+    rows = []
+    counts_a = [8, 9, 10, 10, 10, 11, 12, 100]
+    eid = 0
+    for d, c in enumerate(counts_a):
+        for _ in range(c):
+            rows.append((eid, datetime.datetime(2024, 1, 1 + d, 12, 0, 0), "a"))
+            eid += 1
+    for d in range(4):
+        for _ in range(5):
+            rows.append((eid, datetime.datetime(2024, 1, 1 + d, 12, 0, 0), "b"))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = robust_anomalies(ev, z_cut=2.5).collect()
+    assert all(r["event_type"] == "a" for r in out)  # mad=0 'b' excluded
+    spike = [r for r in out if r["n"] == 100]
+    assert len(spike) == 1
+    r = spike[0]
+    assert (r["med"], r["mad"]) == (10, 1)
+    assert abs(r["z"] - (100 - 10) / 1.4826) < 1e-9
