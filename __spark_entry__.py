@@ -2115,6 +2115,21 @@ def q_events_funnel(spark, sf_dir):
     )
 
 
+def q_events_funnel_windowed(spark, sf_dir):
+    """Conversion-WINDOW funnel (funnel_reach(max_gap_s=3600)): each step
+    counts only within an hour of the previous one — 'purchased within an
+    hour of clicking', the semantics real funnel reports use. A too-late
+    step leaves NULL from there on, exactly like a missing one. Same
+    single user-key shuffle as the unwindowed funnel."""
+    from shortcut_spark.operators.events import funnel_reach
+
+    return funnel_reach(
+        _t(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        max_gap_s=3600,
+    )
+
+
 def q_events_retention(spark, sf_dir):
     """Weekly signup-cohort retention matrix (cohort week x week offset ->
     active users)."""
@@ -3815,6 +3830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_binary_ingest": q_mm_binary_ingest,  # new r6; next window
         "docs_sparse_cosine": q_docs_sparse_cosine,  # new r6; next window
         "events_anomaly_robust": q_events_anomaly_robust,  # new r6; next window
+        "events_funnel_windowed": q_events_funnel_windowed,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -5098,6 +5114,33 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_train": f"""
             WITH {bpe_chain}
             {bpe_final}""",
+        "events_funnel_windowed": f"""
+            WITH base AS (SELECT user_id, ts, event_type FROM events),
+            w0 AS (
+              SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+              FROM base GROUP BY user_id
+            ),
+            w1 AS (
+              SELECT b.user_id,
+                     min(CASE WHEN b.event_type = 'click' AND b.ts >= w0.t0
+                               AND floor(epoch(b.ts)) <= floor(epoch(w0.t0)) + 3600
+                              THEN b.ts END) AS t1
+              FROM base b JOIN w0 USING (user_id) GROUP BY b.user_id
+            ),
+            w2 AS (
+              SELECT b.user_id,
+                     min(CASE WHEN b.event_type = 'purchase' AND b.ts >= w1.t1
+                               AND floor(epoch(b.ts)) <= floor(epoch(w1.t1)) + 3600
+                              THEN b.ts END) AS t2
+              FROM base b JOIN w1 USING (user_id) GROUP BY b.user_id
+            )
+            SELECT w0.user_id,
+                   CAST(CAST(t0 IS NOT NULL AS INT) + CAST(t1 IS NOT NULL AS INT)
+                        + CAST(t2 IS NOT NULL AS INT) AS BIGINT) AS reached,
+                   {_EPOCH.format('t0')} AS t0_epoch,
+                   {_EPOCH.format('t1')} AS t1_epoch,
+                   {_EPOCH.format('t2')} AS t2_epoch
+            FROM w0 JOIN w1 USING (user_id) JOIN w2 USING (user_id)""",
         "events_anomaly_robust": """
             WITH rdaily AS (
               SELECT event_type AS g,

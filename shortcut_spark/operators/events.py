@@ -43,6 +43,7 @@ def funnel_reach(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_gap_s: int | None = None,
 ) -> DataFrame:
     """Per-user funnel progression through ordered ``steps``.
 
@@ -50,6 +51,12 @@ def funnel_reach(
     user's step-(i-1) timestamp (ties allowed); a user who never performs
     step i has NULL from there on. One row per user: step epochs plus
     ``reached`` (how many consecutive steps completed).
+
+    ``max_gap_s`` adds the conversion-window semantics real funnels need:
+    step i only counts within ``max_gap_s`` seconds of step i−1 (epoch
+    comparison, second floor) — "purchased within 7 days of clicking",
+    not "purchased eventually". A too-late step leaves NULL from there
+    on, exactly like a missing one. Same plan either way.
 
     All step minimums are unordered window aggregates over the same user
     partitioning, so the chain plans as ONE shuffle with stacked window
@@ -64,6 +71,11 @@ def funnel_reach(
         cond = F.col(type_col) == s
         if prev is not None:
             cond = cond & F.col(prev).isNotNull() & (F.col(ts_col) >= F.col(prev))
+            if max_gap_s is not None:
+                cond = cond & (
+                    F.unix_timestamp(F.col(ts_col))
+                    <= F.unix_timestamp(F.col(prev)) + F.lit(int(max_gap_s))
+                )
         cur = f"__t{i}"
         df = df.withColumn(cur, F.min(F.when(cond, F.col(ts_col))).over(w))
         prev = cur

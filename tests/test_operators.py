@@ -3344,3 +3344,28 @@ def test_robust_anomalies_median_mad(spark):
     r = spike[0]
     assert (r["med"], r["mad"]) == (10, 1)
     assert abs(r["z"] - (100 - 10) / 1.4826) < 1e-9
+
+
+def test_funnel_windowed_gap_semantics(spark):
+    """User A clicks 30 s after viewing (in window), user B clicks 2 h
+    after (out of 1 h window → step NULL even though a later in-window
+    view+click pair never forms); user C's purchase is in-window of the
+    click. max_gap_s=None keeps the old unbounded behavior."""
+    import datetime as dt
+
+    from shortcut_spark.operators.events import funnel_reach
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "view"), (1, t0 + dt.timedelta(seconds=30), "click"),
+        (2, t0, "view"), (2, t0 + dt.timedelta(hours=2), "click"),
+        (3, t0, "view"), (3, t0 + dt.timedelta(minutes=10), "click"),
+        (3, t0 + dt.timedelta(minutes=20), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["user_id"]: r["reached"]
+           for r in funnel_reach(ev, ["view", "click", "purchase"], max_gap_s=3600).collect()}
+    assert out == {1: 2, 2: 1, 3: 3}
+    unbounded = {r["user_id"]: r["reached"]
+                 for r in funnel_reach(ev, ["view", "click", "purchase"]).collect()}
+    assert unbounded == {1: 2, 2: 2, 3: 3}
