@@ -271,6 +271,29 @@ def q_store_cdc_changes(spark, sf_dir):
     return st.changes(v0).select("change_type", *_ORDERS_SAFE)
 
 
+def q_store_tag_travel(spark, sf_dir):
+    """Named snapshot refs — Store.tag / open(tag=): an Iceberg-style tag
+    recorded as a metadata-only commit pins 'golden' to the pre-mutation
+    snapshot; after a delete and an insert, open(tag='golden') still
+    reads the tagged state (which is what the oracle certifies: the
+    original 25 nations, mutations invisible)."""
+    src = _t(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="sc_tag_")
+    st = Store.create(spark, os.path.join(base, "nation"), src.schema)
+    st.insert(src)
+    st.tag("golden")
+    st.delete([eq("n_nationkey", 7)])
+    st.insert(
+        src.filter(F.col("n_nationkey") == 0).select(
+            "n_nationkey",
+            F.concat(F.col("n_name"), F.lit("_post")).alias("n_name"),
+            "n_regionkey",
+        )
+    )
+    assert len(st) == 25  # mutated head: 24 originals + 1 _post row
+    return Store.open(spark, st.path, tag="golden").df()
+
+
 def q_store_version_diff(spark, sf_dir):
     """Time-travel diff — Store.diff(v_from, v_to): the row-level delta
     between two historical snapshots, i.e. changes() generalized to a
@@ -3831,6 +3854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sparse_cosine": q_docs_sparse_cosine,  # new r6; next window
         "events_anomaly_robust": q_events_anomaly_robust,  # new r6; next window
         "events_funnel_windowed": q_events_funnel_windowed,  # new r6; next window
+        "store_tag_travel": q_store_tag_travel,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -5220,6 +5244,8 @@ def oracle_sql() -> dict[str, str]:
               JOIN snorm na ON na.d = id_a
               JOIN snorm nb ON nb.d = id_b
             ) WHERE cosine >= 0.35""",
+        "store_tag_travel": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation""",
         "store_version_diff": f"""
             SELECT 'delete' AS change_type, {o_cols} FROM orders WHERE o_orderkey = 500
             UNION ALL

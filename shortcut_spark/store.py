@@ -144,16 +144,42 @@ class Store:
         path: str,
         version: int | None = None,
         as_of: float | None = None,
+        tag: str | None = None,
     ) -> "Store":
-        """Open the current snapshot, a specific ``version``, or (``as_of``
+        """Open the current snapshot, a specific ``version``, (``as_of``
         epoch seconds) the latest snapshot committed at or before that
         instant — AS OF TIMESTAMP time travel, resolved driver-side from
-        the manifests' ``committed_at`` stamps."""
+        the manifests' ``committed_at`` stamps — or a named ``tag``
+        (Iceberg-style ref: the tag name resolves to the version recorded
+        by :meth:`tag` in the LATEST manifest, then that snapshot loads;
+        a retagged name follows the newest commit's value)."""
+        if sum(x is not None for x in (version, as_of, tag)) > 1:
+            raise ValueError("pass at most one of version / as_of / tag")
         if as_of is not None:
-            if version is not None:
-                raise ValueError("pass version or as_of, not both")
             version = Manifest.version_as_of(path, as_of)
+        if tag is not None:
+            head = Manifest.load(path)
+            key = f"tag:{tag}"
+            if key not in head.props:
+                raise ValueError(f"no tag {tag!r}")
+            version = int(head.props[key])
         return cls(spark, path, Manifest.load(path, version))
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Record a NAMED snapshot ref (Iceberg tag): ``name`` → the
+        current (or given) version, persisted in the manifest props via
+        one metadata-only commit — so tags are themselves versioned,
+        replicate with the table, and survive reopen. Returns the tagged
+        version. Retagging a name moves it (last write wins); vacuum
+        retention is unaffected (tags pin NOTHING — vacuum past a tag
+        invalidates it, the documented lakehouse trade; raise
+        ``retain_versions`` to keep tagged history readable)."""
+        if not name or "/" in name:
+            raise ValueError(f"bad tag name {name!r}")
+        v = self.manifest.version if version is None else int(version)
+        self.manifest.props[f"tag:{name}"] = str(v)
+        self._commit()
+        return v
 
     @classmethod
     def from_parquet(cls, spark: SparkSession, path: str, parquet: str | Sequence[str]) -> "Store":

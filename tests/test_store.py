@@ -1505,3 +1505,30 @@ def test_version_diff_bounded_window(spark, store_path):
     assert ("delete", "a") in full
     with _pytest.raises(ValueError):
         st.diff(v2, v0)
+
+
+def test_tags_named_snapshots(spark, store_path):
+    """tag() pins a name to a version through later mutations and reopen;
+    retagging moves it; unknown tags and tag+version conflicts raise."""
+    import pytest as _pytest
+
+    st = make(spark, store_path, [["a", "1"], ["b", "2"]])
+    v = st.tag("golden")
+    st.insert([["c", "3"]])
+    st.delete([eq(0, "a")])
+    assert rows_of(Store.open(spark, store_path, tag="golden").find([])) == [
+        ("a", "1"), ("b", "2")
+    ]
+    # tags are data: a reopened store still resolves them
+    st2 = Store.open(spark, store_path)
+    assert rows_of(st2.find([])) == [("b", "2"), ("c", "3")]
+    st2.tag("golden")  # retag at current
+    assert rows_of(Store.open(spark, store_path, tag="golden").find([])) == [
+        ("b", "2"), ("c", "3")
+    ]
+    with _pytest.raises(ValueError):
+        Store.open(spark, store_path, tag="nope")
+    with _pytest.raises(ValueError):
+        Store.open(spark, store_path, version=v, tag="golden")
+    with _pytest.raises(ValueError):
+        st2.tag("bad/name")
