@@ -2583,6 +2583,19 @@ def q_events_triangles(spark, sf_dir):
     return triangle_counts(pairs)
 
 
+def q_text_logprob_interp(spark, sf_dir):
+    """Jelinek-Mercer interpolated LM scoring (text.interp_logprob):
+    p = 0.5·p_bigram + 0.5·p_unigram per position — the standard
+    smoothing baseline between the two certified LM scorers; λ=0.5 is
+    exactly binary-representable, the per-bigram probability is one
+    fixed double expression over integer counts, and the weighted log
+    sum takes the DECIMAL(28,14) detour. Same shuffle shape as
+    text_logprob2 plus one broadcast unigram table."""
+    from shortcut_spark.operators.text import interp_logprob
+
+    return interp_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_events_anomaly_robust(spark, sf_dir):
     """Median/MAD daily anomalies (events.robust_anomalies): the robust
     sibling of events_anomaly — mean/std z-scores are dragged by the very
@@ -3855,6 +3868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_robust": q_events_anomaly_robust,  # new r6; next window
         "events_funnel_windowed": q_events_funnel_windowed,  # new r6; next window
         "store_tag_travel": q_store_tag_travel,  # new r6; next window
+        "text_logprob_interp": q_text_logprob_interp,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -7098,6 +7112,32 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS rank
             FROM sc QUALIFY rank <= 10""",
         "text_logprob2": lm_big_sql,
+        "text_logprob_interp": f"""
+            WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+            bg AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM toks WHERE len(t) >= 2)
+            ),
+            doc_tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
+            lm2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+            lm1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+                    FROM lm2 GROUP BY 1),
+            iuni AS (SELECT term, CAST(count(*) AS BIGINT) AS cu
+                     FROM (SELECT unnest(t) AS term FROM toks) GROUP BY 1),
+            iscal AS (SELECT count(DISTINCT term) AS v,
+                             CAST(count(*) AS BIGINT) AS tt
+                      FROM (SELECT unnest(t) AS term FROM toks))
+            SELECT d.doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                   round(CAST(SUM(CAST(tf * ln(
+                       CAST(0.5 AS DOUBLE) * ((c2 + 1.0) / (c1 + v))
+                       + CAST(0.5 AS DOUBLE) * ((cu + 1.0) / (tt + v))
+                   ) AS DECIMAL(28,14))) AS DOUBLE) / SUM(tf), 6) AS logprob_i
+            FROM doc_tf d JOIN lm2 USING (bg)
+            JOIN lm1 ON split_part(d.bg, ' ', 1) = lm1.w1
+            JOIN iuni ON split_part(d.bg, ' ', 2) = iuni.term
+            CROSS JOIN iscal
+            GROUP BY d.doc_id""",
         # composed LM pipeline: one tokenize pass feeds both scorers
         # (text.tokenized shared relation); the oracle joins the two
         # certified LM twins — inner join drops <2-token docs exactly as

@@ -37,6 +37,7 @@ __all__ = [
     "tokenized",
     "unigram_logprob",
     "bigram_logprob",
+    "interp_logprob",
     "ngram_contamination",
     "decontaminate",
     "repetition_stats",
@@ -1357,4 +1358,76 @@ def sparse_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def interp_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    toks: DataFrame | None = None,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Jelinek-Mercer INTERPOLATED LM scoring — the standard smoothing
+    baseline between :func:`unigram_logprob` and :func:`bigram_logprob`:
+
+        p(w2 | w1) = λ · (c(w1 w2)+1)/(c(w1 ·)+V)
+                   + (1−λ) · (c(w2)+1)/(T+V)
+
+    A rare-context bigram no longer collapses to the add-one floor — the
+    unigram term keeps plausible words plausible — which is exactly the
+    failure mode that makes pure-bigram perplexity over-penalize short
+    natural documents in quality filtering.
+
+    Determinism: λ defaults to 0.5 (exactly binary-representable) and
+    the per-bigram probability is ONE fixed double expression over exact
+    integer counts; the order-sensitive weighted sum of logs goes
+    through the DECIMAL(28,14) detour like the other LM scorers.
+
+    Same shuffle shape as bigram_logprob plus one broadcast unigram
+    table. Output: (id, n_bigrams, logprob_i) rounded to 6.
+    """
+    base = toks if toks is not None else tokenized(df, id_col, text_col)
+    big = base.select(
+        F.col(id_col), F.explode(_word_ngrams_raw(F.col("__t"), 2)).alias("bg")
+    )
+    doc_tf = big.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint(
+        eager=False
+    )
+    lm2 = doc_tf.groupBy("bg").agg(F.sum("tf").cast("long").alias("c2"))
+    lm1 = lm2.groupBy(F.substring_index("bg", " ", 1).alias("w1")).agg(
+        F.sum("c2").alias("c1")
+    )
+    uni = base.select(F.explode("__t").alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cu")
+    )
+    scal = base.select(F.explode("__t").alias("term")).agg(
+        F.count_distinct("term").alias("__v"),
+        F.count(F.lit(1)).cast("long").alias("__tt"),
+    )
+    p = F.lit(float(lam)) * (
+        (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("__v"))
+    ) + F.lit(1.0 - float(lam)) * (
+        (F.col("cu") + F.lit(1.0)) / (F.col("__tt") + F.col("__v"))
+    )
+    return (
+        doc_tf.join(F.broadcast(lm2), "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .withColumn("w2", F.substring_index("bg", " ", -1))
+        .join(F.broadcast(lm1), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("term", "w2")), "w2")
+        .crossJoin(F.broadcast(scal))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(
+                (
+                    F.sum((F.col("tf") * F.log(p)).cast("decimal(28,14)")).cast(
+                        "double"
+                    )
+                    / F.sum("tf")
+                ),
+                6,
+            ).alias("logprob_i"),
+        )
     )

@@ -3369,3 +3369,35 @@ def test_funnel_windowed_gap_semantics(spark):
     unbounded = {r["user_id"]: r["reached"]
                  for r in funnel_reach(ev, ["view", "click", "purchase"]).collect()}
     assert unbounded == {1: 2, 2: 2, 3: 3}
+
+
+def test_interp_logprob_bounds_and_smoothing(spark):
+    """λ=1 reduces exactly to the bigram model; the mixture bound
+    p_i ≥ λ·p_bi gives logprob_i ≥ logprob2 + ln λ; and a one-bigram
+    corpus is hand-computable: p = ½·(1+1)/(1+2) + ½·(1+1)/(2+2) = 7/12."""
+    import math
+
+    from shortcut_spark.operators.text import bigram_logprob, interp_logprob
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the the the the"),
+            (3, "mat on sat cat the the"),
+        ],
+        "doc_id long, text string",
+    )
+    bi = {r["doc_id"]: r["logprob2"] for r in bigram_logprob(df).collect()}
+    it = {r["doc_id"]: r["logprob_i"] for r in interp_logprob(df).collect()}
+    assert set(it) == {1, 2, 3}
+    assert all(v < 0 for v in it.values())
+    # mixture lower bound: ln(.5·pb + .5·pu) ≥ ln(pb) − ln 2, per position
+    assert all(it[k] >= bi[k] - math.log(2) - 1e-6 for k in bi)
+    # λ=1 reduces to the bigram model
+    pure = {r["doc_id"]: r["logprob_i"] for r in interp_logprob(df, lam=1.0).collect()}
+    assert all(abs(pure[k] - bi[k]) < 1e-6 for k in bi)
+    # hand-computed single-bigram corpus
+    one = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    row = interp_logprob(one).collect()[0]
+    assert row["n_bigrams"] == 1
+    assert abs(row["logprob_i"] - round(math.log(7 / 12), 6)) < 1e-9
