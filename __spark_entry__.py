@@ -2583,6 +2583,34 @@ def q_events_triangles(spark, sf_dir):
     return triangle_counts(pairs)
 
 
+def q_docs_quality_qnorm(spark, sf_dir):
+    """Cross-source quantile normalization (sketch.quantile_normalize):
+    each doc's within-source quality rank maps to the POOLED
+    distribution's value at the same percentile — sources grading on
+    their own curve become comparable. Integer rank arithmetic
+    (ceil(r·N/n_g) as (r·N+n_g−1) DIV n_g), pooled distribution bounded
+    by distinct quantized score values and broadcast; hash-exact."""
+    from shortcut_spark.operators.sketch import quantile_normalize
+    from shortcut_spark.operators.text import quality_expr
+
+    from shortcut_spark.functions import tokens as _tok
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        # integer milli-quality: floor quantization is engine-identical
+        # (a second decimal ROUND would hit HALF_UP-vs-half-even edges)
+        F.floor(
+            quality_expr(F.col("text"), _tok(F.lower(F.col("text")))) * 1000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("qm"),
+    )
+    return quantile_normalize(scored, "doc_id", "qm", "source")
+
+
 def q_text_logprob_interp(spark, sf_dir):
     """Jelinek-Mercer interpolated LM scoring (text.interp_logprob):
     p = 0.5·p_bigram + 0.5·p_unigram per position — the standard
@@ -3721,8 +3749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order. The window ROTATES each round so every family accumulates
     # driver-green rows over time. Round 6 rotation: slots 1-18 are the 18
     # deterministic queries added in round 5 after that window froze — the
-    # last r5 queries in the exact-oracle inventory (217 exact twins + 6
-    # rows-only ANN tiers = 223 registered) without a driver-green row
+    # last r5 queries in the exact-oracle inventory (224 exact twins + 6
+    # rows-only ANN tiers = 230 registered) without a driver-green row
     # (all 18 passed the judge's independent oracle replica in r5). Slots 19-50 are regression guards chosen for the
     # code touched THIS round: dedup.py (hot-shingle max_df cap),
     # similarity.py (LSH multi-probe / auto-routing), graph.py (PageRank
@@ -3869,6 +3897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_windowed": q_events_funnel_windowed,  # new r6; next window
         "store_tag_travel": q_store_tag_travel,  # new r6; next window
         "text_logprob_interp": q_text_logprob_interp,  # new r6; next window
+        "docs_quality_qnorm": q_docs_quality_qnorm,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -7112,6 +7141,33 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS rank
             FROM sc QUALIFY rank <= 10""",
         "text_logprob2": lm_big_sql,
+        "docs_quality_qnorm": f"""
+            WITH qual AS ({quality}),
+            qb AS (
+              SELECT d.doc_id, d.source,
+                     CAST(floor(q.quality * 1000 + 0.5) AS BIGINT) AS qm
+              FROM documents d JOIN qual q USING (doc_id)
+            ),
+            qranked AS (
+              SELECT doc_id, source, qm,
+                     CAST(row_number() OVER (PARTITION BY source
+                                             ORDER BY qm, doc_id) AS BIGINT) AS r
+              FROM qb
+            ),
+            qsizes AS (SELECT source, CAST(count(*) AS BIGINT) AS ng
+                       FROM qb GROUP BY 1),
+            qn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM qb),
+            qdist AS (
+              SELECT qm AS dv, CAST(count(*) AS BIGINT) AS c,
+                     CAST(sum(count(*)) OVER (ORDER BY qm) AS BIGINT) AS cum
+              FROM qb GROUP BY 1
+            )
+            SELECT r.doc_id, r.source, r.qm, d.dv AS vnorm
+            FROM qranked r
+            JOIN qsizes s USING (source)
+            CROSS JOIN qn
+            JOIN qdist d ON ((r.r * qn.N + s.ng - 1) // s.ng)
+                            BETWEEN d.cum - d.c + 1 AND d.cum""",
         "text_logprob_interp": f"""
             WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
             bg AS (

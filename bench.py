@@ -246,6 +246,20 @@ HEADLINE = [
     ("store_version_diff", "count"),
     # streaming upsert: two checkpointed rounds of Store.merge ingestion
     ("events_stream_upsert", "count"),
+    # BPE tokenizer training: 5 vocab-bounded merge rounds
+    ("text_bpe_train", "collect"),
+    # loose-file blob sink -> binaryFile source -> real pixel decode
+    ("mm_binary_ingest", "count"),
+    # sparse TF-IDF cosine pairs over the df-capped inverted 3-gram index
+    ("docs_sparse_cosine", "count"),
+    # median/MAD robust daily anomalies from exact order statistics
+    ("events_anomaly_robust", "collect"),
+    # conversion-window funnel (1h per-step gap)
+    ("events_funnel_windowed", "count"),
+    # named snapshot tag + tag-resolved open
+    ("store_tag_travel", "count"),
+    # interpolated Jelinek-Mercer LM scoring
+    ("text_logprob_interp", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -141,6 +141,11 @@ AUDIT = [
     "stats_corr",
     "store_version_diff",
     "events_stream_upsert",
+    "docs_sparse_cosine",
+    "events_anomaly_robust",
+    "events_funnel_windowed",
+    "text_logprob_interp",
+    "mm_binary_ingest",
 ]
 
 

@@ -37,6 +37,7 @@ __all__ = [
     "equidepth_histogram",
     "key_skew_profile",
     "corr_matrix",
+    "quantile_normalize",
 ]
 
 
@@ -403,4 +404,79 @@ def corr_matrix(
         )
     return stats.select(F.explode(F.array(*rows)).alias("r")).select(
         "r.col_x", "r.col_y", "r.n", "r.corr"
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Cross-group QUANTILE NORMALIZATION: each row's within-group rank
+    maps to the pooled distribution's value at the same percentile — the
+    calibration pass that makes per-source scores comparable when every
+    source grades on its own curve (source A's 0.6 may be its top decile
+    while source B's 0.6 is its median; after normalization both land at
+    the pooled top-decile / median value).
+
+    Exact integer spec (the oracle replicates it):
+
+        r        = row_number within group, ordered by (value, id)
+        target_r = ceil(r·N / n_g)  =  (r·N + n_g − 1) DIV n_g
+        vnorm    = the pooled value serving rank target_r, i.e. the
+                   distinct value whose cumulative count interval
+                   [cum − c + 1, cum] contains it.
+
+    Scale shape: one group-keyed rank window over the rows; the pooled
+    distribution is a (value → count) relation BOUNDED BY DISTINCT
+    VALUES — quantized score domains keep it broadcast-sized (quantize
+    first for continuous inputs; its one ordered cumulative window runs
+    over that bounded relation, not over rows). The final lookup is a
+    broadcast interval join: rows never shuffle for it.
+
+    Output: (id, group, value, vnorm).
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__g"),
+        F.col(value_col).alias("__v"),
+    )
+    ranked = base.withColumn(
+        "__r",
+        F.row_number().over(W.partitionBy("__g").orderBy("__v", "__id")).cast("long"),
+    )
+    sizes = base.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("__ng"))
+    n1 = base.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    tgt = (
+        ranked.join(F.broadcast(sizes), "__g")
+        .crossJoin(F.broadcast(n1))
+        .withColumn("__t", F.expr("(__r * __N + __ng - 1) div __ng"))
+    )
+    # pooled distribution: bounded by distinct values; the ordered
+    # cumulative window runs over THIS relation only
+    dist = (
+        base.groupBy(F.col("__v").alias("__dv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .withColumn(
+            "__cum",
+            F.sum("__c").over(
+                W.orderBy("__dv").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        tgt.join(
+            F.broadcast(dist),
+            (F.col("__t") >= F.col("__cum") - F.col("__c") + 1)
+            & (F.col("__t") <= F.col("__cum")),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__g").alias(group_col),
+            F.col("__v").alias(value_col),
+            F.col("__dv").alias("vnorm"),
+        )
     )

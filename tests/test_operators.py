@@ -3401,3 +3401,27 @@ def test_interp_logprob_bounds_and_smoothing(spark):
     row = interp_logprob(one).collect()[0]
     assert row["n_bigrams"] == 1
     assert abs(row["logprob_i"] - round(math.log(7 / 12), 6)) < 1e-9
+
+
+def test_quantile_normalize_calibrates_groups(spark):
+    """Two groups with shifted scales: group A = {1,2,3,4}, group B =
+    {101,102,103,104}. After normalization both groups' rank-k rows map
+    to the SAME pooled values, making them comparable; the top row of
+    each group maps to the pooled maximum."""
+    from shortcut_spark.operators.sketch import quantile_normalize
+
+    rows = [(i, "A", float(i)) for i in range(1, 5)] + [
+        (10 + i, "B", 100.0 + i) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = quantile_normalize(df, "id", "v", "g").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["g"], {})[r["v"]] = r["vnorm"]
+    # within-group rank k of 4 → target = ceil(k*8/4) = 2k → pooled 2k-th
+    # smallest of {1,2,3,4,101,102,103,104}
+    pooled = [1.0, 2.0, 3.0, 4.0, 101.0, 102.0, 103.0, 104.0]
+    assert by_group["A"] == {float(k): pooled[2 * k - 1] for k in range(1, 5)}
+    assert by_group["B"] == {100.0 + k: pooled[2 * k - 1] for k in range(1, 5)}
+    # both groups' top rows land on the pooled maximum
+    assert by_group["A"][4.0] == by_group["B"][104.0] == 104.0
