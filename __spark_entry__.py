@@ -2583,6 +2583,17 @@ def q_events_triangles(spark, sf_dir):
     return triangle_counts(pairs)
 
 
+def q_events_pattern(spark, sf_dir):
+    """Sequence pattern counts (events.sequence_match): per user, how
+    many purchases were preceded by a view with NO error in between —
+    MATCH_RECOGNIZE-lite over a dense per-user sequence number (total
+    order: no timestamp-tie ambiguity), evaluated as two running-max
+    window aggregates on ONE user-key shuffle. All-integer → hash-exact."""
+    from shortcut_spark.operators.events import sequence_match
+
+    return sequence_match(_t(spark, sf_dir, "events"))
+
+
 def q_docs_quality_qnorm(spark, sf_dir):
     """Cross-source quantile normalization (sketch.quantile_normalize):
     each doc's within-source quality rank maps to the POOLED
@@ -3898,6 +3909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_tag_travel": q_store_tag_travel,  # new r6; next window
         "text_logprob_interp": q_text_logprob_interp,  # new r6; next window
         "docs_quality_qnorm": q_docs_quality_qnorm,  # new r6; next window
+        "events_pattern": q_events_pattern,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -7141,6 +7153,32 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS rank
             FROM sc QUALIFY rank <= 10""",
         "text_logprob2": lm_big_sql,
+        "events_pattern": """
+            WITH seqd AS (
+              SELECT user_id, event_type,
+                     CAST(row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS BIGINT)
+                       AS seq
+              FROM events
+            ),
+            flagged AS (
+              SELECT user_id, event_type,
+                     max(CASE WHEN event_type = 'view' THEN seq END)
+                       OVER (PARTITION BY user_id ORDER BY seq
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS la,
+                     max(CASE WHEN event_type = 'error' THEN seq END)
+                       OVER (PARTITION BY user_id ORDER BY seq
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS lc
+              FROM seqd
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_b,
+                   CAST(sum(CASE WHEN la IS NOT NULL
+                                  AND la > coalesce(lc, 0)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+            FROM flagged WHERE event_type = 'purchase'
+            GROUP BY user_id""",
         "docs_quality_qnorm": f"""
             WITH qual AS ({quality}),
             qb AS (

@@ -34,6 +34,7 @@ __all__ = [
     "pivot_daily_matrix",
     "ab_test",
     "robust_anomalies",
+    "sequence_match",
 ]
 
 
@@ -932,4 +933,59 @@ def robust_anomalies(
             z.alias("z"),
         )
         .filter(F.abs(F.col("z")) >= z_cut)
+    )
+
+
+def sequence_match(
+    events: DataFrame,
+    step_a: str = "view",
+    step_b: str = "purchase",
+    without: str = "error",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence pattern: per user, count ``step_b``
+    events preceded by a ``step_a`` with NO ``without`` event between —
+    "purchases whose view→purchase path wasn't interrupted by an error",
+    the checkout-health / journey-quality question plain funnels can't
+    ask (a funnel sees reach, not interruptions).
+
+    Engine-exact without timestamp-tie ambiguity: each user's events get
+    a dense SEQUENCE NUMBER (row_number over (ts, id) — a total order),
+    and the pattern evaluates on integers: a B at position p matches iff
+    ``max(seq of prior A) > coalesce(max(seq of prior C), 0)``. Both
+    running maxima are unbounded-preceding window aggregates over the
+    SAME user partitioning and order, so the whole operator is ONE
+    user-key shuffle with stacked window operators — the funnel plan
+    shape.
+
+    Output: (user, n_b, n_matched) for users with ≥1 ``step_b`` event.
+    """
+    from pyspark.sql import Window as W
+
+    seq_w = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    prior = (
+        W.partitionBy(user_col)
+        .orderBy("__seq")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    tagged = events.select(user_col, ts_col, id_col, type_col).withColumn(
+        "__seq", F.row_number().over(seq_w).cast("long")
+    )
+    flagged = tagged.select(
+        user_col,
+        type_col,
+        F.max(F.when(F.col(type_col) == step_a, F.col("__seq"))).over(prior).alias("__la"),
+        F.max(F.when(F.col(type_col) == without, F.col("__seq"))).over(prior).alias("__lc"),
+    )
+    b = flagged.filter(F.col(type_col) == step_b)
+    matched = (
+        F.col("__la").isNotNull()
+        & (F.col("__la") > F.coalesce(F.col("__lc"), F.lit(0)))
+    ).cast("int")
+    return b.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum(matched).cast("long").alias("n_matched"),
     )

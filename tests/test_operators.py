@@ -3425,3 +3425,30 @@ def test_quantile_normalize_calibrates_groups(spark):
     assert by_group["B"] == {100.0 + k: pooled[2 * k - 1] for k in range(1, 5)}
     # both groups' top rows land on the pooled maximum
     assert by_group["A"][4.0] == by_group["B"][104.0] == 104.0
+
+
+def test_sequence_match_no_interruption(spark):
+    """Hand-traced journeys: u1 view→purchase (match), u2
+    view→error→purchase (no match — interrupted), u3 purchase with no
+    prior view (no match), u4 view→error→view→purchase (match — the
+    LATEST view postdates the error), u5 two purchases, one clean one
+    interrupted."""
+    import datetime as dt
+
+    from shortcut_spark.operators.events import sequence_match
+
+    t = lambda s: dt.datetime(2024, 1, 1, 12, 0, s)
+    rows = [
+        (1, 1, t(0), "view"), (2, 1, t(1), "purchase"),
+        (3, 2, t(0), "view"), (4, 2, t(1), "error"), (5, 2, t(2), "purchase"),
+        (6, 3, t(0), "purchase"),
+        (7, 4, t(0), "view"), (8, 4, t(1), "error"),
+        (9, 4, t(2), "view"), (10, 4, t(3), "purchase"),
+        (11, 5, t(0), "view"), (12, 5, t(1), "purchase"),
+        (13, 5, t(2), "error"), (14, 5, t(3), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r["user_id"]: (r["n_b"], r["n_matched"]) for r in sequence_match(ev).collect()}
+    assert out == {1: (1, 1), 2: (1, 0), 3: (1, 0), 4: (1, 1), 5: (2, 1)}
