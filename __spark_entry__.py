@@ -211,6 +211,31 @@ def q_store_trigram_find(spark, sf_dir):
     )
 
 
+def q_store_trigram_ci(spark, sf_dir):
+    """Case-insensitive substring search (ILIKE analogue) through a
+    TrigramIndex(case_insensitive=True): postings are LOWERED grams, the
+    probe lowers the needle, and the icontains residual lowers both
+    sides — so a mixed-case needle matches and prunes correctly. The
+    oracle is lower(text) LIKE '%…%'."""
+    from shortcut_spark import TrigramIndex
+    from shortcut_spark.cmp import icontains
+
+    key = (sf_dir, "documents", "trigram_ci")
+    st = _STORE_CACHE.get(key)
+    if st is None:
+        path = tempfile.mkdtemp(prefix="scstore_docs_ci_")
+        st = Store.from_parquet(
+            spark,
+            os.path.join(path, "documents"),
+            os.path.join(sf_dir, "documents.parquet"),
+        )
+        st.index("text", TrigramIndex(case_insensitive=True))
+        _STORE_CACHE[key] = st
+    return st.find([icontains("text", "MERGE Batch")]).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_store_find_or(spark, sf_dir):
     """Disjunction of AND-branches via find_or (index union + rowid dedup)
     — the reference's 'issue multiple queries' (src/lib.rs:18) first-class."""
@@ -3910,6 +3935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_logprob_interp": q_text_logprob_interp,  # new r6; next window
         "docs_quality_qnorm": q_docs_quality_qnorm,  # new r6; next window
         "events_pattern": q_events_pattern,  # new r6; next window
+        "store_trigram_ci": q_store_trigram_ci,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -5189,6 +5215,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars
             FROM documents
             WHERE text LIKE '%merge batch%'""",
+        "store_trigram_ci": """
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE lower(text) LIKE '%merge batch%'""",
         "stats_corr": f"""{corr_union}""",
         "text_bpe_train": f"""
             WITH {bpe_chain}

@@ -260,6 +260,10 @@ HEADLINE = [
     ("store_tag_travel", "count"),
     # interpolated Jelinek-Mercer LM scoring
     ("text_logprob_interp", "count"),
+    # cross-source quantile normalization of milli-quality scores
+    ("docs_quality_qnorm", "count"),
+    # MATCH_RECOGNIZE-lite uninterrupted-journey counts
+    ("events_pattern", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -146,6 +146,8 @@ AUDIT = [
     "events_funnel_windowed",
     "text_logprob_interp",
     "mm_binary_ingest",
+    "docs_quality_qnorm",
+    "events_pattern",
 ]
 
 

@@ -40,6 +40,7 @@ __all__ = [
     "col_eq",
     "between",
     "contains",
+    "icontains",
 ]
 
 
@@ -130,6 +131,14 @@ class Comparison:
         hold a match only if it holds EVERY trigram of the needle."""
         return cls("contains", v)
 
+    @classmethod
+    def icontains(cls, v: Value) -> "Comparison":
+        """Case-INSENSITIVE substring containment (the ILIKE '%…%'
+        analogue). Servable only by a case-insensitive trigram index
+        (``TrigramIndex(case_insensitive=True)`` — its postings are
+        lowered grams); a case-sensitive index would wrongly prune."""
+        return cls("icontains", v)
+
     @property
     def is_const_eq(self) -> bool:
         """True iff this is ``Equal(Const)`` — the only comparison an index
@@ -141,6 +150,8 @@ class Comparison:
             return f"= {self.value}"
         if self.op == "contains":
             return f"contains {self.value}"
+        if self.op == "icontains":
+            return f"icontains {self.value}"
         parts = []
         lo, hi = self.lower, self.upper
         if lo and lo.kind != Bound.UNBOUNDED:
@@ -184,6 +195,8 @@ class Condition:
             return c == self._operand(colnames)
         if self.cmp.op == "contains":
             return c.contains(self._operand(colnames))
+        if self.cmp.op == "icontains":
+            return F.lower(c).contains(F.lower(self._operand(colnames)))
         expr = F.lit(True)
         lo, hi = self.cmp.lower, self.cmp.upper
         if lo and lo.kind == Bound.INCLUDED:
@@ -211,12 +224,14 @@ class Condition:
             cell = row[list(colnames).index(self.column)]
         if cell is None:
             return False
-        if self.cmp.op == "contains":
+        if self.cmp.op in ("contains", "icontains"):
             v = self.cmp.value
             assert v is not None and not v.is_column
             other = v.payload
             if other is None or not isinstance(cell, str):
                 return False
+            if self.cmp.op == "icontains":
+                return str(other).lower() in cell.lower()
             return str(other) in cell
         if self.cmp.op == "eq":
             v = self.cmp.value
@@ -276,6 +291,12 @@ def contains(column: int | str, needle: str) -> Condition:
     a TRIGRAM index when ``len(needle) >= 3``; always exact via the
     residual re-check (``src/lib.rs:89-91`` contract)."""
     return Condition(column, Comparison.contains(Value.new(needle)))
+
+
+def icontains(column: int | str, needle: str) -> Condition:
+    """``needle.lower() in row[column].lower()`` — the ILIKE analogue;
+    servable by a case-insensitive trigram index."""
+    return Condition(column, Comparison.icontains(Value.new(needle)))
 
 
 def between(

@@ -110,8 +110,13 @@ class IndexSpec:
         if self.kind == TRIGRAM:
             # substring (and equality, which implies containment) probes
             # with at least one full trigram; shorter needles have no gram
-            # to look up — residual-only, full scan
-            if cmp.op not in ("contains", "eq") or cmp.value is None or cmp.value.is_column:
+            # to look up — residual-only, full scan. Case-insensitive
+            # probes need a ci index (lowered postings); a ci index also
+            # serves case-SENSITIVE probes (original presence implies
+            # lowered-gram presence — still a superset).
+            ci = bool(self.params.get("ci"))
+            ok_ops = ("contains", "icontains", "eq") if ci else ("contains", "eq")
+            if cmp.op not in ok_ops or cmp.value is None or cmp.value.is_column:
                 return False
             return isinstance(cmp.value.payload, str) and len(cmp.value.payload) >= 3
         if cmp.is_const_eq:
@@ -223,10 +228,10 @@ class TrigramIndex:
 
     kind = TRIGRAM
 
-    def __init__(self, n: int = 3):
+    def __init__(self, n: int = 3, case_insensitive: bool = False):
         if n != 3:
             raise ValueError("only n=3 (trigram) is supported")
-        self.params = {"n": 3}
+        self.params = {"n": 3, "ci": bool(case_insensitive)}
 
 
 class BloomIndex:

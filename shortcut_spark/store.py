@@ -593,7 +593,7 @@ class Store:
         if kind == TRIGRAM:
             if not isinstance(self.manifest.schema[name].dataType, T.StringType):
                 raise ValueError(f"trigram index requires a string column, not {name!r}")
-            params = {"n": 3, **params}
+            params = {"n": 3, "ci": False, **params}
         spec = IndexSpec(
             column=name, kind=kind, custom=custom_indexer(indexer), params=params
         )
@@ -651,6 +651,8 @@ class Store:
             # not ndv. Values shorter than 3 chars contribute nothing
             # (no gram to look up; such probes are residual-only anyway).
             c = F.col(spec.column)
+            if spec.params.get("ci"):
+                c = F.lower(c)  # ci index: postings are lowered grams
             grams = F.when(
                 c.isNull() | (F.length(c) < 3), F.array().cast("array<string>")
             ).otherwise(
@@ -1269,6 +1271,8 @@ class Store:
             # count-distinct job over the cached postings). The residual
             # `contains` re-check restores exactness, as always.
             needle = path.cond.cmp.value.payload
+            if path.index.params.get("ci"):
+                needle = needle.lower()  # lowered postings ⇒ lowered probe
             grams = sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
             if grams and len(files) > 1:
                 hit_ids = None

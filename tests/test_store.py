@@ -1532,3 +1532,32 @@ def test_tags_named_snapshots(spark, store_path):
         Store.open(spark, store_path, version=v, tag="golden")
     with _pytest.raises(ValueError):
         st2.tag("bad/name")
+
+
+def test_trigram_case_insensitive_index(spark, store_path, tmp_path):
+    """ci trigram index: icontains probes prune on lowered grams and stay
+    exact; the SAME index serves case-sensitive contains (superset); a
+    case-sensitive index never serves icontains (would wrongly prune)."""
+    from shortcut_spark import TrigramIndex
+    from shortcut_spark.cmp import contains, icontains
+
+    data = [["The QUICK Brown Fox", "a"], ["lazy dog", "b"], ["QUICKSAND", "c"]]
+    st = make(spark, store_path, data, index_col=0, kind=TrigramIndex(case_insensitive=True))
+    plain = make(spark, str(tmp_path / "plain"), data)
+    for conds in (
+        [icontains(0, "quick")],
+        [icontains(0, "QUICK")],
+        [contains(0, "QUICK")],   # case-sensitive through the ci index
+        [contains(0, "quick")],   # no case-sensitive match exists
+        [icontains(0, "zebra")],
+    ):
+        assert rows_of(st.find(conds)) == rows_of(plain.find(conds))
+    assert st.find([icontains(0, "quick")]).count() == 2
+    assert st.find([contains(0, "quick")]).count() == 0
+    assert "IndexLookup" in st.explain_find([icontains(0, "quick")])
+    # a case-SENSITIVE index must NOT serve icontains
+    cs = make(spark, str(tmp_path / "cs"), data, index_col=0, kind=TrigramIndex())
+    assert "FullScan" in cs.explain_find([icontains(0, "quick")])
+    assert rows_of(cs.find([icontains(0, "quick")])) == rows_of(
+        plain.find([icontains(0, "quick")])
+    )
