@@ -264,6 +264,8 @@ HEADLINE = [
     ("docs_quality_qnorm", "count"),
     # MATCH_RECOGNIZE-lite uninterrupted-journey counts
     ("events_pattern", "count"),
+    # case-insensitive trigram substring search (ILIKE analogue)
+    ("store_trigram_ci", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -211,20 +211,28 @@ class Manifest:
     def live_rows(self) -> int:
         return self.total_rows - self.tombstone_rows
 
-    def to_json(self) -> dict:
+    def to_json_meta(self) -> dict:
+        """Everything except the file list — the commit fast path for a
+        PartedFileList must not materialize every part just to throw the
+        result away (that would re-read O(files) JSON per commit)."""
         return {
             "format_version": 1,
             "schema": json.loads(self.schema_json),
             "rowid": self.rowid,
             "next_file_id": self.next_file_id,
             "version": self.version,
-            "files": [f.to_json() for f in self.files],
+            "files": [],
             "indices": {c: s.to_json() for c, s in self.indices.items()},
             "props": dict(self.props),
             "tombstones": list(self.tombstones),
             "tombstone_rows": self.tombstone_rows,
             "committed_at": self.committed_at,
         }
+
+    def to_json(self) -> dict:
+        d = self.to_json_meta()
+        d["files"] = [f.to_json() for f in self.files]
+        return d
 
     @classmethod
     def from_json(cls, d: dict, parts_dir: str | None = None) -> "Manifest":
@@ -235,6 +243,10 @@ class Manifest:
                     "Manifest.load so the parts directory is known"
                 )
             files: list = PartedFileList(parts_dir, d["file_parts"])
+            # root-level "files" beside file_parts is the unpartitioned
+            # TAIL (appends since the last part split) — load it eagerly,
+            # it is < MANIFEST_PART_SIZE by construction
+            files.tail = [DataFile.from_json(f) for f in d.get("files", [])]
         else:
             files = [DataFile.from_json(f) for f in d["files"]]
         return cls(
@@ -312,36 +324,58 @@ class Manifest:
         self.version += 1
         self.committed_at = time.time()
         os.makedirs(mdir, exist_ok=True)
-        d = self.to_json()
-        if len(d["files"]) > MANIFEST_PART_SIZE:
-            # Iceberg-manifest-list shape: split the file list into JSON
-            # parts with aggregated per-part stats; the root manifest
-            # stays O(parts) and reads prune at part granularity before
-            # opening any part. (Prototype trade-off: every commit
-            # rewrites all parts — O(files), same as the monolithic
-            # layout it replaces; the next step at true millions-of-files
-            # scale is Iceberg-style reuse of unchanged parts.)
-            all_files = list(self.files)
-            parts_meta = []
-            for k in range(0, len(all_files), MANIFEST_PART_SIZE):
-                chunk = all_files[k : k + MANIFEST_PART_SIZE]
-                name = f"v{self.version}-files-p{k // MANIFEST_PART_SIZE}.json"
-                ptmp = os.path.join(mdir, name + ".tmp")
-                with open(ptmp, "w") as fh:
-                    json.dump([f.to_json() for f in chunk], fh)
-                os.replace(ptmp, os.path.join(mdir, name))
-                parts_meta.append(
-                    {
-                        "part": name,
-                        "n": len(chunk),
-                        "rows": sum(f.rows for f in chunk),
-                        "min_rowid": min(f.min_rowid for f in chunk),
-                        "max_rowid": max(f.max_rowid for f in chunk),
-                        "stats": _agg_part_stats(chunk),
-                    }
-                )
-            d["files"] = []
+
+        def _write_part(chunk: list, k: int) -> dict:
+            name = f"v{self.version}-files-p{k}.json"
+            ptmp = os.path.join(mdir, name + ".tmp")
+            with open(ptmp, "w") as fh:
+                json.dump([f.to_json() for f in chunk], fh)
+            os.replace(ptmp, os.path.join(mdir, name))
+            return {
+                "part": name,
+                "n": len(chunk),
+                "rows": sum(f.rows for f in chunk),
+                "min_rowid": min(f.min_rowid for f in chunk),
+                "max_rowid": max(f.max_rowid for f in chunk),
+                "stats": _agg_part_stats(chunk),
+            }
+
+        if isinstance(self.files, PartedFileList):
+            # Iceberg-style PART REUSE — the append-only fast path (any
+            # mutation materializes `files` to a plain list and takes the
+            # full-split branch below): existing parts are referenced
+            # VERBATIM (no load, no rewrite — commit cost is O(tail +
+            # parts-meta), not O(files)); only tail chunks that reached
+            # MANIFEST_PART_SIZE become new parts, and the remainder
+            # persists as the root-level "files" tail.
+            pf = self.files
+            d = self.to_json_meta()
+            parts_meta = list(pf._meta)
+            tail = list(pf.tail)
+            while len(tail) >= MANIFEST_PART_SIZE:
+                chunk, tail = tail[:MANIFEST_PART_SIZE], tail[MANIFEST_PART_SIZE:]
+                parts_meta.append(_write_part(chunk, len(parts_meta)))
+            d["files"] = [f.to_json() for f in tail]
             d["file_parts"] = parts_meta
+            pf._meta = parts_meta
+            pf.tail = tail
+        else:
+            d = self.to_json()
+            if len(d["files"]) > MANIFEST_PART_SIZE:
+                # Iceberg-manifest-list shape: split the file list into
+                # JSON parts with aggregated per-part stats; the root
+                # manifest stays O(parts) and reads prune at part
+                # granularity before opening any part. This full split
+                # runs on the FIRST threshold crossing and after
+                # mutations (which materialize the list); pure appends
+                # take the reuse branch above.
+                all_files = list(self.files)
+                parts_meta = []
+                for k in range(0, len(all_files), MANIFEST_PART_SIZE):
+                    chunk = all_files[k : k + MANIFEST_PART_SIZE]
+                    parts_meta.append(_write_part(chunk, k // MANIFEST_PART_SIZE))
+                d["files"] = []
+                d["file_parts"] = parts_meta
         mpath = os.path.join(mdir, f"v{self.version}.json")
         tmp = mpath + ".tmp"
         with open(tmp, "w") as fh:

@@ -1888,17 +1888,27 @@ class Store:
         ``retain_versions=1`` keeps only the current snapshot; larger values
         preserve that much time travel. The 100 TB analogue is an expiring-
         snapshots job."""
+        import re
         import shutil
 
+        from .manifest import PartedFileList
+
         mdir = Manifest._dir(self.path)
+        # version manifests are exactly v<digits>.json — manifest PART
+        # files (v<digits>-files-p<k>.json) are cleaned separately below
         versions = sorted(
-            int(f[1:-5]) for f in os.listdir(mdir) if f.startswith("v") and f.endswith(".json")
+            int(m.group(1))
+            for m in (re.fullmatch(r"v(\d+)\.json", f) for f in os.listdir(mdir))
+            if m
         )
         keep_versions = set(versions[-retain_versions:])
         keep_versions.add(self.manifest.version)
         live: set[str] = set()
+        live_mparts: set[str] = set()
         for v in keep_versions:
             m = Manifest.load(self.path, v)
+            if isinstance(m.files, PartedFileList):
+                live_mparts.update(pm["part"] for pm in m.files._meta)
             for f in m.files:
                 live.add(os.path.normpath(self._abs(f.path)))
             for spec in m.indices.values():
@@ -1933,6 +1943,12 @@ class Store:
         for v in versions:
             if v not in keep_versions:
                 os.remove(os.path.join(mdir, f"v{v}.json"))
+        # manifest part files not referenced by any retained version
+        # (part REUSE means a part may be shared across versions — only
+        # the reference set decides liveness, never the name's version)
+        for f in os.listdir(mdir):
+            if re.fullmatch(r"v\d+-files-p\d+\.json", f) and f not in live_mparts:
+                os.remove(os.path.join(mdir, f))
         return removed
 
     def describe(self) -> DataFrame:

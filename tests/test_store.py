@@ -446,10 +446,14 @@ def test_partitioned_manifest_prunes_without_full_load(spark, tmp_path):
     _, rng = st._prune_files([between("k", lo_file * 10, hi_file * 10 + 9)])
     assert [f.id for f in rng] == list(range(lo_file, hi_file + 1))
     assert set(pf._cache) == {0, 1, 5}  # the two straddled parts + the eq probe's
-    # warm repeat is cheap
+    # warm repeat: structurally free (no new part opened) and cheap.
+    # The latency bound is deliberately loose — 0.1 s flaked repeatedly
+    # under concurrent-suite load; the real invariant is the cache shape.
+    before = set(pf._cache)
     t0 = time.perf_counter()
     st._prune_files([eq("k", 424_242)])
-    assert time.perf_counter() - t0 < 0.1
+    assert set(pf._cache) == before
+    assert time.perf_counter() - t0 < 0.5
     # full materialization still works (correctness fallback for
     # stat-less probes) and is only triggered when actually needed
     assert sum(1 for _ in pf) == n_files
@@ -1561,3 +1565,73 @@ def test_trigram_case_insensitive_index(spark, store_path, tmp_path):
     assert rows_of(cs.find([icontains(0, "quick")])) == rows_of(
         plain.find([icontains(0, "quick")])
     )
+
+
+def test_parted_manifest_commit_reuses_parts_and_vacuums(spark, tmp_path):
+    """Append-only commits on a parted manifest must reference existing
+    part files VERBATIM (no rewrite — commit cost O(tail), the Iceberg
+    reuse contract), keep the remainder as a root tail that loads back,
+    split a full tail chunk into a new part, and vacuum must neither
+    crash on part filenames nor delete shared parts (only orphans)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from shortcut_spark.manifest import DataFile, Manifest, PartedFileList
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    man = Manifest(schema_json=schema.json())
+    n0 = 9000  # > MANIFEST_PART_SIZE (8192): first commit splits
+    for i in range(n0):
+        man.files.append(DataFile(i, f"data/f{i}.parquet", 10, i * 10, i * 10 + 9,
+                                  stats={"k": [i, i]}))
+    man.next_file_id, man.rowid = n0, n0 * 10
+    path = str(tmp_path / "t")
+    _os.makedirs(path)
+    man.commit(path)
+    mdir = Manifest._dir(path)
+    parts_v1 = sorted(f for f in _os.listdir(mdir) if "-files-p" in f)
+    mtimes = {f: _os.path.getmtime(_os.path.join(mdir, f)) for f in parts_v1}
+
+    # append-only commit: loaded lazily, tail append, commit
+    m2 = Manifest.load(path)
+    assert isinstance(m2.files, PartedFileList)
+    m2.files.append(DataFile(n0, f"data/f{n0}.parquet", 10, n0 * 10, n0 * 10 + 9,
+                             stats={"k": [n0, n0]}))
+    m2.next_file_id = n0 + 1
+    m2.commit(path)
+    assert not m2.files.fully_loaded  # reuse never opened the old parts
+    for f in parts_v1:  # old parts untouched on disk
+        assert _os.path.getmtime(_os.path.join(mdir, f)) == mtimes[f]
+    with open(_os.path.join(mdir, f"v{m2.version}.json")) as fh:
+        d = _json.load(fh)
+    assert [p["part"] for p in d["file_parts"]] == parts_v1  # verbatim reuse
+    assert len(d["files"]) == 1  # the tail rides in the root
+
+    # tail reload + full-length semantics
+    m3 = Manifest.load(path)
+    assert len(m3.files) == n0 + 1
+    assert m3.files.tail[0].id == n0
+
+    # vacuum: no crash, shared parts survive, all versions' parts still live
+    st = Store(spark, path, m3)
+    st.vacuum(retain_versions=1)
+    for f in parts_v1:
+        assert _os.path.exists(_os.path.join(mdir, f))
+
+    # a big enough tail splits into a NEW part while still reusing old ones
+    m4 = Manifest.load(path)
+    from shortcut_spark.manifest import MANIFEST_PART_SIZE
+    for j in range(MANIFEST_PART_SIZE):
+        fid = n0 + 1 + j
+        m4.files.append(DataFile(fid, f"data/f{fid}.parquet", 10, fid * 10,
+                                 fid * 10 + 9, stats={"k": [fid, fid]}))
+    m4.next_file_id = n0 + 1 + MANIFEST_PART_SIZE
+    m4.commit(path)
+    with open(_os.path.join(mdir, f"v{m4.version}.json")) as fh:
+        d4 = _json.load(fh)
+    assert len(d4["file_parts"]) == len(parts_v1) + 1
+    assert [p["part"] for p in d4["file_parts"][: len(parts_v1)]] == parts_v1
+    assert len(d4["files"]) == 1  # newest append is the remainder tail
+    assert len(Manifest.load(path).files) == n0 + 1 + MANIFEST_PART_SIZE
