@@ -2734,6 +2734,19 @@ def q_events_abtest(spark, sf_dir):
     return ab_test(_t(spark, sf_dir, "events"), min_conversions=14)
 
 
+def q_embed_pca_top(spark, sf_dir):
+    """Top principal component by integer fixed-point power iteration
+    (cluster.pca_top_component): exact Gram matrix (D² integer sufficient
+    statistics from ONE partial-aggregated pairwise expansion), then 5
+    engine-exact iterations with L∞ floor normalization — the pagerank
+    certification trick applied to a D-dimensional recurrence; the oracle
+    unrolls the same chain in HUGEINT. Eigval = Rayleigh quotient from
+    exact integers."""
+    from shortcut_spark.operators.cluster import pca_top_component
+
+    return pca_top_component(_t(spark, sf_dir, "embeddings"))
+
+
 def q_embed_maxsim(spark, sf_dir):
     """Late-interaction MaxSim retrieval (similarity.maxsim_topk): each
     embedding split into 4 token-standin subvectors, score = Σ_i max_j
@@ -3936,6 +3949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_qnorm": q_docs_quality_qnorm,  # new r6; next window
         "events_pattern": q_events_pattern,  # new r6; next window
         "store_trigram_ci": q_store_trigram_ci,  # new r6; next window
+        "embed_pca_top": q_embed_pca_top,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4258,6 +4272,52 @@ def oracle_sql() -> dict[str, str]:
                    l || r AS merged, pn AS n FROM bb{_t_}"""
         for _t_ in range(1, BPE_IT + 1)
     )
+
+    # integer fixed-point power iteration twin (cluster.pca_top_component
+    # spec): exact HUGEINT Gram chain; each iteration = matrix-vector
+    # product (pw) / L∞ max (pm) / sign-safe floor normalization (pv)
+    PCA_IT, PCA_S = 5, 10**6
+    pca_chain = f"""
+      pex AS (
+        SELECT vec_id AS rid,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {PCA_S} + 0.5)
+                    AS BIGINT) AS q,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+      ),
+      pgram AS (
+        SELECT a.pos AS i, b.pos AS j,
+               CAST(CAST(sum(CAST(a.q AS DECIMAL(38,0)) * b.q) AS DECIMAL(38,0))
+                    AS HUGEINT) AS g
+        FROM pex a JOIN pex b USING (rid)
+        GROUP BY 1, 2
+      ),
+      pv0 AS (
+        SELECT i, CAST(CASE WHEN i = 1 THEN {PCA_S} ELSE 0 END AS HUGEINT) AS val
+        FROM (SELECT DISTINCT i FROM pgram)
+      )"""
+    for _t_ in range(1, PCA_IT + 1):
+        pca_chain += f""",
+      pw{_t_} AS (
+        SELECT g.i, CAST(sum(g.g * v.val) AS HUGEINT) AS w
+        FROM pgram g JOIN pv{_t_ - 1} v ON v.i = g.j GROUP BY 1
+      ),
+      pm{_t_} AS (SELECT max(abs(w)) AS m FROM pw{_t_}),
+      pv{_t_} AS (
+        SELECT i,
+               (w * {PCA_S} - (((w * {PCA_S}) % m) + m) % m) // m AS val
+        FROM pw{_t_} CROSS JOIN pm{_t_}
+      )"""
+    pca_chain += f""",
+      pwf AS (
+        SELECT g.i, CAST(sum(g.g * v.val) AS HUGEINT) AS w
+        FROM pgram g JOIN pv{PCA_IT} v ON v.i = g.j GROUP BY 1
+      ),
+      pray AS (
+        SELECT CAST(sum(v.val * w.w) AS HUGEINT) AS num,
+               (SELECT CAST(sum(val * val) AS HUGEINT) FROM pv{PCA_IT}) AS den
+        FROM pv{PCA_IT} v JOIN pwf w ON w.i = v.i
+      )"""
 
     # exact Pearson matrix twin (sketch.corr_matrix spec): per pair,
     # pairwise-deleted integer-quantized sufficient statistics in
@@ -5219,6 +5279,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars
             FROM documents
             WHERE lower(text) LIKE '%merge batch%'""",
+        "embed_pca_top": f"""
+            WITH {pca_chain}
+            SELECT CAST(v.i - 1 AS INTEGER) AS pos,
+                   CAST(v.val AS BIGINT) AS v_i,
+                   CAST(v.val AS DOUBLE) / CAST({PCA_S} AS DOUBLE) AS component,
+                   (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                   / (CAST({PCA_S} AS DOUBLE) * CAST({PCA_S} AS DOUBLE)) AS eigval
+            FROM pv{PCA_IT} v CROSS JOIN pray""",
         "stats_corr": f"""{corr_union}""",
         "text_bpe_train": f"""
             WITH {bpe_chain}

@@ -49,7 +49,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["kmeans_exact"]
+__all__ = ["kmeans_exact", "pca_top_component"]
 
 
 def _quant_expr(vec_col: str, quant: int) -> F.Column:
@@ -139,4 +139,84 @@ def kmeans_exact(
         F.col("__id").alias(id_col),
         F.col("__best.c").alias("cluster"),
         F.col("__best.d").alias("dist2"),
+    )
+
+
+def pca_top_component(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 5,
+    quant: int = 10**6,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Top PRINCIPAL COMPONENT by integer fixed-point power iteration —
+    engine-exact PCA for the embedding pipeline (anisotropy diagnosis,
+    whitening direction, dominant-topic axis). Float power iteration has
+    the same certification problem as float k-means: reduce-order drift
+    compounds per iteration. Here every step is exact integer
+    arithmetic, so the whole computation is bit-identical anywhere and
+    unrolls into a CTE chain (the pagerank/kmeans trick, applied to a
+    D-dimensional recurrence):
+
+    * Gram matrix A = Σ_n q_n q_nᵀ over 1e-6-quantized elements — ONE
+      row-local pairwise expansion partial-aggregated into a D² key
+      space, collected as D² exact integers (driver metadata: 64² = 4096
+      values, the k-means-centroid class).
+    * v₀ = scale·e₀; iterate  w = A v ;  v' = floor(w·scale / max|w|)
+      (mathematical floor, expressed sign-safely — so components stay
+      integers in [−scale, scale] and no square root ever appears; L∞
+      normalization replaces the L2 norm precisely because it keeps the
+      arithmetic closed over integers).
+    * after ``iters`` rounds emit (pos, v_i, component, eigval) with the
+      Rayleigh quotient eigval = (vᵀAv)/(vᵀv)·(1/quant²) from exact
+      integers via one fixed double expression.
+
+    Scale shape: the D²-per-row expansion is linear work any exact Gram
+    computation pays, partial-aggregated map-side into D² keys; the
+    iteration itself is driver arithmetic on D integers (Python bigints
+    — no overflow at any magnitude; the SQL twin uses HUGEINT/DECIMAL).
+    Five iterations is a spec'd computation, not a convergence claim —
+    both engines compute the identical vector wherever it stands.
+    """
+    dec38 = "decimal(38,0)"
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * quant + F.lit(0.5)).cast("long"),
+    )
+    ex = emb.select(F.col(id_col).alias("__rid"), F.posexplode(qv).alias("__pos", "__q"))
+    a = ex.select(F.col("__rid"), F.col("__pos").alias("__i"), F.col("__q").alias("__qa"))
+    b = ex.select(F.col("__rid"), F.col("__pos").alias("__j"), F.col("__q").alias("__qb"))
+    gram_rows = (
+        a.join(b, "__rid")
+        .groupBy("__i", "__j")
+        .agg(F.sum(F.col("__qa").cast(dec38) * F.col("__qb")).alias("__g"))
+        .collect()
+    )
+    if not gram_rows:
+        raise ValueError("empty embedding table")
+    d = max(r["__i"] for r in gram_rows) + 1
+    A = [[0] * d for _ in range(d)]
+    for r in gram_rows:
+        A[r["__i"]][r["__j"]] = int(r["__g"])
+
+    v = [scale] + [0] * (d - 1)
+    for _ in range(iters):
+        w = [sum(A[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            raise ValueError("zero Gram action: degenerate input")
+        # python // floors; the SQL twin uses the sign-safe fdiv to match
+        v = [(w[i] * scale) // m for i in range(d)]
+
+    w = [sum(A[i][j] * v[j] for j in range(d)) for i in range(d)]
+    num = sum(v[i] * w[i] for i in range(d))
+    den = sum(x * x for x in v)
+    # mirror the twin's CAST-then-divide tree exactly (big ints round at
+    # the cast, not inside the division)
+    eig = (float(num) / float(den)) / (float(quant) * float(quant))
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(i, int(v[i]), float(v[i]) / float(scale), eig) for i in range(d)],
+        "pos int, v_i long, component double, eigval double",
     )

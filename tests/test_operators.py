@@ -3452,3 +3452,31 @@ def test_sequence_match_no_interruption(spark):
     )
     out = {r["user_id"]: (r["n_b"], r["n_matched"]) for r in sequence_match(ev).collect()}
     assert out == {1: (1, 1), 2: (1, 0), 3: (1, 0), 4: (1, 1), 5: (2, 1)}
+
+
+def test_pca_top_component_planted_direction(spark):
+    """Vectors concentrated along (1,1,0,0)/√2 with small noise on other
+    axes: the recovered top component must align with the planted
+    direction (equal loading on dims 0/1, near-zero elsewhere) and the
+    Rayleigh eigenvalue must dominate the per-dim variance of the noise
+    axes. Deterministic across runs by construction."""
+    from shortcut_spark.operators.cluster import pca_top_component
+
+    rows = []
+    for i in range(40):
+        a = (i % 7 - 3) * 1.0      # spread along the planted direction
+        noise = (i % 3 - 1) * 0.01
+        rows.append((i, [a, a, noise, -noise]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["pos"]: r for r in pca_top_component(emb, iters=8).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    c = {p: out[p]["component"] for p in out}
+    # equal loading on the planted axes, tiny elsewhere
+    assert abs(abs(c[0]) - abs(c[1])) < 0.01
+    assert max(abs(c[0]), abs(c[1])) == 1.0  # L-inf normalized
+    assert abs(c[2]) < 0.05 and abs(c[3]) < 0.05
+    eig = out[0]["eigval"]
+    assert eig > 0
+    # rerun determinism (exact integers: bit-identical)
+    out2 = {r["pos"]: r["v_i"] for r in pca_top_component(emb, iters=8).collect()}
+    assert out2 == {p: out[p]["v_i"] for p in out}
