@@ -266,6 +266,8 @@ HEADLINE = [
     ("events_pattern", "count"),
     # case-insensitive trigram substring search (ILIKE analogue)
     ("store_trigram_ci", "count"),
+    # integer fixed-point top principal component (exact Gram + 5 rounds)
+    ("embed_pca_top", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -148,6 +148,8 @@ AUDIT = [
     "mm_binary_ingest",
     "docs_quality_qnorm",
     "events_pattern",
+    "store_trigram_ci",
+    "embed_pca_top",
 ]
 
 
