@@ -319,6 +319,30 @@ def q_store_tag_travel(spark, sf_dir):
     return Store.open(spark, st.path, tag="golden").df()
 
 
+def q_store_constraints(spark, sf_dir):
+    """Write-time constraints (Store.add_constraint): unique key +
+    not_null column declared in the manifest; a duplicate-key batch and
+    a NULL batch are REJECTED atomically (asserted — the table is
+    untouched), then a valid batch lands. The oracle states the final
+    table, certifying both the rejections' atomicity and the accepted
+    append."""
+    src = _t(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="sc_cons_")
+    st = Store.create(spark, os.path.join(base, "nation"), src.schema)
+    st.add_constraint("n_nationkey", "unique")
+    st.add_constraint("n_name", "not_null")
+    st.insert(src)
+    for bad in ([(3, "DUP", 1)], [(99, None, 1)]):
+        try:
+            st.insert(bad)
+            raise AssertionError("constraint violation not rejected")
+        except ValueError:
+            pass
+    assert len(st) == 25  # rejections left the table untouched
+    st.insert([(99, "ATLANTIS", 1)])
+    return st.df()
+
+
 def q_store_version_diff(spark, sf_dir):
     """Time-travel diff — Store.diff(v_from, v_to): the row-level delta
     between two historical snapshots, i.e. changes() generalized to a
@@ -3950,6 +3974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pattern": q_events_pattern,  # new r6; next window
         "store_trigram_ci": q_store_trigram_ci,  # new r6; next window
         "embed_pca_top": q_embed_pca_top,  # new r6; next window
+        "store_constraints": q_store_constraints,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -5399,6 +5424,10 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE cosine >= 0.35""",
         "store_tag_travel": """
             SELECT n_nationkey, n_name, n_regionkey FROM nation""",
+        "store_constraints": """
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+            UNION ALL
+            SELECT CAST(99 AS INTEGER), 'ATLANTIS', CAST(1 AS INTEGER)""",
         "store_version_diff": f"""
             SELECT 'delete' AS change_type, {o_cols} FROM orders WHERE o_orderkey = 500
             UNION ALL

@@ -41,6 +41,7 @@ keeps the same information.
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 from typing import Any, Callable, Iterable, Sequence
@@ -283,6 +284,7 @@ class Store:
         # a cache-miss recompute between the two passes could renumber rows;
         # with the lineage cut, a lost partition fails the job instead of
         # silently skipping/duplicating rowids.
+        self._enforce_constraints(df)
         watermark = self.manifest.rowid
         from .functions import ensure_parallelism
 
@@ -388,6 +390,92 @@ class Store:
             for spec in specs:
                 self._append_postings(spec, new_files)
         return new_files
+
+    CONSTRAINT_KINDS = ("not_null", "unique")
+
+    def add_constraint(self, column: int | str, kind: str = "not_null") -> None:
+        """Declare a WRITE-TIME constraint (EXTENSION — the reference
+        validates arity only, ``src/lib.rs:179``): every subsequent
+        ``insert`` (and therefore ``merge``, whose append flows through
+        insert AFTER its victims are tombstone-masked — so replacing a
+        key never false-positives the uniqueness check) rejects the whole
+        batch if violated; nothing is committed on rejection.
+
+        Kinds: ``not_null`` (one aggregate over the batch, all not_null
+        columns folded together); ``unique`` (SQL semantics — NULLs are
+        exempt): batch-internal duplicates via one group-count, collision
+        with existing rows via a column-pruned semi-join against the live
+        table (a hash/bloom index on the column turns that scan's file
+        set into the posting-pruned subset, like any equality probe).
+        Constraints live in the manifest (replicate, survive reopen)."""
+        if kind not in self.CONSTRAINT_KINDS:
+            raise ValueError(f"unknown constraint kind {kind!r}")
+        name = self.colnames[column] if isinstance(column, int) else column
+        if name not in self.colnames:
+            raise ValueError(f"no such column {name!r}")
+        cons = self._constraints()
+        if (name, kind) not in cons:
+            cons.append((name, kind))
+            self.manifest.props["constraints"] = json.dumps(cons)
+            self._commit()
+
+    def drop_constraint(self, column: int | str, kind: str) -> None:
+        name = self.colnames[column] if isinstance(column, int) else column
+        cons = self._constraints()
+        if (name, kind) not in cons:
+            raise ValueError(f"no {kind!r} constraint on {name!r}")
+        cons.remove((name, kind))
+        self.manifest.props["constraints"] = json.dumps(cons)
+        self._commit()
+
+    def _constraints(self) -> list:
+        raw = self.manifest.props.get("constraints")
+        return [tuple(c) for c in json.loads(raw)] if raw else []
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        cons = self._constraints()
+        if not cons:
+            return
+        nn = [c for c, k in cons if k == "not_null" and c in df.columns]
+        if nn:
+            row = df.agg(
+                *[
+                    F.sum(F.col(c).isNull().cast("long")).alias(c)
+                    for c in nn
+                ]
+            ).collect()[0]
+            bad = {c: int(row[c] or 0) for c in nn if row[c]}
+            if bad:
+                raise ValueError(f"not_null constraint violated: {bad}")
+        for c, k in cons:
+            if k != "unique" or c not in df.columns:
+                continue
+            keys = df.filter(F.col(c).isNotNull()).select(c)
+            dup = (
+                keys.groupBy(c)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"unique constraint on {c!r} violated inside the batch "
+                    f"(e.g. key {dup[0][c]!r})"
+                )
+            if self.manifest.files:
+                hit = (
+                    self.find([])
+                    .select(c)
+                    .join(keys.distinct(), c, "left_semi")
+                    .limit(1)
+                    .collect()
+                )
+                if hit:
+                    raise ValueError(
+                        f"unique constraint on {c!r} violated: key "
+                        f"{hit[0][c]!r} already exists"
+                    )
 
     def merge(self, rows: DataFrame | Iterable[Sequence[Any]], on: int | str) -> tuple[int, int]:
         """Atomic upsert by key (EXTENSION — the reference is
@@ -2074,9 +2162,12 @@ class Store:
         """Schema evolution: remove a column — metadata-only; the bytes
         stay in the files but every read projects them away. Refuses to
         drop an indexed column (drop the index first — implicit cascades
-        hide cost) or the last column. NOTE: POSITIONAL conditions index
-        the post-drop column order, exactly like the reference's positional
-        rows; named conditions are unaffected."""
+        hide cost), a CONSTRAINED column (same reasoning), or the last
+        column. NOTE: POSITIONAL conditions index the post-drop column
+        order, exactly like the reference's positional rows; named
+        conditions are unaffected."""
+        if any(c == name for c, _k in self._constraints()):
+            raise ValueError(f"column {name!r} carries a constraint; drop it first")
         schema = self.manifest.schema
         if name not in schema.fieldNames():
             raise ValueError(f"no such column {name!r}")

@@ -1635,3 +1635,49 @@ def test_parted_manifest_commit_reuses_parts_and_vacuums(spark, tmp_path):
     assert [p["part"] for p in d4["file_parts"][: len(parts_v1)]] == parts_v1
     assert len(d4["files"]) == 1  # newest append is the remainder tail
     assert len(Manifest.load(path).files) == n0 + 1 + MANIFEST_PART_SIZE
+
+
+def test_write_time_constraints(spark, store_path):
+    """not_null and unique constraints reject whole batches atomically
+    (nothing committed), survive reopen, exempt NULLs from uniqueness,
+    coexist with merge (replacing a key is NOT a violation — victims are
+    masked before the append), and block drop_column."""
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    st = Store.create(spark, store_path, schema)
+    st.add_constraint("k", "unique")
+    st.add_constraint("v", "not_null")
+    st.insert([(1, "a"), (2, "b")])
+
+    with _pytest.raises(ValueError, match="not_null"):
+        st.insert([(3, None)])
+    with _pytest.raises(ValueError, match="unique.*inside the batch"):
+        st.insert([(4, "x"), (4, "y")])
+    with _pytest.raises(ValueError, match="already exists"):
+        st.insert([(2, "dup")])
+    assert len(st) == 2  # every rejected batch left the table untouched
+
+    # NULL keys are exempt from uniqueness (SQL semantics)
+    st.insert([(None, "n1"), (None, "n2")])
+    assert len(st) == 4
+
+    # merge on the unique key replaces, never violates
+    st.merge([(2, "b2")], on="k")
+    assert sorted(r["v"] for r in st.find([eq("k", 2)]).collect()) == ["b2"]
+
+    # persisted: a reopened store still enforces
+    st2 = Store.open(spark, store_path)
+    with _pytest.raises(ValueError, match="already exists"):
+        st2.insert([(1, "again")])
+
+    with _pytest.raises(ValueError, match="carries a constraint"):
+        st2.drop_column("v")
+    st2.drop_constraint("v", "not_null")
+    st2.insert([(9, None)])  # allowed after drop
+    with _pytest.raises(ValueError, match="no 'not_null' constraint"):
+        st2.drop_constraint("v", "not_null")
