@@ -1771,6 +1771,40 @@ class Store:
         order += [F.col(t).asc() for t in tiebreak]
         return base.orderBy(*order).limit(k)
 
+    def sample(self, fraction: float, seed: int | str = 0) -> DataFrame:
+        """Block sample — TABLESAMPLE SYSTEM semantics: FILES are chosen
+        deterministically (md5(seed:path) scaled into [0,1) < fraction)
+        and only those are read; unselected files cost nothing, not even
+        a footer. The cheap way to eyeball / profile / train-test-probe a
+        100 TB table: cost ∝ fraction, not table size.
+
+        SYSTEM caveats, same as every engine's: granularity is whole
+        files, so the realized row fraction wobbles around ``fraction``
+        (tight here because inserts split at ROWS_PER_FILE — files are
+        near-uniform), and rows clustered into the same file are sampled
+        together (correlated). For per-row uniform sampling use
+        ``sampling.reservoir_sample`` / ``stratified_sample`` on
+        ``df()`` — they pay the full scan this avoids. Deterministic:
+        same (fraction, seed) → same files at any snapshot that contains
+        them. Tombstoned rows stay invisible (reads flow through
+        ``_read_files``)."""
+        import hashlib as _hl
+
+        if not 0.0 <= fraction <= 1.0:
+            raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+        cut = int(fraction * (1 << 32))
+        picked = [
+            f
+            for f in self.manifest.files
+            if int.from_bytes(
+                _hl.md5(f"{seed}:{f.path}".encode()).digest()[:4], "big"
+            )
+            < cut
+        ]
+        if not picked:
+            return self._empty()
+        return self._read_files(picked).drop(ROWID)
+
     def explain_find(self, conds: Sequence[Condition] = ()) -> str:
         """Human-readable access-path report (Display parity spirit,
         ``src/cmp.rs:79-100``) plus file-pruning stats."""

@@ -1681,3 +1681,28 @@ def test_write_time_constraints(spark, store_path):
     st2.insert([(9, None)])  # allowed after drop
     with _pytest.raises(ValueError, match="no 'not_null' constraint"):
         st2.drop_constraint("v", "not_null")
+
+
+def test_block_sample_system_semantics(spark, store_path):
+    """Deterministic file-granular sample: same (fraction, seed) → same
+    rows; fraction 0/1 edges; whole files sampled together; tombstoned
+    rows stay invisible; realized fraction is in a sane band for
+    near-uniform files."""
+    st = Store.create(spark, store_path, 2)
+    for b in range(10):
+        st.insert([(f"b{b}", str(i)) for i in range(20)])
+    assert st.sample(0.0).count() == 0
+    assert st.sample(1.0).count() == 200
+    s1 = rows_of(st.sample(0.5, seed=7))
+    s2 = rows_of(st.sample(0.5, seed=7))
+    assert s1 == s2  # deterministic
+    assert rows_of(st.sample(0.5, seed=8)) != s1  # seed moves the pick
+    # whole files together: each batch's 20 rows are all-in or all-out
+    per_batch = {}
+    for c0, _c1 in s1:
+        per_batch[c0] = per_batch.get(c0, 0) + 1
+    assert all(v == 20 for v in per_batch.values())
+    assert 1 <= len(per_batch) <= 9  # sane band around 50% of 10 files
+    # tombstones respected
+    st.delete([eq(0, "b0")], defer=True)
+    assert all(r[0] != "b0" for r in st.sample(1.0).collect())
