@@ -3705,6 +3705,22 @@ def q_events_stream_transitions(spark, sf_dir):
     )
 
 
+def q_events_stream_pattern(spark, sf_dir):
+    """Streaming sequence-pattern counts (streaming.run_stream_pattern,
+    applyInPandasWithState): per-user event-list state re-derives the
+    'B preceded by A with no C between' verdicts each trigger — a late A
+    or C flips earlier B verdicts, so emissions are VERSIONED amendments
+    and the batch read keeps each user's latest. Oracle is the batch
+    sequence_match twin."""
+    _pin_utc(spark)
+    _STREAM_COUNTER[0] += 1
+    return stream_ops.run_stream_pattern(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        query_name=f"pattern_{_STREAM_COUNTER[0]}",
+    )
+
+
 def q_corpus_clean(spark, sf_dir):
     """Composite cleaning cascade (quality >= 0.3, lang = en, exact dedup,
     minhash near-dedup at jaccard >= 0.5) as ONE lazy plan — proves the
@@ -3975,6 +3991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_trigram_ci": q_store_trigram_ci,  # new r6; next window
         "embed_pca_top": q_embed_pca_top,  # new r6; next window
         "store_constraints": q_store_constraints,  # new r6; next window
+        "events_stream_pattern": q_events_stream_pattern,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -7280,6 +7297,32 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS rank
             FROM sc QUALIFY rank <= 10""",
         "text_logprob2": lm_big_sql,
+        "events_stream_pattern": """
+            WITH seqd AS (
+              SELECT user_id, event_type,
+                     CAST(row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS BIGINT)
+                       AS seq
+              FROM events
+            ),
+            flagged AS (
+              SELECT user_id, event_type,
+                     max(CASE WHEN event_type = 'view' THEN seq END)
+                       OVER (PARTITION BY user_id ORDER BY seq
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS la,
+                     max(CASE WHEN event_type = 'error' THEN seq END)
+                       OVER (PARTITION BY user_id ORDER BY seq
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS lc
+              FROM seqd
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_b,
+                   CAST(sum(CASE WHEN la IS NOT NULL
+                                  AND la > coalesce(lc, 0)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+            FROM flagged WHERE event_type = 'purchase'
+            GROUP BY user_id""",
         "events_pattern": """
             WITH seqd AS (
               SELECT user_id, event_type,

@@ -31,6 +31,7 @@ __all__ = [
     "stream_into_store",
     "run_stream_hopping_append",
     "run_stream_transitions",
+    "run_stream_pattern",
     "run_stream_bottomk",
     "conversion_pairs",
     "run_stream_stream_join",
@@ -1075,6 +1076,104 @@ def run_stream_transitions(
         FROM {query_name} s JOIN latest l
           ON s.user_id = l.user_id AND s.ver = l.mv
         GROUP BY 1, 2"""
+    )
+
+
+def run_stream_pattern(
+    spark: SparkSession,
+    events_parquet_dir: str,
+    step_a: str = "view",
+    step_b: str = "purchase",
+    without: str = "error",
+    query_name: str = "pattern_stream",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming sequence-pattern counts — the stateful twin of
+    ``operators.events.sequence_match`` ("B preceded by an A with no C
+    between"), with the same late-event honesty as the transitions
+    operator: a late A or C lands BETWEEN already-seen events and flips
+    earlier B verdicts, so per-user state keeps the (es_micros, event_id,
+    type) list and each trigger re-derives the user's verdict set,
+    emitting a VERSIONED (user, n_b, n_matched) amendment in update mode;
+    the batch read keeps only each user's latest version. State bound is
+    the user's event count (the documented open-tail trade; deployments
+    expire idle users on a timeout). Ordering is the exact (ts, event_id)
+    total order the batch operator ranks by."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    opts = (
+        {"maxFilesPerTrigger": str(max_files_per_trigger)}
+        if max_files_per_trigger
+        else None
+    )
+    stream = _file_stream(spark, events_parquet_dir, options=opts)
+    ev = stream.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("es"),
+        "event_id",
+        "event_type",
+    )
+    out_schema = "user_id long, ver int, n_b long, n_matched long"
+    state_schema = "evs array<struct<es:long,eid:long,et:string>>, ver int"
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        evs, ver = (
+            ([list(e) for e in state.get[0]], int(state.get[1]))
+            if state.exists
+            else ([], 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        for es, eid, et in zip(rows["es"], rows["event_id"], rows["event_type"]):
+            es_key = -(2**62) if pd.isna(es) else int(es)
+            evs.append([es_key, int(eid), None if et is None else str(et)])
+        ver += 1
+        state.update(([tuple(e) for e in evs], ver))
+        evs.sort(key=lambda r: (r[0], r[1]))
+        last_a = last_c = 0  # 1-based seq of most recent prior A / C
+        n_b = n_matched = 0
+        for pos, (_es, _eid, et) in enumerate(evs, start=1):
+            if et == step_b:
+                n_b += 1
+                if last_a > last_c:
+                    n_matched += 1
+            if et == step_a:
+                last_a = pos
+            elif et == without:
+                last_c = pos
+        if n_b == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array([user_id], dtype="Int64"),
+                "ver": pd.array([ver], dtype="Int32"),
+                "n_b": pd.array([n_b], dtype="Int64"),
+                "n_matched": pd.array([n_matched], dtype="Int64"),
+            }
+        )
+
+    pat = ev.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    q = (
+        pat.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"""
+        WITH latest AS (
+          SELECT user_id, max(ver) AS mv FROM {query_name} GROUP BY 1
+        )
+        SELECT s.user_id, s.n_b, s.n_matched
+        FROM {query_name} s JOIN latest l
+          ON s.user_id = l.user_id AND s.ver = l.mv"""
     )
 
 

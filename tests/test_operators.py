@@ -3480,3 +3480,35 @@ def test_pca_top_component_planted_direction(spark):
     # rerun determinism (exact integers: bit-identical)
     out2 = {r["pos"]: r["v_i"] for r in pca_top_component(emb, iters=8).collect()}
     assert out2 == {p: out[p]["v_i"] for p in out}
+
+
+def test_stream_pattern_amends_on_late_events(spark, tmp_path):
+    """Two triggers: trigger 1 delivers view→purchase (match); trigger 2
+    delivers a LATE error that lands between them — the verdict must be
+    AMENDED to unmatched (versioned emission, latest wins), matching the
+    batch sequence_match over the full data."""
+    import datetime as dt
+    import os as _os
+
+    from shortcut_spark import streaming as stream_ops
+    from shortcut_spark.operators.events import sequence_match
+
+    t = lambda s: dt.datetime(2024, 1, 1, 12, 0, s)
+    src = str(tmp_path / "src")
+    early = spark.createDataFrame(
+        [(1, 1, t(0), "view", 0.0, "{}"), (2, 1, t(10), "purchase", 0.0, "{}")],
+        "event_id long, user_id long, ts timestamp, event_type string, value double, props string",
+    )
+    late = spark.createDataFrame(
+        [(3, 1, t(5), "error", 0.0, "{}")],
+        "event_id long, user_id long, ts timestamp, event_type string, value double, props string",
+    )
+    early.coalesce(1).write.mode("append").parquet(src)
+    late.coalesce(1).write.mode("append").parquet(src)
+    out = stream_ops.run_stream_pattern(
+        spark, src, query_name="pat_amend_t", max_files_per_trigger=1
+    ).collect()
+    assert [(r["user_id"], r["n_b"], r["n_matched"]) for r in out] == [(1, 1, 0)]
+    full = spark.read.parquet(src)
+    batch = sequence_match(full).collect()
+    assert [(r["user_id"], r["n_b"], r["n_matched"]) for r in batch] == [(1, 1, 0)]
