@@ -268,6 +268,10 @@ HEADLINE = [
     ("store_trigram_ci", "count"),
     # integer fixed-point top principal component (exact Gram + 5 rounds)
     ("embed_pca_top", "collect"),
+    # write-time constraints: two rejected batches + one accepted append
+    ("store_constraints", "count"),
+    # stateful streaming pattern verdicts with versioned amendments
+    ("events_stream_pattern", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host
