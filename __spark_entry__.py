@@ -2758,6 +2758,19 @@ def q_events_abtest(spark, sf_dir):
     return ab_test(_t(spark, sf_dir, "events"), min_conversions=14)
 
 
+def q_embed_silhouette(spark, sf_dir):
+    """Certified clustering quality (cluster.kmeans_silhouette): per-
+    cluster mean SIMPLIFIED silhouette over the exact k-means assignment
+    — squared-distance variant keeps a and b exact BIGINTs (sqrt would
+    leave the integers), s = (b−a)/max(a,b) is one fixed double
+    expression, the mean takes the DECIMAL(28,14) detour. Centroids are
+    recomputed from the final assignment (the textbook per-cluster mean),
+    which the oracle unrolls as one more update CTE on the kmeans chain."""
+    from shortcut_spark.operators.cluster import kmeans_silhouette
+
+    return kmeans_silhouette(_t(spark, sf_dir, "embeddings"), k=8, iters=5)
+
+
 def q_embed_pca_top(spark, sf_dir):
     """Top principal component by integer fixed-point power iteration
     (cluster.pca_top_component): exact Gram matrix (D² integer sufficient
@@ -3992,6 +4005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pca_top": q_embed_pca_top,  # new r6; next window
         "store_constraints": q_store_constraints,  # new r6; next window
         "events_stream_pattern": q_events_stream_pattern,  # new r6; next window
+        "embed_silhouette": q_embed_silhouette,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -5551,6 +5565,45 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY vec_id
                                         ORDER BY dist2, cid) AS rn
               FROM kdfin) WHERE rn = 1""",
+        "embed_silhouette": f"""
+            WITH {km_chain},
+            kafin AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist2, cid) AS rn
+                FROM kdfin) WHERE rn = 1
+            ),
+            kcfin AS (
+              SELECT a.cid, kex.pos,
+                     CAST((sum(kex.qv)
+                           - ((sum(kex.qv) % count(*)) + count(*)) % count(*))
+                          // count(*) AS BIGINT) AS cv
+              FROM kafin a JOIN kex ON kex.vec_id = a.vec_id
+              GROUP BY 1, 2
+            ),
+            kdist AS (
+              SELECT kex.vec_id, c.cid,
+                     CAST(sum((kex.qv - c.cv) * (kex.qv - c.cv)) AS BIGINT) AS d2
+              FROM kex JOIN kcfin c ON c.pos = kex.pos
+              GROUP BY 1, 2
+            ),
+            ksil AS (
+              SELECT a.vec_id, a.cid,
+                     max(CASE WHEN d.cid = a.cid THEN d.d2 END) AS a2,
+                     min(CASE WHEN d.cid <> a.cid THEN d.d2 END) AS b2
+              FROM kafin a JOIN kdist d ON d.vec_id = a.vec_id
+              GROUP BY 1, 2
+            )
+            SELECT CAST(cid AS INTEGER) AS cluster,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(sum(CAST(
+                       CASE WHEN greatest(a2, b2) = 0 THEN CAST(0 AS DOUBLE)
+                            ELSE CAST(b2 - a2 AS DOUBLE)
+                                 / CAST(greatest(a2, b2) AS DOUBLE) END
+                     AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6)
+                     AS mean_silhouette
+            FROM ksil GROUP BY 1""",
         "dedup_index_query": f"""
             WITH toks AS (SELECT doc_id, source, {toks} AS t FROM documents),
             sh AS (

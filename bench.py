@@ -272,6 +272,8 @@ HEADLINE = [
     ("store_constraints", "count"),
     # stateful streaming pattern verdicts with versioned amendments
     ("events_stream_pattern", "count"),
+    # per-cluster simplified silhouette over the exact k-means
+    ("embed_silhouette", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -49,7 +49,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["kmeans_exact", "pca_top_component"]
+__all__ = ["kmeans_exact", "pca_top_component", "kmeans_silhouette"]
 
 
 def _quant_expr(vec_col: str, quant: int) -> F.Column:
@@ -219,4 +219,95 @@ def pca_top_component(
     return spark.createDataFrame(
         [(i, int(v[i]), float(v[i]) / float(scale), eig) for i in range(d)],
         "pos int, v_i long, component double, eigval double",
+    )
+
+
+def kmeans_silhouette(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 5,
+    quant: int = 10**6,
+) -> DataFrame:
+    """Per-cluster SIMPLIFIED SILHOUETTE for :func:`kmeans_exact` — the
+    certified clustering-quality readout: for each point, a = squared
+    distance to its OWN centroid, b = min squared distance to any OTHER
+    centroid, s = (b − a) / max(a, b) ∈ (−1, 1]; the report is each
+    cluster's size and mean s. Near 1 = tight and well-separated; near 0
+    = boundary soup; negative = mis-assigned mass.
+
+    Spec choices that keep it hash-exact: the SQUARED-distance variant
+    (classic silhouette's sqrt would leave the integers; the squared
+    form preserves the sign and the [worse/better] ordering), a and b
+    are exact BIGINTs from the same literal-centroid row-local distances
+    as the assignment pass, s is one fixed double expression, and the
+    order-sensitive mean goes through the DECIMAL(28,14) detour like the
+    LM scorers. k = 1 raises (no "other centroid" exists).
+
+    Scale shape: one extra map-only pass over the assignment relation
+    (all k distances are row-local; a is the assignment's own min, b a
+    second array_min over the non-assigned structs) + one |clusters|-key
+    rollup. Output: (cluster, n, mean_silhouette).
+    """
+    if k < 2:
+        raise ValueError("silhouette needs k >= 2")
+    assigned = kmeans_exact(emb, id_col, vec_col, k, iters, quant)
+    q = emb.select(
+        F.col(id_col), _quant_expr(vec_col, quant).alias("__qv")
+    ).join(assigned.select(id_col, "cluster"), id_col)
+    # recompute the final centroids exactly as kmeans_exact's last update
+    # would: they are a pure function of the assignment (sign-safe fdiv)
+    upd = (
+        q.select("cluster", F.posexplode("__qv").alias("__pos", "__q"))
+        .groupBy("cluster", "__pos")
+        .agg(F.sum("__q").alias("__s"), F.count(F.lit(1)).alias("__n"))
+        .select(
+            "cluster",
+            "__pos",
+            F.expr("(__s - ((__s % __n) + __n) % __n) div __n").alias("__cv"),
+        )
+        .collect()
+    )
+    by_c: dict[int, dict[int, int]] = {}
+    for r in upd:
+        by_c.setdefault(r["cluster"], {})[r["__pos"]] = r["__cv"]
+    cents = [(c, [d[p] for p in sorted(d)]) for c, d in sorted(by_c.items())]
+    if len(cents) < 2:
+        raise ValueError("all mass collapsed into one cluster")
+    own = None
+    for cid, cv in cents:
+        dist = _dist2(F.col("__qv"), cv)
+        own = F.when(F.col("cluster") == cid, dist) if own is None else own.when(
+            F.col("cluster") == cid, dist
+        )
+    other = F.array_min(
+        F.array(
+            *[
+                F.when(F.col("cluster") == cid, F.lit(None).cast("long")).otherwise(
+                    _dist2(F.col("__qv"), cv)
+                )
+                for cid, cv in cents
+            ]
+        )
+    )
+    s = (
+        (F.col("__b") - F.col("__a")).cast("double")
+        / F.greatest(F.col("__a"), F.col("__b")).cast("double")
+    )
+    scored = q.select(
+        "cluster", own.alias("__a"), other.alias("__b")
+    ).select(
+        "cluster",
+        F.when(
+            F.greatest(F.col("__a"), F.col("__b")) == 0, F.lit(0.0)
+        ).otherwise(s).alias("__s"),
+    )
+    return scored.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("__s").cast("decimal(28,14)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_silhouette"),
     )

@@ -3512,3 +3512,42 @@ def test_stream_pattern_amends_on_late_events(spark, tmp_path):
     full = spark.read.parquet(src)
     batch = sequence_match(full).collect()
     assert [(r["user_id"], r["n_b"], r["n_matched"]) for r in batch] == [(1, 1, 0)]
+
+
+def test_kmeans_silhouette_separation_signal(spark):
+    """Well-separated planted blobs score near 1; a uniform line split
+    into two clusters scores clearly lower (boundary points sit near
+    s = 0 — silhouette is scale-invariant, so only genuine OVERLAP
+    lowers it, not small coordinates); k=1 raises."""
+    import pytest as _pytest
+
+    from shortcut_spark.operators.cluster import kmeans_silhouette
+
+    rows = []
+    centers = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]
+    for b, (cx, cy) in enumerate(centers):
+        for i in range(15):
+            # interleaved ids: the k smallest ids (the deterministic
+            # seeds) land one per blob
+            rows.append((b + 3 * i, [cx + (i % 3) * 0.01, cy + (i % 5) * 0.01]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_silhouette(emb, k=3, iters=3).collect()
+    assert len(out) == 3
+    assert all(r["mean_silhouette"] > 0.95 for r in out)
+    assert sum(r["n"] for r in out) == 45
+
+    line = spark.createDataFrame(
+        [(i, [i * 0.1, 0.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    flat = kmeans_silhouette(line, k=2, iters=3).collect()
+    assert max(r["mean_silhouette"] for r in flat) < min(
+        r["mean_silhouette"] for r in out
+    )
+    overall = sum(r["n"] * r["mean_silhouette"] for r in flat) / sum(
+        r["n"] for r in flat
+    )
+    assert overall < 0.9  # boundary points drag a genuine overlap down
+
+    with _pytest.raises(ValueError):
+        kmeans_silhouette(emb, k=1)
