@@ -150,6 +150,8 @@ AUDIT = [
     "events_pattern",
     "store_trigram_ci",
     "embed_pca_top",
+    "store_constraints",
+    "embed_silhouette",
 ]
 
 

@@ -613,3 +613,79 @@ def test_embedding_dispersion_matches_integer_model(spark, vecs):
         B = sum(sum(q[j] for q in qs) ** 2 for j in range(len(qs[0])))
         want[g] = (n, float(n * A - B) / (float(n) * float(n) * float(S) * float(S)))
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcxy ", min_size=0, max_size=24), min_size=1, max_size=12
+    ),
+    needle=st.text(alphabet="abcxy ", min_size=1, max_size=6),
+    data=st.data(),
+)
+def test_trigram_contains_matches_bruteforce(spark, tmp_path_factory, texts, needle, data):
+    """Random corpus, random needle (both case variants): an indexed
+    contains/icontains find must equal the brute-force Python filter —
+    the superset-then-residual contract under adversarial gram overlap
+    (repeated chars, spaces, sub-3-char needles)."""
+    from shortcut_spark import TrigramIndex
+    from shortcut_spark.cmp import contains, icontains
+
+    ci = data.draw(st.booleans())
+    path = str(tmp_path_factory.mktemp("trgm") / "store")
+    st_ = Store.create(spark, path, 2)
+    st_.index(0, TrigramIndex(case_insensitive=ci))
+    rows = [(t, str(i)) for i, t in enumerate(texts)]
+    # two batches so pruning has >1 file to choose from
+    st_.insert(rows[: len(rows) // 2 + 1])
+    if rows[len(rows) // 2 + 1 :]:
+        st_.insert(rows[len(rows) // 2 + 1 :])
+    got = sorted(r[1] for r in st_.find([contains(0, needle)]).collect())
+    want = sorted(str(i) for i, t in enumerate(texts) if needle in t)
+    assert got == want
+    got_ci = sorted(r[1] for r in st_.find([icontains(0, needle.upper())]).collect())
+    want_ci = sorted(
+        str(i) for i, t in enumerate(texts) if needle.upper().lower() in t.lower()
+    )
+    assert got_ci == want_ci
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(st.sampled_from("AB"), st.integers(min_value=-50, max_value=50)),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_quantile_normalize_matches_model(spark, vals):
+    """quantile_normalize equals a direct Python evaluation of its spec
+    (within-group rank → ceil(r·N/n_g) → pooled order statistic) on
+    random grouped integers with ties."""
+    import math
+
+    from shortcut_spark.operators.sketch import quantile_normalize
+
+    rows = [(i, g, v) for i, (g, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    got = {r["id"]: r["vnorm"] for r in quantile_normalize(df, "id", "v", "g").collect()}
+    pooled = sorted(v for _g, v in vals)
+    by_g = {}
+    for i, (g, v) in enumerate(vals):
+        by_g.setdefault(g, []).append((v, i))
+    want = {}
+    for g, members in by_g.items():
+        members.sort()
+        n_g, N = len(members), len(vals)
+        for r, (_v, i) in enumerate(members, start=1):
+            target = -(-r * N // n_g)  # ceil
+            want[i] = pooled[target - 1]
+    assert got == want
