@@ -2643,6 +2643,22 @@ def q_events_pattern(spark, sf_dir):
     return sequence_match(_t(spark, sf_dir, "events"))
 
 
+def q_corpus_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sample (sampling.weighted_sample): exactly
+    200 docs with selection odds ∝ n_chars — rank key = (md5-hash ·
+    1e6) DIV weight, k smallest win, ties on doc_id. The integer-closed
+    analogue of A-ES weighted reservoir ordering (whose float power
+    can't certify); map-only keys + distributed top-k."""
+    from shortcut_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id",
+        "n_chars",
+        k=200,
+    )
+
+
 def q_docs_quality_qnorm(spark, sf_dir):
     """Cross-source quantile normalization (sketch.quantile_normalize):
     each doc's within-source quality rank maps to the POOLED
@@ -3851,8 +3867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order. The window ROTATES each round so every family accumulates
     # driver-green rows over time. Round 6 rotation: slots 1-18 are the 18
     # deterministic queries added in round 5 after that window froze — the
-    # last r5 queries in the exact-oracle inventory (231 exact twins + 6
-    # rows-only ANN tiers = 237 registered) without a driver-green row
+    # last r5 queries in the exact-oracle inventory (232 exact twins + 6
+    # rows-only ANN tiers = 238 registered) without a driver-green row
     # (all 18 passed the judge's independent oracle replica in r5). Slots 19-50 are regression guards chosen for the
     # code touched THIS round: dedup.py (hot-shingle max_df cap),
     # similarity.py (LSH multi-probe / auto-routing + maxsim), graph.py
@@ -4011,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_constraints": q_store_constraints,  # new r6; next window
         "events_stream_pattern": q_events_stream_pattern,  # new r6; next window
         "embed_silhouette": q_embed_silhouette,  # new r6; next window
+        "corpus_weighted_sample": q_corpus_weighted_sample,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -7407,6 +7424,14 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
             FROM flagged WHERE event_type = 'purchase'
             GROUP BY user_id""",
+        "corpus_weighted_sample": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     (('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      * 1000000)
+                     // greatest(coalesce(CAST(n_chars AS BIGINT), 1), 1) AS rk
+              FROM documents
+            ) ORDER BY rk, doc_id LIMIT 200""",
         "docs_quality_qnorm": f"""
             WITH qual AS ({quality}),
             qb AS (

@@ -274,6 +274,8 @@ HEADLINE = [
     ("events_stream_pattern", "count"),
     # per-cluster simplified silhouette over the exact k-means
     ("embed_silhouette", "collect"),
+    # exactly-k weighted sample (integer A-ES analogue)
+    ("corpus_weighted_sample", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

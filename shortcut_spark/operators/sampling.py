@@ -28,6 +28,7 @@ __all__ = [
     "temperature_mix",
     "leakproof_split",
     "balanced_sample",
+    "weighted_sample",
 ]
 
 _BUCKETS = 10_000  # rate resolution: 0.01%
@@ -365,4 +366,46 @@ def balanced_sample(
         .crossJoin(F.broadcast(m))
         .filter(F.col("__rn") <= F.col("__m"))
         .drop("__rn", "__m")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: str | int = "wsample",
+    scale: int = 10**6,
+) -> DataFrame:
+    """EXACTLY-k WEIGHTED sample without replacement, deterministic —
+    the corpus-mixing primitive :func:`reservoir_sample` can't express:
+    "pick 10k docs, longer/higher-quality ones proportionally more
+    often". Every row gets the integer rank key
+
+        rk = (hash32(seed:key) · scale) DIV max(weight, 1)
+
+    and the k smallest keys win (ties on the key column — total-order
+    stable). Doubling a row's weight halves its rank key, doubling its
+    odds of sitting under any selection threshold — the integer-closed
+    analogue of Efraimidis-Spirtes A-ES ordering (whose u^(1/w) float
+    power cannot certify); hash32 makes the draw replayable on any
+    engine with no RNG state. Non-positive/NULL weights clamp to 1 (a
+    row is never unsampleable). Weights must be integers (quantize
+    floats first — e.g. floor(quality·1e6)).
+
+    Scale shape: map-only key computation + distributed top-k
+    (TakeOrderedAndProject) — per-partition heads, driver merge of P×k;
+    stable under corpus growth exactly like reservoir_sample (keys never
+    change; only genuinely-better rows swap in).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = F.greatest(F.coalesce(F.col(weight_col).cast("long"), F.lit(1)), F.lit(1))
+    return (
+        df.withColumn("__w", w)
+        .withColumn("__h", hash32(F.col(key_col), seed) * F.lit(int(scale)))
+        .withColumn("__rk", F.expr("__h div __w"))
+        .orderBy(F.col("__rk").asc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__w", "__h", "__rk")
     )

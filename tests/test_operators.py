@@ -3551,3 +3551,23 @@ def test_kmeans_silhouette_separation_signal(spark):
 
     with _pytest.raises(ValueError):
         kmeans_silhouette(emb, k=1)
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    """Heavier rows win more often (two-point weight distribution: the
+    1000× heavier half should dominate the sample), selection is exactly
+    k and bit-identical across runs, zero/NULL weights clamp to 1 and
+    remain sampleable."""
+    from shortcut_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1000 if i % 2 == 0 else 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = weighted_sample(df, "id", "w", k=100).collect()
+    assert len(got) == 100
+    heavy = sum(1 for r in got if r["w"] == 1000)
+    assert heavy > 80  # 1000x odds dominate
+    again = weighted_sample(df, "id", "w", k=100).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # zero/NULL weights clamp to 1 — never unsampleable
+    odd = spark.createDataFrame([(1, 0), (2, None), (3, 5)], "id long, w long")
+    assert weighted_sample(odd, "id", "w", k=3).count() == 3
