@@ -2643,6 +2643,30 @@ def q_events_pattern(spark, sf_dir):
     return sequence_match(_t(spark, sf_dir, "events"))
 
 
+def q_events_unpivot(spark, sf_dir):
+    """Round-trip reshape certification (events.melt_matrix): the wide
+    pivot matrix melts back to tall (day, type, n) via Spark's native
+    unpivot; filtering the pivot's structural zeros restores EXACTLY the
+    original daily count relation — which is what the oracle states
+    directly, certifying pivot and unpivot against each other."""
+    from shortcut_spark.operators.events import melt_matrix, pivot_daily_matrix
+
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = pivot_daily_matrix(_t(spark, sf_dir, "events"), types=types)
+    tall = melt_matrix(
+        wide,
+        ["day_epoch"],
+        [f"{t}_n" for t in types],
+        var_name="type_col",
+        value_name="n_events",
+    )
+    return tall.filter(F.col("n_events") > 0).select(
+        "day_epoch",
+        F.expr("substring(type_col, 1, length(type_col) - 2)").alias("event_type"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def q_corpus_weighted_sample(spark, sf_dir):
     """Deterministic weighted sample (sampling.weighted_sample): exactly
     200 docs with selection odds ∝ n_chars — rank key = (md5-hash ·
@@ -3867,8 +3891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order. The window ROTATES each round so every family accumulates
     # driver-green rows over time. Round 6 rotation: slots 1-18 are the 18
     # deterministic queries added in round 5 after that window froze — the
-    # last r5 queries in the exact-oracle inventory (232 exact twins + 6
-    # rows-only ANN tiers = 238 registered) without a driver-green row
+    # last r5 queries in the exact-oracle inventory (233 exact twins + 6
+    # rows-only ANN tiers = 239 registered) without a driver-green row
     # (all 18 passed the judge's independent oracle replica in r5). Slots 19-50 are regression guards chosen for the
     # code touched THIS round: dedup.py (hot-shingle max_df cap),
     # similarity.py (LSH multi-probe / auto-routing + maxsim), graph.py
@@ -4028,6 +4052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_pattern": q_events_stream_pattern,  # new r6; next window
         "embed_silhouette": q_embed_silhouette,  # new r6; next window
         "corpus_weighted_sample": q_corpus_weighted_sample,  # new r6; next window
+        "events_unpivot": q_events_unpivot,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -7424,6 +7449,13 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
             FROM flagged WHERE event_type = 'purchase'
             GROUP BY user_id""",
+        "events_unpivot": """
+            SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS day_epoch,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events
+            WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+            GROUP BY 1, 2""",
         "corpus_weighted_sample": """
             SELECT doc_id, source, n_chars FROM (
               SELECT doc_id, source, n_chars,

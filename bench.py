@@ -276,6 +276,8 @@ HEADLINE = [
     ("embed_silhouette", "collect"),
     # exactly-k weighted sample (integer A-ES analogue)
     ("corpus_weighted_sample", "count"),
+    # pivot -> melt round-trip reshape
+    ("events_unpivot", "count"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

@@ -35,6 +35,7 @@ __all__ = [
     "ab_test",
     "robust_anomalies",
     "sequence_match",
+    "melt_matrix",
 ]
 
 
@@ -988,4 +989,25 @@ def sequence_match(
     return b.groupBy(user_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_b"),
         F.sum(matched).cast("long").alias("n_matched"),
+    )
+
+
+def melt_matrix(
+    wide: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """UNPIVOT/melt — the inverse reshape of :func:`pivot_daily_matrix`:
+    wide (one column per category) back to tall (one row per category),
+    via Spark's native ``unpivot`` (the SQL UNPIVOT/stack shape). The BI
+    export comes back into the engine as an analyzable relation.
+
+    Scale shape: map-only — each input row emits |value_cols| rows in
+    place; no shuffle, no driver involvement. Mixed value types must be
+    cast-compatible (Spark unpivot requires a common type; cast first).
+    """
+    return wide.unpivot(
+        list(id_cols), list(value_cols), var_name, value_name
     )

@@ -3571,3 +3571,42 @@ def test_weighted_sample_bias_and_determinism(spark):
     # zero/NULL weights clamp to 1 — never unsampleable
     odd = spark.createDataFrame([(1, 0), (2, None), (3, 5)], "id long, w long")
     assert weighted_sample(odd, "id", "w", k=3).count() == 3
+
+
+def test_melt_matrix_inverts_pivot(spark):
+    """melt(pivot(x)) with structural zeros filtered equals the tall
+    count relation x — the reshape pair is lossless on counts; melt is
+    map-only (one output row per (input row, value column))."""
+    import datetime as dt
+
+    from shortcut_spark.operators.events import melt_matrix, pivot_daily_matrix
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 8), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 9), 1, "click", 2.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 10), 2, "view", 3.0, "{}"),
+        (4, dt.datetime(2024, 1, 2, 8), 2, "view", 4.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    types = ["click", "view"]
+    wide = pivot_daily_matrix(ev, types=types)
+    tall = melt_matrix(wide, ["day_epoch"], [f"{t}_n" for t in types],
+                       var_name="tc", value_name="n")
+    got = {
+        (r["day_epoch"], r["tc"][:-2]): r["n"]
+        for r in tall.collect()
+        if r["n"] > 0
+    }
+    want = {
+        (r["day_epoch"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 86400).cast("long") * 86400).alias("day_epoch"),
+            "event_type",
+        ).count().withColumnRenamed("count", "n").collect()
+    }
+    assert got == want
+    # melt emits exactly |rows| x |value_cols| rows pre-filter
+    assert tall.count() == wide.count() * len(types)
