@@ -152,6 +152,8 @@ AUDIT = [
     "embed_pca_top",
     "store_constraints",
     "embed_silhouette",
+    "corpus_weighted_sample",
+    "events_unpivot",
 ]
 
 
