@@ -1321,6 +1321,35 @@ def q_except_custkeys(spark, sf_dir):
     return f.subtract(p)  # EXCEPT DISTINCT semantics (exceptAll is the multiset variant)
 
 
+def q_intersect_custkeys(spark, sf_dir):
+    """INTERSECT — customers with BOTH finished and open orders; with
+    except_custkeys this certifies the full set-op trio (union appears
+    throughout as the combinator). Spark plans it as a distinct-ized
+    left-semi join — same shuffle class as the EXCEPT anti-join."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(p)  # INTERSECT DISTINCT semantics
+
+
+def q_revenue_rollup(spark, sf_dir):
+    """GROUP BY ROLLUP — the hierarchical subtotal companion to the full
+    CUBE (events_cube): (returnflag, linestatus) revenue with per-flag
+    subtotals and a grand total in ONE expand+aggregate pass;
+    grouping_id disambiguates rollup NULLs, decimal-detour sums."""
+    from shortcut_spark.functions import dsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
 def q_full_outer_reconcile(spark, sf_dir):
     """FULL OUTER join — the reconciliation shape: per-customer order
     counts in two status tiers side by side, customers present in either
@@ -3891,8 +3920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order. The window ROTATES each round so every family accumulates
     # driver-green rows over time. Round 6 rotation: slots 1-18 are the 18
     # deterministic queries added in round 5 after that window froze — the
-    # last r5 queries in the exact-oracle inventory (233 exact twins + 6
-    # rows-only ANN tiers = 239 registered) without a driver-green row
+    # last r5 queries in the exact-oracle inventory (235 exact twins + 6
+    # rows-only ANN tiers = 241 registered) without a driver-green row
     # (all 18 passed the judge's independent oracle replica in r5). Slots 19-50 are regression guards chosen for the
     # code touched THIS round: dedup.py (hot-shingle max_df cap),
     # similarity.py (LSH multi-probe / auto-routing + maxsim), graph.py
@@ -4053,6 +4082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_silhouette": q_embed_silhouette,  # new r6; next window
         "corpus_weighted_sample": q_corpus_weighted_sample,  # new r6; next window
         "events_unpivot": q_events_unpivot,  # new r6; next window
+        "intersect_custkeys": q_intersect_custkeys,  # new r6; next window
+        "revenue_rollup": q_revenue_rollup,  # new r6; next window
         "corpus_clean_report": q_corpus_clean_report,
         "skew_safe_rollup": q_skew_safe_rollup,
         "stats_summary": q_stats_summary,
@@ -4844,6 +4875,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(o_orderkey) AS BIGINT) AS min_key,
                    CAST(max(o_orderkey) AS BIGINT) AS max_key
             FROM orders GROUP BY o_orderstatus""",
+        "intersect_custkeys": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+        "revenue_rollup": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   {_DSUM('l_extendedprice * (1.0 - l_discount)')} AS revenue
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
         "except_custkeys": """
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
             EXCEPT

@@ -278,6 +278,9 @@ HEADLINE = [
     ("corpus_weighted_sample", "count"),
     # pivot -> melt round-trip reshape
     ("events_unpivot", "count"),
+    # set-op trio completion and hierarchical ROLLUP subtotals
+    ("intersect_custkeys", "count"),
+    ("revenue_rollup", "collect"),
 ]
 
 # each headline query executes twice and the MIN is reported: the host

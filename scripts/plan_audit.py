@@ -154,6 +154,8 @@ AUDIT = [
     "embed_silhouette",
     "corpus_weighted_sample",
     "events_unpivot",
+    "intersect_custkeys",
+    "revenue_rollup",
 ]
 
 
