@@ -3920,8 +3920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order. The window ROTATES each round so every family accumulates
     # driver-green rows over time. Round 6 rotation: slots 1-18 are the 18
     # deterministic queries added in round 5 after that window froze — the
-    # last r5 queries in the exact-oracle inventory (235 exact twins + 6
-    # rows-only ANN tiers = 241 registered) without a driver-green row
+    # last r5 queries in the exact-oracle inventory (234 exact twins + 6
+    # rows-only ANN tiers = 240 registered) without a driver-green row
     # (all 18 passed the judge's independent oracle replica in r5). Slots 19-50 are regression guards chosen for the
     # code touched THIS round: dedup.py (hot-shingle max_df cap),
     # similarity.py (LSH multi-probe / auto-routing + maxsim), graph.py
