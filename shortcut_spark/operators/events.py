@@ -848,6 +848,16 @@ def ab_test(
     ctl = arms.filter(F.col("variant") == 0).select(
         F.col("n_users").alias("n0"), F.col("n_converted").alias("x0")
     )
+    # an empty control arm (no user hashed to variant 0) would make the
+    # crossJoin below silently return ZERO rows — the readout must fail
+    # loudly, not vanish. ctl is at most 1 row post-aggregate: collecting
+    # it is a bounded driver check, and localCheckpoint-free recompute of
+    # the |arms|-row aggregate is cheap.
+    if not ctl.limit(1).collect():
+        raise ValueError(
+            "ab_test: control arm (variant 0) is empty — no user hashed to "
+            "variant 0; use more users or a different seed"
+        )
     n, x = F.col("n_users").cast("double"), F.col("n_converted").cast("double")
     n0, x0 = F.col("n0").cast("double"), F.col("x0").cast("double")
     rate = x / n

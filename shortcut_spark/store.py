@@ -403,10 +403,11 @@ class Store:
 
         Kinds: ``not_null`` (one aggregate over the batch, all not_null
         columns folded together); ``unique`` (SQL semantics — NULLs are
-        exempt): batch-internal duplicates via one group-count, collision
-        with existing rows via a column-pruned semi-join against the live
-        table (a hash/bloom index on the column turns that scan's file
-        set into the posting-pruned subset, like any equality probe).
+        exempt): batch-internal duplicates via one group-count; collision
+        with existing rows via ``find_many`` for batches of ≤1024 distinct
+        keys (a hash/bloom index on the column prunes the probed file set,
+        like any equality probe) and a column-pruned full-scan semi-join
+        for bulk-load-sized batches (where the scan is amortized).
         Constraints live in the manifest (replicate, survive reopen)."""
         if kind not in self.CONSTRAINT_KINDS:
             raise ValueError(f"unknown constraint kind {kind!r}")
@@ -464,13 +465,24 @@ class Store:
                     f"(e.g. key {dup[0][c]!r})"
                 )
             if self.manifest.files:
-                hit = (
-                    self.find([])
-                    .select(c)
-                    .join(keys.distinct(), c, "left_semi")
-                    .limit(1)
-                    .collect()
-                )
+                # typical upsert batches are small: collect up to 1+cap
+                # distinct keys and probe through find_many, which prunes
+                # the file set via any hash/bloom index on the column. A
+                # bulk-load-sized batch (cap exceeded) falls back to the
+                # column-pruned full scan — at that size the scan is
+                # amortized over the batch anyway.
+                cap = 1024
+                head = [r[c] for r in keys.distinct().limit(cap + 1).collect()]
+                if len(head) <= cap:
+                    hit = self.find_many(c, head).select(c).limit(1).collect()
+                else:
+                    hit = (
+                        self.find([])
+                        .select(c)
+                        .join(keys.distinct(), c, "left_semi")
+                        .limit(1)
+                        .collect()
+                    )
                 if hit:
                     raise ValueError(
                         f"unique constraint on {c!r} violated: key "
@@ -531,7 +543,21 @@ class Store:
                 import shutil
 
                 shutil.rmtree(self._abs(victims_rel), ignore_errors=True)
-        inserted = self.insert(rows)
+        try:
+            inserted = self.insert(rows)
+        except BaseException:
+            # insert rejected the batch (constraint violation, bad schema,
+            # write failure) BEFORE committing. Unstage the tombstones so
+            # the next successful commit does not silently delete the
+            # victims of an upsert that never happened.
+            if n_staged:
+                if victims_rel in self.manifest.tombstones:
+                    self.manifest.tombstones.remove(victims_rel)
+                self.manifest.tombstone_rows -= n_staged
+                import shutil
+
+                shutil.rmtree(self._abs(victims_rel), ignore_errors=True)
+            raise
         return (inserted, n_staged)
 
     def _commit(self) -> None:

@@ -3229,6 +3229,17 @@ def test_ab_test_z_statistic_exact(spark):
     )
     d = {r["variant"]: r for r in ab_test(allconv).collect()}
     assert d[1]["z_vs_control"] is None
+    # an experiment with NO control users must fail loudly, not return
+    # an empty readout (the crossJoin against an empty control would
+    # otherwise silently produce zero rows)
+    import pytest as _pytest
+
+    treat_only = [u for u in users if arm_of[u] == 1][:3]
+    ev1 = spark.createDataFrame(
+        [(u, "purchase") for u in treat_only], "user_id long, event_type string"
+    )
+    with _pytest.raises(ValueError, match="control arm .* empty"):
+        ab_test(ev1)
 
 
 def test_corr_matrix_known_values(spark):

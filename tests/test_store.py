@@ -1683,6 +1683,41 @@ def test_write_time_constraints(spark, store_path):
         st2.drop_constraint("v", "not_null")
 
 
+def test_merge_rollback_on_rejected_insert(spark, store_path):
+    """A merge whose APPEND is rejected (constraint violation) must leave
+    the victims alive: the tombstones staged before the insert are rolled
+    back, so the NEXT successful commit does not silently delete the rows
+    the failed upsert targeted."""
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    st = Store.create(spark, store_path, schema)
+    st.add_constraint("k", "unique")
+    st.insert([(1, "a"), (2, "b"), (3, "c")])
+
+    # merge batch with an internal duplicate key: victims for key 2 are
+    # staged, then insert rejects the batch — the staging must unwind
+    with _pytest.raises(ValueError, match="unique.*inside the batch"):
+        st.merge([(2, "x"), (2, "y")], on="k")
+    assert st.manifest.tombstone_rows == 0
+    assert st.manifest.tombstones == []
+
+    # the next SUCCESSFUL commit must not carry the stale tombstone:
+    # key 2 keeps its original value
+    st.insert([(4, "d")])
+    got = {r["k"]: r["v"] for r in st.find([]).collect()}
+    assert got == {1: "a", 2: "b", 3: "c", 4: "d"}
+
+    # and a clean merge afterwards still works end-to-end
+    ins, repl = st.merge([(2, "b2")], on="k")
+    assert (ins, repl) == (1, 1)
+    assert {r["v"] for r in st.find([eq("k", 2)]).collect()} == {"b2"}
+
+
 def test_block_sample_system_semantics(spark, store_path):
     """Deterministic file-granular sample: same (fraction, seed) → same
     rows; fraction 0/1 edges; whole files sampled together; tombstoned
