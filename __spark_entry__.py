@@ -1945,14 +1945,18 @@ def q_embed_pq_topk(spark, sf_dir):
 
 
 def q_embed_pq_funnel(spark, sf_dir):
-    """PQ shortlist + exact rescore (similarity.pq_funnel_topk): the
-    integer-code scan keeps 50 candidates; only they re-read float
-    vectors for the exact cosine top-10. Approximate only through the
-    shortlist (rows-only check; recall pinned in tests)."""
+    """DEEP PQ funnel (similarity.pq_funnel_topk): the k-SCALED default
+    shortlist (10·k = 250 at k=25) — distinct from the k=10 headline; it
+    exercises the adaptive over-fetch path and certifies that the exact
+    top-10 survives a deeper cut. The r6 variant pinned shortlist=50 and
+    measured recall 0.8 — BELOW its own first stage, defeating the
+    funnel; the default now scales with k (max(100, 10·k)). Approximate
+    only through the shortlist (rows-only check; recall pinned in tests
+    and BENCH detail.ann_recall)."""
     codes, codebook = _fitted_pq(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.pq_funnel_topk(
-        emb, codes, codebook, _query_vec(spark, sf_dir), shortlist=50, k=10
+        emb, codes, codebook, _query_vec(spark, sf_dir), k=25
     )
 
 

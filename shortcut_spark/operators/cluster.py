@@ -277,6 +277,7 @@ def kmeans_silhouette(
     k: int = 8,
     iters: int = 5,
     quant: int = 10**6,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Per-cluster SIMPLIFIED SILHOUETTE for :func:`kmeans_exact` — the
     certified clustering-quality readout: for each point, a = squared
@@ -297,10 +298,17 @@ def kmeans_silhouette(
     (all k distances are row-local; a is the assignment's own min, b a
     second array_min over the non-assigned structs) + one |clusters|-key
     rollup. Output: (cluster, n, mean_silhouette).
+
+    ``assigned``: a precomputed :func:`kmeans_exact` result (any relation
+    with (id_col, cluster)) — the ``toks=`` convention from
+    ``text.tokenized``: a pipeline that computes the clustering AND its
+    quality readout passes the assignment in and pays the Lloyd loop
+    ONCE; when omitted the loop runs here with (k, iters, quant).
     """
     if k < 2:
         raise ValueError("silhouette needs k >= 2")
-    assigned = kmeans_exact(emb, id_col, vec_col, k, iters, quant)
+    if assigned is None:
+        assigned = kmeans_exact(emb, id_col, vec_col, k, iters, quant)
     q = emb.select(
         F.col(id_col), _quant_expr(vec_col, quant).alias("__qv")
     ).join(assigned.select(id_col, "cluster"), id_col)

@@ -1033,7 +1033,7 @@ def pq_funnel_topk(
     codes: DataFrame,
     codebook: DataFrame,
     query: DataFrame,
-    shortlist: int = 50,
+    shortlist: int | None = None,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1044,7 +1044,15 @@ def pq_funnel_topk(
     cosine cut to ``k``. Same funnel economics as
     :func:`funnel_topk`, with the corpus-wide pass reading PQ codes
     (~3% of float bytes) instead of truncated floats; the rescore
-    recovers most of the quantization-error recall (pinned by test)."""
+    recovers most of the quantization-error recall (pinned by test).
+    ``shortlist`` defaults to ``max(100, 10·k)`` — the 10× over-fetch
+    the headline ``pq_topk`` rescore economics are built on: a funnel
+    whose recall is LOWER than its first stage (the r6 shortlist-50
+    default measured 0.8) defeats the funnel's purpose, and the rescore
+    reads shortlist·D floats per query either way — a rounding error
+    next to the corpus-wide code scan."""
+    if shortlist is None:
+        shortlist = max(100, 10 * k)
     short = pq_topk(codes, codebook, query, shortlist, id_col).select(id_col)
     return topk_cosine(
         emb.join(F.broadcast(short), id_col, "left_semi"), query, k, id_col, vec_col
