@@ -431,14 +431,20 @@ def quantile_normalize(
     Scale shape: one group-keyed rank window over the rows; the pooled
     distribution is a (value → count) relation BOUNDED BY DISTINCT
     VALUES — quantized score domains keep it broadcast-sized (quantize
-    first for continuous inputs; its one ordered cumulative window runs
-    over that bounded relation, not over rows). The final lookup is a
-    broadcast interval join: rows never shuffle for it.
+    first for continuous inputs). Its cumulative count is the house
+    DISTRIBUTED two-phase prefix sum (the ``vocab_growth`` pattern):
+    distinct values are range-bucketed on their (min, max) span,
+    per-bucket totals (≤ ``buckets`` rows) take the only unpartitioned
+    window, and each value adds its within-bucket prefix — so no task
+    ever sees more than one bucket of the distribution, even when a
+    fine quantization makes it large. The final lookup is a broadcast
+    interval join: rows never shuffle for it.
 
     Output: (id, group, value, vnorm).
     """
     from pyspark.sql import Window as W
 
+    buckets = 32
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(group_col).alias("__g"),
@@ -455,17 +461,45 @@ def quantile_normalize(
         .crossJoin(F.broadcast(n1))
         .withColumn("__t", F.expr("(__r * __N + __ng - 1) div __ng"))
     )
-    # pooled distribution: bounded by distinct values; the ordered
-    # cumulative window runs over THIS relation only
-    dist = (
-        base.groupBy(F.col("__v").alias("__dv"))
-        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-        .withColumn(
-            "__cum",
-            F.sum("__c").over(
-                W.orderBy("__dv").rowsBetween(W.unboundedPreceding, 0)
-            ),
+    # pooled distribution: bounded by distinct values; its cumulative
+    # count is a bucketed two-phase prefix sum, never a global window
+    counts = base.groupBy(F.col("__v").alias("__dv")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    span = counts.agg(
+        F.min("__dv").alias("__lo"),
+        (F.max("__dv") - F.min("__dv")).alias("__span"),
+    )
+    bucketed = counts.crossJoin(F.broadcast(span)).withColumn(
+        "__bkt",
+        F.when(F.col("__span") <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("__dv") - F.col("__lo"))
+                    * F.lit(int(buckets))
+                    / F.col("__span")
+                ),
+                F.lit(int(buckets) - 1),
+            )
         )
+        .cast("int"),
+    )
+    # ≤ `buckets` rows: the only unpartitioned window runs on a tiny table
+    w_b = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("__bkt")
+        .agg(F.sum("__c").alias("__bsum"))
+        .withColumn("__off", F.coalesce(F.sum("__bsum").over(w_b), F.lit(0)))
+        .select("__bkt", "__off")
+    )
+    w_in = W.partitionBy("__bkt").orderBy("__dv").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    dist = (
+        bucketed.join(F.broadcast(offsets), "__bkt")
+        .withColumn("__cum", F.col("__off") + F.sum("__c").over(w_in))
+        .select("__dv", "__c", "__cum")
     )
     return (
         tgt.join(
