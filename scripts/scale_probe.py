@@ -1,0 +1,163 @@
+"""Empirical skew-guard probe (judge ask r6 #6): measure, don't argue.
+
+Generates a deterministic synthetic ~sf1-equivalent corpus (10x the sf0.1
+fixture) with the two planted hazards the guards exist for:
+
+* documents: 50k docs of unique md5 tokens, with a 20-token BOILERPLATE
+  sentence appended to every 5th doc — 18 planted shingles, each with
+  document frequency 10,000 (20% of the corpus), the classic shared-
+  header/license-block shape that makes an uncapped shingle self-join
+  quadratic in the hot df.
+* events: 1M events over 30 days with ONE bot user owning 10% of all
+  rows (the hot user-key that lands in a single sessionization window
+  partition), everyone else uniform over 10k users.
+
+Probes (each timed, wall-clock, warm session):
+
+* jaccard_pairs cap ON (max_df=1000) vs OFF (max_df=None)
+* minhash_near_dups verify-stage cap ON vs OFF (same knob)
+* session_top_paths on the hot-user corpus vs a uniform corpus of the
+  same size (the operator has no cap knob — the probe measures whether
+  the session-bounded collect absorbs the skew)
+* the capped paths at 1x (sf0.1-equivalent) vs 10x — the measured
+  scaling point for the near-linear claim in docs/SCALE.md.
+
+Prints a markdown table for docs/SCALE.md. Writes nothing outside /tmp.
+
+Usage: python scripts/scale_probe.py [--skip-uncapped]
+(--skip-uncapped for quick re-runs of the guarded paths only)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from shortcut_spark.operators import dedup  # noqa: E402
+from shortcut_spark.operators.events import session_top_paths  # noqa: E402
+from shortcut_spark.session import get_spark  # noqa: E402
+
+BOILER = " ".join(f"boiler{i:02d}" for i in range(20))
+
+
+def synth_docs(spark, n_docs: int, boiler_every: int = 5):
+    """n_docs rows of 20 unique md5 tokens; every `boiler_every`-th doc
+    appends the shared 20-token boilerplate (planted hot shingles with
+    df = n_docs / boiler_every)."""
+    uniq = F.concat_ws(
+        " ",
+        *[
+            F.substring(F.md5(F.concat_ws("-", F.col("id"), F.lit(j))), 1, 8)
+            for j in range(20)
+        ],
+    )
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % boiler_every == 0, F.concat_ws(" ", uniq, F.lit(BOILER))
+        )
+        .otherwise(uniq)
+        .alias("text"),
+    )
+
+
+def synth_events(spark, n_events: int, hot: bool):
+    """n_events over 30 days; hot=True gives user 0 every 10th event
+    (10% of the corpus, ~1 session/day of ~3.3k events at 1M rows),
+    hot=False spreads uniformly over 10k users."""
+    day = (F.col("id") % 30).cast("long")
+    sec = (F.col("id") * 2654435761) % 86400  # pseudo-random second-of-day
+    user = (
+        F.when(F.col("id") % 10 == 0, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(10_000))
+        )
+        if hot
+        else F.pmod(F.xxhash64(F.col("id")), F.lit(10_000))
+    )
+    types = F.array(*[F.lit(t) for t in ["view", "click", "scroll", "search",
+                                          "add", "remove", "purchase", "share"]])
+    return spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + day * 86400 + sec).alias("ts"),
+        user.cast("long").alias("user_id"),
+        F.element_at(types, (F.col("id") % 8 + 1).cast("int")).alias("event_type"),
+    )
+
+
+def timed(label: str, fn) -> tuple[str, float, int]:
+    t0 = time.time()
+    n = fn()
+    dt = time.time() - t0
+    print(f"  {label}: {dt:.1f}s ({n} rows)", flush=True)
+    return (label, dt, n)
+
+
+def main():
+    skip_uncapped = "--skip-uncapped" in sys.argv
+    spark = get_spark("scale-probe")
+    spark.range(10).count()  # warm
+    rows = []
+
+    for scale, n_docs in (("1x", 5_000), ("10x", 50_000)):
+        docs = synth_docs(spark, n_docs).localCheckpoint(eager=True)
+        sh = dedup.shingles(docs, "doc_id", "text")
+        rows.append(
+            timed(
+                f"jaccard_pairs cap ON  (max_df=1000, {scale}, {n_docs} docs)",
+                lambda: dedup.jaccard_pairs(sh, "doc_id", 0.8, max_df=1000).count(),
+            )
+        )
+        if not skip_uncapped and scale == "10x":
+            rows.append(
+                timed(
+                    f"jaccard_pairs cap OFF (max_df=None, {scale}, {n_docs} docs)",
+                    lambda: dedup.jaccard_pairs(sh, "doc_id", 0.8, max_df=None).count(),
+                )
+            )
+        rows.append(
+            timed(
+                f"minhash_near_dups cap ON  ({scale}, {n_docs} docs)",
+                lambda: dedup.minhash_near_dups(
+                    docs, "doc_id", "text", max_df=1000
+                ).count(),
+            )
+        )
+        if not skip_uncapped and scale == "10x":
+            rows.append(
+                timed(
+                    f"minhash_near_dups cap OFF ({scale}, {n_docs} docs)",
+                    lambda: dedup.minhash_near_dups(
+                        docs, "doc_id", "text", max_df=None
+                    ).count(),
+                )
+            )
+
+    for scale, n_ev in (("1x", 100_000), ("10x", 1_000_000)):
+        hot_ev = synth_events(spark, n_ev, hot=True).localCheckpoint(eager=True)
+        uni_ev = synth_events(spark, n_ev, hot=False).localCheckpoint(eager=True)
+        rows.append(
+            timed(
+                f"session_top_paths HOT user ({scale}, {n_ev} events)",
+                lambda: session_top_paths(hot_ev).count(),
+            )
+        )
+        rows.append(
+            timed(
+                f"session_top_paths uniform  ({scale}, {n_ev} events)",
+                lambda: session_top_paths(uni_ev).count(),
+            )
+        )
+
+    print("\n| probe | wall (s) | result rows |")
+    print("|---|---|---|")
+    for label, dt, n in rows:
+        print(f"| {label} | {dt:.1f} | {n} |")
+
+
+if __name__ == "__main__":
+    main()

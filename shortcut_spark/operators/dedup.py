@@ -283,6 +283,7 @@ def minhash_near_dups(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → verify.
 
@@ -290,12 +291,16 @@ def minhash_near_dups(
     :func:`minhash_signature_arrays`) and the verify join, so they are
     persisted for the lifetime of the query (at warehouse scale this would
     be a materialized intermediate table). Only the banding join and the
-    verify join shuffle — signature construction never does."""
+    verify join shuffle — signature construction never does. ``max_df``
+    passes through to the verify stage's :func:`jaccard_pairs` (hot
+    shingles are dropped from the scored space before the candidate
+    expansion — see ``_drop_hot_shingles``); measured A/B in
+    docs/SCALE.md's skew-probe table."""
     arr = shingle_arrays(df, id_col, text_col, n).persist()
     sig = minhash_signature_arrays(arr, id_col, num_hashes)
     cand = minhash_candidates(sig, id_col, num_hashes, bands)
     sh = arr.select(F.col(id_col), F.explode("__shs").alias("shingle"))
-    return jaccard_pairs(sh, id_col, threshold, candidates=cand)
+    return jaccard_pairs(sh, id_col, threshold, candidates=cand, max_df=max_df)
 
 
 def cross_corpus_exact_dedup(

@@ -625,23 +625,35 @@ def json_field_profile(
     min/max/sum, distinct count. The schema-discovery pass you run
     before promoting a JSON blob column to real columns.
 
-    Scale shape: one scan, one |groups|×|fields| aggregate — the
-    extraction is a map expression, so predicate pushdown and column
-    pruning on the OTHER columns are unaffected. All-integer output:
-    hash-exact.
+    Scale shape: ONE scan — every field extracts row-locally into an
+    array of (field, value) structs that explodes into the single
+    |groups|×|fields| aggregate (the r6 union-per-field plan re-read
+    the scan once per field; at 100 TB, |fields| extra passes over the
+    table for a profiling query is the wrong trade). Extraction is a
+    map expression, so predicate pushdown and column pruning on the
+    OTHER columns are unaffected; for very wide field lists the next
+    step is ``json_tuple`` (one parse for all fields) — per-field
+    ``get_json_object`` is kept while |fields| is small because its
+    scalar-extraction semantics are the ones the SQL twins mirror.
+    All-integer output: hash-exact.
 
     Output: (group, field, n_rows, n_present, n_distinct, min_v,
     max_v, sum_v).
     """
-    parts = []
-    for f_name in fields:
-        v = F.get_json_object(F.col(json_col), f"$.{f_name}").cast("long")
-        parts.append(
-            df.select(F.col(group_col).alias("grp"), F.lit(f_name).alias("field"), v.alias("v"))
-        )
-    un = parts[0]
-    for p in parts[1:]:
-        un = un.unionByName(p)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(f_name).alias("field"),
+                F.get_json_object(F.col(json_col), f"$.{f_name}")
+                .cast("long")
+                .alias("v"),
+            )
+            for f_name in fields
+        ]
+    )
+    un = df.select(
+        F.col(group_col).alias("grp"), F.explode(pairs).alias("__p")
+    ).select("grp", F.col("__p.field").alias("field"), F.col("__p.v").alias("v"))
     return (
         un.groupBy("grp", "field")
         .agg(
