@@ -3466,6 +3466,14 @@ def test_quantile_normalize_calibrates_groups(spark):
     assert by_group["B"] == {100.0 + k: pooled[2 * k - 1] for k in range(1, 5)}
     # both groups' top rows land on the pooled maximum
     assert by_group["A"][4.0] == by_group["B"][104.0] == 104.0
+    # degenerate span: every value identical → the range-bucketed prefix
+    # sum's span guard routes all distinct values (one) to bucket 0 and
+    # every row normalizes to that single pooled value
+    one = spark.createDataFrame(
+        [(1, "A", 7.0), (2, "A", 7.0), (3, "B", 7.0)], "id long, g string, v double"
+    )
+    flat = quantile_normalize(one, "id", "v", "g").collect()
+    assert len(flat) == 3 and all(r["vnorm"] == 7.0 for r in flat)
 
 
 def test_sequence_match_no_interruption(spark):
