@@ -181,6 +181,12 @@ def summarize(plan: str) -> list[str]:
         notes.append(f"joins: {nbroadcast} broadcast, {nsmj} sort-merge")
     nex = len(re.findall(r"\(\d+\) Exchange", plan))
     notes.append(f"shuffles: {nex} exchange(s)")
+    nsp = plan.count("Exchange SinglePartition")
+    if nsp:
+        # every one of these must sit on a provably bounded relation
+        # (post-limit top-k, ≤buckets prefix totals, count-of-counts);
+        # a data-dependent one is the scale hazard the r6 verdict flagged
+        notes.append(f"single-partition exchanges: {nsp} (bounded-relation check applies)")
     if "partial_" in plan:
         notes.append("map-side partial aggregation present")
     if "AdaptiveSparkPlan" in plan:

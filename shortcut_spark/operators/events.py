@@ -542,6 +542,7 @@ def session_top_paths(
     ts_col: str = "ts",
     id_col: str = "event_id",
     type_col: str = "event_type",
+    max_events: int | None = None,
 ) -> DataFrame:
     """TOP USER JOURNEYS: the most frequent length-``n`` event-type
     sequences inside gap-based sessions — path mining, the "what do
@@ -555,6 +556,15 @@ def session_top_paths(
     trade every sessionizer makes), then the n-gram counts partial-
     aggregate map-side into a tiny |distinct paths| key space; top-k is
     distributed TakeOrdered. Ties rank by path string: deterministic.
+
+    ``max_events`` (default None = unbounded) truncates each session to
+    its first that-many events BEFORE the collect — the guard for the
+    one residual skew hazard the measured probe left open
+    (docs/SCALE.md: a bot user whose events never gap ``gap_minutes``
+    forms one corpus-length session, and an unbounded per-session
+    collect_list is an OOM at that key). Truncation costs one
+    row_number on the session partitioning already present — no extra
+    shuffle.
 
     Output: (rank, path, n_sessions_rows: count of occurrences).
     """
@@ -574,6 +584,11 @@ def session_top_paths(
     ).withColumn(
         "__sess", F.sum(F.coalesce(F.col("__brk"), F.lit(1))).over(w_user)
     )
+    if max_events is not None:
+        w_sess = W.partitionBy(user_col, "__sess").orderBy(ts_col, id_col)
+        with_break = with_break.withColumn(
+            "__k", F.row_number().over(w_sess)
+        ).filter(F.col("__k") <= max_events)
     types = (
         with_break.groupBy(user_col, "__sess")
         .agg(

@@ -2875,6 +2875,13 @@ def test_session_top_paths_counts_ngrams(spark):
     )
     out = {r["path"]: (r["rank"], r["n_occurrences"]) for r in session_top_paths(df).collect()}
     assert out == {"a>b>c": (1, 2), "b>c>b": (2, 1)}, out
+    # max_events truncates the first session to a,b,c (dropping the
+    # trailing b and its b>c>b trigram) — the bot-user session guard
+    capped = {
+        r["path"]: r["n_occurrences"]
+        for r in session_top_paths(df, max_events=3).collect()
+    }
+    assert capped == {"a>b>c": 2}, capped
 
 
 def test_json_field_profile_extraction(spark):
