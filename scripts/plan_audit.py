@@ -181,7 +181,9 @@ def summarize(plan: str) -> list[str]:
         notes.append(f"joins: {nbroadcast} broadcast, {nsmj} sort-merge")
     nex = len(re.findall(r"\(\d+\) Exchange", plan))
     notes.append(f"shuffles: {nex} exchange(s)")
-    nsp = plan.count("Exchange SinglePartition")
+    # formatted mode prints "Arguments: SinglePartition, ..." on the
+    # Exchange detail line (simple mode would say "Exchange SinglePartition")
+    nsp = plan.count("SinglePartition")
     if nsp:
         # every one of these must sit on a provably bounded relation
         # (post-limit top-k, ≤buckets prefix totals, count-of-counts);
