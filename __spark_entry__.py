@@ -1947,12 +1947,15 @@ def q_embed_pq_topk(spark, sf_dir):
 def q_embed_pq_funnel(spark, sf_dir):
     """DEEP PQ funnel (similarity.pq_funnel_topk): the k-SCALED default
     shortlist (10·k = 250 at k=25) — distinct from the k=10 headline; it
-    exercises the adaptive over-fetch path and certifies that the exact
-    top-10 survives a deeper cut. The r6 variant pinned shortlist=50 and
-    measured recall 0.8 — BELOW its own first stage, defeating the
-    funnel; the default now scales with k (max(100, 10·k)). Approximate
-    only through the shortlist (rows-only check; recall pinned in tests
-    and BENCH detail.ann_recall)."""
+    exercises the adaptive over-fetch path. Recall is measured
+    apples-to-apples against the EXACT top-25 (bench._ann_recall
+    computes a k=25 exact twin for this entry — containment of the
+    top-10 in a top-25 result would be a strictly weaker property). The
+    r6 variant pinned shortlist=50 and measured recall 0.8 — BELOW its
+    own first stage, defeating the funnel; the default now scales with
+    k (max(100, 10·k)). Approximate only through the shortlist
+    (rows-only check; recall pinned in tests and BENCH
+    detail.ann_recall)."""
     codes, codebook = _fitted_pq(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.pq_funnel_topk(

@@ -336,6 +336,17 @@ def _ann_recall(spark, queries) -> dict:
     pq_funnel = {
         r["vec_id"] for r in queries["embed_pq_funnel"](spark, SF_DIR).collect()
     }
+    # the funnel query runs k=25: its recall must be judged against the
+    # exact top-25, not the headline top-10 — containment of top-10 in a
+    # top-25 result is a strictly weaker property than what every other
+    # tier is held to (code-review r7 finding)
+    from shortcut_spark.operators import similarity as _sim
+
+    _emb = entry_mod._t(spark, SF_DIR, "embeddings")
+    _qv = entry_mod._query_vec(spark, SF_DIR)
+    exact25 = {
+        r["vec_id"] for r in _sim.topk_cosine(_emb, _qv, 25).collect()
+    }
     ivf_pq = {
         r["vec_id"] for r in queries["embed_ivf_pq_topk"](spark, SF_DIR).collect()
     }
@@ -362,7 +373,9 @@ def _ann_recall(spark, queries) -> dict:
         "embed_lsh_topk": round(len(exact_topk & lsh_topk) / k, 3),
         "embed_ivf_topk": round(len(exact_topk & ivf_topk) / k, 3),
         "embed_pq_topk": round(len(exact_topk & pq_topk) / k, 3),
-        "embed_pq_funnel": round(len(exact_topk & pq_funnel) / k, 3),
+        "embed_pq_funnel": round(
+            len(exact25 & pq_funnel) / max(1, len(exact25)), 3
+        ),
         "embed_ivf_pq_topk": round(len(exact_topk & ivf_pq) / k, 3),
         "embed_cosine_lsh": round(
             len(exact_pairs & lsh_pairs) / max(1, len(exact_pairs)), 3

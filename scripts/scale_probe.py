@@ -17,8 +17,10 @@ Probes (each timed, wall-clock, warm session):
 * jaccard_pairs cap ON (max_df=1000) vs OFF (max_df=None)
 * minhash_near_dups verify-stage cap ON vs OFF (same knob)
 * session_top_paths on the hot-user corpus vs a uniform corpus of the
-  same size (the operator has no cap knob — the probe measures whether
-  the session-bounded collect absorbs the skew)
+  same size — uncapped AND with the r7 `max_events=1000` session
+  truncation knob (the bot-user OOM guard) to measure both that the
+  session-bounded collect absorbs the skew and that the guard is
+  ~free when sessions are already short
 * the capped paths at 1x (sf0.1-equivalent) vs 10x — the measured
   scaling point for the near-linear claim in docs/SCALE.md.
 
@@ -144,6 +146,12 @@ def main():
             timed(
                 f"session_top_paths HOT user ({scale}, {n_ev} events)",
                 lambda: session_top_paths(hot_ev).count(),
+            )
+        )
+        rows.append(
+            timed(
+                f"session_top_paths HOT user + max_events=1000 ({scale})",
+                lambda: session_top_paths(hot_ev, max_events=1000).count(),
             )
         )
         rows.append(

@@ -221,11 +221,21 @@ def pca_top_component(
     compute the identical vector wherever it stands.
     """
     dec38 = "decimal(38,0)"
+    # NULL tolerance (code-review r7): a NULL element quantizes to 0 —
+    # a zero contributes exactly nothing to every product, which is what
+    # the old NULL-skipping SUM computed; whole-NULL/empty vectors are
+    # dropped (they contributed no rows to the old posexplode). Without
+    # this, np.array over a batch containing None raises on the executor.
     qv = F.transform(
         F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * quant + F.lit(0.5)).cast("long"),
+        lambda x: F.coalesce(
+            F.floor(x.cast("double") * quant + F.lit(0.5)).cast("long"), F.lit(0)
+        ),
     )
-    qdf = emb.select(qv.alias("__qv"))
+    qdf = (
+        emb.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .select(qv.alias("__qv"))
+    )
 
     def _gram_partial(batches):
         import numpy as np

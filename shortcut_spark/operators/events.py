@@ -871,15 +871,19 @@ def ab_test(
             F.count(F.lit(1)).cast("long").alias("n_users"),
             F.sum("conv").cast("long").alias("n_converted"),
         )
+        # |variants| rows, materialized ONCE: the empty-control guard
+        # below and the final readout both consume this relation — without
+        # the checkpoint the guard's collect would re-run the full events
+        # scan + per-user aggregate a second time
+        .localCheckpoint(eager=True)
     )
     ctl = arms.filter(F.col("variant") == 0).select(
         F.col("n_users").alias("n0"), F.col("n_converted").alias("x0")
     )
     # an empty control arm (no user hashed to variant 0) would make the
     # crossJoin below silently return ZERO rows — the readout must fail
-    # loudly, not vanish. ctl is at most 1 row post-aggregate: collecting
-    # it is a bounded driver check, and localCheckpoint-free recompute of
-    # the |arms|-row aggregate is cheap.
+    # loudly, not vanish. ctl is at most 1 row of the checkpointed
+    # aggregate: the check is a bounded driver read, not a second scan.
     if not ctl.limit(1).collect():
         raise ValueError(
             "ab_test: control arm (variant 0) is empty — no user hashed to "

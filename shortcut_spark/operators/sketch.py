@@ -472,7 +472,12 @@ def quantile_normalize(
     )
     bucketed = counts.crossJoin(F.broadcast(span)).withColumn(
         "__bkt",
-        F.when(F.col("__span") <= 0, F.lit(0))
+        # NULL sorts FIRST in the rank window (Spark ascending default),
+        # so a NULL distinct value must land BEFORE every real bucket —
+        # bucket -1, not the least(NULL, …)=last-bucket accident that
+        # would misorder the pooled distribution
+        F.when(F.col("__dv").isNull(), F.lit(-1))
+        .when(F.col("__span") <= 0, F.lit(0))
         .otherwise(
             F.least(
                 F.floor(

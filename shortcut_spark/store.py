@@ -543,14 +543,20 @@ class Store:
                 import shutil
 
                 shutil.rmtree(self._abs(victims_rel), ignore_errors=True)
+        v_before = self.manifest.version
         try:
             inserted = self.insert(rows)
         except BaseException:
             # insert rejected the batch (constraint violation, bad schema,
             # write failure) BEFORE committing. Unstage the tombstones so
             # the next successful commit does not silently delete the
-            # victims of an upsert that never happened.
-            if n_staged:
+            # victims of an upsert that never happened. Guarded on the
+            # manifest version: if the failure landed AFTER insert's
+            # commit (e.g. an interrupt in post-commit cache eviction),
+            # the on-disk manifest already references the tombstone file
+            # and the merge IS durable — rolling back then would delete a
+            # committed file and corrupt every subsequent read.
+            if n_staged and self.manifest.version == v_before:
                 if victims_rel in self.manifest.tombstones:
                     self.manifest.tombstones.remove(victims_rel)
                 self.manifest.tombstone_rows -= n_staged
