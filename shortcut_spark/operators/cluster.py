@@ -53,10 +53,23 @@ __all__ = ["kmeans_exact", "pca_top_component", "kmeans_silhouette"]
 
 
 def _quant_expr(vec_col: str, quant: int) -> F.Column:
+    # NULL elements quantize to 0 (the module-wide NULL policy: a zero
+    # contributes nothing to any product/distance term, matching what a
+    # NULL-skipping SUM would compute); whole-NULL vectors are filtered
+    # by the callers via _non_null
     return F.transform(
         F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * quant + F.lit(0.5)).cast("long"),
+        lambda x: F.coalesce(
+            F.floor(x.cast("double") * quant + F.lit(0.5)).cast("long"), F.lit(0)
+        ),
     )
+
+
+def _non_null(emb: DataFrame, vec_col: str) -> DataFrame:
+    """Drop NULL/empty vectors — they have no position in the space, and
+    a None reaching the seed collect or the distance loop would crash
+    (code-review r7 NULL-tolerance class)."""
+    return emb.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
 
 
 def _dist2(qv: F.Column, centroid) -> F.Column:
@@ -114,7 +127,7 @@ def kmeans_exact(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    q = emb.select(
+    q = _non_null(emb, vec_col).select(
         F.col(id_col).alias("__id"), _quant_expr(vec_col, quant).alias("__qv")
     ).localCheckpoint(eager=True)  # scanned once per iteration
 
@@ -226,15 +239,8 @@ def pca_top_component(
     # the old NULL-skipping SUM computed; whole-NULL/empty vectors are
     # dropped (they contributed no rows to the old posexplode). Without
     # this, np.array over a batch containing None raises on the executor.
-    qv = F.transform(
-        F.col(vec_col),
-        lambda x: F.coalesce(
-            F.floor(x.cast("double") * quant + F.lit(0.5)).cast("long"), F.lit(0)
-        ),
-    )
-    qdf = (
-        emb.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
-        .select(qv.alias("__qv"))
+    qdf = _non_null(emb, vec_col).select(
+        _quant_expr(vec_col, quant).alias("__qv")
     )
 
     def _gram_partial(batches):
@@ -342,7 +348,7 @@ def kmeans_silhouette(
         raise ValueError("silhouette needs k >= 2")
     if assigned is None:
         assigned = kmeans_exact(emb, id_col, vec_col, k, iters, quant)
-    q = emb.select(
+    q = _non_null(emb, vec_col).select(
         F.col(id_col), _quant_expr(vec_col, quant).alias("__qv")
     ).join(assigned.select(id_col, "cluster"), id_col)
     # recompute the final centroids exactly as kmeans_exact's last update
