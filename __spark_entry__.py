@@ -5567,7 +5567,7 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN sum(CASE WHEN event_type = 'purchase'
                                         THEN 1 ELSE 0 END) >= 14
                           THEN 1 ELSE 0 END AS conv
-              FROM events GROUP BY 1
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1
             ),
             arms AS (
               SELECT CAST(('0x' || substr(md5('ab:' || CAST(u AS VARCHAR)), 1, 8))::BIGINT

@@ -850,6 +850,10 @@ def ab_test(
     """
     from ..functions import hash32
 
+    # NULL users are not in the experiment: md5(NULL) hashes to a NULL
+    # variant, which would otherwise surface as a phantom arm in the
+    # readout with a lift/z of its own
+    events = events.filter(F.col(user_col).isNotNull())
     per_user = events.groupBy(F.col(user_col).alias("u")).agg(
         F.when(
             F.sum(
