@@ -1,0 +1,121 @@
+"""Dirty-data smoke net: every core operator family must tolerate NULLs.
+
+The parquet fixtures carry no NULLs, so this bug class hides from the
+oracle gate (the r7 code review found two: quantile_normalize silently
+misordered NULL scores, pca/kmeans crashed on NULL vectors). Each probe
+dirties a fixture column the way real corpora are dirty — NULL texts,
+NULL embeddings, NULL users/timestamps/props — and asserts the operator
+completes. Semantic NULL policies (what the values MEAN) are pinned by
+the operators' own unit tests; this net pins "no crash, no hang" across
+the families in one sweep.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    return {
+        "docs": docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 17 == 0, F.lit(None)).otherwise(F.col("text")),
+        ),
+        "emb": emb.withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 19 == 0, F.lit(None)).otherwise(
+                F.col("embedding")
+            ),
+        ),
+        "ev": (
+            ev.withColumn(
+                "user_id",
+                F.when(F.col("event_id") % 23 == 0, F.lit(None)).otherwise(
+                    F.col("user_id")
+                ),
+            )
+            .withColumn(
+                "ts",
+                F.when(F.col("event_id") % 31 == 0, F.lit(None)).otherwise(
+                    F.col("ts")
+                ),
+            )
+            .withColumn(
+                "props",
+                F.when(F.col("event_id") % 37 == 0, F.lit(None)).otherwise(
+                    F.col("props")
+                ),
+            )
+        ),
+        "clean_emb": emb,
+    }
+
+
+def test_dedup_family_tolerates_null_text(dirty):
+    from shortcut_spark.operators import dedup
+
+    assert dedup.exact_dedup(dirty["docs"], "doc_id", "text").count() > 0
+    assert dedup.minhash_near_dups(dirty["docs"], "doc_id", "text").count() >= 0
+    sh = dedup.shingles(dirty["docs"], "doc_id", "text")
+    assert dedup.jaccard_pairs(sh, "doc_id", 0.5).count() >= 0
+    # NULL texts produce no shingles/fingerprints — they must simply drop
+    # out, never pair with everything
+    fp = dedup.simhash(dirty["docs"], "doc_id", "text")
+    assert fp.filter(F.col("simhash").isNull()).count() == 0
+
+
+def test_similarity_family_tolerates_null_vectors(dirty):
+    from shortcut_spark.operators import similarity as S
+
+    q = (
+        dirty["clean_emb"]
+        .filter(F.col("vec_id") == 1)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    top = S.topk_cosine(dirty["emb"], q, 5).collect()
+    assert len(top) == 5
+    # NULL-vector rows must not reach the top-k (their cosine is NULL)
+    assert all(r["cosine"] is not None for r in top)
+    assert S.lsh_topk(dirty["emb"], q, 5).count() > 0
+    qs = (
+        dirty["clean_emb"]
+        .limit(3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec"))
+    )
+    assert S.knn_join(dirty["emb"], qs).count() == 15
+    assert S.cosine_join(dirty["emb"], 0.8).count() >= 0
+
+
+def test_clustering_family_tolerates_null_vectors(dirty):
+    from shortcut_spark.operators.cluster import (
+        kmeans_exact,
+        kmeans_silhouette,
+        pca_top_component,
+    )
+
+    n_clean = dirty["emb"].filter(F.col("embedding").isNotNull()).count()
+    assigned = kmeans_exact(dirty["emb"], k=4, iters=2)
+    assert assigned.count() == n_clean  # NULL vectors drop, never crash
+    assert kmeans_silhouette(dirty["emb"], k=4, iters=2).count() >= 2
+    assert pca_top_component(dirty["emb"]).count() > 0
+
+
+def test_events_family_tolerates_null_columns(dirty):
+    from shortcut_spark.operators import events as E
+
+    assert E.session_top_paths(dirty["ev"]).count() >= 0
+    assert E.json_field_profile(dirty["ev"]).count() > 0
+    assert E.daily_anomalies(dirty["ev"]).count() >= 0
+    assert E.robust_anomalies(dirty["ev"]).count() >= 0
+    assert E.session_cooccurrence(dirty["ev"]).count() >= 0
+    assert E.sequence_match(dirty["ev"]).count() >= 0
+    # NULL users are excluded from the experiment, not a phantom arm
+    arms = E.ab_test(dirty["ev"]).collect()
+    assert all(r["variant"] is not None for r in arms)
