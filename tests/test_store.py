@@ -1718,6 +1718,39 @@ def test_merge_rollback_on_rejected_insert(spark, store_path):
     assert {r["v"] for r in st.find([eq("k", 2)]).collect()} == {"b2"}
 
 
+def test_merge_no_rollback_after_commit(spark, store_path):
+    """A failure that lands AFTER insert's commit (e.g. an interrupt in
+    post-commit cache eviction) must NOT trigger the tombstone rollback:
+    the on-disk manifest already references the staged tombstone file,
+    and deleting it would corrupt every subsequent read. The merge is
+    durable; only the in-flight session sees the exception."""
+    import pytest as _pytest
+
+    st = Store.create(spark, store_path, 2)
+    st.insert([("a", "1"), ("b", "2"), ("c", "3")])
+
+    class Boom(RuntimeError):
+        pass
+
+    real_commit = st._commit
+
+    def exploding_commit():
+        real_commit()  # the manifest lands on disk first
+        raise Boom("post-commit interrupt")
+
+    st._commit = exploding_commit
+    with _pytest.raises(Boom):
+        st.merge([("b", "B2")], on=0)
+    st._commit = real_commit
+
+    # the merge IS committed: a fresh open sees the upserted row exactly
+    # once, and reads do not crash on a missing tombstone file
+    st2 = Store.open(spark, store_path)
+    got = {r[st2.colnames[0]]: r[st2.colnames[1]] for r in st2.find([]).collect()}
+    assert got == {"a": "1", "b": "B2", "c": "3"}
+    assert len(st2) == 3
+
+
 def test_block_sample_system_semantics(spark, store_path):
     """Deterministic file-granular sample: same (fraction, seed) → same
     rows; fraction 0/1 edges; whole files sampled together; tombstoned
