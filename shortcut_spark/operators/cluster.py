@@ -180,7 +180,6 @@ def kmeans_exact(
 
 def pca_top_component(
     emb: DataFrame,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 5,
     quant: int = 10**6,
@@ -228,10 +227,14 @@ def pca_top_component(
     driver arithmetic on D integers (Python bigints — no overflow at
     any magnitude; the SQL twin uses HUGEINT/DECIMAL). Exactness
     envelope: matmul chunks of 1024 rows keep int64 accumulation safe
-    for |x| ≤ ~90 at quant=1e6 (1024·(9e7)² < 2⁶³); chunk partials are
-    merged as Python ints — exact at any corpus size. Five iterations
-    is a spec'd computation, not a convergence claim — both engines
-    compute the identical vector wherever it stands.
+    for |x| ≤ ~90 at quant=1e6 (1024·(9e7)² < 2⁶³); the envelope is
+    ENFORCED — a hotter quantized element raises ValueError instead of
+    wrapping silently (lower ``quant`` for wild value ranges). Chunk
+    partials are merged as Python ints — exact at any corpus size.
+    Ragged vector widths pad with zeros (absent positions contribute
+    nothing, the pre-r7 posexplode semantics). Five iterations is a
+    spec'd computation, not a convergence claim — both engines compute
+    the identical vector wherever it stands.
     """
     dec38 = "decimal(38,0)"
     # NULL tolerance (code-review r7): a NULL element quantizes to 0 —
@@ -247,15 +250,40 @@ def pca_top_component(
         import numpy as np
         import pandas as pd
 
+        # 1024-row chunks keep the int64 matmul exact iff every quantized
+        # element is below this bound (1024 · q² < 2⁶³); past it the
+        # matmul would WRAP silently — fail loudly instead
+        q_max = 94_000_000
         acc = None
         for pdf in batches:
             if pdf.empty:
                 continue
-            x = np.array(pdf["__qv"].tolist(), dtype=np.int64)
+            rows = pdf["__qv"].tolist()
+            width = max(len(a) for a in rows)
+            if all(len(a) == width for a in rows):
+                x = np.array(rows, dtype=np.int64)
+            else:
+                # ragged dimensions: absent positions contribute nothing,
+                # exactly like the pre-r7 posexplode Gram — pad with 0
+                x = np.zeros((len(rows), width), dtype=np.int64)
+                for i, a in enumerate(rows):
+                    x[i, : len(a)] = a
+            if int(np.abs(x).max()) > q_max:
+                raise ValueError(
+                    "pca_top_component: |quantized element| exceeds the "
+                    f"int64 chunk-matmul envelope ({q_max}); lower `quant` "
+                    "for this value range"
+                )
             if acc is None:
-                acc = np.zeros((x.shape[1], x.shape[1]), dtype=object)
-            # chunked so the int64 matmul cannot overflow (envelope in
-            # the docstring); the object-dtype accumulator is exact
+                acc = np.zeros((width, width), dtype=object)
+            elif width > acc.shape[0]:
+                g = np.zeros((width, width), dtype=object)
+                g[: acc.shape[0], : acc.shape[1]] = acc
+                acc = g
+            elif width < acc.shape[0]:
+                x = np.pad(x, ((0, 0), (0, acc.shape[0] - width)))
+            # chunked so the int64 matmul cannot overflow (envelope above);
+            # the object-dtype accumulator is exact
             for s in range(0, x.shape[0], 1024):
                 c = x[s : s + 1024]
                 acc = acc + c.T @ c

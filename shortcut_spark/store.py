@@ -294,10 +294,52 @@ class Store:
             .withColumn("__mid", F.monotonically_increasing_id())
             .localCheckpoint()
         )
+        v_before = self.manifest.version
         try:
             return self._insert_tagged(tagged, schema, watermark)
+        except BaseException:
+            # a failure anywhere before the commit leaves the IN-MEMORY
+            # manifest polluted: the batch's data files are registered,
+            # rowid/next_file_id advanced, posting parts appended — a
+            # LATER successful commit would durably persist the failed
+            # batch's rows (and, under merge, its victims' tombstones
+            # would be gone while the half-inserted rows stayed: a
+            # permanent duplicate). The durable truth is the on-disk
+            # manifest — restore it wholesale; the orphan parquet the
+            # failed attempt wrote is inert and vacuumable. A failure
+            # AFTER the commit (version moved) restores to the same
+            # committed state: also correct.
+            if self.manifest.version == v_before:
+                self._restore_manifest_from_disk()
+            raise
         finally:
             tagged.unpersist()
+
+    def _restore_manifest_from_disk(self) -> None:
+        """Reset the in-memory manifest to the last committed snapshot
+        after a failed mutation. Session-scoped custom indexer objects are
+        carried over (they are not serializable — reopen semantics); every
+        version-keyed cache is dropped (entries may reference posting
+        parts staged by the failed attempt)."""
+        customs = {
+            c: s.custom
+            for c, s in self.manifest.indices.items()
+            if s.custom is not None
+        }
+        self.manifest = Manifest.load(self.path)
+        for c, cu in customs.items():
+            if c in self.manifest.indices:
+                self.manifest.indices[c].custom = cu
+        for key in list(self._posting_cache):
+            try:
+                self._posting_cache[key].unpersist()
+            except Exception:
+                pass
+            del self._posting_cache[key]
+        self._posting_maps.clear()
+        self._bloom_maps.clear()
+        self._bloom_fetched.clear()
+        self._stats_np.clear()
 
     def _insert_tagged(self, tagged: DataFrame, schema: T.StructType, watermark: int) -> int:
         counts = {r["__pid"]: r["cnt"] for r in tagged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
@@ -550,16 +592,22 @@ class Store:
             # insert rejected the batch (constraint violation, bad schema,
             # write failure) BEFORE committing. Unstage the tombstones so
             # the next successful commit does not silently delete the
-            # victims of an upsert that never happened. Guarded on the
-            # manifest version: if the failure landed AFTER insert's
-            # commit (e.g. an interrupt in post-commit cache eviction),
-            # the on-disk manifest already references the tombstone file
-            # and the merge IS durable — rolling back then would delete a
-            # committed file and corrupt every subsequent read.
+            # victims of an upsert that never happened. Two sub-cases:
+            # a failure in insert's mutating tail already restored the
+            # whole manifest from disk (see insert), wiping the staged
+            # entry — then only the orphan tombstone dir remains to
+            # delete; a pre-mutation rejection (constraint/validation)
+            # leaves the staged entry in memory — unstage it here.
+            # Guarded on the manifest version: if the failure landed
+            # AFTER insert's commit (e.g. an interrupt in post-commit
+            # cache eviction), the on-disk manifest references the
+            # tombstone file and the merge IS durable — rolling back
+            # then would delete a committed file and corrupt every
+            # subsequent read.
             if n_staged and self.manifest.version == v_before:
                 if victims_rel in self.manifest.tombstones:
                     self.manifest.tombstones.remove(victims_rel)
-                self.manifest.tombstone_rows -= n_staged
+                    self.manifest.tombstone_rows -= n_staged
                 import shutil
 
                 shutil.rmtree(self._abs(victims_rel), ignore_errors=True)

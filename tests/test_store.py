@@ -1718,6 +1718,49 @@ def test_merge_rollback_on_rejected_insert(spark, store_path):
     assert {r["v"] for r in st.find([eq("k", 2)]).collect()} == {"b2"}
 
 
+def test_insert_failure_mid_tail_restores_manifest(spark, store_path):
+    """A failure AFTER the batch's files are registered but BEFORE the
+    commit must restore the in-memory manifest from disk: otherwise the
+    next successful commit durably persists the failed batch's rows —
+    and for a merge, its victims' tombstones are rolled back while the
+    half-inserted replacement rows stay (a permanent duplicate key)."""
+    import pytest as _pytest
+
+    st = Store.create(spark, store_path, 2)
+    st.insert([("a", "1"), ("b", "2"), ("c", "3")])
+
+    class Boom(RuntimeError):
+        pass
+
+    real_commit = st._commit
+
+    def failing_commit():
+        raise Boom("pre-commit failure")  # files already registered
+
+    # plain insert: the failed batch must be fully invisible afterwards
+    st._commit = failing_commit
+    with _pytest.raises(Boom):
+        st.insert([("d", "4")])
+    st._commit = real_commit
+    st.insert([("e", "5")])
+    got = {r[st.colnames[0]] for r in st.find([]).collect()}
+    assert got == {"a", "b", "c", "e"}  # no resurrected 'd'
+    assert len(st) == 4
+
+    # merge: victims must stay alive AND the replacement must not leak
+    st._commit = failing_commit
+    with _pytest.raises(Boom):
+        st.merge([("b", "B!")], on=0)
+    st._commit = real_commit
+    assert st.manifest.tombstones == []
+    st.insert([("f", "6")])
+    vals = {r[st.colnames[0]]: r[st.colnames[1]] for r in st.find([]).collect()}
+    assert vals == {"a": "1", "b": "2", "c": "3", "e": "5", "f": "6"}
+    # the store is fully functional after recovery: a clean merge works
+    assert st.merge([("b", "B2")], on=0) == (1, 1)
+    assert {r[st.colnames[1]] for r in st.find([eq(0, "b")]).collect()} == {"B2"}
+
+
 def test_merge_no_rollback_after_commit(spark, store_path):
     """A failure that lands AFTER insert's commit (e.g. an interrupt in
     post-commit cache eviction) must NOT trigger the tombstone rollback:
