@@ -29,6 +29,7 @@ __all__ = [
     "run_stream_heavy_hitters",
     "distinct_user_actions",
     "stream_into_store",
+    "run_stream_rollup_append",
     "run_stream_hopping_append",
     "run_stream_transitions",
     "run_stream_pattern",
@@ -205,15 +206,24 @@ def run_stream_dedup(
     horizon (so it is NOT batch-equal on late duplicates — kept behind a
     flag, not silently substituted).
     """
-    stream = _file_stream(spark, events_parquet_dir).withWatermark("ts", "1 hour")
+    stream = _file_stream(spark, events_parquet_dir)
     if within_watermark:
-        deduped = stream.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
-            "user_id", "event_type"
+        deduped = (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
         )
     else:
-        deduped = stream.select("user_id", "event_type", "ts").dropDuplicates(
-            ["user_id", "event_type"]
-        ).select("user_id", "event_type")
+        # NO watermark on the exact path: a watermark on a stateful dedup
+        # makes Spark DROP input rows older than the horizon before they
+        # reach the dedup (ts rides in the child output) while full-history
+        # state still never evicts — a late never-seen key would silently
+        # vanish from the output the batch DISTINCT twin includes, i.e.
+        # the worst of both worlds (r7 streaming review)
+        deduped = (
+            stream.select("user_id", "event_type")
+            .dropDuplicates(["user_id", "event_type"])
+        )
     q = (
         deduped.writeStream.outputMode("append")
         .format("memory")
@@ -298,56 +308,91 @@ def run_stream_sessionize(
     events_parquet_dir: str,
     gap_minutes: int = 30,
     query_name: str = "sessions",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator: gap sessionization via
-    ``applyInPandasWithState`` (per-user GroupState holding the open
-    session tail).
+    ``applyInPandasWithState`` (per-user GroupState).
 
-    Each trigger emits the user's complete session view given rows seen so
-    far (amend-style output — later batches re-emit corrected sessions;
-    a keyed sink takes the latest). State carries (last epoch, session
-    counter, per-session aggregates) across batches; with the fixture's
-    single file the first trigger already sees everything, which is what
-    lets the batch ``sessionize`` SQL act as the exact oracle.
+    State holds the user's FULL (micro-epoch, event_id) list and every
+    trigger RE-DERIVES all sessions from the sorted list — the amend
+    pattern of ``run_stream_transitions``. The r6 shape kept only
+    per-session aggregates and merged each new event into the most
+    recent session, which silently corrupted sessions when a later
+    trigger delivered an out-of-order event (an 08:00 arrival after a
+    12:00 session satisfied ``es − last_end ≤ gap`` and merged forward,
+    and ``start_epoch`` could never move down); it also returned the
+    raw memory sink, so multi-trigger runs surfaced stale rows next to
+    their amendments. Both fixed: full re-derivation makes the output a
+    pure function of the events seen so far (matching the batch
+    ``sessionize`` twin on ANY trigger split), and each emission carries
+    a per-user version the final read filters to max(ver). Ordering
+    mirrors the batch twin exactly: sort by (micro-epoch, event_id),
+    gap compare on SECOND-floored epochs (``unix_timestamp`` semantics).
+    State is the user's event history — the open-tail trade documented
+    on the funnel/pattern operators (real deployments add watermark
+    expiry on users).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    stream = _file_stream(spark, events_parquet_dir)
+    opts = (
+        {"maxFilesPerTrigger": str(max_files_per_trigger)}
+        if max_files_per_trigger
+        else None
+    )
+    stream = _file_stream(spark, events_parquet_dir, options=opts)
     ev = stream.select(
-        "user_id", "event_id", F.unix_timestamp("ts").alias("es")
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("es")
     )
 
     gap_s = gap_minutes * 60
     out_schema = (
-        "user_id long, session_i long, n_events long, start_epoch long, end_epoch long"
+        "user_id long, ver int, session_i long, n_events long,"
+        " start_epoch long, end_epoch long"
     )
-    state_schema = "sessions array<struct<session_i:long,n_events:long,start_epoch:long,end_epoch:long>>"
+    state_schema = "evs array<struct<es:long,eid:long>>, ver int"
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
-        if state.exists:
-            (prior,) = state.get
-            sessions = [list(s) for s in prior]  # [session_i, n, start, end]
-        else:
-            sessions = []
-        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(["es", "event_id"])
-        for es in rows["es"]:
-            es = int(es)
-            if sessions and es - sessions[-1][3] <= gap_s:
+        evs, ver = (
+            ([list(e) for e in state.get[0]], int(state.get[1]))
+            if state.exists
+            else ([], 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        for es, eid in zip(rows["es"], rows["event_id"]):
+            es_key = -(2**62) if pd.isna(es) else int(es)
+            evs.append([es_key, int(eid)])
+        ver += 1
+        state.update(([tuple(e) for e in evs], ver))
+        evs.sort(key=lambda r: (r[0], r[1]))
+        sessions = []  # [session_i, n, start_s, end_s]
+        for es_us, _ in evs:
+            if es_us == -(2**62):
+                # NULL ts (sorts first, batch NULLS FIRST): the batch
+                # twin's lag-diff is NULL → break, so every NULL-ts
+                # event is its OWN session with NULL epochs
+                sessions.append([len(sessions) + 1, 1, None, None])
+                continue
+            s = es_us // 1_000_000  # batch twin compares unix_timestamp
+            if (
+                sessions
+                and sessions[-1][3] is not None
+                and s - sessions[-1][3] <= gap_s
+            ):
                 cur = sessions[-1]
                 cur[1] += 1
-                cur[3] = max(cur[3], es)
+                cur[3] = max(cur[3], s)
             else:
-                sessions.append([len(sessions) + 1, 1, es, es])
-        state.update(([tuple(s) for s in sessions],))
+                sessions.append([len(sessions) + 1, 1, s, s])
         yield pd.DataFrame(
             {
-                "user_id": [user_id] * len(sessions),
+                "user_id": pd.array([user_id] * len(sessions), dtype="Int64"),
+                "ver": pd.array([ver] * len(sessions), dtype="Int32"),
                 "session_i": [s[0] for s in sessions],
                 "n_events": [s[1] for s in sessions],
-                "start_epoch": [s[2] for s in sessions],
-                "end_epoch": [s[3] for s in sessions],
+                "start_epoch": pd.array([s[2] for s in sessions], dtype="Int64"),
+                "end_epoch": pd.array([s[3] for s in sessions], dtype="Int64"),
             }
         )
 
@@ -364,7 +409,15 @@ def run_stream_sessionize(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.sql(f"SELECT * FROM {query_name}")
+    return spark.sql(
+        f"""
+        WITH latest AS (
+          SELECT user_id, max(ver) AS mv FROM {query_name} GROUP BY 1
+        )
+        SELECT s.user_id, s.session_i, s.n_events, s.start_epoch, s.end_epoch
+        FROM {query_name} s JOIN latest l
+          ON s.user_id = l.user_id AND s.ver = l.mv"""
+    )
 
 
 def run_stream_funnel(
@@ -372,46 +425,64 @@ def run_stream_funnel(
     events_parquet_dir: str,
     steps: tuple = ("view", "click", "purchase"),
     query_name: str = "funnel_stream",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator #2: per-user FUNNEL state machine
     via ``applyInPandasWithState`` — the streaming twin of
     ``operators.events.funnel_reach`` (same output schema, certified equal
     on the fixture by pytest and by reusing the batch SQL oracle).
 
-    State holds the user's step-relevant event times. The funnel chain
-    (t_i = earliest step-i time at-or-after t_{i-1}) is NOT monotone under
-    new data — an earlier step-0 arrival can re-open earlier step-1
+    State holds the user's step-relevant event times in MICROsecond
+    epochs — the chain comparison (t_i = earliest step-i time at-or-after
+    t_{i-1}) must run at the batch twin's full timestamp precision (the
+    r6 shape compared second-floored epochs, so two same-second events in
+    the wrong sub-second order satisfied the chain the batch twin
+    rejects); only the EMITTED epochs floor to seconds, mirroring the
+    twin's ``unix_timestamp`` output. The chain is NOT monotone under new
+    data — an earlier step-0 arrival can re-open earlier step-1
     candidates — so per-type times cannot be pruned below the current
     chain; the state bound is the user's step-type event count (real
     deployments add a watermark-expiry on users, same trade as the
     sessionize operator's open-tail state). Each trigger re-derives the
-    chain and emits the user's amended row (update mode; keyed sinks keep
-    the latest).
+    chain and emits the user's amended row stamped with a per-user
+    VERSION; the final read keeps only each user's latest version (the
+    memory sink appends every update batch — the r6 shape returned the
+    raw sink, so multi-trigger runs surfaced stale rows).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    stream = _file_stream(spark, events_parquet_dir)
+    opts = (
+        {"maxFilesPerTrigger": str(max_files_per_trigger)}
+        if max_files_per_trigger
+        else None
+    )
+    stream = _file_stream(spark, events_parquet_dir, options=opts)
     step_ix = {s: i for i, s in enumerate(steps)}
     ev = stream.select(
-        "user_id", F.col("event_type"), F.unix_timestamp("ts").alias("es")
+        "user_id", F.col("event_type"), F.unix_micros(F.col("ts")).alias("es")
     )
 
     n_steps = len(steps)
-    out_schema = "user_id long, reached long, " + ", ".join(
+    out_schema = "user_id long, ver int, reached long, " + ", ".join(
         f"t{i}_epoch long" for i in range(n_steps)
     )
-    state_schema = "evs array<struct<si:int,es:long>>"
+    state_schema = "evs array<struct<si:int,es:long>>, ver int"
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
-        evs = [list(e) for e in state.get[0]] if state.exists else []
+        evs, ver = (
+            ([list(e) for e in state.get[0]], int(state.get[1]))
+            if state.exists
+            else ([], 0)
+        )
         rows = pd.concat(list(pdfs), ignore_index=True)
         for et, es in zip(rows["event_type"], rows["es"]):
             si = step_ix.get(et)
-            if si is not None:
+            if si is not None and not pd.isna(es):
                 evs.append([int(si), int(es)])
-        state.update(([tuple(e) for e in evs],))
+        ver += 1
+        state.update(([tuple(e) for e in evs], ver))
         ts, prev = [], None
         for i in range(n_steps):
             cand = [
@@ -427,9 +498,13 @@ def run_stream_funnel(
                 break
             reached += 1
         out = {"user_id": pd.array([user_id], dtype="Int64"),
+               "ver": pd.array([ver], dtype="Int32"),
                "reached": pd.array([reached], dtype="Int64")}
         for i, t in enumerate(ts):
-            out[f"t{i}_epoch"] = pd.array([t], dtype="Int64")
+            # emitted epochs floor to seconds (the twin's unix_timestamp)
+            out[f"t{i}_epoch"] = pd.array(
+                [None if t is None else t // 1_000_000], dtype="Int64"
+            )
         yield pd.DataFrame(out)
 
     funnel = ev.groupBy("user_id").applyInPandasWithState(
@@ -445,7 +520,16 @@ def run_stream_funnel(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.sql(f"SELECT * FROM {query_name}")
+    tcols = ", ".join(f"s.t{i}_epoch" for i in range(n_steps))
+    return spark.sql(
+        f"""
+        WITH latest AS (
+          SELECT user_id, max(ver) AS mv FROM {query_name} GROUP BY 1
+        )
+        SELECT s.user_id, s.reached, {tcols}
+        FROM {query_name} s JOIN latest l
+          ON s.user_id = l.user_id AND s.ver = l.mv"""
+    )
 
 
 def _file_stream(
@@ -470,7 +554,16 @@ def _file_stream(
         d = link_dir or tempfile.mkdtemp(prefix="stream_src_")
         os.makedirs(d, exist_ok=True)
         link = os.path.join(d, os.path.basename(source_parquet))
-        if not os.path.exists(link):
+        # lexists, not exists: exists() follows the symlink, so a BROKEN
+        # link (source deleted/recreated elsewhere) would look absent and
+        # os.symlink would raise FileExistsError; and a live link to a
+        # DIFFERENT old target would silently stream stale data — re-link
+        # whenever the target moved
+        if os.path.lexists(link):
+            if os.path.islink(link) and os.readlink(link) != source_parquet:
+                os.unlink(link)
+                os.symlink(source_parquet, link)
+        else:
             os.symlink(source_parquet, link)
         source_parquet = d
     schema = spark.read.parquet(source_parquet).schema
@@ -658,12 +751,18 @@ def run_stream_rollup_append(
     data batch advances the watermark); ``processAllAvailable`` waits
     for it, so a bounded fixture still yields every closable window.
     """
+    import os
     import tempfile
 
     from ..functions import dsum
 
     out_dir = out_dir or tempfile.mkdtemp(prefix="rollup_append_sink_")
-    cp_dir = tempfile.mkdtemp(prefix="rollup_append_cp_")
+    # checkpoint co-located with the sink (the near-dedup convention): a
+    # fresh mkdtemp checkpoint per call would re-read the WHOLE source on
+    # the next call and append every already-finalized window to the same
+    # sink again — silent double counts for any caller passing a stable
+    # out_dir (r7 streaming review)
+    cp_dir = os.path.join(out_dir, "_checkpoint")
     stream = _file_stream(spark, events_parquet_dir).withWatermark("ts", delay)
     agg = (
         stream.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
@@ -871,8 +970,12 @@ def run_stream_heavy_hitters(
                 elif len(summ) < capacity:
                     summ[v] = [1, 0]
                 else:
-                    # deterministic eviction: min count, ties by value
-                    mv = min(summ, key=lambda k: (summ[k][0], k))
+                    # deterministic eviction: min count, ties by value —
+                    # NULL keys sort first ((False, "") < (True, "")), and
+                    # never TypeError against str keys
+                    mv = min(
+                        summ, key=lambda k: (summ[k][0], k is not None, k or "")
+                    )
                     mc = summ[mv][0]
                     del summ[mv]
                     summ[v] = [mc + 1, mc]
@@ -952,10 +1055,11 @@ def run_stream_hopping_append(
     ``hop_epoch + width_s <= max(ts) − delay``, the cutoff the batch
     oracle applies. State rows for closed windows are EVICTED
     (``numRowsRemoved`` via ``progress_out``)."""
+    import os
     import tempfile
 
     out_dir = out_dir or tempfile.mkdtemp(prefix="hopping_append_sink_")
-    cp_dir = tempfile.mkdtemp(prefix="hopping_append_cp_")
+    cp_dir = os.path.join(out_dir, "_checkpoint")  # stable: see rollup_append
     stream = _file_stream(spark, events_parquet_dir).withWatermark("ts", delay)
     agg = hopping_rollup(stream, width_s, hop_s)
     q = (
@@ -1227,6 +1331,12 @@ def run_stream_bottomk(
             bk, n = {}, 0
         for pdf in pdfs:
             for v in pdf["value"]:
+                if v is None:
+                    # the batch hash32 twin yields NULL rank for NULL
+                    # input (concat with null is null) and excludes it —
+                    # hashing the literal string 'None' would count NULL
+                    # as a real distinct value and shift rank_k
+                    continue
                 n += 1
                 if v not in bk:
                     bk[v] = int(hashlib.md5(f"kmv:{v}".encode()).hexdigest()[:8], 16)

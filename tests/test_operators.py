@@ -3609,6 +3609,86 @@ def test_stream_pattern_amends_on_late_events(spark, tmp_path):
     assert [(r["user_id"], r["n_b"], r["n_matched"]) for r in batch] == [(1, 1, 0)]
 
 
+def test_stream_sessionize_amends_out_of_order(spark, tmp_path):
+    """Two triggers, trigger 2 delivering an event HOURS BEFORE trigger
+    1's session: the r6 shape merged it forward into the 12:00 session
+    (state held only per-session aggregates) and returned the raw
+    update sink (stale rows beside their amendments). The rewrite
+    re-derives all sessions from full event state and version-filters —
+    the result must equal the batch sessionize over the whole data."""
+    import datetime as dt
+
+    from shortcut_spark import streaming as stream_ops
+
+    sch = (
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string"
+    )
+    src = str(tmp_path / "src")
+    early = spark.createDataFrame(
+        [
+            (1, 7, dt.datetime(2024, 1, 1, 12, 0, 0), "view", 0.0, "{}"),
+            (2, 7, dt.datetime(2024, 1, 1, 12, 5, 0), "click", 0.0, "{}"),
+        ],
+        sch,
+    )
+    late = spark.createDataFrame(
+        [(3, 7, dt.datetime(2024, 1, 1, 8, 0, 0), "view", 0.0, "{}")],
+        sch,
+    )
+    early.coalesce(1).write.mode("append").parquet(src)
+    late.coalesce(1).write.mode("append").parquet(src)
+    out = sorted(
+        (r["session_i"], r["n_events"], r["start_epoch"], r["end_epoch"])
+        for r in stream_ops.run_stream_sessionize(
+            spark, src, query_name="sess_amend_t", max_files_per_trigger=1
+        ).collect()
+    )
+    batch = sorted(
+        (r["session_i"], r["n_events"], r["start_epoch"], r["end_epoch"])
+        for r in stream_ops.sessionize(spark.read.parquet(src)).collect()
+    )
+    assert out == batch and len(out) == 2  # 08:00 alone + the 12:00 pair
+    assert out[0][1] == 1 and out[1][1] == 2
+
+
+def test_stream_funnel_amends_and_dedups_versions(spark, tmp_path):
+    """Two triggers: trigger 1 has click+purchase only (reached=0 — no
+    view), trigger 2 delivers the EARLIER view that completes the chain.
+    The versioned read must return exactly ONE row per user (the latest
+    amendment, reached=3), matching the batch funnel_reach; the r6 shape
+    returned both conflicting rows."""
+    import datetime as dt
+
+    from shortcut_spark import streaming as stream_ops
+    from shortcut_spark.operators.events import funnel_reach
+
+    sch = (
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string"
+    )
+    src = str(tmp_path / "src")
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m, 0)
+    spark.createDataFrame(
+        [(1, 9, t(10), "click", 0.0, "{}"), (2, 9, t(20), "purchase", 0.0, "{}")],
+        sch,
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, 9, t(0), "view", 0.0, "{}")], sch
+    ).coalesce(1).write.mode("append").parquet(src)
+    out = stream_ops.run_stream_funnel(
+        spark, src, query_name="funnel_amend_t", max_files_per_trigger=1
+    ).collect()
+    assert len(out) == 1  # ONE row per user: latest version only
+    r = out[0]
+    batch = funnel_reach(
+        spark.read.parquet(src), ("view", "click", "purchase")
+    ).collect()[0]
+    assert (r["user_id"], r["reached"]) == (batch["user_id"], batch["reached"]) == (9, 3)
+    for i in range(3):
+        assert r[f"t{i}_epoch"] == batch[f"t{i}_epoch"]
+
+
 def test_kmeans_silhouette_separation_signal(spark):
     """Well-separated planted blobs score near 1; a uniform line split
     into two clusters scores clearly lower (boundary points sit near
