@@ -310,23 +310,30 @@ class Store:
             # AFTER the commit (version moved) restores to the same
             # committed state: also correct.
             if self.manifest.version == v_before:
-                self._restore_manifest_from_disk()
+                self._restore_manifest_from_disk(version=v_before)
             raise
         finally:
             tagged.unpersist()
 
-    def _restore_manifest_from_disk(self) -> None:
-        """Reset the in-memory manifest to the last committed snapshot
-        after a failed mutation. Session-scoped custom indexer objects are
-        carried over (they are not serializable — reopen semantics); every
-        version-keyed cache is dropped (entries may reference posting
-        parts staged by the failed attempt)."""
+    def _restore_manifest_from_disk(self, version: int | None = None) -> None:
+        """Reset the in-memory manifest to the snapshot this handle held
+        BEFORE the failed mutation — ``version`` pins it (v{N}.json is
+        still on disk). Loading CURRENT unconditionally would silently
+        fast-forward a handle opened at an older snapshot (``open(
+        version=...)``, ``as_of``, tag) to the newest committed version
+        when a write on it fails, so subsequent reads on the same handle
+        would see different data than before the failed write. For a
+        head handle ``version`` equals CURRENT and nothing changes.
+        Session-scoped custom indexer objects are carried over (they are
+        not serializable — reopen semantics); every version-keyed cache
+        is dropped (entries may reference posting parts staged by the
+        failed attempt)."""
         customs = {
             c: s.custom
             for c, s in self.manifest.indices.items()
             if s.custom is not None
         }
-        self.manifest = Manifest.load(self.path)
+        self.manifest = Manifest.load(self.path, version=version)
         for c, cu in customs.items():
             if c in self.manifest.indices:
                 self.manifest.indices[c].custom = cu

@@ -303,12 +303,68 @@ def run_stream_pairs(
     return spark.sql(f"SELECT user_id, id_a, id_b FROM {query_name}")
 
 
+_NULL_ES = -(2**62)  # NULL-ts sort key used across the amend family
+
+
+def _parse_ttl_ms(ttl: str) -> int:
+    """Parse a Spark-interval-style TTL string ('90 seconds', '2 hours')
+    into milliseconds for ``GroupState.setTimeoutTimestamp``."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", ttl)
+    if not m:
+        raise ValueError(
+            f"unsupported state_ttl {ttl!r}; use 'N seconds/minutes/hours/days'"
+        )
+    mult = {
+        "second": 1_000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }[m.group(2)]
+    return int(m.group(1)) * mult
+
+
+def _amend_ver(evs, ver_counter: int, ttl_ms: int | None) -> int:
+    """Per-user emission version for the amend family.
+
+    Default (unbounded-state) path: the plain trigger counter — strictly
+    increasing because state never disappears. Under a ``state_ttl``,
+    state CAN expire and a returning user's counter restarts at 1, which
+    would lose the max(ver) race against the user's stale pre-expiry sink
+    rows — so the TTL path derives ver from event time instead:
+    max-event-epoch-ms · 10⁶ + min(events_seen, 10⁶−1). Monotone within a
+    run (both factors only grow), and monotone ACROSS an expiry because a
+    user only expires once the watermark passed last_event + ttl, so any
+    post-expiry event carries a strictly larger epoch."""
+    if ttl_ms is None:
+        return ver_counter
+    mx = max((e[0] for e in evs if e[0] != _NULL_ES), default=None)
+    mx_ms = 0 if mx is None else mx // 1000
+    return mx_ms * 1_000_000 + min(len(evs), 999_999)
+
+
+def _arm_state_ttl(state, evs, ttl_ms: int | None) -> None:
+    """Arm the event-time timeout at last-event + ttl (clamped above the
+    current watermark, which Spark requires). A user with only NULL-ts
+    events gets no timer — the watermark can never pass them."""
+    if ttl_ms is None:
+        return
+    mx = max((e[0] for e in evs if e[0] != _NULL_ES), default=None)
+    if mx is not None:
+        state.setTimeoutTimestamp(
+            max(mx // 1000 + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+
+
 def run_stream_sessionize(
     spark: SparkSession,
     events_parquet_dir: str,
     gap_minutes: int = 30,
     query_name: str = "sessions",
     max_files_per_trigger: int | None = None,
+    state_ttl: str | None = None,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator: gap sessionization via
     ``applyInPandasWithState`` (per-user GroupState).
@@ -329,8 +385,16 @@ def run_stream_sessionize(
     mirrors the batch twin exactly: sort by (micro-epoch, event_id),
     gap compare on SECOND-floored epochs (``unix_timestamp`` semantics).
     State is the user's event history — the open-tail trade documented
-    on the funnel/pattern operators (real deployments add watermark
-    expiry on users).
+    on the funnel/pattern operators. ``state_ttl`` (default OFF — the
+    batch-equal certified form) is the bounded-state knob for real
+    deployments: a watermark with that horizon plus an event-time
+    timeout that REMOVES a user's state once the watermark passes their
+    last event + ttl (``numRowsRemoved`` in the state metrics — pass
+    ``progress_out`` to capture). The price is exactness on stragglers:
+    events later than the horizon are dropped by the watermark, and a
+    user returning after expiry re-derives sessions from post-expiry
+    events only (their emission version is event-time-derived so the
+    fresh rows still win the max(ver) read — see ``_amend_ver``).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -341,18 +405,25 @@ def run_stream_sessionize(
         else None
     )
     stream = _file_stream(spark, events_parquet_dir, options=opts)
-    ev = stream.select(
-        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("es")
-    )
+    ttl_ms = _parse_ttl_ms(state_ttl) if state_ttl else None
+    if state_ttl:
+        stream = stream.withWatermark("ts", state_ttl)
+    # the watermark attribute (ts) must reach the stateful operator's
+    # input or Spark rejects EventTimeTimeout — pass it through under TTL
+    cols = ["user_id", "event_id", F.unix_micros(F.col("ts")).alias("es")]
+    ev = stream.select(*cols, *(["ts"] if state_ttl else []))
 
     gap_s = gap_minutes * 60
     out_schema = (
-        "user_id long, ver int, session_i long, n_events long,"
+        "user_id long, ver long, session_i long, n_events long,"
         " start_epoch long, end_epoch long"
     )
-    state_schema = "evs array<struct<es:long,eid:long>>, ver int"
+    state_schema = "evs array<struct<es:long,eid:long>>, ver long"
 
     def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         (user_id,) = key
         evs, ver = (
             ([list(e) for e in state.get[0]], int(state.get[1]))
@@ -361,10 +432,11 @@ def run_stream_sessionize(
         )
         rows = pd.concat(list(pdfs), ignore_index=True)
         for es, eid in zip(rows["es"], rows["event_id"]):
-            es_key = -(2**62) if pd.isna(es) else int(es)
+            es_key = _NULL_ES if pd.isna(es) else int(es)
             evs.append([es_key, int(eid)])
-        ver += 1
+        ver = _amend_ver(evs, ver + 1, ttl_ms)
         state.update(([tuple(e) for e in evs], ver))
+        _arm_state_ttl(state, evs, ttl_ms)
         evs.sort(key=lambda r: (r[0], r[1]))
         sessions = []  # [session_i, n, start_s, end_s]
         for es_us, _ in evs:
@@ -388,7 +460,7 @@ def run_stream_sessionize(
         yield pd.DataFrame(
             {
                 "user_id": pd.array([user_id] * len(sessions), dtype="Int64"),
-                "ver": pd.array([ver] * len(sessions), dtype="Int32"),
+                "ver": pd.array([ver] * len(sessions), dtype="Int64"),
                 "session_i": [s[0] for s in sessions],
                 "n_events": [s[1] for s in sessions],
                 "start_epoch": pd.array([s[2] for s in sessions], dtype="Int64"),
@@ -397,7 +469,11 @@ def run_stream_sessionize(
         )
 
     sessions = ev.groupBy("user_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        fn,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.EventTimeTimeout if state_ttl else GroupStateTimeout.NoTimeout,
     )
     q = (
         sessions.writeStream.outputMode("update")
@@ -407,6 +483,8 @@ def run_stream_sessionize(
     )
     try:
         q.processAllAvailable()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
     finally:
         q.stop()
     return spark.sql(
@@ -426,6 +504,8 @@ def run_stream_funnel(
     steps: tuple = ("view", "click", "purchase"),
     query_name: str = "funnel_stream",
     max_files_per_trigger: int | None = None,
+    state_ttl: str | None = None,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator #2: per-user FUNNEL state machine
     via ``applyInPandasWithState`` — the streaming twin of
@@ -441,13 +521,18 @@ def run_stream_funnel(
     twin's ``unix_timestamp`` output. The chain is NOT monotone under new
     data — an earlier step-0 arrival can re-open earlier step-1
     candidates — so per-type times cannot be pruned below the current
-    chain; the state bound is the user's step-type event count (real
-    deployments add a watermark-expiry on users, same trade as the
-    sessionize operator's open-tail state). Each trigger re-derives the
-    chain and emits the user's amended row stamped with a per-user
-    VERSION; the final read keeps only each user's latest version (the
-    memory sink appends every update batch — the r6 shape returned the
-    raw sink, so multi-trigger runs surfaced stale rows).
+    chain; the state bound is the user's step-type event count — the
+    ``state_ttl`` knob (default OFF, the batch-equal certified form)
+    bounds it with a watermark + event-time timeout exactly as on the
+    sessionize operator: expired users' state is REMOVED
+    (``numRowsRemoved`` via ``progress_out``), stragglers beyond the
+    horizon are dropped, and post-expiry re-derivations use the
+    event-time-derived version so they win the max(ver) read. Each
+    trigger re-derives the chain and emits the user's amended row
+    stamped with a per-user VERSION; the final read keeps only each
+    user's latest version (the memory sink appends every update batch —
+    the r6 shape returned the raw sink, so multi-trigger runs surfaced
+    stale rows).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -458,18 +543,28 @@ def run_stream_funnel(
         else None
     )
     stream = _file_stream(spark, events_parquet_dir, options=opts)
+    ttl_ms = _parse_ttl_ms(state_ttl) if state_ttl else None
+    if state_ttl:
+        stream = stream.withWatermark("ts", state_ttl)
     step_ix = {s: i for i, s in enumerate(steps)}
+    # ts passthrough under TTL: see run_stream_sessionize
     ev = stream.select(
-        "user_id", F.col("event_type"), F.unix_micros(F.col("ts")).alias("es")
+        "user_id",
+        F.col("event_type"),
+        F.unix_micros(F.col("ts")).alias("es"),
+        *(["ts"] if state_ttl else []),
     )
 
     n_steps = len(steps)
-    out_schema = "user_id long, ver int, reached long, " + ", ".join(
+    out_schema = "user_id long, ver long, reached long, " + ", ".join(
         f"t{i}_epoch long" for i in range(n_steps)
     )
-    state_schema = "evs array<struct<si:int,es:long>>, ver int"
+    state_schema = "evs array<struct<si:int,es:long>>, ver long"
 
     def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         (user_id,) = key
         evs, ver = (
             ([list(e) for e in state.get[0]], int(state.get[1]))
@@ -481,8 +576,12 @@ def run_stream_funnel(
             si = step_ix.get(et)
             if si is not None and not pd.isna(es):
                 evs.append([int(si), int(es)])
-        ver += 1
+        # funnel state rows are (step_i, es) — es sits at index 1, so the
+        # shared ver/ttl helpers (which read index 0) get an es-first view
+        es_first = [[es, si] for si, es in evs]
+        ver = _amend_ver(es_first, ver + 1, ttl_ms)
         state.update(([tuple(e) for e in evs], ver))
+        _arm_state_ttl(state, es_first, ttl_ms)
         ts, prev = [], None
         for i in range(n_steps):
             cand = [
@@ -498,7 +597,7 @@ def run_stream_funnel(
                 break
             reached += 1
         out = {"user_id": pd.array([user_id], dtype="Int64"),
-               "ver": pd.array([ver], dtype="Int32"),
+               "ver": pd.array([ver], dtype="Int64"),
                "reached": pd.array([reached], dtype="Int64")}
         for i, t in enumerate(ts):
             # emitted epochs floor to seconds (the twin's unix_timestamp)
@@ -508,7 +607,11 @@ def run_stream_funnel(
         yield pd.DataFrame(out)
 
     funnel = ev.groupBy("user_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        fn,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.EventTimeTimeout if state_ttl else GroupStateTimeout.NoTimeout,
     )
     q = (
         funnel.writeStream.outputMode("update")
@@ -518,6 +621,8 @@ def run_stream_funnel(
     )
     try:
         q.processAllAvailable()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
     finally:
         q.stop()
     tcols = ", ".join(f"s.t{i}_epoch" for i in range(n_steps))
@@ -558,9 +663,14 @@ def _file_stream(
         # link (source deleted/recreated elsewhere) would look absent and
         # os.symlink would raise FileExistsError; and a live link to a
         # DIFFERENT old target would silently stream stale data — re-link
-        # whenever the target moved
+        # whenever the target moved. Compare canonical paths: a relative
+        # vs absolute spelling of the SAME file must not look like a move
+        # (retargeting a link a running query reads through swaps its
+        # source mid-stream)
         if os.path.lexists(link):
-            if os.path.islink(link) and os.readlink(link) != source_parquet:
+            if os.path.islink(link) and os.path.realpath(link) != os.path.realpath(
+                source_parquet
+            ):
                 os.unlink(link)
                 os.symlink(source_parquet, link)
         else:
@@ -763,7 +873,14 @@ def run_stream_rollup_append(
     # sink again — silent double counts for any caller passing a stable
     # out_dir (r7 streaming review)
     cp_dir = os.path.join(out_dir, "_checkpoint")
-    stream = _file_stream(spark, events_parquet_dir).withWatermark("ts", delay)
+    # link_dir co-located too: for a single-FILE source, a fresh mkdtemp
+    # symlink dir per call would hand the resumed checkpoint a DIFFERENT
+    # source path — the seen-files log never matches, the whole source is
+    # re-read, and every finalized window double-appends (the very bug the
+    # stable checkpoint exists to stop); stable sink ⇒ stable source path
+    stream = _file_stream(
+        spark, events_parquet_dir, link_dir=os.path.join(out_dir, "_src")
+    ).withWatermark("ts", delay)
     agg = (
         stream.groupBy(F.window("ts", "1 hour"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
@@ -1060,7 +1177,9 @@ def run_stream_hopping_append(
 
     out_dir = out_dir or tempfile.mkdtemp(prefix="hopping_append_sink_")
     cp_dir = os.path.join(out_dir, "_checkpoint")  # stable: see rollup_append
-    stream = _file_stream(spark, events_parquet_dir).withWatermark("ts", delay)
+    stream = _file_stream(  # stable link_dir too: see rollup_append
+        spark, events_parquet_dir, link_dir=os.path.join(out_dir, "_src")
+    ).withWatermark("ts", delay)
     agg = hopping_rollup(stream, width_s, hop_s)
     q = (
         agg.writeStream.outputMode("append")
@@ -1083,6 +1202,8 @@ def run_stream_transitions(
     events_parquet_dir: str,
     query_name: str = "transitions_stream",
     max_files_per_trigger: int | None = None,
+    state_ttl: str | None = None,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator: INCREMENTAL user-path
     transition counts via ``applyInPandasWithState`` — the streaming twin
@@ -1095,8 +1216,12 @@ def run_stream_transitions(
     trigger re-derives the user's full pair multiset, emitting amended
     (user, prev, next, n) rows in update mode. The state bound is the
     user's event count — the same open-tail trade documented for the
-    funnel and sessionize operators; deployments expire idle users on a
-    watermark timeout. Ordering uses MICROsecond epochs + event_id, the
+    funnel and sessionize operators; ``state_ttl`` (default OFF, the
+    batch-equal certified form) is the watermark + event-time-timeout
+    expiry knob shared with them (state REMOVED once the watermark
+    passes last event + ttl; stragglers beyond the horizon dropped;
+    event-time-derived versions keep post-expiry amendments winning the
+    max(ver) read). Ordering uses MICROsecond epochs + event_id, the
     exact (ts, event_id) total order the batch oracle sorts by.
 
     Each emission carries a per-user VERSION; the batch read of the sink
@@ -1112,20 +1237,28 @@ def run_stream_transitions(
         else None
     )
     stream = _file_stream(spark, events_parquet_dir, options=opts)
+    ttl_ms = _parse_ttl_ms(state_ttl) if state_ttl else None
+    if state_ttl:
+        stream = stream.withWatermark("ts", state_ttl)
+    # ts passthrough under TTL: see run_stream_sessionize
     ev = stream.select(
         "user_id",
         F.unix_micros(F.col("ts")).alias("es"),
         "event_id",
         "event_type",
+        *(["ts"] if state_ttl else []),
     )
     out_schema = (
-        "user_id long, ver int, prev_type string, next_type string, n long"
+        "user_id long, ver long, prev_type string, next_type string, n long"
     )
-    state_schema = "evs array<struct<es:long,eid:long,et:string>>, ver int"
+    state_schema = "evs array<struct<es:long,eid:long,et:string>>, ver long"
 
     def fn(key, pdfs, state: GroupState):
         from collections import Counter
 
+        if state.hasTimedOut:
+            state.remove()
+            return
         (user_id,) = key
         evs, ver = (
             ([list(e) for e in state.get[0]], int(state.get[1]))
@@ -1137,10 +1270,11 @@ def run_stream_transitions(
             # null ts sorts FIRST (Spark window NULLS FIRST order); null
             # event_type stays None — the batch twin keeps (A, NULL)
             # pairs and drops NULL-prev ones, so must we
-            es_key = -(2**62) if pd.isna(es) else int(es)
+            es_key = _NULL_ES if pd.isna(es) else int(es)
             evs.append([es_key, int(eid), None if et is None else str(et)])
-        ver += 1
+        ver = _amend_ver(evs, ver + 1, ttl_ms)
         state.update(([tuple(e) for e in evs], ver))
+        _arm_state_ttl(state, evs, ttl_ms)
         evs.sort(key=lambda r: (r[0], r[1]))
         pairs = Counter(
             (a[2], b[2]) for a, b in zip(evs, evs[1:]) if a[2] is not None
@@ -1151,7 +1285,7 @@ def run_stream_transitions(
         yield pd.DataFrame(
             {
                 "user_id": pd.array([user_id] * len(items), dtype="Int64"),
-                "ver": pd.array([ver] * len(items), dtype="Int32"),
+                "ver": pd.array([ver] * len(items), dtype="Int64"),
                 "prev_type": [p for (p, _), _ in items],
                 "next_type": [nx for (_, nx), _ in items],
                 "n": pd.array([c for _, c in items], dtype="Int64"),
@@ -1159,7 +1293,11 @@ def run_stream_transitions(
         )
 
     trans = ev.groupBy("user_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        fn,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.EventTimeTimeout if state_ttl else GroupStateTimeout.NoTimeout,
     )
     q = (
         trans.writeStream.outputMode("update")
@@ -1169,6 +1307,8 @@ def run_stream_transitions(
     )
     try:
         q.processAllAvailable()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
     finally:
         q.stop()
     return spark.sql(
@@ -1191,6 +1331,8 @@ def run_stream_pattern(
     without: str = "error",
     query_name: str = "pattern_stream",
     max_files_per_trigger: int | None = None,
+    state_ttl: str | None = None,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Streaming sequence-pattern counts — the stateful twin of
     ``operators.events.sequence_match`` ("B preceded by an A with no C
@@ -1200,9 +1342,10 @@ def run_stream_pattern(
     type) list and each trigger re-derives the user's verdict set,
     emitting a VERSIONED (user, n_b, n_matched) amendment in update mode;
     the batch read keeps only each user's latest version. State bound is
-    the user's event count (the documented open-tail trade; deployments
-    expire idle users on a timeout). Ordering is the exact (ts, event_id)
-    total order the batch operator ranks by."""
+    the user's event count; ``state_ttl`` (default OFF, the batch-equal
+    certified form) is the shared watermark + event-time-timeout expiry
+    knob — see ``run_stream_sessionize``. Ordering is the exact
+    (ts, event_id) total order the batch operator ranks by."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -1212,16 +1355,24 @@ def run_stream_pattern(
         else None
     )
     stream = _file_stream(spark, events_parquet_dir, options=opts)
+    ttl_ms = _parse_ttl_ms(state_ttl) if state_ttl else None
+    if state_ttl:
+        stream = stream.withWatermark("ts", state_ttl)
+    # ts passthrough under TTL: see run_stream_sessionize
     ev = stream.select(
         "user_id",
         F.unix_micros(F.col("ts")).alias("es"),
         "event_id",
         "event_type",
+        *(["ts"] if state_ttl else []),
     )
-    out_schema = "user_id long, ver int, n_b long, n_matched long"
-    state_schema = "evs array<struct<es:long,eid:long,et:string>>, ver int"
+    out_schema = "user_id long, ver long, n_b long, n_matched long"
+    state_schema = "evs array<struct<es:long,eid:long,et:string>>, ver long"
 
     def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         (user_id,) = key
         evs, ver = (
             ([list(e) for e in state.get[0]], int(state.get[1]))
@@ -1230,10 +1381,11 @@ def run_stream_pattern(
         )
         rows = pd.concat(list(pdfs), ignore_index=True)
         for es, eid, et in zip(rows["es"], rows["event_id"], rows["event_type"]):
-            es_key = -(2**62) if pd.isna(es) else int(es)
+            es_key = _NULL_ES if pd.isna(es) else int(es)
             evs.append([es_key, int(eid), None if et is None else str(et)])
-        ver += 1
+        ver = _amend_ver(evs, ver + 1, ttl_ms)
         state.update(([tuple(e) for e in evs], ver))
+        _arm_state_ttl(state, evs, ttl_ms)
         evs.sort(key=lambda r: (r[0], r[1]))
         last_a = last_c = 0  # 1-based seq of most recent prior A / C
         n_b = n_matched = 0
@@ -1251,14 +1403,18 @@ def run_stream_pattern(
         yield pd.DataFrame(
             {
                 "user_id": pd.array([user_id], dtype="Int64"),
-                "ver": pd.array([ver], dtype="Int32"),
+                "ver": pd.array([ver], dtype="Int64"),
                 "n_b": pd.array([n_b], dtype="Int64"),
                 "n_matched": pd.array([n_matched], dtype="Int64"),
             }
         )
 
     pat = ev.groupBy("user_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        fn,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.EventTimeTimeout if state_ttl else GroupStateTimeout.NoTimeout,
     )
     q = (
         pat.writeStream.outputMode("update")
@@ -1268,6 +1424,8 @@ def run_stream_pattern(
     )
     try:
         q.processAllAvailable()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
     finally:
         q.stop()
     return spark.sql(

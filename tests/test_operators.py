@@ -430,6 +430,78 @@ def test_stream_rollup_append_finalizes_and_evicts(spark):
     assert state[-1]["numRowsTotal"] > 0
 
 
+def test_stream_rollup_append_single_file_rerun_no_double(spark, tmp_path):
+    """Re-running the append-sink rollup with the same out_dir against a
+    single-FILE source must RESUME the checkpoint, not double-append: the
+    symlink dir that exposes the file as a directory has to be stable
+    across calls (co-located with the sink), or the resumed checkpoint
+    sees a brand-new source path, its seen-files log never matches, and
+    every already-finalized window lands in the sink twice (r7 advice:
+    the stable checkpoint alone only fixed directory sources)."""
+    from shortcut_spark.streaming import run_stream_rollup_append
+
+    out_dir = str(tmp_path / "rollup_sink")
+    first = run_stream_rollup_append(
+        spark, f"{SF_DIR}/events.parquet", out_dir=out_dir
+    ).collect()
+    assert len(first) > 0
+    again = run_stream_rollup_append(
+        spark, f"{SF_DIR}/events.parquet", out_dir=out_dir
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+
+
+def test_stream_hopping_append_single_file_rerun_no_double(spark, tmp_path):
+    """Same resume contract for the hopping append sink (see rollup twin)."""
+    from shortcut_spark.streaming import run_stream_hopping_append
+
+    out_dir = str(tmp_path / "hop_sink")
+    first = run_stream_hopping_append(
+        spark, f"{SF_DIR}/events.parquet", out_dir=out_dir
+    ).collect()
+    assert len(first) > 0
+    again = run_stream_hopping_append(
+        spark, f"{SF_DIR}/events.parquet", out_dir=out_dir
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+
+
+def test_file_stream_link_not_retargeted_on_path_spelling(spark, tmp_path):
+    """A relative vs absolute (or non-canonical) spelling of the SAME
+    source file must not look like a moved target: retargeting the
+    symlink while a previously started query still reads through the
+    link_dir would swap its source mid-stream. The link survives (same
+    inode) across equivalent spellings and is only re-created when the
+    target genuinely moved."""
+    import os
+
+    from shortcut_spark.streaming import _file_stream
+
+    link_dir = str(tmp_path / "src_links")
+    src = os.path.join(SF_DIR, "events.parquet")
+    _file_stream(spark, src, link_dir=link_dir)
+    link = os.path.join(link_dir, "events.parquet")
+    ino0 = os.lstat(link).st_ino
+    # same file, non-canonical spelling: dir/../dir/file
+    alias = os.path.join(
+        os.path.dirname(src), "..", os.path.basename(os.path.dirname(src)),
+        "events.parquet",
+    )
+    _file_stream(spark, alias, link_dir=link_dir)
+    assert os.lstat(link).st_ino == ino0  # not unlinked/re-created
+    # a genuinely different target DOES retarget
+    moved = str(tmp_path / "events.parquet")
+    spark.read.parquet(src).limit(5).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "_mv")
+    )
+    import shutil
+
+    part = [f for f in os.listdir(str(tmp_path / "_mv")) if f.endswith(".parquet")][0]
+    shutil.copy(os.path.join(str(tmp_path / "_mv"), part), moved)
+    _file_stream(spark, moved, link_dir=link_dir)
+    assert os.path.realpath(link) == os.path.realpath(moved)
+
+
 def test_stream_near_dedup_within_watermark_bounded_state(spark, tmp_path):
     """Bounded-state near-dedup (dropDuplicatesWithinWatermark on the
     SimHash fingerprint): state expires with the watermark, so a LATE
@@ -3687,6 +3759,132 @@ def test_stream_funnel_amends_and_dedups_versions(spark, tmp_path):
     assert (r["user_id"], r["reached"]) == (batch["user_id"], batch["reached"]) == (9, 3)
     for i in range(3):
         assert r[f"t{i}_epoch"] == batch[f"t{i}_epoch"]
+
+
+def _ttl_fixture(spark, tmp_path):
+    """Two-trigger source for the amend family's state_ttl tests: user 7
+    finishes early (12:00/12:05), user 8's 22:00 event in trigger 2
+    drives the watermark to 21:00 — far past user 7's last event + the
+    1-hour TTL, so their state must expire in the finalizing batch."""
+    import datetime as dt
+
+    sch = (
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string"
+    )
+    src = str(tmp_path / "ttl_src")
+    spark.createDataFrame(
+        [
+            (1, 7, dt.datetime(2024, 1, 1, 12, 0, 0), "view", 0.0, "{}"),
+            (2, 7, dt.datetime(2024, 1, 1, 12, 5, 0), "purchase", 0.0, "{}"),
+            (3, 8, dt.datetime(2024, 1, 1, 12, 0, 0), "view", 0.0, "{}"),
+        ],
+        sch,
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(4, 8, dt.datetime(2024, 1, 1, 22, 0, 0), "purchase", 0.0, "{}")], sch
+    ).coalesce(1).write.mode("append").parquet(src)
+    return src
+
+
+def _removed_rows(prog):
+    return sum(
+        so.get("numRowsRemoved", 0) for p in prog for so in (p.get("stateOperators") or [])
+    )
+
+
+def test_stream_sessionize_state_ttl_bounded_state(spark, tmp_path):
+    """The amend family's bounded-state knob (sessionize): with
+    state_ttl on, a user's full-history state is REMOVED once the
+    watermark passes their last event + ttl (numRowsRemoved > 0, state
+    total shrinks), while in-horizon results still match the batch twin
+    — expiry bounds STATE, it does not retract already-emitted output.
+    Mirrors test_stream_near_dedup_within_watermark_bounded_state."""
+    from shortcut_spark import streaming as stream_ops
+
+    src = _ttl_fixture(spark, tmp_path)
+    prog = []
+    out = sorted(
+        (r["user_id"], r["session_i"], r["n_events"], r["start_epoch"], r["end_epoch"])
+        for r in stream_ops.run_stream_sessionize(
+            spark, src, query_name="sess_ttl_t", max_files_per_trigger=1,
+            state_ttl="1 hour", progress_out=prog,
+        ).collect()
+    )
+    batch = sorted(
+        (r["user_id"], r["session_i"], r["n_events"], r["start_epoch"], r["end_epoch"])
+        for r in stream_ops.sessionize(spark.read.parquet(src)).collect()
+    )
+    assert out == batch and len(out) == 3
+    assert _removed_rows(prog) > 0  # user 7's state expired
+    # and the expired user is gone from the final state snapshot
+    last = [so for so in prog[-1]["stateOperators"]][-1]
+    assert last["numRowsTotal"] == 1
+
+
+def test_stream_funnel_state_ttl_bounded_state(spark, tmp_path):
+    from shortcut_spark import streaming as stream_ops
+    from shortcut_spark.operators.events import funnel_reach
+
+    src = _ttl_fixture(spark, tmp_path)
+    prog = []
+    out = sorted(
+        (r["user_id"], r["reached"], r["t0_epoch"], r["t1_epoch"], r["t2_epoch"])
+        for r in stream_ops.run_stream_funnel(
+            spark, src, query_name="funnel_ttl_t", max_files_per_trigger=1,
+            state_ttl="1 hour", progress_out=prog,
+        ).collect()
+    )
+    batch = sorted(
+        (r["user_id"], r["reached"], r["t0_epoch"], r["t1_epoch"], r["t2_epoch"])
+        for r in funnel_reach(
+            spark.read.parquet(src), ("view", "click", "purchase")
+        ).collect()
+    )
+    assert out == batch and len(out) == 2
+    assert _removed_rows(prog) > 0
+
+
+def test_stream_pattern_state_ttl_bounded_state(spark, tmp_path):
+    from shortcut_spark import streaming as stream_ops
+    from shortcut_spark.operators.events import sequence_match
+
+    src = _ttl_fixture(spark, tmp_path)
+    prog = []
+    out = sorted(
+        (r["user_id"], r["n_b"], r["n_matched"])
+        for r in stream_ops.run_stream_pattern(
+            spark, src, query_name="pat_ttl_t", max_files_per_trigger=1,
+            state_ttl="1 hour", progress_out=prog,
+        ).collect()
+    )
+    batch = sorted(
+        (r["user_id"], r["n_b"], r["n_matched"])
+        for r in sequence_match(spark.read.parquet(src)).collect()
+    )
+    assert out == batch and len(out) == 2
+    assert _removed_rows(prog) > 0
+
+
+def test_stream_transitions_state_ttl_bounded_state(spark, tmp_path):
+    from shortcut_spark import streaming as stream_ops
+    from shortcut_spark.operators.events import transition_counts
+
+    src = _ttl_fixture(spark, tmp_path)
+    prog = []
+    out = sorted(
+        (r["prev_type"], r["next_type"], r["n_transitions"])
+        for r in stream_ops.run_stream_transitions(
+            spark, src, query_name="trans_ttl_t", max_files_per_trigger=1,
+            state_ttl="1 hour", progress_out=prog,
+        ).collect()
+    )
+    batch = sorted(
+        (r["prev_type"], r["next_type"], r["n_transitions"])
+        for r in transition_counts(spark.read.parquet(src)).collect()
+    )
+    assert out == batch
+    assert _removed_rows(prog) > 0
 
 
 def test_kmeans_silhouette_separation_signal(spark):

@@ -1761,6 +1761,42 @@ def test_insert_failure_mid_tail_restores_manifest(spark, store_path):
     assert {r[st.colnames[1]] for r in st.find([eq(0, "b")]).collect()} == {"B2"}
 
 
+def test_insert_failure_on_pinned_handle_keeps_snapshot(spark, store_path):
+    """A failed write on a handle opened at an OLDER snapshot must
+    restore that snapshot, not fast-forward to CURRENT: _restore_manifest
+    _from_disk is version-pinned to the pre-failure version, so reads on
+    the same handle see the same data before and after the failed write
+    (r7 advice: loading CURRENT unconditionally silently moved pinned
+    handles to the newest committed version)."""
+    import pytest as _pytest
+
+    st = Store.create(spark, store_path, 2)
+    st.insert([("a", "1")])  # v1
+    v_old = st.manifest.version
+    st.insert([("b", "2")])  # v2 — CURRENT is now newer than v_old
+
+    pinned = Store.open(spark, store_path, version=v_old)
+    before = {r[pinned.colnames[0]] for r in pinned.find([]).collect()}
+    assert before == {"a"}
+
+    class Boom(RuntimeError):
+        pass
+
+    real_commit = pinned._commit
+    pinned._commit = lambda: (_ for _ in ()).throw(Boom("pre-commit"))
+    with _pytest.raises(Boom):
+        pinned.insert([("c", "3")])
+    pinned._commit = real_commit
+
+    # the pinned handle still reads its snapshot — not CURRENT, and no 'c'
+    after = {r[pinned.colnames[0]] for r in pinned.find([]).collect()}
+    assert after == {"a"}
+    assert pinned.manifest.version == v_old
+    # the head of the table is untouched
+    head = Store.open(spark, store_path)
+    assert {r[head.colnames[0]] for r in head.find([]).collect()} == {"a", "b"}
+
+
 def test_merge_no_rollback_after_commit(spark, store_path):
     """A failure that lands AFTER insert's commit (e.g. an interrupt in
     post-commit cache eviction) must NOT trigger the tombstone rollback:
