@@ -156,6 +156,7 @@ AUDIT = [
     "events_unpivot",
     "intersect_custkeys",
     "revenue_rollup",
+    "docs_zipf",
 ]
 
 
@@ -163,6 +164,61 @@ def fmt_plan(df) -> str:
     spark = df.sparkSession
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     return df._jdf.queryExecution().explainString(mode)
+
+
+class SubJobCollector:
+    """QueryExecutionListener (py4j callback) that captures the physical
+    plan of EVERY action the session runs — closing the r7 audit blind
+    spot where multi-job operators (PCA's Gram pass, Lloyd iterations,
+    matview micro-commits, constraint probes) execute during query
+    CONSTRUCTION and the audit only saw the final returned DataFrame
+    (often a bare `Scan ExistingRDD`)."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        self.plans: list[tuple[str, str]] = []
+
+    # -- org.apache.spark.sql.util.QueryExecutionListener ------------
+    def onSuccess(self, funcName, qe, durationNs):
+        try:
+            self.plans.append((str(funcName), qe.explainString(self._mode)))
+        except Exception:
+            pass
+
+    def onFailure(self, funcName, qe, exception):
+        pass
+
+    class Java:
+        implements = ["org.apache.spark.sql.util.QueryExecutionListener"]
+
+    def register(self):
+        from pyspark.java_gateway import ensure_callback_server_started
+
+        ensure_callback_server_started(self._spark.sparkContext._gateway)
+        self._spark._jsparkSession.listenerManager().register(self)
+
+    def drain(self) -> list[tuple[str, str]]:
+        """Snapshot-and-clear; listener callbacks are async, so give the
+        bus a beat to flush before reading."""
+        import time
+
+        time.sleep(0.8)
+        out, self.plans = self.plans, []
+        return out
+
+
+def plan_signature(plan: str) -> str:
+    """Coarse shape key used to group a query's repeated sub-jobs (a
+    matview script commits many identical micro-shapes)."""
+    nb = plan.count("BroadcastHashJoin")
+    ns = plan.count("SortMergeJoin")
+    nex = len(re.findall(r"\(\d+\) Exchange", plan))
+    nscan = plan.count("Scan parquet") + plan.count("Scan ExistingRDD")
+    agg = "agg" if "HashAggregate" in plan else "noagg"
+    return f"{nb}bhj/{ns}smj/{nex}ex/{nscan}scan/{agg}"
 
 
 def summarize(plan: str) -> list[str]:
@@ -198,23 +254,56 @@ def summarize(plan: str) -> list[str]:
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:]  # optional query subset: print to stdout, skip PLANS.md
+    audit = only or AUDIT
     spark = get_spark("plan-audit")
     qs = entry_mod.queries()
+    collector = SubJobCollector(spark)
+    collector.register()
     out = [
         "# Physical plan audit",
         "",
         f"Generated by scripts/plan_audit.py against {sf_dir}.",
         "Checks per query: parquet filter pushdown, column pruning (ReadSchema),",
         "join strategies, shuffle count, map-side partial aggregation, AQE.",
+        "Sub-jobs a query runs during CONSTRUCTION (Gram passes, Lloyd",
+        "iterations, store commits, matview refreshes, constraint probes) are",
+        "captured via a QueryExecutionListener, grouped by plan shape, and the",
+        "heaviest shape's tree is kept as evidence — the final returned",
+        "DataFrame's plan alone would miss them (r7 audit blind spot).",
         "",
     ]
-    for name in AUDIT:
+    for name in audit:
+        collector.drain()  # discard anything from the previous query
         df = qs[name](spark, sf_dir)
+        sub = collector.drain()
         plan = fmt_plan(df)
         out.append(f"## {name}")
         out.append("")
         for n in summarize(plan):
             out.append(f"- {n}")
+        heaviest = None
+        if sub:
+            groups: dict[str, list[tuple[str, str]]] = {}
+            for fn_name, p in sub:
+                groups.setdefault(plan_signature(p), []).append((fn_name, p))
+            sig_line = "; ".join(
+                f"{len(v)}× {sig}" for sig, v in sorted(groups.items())
+            )
+            out.append(
+                f"- sub-jobs during construction: {len(sub)} action(s) — {sig_line}"
+            )
+            # evidence tree for the heaviest sub-plan (most exchanges,
+            # then most joins) — this is where pca's Gram aggregate, the
+            # Lloyd update, or a matview refresh's combine shows up
+            def weight(p: str) -> tuple:
+                return (
+                    len(re.findall(r"\(\d+\) Exchange", p)),
+                    p.count("Join"),
+                    len(p),
+                )
+
+            heaviest = max((p for _f, p in sub), key=weight)
         out.append("")
         # keep the operator tree header (first block) as evidence
         tree = plan.split("\n\n")[0]
@@ -222,6 +311,16 @@ def main():
         out.append(tree.strip())
         out.append("```")
         out.append("")
+        if heaviest is not None:
+            out.append("Heaviest construction sub-job:")
+            out.append("")
+            out.append("```")
+            out.append(heaviest.split("\n\n")[0].strip())
+            out.append("```")
+            out.append("")
+    if only:
+        print("\n".join(out))
+        return
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "PLANS.md"), "w") as fh:
         fh.write("\n".join(out))
     print("wrote docs/PLANS.md")

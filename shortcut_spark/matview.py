@@ -105,6 +105,8 @@ class MatView:
         self.base_version = base_version
         #: observability: did the last refresh scan the base table?
         self.last_refresh_scanned_base = False
+        #: observability: Spark jobs the last refresh ran (job-group count)
+        self.last_refresh_jobs = 0
         self._self_maintainable = all(_KINDS[k][1] for _, k, _ in self.aggs)
 
     # -- construction -------------------------------------------------
@@ -212,22 +214,43 @@ class MatView:
 
     def refresh(self) -> int:
         """Bring the view up to the base's current version. Returns the
-        number of groups touched (upserted into the state store)."""
+        number of groups touched (upserted into the state store).
+
+        Single-action refresh: the combined rows are materialized ONCE
+        (``localCheckpoint``) before the merge — the merge needs them
+        twice (victims key probe + the insert itself), and without the
+        cut each use would re-execute the whole delta-agg + state-scan +
+        join plan from scratch. Jobs per refresh are counted via a job
+        group and exposed as ``last_refresh_jobs`` (observability for
+        the many-small-jobs failure mode)."""
         cur = self.base.manifest.version
         if cur == self.base_version:
             self.last_refresh_scanned_base = False
+            self.last_refresh_jobs = 0
             return 0
-        delta = self.base.changes(self.base_version)
-        if self._self_maintainable:
-            touched = self._combine_self_maintainable(delta)
-            self.last_refresh_scanned_base = False
-        else:
-            touched = self._recompute_touched(delta)
-            self.last_refresh_scanned_base = True
-        rows = self._to_state_rows(touched)
-        n_groups, _ = self.state.merge(rows, on=_GK)
-        self.base_version = cur
-        self._save_meta()
+        sc = self.spark.sparkContext
+        group = f"mv_refresh_{os.path.basename(self.path)}_{cur}"
+        sc.setJobGroup(group, f"matview refresh to v{cur}")
+        try:
+            delta = self.base.changes(self.base_version)
+            if self._self_maintainable:
+                touched = self._combine_self_maintainable(delta)
+                self.last_refresh_scanned_base = False
+            else:
+                touched = self._recompute_touched(delta)
+                self.last_refresh_scanned_base = True
+            rows = self._to_state_rows(touched).localCheckpoint()
+            try:
+                n_groups, _ = self.state.merge(rows, on=_GK)
+            finally:
+                rows.unpersist()
+            self.base_version = cur
+            self._save_meta()
+        finally:
+            sc.setJobGroup(None, None)
+        self.last_refresh_jobs = len(
+            sc.statusTracker().getJobIdsForGroup(group)
+        )
         return n_groups
 
     def _combine_self_maintainable(self, delta: DataFrame) -> DataFrame:

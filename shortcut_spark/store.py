@@ -578,10 +578,15 @@ class Store:
                 "tomb", f"m{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
             )
             victims.write.parquet(self._abs(victims_rel))
-            n_staged = (
-                self.spark.read.schema(f"{ROWID} long")
-                .parquet(self._abs(victims_rel))
-                .count()
+            # staged-row count from the freshly-written parquet footers
+            # (metadata-only, like _register_files) — the read-back
+            # .count() this replaces cost one Spark job per merge, which
+            # dominates micro-batch upserts (matview refresh, streaming
+            # merge_on ingestion)
+            n_staged = sum(
+                pq.ParquetFile(os.path.join(self._abs(victims_rel), f)).metadata.num_rows
+                for f in os.listdir(self._abs(victims_rel))
+                if f.endswith(".parquet")
             )
             if n_staged:
                 # staged in memory only — the insert's commit makes both

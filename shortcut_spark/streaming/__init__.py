@@ -325,23 +325,28 @@ def _parse_ttl_ms(ttl: str) -> int:
     return int(m.group(1)) * mult
 
 
-def _amend_ver(evs, ver_counter: int, ttl_ms: int | None) -> int:
-    """Per-user emission version for the amend family.
+def _amend_ver(evs, prev_ver: int, ttl_ms: int | None) -> int:
+    """Per-user emission version for the amend family (returns the NEW
+    version given the previous one from state).
 
     Default (unbounded-state) path: the plain trigger counter — strictly
     increasing because state never disappears. Under a ``state_ttl``,
     state CAN expire and a returning user's counter restarts at 1, which
     would lose the max(ver) race against the user's stale pre-expiry sink
-    rows — so the TTL path derives ver from event time instead:
-    max-event-epoch-ms · 10⁶ + min(events_seen, 10⁶−1). Monotone within a
-    run (both factors only grow), and monotone ACROSS an expiry because a
-    user only expires once the watermark passed last_event + ttl, so any
+    rows — so the TTL path derives ver from event time:
+    max-event-epoch-ms · 10⁶ + min(events_seen, 10⁶−1), floored at
+    prev_ver + 1 (the floor keeps users whose state holds no timestamped
+    events — possible in the funnel, which stores only step-relevant
+    rows — strictly increasing too; such users never arm a timer, so
+    their counter never resets). Monotone within a run (all three terms
+    only grow), and monotone ACROSS an expiry because a user only
+    expires once the watermark passed last_event + ttl, so any
     post-expiry event carries a strictly larger epoch."""
     if ttl_ms is None:
-        return ver_counter
+        return prev_ver + 1
     mx = max((e[0] for e in evs if e[0] != _NULL_ES), default=None)
     mx_ms = 0 if mx is None else mx // 1000
-    return mx_ms * 1_000_000 + min(len(evs), 999_999)
+    return max(mx_ms * 1_000_000 + min(len(evs), 999_999), prev_ver + 1)
 
 
 def _arm_state_ttl(state, evs, ttl_ms: int | None) -> None:
@@ -434,7 +439,7 @@ def run_stream_sessionize(
         for es, eid in zip(rows["es"], rows["event_id"]):
             es_key = _NULL_ES if pd.isna(es) else int(es)
             evs.append([es_key, int(eid)])
-        ver = _amend_ver(evs, ver + 1, ttl_ms)
+        ver = _amend_ver(evs, ver, ttl_ms)
         state.update(([tuple(e) for e in evs], ver))
         _arm_state_ttl(state, evs, ttl_ms)
         evs.sort(key=lambda r: (r[0], r[1]))
@@ -579,7 +584,7 @@ def run_stream_funnel(
         # funnel state rows are (step_i, es) — es sits at index 1, so the
         # shared ver/ttl helpers (which read index 0) get an es-first view
         es_first = [[es, si] for si, es in evs]
-        ver = _amend_ver(es_first, ver + 1, ttl_ms)
+        ver = _amend_ver(es_first, ver, ttl_ms)
         state.update(([tuple(e) for e in evs], ver))
         _arm_state_ttl(state, es_first, ttl_ms)
         ts, prev = [], None
@@ -1272,7 +1277,7 @@ def run_stream_transitions(
             # pairs and drops NULL-prev ones, so must we
             es_key = _NULL_ES if pd.isna(es) else int(es)
             evs.append([es_key, int(eid), None if et is None else str(et)])
-        ver = _amend_ver(evs, ver + 1, ttl_ms)
+        ver = _amend_ver(evs, ver, ttl_ms)
         state.update(([tuple(e) for e in evs], ver))
         _arm_state_ttl(state, evs, ttl_ms)
         evs.sort(key=lambda r: (r[0], r[1]))
@@ -1383,7 +1388,7 @@ def run_stream_pattern(
         for es, eid, et in zip(rows["es"], rows["event_id"], rows["event_type"]):
             es_key = _NULL_ES if pd.isna(es) else int(es)
             evs.append([es_key, int(eid), None if et is None else str(et)])
-        ver = _amend_ver(evs, ver + 1, ttl_ms)
+        ver = _amend_ver(evs, ver, ttl_ms)
         state.update(([tuple(e) for e in evs], ver))
         _arm_state_ttl(state, evs, ttl_ms)
         evs.sort(key=lambda r: (r[0], r[1]))
