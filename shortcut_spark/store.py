@@ -583,11 +583,7 @@ class Store:
             # .count() this replaces cost one Spark job per merge, which
             # dominates micro-batch upserts (matview refresh, streaming
             # merge_on ingestion)
-            n_staged = sum(
-                pq.ParquetFile(os.path.join(self._abs(victims_rel), f)).metadata.num_rows
-                for f in os.listdir(self._abs(victims_rel))
-                if f.endswith(".parquet")
-            )
+            n_staged = self._parquet_rows(victims_rel)
             if n_staged:
                 # staged in memory only — the insert's commit makes both
                 # the tombstone and the new data visible atomically
@@ -647,6 +643,19 @@ class Store:
             del self._bloom_fetched[key]
         for key in [k for k in self._stats_np if k[1] != v]:
             del self._stats_np[key]
+
+    def _parquet_rows(self, rel_dir: str) -> int:
+        """Row count of a freshly-written parquet dir from its footers —
+        metadata-only (no Spark job), the `_register_files` convention.
+        Replaces the read-back `.count()` that cost one job per write in
+        every merge staging, deferred delete, and tombstone
+        consolidation."""
+        out_dir = self._abs(rel_dir)
+        return sum(
+            pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        )
 
     def _register_files(self, batch_rel: str) -> list[DataFile]:
         """Scan freshly-written parquet footers (metadata-only, no Spark job)
@@ -1963,11 +1972,7 @@ class Store:
             self._read_files(candidates).filter(pred).select(ROWID).write.parquet(
                 self._abs(victims_rel)
             )
-            n = (
-                self.spark.read.schema(f"{ROWID} long")
-                .parquet(self._abs(victims_rel))
-                .count()
-            )
+            n = self._parquet_rows(victims_rel)  # footer-only, no job
             if n == 0:
                 import shutil
 
@@ -2015,11 +2020,7 @@ class Store:
                 "tomb", f"t{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
             )
             remaining.write.parquet(self._abs(keep_rel))
-            n_keep = (
-                self.spark.read.schema(f"{ROWID} long")
-                .parquet(self._abs(keep_rel))
-                .count()
-            )
+            n_keep = self._parquet_rows(keep_rel)  # footer-only, no job
             self.manifest.tombstones = [keep_rel] if n_keep else []
             self.manifest.tombstone_rows = n_keep
 
