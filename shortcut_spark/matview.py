@@ -228,8 +228,13 @@ class MatView:
             self.last_refresh_scanned_base = False
             self.last_refresh_jobs = 0
             return 0
+        import uuid
+
         sc = self.spark.sparkContext
-        group = f"mv_refresh_{os.path.basename(self.path)}_{cur}"
+        # group name unique PER CALL: getJobIdsForGroup returns every
+        # retained job ever tagged with the group, so a reused name
+        # (same view path + version across tests/sessions) accumulates
+        group = f"mv_refresh_{uuid.uuid4().hex[:8]}"
         sc.setJobGroup(group, f"matview refresh to v{cur}")
         try:
             delta = self.base.changes(self.base_version)

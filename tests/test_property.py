@@ -804,14 +804,23 @@ def test_amend_family_schedule_invariant(spark, tmp_path_factory, events, data):
             for r in sequence_match(full).collect()
         )
     else:
+        # next_type can be NULL (the batch twin keeps (A, NULL) pairs) —
+        # sort None-safely
+        nskey = lambda t: tuple((x is None, x) for x in t)
         got = sorted(
-            (r["prev_type"], r["next_type"], r["n_transitions"])
-            for r in stream_ops.run_stream_transitions(
-                spark, src, query_name=qn, max_files_per_trigger=1
-            ).collect()
+            (
+                (r["prev_type"], r["next_type"], r["n_transitions"])
+                for r in stream_ops.run_stream_transitions(
+                    spark, src, query_name=qn, max_files_per_trigger=1
+                ).collect()
+            ),
+            key=nskey,
         )
         want = sorted(
-            (r["prev_type"], r["next_type"], r["n_transitions"])
-            for r in transition_counts(full).collect()
+            (
+                (r["prev_type"], r["next_type"], r["n_transitions"])
+                for r in transition_counts(full).collect()
+            ),
+            key=nskey,
         )
     assert got == want, (op, pieces)
