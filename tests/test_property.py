@@ -824,3 +824,80 @@ def test_amend_family_schedule_invariant(spark, tmp_path_factory, events, data):
             key=nskey,
         )
     assert got == want, (op, pieces)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    # in-horizon event log: per-user offsets within one hour, all files
+    # delivered in non-decreasing max-time order so nothing is ever later
+    # than the watermark horizon (ttl = 2 hours)
+    events=st.lists(
+        st.tuples(
+            st.sampled_from([1, 2]),
+            st.integers(min_value=0, max_value=3_600),
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    data=st.data(),
+)
+def test_sessionize_ttl_in_horizon_batch_equal_and_expires(
+    spark, tmp_path_factory, events, data
+):
+    """state_ttl property: for ANY in-horizon schedule the TTL'd stream
+    equals the batch twin (the knob only changes state retention), and a
+    far-future closing event always expires the earlier users' state
+    (numRowsRemoved > 0)."""
+    import datetime as dt
+    import uuid
+
+    from shortcut_spark import streaming as stream_ops
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    sch = (
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string"
+    )
+    rows = [
+        (i + 1, u, base + dt.timedelta(seconds=off), "view", 0.0, "{}")
+        for i, (u, off) in enumerate(sorted(events, key=lambda e: e[1]))
+    ]
+    # closing event: user 99, far future — drives the watermark past
+    # everyone's last event + ttl
+    rows.append(
+        (len(rows) + 1, 99, base + dt.timedelta(hours=30), "view", 0.0, "{}")
+    )
+    n_files = data.draw(st.integers(min_value=2, max_value=3))
+    cut = data.draw(st.integers(min_value=1, max_value=len(rows) - 1))
+    src = str(tmp_path_factory.mktemp("ttl_prop") / "src")
+    pieces = [rows[:cut], rows[cut:]] if n_files == 2 else [
+        rows[: cut // 2 or 1], rows[cut // 2 or 1 : cut], rows[cut:]
+    ]
+    for piece in pieces:
+        if piece:
+            spark.createDataFrame(piece, sch).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+    prog = []
+    got = sorted(
+        (r["user_id"], r["session_i"], r["n_events"], r["start_epoch"], r["end_epoch"])
+        for r in stream_ops.run_stream_sessionize(
+            spark, src, query_name=f"ttlp_{uuid.uuid4().hex[:8]}",
+            max_files_per_trigger=1, state_ttl="2 hours", progress_out=prog,
+        ).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["session_i"], r["n_events"], r["start_epoch"], r["end_epoch"])
+        for r in stream_ops.sessionize(spark.read.parquet(src)).collect()
+    )
+    assert got == want
+    removed = sum(
+        so.get("numRowsRemoved", 0)
+        for p in prog
+        for so in (p.get("stateOperators") or [])
+    )
+    assert removed > 0
