@@ -225,10 +225,8 @@ def main():
     from shortcut_spark.operators import similarity
 
     lsh_default = "--lsh-default" in sys.argv
-    for scale, n_vec, planes, bands, n_cells in (
-        ("1x", 5_000, 64, 8, 32),
-        ("10x", 50_000, 88, 8, 320),
-    ):
+    for scale, n_vec, n_cells in (("1x", 5_000, 32), ("10x", 50_000, 320)):
+        planes, bands = similarity.lsh_params_for(n_vec)
         emb, truth = synth_embeddings(spark, n_vec)
         emb = emb.localCheckpoint(eager=True)
         if scale == "1x":

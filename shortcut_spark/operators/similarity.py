@@ -28,6 +28,7 @@ __all__ = [
     "topk_cosine",
     "knn_join",
     "hyperplane_buckets",
+    "lsh_params_for",
     "lsh_topk",
     "cosine_join",
     "cosine_join_ivf",
@@ -126,6 +127,54 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def lsh_params_for(
+    n_rows: int,
+    target_bucket: int = 24,
+    min_bands: int = 8,
+    plane_agreement: float = 0.92,
+    target_recall: float = 0.9,
+) -> tuple[int, int]:
+    """Scale-aware (n_planes, bands) for ``cosine_join``/``lsh_topk``.
+
+    Two coupled choices keep the candidate join LINEAR in N while
+    holding recall:
+
+    - planes-per-band = ceil(log2(n_rows / target_bucket)) — expected
+      bucket size stays ~constant as the corpus grows, so per-band
+      candidates are N × bucket/2, never N²/buckets. MEASURED
+      (docs/SCALE.md r8 probe): the fixture defaults (16 planes /
+      4 bands = 16 buckets per band) cost 487.9 s at 50k vectors;
+      this helper's parameters stay near-flat — 6.4 s at 5k → 8.7 s
+      at 50k, recall 0.998 at a 0.8 threshold.
+    - bands = enough that 1 − (1 − p^per_band)^bands ≥ target_recall,
+      where p is the per-plane sign-agreement probability of a true
+      pair (1 − θ/π ≈ 0.92 at cos 0.8) — deeper bands sharpen buckets
+      but miss more, so the band count compensates. At 50k this yields
+      88p/8b (the measured row); at 10⁹ rows, 26-bit bands × 20 bands —
+      per-row plane work grows with log N, candidates stay ∝ N.
+
+    Not the default on ``cosine_join`` itself: the certified fixture
+    queries pin 16/4 (their DuckDB twins inline the exact plane
+    literals), so auto-scaling the default would silently change
+    certified row sets. Call this when sizing a real corpus:
+
+        planes, bands = lsh_params_for(corpus.count())
+        cosine_join(emb, thr, n_planes=planes, bands=bands,
+                    multiprobe=False)
+
+    Multiprobe stays for the moderate-threshold regime (see
+    ``cosine_join``)."""
+    import math
+
+    per_band = max(4, math.ceil(math.log2(max(n_rows / target_bucket, 2.0))))
+    band_recall = plane_agreement**per_band  # p^k: one band catches a pair
+    bands = max(
+        min_bands,
+        math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - band_recall)),
+    )
+    return per_band * bands, bands
 
 
 def hyperplane_buckets(

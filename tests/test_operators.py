@@ -3990,3 +3990,49 @@ def test_melt_matrix_inverts_pivot(spark):
     assert got == want
     # melt emits exactly |rows| x |value_cols| rows pre-filter
     assert tall.count() == wide.count() * len(types)
+
+
+def test_lsh_params_for_scaling_and_recall(spark):
+    """lsh_params_for encodes the measured scale discipline (SCALE.md r8
+    probe): bucket DEPTH grows with log N (constant bucket size ⇒ linear
+    candidates) and the band count compensates recall. Shape checks
+    across six decades, plus a planted-pair recall check at 4k vectors —
+    every planted near-dup pair (cosine ≈ 0.97) must survive the
+    helper-parameterized banding at threshold 0.8."""
+    import numpy as np
+
+    from shortcut_spark.operators import similarity
+
+    # per-band depth is monotone in N; bands never shrink below 8
+    prev_depth = 0
+    for n in (1_000, 10_000, 100_000, 1_000_000, 10_000_000, 1_000_000_000):
+        planes, bands = similarity.lsh_params_for(n)
+        depth = planes // bands
+        assert planes == depth * bands and bands >= 8
+        assert depth >= prev_depth
+        prev_depth = depth
+    assert prev_depth >= 20  # at 1e9 the buckets really are deep
+
+    rng = np.random.default_rng(11)
+    n, dim = 4_000, 32
+    V = rng.normal(size=(n, dim))
+    truth = set()
+    for i in range(0, n - 1, 40):
+        V[i + 1] = V[i] + 0.15 * rng.normal(size=dim)
+        truth.add((i, i + 1))
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    planes, bands = similarity.lsh_params_for(n)
+    found = {
+        (min(a, b), max(a, b))
+        for a, b in similarity.cosine_join(
+            emb, 0.8, dim=dim, n_planes=planes, bands=bands, multiprobe=False
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.95, recall
