@@ -3937,7 +3937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fixes (ADVICE r7), the streaming amend family (sessionize/funnel/
     # pattern/transitions) which gains a default-off state-TTL knob,
     # the matview refresh job-count rework, the r7 clustering rewrites,
-    # merge/constraints rollback, and the qnorm NULL-bucket fix.
+    # merge/constraints rollback, the qnorm NULL-bucket fix, and the
+    # delete paths (deferred tombstone + CoW consolidation) whose staged
+    # row counts moved to parquet-footer reads this round.
     # Registry stays FROZEN at 240 (234 exact twins + 6 rows-only).
     # Everything outside the window has >=1 driver-green round and stays
     # oracle-checked locally every round (scripts/oracle_check.py).
@@ -3988,8 +3990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_upsert": q_events_stream_upsert,
         "events_stream_heavy": q_events_stream_heavy,
         "docs_sparse_cosine": q_docs_sparse_cosine,
-        "events_pagerank_rd": q_events_pagerank_rd,
-        "text_lm_pipeline": q_text_lm_pipeline,
+        "store_delete_defer": q_store_delete_defer,
+        "store_delete_pred": q_store_delete_pred,
         "text_bm25": q_text_bm25,
         "mm_binary_ingest": q_mm_binary_ingest,
         "mm_png_pixels": q_mm_png_pixels,
@@ -4067,8 +4069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_checks": q_data_checks,
         "store_replicate": q_store_replicate,
         "store_schema_evolution": q_store_schema_evolution,
-        "store_delete_defer": q_store_delete_defer,
-        "store_delete_pred": q_store_delete_pred,
+        "events_pagerank_rd": q_events_pagerank_rd,
+        "text_lm_pipeline": q_text_lm_pipeline,
         "store_composite_find": q_store_composite_find,
         "dedup_cdc_strip": q_dedup_cdc_strip,
         "dedup_source_matrix": q_dedup_source_matrix,
