@@ -225,8 +225,9 @@ def main():
     from shortcut_spark.operators import similarity
 
     lsh_default = "--lsh-default" in sys.argv
-    for scale, n_vec, n_cells in (("1x", 5_000, 32), ("10x", 50_000, 320)):
+    for scale, n_vec in (("1x", 5_000), ("10x", 50_000)):
         planes, bands = similarity.lsh_params_for(n_vec)
+        n_cells = similarity.ivf_params_for(n_vec)
         emb, truth = synth_embeddings(spark, n_vec)
         emb = emb.localCheckpoint(eager=True)
         if scale == "1x":

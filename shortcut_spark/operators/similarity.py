@@ -29,6 +29,7 @@ __all__ = [
     "knn_join",
     "hyperplane_buckets",
     "lsh_params_for",
+    "ivf_params_for",
     "lsh_topk",
     "cosine_join",
     "cosine_join_ivf",
@@ -175,6 +176,20 @@ def lsh_params_for(
         math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - band_recall)),
     )
     return per_band * bands, bands
+
+
+def ivf_params_for(n_rows: int, target_cell: int = 160, m_assign: int = 4) -> int:
+    """Scale-aware cell count for ``cosine_join_ivf``/``ivf_fit``:
+    n_clusters = n_rows / target_cell (floor 16), so expected cell size
+    stays constant and the cell self-join's candidates are
+    N × m_assign² × target_cell / 2 — LINEAR in N (measured in the
+    SCALE.md r8 probe: 32 cells at 5k vectors → 320 at 50k holds recall
+    1.0 with wall ∝ N). The Lloyd fit cost grows with k (one broadcast
+    of k·D centroid doubles per iteration), which is why IVF pays off on
+    corpora with real cluster structure and LSH (`lsh_params_for`) is
+    the structure-free default. Like the LSH helper, deliberately not
+    the operator default — the certified fixture queries pin 16 cells."""
+    return max(16, n_rows // target_cell)
 
 
 def hyperplane_buckets(

@@ -4036,3 +4036,17 @@ def test_lsh_params_for_scaling_and_recall(spark):
     }
     recall = len(found & truth) / len(truth)
     assert recall >= 0.95, recall
+
+
+def test_ivf_params_for_linear_cells(spark):
+    """ivf_params_for holds cell size constant: cells grow linearly with
+    N (floor 16), matching the measured linear-wall probe row."""
+    from shortcut_spark.operators.similarity import ivf_params_for
+
+    assert ivf_params_for(1_000) == 16
+    assert ivf_params_for(5_000) == 31
+    assert ivf_params_for(50_000) == 312
+    assert ivf_params_for(5_000_000) == 31_250
+    # constant expected cell size across four decades
+    for n in (10_000, 100_000, 1_000_000, 10_000_000):
+        assert abs(n / ivf_params_for(n) - 160) < 8
