@@ -136,6 +136,10 @@ def kmeans_exact(
         (j, list(r["__qv"]))
         for j, r in enumerate(q.orderBy("__id").limit(k).collect())
     ]
+    if not cents:
+        # fail like pca_top_component does — the seedless Lloyd loop
+        # would otherwise surface as a cryptic zip_with type error
+        raise ValueError("empty embedding table")
 
     def assign(cur: list[tuple[int, list[int]]]) -> DataFrame:
         # all |cur| distances evaluate row-locally against ONE centroid-

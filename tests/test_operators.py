@@ -4050,3 +4050,22 @@ def test_ivf_params_for_linear_cells(spark):
     # constant expected cell size across four decades
     for n in (10_000, 100_000, 1_000_000, 10_000_000):
         assert abs(n / ivf_params_for(n) - 160) < 8
+
+
+def test_clustering_empty_corpus_raises_cleanly(spark):
+    """An empty embedding table raises an explicit ValueError from the
+    whole clustering family (pca already did; kmeans/silhouette
+    previously died on a cryptic zip_with AnalysisException from the
+    seedless Lloyd loop)."""
+    import pytest as _pytest
+
+    from shortcut_spark.operators import cluster
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    for fn in (
+        lambda: cluster.kmeans_exact(emb, k=2),
+        lambda: cluster.kmeans_silhouette(emb, k=2),
+        lambda: cluster.pca_top_component(emb),
+    ):
+        with _pytest.raises(ValueError, match="empty embedding table"):
+            fn()
