@@ -552,8 +552,11 @@ class Store:
         anything fails before that commit, the on-disk manifest is
         untouched (the orphan tombstone file is inert and vacuumable).
         The batch is appended as-is — duplicate keys WITHIN the batch are
-        all inserted, like ``insert``. Returns (rows_inserted,
-        rows_replaced)."""
+        all inserted, like ``insert``. NULL keys follow SQL join
+        semantics: a NULL-keyed batch row never matches an existing
+        NULL-keyed row (the victims probe is an equi-join), so it plain-
+        appends — deduplicate NULL keys upstream if they should replace.
+        Returns (rows_inserted, rows_replaced)."""
         name = self.colnames[on] if isinstance(on, int) else on
         if name not in self.colnames:
             raise ValueError(f"no such column {name!r}")
@@ -2333,7 +2336,13 @@ class Store:
           CDC readers must consume before the retention horizon — the
           standard lakehouse contract).
         """
-        old = Manifest.load(self.path, since_version)
+        try:
+            old = Manifest.load(self.path, since_version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"no snapshot v{since_version} of {self.path!r} is retained "
+                "(never committed, or vacuumed past the retention horizon)"
+            ) from None
         wm = old.rowid
         new_files = [f for f in self.manifest.files if f.max_rowid >= wm]
         if new_files:
@@ -2387,7 +2396,13 @@ class Store:
             raise ValueError(
                 f"to_version {to_version} must be >= from_version {from_version}"
             )
-        to_man = Manifest.load(self.path, to_version)
+        try:
+            to_man = Manifest.load(self.path, to_version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"no snapshot v{to_version} of {self.path!r} is retained "
+                "(never committed, or vacuumed past the retention horizon)"
+            ) from None
         return Store(self.spark, self.path, to_man).changes(from_version)
 
     def apply_changes(self, delta: DataFrame) -> tuple[int, int]:

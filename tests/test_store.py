@@ -1853,3 +1853,30 @@ def test_block_sample_system_semantics(spark, store_path):
     # tombstones respected
     st.delete([eq(0, "b0")], defer=True)
     assert all(r[0] != "b0" for r in st.sample(1.0).collect())
+
+
+def test_cdc_unknown_version_raises_cleanly(spark, store_path):
+    """changes()/diff() on a never-committed or vacuumed version raise an
+    explicit ValueError instead of a raw FileNotFoundError from the
+    manifest loader (edge-input sweep)."""
+    import pytest as _pytest
+
+    st = Store.create(spark, store_path, 2)
+    st.insert([("a", "1")])
+    for fn in (lambda: st.changes(0), lambda: st.diff(1, 99)):
+        with _pytest.raises(ValueError, match="no snapshot v"):
+            fn()
+
+
+def test_merge_null_key_appends_sql_semantics(spark, store_path):
+    """A NULL-keyed merge row never matches an existing NULL-keyed row
+    (equi-join victims probe, SQL semantics): it appends, replacing
+    nothing — pinned so the behavior is a contract, not an accident."""
+    st = Store.create(spark, store_path, 2)
+    st.insert([(None, "old"), ("k", "v")])
+    ins, repl = st.merge([(None, "new")], on=0)
+    assert (ins, repl) == (1, 0)
+    vals = sorted(r[st.colnames[1]] for r in st.find([]).collect())
+    assert vals == ["new", "old", "v"]
+    # non-NULL keys still replace
+    assert st.merge([("k", "v2")], on=0) == (1, 1)
