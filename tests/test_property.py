@@ -32,6 +32,10 @@ op_st = st.one_of(
     # same rowid (ADVICE r4 high: resurrection must purge the tombstone,
     # not insert a second masked copy)
     st.tuples(st.just("restore")),
+    # merge (atomic upsert on column 0): tombstones + insert in ONE
+    # commit — the most complex mutation, interleaved with everything
+    # else (r8); NULL keys append per the SQL contract
+    st.tuples(st.just("merge"), st.lists(row_st, min_size=1, max_size=3)),
 )
 
 
@@ -51,6 +55,7 @@ def test_store_matches_model(spark, tmp_path_factory, ops, data):
     path = str(tmp_path_factory.mktemp("prop") / "store")
     store = Store.create(spark, path, 2)
     model: list[tuple] = []
+    snapshots = {store.manifest.version: list(model)}
     for op in ops:
         if op[0] == "insert":
             store.insert(op[1])
@@ -69,6 +74,17 @@ def test_store_matches_model(spark, tmp_path_factory, ops, data):
             store.index(op[1], data.draw(st.sampled_from([HashIndex, BTreeIndex])))
         elif op[0] == "compact":
             store.compact(target_files=2, sort_by=f"c{op[1]}")
+        elif op[0] == "restore":
+            v = data.draw(st.sampled_from(sorted(snapshots)))
+            store.restore(v)
+            model = list(snapshots[v])
+        elif op[0] == "merge":
+            ins, repl = store.merge(op[1], on=0)
+            keys = {r[0] for r in op[1] if r[0] is not None}
+            victims = [r for r in model if r[0] in keys]
+            assert (ins, repl) == (len(op[1]), len(victims))
+            model = [r for r in model if r[0] not in keys] + list(op[1])
+        snapshots[store.manifest.version] = list(model)
         # invariant after every op: find([]) == model as a multiset, and
         # len() (metadata-only under tombstones) agrees with the model
         got = sorted(tuple(r) for r in store.find([]).collect())
@@ -360,6 +376,8 @@ def test_replica_converges_under_random_schedules(spark, tmp_path_factory, ops, 
             leader.compact(target_files=2)
         elif op[0] == "restore":
             leader.restore(data.draw(st.sampled_from(versions)))
+        elif op[0] == "merge":
+            leader.merge(op[1], on=0)
         versions.append(leader.manifest.version)
         follower.apply_changes(leader.changes(synced))
         synced = leader.manifest.version
