@@ -919,3 +919,91 @@ def test_sessionize_ttl_in_horizon_batch_equal_and_expires(
         for so in (p.get("stateOperators") or [])
     )
     assert removed > 0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=8),
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_gapfill_interp_matches_model(spark, obs):
+    """Linear interpolation vs a plain-Python model over random sparse
+    observations including ALL-NULL-value buckets — the edge the fixture
+    never exercises: a bucket with events but no non-null values extends
+    the spine yet is UNOBSERVED for interpolation, so spine edges beyond
+    the last non-null observation interpolate to NULL."""
+    import datetime as dt
+
+    from shortcut_spark.operators.events import gapfill_interp
+
+    base_epoch = 1_704_103_200  # 2024-01-01 10:00 UTC, hour-aligned
+    rows = [
+        (
+            i,
+            7,
+            dt.datetime.utcfromtimestamp(base_epoch + b * 3600 + (i % 3) * 60),
+            k,
+            float(v) if v is not None else None,
+            "{}",
+        )
+        for i, (k, b, v) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r["event_type"], r["bucket_epoch"]): (
+            r["n_events"],
+            None if r["sum_value"] is None else float(r["sum_value"]),
+            r["interp_sum_value"],
+        )
+        for r in gapfill_interp(df).collect()
+    }
+
+    # model
+    cells: dict[tuple, list] = {}
+    for k, b, v in obs:
+        cell = cells.setdefault((k, b), [0, None])
+        cell[0] += 1
+        if v is not None:
+            cell[1] = (cell[1] or 0.0) + float(v)
+    want = {}
+    for k in {k for k, _b, _v in obs}:
+        bks = sorted(b for kk, b in cells if kk == k)
+        observed = [(b, cells[(k, b)][1]) for b in bks if cells[(k, b)][1] is not None]
+        for b in range(bks[0], bks[-1] + 1):
+            n, s = cells.get((k, b), (0, None))
+            prev = max(((ob, ov) for ob, ov in observed if ob <= b), default=None)
+            nxt = min(((ob, ov) for ob, ov in observed if ob >= b), default=None)
+            if prev is None or nxt is None:
+                interp = None
+            elif prev[0] == nxt[0]:
+                interp = prev[1]
+            else:
+                interp = prev[1] + (nxt[1] - prev[1]) * (b - prev[0]) / (
+                    nxt[0] - prev[0]
+                )
+            want[(k, (base_epoch + b * 3600))] = (n, s, interp)
+
+    assert set(got) == set(want)
+    for key in want:
+        gn, gs, gi = got[key]
+        wn, ws, wi = want[key]
+        assert gn == wn, (key, got[key], want[key])
+        assert (gs is None) == (ws is None) and (gs is None or abs(gs - ws) < 1e-9)
+        assert (gi is None) == (wi is None) and (gi is None or abs(gi - wi) < 1e-9), (
+            key, got[key], want[key],
+        )
