@@ -1007,3 +1007,60 @@ def test_gapfill_interp_matches_model(spark, obs):
         assert (gi is None) == (wi is None) and (gi is None or abs(gi - wi) < 1e-9), (
             key, got[key], want[key],
         )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    buckets=st.integers(min_value=1, max_value=6),
+)
+def test_equidepth_histogram_matches_model(spark, vals, buckets):
+    """Equi-depth bucket assignment vs a plain-Python model under heavy
+    ties and NULLs: each DISTINCT value lands whole in bucket
+    (cum_before · B) DIV n, NULL sorting first (Spark NULLS FIRST) —
+    ties never split across buckets, which is the property a range
+    partitioner depends on."""
+    from collections import Counter
+
+    from shortcut_spark.operators.sketch import equidepth_histogram
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(vals)], "id long, g string, v long"
+    )
+    got = {
+        (r["g"], r["bucket"]): (r["lo"], r["hi"], r["n_rows"])
+        for r in equidepth_histogram(df, "v", "g", buckets=buckets).collect()
+    }
+    want = {}
+    for g in {g for g, _v in vals}:
+        counts = Counter(v for gg, v in vals if gg == g)
+        n = sum(counts.values())
+        ordered = sorted(counts, key=lambda v: (v is not None, v))  # NULLS FIRST
+        cum = 0
+        per_bucket = {}
+        for v in ordered:
+            bkt = cum * buckets // n
+            lo, hi, nr = per_bucket.get(bkt, (v, v, 0))
+            # lo/hi are min/max over the bucket's values; NULL sorts first
+            # but min/max IGNORE NULLs (Spark agg semantics)
+            vals_in = [x for x in (lo, hi, v) if x is not None]
+            per_bucket[bkt] = (
+                min(vals_in) if vals_in else None,
+                max(vals_in) if vals_in else None,
+                nr + counts[v],
+            )
+            cum += counts[v]
+        for bkt, (lo, hi, nr) in per_bucket.items():
+            want[(g, bkt)] = (lo, hi, nr)
+    assert got == want
