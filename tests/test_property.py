@@ -1064,3 +1064,67 @@ def test_equidepth_histogram_matches_model(spark, vals, buckets):
         for bkt, (lo, hi, nr) in per_bucket.items():
             want[(g, bkt)] = (lo, hi, nr)
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # user
+            st.integers(min_value=0, max_value=20),  # day offset
+            st.sampled_from(["signup", "view"]),
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_retention_cohorts_matches_model(spark, evs):
+    """Weekly cohort retention vs a plain-Python model: cohort = ISO week
+    (Monday-truncated) of the user's FIRST signup; activity BEFORE the
+    cohort week doesn't count; users without a signup are excluded."""
+    import datetime as dt
+
+    from shortcut_spark.operators.events import retention_cohorts
+
+    base = dt.datetime(2024, 1, 3, 12, 0, 0)  # a Wednesday
+    rows = [
+        (i, u, base + dt.timedelta(days=d), t, 0.0, "{}")
+        for i, (u, d, t) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r["cohort_epoch"], r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(df, "signup").collect()
+    }
+
+    def week_start(d: dt.datetime) -> dt.datetime:
+        return (d - dt.timedelta(days=d.weekday())).replace(
+            hour=0, minute=0, second=0, microsecond=0
+        )
+
+    cohort = {}
+    for _i, (u, d, t) in enumerate(evs):
+        if t == "signup":
+            w = week_start(base + dt.timedelta(days=d))
+            if u not in cohort or w < cohort[u]:
+                cohort[u] = w
+    pairs = set()
+    for u, d, _t in evs:
+        if u in cohort:
+            w = week_start(base + dt.timedelta(days=d))
+            if w >= cohort[u]:
+                pairs.add((u, w))
+    want = {}
+    for u, w in pairs:
+        cep = int(cohort[u].replace(tzinfo=dt.timezone.utc).timestamp())
+        off = int((w - cohort[u]).total_seconds() // (7 * 24 * 3600))
+        want[(cep, off)] = want.get((cep, off), 0) + 1
+    assert got == want
