@@ -1128,3 +1128,57 @@ def test_retention_cohorts_matches_model(spark, evs):
         off = int((w - cohort[u]).total_seconds() // (7 * 24 * 3600))
         want[(cep, off)] = want.get((cep, off), 0) + 1
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=5),  # token count
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    ba=st.integers(min_value=0, max_value=12),
+    bb=st.integers(min_value=0, max_value=12),
+)
+def test_token_budget_sample_matches_model(spark, docs, ba, bb):
+    """Budget packing vs a plain-Python model: per stratum, docs in
+    (md5-hash, key) order are kept while the cumulative tokens BEFORE
+    them sit under budget — overshoot by at most one doc, zero-budget
+    strata drop entirely, zero-token docs ride free while the budget is
+    open."""
+    import hashlib
+
+    from shortcut_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, s, " ".join(["w"] * n)) for i, (s, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budgets = {"a": ba, "b": bb}
+    got = sorted(
+        (r["doc_id"], r["source"], r["n_tokens"], r["cum_before"])
+        for r in token_budget_sample(
+            df, "doc_id", "source", "text", budgets
+        ).collect()
+    )
+
+    def h(key):
+        return int(hashlib.md5(f"budget:{key}".encode()).hexdigest()[:8], 16)
+
+    want = []
+    for s in ("a", "b"):
+        members = sorted(
+            ((i, n) for i, (ss, n) in enumerate(docs) if ss == s),
+            key=lambda kn: (h(kn[0]), kn[0]),
+        )
+        cum = 0
+        for i, n in members:
+            if cum < budgets[s]:
+                want.append((i, s, n, cum))
+            cum += n
+    assert got == sorted(want)
