@@ -1182,3 +1182,88 @@ def test_token_budget_sample_matches_model(spark, docs, ba, bb):
                 want.append((i, s, n, cum))
             cum += n
     assert got == sorted(want)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # hour offset
+            st.sampled_from(["v", "c", "p", "e"]),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    k=st.integers(min_value=1, max_value=3),
+)
+def test_windowed_topk_matches_model(spark, evs, k):
+    """Hourly top-k vs a plain-Python model under COUNT TIES: rank order
+    is (count desc, value asc) — total-order deterministic, so tied
+    counts resolve identically in both."""
+    import datetime as dt
+    from collections import Counter
+
+    from shortcut_spark.operators.events import windowed_topk
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (i, 1, base + dt.timedelta(hours=h, minutes=i % 60), t, 0.0, "{}")
+        for i, (h, t) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    got = sorted(
+        (r["hour_epoch"], r["rank"], r["value"], r["n_events"])
+        for r in windowed_topk(df, k=k).collect()
+    )
+    want = []
+    for h in {h for h, _t in evs}:
+        cnt = Counter(t for hh, t in evs if hh == h)
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        ep = int(
+            (base + dt.timedelta(hours=h)).replace(tzinfo=dt.timezone.utc).timestamp()
+        )
+        for r, (v, n) in enumerate(ranked[:k], start=1):
+            want.append((ep, r, v, n))
+    assert got == sorted(want)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=15),
+    cap=st.integers(min_value=1, max_value=4),
+)
+def test_per_source_cap_matches_model(spark, docs, cap):
+    """Source cap vs a plain-Python model: at most cap docs per source,
+    picked in deterministic (md5-hash, key) order."""
+    import hashlib
+
+    from shortcut_spark.operators.sampling import per_source_cap
+
+    rows = [(i, s) for i, s in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        (r["doc_id"], r["source"], r["rank_in_source"])
+        for r in per_source_cap(df, "doc_id", "source", cap).collect()
+    )
+
+    def h(key):
+        return int(hashlib.md5(f"cap:{key}".encode()).hexdigest()[:8], 16)
+
+    want = []
+    for s in set(docs):
+        members = sorted((i for i, ss in rows if ss == s), key=lambda i: (h(i), i))
+        for r, i in enumerate(members[:cap], start=1):
+            want.append((i, s, r))
+    assert got == sorted(want)
