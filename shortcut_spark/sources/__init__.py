@@ -47,6 +47,20 @@ def read(spark: SparkSession, fmt: str, path: str, schema=None, **options) -> Da
         return reader.options(**options).orc(path)
     if fmt == "csv":
         options.setdefault("header", "true")
+        # LOSSLESS round-trip defaults, paired with write()'s (r8 hostile-
+        # string sweep: embedded newlines split rows, empty string read
+        # back as NULL, writer trimmed padding):
+        # - multiLine: fields the writer quoted for embedded newlines
+        #   parse as one row. Scale caveat: a multiLine CSV read is NOT
+        #   splittable — pass multiLine="false" explicitly for splittable
+        #   scans of newline-free data, or use parquet/ORC (CSV is the
+        #   interchange tier here, not the scan tier).
+        # - nullValue "\\N" (the classic Hive/MySQL sentinel): frees the
+        #   empty field to mean EMPTY STRING (emptyValue), so '' and NULL
+        #   survive distinctly.
+        options.setdefault("multiLine", "true")
+        options.setdefault("nullValue", "\\N")
+        options.setdefault("emptyValue", "")
         return reader.options(**options).csv(path)
     if fmt == "json":
         return reader.options(**options).json(path)
@@ -63,6 +77,15 @@ def read(spark: SparkSession, fmt: str, path: str, schema=None, **options) -> Da
 
 def write(df: DataFrame, fmt: str, path: str, mode: str = "overwrite", partition_by=None, **options) -> None:
     fmt = fmt.lower()
+    if fmt == "csv":
+        # paired with read()'s lossless defaults (caller options win):
+        # preserve padding (the writer's univocity defaults TRIM both
+        # ends) and write NULL as the \N sentinel so the reader can tell
+        # it from empty string
+        options.setdefault("header", "true")
+        options.setdefault("ignoreLeadingWhiteSpace", "false")
+        options.setdefault("ignoreTrailingWhiteSpace", "false")
+        options.setdefault("nullValue", "\\N")
     writer = df.write.mode(mode).options(**options)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -71,7 +94,7 @@ def write(df: DataFrame, fmt: str, path: str, mode: str = "overwrite", partition
     elif fmt == "orc":
         writer.orc(path)
     elif fmt == "csv":
-        writer.option("header", "true").csv(path)
+        writer.csv(path)
     elif fmt == "json":
         writer.json(path)
     else:

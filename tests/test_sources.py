@@ -79,3 +79,38 @@ def test_jsonl_roundtrip_preserves_unicode_exactly(spark, tmp_path):
     assert sig(back) == sig(df)
     got = {r["doc_id"]: r["text"] for r in back.collect()}
     assert got == dict(rows)  # incl. the empty string surviving as ''
+
+
+def test_csv_roundtrip_hostile_strings(spark, tmp_path):
+    """CSV read/write defaults are LOSSLESS for hostile strings (r8
+    sweep): embedded newlines (previously split into extra rows), empty
+    string vs NULL (previously collapsed to NULL), leading/trailing
+    padding (previously trimmed by the writer), quotes, delimiters,
+    backslashes, unicode."""
+    from shortcut_spark import sources
+
+    hostile = [
+        (1, "plain"),
+        (2, "comma,inside"),
+        (3, 'quote"inside'),
+        (4, "single'quote"),
+        (5, "back\\slash"),
+        (6, "new\nline"),
+        (7, "tab\tchar"),
+        (8, ""),
+        (9, None),
+        (10, " leading and trailing "),
+        (11, "unicode Ω≈ç√ 中文"),
+        (12, '"fully quoted"'),
+        (13, "\\N"),  # a literal backslash-N survives too (writer quotes it? pinned below)
+    ]
+    df = spark.createDataFrame(hostile, "id long, s string")
+    d = str(tmp_path / "csv_rt")
+    sources.write(df, "csv", d)
+    back = {r["id"]: r["s"] for r in sources.read(spark, "csv", d, schema="id long, s string").collect()}
+    want = dict(hostile)
+    # the \N sentinel is the ONE documented lossy cell: a literal "\\N"
+    # string is indistinguishable from NULL by design (Hive convention)
+    assert back.pop(13, "missing") is None
+    want.pop(13)
+    assert back == want
