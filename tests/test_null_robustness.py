@@ -119,3 +119,41 @@ def test_events_family_tolerates_null_columns(dirty):
     # NULL users are excluded from the experiment, not a phantom arm
     arms = E.ab_test(dirty["ev"]).collect()
     assert all(r["variant"] is not None for r in arms)
+
+
+def test_text_family_hostile_strings_smoke(spark):
+    """Crash-freedom pin for the text/dedup families on hostile input:
+    NULL text, empty, whitespace-only, a 10k-char single token, regex
+    metacharacters, control bytes, wide unicode, and a 2000-token doc —
+    every operator returns a DataFrame without raising (r8 sweep; the
+    values themselves are certified elsewhere, this pins the edges the
+    fixture lacks)."""
+    hostile = [
+        (1, "plain text here"),
+        (2, ""),
+        (3, None),
+        (4, "a" * 10000),
+        (5, ".*+?[](){}|\\^$"),
+        (6, "中文 español здесь ™ 😀"),
+        (7, "\x00\x01 control \x7f chars"),
+        (8, "   \t\n   "),
+        (9, "word " * 2000),
+    ]
+    docs = spark.createDataFrame(hostile, "doc_id long, text string")
+    from shortcut_spark.operators import dedup, text
+
+    for fn in (
+        lambda: text.text_stats(docs, "doc_id", "text"),
+        lambda: text.language_id(docs, "doc_id", "text"),
+        lambda: text.quality_score(docs, "doc_id", "text"),
+        lambda: text.fingerprints(docs, "doc_id", "text"),
+        lambda: text.pii_redact(docs, "doc_id", "text"),
+        lambda: text.rake_keywords(docs, "doc_id", "text"),
+        lambda: text.collocations(docs, "text"),
+        lambda: text.repetition_stats(docs, "doc_id", "text"),
+        lambda: text.encoding_stats(docs, "doc_id", "text"),
+        lambda: dedup.simhash(docs, "doc_id", "text"),
+        lambda: dedup.minhash_near_dups(docs, "doc_id", "text"),
+        lambda: dedup.winnow_fingerprints(docs, "doc_id", "text"),
+    ):
+        assert fn().count() >= 0
