@@ -1863,7 +1863,12 @@ def q_embed_lsh_topk(spark, sf_dir):
     Hamming distance 1 of the query's signature'. Recall vs the exact
     tier additionally asserted in tests/test_operators.py."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = similarity.lsh_topk(emb, _query_vec(spark, sf_dir), k=10)
+    # n_planes/bands pinned to the legacy literals: the DuckDB twin inlines
+    # these exact plane constants (8-plane/4-band sign bits), and since r9
+    # the unsized library default auto-sizes from the corpus count instead
+    out = similarity.lsh_topk(
+        emb, _query_vec(spark, sf_dir), k=10, n_planes=8, bands=4
+    )
     # rank/limit on full precision; projected value rounded to 10 dp (see
     # q_embed_cosine_lsh — decimal-cast tie rounding differs ~1e-14
     # between engines)
@@ -2013,8 +2018,11 @@ def q_embed_cosine_lsh(spark, sf_dir):
     semantics, not a noise source (judge ask r4 #2). The plain-double
     scorer stays the library's production default; recall vs the exact
     tier is still pinned in tests and printed next to its bench entry."""
+    # n_planes/bands pinned to the legacy 16/4 literals matching the twin's
+    # inlined plane constants; the r9 library default auto-sizes instead
     out = similarity.cosine_join(
-        _t(spark, sf_dir, "embeddings"), 0.4, exact=False, exact_score=True
+        _t(spark, sf_dir, "embeddings"), 0.4, n_planes=16, bands=4,
+        exact=False, exact_score=True,
     )
     # projected value rounded to 10 dp: the exact-decimal dot is order-
     # independent, but the double→DECIMAL(28,14) cast rounds half-way
@@ -2034,6 +2042,10 @@ def q_embed_cross_source(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"),
         _t(spark, sf_dir, "documents"),
         threshold=0.4,
+        # pinned to the twin's inlined 16/4 plane literals (r9: the unsized
+        # library default auto-sizes from the corpus count)
+        n_planes=16,
+        bands=4,
     ).select(
         "id_a", "id_b", "source_a", "source_b",
         F.round("cosine", 10).alias("cosine"),
@@ -2052,6 +2064,36 @@ def q_embed_cosine_ivf(spark, sf_dir):
     return similarity.cosine_join_ivf(
         _t(spark, sf_dir, "embeddings"), 0.4, fitted=_fitted_ivf(spark, sf_dir)
     )
+
+
+def q_embed_vector_index(spark, sf_dir):
+    """IVF top-k probed through the DURABLE vector index (r9 — the sixth
+    index kind, `operators/vector_index.VectorIndex`): the fitted IVF
+    artifacts live in Stores on disk keyed to the corpus snapshot; the
+    FIRST call per corpus builds them, every later call (including a
+    fresh process) OPENs the standing artifact and probes with ZERO fit
+    jobs — the production shape where one index build amortizes across
+    all queries AND sessions on a corpus snapshot, vs the session-cached
+    `_fitted_ivf`. Same pinned fit (16 cells / 2 Lloyd iters) as
+    `embed_ivf_topk`, so the probe result is identical — approximate by
+    design → rows-only check (like the other ANN tiers); reopen/refresh
+    semantics are pinned in tests/test_vector_index.py."""
+    import hashlib
+    import tempfile
+
+    from shortcut_spark.operators.vector_index import VectorIndex
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    stamp = str(os.path.getmtime(emb_path)) if os.path.exists(emb_path) else "0"
+    key = hashlib.md5(f"{sf_dir}:{stamp}:16:2".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"shortcut_vx_{key}")
+    emb = _t(spark, sf_dir, "embeddings")
+    if os.path.exists(os.path.join(path, "vector_index.json")):
+        ix = VectorIndex.open(spark, path)
+    else:
+        ix = VectorIndex.create(spark, path, emb, n_clusters=16, iters=2)
+    out = ix.topk(emb, _query_vec(spark, sf_dir), k=10, nprobe=4)
+    return out.select("vec_id", F.round("cosine", 10).alias("cosine"))
 
 
 def q_mm_features(spark, sf_dir):
@@ -3958,6 +4000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_pq_topk": q_embed_ivf_pq_topk,
         "embed_cosine_ivf": q_embed_cosine_ivf,
         "embed_ivf_topk": q_embed_ivf_topk,
+        "embed_vector_index": q_embed_vector_index,  # r9 NEW: durable-index probe (rows-only — ANN tier)
         "stats_approx_sketch": q_stats_approx_sketch,
         "events_stream_rollup_append": q_events_stream_rollup_append,
         "events_stream_hopping_append": q_events_stream_hopping_append,

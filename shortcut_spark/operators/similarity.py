@@ -48,6 +48,7 @@ __all__ = [
     "funnel_topk",
     "topk_cosine_int8",
     "pq_fit",
+    "pq_encode",
     "pq_topk",
     "pq_funnel_topk",
     "ivf_pq_topk",
@@ -145,28 +146,25 @@ def lsh_params_for(
     - planes-per-band = ceil(log2(n_rows / target_bucket)) — expected
       bucket size stays ~constant as the corpus grows, so per-band
       candidates are N × bucket/2, never N²/buckets. MEASURED
-      (docs/SCALE.md r8 probe): the fixture defaults (16 planes /
+      (docs/SCALE.md r8 probe): the legacy fixture literals (16 planes /
       4 bands = 16 buckets per band) cost 487.9 s at 50k vectors;
-      this helper's parameters stay near-flat — 6.4 s at 5k → 8.7 s
+      this helper's parameters stay flat — 6.7 s at 5k → 6.7 s
       at 50k, recall 0.998 at a 0.8 threshold.
     - bands = enough that 1 − (1 − p^per_band)^bands ≥ target_recall,
       where p is the per-plane sign-agreement probability of a true
       pair (1 − θ/π ≈ 0.92 at cos 0.8) — deeper bands sharpen buckets
       but miss more, so the band count compensates. At 50k this yields
-      88p/8b (the measured row); at 10⁹ rows, 26-bit bands × 20 bands —
-      per-row plane work grows with log N, candidates stay ∝ N.
+      96p/8b (per_band = ceil(log2(50000/24)) = 12; the measured
+      SCALE.md row); at 10⁹ rows, 26-bit bands × 19 bands — per-row
+      plane work grows with log N, candidates stay ∝ N.
 
-    Not the default on ``cosine_join`` itself: the certified fixture
-    queries pin 16/4 (their DuckDB twins inline the exact plane
-    literals), so auto-scaling the default would silently change
-    certified row sets. Call this when sizing a real corpus:
-
-        planes, bands = lsh_params_for(corpus.count())
-        cosine_join(emb, thr, n_planes=planes, bands=bands,
-                    multiprobe=False)
-
-    Multiprobe stays for the moderate-threshold regime (see
-    ``cosine_join``)."""
+    Since r9 this IS the default: ``cosine_join``/``lsh_topk`` call it
+    with a cached input count whenever the caller does not pin
+    ``n_planes``/``bands`` (the r8 probe measured the old fixed
+    defaults at 487.9 s vs 6.7 s at a mere 10×, so the unsized call
+    path had to be the scale-safe one). The certified fixture queries
+    pin the legacy literals explicitly — their DuckDB twins inline the
+    exact plane literals — so certified row sets are unchanged."""
     import math
 
     per_band = max(4, math.ceil(math.log2(max(n_rows / target_bucket, 2.0))))
@@ -187,9 +185,55 @@ def ivf_params_for(n_rows: int, target_cell: int = 160, m_assign: int = 4) -> in
     1.0 with wall ∝ N). The Lloyd fit cost grows with k (one broadcast
     of k·D centroid doubles per iteration), which is why IVF pays off on
     corpora with real cluster structure and LSH (`lsh_params_for`) is
-    the structure-free default. Like the LSH helper, deliberately not
-    the operator default — the certified fixture queries pin 16 cells."""
+    the structure-free default. Since r9 this IS the default sizing:
+    ``ivf_fit``/``cosine_join_ivf`` call it with a cached input count
+    when the caller pins neither ``k``/``n_clusters`` nor a prebuilt
+    ``fitted`` index; the certified fixture queries pin 16 cells
+    explicitly so certified row sets are unchanged."""
     return max(16, n_rows // target_cell)
+
+
+# ---------------------------------------------------------------------------
+# Auto-sizing support: the count that feeds lsh_params_for/ivf_params_for is
+# cached per logical plan (semanticHash) so repeated unsized calls on the
+# same corpus snapshot pay the counting scan once per session, not per call.
+_COUNT_CACHE: dict[int, int] = {}
+_COUNT_CACHE_MAX = 256
+
+
+def _corpus_count(df: DataFrame) -> int:
+    """Row count with a per-plan memo. ``semanticHash`` keys logically
+    identical plans (same parquet snapshot + projection) to one entry; on
+    any hashing failure we just count — correctness never depends on the
+    cache, only the number of counting jobs does."""
+    try:
+        key = df.semanticHash()
+    except Exception:
+        return df.count()
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        n = df.count()
+        if len(_COUNT_CACHE) >= _COUNT_CACHE_MAX:
+            _COUNT_CACHE.clear()
+        _COUNT_CACHE[key] = n
+    return n
+
+
+def _resolve_lsh_params(
+    df: DataFrame, n_planes: int | None, bands: int | None
+) -> tuple[int, int]:
+    """Fill unpinned LSH params from the measured scale-safe sizing
+    (``lsh_params_for`` over a cached input count). Callers that pin both
+    never trigger a count; pinning only ``bands`` keeps that band count
+    and derives total planes as auto_per_band × bands."""
+    if n_planes is not None and bands is not None:
+        return n_planes, bands
+    auto_planes, auto_bands = lsh_params_for(_corpus_count(df))
+    if n_planes is None and bands is None:
+        return auto_planes, auto_bands
+    if n_planes is None:
+        return (auto_planes // auto_bands) * bands, bands
+    return n_planes, auto_bands
 
 
 def hyperplane_buckets(
@@ -283,18 +327,24 @@ def lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
-    bands: int = 4,
+    n_planes: int | None = None,
+    bands: int | None = None,
     dim: int = 64,
     multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: score only vectors sharing ≥1 LSH band with the
     query. Same output shape as ``topk_cosine``.
 
+    ``n_planes``/``bands`` default to the measured scale-safe sizing
+    (``lsh_params_for`` over a cached corpus count) so the unsized call
+    stays linear in N; pin both to reproduce a fixed banding (the
+    certified fixture query pins the legacy 8/4).
+
     ``multiprobe=True`` (default) also probes, per band, every bucket whose
     signature is one bit-flip away from the query's — query-side-only
     candidate widening (the corpus side never changes), lifting recall on
     neighbors that straddle one hyperplane without adding bands."""
+    n_planes, bands = _resolve_lsh_params(emb, n_planes, bands)
     emb_b = hyperplane_buckets(emb, vec_col, n_planes, bands, dim)
     q_b = hyperplane_buckets(query.select(F.col("qvec")), "qvec", n_planes, bands, dim)
     probe_keys = q_b.select("band_key")
@@ -325,8 +375,8 @@ def cosine_join(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int | None = None,
+    bands: int | None = None,
     dim: int = 64,
     exact: bool = False,
     exact_score: bool = False,
@@ -337,6 +387,12 @@ def cosine_join(
     ``exact_score=True`` scores with the exact-decimal cosine
     (``functions.cosine_exact``) so the result is oracle-comparable;
     the default plain-double scorer is the cheap codegen path.
+
+    ``n_planes``/``bands`` default to the measured scale-safe sizing
+    (``lsh_params_for`` over a cached corpus count — the r8 probe
+    measured fixed 16/4 at 487.9 s vs 6.7 s flat at just 10×); pin both
+    to reproduce a fixed banding (the certified fixture queries pin the
+    legacy 16/4, matching their bit-exact DuckDB twins).
 
     ``multiprobe=True`` (default) widens band collisions from exact
     signature equality to Hamming distance ≤ 1: ONE side of the self-join
@@ -359,6 +415,7 @@ def cosine_join(
             .filter(F.col("id_a") < F.col("id_b"))
         )
     else:
+        n_planes, bands = _resolve_lsh_params(emb, n_planes, bands)
         b = hyperplane_buckets(emb, vec_col, n_planes, bands, dim).select(
             F.col(id_col), "band_key"
         )
@@ -463,6 +520,8 @@ def cross_source_dups(
     group_col: str = "source",
     exact: bool = False,
     exact_score: bool = True,
+    n_planes: int | None = None,
+    bands: int | None = None,
 ) -> DataFrame:
     """Cross-source SEMANTIC near-duplicates: cosine near-dup pairs
     (``cosine_join`` — LSH-banded at scale) restricted to pairs whose
@@ -475,7 +534,9 @@ def cross_source_dups(
     nothing extra at scale. Output: (id_a, id_b, source_a, source_b,
     cosine), default exact-decimal scoring → hash-certifiable."""
     pairs = cosine_join(
-        emb, threshold, id_col, vec_col, exact=exact, exact_score=exact_score
+        emb, threshold, id_col, vec_col,
+        n_planes=n_planes, bands=bands,
+        exact=exact, exact_score=exact_score,
     )
     ga = meta.select(
         F.col(meta_id_col).alias("id_a"), F.col(group_col).alias("source_a")
@@ -537,7 +598,7 @@ def cosine_join_ivf(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     m_assign: int = 4,
     iters: int = 2,
     exact_score: bool = False,
@@ -571,6 +632,8 @@ def cosine_join_ivf(
     candidate FRACTION is a small-corpus artifact (16 cells over 2k
     vectors); at fixed cell size the count is linear in N.
     """
+    # n_clusters=None → ivf_params_for sizing inside ivf_fit (cell size
+    # stays constant as N grows); irrelevant when a fitted index is passed
     _, centroids = fitted or ivf_fit(emb, id_col, vec_col, n_clusters, iters)
     # materialize the soft assignment once (lazy local checkpoint): the
     # cell self-join references it on BOTH sides, and without the cut the
@@ -594,7 +657,7 @@ def ivf_fit(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 16,
+    k: int | None = None,
     iters: int = 2,
     normalize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
@@ -619,6 +682,10 @@ def ivf_fit(
     src = emb.select(F.col(id_col), F.col(vec_col))
     if normalize:
         src = emb.select(F.col(id_col), _unit(vec_col).alias(vec_col))
+    if k is None:
+        # unsized fit → measured scale-safe cell count (constant expected
+        # cell size; the counting scan is memoized per logical plan)
+        k = ivf_params_for(_corpus_count(emb))
     vecs = ensure_parallelism(src).persist()
     # Seed from the k smallest ids via distributed top-k
     # (TakeOrderedAndProject) and number the k rows on the driver — k is a
@@ -669,7 +736,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     iters: int = 2,
     fitted: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
@@ -1041,6 +1108,57 @@ def pq_fit(
     )
     subs.unpersist()
     return codes, codebook
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against an EXISTING PQ codebook — the incremental
+    half of :func:`pq_fit` (identical normalization, slicing, and
+    nearest-sub-centroid assignment, factored out so a standing index can
+    encode an insert batch at O(batch) cost instead of refitting).
+    Returns (id, codes array<int> length m)."""
+    cb = codebook.collect()
+    m = max(r["sub"] for r in cb) + 1
+    dsub = len(cb[0]["centroid"])
+    spark = emb.sparkSession
+    cb_df = spark.createDataFrame(
+        [(r["sub"], r["cluster"], [float(x) for x in r["centroid"]]) for r in cb],
+        "sub int, cluster int, centroid array<double>",
+    )
+    unit = ensure_parallelism(emb).select(F.col(id_col), _unit(vec_col).alias("__u"))
+    subs = unit.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> slice(__u, s * {dsub} + 1, {dsub}))"
+            )
+        ).alias("sub", "subvec"),
+    )
+    scored = subs.join(F.broadcast(cb_df), "sub").select(
+        F.col(id_col),
+        "sub",
+        "cluster",
+        F.aggregate(
+            F.zip_with(
+                F.col("subvec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ).alias("dist"),
+    )
+    assigned = scored.groupBy(id_col, "sub").agg(
+        F.min_by("cluster", F.struct("dist", "cluster")).alias("cluster")
+    )
+    return assigned.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("sub", "cluster"))),
+            lambda s: s["cluster"],
+        ).alias("codes")
+    )
 
 
 def pq_topk(

@@ -36,7 +36,36 @@ FIXTURE_TABLES = [
 ]
 
 
-def read(spark: SparkSession, fmt: str, path: str, schema=None, **options) -> DataFrame:
+def read(
+    spark: SparkSession,
+    fmt: str,
+    path: str,
+    schema=None,
+    splittable: bool = False,
+    **options,
+) -> DataFrame:
+    """Uniform reader facade over Spark's sources.
+
+    CSV caveat (foreign files): the CSV defaults here are LOSSLESS
+    ROUND-TRIP defaults paired with :func:`write` — ``multiLine=true``
+    (quoted embedded newlines parse as one row), ``nullValue="\\N"`` and
+    ``emptyValue=""`` (so NULL and empty string survive distinctly).
+    They intentionally differ from Spark's own defaults, so CSVs NOT
+    produced by :func:`write` shift semantics: an empty field parses as
+    ``''`` instead of NULL, a literal ``\\N`` field becomes NULL, and
+    ``multiLine`` makes the scan single-task. Reading third-party CSVs,
+    pass ``multiLine="false"``/``nullValue=""`` explicitly (or
+    ``splittable=True``, below) to get interchange-standard behavior.
+
+    ``splittable=True`` is the BULK-INGEST preset for CSV: turns
+    ``multiLine`` off so the scan splits by line across tasks (a
+    multiLine read is one task per file — fine for interchange, fatal
+    for a 100 TB ingest). Only safe when the data has no embedded
+    newlines; pair it with ``write(..., assert_no_newlines=True)``,
+    which refuses to produce files this preset would mis-split. The
+    ``\\N``/empty-string sentinels stay on (they are per-field and do
+    not affect splittability).
+    """
     fmt = fmt.lower()
     reader = spark.read
     if schema is not None:
@@ -52,13 +81,13 @@ def read(spark: SparkSession, fmt: str, path: str, schema=None, **options) -> Da
         # back as NULL, writer trimmed padding):
         # - multiLine: fields the writer quoted for embedded newlines
         #   parse as one row. Scale caveat: a multiLine CSV read is NOT
-        #   splittable — pass multiLine="false" explicitly for splittable
-        #   scans of newline-free data, or use parquet/ORC (CSV is the
-        #   interchange tier here, not the scan tier).
+        #   splittable — use splittable=True (or pass multiLine="false")
+        #   for splittable scans of newline-free data, or use parquet/ORC
+        #   (CSV is the interchange tier here, not the scan tier).
         # - nullValue "\\N" (the classic Hive/MySQL sentinel): frees the
         #   empty field to mean EMPTY STRING (emptyValue), so '' and NULL
         #   survive distinctly.
-        options.setdefault("multiLine", "true")
+        options.setdefault("multiLine", "false" if splittable else "true")
         options.setdefault("nullValue", "\\N")
         options.setdefault("emptyValue", "")
         return reader.options(**options).csv(path)
@@ -75,9 +104,47 @@ def read(spark: SparkSession, fmt: str, path: str, schema=None, **options) -> Da
     raise ValueError(f"unknown format {fmt!r}")
 
 
-def write(df: DataFrame, fmt: str, path: str, mode: str = "overwrite", partition_by=None, **options) -> None:
+def write(
+    df: DataFrame,
+    fmt: str,
+    path: str,
+    mode: str = "overwrite",
+    partition_by=None,
+    assert_no_newlines: bool = False,
+    **options,
+) -> None:
+    """Uniform writer facade; CSV defaults pair with :func:`read` for a
+    lossless round-trip (padding preserved, NULL as ``\\N``).
+
+    ``assert_no_newlines=True`` (CSV only) is the write half of the
+    splittable-CSV contract: before writing, scan the string columns for
+    embedded ``\\n``/``\\r`` and raise ``ValueError`` if any row has one —
+    guaranteeing the produced files are safe for
+    ``read(..., splittable=True)``'s line-split scan. Costs one extra
+    pass over the string columns (column-pruned, map-only); skip it for
+    interchange-tier writes where the multiLine reader handles quoting.
+    """
     fmt = fmt.lower()
     if fmt == "csv":
+        if assert_no_newlines:
+            from pyspark.sql import functions as F
+            from pyspark.sql import types as T
+
+            str_cols = [
+                f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+            ]
+            if str_cols:
+                bad = F.lit(False)
+                for c in str_cols:
+                    bad = bad | F.col(c).contains("\n") | F.col(c).contains("\r")
+                offender = df.filter(bad).select(*str_cols).head(1)
+                if offender:
+                    raise ValueError(
+                        "assert_no_newlines: embedded newline in string column(s) "
+                        f"{str_cols} (first offending row: {offender[0].asDict()!r}); "
+                        "these rows would mis-split under read(splittable=True) — "
+                        "clean them (e.g. regexp_replace) or write without the assert"
+                    )
         # paired with read()'s lossless defaults (caller options win):
         # preserve padding (the writer's univocity defaults TRIM both
         # ends) and write NULL as the \N sentinel so the reader can tell

@@ -327,13 +327,24 @@ class Store:
         Session-scoped custom indexer objects are carried over (they are
         not serializable — reopen semantics); every version-keyed cache
         is dropped (entries may reference posting parts staged by the
-        failed attempt)."""
+        failed attempt).
+
+        If the pinned v{N}.json was vacuumed between opening this handle
+        and the failed write, fall back to loading CURRENT rather than
+        letting FileNotFoundError mask the original write error (r8
+        ADVICE): the handle fast-forwards in that narrow
+        vacuumed-under-a-pinned-handle race, which is the same state a
+        reopen would see — and strictly better than swallowing the real
+        failure."""
         customs = {
             c: s.custom
             for c, s in self.manifest.indices.items()
             if s.custom is not None
         }
-        self.manifest = Manifest.load(self.path, version=version)
+        try:
+            self.manifest = Manifest.load(self.path, version=version)
+        except FileNotFoundError:
+            self.manifest = Manifest.load(self.path)
         for c, cu in customs.items():
             if c in self.manifest.indices:
                 self.manifest.indices[c].custom = cu

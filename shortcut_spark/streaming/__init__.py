@@ -325,7 +325,7 @@ def _parse_ttl_ms(ttl: str) -> int:
     return int(m.group(1)) * mult
 
 
-def _amend_ver(evs, prev_ver: int, ttl_ms: int | None) -> int:
+def _amend_ver(evs, prev_ver: int, ttl_ms: int | None, state=None) -> int:
     """Per-user emission version for the amend family (returns the NEW
     version given the previous one from state).
 
@@ -333,20 +333,32 @@ def _amend_ver(evs, prev_ver: int, ttl_ms: int | None) -> int:
     increasing because state never disappears. Under a ``state_ttl``,
     state CAN expire and a returning user's counter restarts at 1, which
     would lose the max(ver) race against the user's stale pre-expiry sink
-    rows — so the TTL path derives ver from event time:
-    max-event-epoch-ms · 10⁶ + min(events_seen, 10⁶−1), floored at
-    prev_ver + 1 (the floor keeps users whose state holds no timestamped
-    events — possible in the funnel, which stores only step-relevant
-    rows — strictly increasing too; such users never arm a timer, so
-    their counter never resets). Monotone within a run (all three terms
-    only grow), and monotone ACROSS an expiry because a user only
-    expires once the watermark passed last_event + ttl, so any
-    post-expiry event carries a strictly larger epoch."""
+    rows — so the TTL path derives ver from time:
+    max(max-event-epoch-ms, current-watermark-ms) · 10⁶ +
+    min(events_seen, 10⁶−1), floored at prev_ver + 1 (the floor keeps
+    users whose state holds no timestamped events strictly increasing
+    too; such users never arm a timer, so their counter never resets).
+
+    The WATERMARK term is the cross-expiry monotone floor (r8 ADVICE):
+    expiry only fires once the watermark strictly passed the expired
+    state's last event + ttl — and the watermark at that state's last
+    emission — so any post-expiry emission, INCLUDING one whose first
+    batch carries only NULL-ts events (which pass Spark's late filter
+    and used to restart at ver ≈ count), carries a strictly larger base
+    than every pre-expiry sink row and wins the max(ver) read. Monotone
+    within a run too: event max, watermark, and count only grow, and the
+    prev_ver + 1 floor backstops all paths."""
     if ttl_ms is None:
         return prev_ver + 1
+    wm_ms = 0
+    if state is not None:
+        try:  # TTL mode always has a watermark; guard for direct unit calls
+            wm_ms = max(0, state.getCurrentWatermarkMs())
+        except Exception:
+            pass
     mx = max((e[0] for e in evs if e[0] != _NULL_ES), default=None)
     mx_ms = 0 if mx is None else mx // 1000
-    return max(mx_ms * 1_000_000 + min(len(evs), 999_999), prev_ver + 1)
+    return max(max(mx_ms, wm_ms) * 1_000_000 + min(len(evs), 999_999), prev_ver + 1)
 
 
 def _arm_state_ttl(state, evs, ttl_ms: int | None) -> None:
@@ -439,7 +451,7 @@ def run_stream_sessionize(
         for es, eid in zip(rows["es"], rows["event_id"]):
             es_key = _NULL_ES if pd.isna(es) else int(es)
             evs.append([es_key, int(eid)])
-        ver = _amend_ver(evs, ver, ttl_ms)
+        ver = _amend_ver(evs, ver, ttl_ms, state)
         state.update(([tuple(e) for e in evs], ver))
         _arm_state_ttl(state, evs, ttl_ms)
         evs.sort(key=lambda r: (r[0], r[1]))
@@ -584,7 +596,7 @@ def run_stream_funnel(
         # funnel state rows are (step_i, es) — es sits at index 1, so the
         # shared ver/ttl helpers (which read index 0) get an es-first view
         es_first = [[es, si] for si, es in evs]
-        ver = _amend_ver(es_first, ver, ttl_ms)
+        ver = _amend_ver(es_first, ver, ttl_ms, state)
         state.update(([tuple(e) for e in evs], ver))
         _arm_state_ttl(state, es_first, ttl_ms)
         ts, prev = [], None
@@ -1277,7 +1289,7 @@ def run_stream_transitions(
             # pairs and drops NULL-prev ones, so must we
             es_key = _NULL_ES if pd.isna(es) else int(es)
             evs.append([es_key, int(eid), None if et is None else str(et)])
-        ver = _amend_ver(evs, ver, ttl_ms)
+        ver = _amend_ver(evs, ver, ttl_ms, state)
         state.update(([tuple(e) for e in evs], ver))
         _arm_state_ttl(state, evs, ttl_ms)
         evs.sort(key=lambda r: (r[0], r[1]))
@@ -1388,7 +1400,7 @@ def run_stream_pattern(
         for es, eid, et in zip(rows["es"], rows["event_id"], rows["event_type"]):
             es_key = _NULL_ES if pd.isna(es) else int(es)
             evs.append([es_key, int(eid), None if et is None else str(et)])
-        ver = _amend_ver(evs, ver, ttl_ms)
+        ver = _amend_ver(evs, ver, ttl_ms, state)
         state.update(([tuple(e) for e in evs], ver))
         _arm_state_ttl(state, evs, ttl_ms)
         evs.sort(key=lambda r: (r[0], r[1]))

@@ -126,6 +126,52 @@ def test_cosine_join_ivf_recall_and_no_false_positives(spark, emb):
         assert len(ivf) / len(exact) >= 0.5
 
 
+def test_similarity_auto_params_are_default(spark, emb):
+    """r9 wiring: an UNSIZED cosine_join derives (n_planes, bands) from
+    lsh_params_for over a (cached) corpus count — i.e. the measured
+    scale-safe sizing IS the default path, byte-identical to pinning the
+    helper's output explicitly. Pinning params still reproduces a fixed
+    banding (the certified queries rely on that)."""
+    n = emb.count()
+    planes, bands = similarity.lsh_params_for(n)
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_join(emb, 0.5).collect()
+    }
+    pinned = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_join(
+            emb, 0.5, n_planes=planes, bands=bands
+        ).collect()
+    }
+    assert auto == pinned
+
+
+def test_similarity_resolve_lsh_params(spark, emb):
+    n = emb.count()
+    ap, ab = similarity.lsh_params_for(n)
+    assert similarity._resolve_lsh_params(emb, None, None) == (ap, ab)
+    # both pinned → no count, no override
+    assert similarity._resolve_lsh_params(emb, 16, 4) == (16, 4)
+    # bands pinned only → keep auto per-band depth, rescale total planes
+    assert similarity._resolve_lsh_params(emb, None, 4) == ((ap // ab) * 4, 4)
+    # planes pinned only → keep auto band count
+    assert similarity._resolve_lsh_params(emb, 24, None) == (24, ab)
+
+
+def test_ivf_fit_auto_k_matches_helper(spark, emb):
+    """Unsized ivf_fit sizes k via ivf_params_for(count) — identical
+    assignments to pinning that k explicitly (the fit is deterministic)."""
+    n = emb.count()
+    auto_assigned, _ = similarity.ivf_fit(emb, iters=1)
+    pin_assigned, _ = similarity.ivf_fit(
+        emb, k=similarity.ivf_params_for(n), iters=1
+    )
+    assert {(r["vec_id"], r["cluster"]) for r in auto_assigned.collect()} == {
+        (r["vec_id"], r["cluster"]) for r in pin_assigned.collect()
+    }
+
+
 def test_ivf_assign_multi_shape(spark, emb):
     sample = emb.filter(F.col("vec_id") < 100)
     _, centroids = similarity.ivf_fit(sample, k=4, iters=1)
@@ -3885,6 +3931,60 @@ def test_stream_transitions_state_ttl_bounded_state(spark, tmp_path):
     )
     assert out == batch
     assert _removed_rows(prog) > 0
+
+
+def test_stream_sessionize_ttl_null_ts_post_expiry_fresh_wins(spark, tmp_path):
+    """r8 ADVICE regression: a user whose state EXPIRED and whose first
+    post-expiry batch carries only NULL-ts events (NULL passes Spark's
+    late filter) must still have the fresh emission win the max(ver)
+    read — the TTL version base folds in the current watermark, which
+    expiry guarantees passed every pre-expiry event. Before the fix the
+    fresh rows restarted at ver ≈ 1 and the stale 12:00 session rows
+    (ver ≈ epoch_ms·10⁶) won."""
+    import datetime as dt
+
+    from shortcut_spark import streaming as stream_ops
+
+    sch = (
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string"
+    )
+    src = str(tmp_path / "ttl_null_src")
+    # t1: user 7 active at 12:00; user 8 seeds the stream
+    spark.createDataFrame(
+        [
+            (1, 7, dt.datetime(2024, 1, 1, 12, 0, 0), "view", 0.0, "{}"),
+            (2, 8, dt.datetime(2024, 1, 1, 12, 0, 0), "view", 0.0, "{}"),
+        ],
+        sch,
+    ).coalesce(1).write.mode("append").parquet(src)
+    # t2: user 8's 22:00 event drives the watermark to 21:00 — past user
+    # 7's last event + 1h TTL
+    spark.createDataFrame(
+        [(3, 8, dt.datetime(2024, 1, 1, 22, 0, 0), "purchase", 0.0, "{}")], sch
+    ).coalesce(1).write.mode("append").parquet(src)
+    # t3: user 7 has NO data → their armed timer fires and state is
+    # REMOVED (a key with new data in the same trigger keeps its state —
+    # timers only fire for silent keys)
+    spark.createDataFrame(
+        [(5, 8, dt.datetime(2024, 1, 1, 23, 0, 0), "view", 0.0, "{}")], sch
+    ).coalesce(1).write.mode("append").parquet(src)
+    # t4: user 7 returns with ONLY a NULL-ts event
+    spark.createDataFrame(
+        [(4, 7, None, "click", 0.0, "{}")], sch
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out = stream_ops.run_stream_sessionize(
+        spark, src, query_name="sess_ttl_nullts", max_files_per_trigger=1,
+        state_ttl="1 hour",
+    )
+    u7 = sorted(
+        (r["session_i"], r["n_events"], r["start_epoch"], r["end_epoch"])
+        for r in out.filter(F.col("user_id") == 7).collect()
+    )
+    # post-expiry truth: sessions re-derived from the NULL-ts event alone
+    # (its own session with NULL epochs) — NOT the stale 12:00 session
+    assert u7 == [(1, 1, None, None)]
 
 
 def test_kmeans_silhouette_separation_signal(spark):

@@ -114,3 +114,45 @@ def test_csv_roundtrip_hostile_strings(spark, tmp_path):
     assert back.pop(13, "missing") is None
     want.pop(13)
     assert back == want
+
+
+def test_csv_splittable_preset_roundtrip(spark, tmp_path):
+    """r9 bulk-ingest escape hatch: write(assert_no_newlines=True) +
+    read(splittable=True) round-trips newline-free data losslessly with
+    a line-splittable (multiLine=off) scan; the write-side assert
+    refuses data the splittable reader would mis-split."""
+    import pytest
+
+    from shortcut_spark import sources
+
+    clean = [
+        (1, "plain"),
+        (2, "comma,inside"),
+        (3, 'quote"inside'),
+        (4, ""),
+        (5, None),
+        (6, " padded "),
+        (7, "unicode Ω 中文"),
+    ]
+    df = spark.createDataFrame(clean, "id long, s string")
+    d = str(tmp_path / "csv_split")
+    sources.write(df, "csv", d, assert_no_newlines=True)
+    back = {
+        r["id"]: r["s"]
+        for r in sources.read(
+            spark, "csv", d, schema="id long, s string", splittable=True
+        ).collect()
+    }
+    assert back == dict(clean)
+
+    # embedded newline → the write-side contract refuses
+    dirty = spark.createDataFrame([(1, "new\nline")], "id long, s string")
+    with pytest.raises(ValueError, match="assert_no_newlines"):
+        sources.write(dirty, "csv", str(tmp_path / "csv_bad"), assert_no_newlines=True)
+
+    # and the caller's explicit options still win over the preset
+    out = sources.read(
+        spark, "csv", d, schema="id long, s string",
+        splittable=True, multiLine="true",
+    )
+    assert out.count() == len(clean)

@@ -1797,6 +1797,41 @@ def test_insert_failure_on_pinned_handle_keeps_snapshot(spark, store_path):
     assert {r[head.colnames[0]] for r in head.find([]).collect()} == {"a", "b"}
 
 
+def test_insert_failure_on_vacuumed_pin_surfaces_original_error(spark, store_path):
+    """If the pinned v{N}.json was vacuumed after the handle opened, the
+    restore after a failed write falls back to CURRENT instead of letting
+    FileNotFoundError mask the original write error (r8 ADVICE). The
+    handle fast-forwards in that narrow race — the state a reopen would
+    see — and stays usable."""
+    import os as _os
+
+    import pytest as _pytest
+
+    st = Store.create(spark, store_path, 2)
+    st.insert([("a", "1")])  # v_old
+    v_old = st.manifest.version
+    st.insert([("b", "2")])  # CURRENT moves past v_old
+
+    pinned = Store.open(spark, store_path, version=v_old)
+    # simulate a vacuum racing the pinned handle: its snapshot file goes away
+    _os.remove(_os.path.join(store_path, "_manifests", f"v{v_old}.json"))
+
+    class Boom(RuntimeError):
+        pass
+
+    real_commit = pinned._commit
+    pinned._commit = lambda: (_ for _ in ()).throw(Boom("pre-commit"))
+    with _pytest.raises(Boom):  # Boom, NOT FileNotFoundError
+        pinned.insert([("c", "3")])
+    pinned._commit = real_commit
+
+    # fallback loaded CURRENT; no half-inserted 'c' and the handle works
+    got = {r[pinned.colnames[0]] for r in pinned.find([]).collect()}
+    assert got == {"a", "b"}
+    pinned.insert([("d", "4")])
+    assert {r[pinned.colnames[0]] for r in pinned.find([]).collect()} == {"a", "b", "d"}
+
+
 def test_merge_no_rollback_after_commit(spark, store_path):
     """A failure that lands AFTER insert's commit (e.g. an interrupt in
     post-commit cache eviction) must NOT trigger the tombstone rollback:

@@ -1,0 +1,136 @@
+"""Durable vector index (sixth index kind): reopen-without-refit,
+probe parity with the session-fitted path, and O(delta) CDC maintenance.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from shortcut_spark.operators import similarity
+from shortcut_spark.operators.vector_index import VectorIndex
+from shortcut_spark.store import Store
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _query(emb):
+    return emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+
+
+def test_create_probe_matches_session_fit(spark, emb, tmp_path):
+    """The persisted fit is exactly ivf_fit's output (deterministic), so
+    probing the standing index equals probing a fresh session fit."""
+    ix = VectorIndex.create(spark, str(tmp_path / "vx"), emb, n_clusters=16, iters=2)
+    q = _query(emb)
+    standing = [
+        (r["vec_id"], round(r["cosine"], 9)) for r in ix.topk(emb, q, k=10).collect()
+    ]
+    fitted = similarity.ivf_fit(emb, "vec_id", "embedding", 16, 2)
+    session = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in similarity.ivf_topk(emb, q, 10, fitted=fitted).collect()
+    ]
+    assert standing == session and len(standing) == 10
+
+
+def test_reopen_probes_without_refit(spark, emb, tmp_path, monkeypatch):
+    """The r9 done-criterion: after reopen, probes run ZERO fit jobs —
+    pinned by making any fit call raise."""
+    path = str(tmp_path / "vx")
+    created = VectorIndex.create(
+        spark, path, emb, n_clusters=16, iters=2, pq=True, m=8, ksub=16
+    )
+    want = [r["vec_id"] for r in created.topk(emb, _query(emb), k=5).collect()]
+
+    def boom(*a, **k):
+        raise AssertionError("fit ran on a standing index probe")
+
+    monkeypatch.setattr(similarity, "ivf_fit", boom)
+    monkeypatch.setattr(similarity, "pq_fit", boom)
+    ix = VectorIndex.open(spark, path)
+    got = [r["vec_id"] for r in ix.topk(emb, _query(emb), k=5).collect()]
+    assert got == want
+    # PQ probe reads only stored codes + codebook — also fit-free
+    adc = ix.pq_topk(_query(emb), k=5).collect()
+    assert len(adc) == 5 and 0 in {r["vec_id"] for r in adc}
+    # the standing fit also serves the near-dup join seam
+    assert ix.join(emb.filter(F.col("vec_id") < 100), 0.4).count() >= 0
+
+
+def test_refresh_applies_cdc_delta(spark, emb, tmp_path, monkeypatch):
+    """Index keyed to the corpus Store's manifest version: insert/delete
+    on the corpus → refresh applies exactly the delta (cost ∝ delta — no
+    fit, no corpus rescan of the fit kind), and probes see the change."""
+    from pyspark.sql import types as T
+
+    corpus_path = str(tmp_path / "corpus")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    st = Store.create(spark, corpus_path, schema)
+    base = emb.filter(F.col("vec_id") < 400).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    st.insert(base)
+
+    ix = VectorIndex.create(
+        spark,
+        str(tmp_path / "vx"),
+        st.find([]),
+        n_clusters=8,
+        iters=1,
+        source_version=st.manifest.version,
+    )
+    n0 = ix.rows.find([]).count()
+    assert n0 == 400
+
+    # corpus moves: 50 inserts + predicate delete
+    batch = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    st.insert(batch)
+    from shortcut_spark.cmp import between
+
+    st.delete([between("vec_id", 0, 9)])  # removes ids 0..9 inclusive
+
+    def boom(*a, **k):
+        raise AssertionError("refresh must not refit")
+
+    monkeypatch.setattr(similarity, "ivf_fit", boom)
+    monkeypatch.setattr(similarity, "pq_fit", boom)
+    added, removed = ix.refresh(st)
+    assert added == 50 and removed == 10
+    ids = {r["vec_id"] for r in ix.rows.find([]).select("vec_id").collect()}
+    assert len(ids) == 440
+    assert 440 in ids and 5 not in ids
+    assert ix.meta["source_version"] == st.manifest.version
+    # idempotent: nothing left to apply
+    assert ix.refresh(st) == (0, 0)
+
+    # a probe for a newly-inserted vector finds it (it is indexed+scored)
+    qnew = emb.filter(F.col("vec_id") == 440).select(
+        F.col("embedding").alias("qvec")
+    )
+    top = [r["vec_id"] for r in ix.topk(st.find([]), qnew, k=3).collect()]
+    assert top[0] == 440
+
+
+def test_pq_encode_matches_codebook_space(spark, emb):
+    """pq_encode against a fitted codebook assigns every vector the
+    nearest sub-centroid — encoding the TRAINING set against the final
+    codebook reproduces a valid code table (m entries, cluster ids in
+    range), and ADC over it still ranks the query's own vector first."""
+    sample = emb.filter(F.col("vec_id") < 200)
+    codes_fit, codebook = similarity.pq_fit(sample, m=8, ksub=8, iters=2)
+    codes_enc = similarity.pq_encode(sample, codebook)
+    assert codes_enc.count() == 200
+    row = codes_enc.first()
+    assert len(row["codes"]) == 8 and all(0 <= c < 8 for c in row["codes"])
+    q = sample.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qvec"))
+    top = similarity.pq_topk(codes_enc, codebook, q, k=3).collect()
+    assert top[0]["vec_id"] == 7
