@@ -133,8 +133,100 @@ def timed_recall(label: str, fn, truth: set) -> tuple[str, float, str]:
     return (label, dt, f"recall {rec:.3f}, {len(found)} pairs")
 
 
+def synth_stream_dir(spark, base_dir: str, n_events: int, n_triggers: int = 20):
+    """Time-ordered multi-trigger stream fixture for the TTL probe:
+    events span 24 h, written as ``n_triggers`` sequential parquet files
+    (one file per trigger under max_files_per_trigger=1, watermark
+    advancing monotonically). Users are LONG-TAIL-lived: 10k short-lived
+    users each active inside one ~10-minute window somewhere in the day
+    (their state is dead weight an hour later), plus one long-lived user
+    with events all day (must never expire under a 1 h TTL). No user
+    returns after its horizon passes, so the TTL'd output must equal the
+    unbounded one — the memory is the only thing that may differ."""
+    import os as _os
+
+    _os.makedirs(base_dir, exist_ok=True)
+    per = n_events // n_triggers
+    span = 24 * 3600
+    slice_s = span // n_triggers
+    for t in range(n_triggers):
+        ids = F.col("id") + t * per
+        # user: id-hash bucket → short-lived user whose single active
+        # window is THIS slice (so each user's events never straddle
+        # more than ~2 slices); every 50th event belongs to user 0 (the
+        # long-lived one)
+        user = F.when(ids % 50 == 0, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64(ids), F.lit(500)) + 1 + t * 500
+        )
+        sec = t * slice_s + (ids * 2654435761) % (10 * 60)  # 10-min window
+        df = spark.range(per).select(
+            ids.alias("event_id"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + sec).alias("ts"),
+            user.cast("long").alias("user_id"),
+            F.lit("view").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        df.coalesce(1).write.mode("append").parquet(base_dir)
+    return base_dir
+
+
+def probe_streaming_ttl(spark, rows):
+    """r9 judge ask #5: MEASURE the amend family's bounded-state claim —
+    state rows and wall with state_ttl on vs off at 1x/10x event volume
+    under a long-lived-user distribution. Equality of the final read
+    (no user returns post-expiry in this schedule) certifies TTL costs
+    no output; numRowsTotal/numRowsRemoved show state ∝ active horizon,
+    not users-ever-seen."""
+    import tempfile
+
+    from shortcut_spark import streaming as stream_ops
+
+    for scale, n_ev in (("1x", 50_000), ("10x", 500_000)):
+        src = synth_stream_dir(
+            spark, os.path.join(tempfile.mkdtemp(), f"ttl_{scale}"), n_ev
+        )
+        for ttl in (None, "1 hour"):
+            prog = []
+            t0 = time.time()
+            out = stream_ops.run_stream_sessionize(
+                spark,
+                src,
+                query_name=f"ttlprobe_{scale}_{'on' if ttl else 'off'}",
+                max_files_per_trigger=1,
+                state_ttl=ttl,
+                progress_out=prog,
+            )
+            n_out = out.count()
+            dt = time.time() - t0
+            ops = [so for p in prog for so in (p.get("stateOperators") or [])]
+            total = ops[-1]["numRowsTotal"] if ops else -1
+            removed = sum(so.get("numRowsRemoved", 0) for so in ops)
+            triggers = len(prog)
+            label = (
+                f"sessionize state_ttl={'1h' if ttl else 'OFF'} ({scale}, "
+                f"{n_ev} events, {triggers} triggers)"
+            )
+            res = (
+                f"{n_out} rows, final state {total} users, "
+                f"{removed} expired, {dt / max(triggers, 1):.2f}s/trigger"
+            )
+            print(f"  {label}: {dt:.1f}s {res}", flush=True)
+            rows.append((label, dt, res))
+
+
 def main():
     skip_uncapped = "--skip-uncapped" in sys.argv
+    if "--streaming-ttl" in sys.argv:
+        spark = get_spark("scale-probe-ttl")
+        spark.range(10).count()
+        rows = []
+        probe_streaming_ttl(spark, rows)
+        print("\n| probe | wall (s) | result |")
+        print("|---|---|---|")
+        for label, dt, n in rows:
+            print(f"| {label} | {dt:.1f} | {n} |")
+        return
     spark = get_spark("scale-probe")
     spark.range(10).count()  # warm
     rows = []

@@ -236,6 +236,20 @@ class MatView:
         # (same view path + version across tests/sessions) accumulates
         group = f"mv_refresh_{uuid.uuid4().hex[:8]}"
         sc.setJobGroup(group, f"matview refresh to v{cur}")
+        # Small-delta fast path (r9): a micro-batch refresh plan has ~8
+        # exchanges, and AQE materializes EACH as its own Spark job —
+        # measured 19-21 jobs per tiny refresh where the irreducible
+        # actions are four (delta materialization, victims write, rowid
+        # counts, batch write). When the driver-side manifest arithmetic
+        # (zero jobs: rowid watermark + live-row deltas) bounds the delta
+        # small, compile the refresh statically; a bulk delta keeps AQE
+        # (skew joins / partition coalescing earn their jobs there).
+        # Identical results either way — AQE only re-plans execution.
+        est = self._estimate_delta_rows(cur)
+        small = est is not None and est <= 100_000
+        aqe_before = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        if small:
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
             delta = self.base.changes(self.base_version)
             if self._self_maintainable:
@@ -246,17 +260,42 @@ class MatView:
                 self.last_refresh_scanned_base = True
             rows = self._to_state_rows(touched).localCheckpoint()
             try:
-                n_groups, _ = self.state.merge(rows, on=_GK)
+                # stable_input: rows is the materialized cut, so the
+                # merge's insert skips its own re-checkpoint (r9 — one
+                # fewer materialization job per refresh)
+                n_groups, _ = self.state.merge(rows, on=_GK, stable_input=True)
             finally:
                 rows.unpersist()
             self.base_version = cur
             self._save_meta()
         finally:
+            if small:
+                self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
             sc.setJobGroup(None, None)
         self.last_refresh_jobs = len(
             sc.statusTracker().getJobIdsForGroup(group)
         )
         return n_groups
+
+    def _estimate_delta_rows(self, cur_version: int) -> int | None:
+        """Driver-side (zero-job) estimate of the CDC delta's row count
+        between the view's snapshot and ``cur_version``: appends are
+        exactly the rowid-watermark advance (rowids are never reused and
+        rewrites preserve them); deletes fall out of the live-row balance
+        old_live + appended − cur_live (exact when nothing was restored —
+        a resurrection-tier refresh just loses the fast path). None when
+        the old snapshot's manifest is no longer retained (vacuumed):
+        the caller then keeps the conservative AQE plan."""
+        from .manifest import Manifest
+
+        try:
+            old = Manifest.load(self.base.path, version=self.base_version)
+        except FileNotFoundError:
+            return None
+        cur = self.base.manifest
+        appended = max(0, cur.rowid - old.rowid)
+        deleted = max(0, old.live_rows + appended - cur.live_rows)
+        return appended + deleted
 
     def _combine_self_maintainable(self, delta: DataFrame) -> DataFrame:
         """IVM fast path: new group state = old state + signed delta.

@@ -245,10 +245,22 @@ class Store:
 
     # -- insert (src/lib.rs:178-187) ----------------------------------------
 
-    def insert(self, rows: DataFrame | Iterable[Sequence[Any]]) -> int:
+    def insert(
+        self, rows: DataFrame | Iterable[Sequence[Any]], stable_input: bool = False
+    ) -> int:
         """Append a batch. Returns the number of rows inserted.
 
         Arity/schema is validated always (vs debug-only ``src/lib.rs:179``).
+
+        ``stable_input=True`` is the caller's assertion that ``rows`` is
+        already MATERIALIZED and partition-stable (e.g. a fresh
+        ``localCheckpoint`` — matview refresh, streaming micro-batches):
+        the rowid-tagging pass then uses a lazy ``persist`` instead of a
+        second eager ``localCheckpoint``, saving one full materialization
+        job per insert. Determinism still holds — every op between the
+        stable parent and the tag (sorted round-robin repartition,
+        partition-local ids) is deterministic given fixed parent blocks,
+        so a cache-miss recompute renumbers nothing.
         """
         schema = self.manifest.schema
         if isinstance(rows, DataFrame):
@@ -283,7 +295,9 @@ class Store:
         # nondeterministic ops (round-robin repartition, monotonic ids), so
         # a cache-miss recompute between the two passes could renumber rows;
         # with the lineage cut, a lost partition fails the job instead of
-        # silently skipping/duplicating rowids.
+        # silently skipping/duplicating rowids. Under ``stable_input`` the
+        # parent is already a materialized cut, so a lazy persist carries
+        # the same determinism without the extra materialization job.
         self._enforce_constraints(df)
         watermark = self.manifest.rowid
         from .functions import ensure_parallelism
@@ -292,8 +306,8 @@ class Store:
             ensure_parallelism(df)
             .withColumn("__pid", F.spark_partition_id())
             .withColumn("__mid", F.monotonically_increasing_id())
-            .localCheckpoint()
         )
+        tagged = tagged.persist() if stable_input else tagged.localCheckpoint()
         v_before = self.manifest.version
         try:
             return self._insert_tagged(tagged, schema, watermark)
@@ -549,7 +563,12 @@ class Store:
                         f"{hit[0][c]!r} already exists"
                     )
 
-    def merge(self, rows: DataFrame | Iterable[Sequence[Any]], on: int | str) -> tuple[int, int]:
+    def merge(
+        self,
+        rows: DataFrame | Iterable[Sequence[Any]],
+        on: int | str,
+        stable_input: bool = False,
+    ) -> tuple[int, int]:
         """Atomic upsert by key (EXTENSION — the reference is
         add/remove-only, ``src/lib.rs:25-26``): delete every existing row
         whose ``on`` column matches a key in the batch, then append the
@@ -609,7 +628,7 @@ class Store:
                 shutil.rmtree(self._abs(victims_rel), ignore_errors=True)
         v_before = self.manifest.version
         try:
-            inserted = self.insert(rows)
+            inserted = self.insert(rows, stable_input=stable_input)
         except BaseException:
             # insert rejected the batch (constraint violation, bad schema,
             # write failure) BEFORE committing. Unstage the tombstones so
