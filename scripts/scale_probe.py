@@ -217,6 +217,7 @@ def probe_streaming_ttl(spark, rows):
 
 def main():
     skip_uncapped = "--skip-uncapped" in sys.argv
+    similarity_only = "--similarity-only" in sys.argv
     if "--streaming-ttl" in sys.argv:
         spark = get_spark("scale-probe-ttl")
         spark.range(10).count()
@@ -231,7 +232,7 @@ def main():
     spark.range(10).count()  # warm
     rows = []
 
-    for scale, n_docs in (("1x", 5_000), ("10x", 50_000)):
+    for scale, n_docs in () if similarity_only else (("1x", 5_000), ("10x", 50_000)):
         docs = synth_docs(spark, n_docs).localCheckpoint(eager=True)
         sh = dedup.shingles(docs, "doc_id", "text")
         rows.append(
@@ -265,7 +266,7 @@ def main():
                 )
             )
 
-    for scale, n_ev in (("1x", 100_000), ("10x", 1_000_000)):
+    for scale, n_ev in () if similarity_only else (("1x", 100_000), ("10x", 1_000_000)):
         hot_ev = synth_events(spark, n_ev, hot=True).localCheckpoint(eager=True)
         uni_ev = synth_events(spark, n_ev, hot=False).localCheckpoint(eager=True)
         rows.append(
