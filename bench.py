@@ -110,6 +110,10 @@ HEADLINE = [
     ("embed_ivf_topk", "collect"),
     ("embed_cosine_lsh", "count"),
     ("embed_cosine_ivf", "count"),
+    # r9: IVF probe through the DURABLE Store-backed index — run 1 pays
+    # the one-time build, run 2+ is the standing-artifact probe the
+    # min-of-N records (the production amortization, honestly benched)
+    ("embed_vector_index", "collect"),
     # round-4 session additions: incremental-ingestion dedup tiers, the
     # domain cap, and a point lookup through the bloom index kind
     ("dedup_cross_corpus", "count"),

@@ -157,6 +157,8 @@ AUDIT = [
     "intersect_custkeys",
     "revenue_rollup",
     "docs_zipf",
+    # r9 additions
+    "embed_vector_index",
 ]
 
 

@@ -12,12 +12,16 @@ insert/delete via the corpus Store's CDC feed at O(delta) cost.
 
 Layout under ``path/``:
 
-- ``rows``  — Store ``(vec_id, cluster, codes)``: one row per indexed
-  vector — its raw-space IVF cell and (when ``pq=True``) its PQ codes.
-  Grows/shrinks with the corpus; every mutation is a versioned commit.
+- ``rows``  — Store ``(vec_id, cluster, ucluster, codes)``: one row per
+  indexed vector — its raw-space IVF cell and (when ``pq=True``) its
+  normalized-space IVF cell + PQ codes (the IVF-PQ composition probes
+  cells in the space the codes live in). Grows/shrinks with the corpus;
+  every mutation is a versioned commit.
 - ``model`` — Store ``(part, sub, cluster, centroid)``: the small fitted
-  model — IVF centroids (``part='ivf'``, ``sub=-1``) and the PQ codebook
-  (``part='pq'``). Written once per (re)fit; broadcast at probe time.
+  model — IVF centroids (``part='ivf'``, ``sub=-1``), the PQ codebook
+  (``part='pq'``), and the normalized-space IVF centroids
+  (``part='ivf_unit'``). Written once per (re)fit; broadcast at probe
+  time.
 - ``vector_index.json`` — parameters + the corpus manifest version this
   index reflects (``source_version``), the key for incremental CDC
   refresh.
@@ -92,6 +96,10 @@ class VectorIndex:
             [
                 T.StructField("vec_id", T.LongType()),
                 T.StructField("cluster", T.IntegerType()),
+                # normalized-space IVF cell (pq=True only): the IVF-PQ
+                # composition must probe cells fit in the SAME metric
+                # space the PQ codes live in (the r4 metric-space rule)
+                T.StructField("ucluster", T.IntegerType()),
                 T.StructField("codes", T.ArrayType(T.IntegerType())),
             ]
         )
@@ -147,24 +155,43 @@ class VectorIndex:
         assigned, centroids = similarity.ivf_fit(
             emb, idc, vc, self.meta["n_clusters"], self.meta["iters"]
         )
+        model = centroids.select(
+            F.lit("ivf").alias("part"),
+            F.lit(-1).cast("int").alias("sub"),
+            F.col("cluster").cast("int"),
+            "centroid",
+        )
         if self.meta["pq"]:
             codes, codebook = similarity.pq_fit(
                 emb, idc, vc, self.meta["m"], self.meta["ksub"], self.meta["iters"]
             )
-            rows = assigned.join(codes, idc).select(
-                F.col(idc).cast("long").alias("vec_id"),
-                F.col("cluster").cast("int").alias("cluster"),
-                F.col("codes").cast("array<int>").alias("codes"),
+            # second IVF fit in NORMALIZED space: the IVF-PQ probe must
+            # rank cells in the metric space the codes live in
+            uassigned, ucentroids = similarity.ivf_fit(
+                emb, idc, vc, self.meta["n_clusters"], self.meta["iters"],
+                normalize=True,
             )
-            model = centroids.select(
-                F.lit("ivf").alias("part"),
-                F.lit(-1).cast("int").alias("sub"),
-                F.col("cluster").cast("int"),
-                "centroid",
-            ).unionByName(
+            rows = (
+                assigned.join(codes, idc)
+                .join(uassigned.withColumnRenamed("cluster", "__uc"), idc)
+                .select(
+                    F.col(idc).cast("long").alias("vec_id"),
+                    F.col("cluster").cast("int").alias("cluster"),
+                    F.col("__uc").cast("int").alias("ucluster"),
+                    F.col("codes").cast("array<int>").alias("codes"),
+                )
+            )
+            model = model.unionByName(
                 codebook.select(
                     F.lit("pq").alias("part"),
                     F.col("sub").cast("int"),
+                    F.col("cluster").cast("int"),
+                    "centroid",
+                )
+            ).unionByName(
+                ucentroids.select(
+                    F.lit("ivf_unit").alias("part"),
+                    F.lit(-1).cast("int").alias("sub"),
                     F.col("cluster").cast("int"),
                     "centroid",
                 )
@@ -173,13 +200,8 @@ class VectorIndex:
             rows = assigned.select(
                 F.col(idc).cast("long").alias("vec_id"),
                 F.col("cluster").cast("int").alias("cluster"),
+                F.lit(None).cast("int").alias("ucluster"),
                 F.lit(None).cast("array<int>").alias("codes"),
-            )
-            model = centroids.select(
-                F.lit("ivf").alias("part"),
-                F.lit(-1).cast("int").alias("sub"),
-                F.col("cluster").cast("int"),
-                "centroid",
             )
         self.rows.insert(rows)
         self.model.insert(model)
@@ -216,6 +238,23 @@ class VectorIndex:
         """(assignments, centroids) in ``ivf_fit``'s shape — drop-in for
         every ``fitted=`` seam in the similarity module."""
         return self.assigned, self.centroids
+
+    @property
+    def fitted_unit(self) -> tuple[DataFrame, DataFrame]:
+        """The NORMALIZED-space IVF layer (pq=True only) in ``ivf_fit``'s
+        shape — what ``similarity.ivf_pq_topk`` probes."""
+        from ..cmp import eq
+
+        if not self.meta["pq"]:
+            raise ValueError("index was created with pq=False — no unit IVF layer")
+        idc = self.meta["id_col"]
+        uassigned = self.rows.find([]).select(
+            F.col("vec_id").alias(idc), F.col("ucluster").alias("cluster")
+        )
+        ucentroids = self.model.find([eq("part", "ivf_unit")]).select(
+            "cluster", "centroid"
+        )
+        return uassigned, ucentroids
 
     # -- probes ----------------------------------------------------------
     def topk(
@@ -254,6 +293,31 @@ class VectorIndex:
             self.codes, self.codebook, query, k, self.meta["id_col"]
         )
 
+    def ivf_pq_topk(
+        self,
+        query: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        refine: int = 0,
+        emb: DataFrame | None = None,
+    ) -> DataFrame:
+        """The full IVF-PQ composition over the standing artifacts: probe
+        the ``nprobe`` nearest normalized-space cells, ADC-score only
+        their members' codes (``refine`` adds the exact-rescore tail —
+        needs ``emb``)."""
+        return similarity.ivf_pq_topk(
+            self.codes,
+            self.codebook,
+            self.fitted_unit,
+            query,
+            k,
+            nprobe,
+            self.meta["id_col"],
+            refine=refine,
+            emb=emb,
+            vec_col=self.meta["vec_col"],
+        )
+
     # -- maintenance -------------------------------------------------------
     def add(self, emb: DataFrame) -> int:
         """Index an insert batch at O(batch): broadcast-assign each new
@@ -263,16 +327,32 @@ class VectorIndex:
         idc, vc = self.meta["id_col"], self.meta["vec_col"]
         assigned = similarity.ivf_assign_multi(emb, self.centroids, 1, idc, vc)
         if self.meta["pq"]:
+            from .similarity import _unit
+
             codes = similarity.pq_encode(emb, self.codebook, idc, vc)
-            rows = assigned.join(codes, idc).select(
-                F.col(idc).cast("long").alias("vec_id"),
-                F.col("cluster").cast("int").alias("cluster"),
-                F.col("codes").cast("array<int>").alias("codes"),
+            # unit-space assignment for the IVF-PQ layer: normalize the
+            # batch, then the same broadcast argmin against the unit
+            # centroids
+            uemb = emb.select(F.col(idc), _unit(vc).alias(vc))
+            _, ucentroids = self.fitted_unit
+            uassigned = similarity.ivf_assign_multi(
+                uemb, ucentroids, 1, idc, vc
+            ).withColumnRenamed("cluster", "__uc")
+            rows = (
+                assigned.join(codes, idc)
+                .join(uassigned, idc)
+                .select(
+                    F.col(idc).cast("long").alias("vec_id"),
+                    F.col("cluster").cast("int").alias("cluster"),
+                    F.col("__uc").cast("int").alias("ucluster"),
+                    F.col("codes").cast("array<int>").alias("codes"),
+                )
             )
         else:
             rows = assigned.select(
                 F.col(idc).cast("long").alias("vec_id"),
                 F.col("cluster").cast("int").alias("cluster"),
+                F.lit(None).cast("int").alias("ucluster"),
                 F.lit(None).cast("array<int>").alias("codes"),
             )
         return self.rows.insert(rows)

@@ -55,6 +55,9 @@ def test_reopen_probes_without_refit(spark, emb, tmp_path, monkeypatch):
     # PQ probe reads only stored codes + codebook — also fit-free
     adc = ix.pq_topk(_query(emb), k=5).collect()
     assert len(adc) == 5 and 0 in {r["vec_id"] for r in adc}
+    # full IVF-PQ composition over the standing normalized-space layer
+    ivfpq = ix.ivf_pq_topk(_query(emb), k=5).collect()
+    assert len(ivfpq) == 5 and 0 in {r["vec_id"] for r in ivfpq}
     # the standing fit also serves the near-dup join seam
     assert ix.join(emb.filter(F.col("vec_id") < 100), 0.4).count() >= 0
 
