@@ -660,6 +660,7 @@ def ivf_fit(
     k: int | None = None,
     iters: int = 2,
     normalize: bool = False,
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic k-means-lite for an IVF index: centroids seeded from
     the k smallest ids, Lloyd iterations done with array expressions
@@ -726,6 +727,18 @@ def ivf_fit(
                 ).alias("centroid")
             )
         )
+    # materialize the returned frames off the cached input, then release
+    # it — a fit is called once per corpus snapshot, and leaving its
+    # cached blocks behind taxes every later job in the session (the
+    # bench's documented session-debris effect); localCheckpoint (eager)
+    # also cuts the lineage so the returned frames never recompute Lloyd.
+    # materialize=False keeps the lazy plan (plan audits, callers that
+    # persist the frames themselves) — and then the input cache stays,
+    # the pre-r9 contract.
+    if materialize:
+        assigned = assigned.localCheckpoint()
+        centroids = centroids.localCheckpoint()
+        vecs.unpersist()
     return assigned, centroids
 
 

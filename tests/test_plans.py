@@ -89,7 +89,9 @@ def test_ivf_assignment_no_global_sort_or_window(spark):
     from shortcut_spark.sources import load_fixture
 
     emb = load_fixture(spark, SF_DIR, "embeddings")
-    assigned, _ = ivf_fit(emb)
+    # materialize=False keeps the lazy Lloyd plan so it can be audited
+    # (the r9 default checkpoints the outputs and releases the fit cache)
+    assigned, _ = ivf_fit(emb, materialize=False)
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     # every Sort in the assignment plan must be partition-local
