@@ -319,11 +319,12 @@ class VectorIndex:
         )
 
     # -- maintenance -------------------------------------------------------
-    def add(self, emb: DataFrame) -> int:
-        """Index an insert batch at O(batch): broadcast-assign each new
+    def _index_rows(self, emb: DataFrame) -> DataFrame:
+        """Build index rows for a batch at O(batch): broadcast-assign each
         vector to its nearest EXISTING centroid (+ encode against the
-        existing codebook). Lloyd never re-runs — the standard IVF
-        incremental contract; heavy distribution drift → :meth:`rebuild`."""
+        existing codebook / assign the unit cell). Lloyd never re-runs —
+        the standard IVF incremental contract; heavy distribution drift →
+        :meth:`rebuild`."""
         idc, vc = self.meta["id_col"], self.meta["vec_col"]
         assigned = similarity.ivf_assign_multi(emb, self.centroids, 1, idc, vc)
         if self.meta["pq"]:
@@ -355,21 +356,37 @@ class VectorIndex:
                 F.lit(None).cast("int").alias("ucluster"),
                 F.lit(None).cast("array<int>").alias("codes"),
             )
-        return self.rows.insert(rows)
+        return rows
+
+    def add(self, emb: DataFrame) -> int:
+        """Index an insert batch (plain append — use :meth:`refresh` for
+        CDC-driven maintenance, which upserts and so tolerates replays)."""
+        return self.rows.insert(self._index_rows(emb))
 
     def remove(self, ids) -> int:
-        """Drop indexed vectors by id (a delete batch from the corpus)."""
+        """Drop indexed vectors by id (a delete batch from the corpus).
+        Chunked so the predicate stays codegen-sized for bulk deletes;
+        each chunk is one versioned delete commit."""
         ids = [int(i) for i in ids]
         if not ids:
             return 0
-        return self.rows.delete_filter([], F.col("vec_id").isin(ids))
+        n = 0
+        for i in range(0, len(ids), 10_000):
+            n += self.rows.delete_filter(
+                [], F.col("vec_id").isin(ids[i : i + 10_000])
+            )
+        return n
 
     def refresh(self, corpus_store) -> tuple[int, int]:
         """Catch the index up to the corpus Store's CURRENT version via
         its CDC feed — cost ∝ delta, never corpus size. Returns
-        (added, removed). Idempotent on replay (a crash between the rows
-        commit and the meta write re-applies the same delta: inserts are
-        removed-then-added, so no duplicates)."""
+        (added, removed_or_replaced). Inserts land as one distributed
+        ``merge`` upsert on vec_id (no driver-side id collection — the
+        victims probe is a semi-join against the batch keys), which also
+        makes a replayed delta idempotent: a crash between the rows
+        commit and the meta write re-applies the same delta and the
+        merge replaces instead of duplicating. Deletes collect only the
+        DELETED ids (∝ delete delta) for the chunked predicate drop."""
         since = self.meta.get("source_version")
         if since is None:
             raise ValueError(
@@ -390,9 +407,11 @@ class VectorIndex:
             .select(idc)
             .collect()
         ]
-        ins_ids = [r[idc] for r in ins.select(idc).collect()]
-        removed = self.remove(del_ids + ins_ids)  # upsert-safe replay
-        added = self.add(ins) if ins_ids else 0
+        removed = self.remove(del_ids)
+        added = 0
+        if not ins.isEmpty():
+            added, replaced = self.rows.merge(self._index_rows(ins), on="vec_id")
+            removed += replaced
         self.meta["source_version"] = cur
         self._write_meta()
         return (added, removed)

@@ -710,6 +710,7 @@ def stream_into_store(
     matview=None,
     options: dict | None = None,
     merge_on: int | str | None = None,
+    vector_index=None,
 ) -> int:
     """Continuous ingestion: a file stream lands in a Store via
     ``foreachBatch`` — each micro-batch becomes one Store commit (dense
@@ -740,7 +741,17 @@ def stream_into_store(
     share one atomic manifest commit carrying the epoch marker, so
     effectively-once holds exactly as in append mode; per-batch cost is
     ∝ victims + batch (one indexed probe per key group), never a table
-    rewrite."""
+    rewrite.
+
+    ``vector_index``: an optional
+    :class:`~..operators.vector_index.VectorIndex` over this store —
+    ``refresh()``ed once per committed micro-batch (the continuously-
+    maintained-ANN shape: new embeddings are probe-visible one CDC delta
+    behind the stream; each refresh is broadcast-assign + encode over
+    exactly the batch, Lloyd never re-runs). A replayed epoch skips the
+    insert and the refresh no-ops on the unchanged base version, and
+    refresh itself is replay-idempotent (inserts are removed-then-added)
+    — effectively-once extends to the index like it does to the view."""
     import os
 
     from pyspark.sql import types as T
@@ -778,6 +789,8 @@ def stream_into_store(
             ingested[0] += store.insert(batch_df)
         if matview is not None:
             matview.refresh()  # exactly this batch's CDC delta
+        if vector_index is not None:
+            vector_index.refresh(store)  # same delta, same no-op on replay
 
     q = (
         stream.writeStream.foreachBatch(sink)

@@ -123,6 +123,62 @@ def test_refresh_applies_cdc_delta(spark, emb, tmp_path, monkeypatch):
     assert top[0] == 440
 
 
+def test_stream_into_store_maintains_vector_index(spark, emb, tmp_path):
+    """Continuously-maintained ANN: stream_into_store(vector_index=ix)
+    refreshes the standing index once per committed micro-batch — new
+    embeddings become probe-visible one CDC delta behind the stream,
+    with zero refits (fits monkeypatched to raise after the build)."""
+    from pyspark.sql import types as T
+
+    from shortcut_spark import streaming as stream_ops
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    st = Store.create(spark, str(tmp_path / "corpus"), schema)
+    base = emb.filter(F.col("vec_id") < 300).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    st.insert(base)
+    ix = VectorIndex.create(
+        spark, str(tmp_path / "vx"), st.find([]),
+        n_clusters=8, iters=1, source_version=st.manifest.version,
+    )
+
+    # two-trigger embedding stream: 300..349, then 350..399
+    src = str(tmp_path / "stream_src")
+    for lo, hi in ((300, 350), (350, 400)):
+        emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    import pytest as _pytest
+
+    from shortcut_spark.operators import similarity as S
+
+    real_fit = S.ivf_fit
+    S.ivf_fit = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("stream maintenance must not refit")
+    )
+    try:
+        n = stream_ops.stream_into_store(
+            spark, src, st, vector_index=ix,
+            options={"maxFilesPerTrigger": "1"},
+        )
+    finally:
+        S.ivf_fit = real_fit
+    assert n == 100
+    assert ix.rows.find([]).count() == 400
+    assert ix.meta["source_version"] == st.manifest.version
+    # a vector streamed in the LAST batch is probe-visible
+    q = emb.filter(F.col("vec_id") == 399).select(F.col("embedding").alias("qvec"))
+    top = [r["vec_id"] for r in ix.topk(st.find([]), q, k=3).collect()]
+    assert top[0] == 399
+
+
 def test_pq_encode_matches_codebook_space(spark, emb):
     """pq_encode against a fitted codebook assigns every vector the
     nearest sub-centroid — encoding the TRAINING set against the final
