@@ -1267,3 +1267,74 @@ def test_per_source_cap_matches_model(spark, docs, cap):
         for r, i in enumerate(members[:cap], start=1):
             want.append((i, s, r))
     assert got == sorted(want)
+
+
+@settings(max_examples=300, deadline=None)
+@given(n=st.integers(min_value=1, max_value=10**12))
+def test_lsh_params_for_invariants(n):
+    """Pure-math invariants of the r9 default sizing: total planes divide
+    evenly into bands, expected bucket size stays bounded by the target
+    (so per-band candidates stay ∝ N), and the banding's analytic recall
+    for a cos-0.8 pair clears the 0.9 target the helper sizes for."""
+    from shortcut_spark.operators.similarity import lsh_params_for
+
+    planes, bands = lsh_params_for(n)
+    assert planes % bands == 0 and bands >= 8
+    per_band = planes // bands
+    assert per_band >= 4
+    # buckets per band = 2^per_band; expected bucket <= target (24) * 2
+    assert n / (2 ** per_band) <= 24 * 2 + 1e-9
+    # analytic recall at plane-agreement 0.92: 1 - (1 - p^k)^b >= 0.9
+    band_hit = 0.92 ** per_band
+    assert 1 - (1 - band_hit) ** bands >= 0.9 - 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=2**40)),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    wm_steps=st.lists(st.integers(min_value=0, max_value=10**6), min_size=8, max_size=8),
+)
+def test_amend_ver_monotone_and_expiry_dominant(batches, wm_steps):
+    """_amend_ver properties under TTL: (a) strictly increasing across any
+    in-run batch schedule with a monotone watermark; (b) cross-expiry
+    dominance — a fresh post-expiry version (even from an all-NULL-ts
+    batch, prev_ver=0) beats every pre-expiry version, because expiry
+    requires the watermark to strictly pass the old state's last event
+    and arm-time watermark (the r8 ADVICE NULL-ts scenario)."""
+    from shortcut_spark.streaming import _NULL_ES, _amend_ver
+
+    class FakeState:
+        def __init__(self, wm):
+            self.wm = wm
+
+        def getCurrentWatermarkMs(self):
+            return self.wm
+
+    ttl = 60_000
+    evs, ver, wm = [], 0, 0
+    vers = []
+    for batch, step in zip(batches, wm_steps):
+        wm += step
+        for ts in batch:
+            evs.append((_NULL_ES if ts is None else ts * 1000, 1))
+        ver = _amend_ver(evs, ver, ttl, FakeState(wm))
+        vers.append(ver)
+    assert all(b > a for a, b in zip(vers, vers[1:]))  # strictly increasing
+
+    # cross-expiry: old state emitted at watermark wm_old with last event
+    # mx_old; the timer sits at max(mx_old + ttl, wm_old + 1), so any
+    # post-expiry watermark is strictly greater — the fresh NULL-ts-only
+    # emission must win
+    mx_old = max((e[0] for e in evs if e[0] != _NULL_ES), default=0) // 1000
+    old_ver = vers[-1]
+    expiry_wm = max(mx_old + ttl, wm + 1) + 1
+    fresh = _amend_ver([(_NULL_ES, 9)], 0, ttl, FakeState(expiry_wm))
+    assert fresh > old_ver
