@@ -215,9 +215,53 @@ def probe_streaming_ttl(spark, rows):
             rows.append((label, dt, res))
 
 
+def probe_hamming_banding(spark, rows):
+    """r9: measure the multi-index-hamming block sizing — legacy 4-byte
+    banding (256 buckets/band: unrelated fingerprints collide at ∝ N/256
+    per bucket) vs the auto-sized 8-block/56-combination keys (~10⁶
+    buckets). Planted truth: every 20th fingerprint pair differs by ≤3
+    bits; the rest are uniform 32-bit, so recall is exact (pigeonhole)
+    on BOTH paths and only the candidate economy moves."""
+    import numpy as np
+
+    from shortcut_spark.operators.dedup import _fp_hamming_pairs
+
+    for scale, n in (("1x", 5_000), ("10x", 50_000)):
+        rng = np.random.default_rng(11)
+        vals = rng.integers(0, 2**32, size=n, dtype=np.uint64)
+        truth = 0
+        for i in range(0, n - 1, 20):
+            v = int(vals[i])
+            for b in rng.choice(32, size=int(rng.integers(0, 4)), replace=False):
+                v ^= 1 << int(b)
+            vals[i + 1] = v
+            truth += 1
+        fp = spark.createDataFrame(
+            [(int(i), int(vals[i])) for i in range(n)],
+            "vec_id long, simhash long",
+        ).localCheckpoint(eager=True)
+        for label, kw in (
+            (f"hamming pairs 4-byte bands ({scale}, {n} fps)", {"blocks": 4}),
+            (f"hamming pairs 8-block combos ({scale}, {n} fps)", {"blocks": 8}),
+        ):
+            rows.append(
+                timed(label, lambda kw=kw: _fp_hamming_pairs(fp, "vec_id", 3, **kw).count())
+            )
+
+
 def main():
     skip_uncapped = "--skip-uncapped" in sys.argv
     similarity_only = "--similarity-only" in sys.argv
+    if "--hamming" in sys.argv:
+        spark = get_spark("scale-probe-hamming")
+        spark.range(10).count()
+        rows = []
+        probe_hamming_banding(spark, rows)
+        print("\n| probe | wall (s) | result rows |")
+        print("|---|---|---|")
+        for label, dt, nn in rows:
+            print(f"| {label} | {dt:.1f} | {nn} |")
+        return
     if "--streaming-ttl" in sys.argv:
         spark = get_spark("scale-probe-ttl")
         spark.range(10).count()

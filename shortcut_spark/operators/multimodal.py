@@ -811,9 +811,9 @@ def image_near_dups(
     df: DataFrame, id_col: str, payload_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Image NEAR-DUP pairs by perceptual hash: real decode → aHash →
-    byte-banded hamming join (the same lossless 4-band candidate
-    generation as text SimHash — pigeonhole guarantees recall 1.0 at
-    hamming ≤ 3). Pairs between same-hash cliques are quadratic in the
+    block-combination hamming join (the same lossless auto-sized
+    candidate generation as text SimHash — pigeonhole guarantees recall
+    1.0 at any block count). Pairs between same-hash cliques are quadratic in the
     clique by definition of the output; route mass-duplicate corpora
     through the cluster form (collapse identical hashes first, as
     ``dedup.dup_clusters`` does) when the pair LIST itself is the
@@ -885,8 +885,8 @@ def audio_near_dups(
     df: DataFrame, id_col: str, payload_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Audio NEAR-DUP pairs: real PCM decode → energy-envelope hash →
-    the same lossless 4-band hamming join as the image/text tiers.
-    Output: (id_a, id_b, hamming)."""
+    the same lossless block-combination hamming join as the image/text
+    tiers. Output: (id_a, id_b, hamming)."""
     from .dedup import _fp_hamming_pairs
 
     fp = audio_ahash(df, id_col, payload_col).select(

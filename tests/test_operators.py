@@ -60,6 +60,35 @@ def test_simhash_close_for_similar_docs(spark):
     assert ham_ab < ham_ac
 
 
+def test_hamming_block_banding_lossless_any_block_count(spark, docs):
+    """r9 multi-index hamming: the pair set is INDEPENDENT of the block
+    sizing (pigeonhole recall 1 at any count), so the auto-sized default
+    equals the legacy 4-byte banding row-for-row — only the candidate
+    economy differs. Also pins the sizing validation."""
+    import pytest as _pytest
+
+    from shortcut_spark.operators.dedup import _fp_hamming_pairs, simhash
+
+    fp = simhash(docs.limit(300), "doc_id", "text")
+    legacy = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in _fp_hamming_pairs(fp, "doc_id", 3, blocks=4).collect()
+    )
+    eight = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in _fp_hamming_pairs(fp, "doc_id", 3, blocks=8).collect()
+    )
+    auto = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in _fp_hamming_pairs(fp, "doc_id", 3).collect()
+    )
+    assert legacy == eight == auto
+    with _pytest.raises(ValueError):
+        _fp_hamming_pairs(fp, "doc_id", 3, blocks=3)
+    with _pytest.raises(ValueError):
+        _fp_hamming_pairs(fp, "doc_id", 8, blocks=8)  # needs > h blocks
+
+
 def test_lsh_topk_recall(spark, emb):
     """LSH ANN must recover most of the exact top-10."""
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
