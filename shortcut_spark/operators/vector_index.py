@@ -113,6 +113,13 @@ class VectorIndex:
         )
         os.makedirs(path, exist_ok=True)
         rows_store = Store.create(spark, os.path.join(path, "rows"), rows_schema)
+        # the cluster hash index makes the rows store a set of REAL
+        # inverted lists: inserts cluster batches by cell, so a probe's
+        # find_or on its nprobe cells prunes to those cells' files via
+        # manifest stats + postings — probe I/O ∝ probed cells, not the
+        # index (at 100 TB corpus the rows store is ~1% of corpus bytes;
+        # an unindexed probe would still scan all of it)
+        rows_store.index("cluster", "hash")
         model_store = Store.create(spark, os.path.join(path, "model"), model_schema)
         meta = {
             "id_col": id_col,
@@ -260,18 +267,35 @@ class VectorIndex:
     def topk(
         self, emb: DataFrame, query: DataFrame, k: int = 10, nprobe: int = 4
     ) -> DataFrame:
-        """IVF top-k against the standing index (``similarity.ivf_topk``
-        with the persisted fit); ``emb`` supplies the float vectors for
-        the exact re-score inside the probed cells."""
-        return similarity.ivf_topk(
-            emb,
-            query,
-            k,
-            nprobe,
-            self.meta["id_col"],
-            self.meta["vec_col"],
-            fitted=self.fitted,
+        """IVF top-k against the standing index; ``emb`` supplies the
+        float vectors for the exact re-score inside the probed cells.
+
+        Unlike the generic ``similarity.ivf_topk(fitted=...)`` seam
+        (which filters a full assignment scan), this probe exploits the
+        rows store's cluster hash index: the centroid ranking is a tiny
+        driver-side pass over the model store (k·D doubles), and the
+        member lookup is ``find_or`` over the nprobe winning cells —
+        Store file pruning reads only those cells' files, so probe I/O
+        is ∝ nprobe/n_clusters of the index, never the index. The
+        candidate set (probed cells' members) is identical to the seam's,
+        so results match ``ivf_topk`` exactly."""
+        from ..cmp import eq
+
+        idc, vc = self.meta["id_col"], self.meta["vec_col"]
+        q = [float(x) for x in query.select("qvec").first()["qvec"]]
+        ranked = sorted(
+            (
+                sum((c - qd) ** 2 for c, qd in zip(r["centroid"], q)),
+                r["cluster"],
+            )
+            for r in self.centroids.collect()
         )
+        probe = [int(c) for _, c in ranked[: max(1, nprobe)]]
+        cand_ids = self.rows.find_or([[eq("cluster", c)] for c in probe]).select(
+            F.col("vec_id").alias(idc)
+        )
+        cand = emb.select(F.col(idc), F.col(vc)).join(cand_ids, idc, "left_semi")
+        return similarity.topk_cosine(cand, query, k, idc, vc)
 
     def join(
         self, emb: DataFrame, threshold: float, m_assign: int = 4

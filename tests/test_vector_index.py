@@ -123,6 +123,30 @@ def test_refresh_applies_cdc_delta(spark, emb, tmp_path, monkeypatch):
     assert top[0] == 440
 
 
+def test_vector_index_probe_prunes_cell_files(spark, emb, tmp_path):
+    """The rows store's cluster hash index turns cells into REAL inverted
+    lists: with file-sized cells (ROWS_PER_FILE shrunk so the clustered
+    insert splits by cell), a single-cell probe's file pruning reads a
+    strict subset of the store's files — probe I/O ∝ probed cells."""
+    from shortcut_spark.cmp import eq
+
+    ix = VectorIndex.create(
+        spark, str(tmp_path / "vx"), emb, n_clusters=8, iters=1
+    )
+    # re-insert the assignment rows with a tiny file cap so the
+    # cluster-clustered write splits into many per-cell files
+    ix.rows.ROWS_PER_FILE = 64
+    ix.add(
+        emb.select(
+            (F.col("vec_id") + 10_000).alias("vec_id"), F.col("embedding")
+        )
+    )
+    total = len(ix.rows.manifest.files)
+    assert total > 4
+    _, files = ix.rows._prune_files([eq("cluster", 0)])
+    assert 0 < len(files) < total
+
+
 def test_stream_into_store_maintains_vector_index(spark, emb, tmp_path):
     """Continuously-maintained ANN: stream_into_store(vector_index=ix)
     refreshes the standing index once per committed micro-batch — new
