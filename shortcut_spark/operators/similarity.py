@@ -380,7 +380,7 @@ def cosine_join(
     dim: int = 64,
     exact: bool = False,
     exact_score: bool = False,
-    multiprobe: bool = True,
+    multiprobe: bool | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold. ``exact=True`` goes
     all-pairs (testing / small inputs); otherwise LSH-banded candidates.
@@ -394,16 +394,19 @@ def cosine_join(
     to reproduce a fixed banding (the certified fixture queries pin the
     legacy 16/4, matching their bit-exact DuckDB twins).
 
-    ``multiprobe=True`` (default) widens band collisions from exact
-    signature equality to Hamming distance ≤ 1: ONE side of the self-join
-    is expanded with every 1-bit flip variant (1 + planes/band keys per
-    band; expanding one side suffices — if two signatures differ in one
-    bit, either side's flip set contains the other). At the benched
-    cos≥0.4 threshold this lifts pair recall 0.53 → ~0.95 for ~5×
-    candidate-verification cost, which stays proportional to true bucket
-    collisions — never all-pairs. Disable for tight thresholds (≥0.8)
-    where exact banding already recalls well and the 5× verify cost buys
-    little.
+    ``multiprobe`` widens band collisions from exact signature equality
+    to Hamming distance ≤ 1: ONE side of the self-join is expanded with
+    every 1-bit flip variant (1 + planes/band keys per band; expanding
+    one side suffices — if two signatures differ in one bit, either
+    side's flip set contains the other). At the benched cos≥0.4
+    threshold this lifts pair recall 0.53 → ~0.95 for ~5× candidate-
+    verification cost, which stays proportional to true bucket
+    collisions — never all-pairs. Default ``None`` resolves by the
+    threshold regime the module documents: ON below cos 0.7 (moderate
+    thresholds under-recall on exact banding), OFF at ≥ 0.7 where exact
+    banding already recalls ≥0.99 and the widened probe keys only buy
+    wall clock (measured r9: the unsized tight-threshold default runs
+    DEAD FLAT 1x→10x at recall ≥0.998).
 
     Candidates travel as id pairs only — vectors re-attach after the
     (distinct) pair set is known, so the band join never shuffles
@@ -415,6 +418,8 @@ def cosine_join(
             .filter(F.col("id_a") < F.col("id_b"))
         )
     else:
+        if multiprobe is None:
+            multiprobe = threshold < 0.7
         n_planes, bands = _resolve_lsh_params(emb, n_planes, bands)
         b = hyperplane_buckets(emb, vec_col, n_planes, bands, dim).select(
             F.col(id_col), "band_key"

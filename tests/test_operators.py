@@ -174,6 +174,23 @@ def test_similarity_auto_params_are_default(spark, emb):
         ).collect()
     }
     assert auto == pinned
+    # multiprobe=None resolves by threshold regime: ON below 0.7 (the
+    # moderate-threshold recall case), OFF at tight thresholds where
+    # exact banding already recalls — the measured dead-flat default
+    tight_auto = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_join(emb, 0.8).collect()
+    }
+    tight_off = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_join(emb, 0.8, multiprobe=False).collect()
+    }
+    assert tight_auto == tight_off
+    mod_on = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_join(emb, 0.5, multiprobe=True).collect()
+    }
+    assert auto == mod_on
 
 
 def test_similarity_resolve_lsh_params(spark, emb):
