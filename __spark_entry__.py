@@ -7675,13 +7675,27 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'src3' THEN 5000
                               ELSE 2500 END""",
         "store_explain": """
-            SELECT * FROM (VALUES
-              ('point_hash',  'conds=[[l_returnflag] = R] path=IndexLookup(column=l_returnflag, kind=hash, estimate=20000.00, cond=[l_returnflag] = R)'),
-              ('and_partial', 'conds=[[l_returnflag] = A, [l_linestatus] = F] path=IndexLookup(column=l_returnflag, kind=hash, estimate=20000.00, cond=[l_returnflag] = A)'),
+            -- estimates derive from the data (rows/ndv, the reference cost
+            -- model src/idx.rs:71-78) so the oracle is sf-independent: a
+            -- literal VALUES table froze the sf0.01 numbers and mismatched
+            -- at any other scale factor
+            WITH s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(count(DISTINCT l_returnflag) AS DOUBLE) AS ndv_rf,
+                     CAST(count(DISTINCT l_quantity) AS DOUBLE) AS ndv_q
+              FROM lineitem
+            )
+            SELECT t."case",
+                   replace(replace(t.plan,
+                     '<EST_RF>', printf('%.2f', s.n / s.ndv_rf)),
+                     '<EST_Q>',  printf('%.2f', s.n / s.ndv_q)) AS plan
+            FROM (VALUES
+              ('point_hash',  'conds=[[l_returnflag] = R] path=IndexLookup(column=l_returnflag, kind=hash, estimate=<EST_RF>, cond=[l_returnflag] = R)'),
+              ('and_partial', 'conds=[[l_returnflag] = A, [l_linestatus] = F] path=IndexLookup(column=l_returnflag, kind=hash, estimate=<EST_RF>, cond=[l_returnflag] = A)'),
               ('col_eq_col',  'conds=[[l_partkey] = [l_suppkey]] path=FullScan'),
-              ('range_btree', 'conds=[[l_quantity] >= 10.0 < 20.0] path=IndexLookup(column=l_quantity, kind=btree, estimate=1200.00, cond=[l_quantity] >= 10.0 < 20.0)'),
+              ('range_btree', 'conds=[[l_quantity] >= 10.0 < 20.0] path=IndexLookup(column=l_quantity, kind=btree, estimate=<EST_Q>, cond=[l_quantity] >= 10.0 < 20.0)'),
               ('empty_scan',  'conds=[] path=FullScan')
-            ) AS t("case", plan)""",
+            ) AS t("case", plan) CROSS JOIN s""",
         "events_heavy_hitters": """
             WITH t AS (SELECT count(*) AS total FROM events),
             g AS (SELECT user_id AS value, count(*) AS cnt FROM events GROUP BY 1)

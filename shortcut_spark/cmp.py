@@ -169,9 +169,18 @@ class Condition:
     cmp: Comparison
 
     def resolve(self, colnames: Sequence[str]) -> str:
-        """Positional (reference-style ``usize``) or named column → name."""
+        """Positional (reference-style ``usize``) or named column → name.
+
+        An out-of-range index raises like the reference's slice panic; an
+        unknown NAME raises ValueError up front (the Store.index
+        convention) instead of a lazy Spark AnalysisException at action
+        time — conditions are built far from where they execute, so the
+        error should name the bad column at build/compile, not mid-job.
+        """
         if isinstance(self.column, int):
             return colnames[self.column]
+        if self.column not in colnames:
+            raise ValueError(f"no such column {self.column!r}")
         return self.column
 
     def _operand(self, colnames: Sequence[str]) -> Column:
@@ -179,6 +188,8 @@ class Condition:
         assert v is not None
         if v.is_column:
             other = colnames[v.payload] if isinstance(v.payload, int) else v.payload
+            if other not in colnames:
+                raise ValueError(f"no such column {other!r}")
             return F.col(other)
         return F.lit(v.payload)
 
