@@ -249,6 +249,103 @@ def probe_hamming_banding(spark, rows):
             )
 
 
+def probe_graph(spark, rows):
+    """r9: measure the iterative-family scale claims (graph + Lloyd) that
+    SCALE.md previously argued from plan shape:
+
+    * connected_components pointer jumping — a CHAIN graph is the
+      worst-case diameter (d = N); plain min-propagation needs N rounds,
+      pointer jumping O(log N). Measured at 20k → 200k chain; the probe
+      also asserts the labels actually converged (1 component).
+    * connected_components on the near-dup BLOB shape (10-node stars,
+      diameter 2) — the production workload; should be round-bounded and
+      ~linear in |E|.
+    * triangle_counts under a CELEBRITY hub (degree N-1): the naive
+      wedge join at the hub is C(N-1, 2) ≈ 2·10¹⁰ pairs at 200k — the
+      degree-ordered orientation must keep it linear-ish because every
+      hub edge orients INTO the hub.
+    * pagerank (dangling=redistribute) on the same hub graph, 5 iters —
+      one rank⋈edges shuffle + one partial-aggregated dst-sum per round;
+      the hub's in-degree skew is absorbed by map-side combine.
+    * kmeans_exact Lloyd, k=8 × 5 iters — assign is map-only against a
+      broadcast centroid literal, update is a (k·D)-key shuffle, so wall
+      should track N.
+    """
+    from shortcut_spark.operators.cluster import kmeans_exact
+    from shortcut_spark.operators.graph import (
+        connected_components,
+        pagerank,
+        triangle_counts,
+    )
+
+    for scale, n in (("1x", 20_000), ("10x", 200_000)):
+        chain = (
+            spark.range(n - 1)
+            .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+            .localCheckpoint(eager=True)
+        )
+
+        def cc_chain(chain=chain):
+            lbl = connected_components(chain)
+            comps = lbl.select("component").distinct().count()
+            assert comps == 1, f"chain did not converge: {comps} components"
+            return lbl.count()
+
+        rows.append(timed(f"cc CHAIN diameter={n} ({scale})", cc_chain))
+
+        blobs = (
+            spark.range(n)
+            .filter(F.col("id") % 10 != 0)
+            .select(
+                F.col("id").alias("src"),
+                (F.col("id") - F.col("id") % 10).alias("dst"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        def cc_blobs(blobs=blobs, n=n):
+            lbl = connected_components(blobs)
+            comps = lbl.select("component").distinct().count()
+            assert comps == n // 10, f"expected {n // 10} blobs, got {comps}"
+            return lbl.count()
+
+        rows.append(timed(f"cc BLOBS 10-node stars ({scale}, {n} nodes)", cc_blobs))
+
+        # celebrity graph: hub 0 -- every node, plus 2N pseudo-random edges
+        hub = spark.range(1, n).select(
+            F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+        )
+        rand = spark.range(2 * n).select(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(n)).alias("src"),
+            F.pmod(F.xxhash64(F.col("id") + 1_000_000_007), F.lit(n)).alias("dst"),
+        )
+        celeb = hub.union(rand).localCheckpoint(eager=True)
+        rows.append(
+            timed(
+                f"triangle_counts CELEBRITY hub deg={n - 1} ({scale})",
+                lambda celeb=celeb: triangle_counts(celeb).count(),
+            )
+        )
+        rows.append(
+            timed(
+                f"pagerank redistribute 5 iters ({scale}, {3 * n - 1} edges)",
+                lambda celeb=celeb: pagerank(
+                    celeb, iters=5, dangling="redistribute"
+                ).count(),
+            )
+        )
+
+    for scale, n in (("1x", 10_000), ("10x", 100_000)):
+        emb, _ = synth_embeddings(spark, n)
+        emb = emb.localCheckpoint(eager=True)
+        rows.append(
+            timed(
+                f"kmeans_exact k=8 iters=5 ({scale}, {n} vecs)",
+                lambda emb=emb: kmeans_exact(emb, k=8, iters=5).count(),
+            )
+        )
+
+
 def main():
     skip_uncapped = "--skip-uncapped" in sys.argv
     similarity_only = "--similarity-only" in sys.argv
@@ -257,6 +354,16 @@ def main():
         spark.range(10).count()
         rows = []
         probe_hamming_banding(spark, rows)
+        print("\n| probe | wall (s) | result rows |")
+        print("|---|---|---|")
+        for label, dt, nn in rows:
+            print(f"| {label} | {dt:.1f} | {nn} |")
+        return
+    if "--graph" in sys.argv:
+        spark = get_spark("scale-probe-graph")
+        spark.range(10).count()
+        rows = []
+        probe_graph(spark, rows)
         print("\n| probe | wall (s) | result rows |")
         print("|---|---|---|")
         for label, dt, nn in rows:

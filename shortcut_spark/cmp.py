@@ -201,6 +201,16 @@ class Condition:
         (``src/lib.rs:133``) is this column applied to the pruned scan.
         """
         name = self.resolve(colnames)
+        v = self.cmp.value
+        if (
+            v is not None
+            and v.is_column
+            and not isinstance(v.payload, int)
+            and v.payload not in colnames
+        ):
+            # validate the operand before building any Column so the error
+            # does not depend on an active Spark session
+            raise ValueError(f"no such column {v.payload!r}")
         c = F.col(name)
         if self.cmp.op == "eq":
             return c == self._operand(colnames)

@@ -70,3 +70,21 @@ def test_matches_null_mirrors_sql_semantics():
     assert not col_eq(0, 1).matches(["a", None])
     assert not between(0, 1, 5).matches([None, "x"])
     assert eq(0, "a").matches(["a", "x"])
+
+
+def test_unknown_column_raises_eagerly():
+    """A condition naming a column the table lacks must fail with a clear
+    ValueError when compiled (to_column/resolve), not surface as a lazy
+    Spark AnalysisException mid-job — the Store.index error convention."""
+    import pytest
+
+    names = ["first", "last"]
+    with pytest.raises(ValueError, match="no such column 'nope'"):
+        eq("nope", "x").to_column(names)
+    with pytest.raises(ValueError, match="no such column 'nope'"):
+        col_eq("first", "nope").to_column(names)
+    with pytest.raises(ValueError, match="no such column 'nope'"):
+        between("nope", 1, 5).to_column(names)
+    # positional out-of-range keeps the reference's slice-panic shape
+    with pytest.raises(IndexError):
+        eq(9, "x").to_column(names)
