@@ -52,9 +52,15 @@ def connected_components(
     component, so it doubles as the canonical cluster representative.
 
     Edges are treated as undirected; isolated nodes (not in any edge) do
-    not appear — callers union them back as their own singletons.
+    not appear — callers union them back as their own singletons. Edges
+    with a NULL endpoint are dropped (an edge to an unknown node carries
+    no connectivity — and a NULL "node" would otherwise act as a shared
+    bridge merging every component that touches one), matching
+    ``triangle_counts``' NULL handling.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).filter(
+        F.col("s").isNotNull() & F.col("d").isNotNull()
+    )
     e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     e = e.localCheckpoint(eager=True)  # computed once, joined every round
 
@@ -144,9 +150,13 @@ def pagerank(
     # ERROR in strict engines, a silent NULL in Spark) and negative
     # weights break floor-division parity (Spark div truncates, SQL //
     # floors). A node whose every edge is dropped becomes dangling.
+    # NULL endpoints are dropped with the same rationale as
+    # connected_components: an edge to an unknown node is no edge, and a
+    # NULL "node" would otherwise receive/emit rank as if it were one.
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"), w_col.alias("w"))
         .filter(F.col("w") > 0)
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
         .localCheckpoint(eager=True)
     )
     nodes = (
@@ -234,8 +244,12 @@ def triangle_counts(
     total: degree count, wedge self-join on the pivot, closure join on
     the (v, w) pair key.
     """
+    # a != b is NULL (thus dropped) when either endpoint is NULL, but the
+    # explicit guard keeps the family's shared NULL-edge contract visible
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
-        F.col("a") != F.col("b")
+        (F.col("a") != F.col("b"))
+        & F.col("a").isNotNull()
+        & F.col("b").isNotNull()
     )
     e = e.select(
         F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")

@@ -157,3 +157,31 @@ def test_text_family_hostile_strings_smoke(spark):
         lambda: dedup.winnow_fingerprints(docs, "doc_id", "text"),
     ):
         assert fn().count() >= 0
+
+
+def test_graph_family_drops_null_endpoint_edges(spark):
+    """An edge with a NULL endpoint is no edge — every graph operator
+    must IGNORE it rather than treat NULL as a node. Before the guard,
+    connected_components emitted a NULL node row (and a NULL 'bridge'
+    shared by all NULL-edges could merge unrelated components), and
+    pagerank counted NULL as a rank-receiving node."""
+    from shortcut_spark.operators.graph import (
+        connected_components,
+        pagerank,
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, None), (None, 2), (None, None), (3, 4)], "src long, dst long"
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert cc == {3: 3, 4: 3}  # 1 and 2 have no real edge; NULL is not a node
+    pr = pagerank(edges).select("node").collect()
+    assert {r["node"] for r in pr} == {3, 4}
+    tri = triangle_counts(edges).select("node").collect()
+    assert {r["node"] for r in tri} == {3, 4}
+
+    all_null = spark.createDataFrame([(None, None)], "src long, dst long")
+    assert connected_components(all_null).count() == 0
+    assert pagerank(all_null).count() == 0
+    assert triangle_counts(all_null).count() == 0
