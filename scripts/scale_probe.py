@@ -346,6 +346,71 @@ def probe_graph(spark, rows):
         )
 
 
+def probe_vector_index(spark, rows):
+    """r9: measure the durable vector index's maintenance claim — refresh
+    after a 1% corpus insert must cost ∝ delta (broadcast-assign + merge
+    upsert), NOT ∝ corpus (the rebuild alternative), and the standing
+    probe must not pay a fit. Pytest pins the zero-fit property; this
+    measures the wall-clock economics the pin implies."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from shortcut_spark.operators.vector_index import VectorIndex
+    from shortcut_spark.store import Store
+
+    base_n, delta_n = 50_000, 500
+    emb, _ = synth_embeddings(spark, base_n + delta_n)
+    emb = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).localCheckpoint(eager=True)
+    root = tempfile.mkdtemp(prefix="vxprobe_")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    st = Store.create(spark, f"{root}/corpus", schema)
+    st.insert(emb.filter(F.col("vec_id") < base_n))
+
+    holder = {}
+
+    def create():
+        holder["ix"] = VectorIndex.create(
+            spark,
+            f"{root}/vx",
+            st.find([]),
+            pq=True,
+            source_version=st.manifest.version,
+        )
+        return holder["ix"].rows.find([]).count()
+
+    rows.append(timed(f"vector_index CREATE fit+index ({base_n} vecs, pq)", create))
+
+    q = emb.filter(F.col("vec_id") == 17).select(F.col("embedding").alias("qvec"))
+    rows.append(
+        timed(
+            "vector_index ivf topk probe (standing index, k=10)",
+            lambda: holder["ix"].topk(st.find([]), q, k=10).count(),
+        )
+    )
+
+    st.insert(emb.filter(F.col("vec_id") >= base_n))
+    rows.append(
+        timed(
+            f"vector_index REFRESH after {delta_n}-row insert (1% delta)",
+            lambda: holder["ix"].refresh(st)[0],
+        )
+    )
+    rows.append(
+        timed(
+            f"vector_index REBUILD (the alternative, {base_n + delta_n} vecs)",
+            lambda: (holder["ix"].rebuild(st.find([]), st.manifest.version), 1)[1],
+        )
+    )
+
+
 def main():
     skip_uncapped = "--skip-uncapped" in sys.argv
     similarity_only = "--similarity-only" in sys.argv
@@ -354,6 +419,16 @@ def main():
         spark.range(10).count()
         rows = []
         probe_hamming_banding(spark, rows)
+        print("\n| probe | wall (s) | result rows |")
+        print("|---|---|---|")
+        for label, dt, nn in rows:
+            print(f"| {label} | {dt:.1f} | {nn} |")
+        return
+    if "--vector-index" in sys.argv:
+        spark = get_spark("scale-probe-vx")
+        spark.range(10).count()
+        rows = []
+        probe_vector_index(spark, rows)
         print("\n| probe | wall (s) | result rows |")
         print("|---|---|---|")
         for label, dt, nn in rows:
