@@ -1338,3 +1338,49 @@ def test_amend_ver_monotone_and_expiry_dominant(batches, wm_steps):
     expiry_wm = max(mx_old + ttl, wm + 1) + 1
     fresh = _amend_ver([(_NULL_ES, 9)], 0, ttl, FakeState(expiry_wm))
     assert fresh > old_ver
+
+
+def _py_triangles(edges):
+    """Brute-force per-node triangle counts over the undirected simple
+    graph induced by ``edges`` (self-loops and duplicates dropped — the
+    operator's documented canonicalization)."""
+    from itertools import combinations
+
+    adj = {}
+    es = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        es.add((min(a, b), max(a, b)))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {n: 0 for n in adj}
+    for a, b, c in combinations(sorted(adj), 3):
+        if (a, b) in es and (a, c) in es and (b, c) in es:
+            counts[a] += 1
+            counts[b] += 1
+            counts[c] += 1
+    return counts
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15)),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_triangle_counts_matches_bruteforce(spark, edges):
+    """Degree-ordered wedge enumeration must count exactly the same
+    triangles as naive triple enumeration on ANY graph — duplicates,
+    self-loops, ties in degree, whatever hypothesis finds."""
+    from shortcut_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == _py_triangles(edges)
