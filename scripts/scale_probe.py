@@ -411,6 +411,68 @@ def probe_vector_index(spark, rows):
     )
 
 
+def probe_multimodal(spark, rows):
+    """r9: measure the one family whose hot path necessarily crosses into
+    Python — multimodal decode (zlib inflate + unfilter + hash per blob,
+    Arrow-batched via mapInPandas). The claim to verify is LINEAR wall in
+    blob count with no driver bottleneck; the near-dup tier additionally
+    rides the same banded hamming join as text simhash, so its candidate
+    economy is already covered by the hamming probe — here we measure
+    the decode throughput it sits on."""
+    from shortcut_spark.operators import multimodal as mm
+
+    for scale, n in (("1x", 2_000), ("10x", 20_000)):
+        # deterministic 32x32 grayscale PNGs whose aHash is an
+        # INDEPENDENT random 32-bit value per image: paint each of the 32
+        # aHash blocks uniformly bright/dark from an md5 bit. Anything
+        # weaker is a trap this probe itself walked into twice — a
+        # constant-offset family (aHash is brightness-shift invariant by
+        # design) and a 91-gradient family both made thousands of images
+        # share fingerprints, and the measured "blow-up" was just the
+        # everything-matches-everything OUTPUT, quadratic by definition.
+        # Every 20th image is a near-copy of its predecessor (one gray
+        # level off, hamming 0) so near_dups has planted work.
+        import hashlib
+
+        blobs = []
+        for i in range(n):
+            base = i - 1 if i % 20 == 1 else i
+            bits = int.from_bytes(hashlib.md5(str(base).encode()).digest()[:4], "big")
+            px = bytes(
+                180 if (bits >> ((r // 4) * 4 + c // 8)) & 1 else 60
+                for r in range(32)
+                for c in range(32)
+            )
+            if i % 20 == 1:
+                px = bytes(b + 1 for b in px)
+            blobs.append((i, mm.encode_png(px, 32, 32, 1)))
+        df = spark.createDataFrame(blobs, "img_id long, payload binary").repartition(
+            32
+        ).localCheckpoint(eager=True)
+        if scale == "1x":
+            # warm the Python-worker pool so the first timed row is not
+            # measuring executor-side interpreter startup
+            mm.image_ahash(df.limit(64), "img_id", "payload").count()
+        rows.append(
+            timed(
+                f"png decode_png_pixels ({scale}, {n} imgs 32x32)",
+                lambda df=df: mm.decode_png_pixels(df, "img_id", "payload").count(),
+            )
+        )
+        rows.append(
+            timed(
+                f"png image_ahash ({scale}, {n} imgs)",
+                lambda df=df: mm.image_ahash(df, "img_id", "payload").count(),
+            )
+        )
+        rows.append(
+            timed(
+                f"png image_near_dups ({scale}, {n} imgs)",
+                lambda df=df: mm.image_near_dups(df, "img_id", "payload").count(),
+            )
+        )
+
+
 def main():
     skip_uncapped = "--skip-uncapped" in sys.argv
     similarity_only = "--similarity-only" in sys.argv
@@ -419,6 +481,16 @@ def main():
         spark.range(10).count()
         rows = []
         probe_hamming_banding(spark, rows)
+        print("\n| probe | wall (s) | result rows |")
+        print("|---|---|---|")
+        for label, dt, nn in rows:
+            print(f"| {label} | {dt:.1f} | {nn} |")
+        return
+    if "--multimodal" in sys.argv:
+        spark = get_spark("scale-probe-mm")
+        spark.range(10).count()
+        rows = []
+        probe_multimodal(spark, rows)
         print("\n| probe | wall (s) | result rows |")
         print("|---|---|---|")
         for label, dt, nn in rows:
