@@ -401,6 +401,15 @@ class VectorIndex:
             )
         return n
 
+    # refresh() collects the DELETED ids to the driver for the chunked
+    # predicate drop — fine for the trickle/micro-batch deltas CDC
+    # maintenance exists for, a driver hazard for a mass delete (dropping
+    # a whole source at corpus scale). Above this many deleted ids the
+    # refresh refuses with a pointer at rebuild(): heavy churn is the
+    # centroid-drift regime where the fit is stale anyway, so the full
+    # re-fit is the correct tool, not just the memory-safe one.
+    MAX_COLLECTED_DELETES = 1_000_000
+
     def refresh(self, corpus_store) -> tuple[int, int]:
         """Catch the index up to the corpus Store's CURRENT version via
         its CDC feed — cost ∝ delta, never corpus size. Returns
@@ -410,7 +419,10 @@ class VectorIndex:
         makes a replayed delta idempotent: a crash between the rows
         commit and the meta write re-applies the same delta and the
         merge replaces instead of duplicating. Deletes collect only the
-        DELETED ids (∝ delete delta) for the chunked predicate drop."""
+        DELETED ids (∝ delete delta) for the chunked predicate drop,
+        guarded by ``MAX_COLLECTED_DELETES`` — a larger delete delta
+        raises with a pointer at :meth:`rebuild` instead of silently
+        ballooning the driver."""
         since = self.meta.get("source_version")
         if since is None:
             raise ValueError(
@@ -425,12 +437,20 @@ class VectorIndex:
         ins = delta.filter(F.col("change_type") == "insert").select(
             idc, self.meta["vec_col"]
         )
+        dels = delta.filter(F.col("change_type") == "delete").select(idc)
+        # limit(MAX+1) bounds driver memory in the same single job that
+        # fetches the ids — one row past the cap proves the delta is too
+        # big without ever materializing it
         del_ids = [
-            r[idc]
-            for r in delta.filter(F.col("change_type") == "delete")
-            .select(idc)
-            .collect()
+            r[idc] for r in dels.limit(self.MAX_COLLECTED_DELETES + 1).collect()
         ]
+        if len(del_ids) > self.MAX_COLLECTED_DELETES:
+            raise ValueError(
+                f"delete delta exceeds MAX_COLLECTED_DELETES="
+                f"{self.MAX_COLLECTED_DELETES} — a churn this heavy is the "
+                "centroid-drift regime: rebuild() the index instead of "
+                "refreshing through a driver-collected id list"
+            )
         removed = self.remove(del_ids)
         added = 0
         if not ins.isEmpty():

@@ -217,3 +217,47 @@ def test_pq_encode_matches_codebook_space(spark, emb):
     q = sample.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qvec"))
     top = similarity.pq_topk(codes_enc, codebook, q, k=3).collect()
     assert top[0]["vec_id"] == 7
+
+
+def test_refresh_mass_delete_guard(spark, emb, tmp_path, monkeypatch):
+    """A delete delta past MAX_COLLECTED_DELETES must refuse with a
+    rebuild pointer BEFORE any id reaches the driver — heavy churn is
+    the centroid-drift regime where the fit is stale anyway, and the
+    driver-collected id list would balloon."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    st = Store.create(spark, str(tmp_path / "corpus"), schema)
+    st.insert(
+        emb.filter(F.col("vec_id") < 200).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    ix = VectorIndex.create(
+        spark,
+        str(tmp_path / "vx"),
+        st.find([]),
+        n_clusters=4,
+        iters=1,
+        source_version=st.manifest.version,
+    )
+    from shortcut_spark.cmp import between
+
+    pinned = ix.meta["source_version"]
+    st.delete([between("vec_id", 0, 99)])  # 100-row delete delta
+    monkeypatch.setattr(VectorIndex, "MAX_COLLECTED_DELETES", 50)
+    with pytest.raises(ValueError, match="rebuild"):
+        ix.refresh(st)
+    # index untouched: version pin and rows unchanged, a later rebuild or
+    # a raised threshold can still catch up
+    assert ix.meta["source_version"] == pinned
+    assert ix.rows.find([]).count() == 200
+    monkeypatch.setattr(VectorIndex, "MAX_COLLECTED_DELETES", 1_000_000)
+    added, removed = ix.refresh(st)
+    assert (added, removed) == (0, 100)
+    assert ix.rows.find([]).count() == 100
