@@ -390,14 +390,21 @@ class VectorIndex:
     def remove(self, ids) -> int:
         """Drop indexed vectors by id (a delete batch from the corpus).
         Chunked so the predicate stays codegen-sized for bulk deletes;
-        each chunk is one versioned delete commit."""
+        each chunk is one versioned delete commit. Small batches take the
+        copy-on-write path (immediately-clean files); past
+        ``DEFER_REMOVE_ABOVE`` ids the chunks switch to merge-on-read
+        tombstones (``defer=True``) — a bulk remove must cost ∝ victims,
+        not rewrite every touched file per chunk; the Store's read-side
+        anti-join keeps results exact and ``compact()``/auto-OPTIMIZE
+        materializes later."""
         ids = [int(i) for i in ids]
         if not ids:
             return 0
+        defer = len(ids) > self.DEFER_REMOVE_ABOVE
         n = 0
         for i in range(0, len(ids), 10_000):
             n += self.rows.delete_filter(
-                [], F.col("vec_id").isin(ids[i : i + 10_000])
+                [], F.col("vec_id").isin(ids[i : i + 10_000]), defer=defer
             )
         return n
 
@@ -409,6 +416,12 @@ class VectorIndex:
     # centroid-drift regime where the fit is stale anyway, so the full
     # re-fit is the correct tool, not just the memory-safe one.
     MAX_COLLECTED_DELETES = 1_000_000
+
+    # remove() switches from copy-on-write to merge-on-read tombstones
+    # above this many ids — a bulk remove (up to the cap above, ~100
+    # chunks) must cost ∝ victims, not rewrite the touched files once
+    # per chunk
+    DEFER_REMOVE_ABOVE = 50_000
 
     def refresh(self, corpus_store) -> tuple[int, int]:
         """Catch the index up to the corpus Store's CURRENT version via

@@ -261,3 +261,23 @@ def test_refresh_mass_delete_guard(spark, emb, tmp_path, monkeypatch):
     added, removed = ix.refresh(st)
     assert (added, removed) == (0, 100)
     assert ix.rows.find([]).count() == 100
+
+
+def test_remove_bulk_takes_tombstone_path(spark, emb, tmp_path, monkeypatch):
+    """Past DEFER_REMOVE_ABOVE ids, remove() must switch to merge-on-read
+    tombstones (cost ∝ victims — no per-chunk file rewrite) while reads
+    stay exact through the anti-join."""
+    ix = VectorIndex.create(
+        spark, str(tmp_path / "vx"), emb.limit(300), n_clusters=4, iters=1
+    )
+    monkeypatch.setattr(VectorIndex, "DEFER_REMOVE_ABOVE", 10)
+    removed = ix.remove(range(100))
+    assert removed == 100
+    assert ix.rows.manifest.tombstone_rows == 100  # deferred, not rewritten
+    ids = {r["vec_id"] for r in ix.rows.find([]).select("vec_id").collect()}
+    assert len(ids) == 200 and 5 not in ids and 150 in ids
+    # small removals keep the immediate copy-on-write path (which may
+    # also materialize tombstones in the files it rewrites — results,
+    # not storage shape, are the contract here)
+    assert ix.remove([150]) == 1
+    assert ix.rows.find([]).count() == 199
