@@ -164,8 +164,13 @@ def vec_norm_sq_exact(a: Column) -> Column:
 
 def cosine_exact(a: Column, b: Column) -> Column:
     """cosine = exact-dot / (sqrt(exact)*sqrt(exact)) — all-double epilogue
-    on identical operands in both engines."""
-    return vec_dot_exact(a, b) / (F.sqrt(vec_norm_sq_exact(a)) * F.sqrt(vec_norm_sq_exact(b)))
+    on identical operands in both engines. try_divide: a zero-norm vector
+    has no direction, so its cosine is NULL (sorted/filtered away by every
+    consumer) rather than an ANSI DIVIDE_BY_ZERO crash; fixture corpora
+    carry no zero vectors, so oracle parity is untouched."""
+    return F.try_divide(
+        vec_dot_exact(a, b), F.sqrt(vec_norm_sq_exact(a)) * F.sqrt(vec_norm_sq_exact(b))
+    )
 
 
 # -- text features (documents.text) ------------------------------------------

@@ -63,6 +63,8 @@ def topk_cosine(
 
     Output: (id, cosine) — cosine from exact-decimal dots so ordering and
     values are engine-independent; ties broken by id for determinism.
+    Zero-norm rows (and a zero-norm query) have NULL cosine and are
+    excluded — a directionless vector is never a nearest neighbor.
     """
     q = F.broadcast(query.select(F.col("qvec")))
     scored = (
@@ -71,6 +73,7 @@ def topk_cosine(
             F.col(id_col),
             cosine_exact(F.col(vec_col), F.col("qvec")).alias("cosine"),
         )
+        .filter(F.col("cosine").isNotNull())
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
@@ -367,7 +370,10 @@ def _fast_cosine(a: F.Column, b: F.Column) -> F.Column:
             lambda acc, z: acc + z,
         )
 
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    # try_divide: a zero-norm vector has no direction — its cosine is NULL
+    # (dropped by every downstream threshold filter), not an ANSI
+    # DIVIDE_BY_ZERO crash
+    return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
 def cosine_join(
@@ -477,15 +483,20 @@ def _score_pairs(
 
         # rough score reuses the exact per-vector norms — ONE double dot
         # per pair is the only per-pair work before the funnel cut
-        rough = _ddot(F.col("va"), F.col("vb")) / (
-            F.sqrt(F.col("__nsa")) * F.sqrt(F.col("__nsb"))
+        # try_divide: zero-norm vectors pair with nothing (NULL cosine
+        # fails every threshold) instead of ANSI DIVIDE_BY_ZERO
+        rough = F.try_divide(
+            _ddot(F.col("va"), F.col("vb")),
+            F.sqrt(F.col("__nsa")) * F.sqrt(F.col("__nsb")),
         )
         return (
             joined.filter(rough >= F.lit(threshold) - F.lit(1e-6))
             .withColumn(
                 "cosine",
-                vec_dot_exact(F.col("va"), F.col("vb"))
-                / (F.sqrt(F.col("__nsa")) * F.sqrt(F.col("__nsb"))),
+                F.try_divide(
+                    vec_dot_exact(F.col("va"), F.col("vb")),
+                    F.sqrt(F.col("__nsa")) * F.sqrt(F.col("__nsb")),
+                ),
             )
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine")
@@ -508,7 +519,10 @@ def _score_pairs(
         pairs.join(ln, "id_a")
         .join(rn, "id_b")
         .withColumn(
-            "cosine", ddot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
+            "cosine",
+            F.try_divide(
+                ddot(F.col("va"), F.col("vb")), F.col("__na") * F.col("__nb")
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -1466,12 +1480,10 @@ def centroid_similarity(
             F.col("gb").alias("group_b"),
             "n_a",
             "n_b",
-            (
-                F.col("__dot").cast("double")
-                / (
-                    F.sqrt(F.col("__na").cast("double"))
-                    * F.sqrt(F.col("__nb").cast("double"))
-                )
+            F.try_divide(
+                F.col("__dot").cast("double"),
+                F.sqrt(F.col("__na").cast("double"))
+                * F.sqrt(F.col("__nb").cast("double")),
             ).alias("cosine"),
         )
     )

@@ -185,3 +185,23 @@ def test_graph_family_drops_null_endpoint_edges(spark):
     assert connected_components(all_null).count() == 0
     assert pagerank(all_null).count() == 0
     assert triangle_counts(all_null).count() == 0
+
+
+def test_similarity_family_zero_norm_vectors(spark):
+    """A zero-norm vector has no direction: cosine against it is NULL
+    (try_divide), so it pairs with nothing and is never a nearest
+    neighbor — previously an ANSI DIVIDE_BY_ZERO crash in the exact
+    join and NULL-padded top-k results."""
+    from shortcut_spark.operators import similarity as S
+
+    rows = [(0, [0.0] * 8), (1, [1.0] + [0.0] * 7), (2, [1.0] + [0.0] * 7), (3, [0.0] * 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = S.cosine_join(emb, 0.5, dim=8, exact=True).collect()
+    assert [(r["id_a"], r["id_b"]) for r in exact] == [(1, 2)]
+    assert S.cosine_join(emb, 0.5, dim=8, n_planes=8, bands=4).count() == 1
+
+    q = spark.createDataFrame([([1.0] + [0.0] * 7,)], "qvec array<double>")
+    top = S.topk_cosine(emb, q, 4).collect()
+    assert {r["vec_id"] for r in top} == {1, 2}  # zero vectors never pad
+    qz = spark.createDataFrame([([0.0] * 8,)], "qvec array<double>")
+    assert S.topk_cosine(emb, qz, 2).count() == 0
