@@ -125,6 +125,14 @@ def asof_max(
         F.lit(0).alias("__is_left"),
         F.col(right_ts).alias("__rts"),
         F.lit(None).cast(left_struct).alias("__row"),
+    ).filter(
+        # SQL join semantics: a NULL key matches NOTHING. The window
+        # partition would otherwise GROUP the null keys (unlike a join),
+        # quietly matching null-keyed left rows to null-keyed right rows.
+        # Dropping null-key right rows leaves null-key LEFT rows alone in
+        # their partition — they stay in the output with a NULL match,
+        # the left-join contract.
+        F.col("__k").isNotNull()
     )
     # nulls sort first: null-ts left rows see no right rows (match = NULL),
     # null-ts right rows carry a null __rts that ignorenulls skips — both
@@ -259,6 +267,13 @@ def fuzzy_join(
     twin is a plain ``(prefix_eq OR suffix_eq)`` predicate. ~2× candidate
     cost vs single-pass, two shuffles instead of one. Pass ``block`` for
     a custom single-pass key expression.
+
+    SHORT-STRING CLIFF: for strings no longer than ``suffix_len`` the
+    prefix block and the suffix block are both the WHOLE string, so a
+    single typo anywhere corrupts both blocks and the pair is missed
+    entirely. Size ``suffix_len`` below your shortest matchable string
+    (e.g. 3 for person-name corpora) — smaller blocks trade more
+    candidate pairs for recall, the standard ER dial.
 
     Output: all left + right columns (pre-alias any collisions) plus
     ``lev_dist``. Levenshtein is exact and engine-portable (same values

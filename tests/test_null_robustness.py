@@ -205,3 +205,33 @@ def test_similarity_family_zero_norm_vectors(spark):
     assert {r["vec_id"] for r in top} == {1, 2}  # zero vectors never pad
     qz = spark.createDataFrame([([0.0] * 8,)], "qvec array<double>")
     assert S.topk_cosine(emb, qz, 2).count() == 0
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL join semantics for the as-of family: a NULL key matches
+    NOTHING. The window-partition implementation would otherwise GROUP
+    null keys (window partitioning, unlike joins, puts NULLs together),
+    silently matching null-keyed left rows to null-keyed right rows —
+    which the DuckDB ASOF twin never does."""
+    from shortcut_spark.operators.joins import asof_max
+
+    L = spark.createDataFrame(
+        [(1, 100), (2, None), (None, 300)], "k long, ts long"
+    )
+    R = spark.createDataFrame(
+        [(1, 90), (None, 280), (2, None)], "k long, ts long"
+    )
+    got = {
+        (str(r["k"])): r["asof_value"]
+        for r in asof_max(L, R, "k", "k", "ts", "ts").collect()
+    }
+    assert got == {"1": 90, "2": None, "None": None}
+    # fuzzy_join short-string recall dial: at the default suffix_len the
+    # whole 5-char string is both blocks, so the single-typo pair is
+    # missed; suffix_len=3 restores the two-ended blocking property
+    from shortcut_spark.operators.joins import fuzzy_join
+
+    Ln = spark.createDataFrame([("alpha", 1)], "name_a string, id_a long")
+    Rn = spark.createDataFrame([("alpho", 2)], "name_b string, id_b long")
+    assert fuzzy_join(Ln, Rn, "name_a", "name_b", 2).count() == 0  # the cliff
+    assert fuzzy_join(Ln, Rn, "name_a", "name_b", 2, suffix_len=3).count() == 1
