@@ -6138,7 +6138,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN nrm na ON na.label = ga
             JOIN nrm nb ON nb.label = gb
             JOIN cnt ca ON ca.label = ga
-            JOIN cnt cb ON cb.label = gb""",
+            JOIN cnt cb ON cb.label = gb
+            -- zero-norm centroids are defined out of the matrix on both
+            -- engines (Spark: try_divide -> NULL, filtered; here: skip the
+            -- 0/0 -> NaN rows) so the hash-exact claim survives corpora
+            -- with a degenerate group
+            WHERE na.nrm > 0 AND nb.nrm > 0""",
         "orc_roundtrip_lineitem": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(count(*) AS BIGINT) AS n,
@@ -7678,7 +7683,16 @@ def oracle_sql() -> dict[str, str]:
             -- estimates derive from the data (rows/ndv, the reference cost
             -- model src/idx.rs:71-78) so the oracle is sf-independent: a
             -- literal VALUES table froze the sf0.01 numbers and mismatched
-            -- at any other scale factor
+            -- at any other scale factor.
+            -- TWO ASSUMPTIONS scope this pattern to THIS fixture — do not
+            -- copy it onto other columns/stores blindly:
+            --  (1) the engine's ndv is a DataSketches HLL estimate, exact
+            --      only at small cardinality (l_returnflag=3, l_quantity
+            --      ~50); a high-ndv column (>~thousands) drifts from
+            --      count(DISTINCT) and the hash breaks;
+            --  (2) spec.rows is manifest.total_rows, which counts deferred-
+            --      delete tombstones; the store here is freshly built with
+            --      no tombstone debt, so it equals the oracle's count(*).
             WITH s AS (
               SELECT CAST(count(*) AS DOUBLE) AS n,
                      CAST(count(DISTINCT l_returnflag) AS DOUBLE) AS ndv_rf,

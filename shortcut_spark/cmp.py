@@ -176,6 +176,13 @@ class Condition:
         convention) instead of a lazy Spark AnalysisException at action
         time — conditions are built far from where they execute, so the
         error should name the bad column at build/compile, not mid-job.
+
+        Name matching is EXACT (case-sensitive) by the Store convention —
+        every schema surface (``Store.index``, ``stats_agg``, constraint
+        columns) resolves names verbatim, even though a lazily-compiled
+        Spark plan would have accepted a case-insensitive name under the
+        default ``spark.sql.caseSensitive=false``. Build conditions with
+        the exact column spelling from ``Store.colnames``.
         """
         if isinstance(self.column, int):
             return colnames[self.column]
@@ -187,9 +194,9 @@ class Condition:
         v = self.cmp.value
         assert v is not None
         if v.is_column:
+            # named operands were validated by to_column (sole caller)
+            # before any Column was built; positional ones index-slice here
             other = colnames[v.payload] if isinstance(v.payload, int) else v.payload
-            if other not in colnames:
-                raise ValueError(f"no such column {other!r}")
             return F.col(other)
         return F.lit(v.payload)
 
@@ -208,8 +215,11 @@ class Condition:
             and not isinstance(v.payload, int)
             and v.payload not in colnames
         ):
-            # validate the operand before building any Column so the error
-            # does not depend on an active Spark session
+            # validate the operand BEFORE building any Column: F.col needs
+            # an active SparkContext, and this error must not — conditions
+            # compile (and fail) far from where they execute. The single
+            # copy of this check lives here; _operand (only reachable
+            # through this method) assumes it already ran.
             raise ValueError(f"no such column {v.payload!r}")
         c = F.col(name)
         if self.cmp.op == "eq":

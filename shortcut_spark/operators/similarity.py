@@ -1436,7 +1436,12 @@ def centroid_similarity(
 
     dot and norms are exact integers; the final √/÷ run on exactly-known
     values in one fixed expression order, so the result is bit-stable
-    across engines and the DuckDB twin certifies it hash-exact.
+    across engines and the DuckDB twin certifies it hash-exact. Pairs
+    involving a ZERO-NORM group centroid (all per-dim sums quantize to 0)
+    are excluded from the matrix — a directionless centroid has no cosine
+    (NULL under try_divide here, IEEE NaN under DuckDB's 0/0), and
+    excluding them on both sides is what keeps the hash-exact claim true
+    on such corpora.
 
     Scale shape: the N·D element table collapses to |groups|·D per-dim
     sums in ONE shuffle; the pair matrix is a self-join of that tiny
@@ -1486,6 +1491,12 @@ def centroid_similarity(
                 * F.sqrt(F.col("__nb").cast("double")),
             ).alias("cosine"),
         )
+        # a zero-norm group centroid has no direction: try_divide yields
+        # NULL and the pair is DEFINED OUT of the matrix (same contract as
+        # topk_cosine/cosine_join) — also what keeps the hash-exact claim
+        # honest, since DuckDB's IEEE 0/0 would be NaN, not NULL (the twin
+        # filters nrm > 0 to match)
+        .filter(F.col("cosine").isNotNull())
     )
 
 
