@@ -3333,13 +3333,43 @@ def q_fuzzy_join_names(spark, sf_dir):
     customer and supplier names matched within Levenshtein 5, candidates
     from multi-pass blocking (lowercased 6-char PREFIX block ∪ SUFFIX
     block — a typo in either end still pairs) so distances are computed
-    only within blocks — never all-pairs."""
+    only within blocks — never all-pairs. suffix_len pinned to the
+    legacy 6 matching the twin's inlined blocking predicate (the name
+    columns here are 18+ chars, far from the cliff); since r10 the
+    UNSIZED library default auto-sizes from the length distribution —
+    `fuzzy_join_short` certifies that path."""
     from shortcut_spark.operators.joins import fuzzy_join
 
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return fuzzy_join(cust, supp, "c_name", "s_name", max_distance=5).select(
-        "c_custkey", "s_suppkey", "lev_dist"
+    return fuzzy_join(
+        cust, supp, "c_name", "s_name", max_distance=5, suffix_len=6
+    ).select("c_custkey", "s_suppkey", "lev_dist")
+
+
+def q_fuzzy_join_short(spark, sf_dir):
+    """The r9 weak-mark regression query: fuzzy_join's UNSIZED default on
+    SHORT strings — the operator's namesake record-linkage workload. Left
+    is nation names (4-14 chars); right is each name with its first char
+    dropped (one deletion = Levenshtein 1 — the adversarial single-typo
+    input for prefix/suffix blocking). The old fixed suffix_len=6 made
+    both blocks the whole string for every name ≤6 chars, so IRAN↔RAN,
+    IRAQ↔RAQ, PERU↔ERU silently vanished; the auto-sized default derives
+    suffix_len=3 from the length histogram (exact integer P5 − 1,
+    floor 3) and every pair survives. HASH-CERTIFIED: the twin derives
+    the SAME value with the same integer arithmetic (20·cum ≥ N over the
+    length histogram) and inlines it into the blocking predicate — the
+    sizing rule itself is certified, not just one frozen literal."""
+    from shortcut_spark.operators.joins import fuzzy_join
+
+    nat = _t(spark, sf_dir, "nation")
+    left = nat.select(F.col("n_nationkey").alias("l_key"), F.col("n_name").alias("l_name"))
+    right = nat.select(
+        F.col("n_nationkey").alias("r_key"),
+        F.expr("substring(n_name, 2)").alias("r_name"),
+    )
+    return fuzzy_join(left, right, "l_name", "r_name", max_distance=2).select(
+        "l_key", "r_key", "lev_dist"
     )
 
 
@@ -4158,6 +4188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_funnel_topk": q_embed_funnel_topk,
         "embed_topk_int8": q_embed_topk_int8,
         "fuzzy_join_names": q_fuzzy_join_names,
+        "fuzzy_join_short": q_fuzzy_join_short,
         "stats_sketch_bounds": q_stats_sketch_bounds,
         "events_cms_counts": q_events_cms_counts,
         "corpus_clean_report": q_corpus_clean_report,
@@ -7976,6 +8007,37 @@ def oracle_sql() -> dict[str, str]:
               ON lower(substr(c_name, 1, 6)) = lower(substr(s_name, 1, 6))
               OR lower(substr(c_name, -6)) = lower(substr(s_name, -6))
             WHERE levenshtein(c_name, s_name) <= 5""",
+        "fuzzy_join_short": """
+            -- derives the blocking length exactly like _auto_suffix_len:
+            -- exact integer P5 of the length histogram over both sides
+            -- (smallest len with 20*cum >= N), minus 1, clamped to [3,6]
+            WITH l AS (
+              SELECT n_nationkey AS l_key, n_name AS l_name FROM nation
+            ), r AS (
+              SELECT n_nationkey AS r_key, substr(n_name, 2) AS r_name
+              FROM nation
+            ), lens AS (
+              SELECT length(l_name) AS len FROM l WHERE length(l_name) >= 1
+              UNION ALL
+              SELECT length(r_name) AS len FROM r WHERE length(r_name) >= 1
+            ), h AS (
+              SELECT len, count(*) AS cnt FROM lens GROUP BY len
+            ), c AS (
+              SELECT len, SUM(cnt) OVER (ORDER BY len) AS cum,
+                     (SELECT SUM(cnt) FROM h) AS tot
+              FROM h
+            ), s AS (
+              SELECT LEAST(6, GREATEST(3, MIN(len) - 1)) AS sl
+              FROM c WHERE 20 * cum >= tot
+            )
+            SELECT l_key, r_key,
+                   CAST(levenshtein(l_name, r_name) AS BIGINT) AS lev_dist
+            FROM l JOIN r
+              ON lower(substr(l_name, 1, (SELECT sl FROM s)))
+                   = lower(substr(r_name, 1, (SELECT sl FROM s)))
+              OR lower(substr(l_name, -(SELECT sl FROM s)))
+                   = lower(substr(r_name, -(SELECT sl FROM s)))
+            WHERE levenshtein(l_name, r_name) <= 2""",
         "embed_dup_clusters": """
             WITH RECURSIVE e AS (
               SELECT vec_id, unnest(embedding) AS v,

@@ -240,6 +240,62 @@ def range_pairs_within(
     )
 
 
+# _auto_suffix_len results memoized per (left plan, right plan, columns):
+# the sizing histogram is one tiny job per distinct input pair, not per call
+_SUFFIX_CACHE: dict[tuple, int] = {}
+_SUFFIX_CACHE_MAX = 256
+
+
+def _auto_suffix_len(
+    left: DataFrame, right: DataFrame, left_col: str, right_col: str
+) -> int:
+    """Derive the blocking-key length from the DATA (the ``lsh_params_for``
+    precedent: auto-size from measurement, pin literals in certified
+    queries): take the exact P5 of the observed string lengths over BOTH
+    sides and sit the block length one char BELOW it, clamped to [3, 6] —
+    so ≥95% of strings are strictly longer than the block and never hit
+    the short-string cliff (a string ≤ block length has prefix block =
+    suffix block = the whole string, and one typo anywhere hides the
+    pair).
+
+    P5 is computed from a length histogram (one tiny job: ≤ a few hundred
+    distinct lengths regardless of row count) with pure integer
+    arithmetic — smallest length L whose cumulative count satisfies
+    20·cum ≥ N — so an oracle twin can reproduce the derived value
+    exactly on any engine. NULL and empty strings are excluded (they
+    cannot pair with anything at positive edit distance anyway)."""
+    try:
+        key = (left.semanticHash(), right.semanticHash(), left_col, right_col)
+    except Exception:
+        key = None
+    if key is not None and key in _SUFFIX_CACHE:
+        return _SUFFIX_CACHE[key]
+    lens = (
+        left.select(F.length(F.col(left_col)).alias("l"))
+        .unionAll(right.select(F.length(F.col(right_col)).alias("l")))
+        .filter(F.col("l") >= 1)
+        .groupBy("l")
+        .count()
+        .collect()
+    )
+    if not lens:
+        return 6
+    total = sum(r["count"] for r in lens)
+    cum = 0
+    p5 = max(r["l"] for r in lens)
+    for r in sorted(lens, key=lambda r: r["l"]):
+        cum += r["count"]
+        if 20 * cum >= total:
+            p5 = r["l"]
+            break
+    n = min(6, max(3, p5 - 1))
+    if key is not None:
+        if len(_SUFFIX_CACHE) >= _SUFFIX_CACHE_MAX:
+            _SUFFIX_CACHE.clear()
+        _SUFFIX_CACHE[key] = n
+    return n
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -247,7 +303,7 @@ def fuzzy_join(
     right_col: str,
     max_distance: int = 2,
     block=None,
-    suffix_len: int = 6,
+    suffix_len: int | None = None,
 ) -> DataFrame:
     """Blocked fuzzy string join — the record-linkage / entity-resolution
     primitive: candidate pairs come from a cheap BLOCKING key (equality
@@ -271,9 +327,15 @@ def fuzzy_join(
     SHORT-STRING CLIFF: for strings no longer than ``suffix_len`` the
     prefix block and the suffix block are both the WHOLE string, so a
     single typo anywhere corrupts both blocks and the pair is missed
-    entirely. Size ``suffix_len`` below your shortest matchable string
-    (e.g. 3 for person-name corpora) — smaller blocks trade more
-    candidate pairs for recall, the standard ER dial.
+    entirely. The DEFAULT (``suffix_len=None``) therefore auto-sizes
+    from the data: one char below the exact P5 of the observed length
+    distribution over both sides, clamped to [3, 6] (see
+    :func:`_auto_suffix_len`) — short person-name corpora derive 3, long
+    document-title corpora keep 6. Pin ``suffix_len`` explicitly to
+    reproduce a fixed blocking (certified queries pin their literal so
+    the SQL twin's blocking predicate matches); strings at or below the
+    floor of 3 still cliff, the documented residual. Smaller blocks
+    trade more candidate pairs for recall, the standard ER dial.
 
     Output: all left + right columns (pre-alias any collisions) plus
     ``lev_dist``. Levenshtein is exact and engine-portable (same values
@@ -289,6 +351,8 @@ def fuzzy_join(
         r = right.withColumn("__blk", block(F.col(right_col)))
         return verify(l.join(r, "__blk")).drop("__blk")
 
+    if suffix_len is None:
+        suffix_len = _auto_suffix_len(left, right, left_col, right_col)
     pre = lambda c: F.lower(F.substring(c, 1, suffix_len))
     suf = lambda c: F.lower(F.substring(c, -suffix_len, suffix_len))
     la = (

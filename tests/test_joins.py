@@ -214,3 +214,43 @@ def test_interval_overlap_pairs_grid_invisible(spark):
     assert got == brute
     assert got[(3, 4)] == 0  # touching endpoints
     assert (1, 5) not in got and (4, 5) not in got
+
+
+def test_fuzzy_join_autosized_default_pairs_short_names(spark):
+    """The r9 weak mark, pinned fixed: one-typo 4-char names must pair
+    under the DEFAULT call. The auto default derives the block length
+    from the exact P5 of the length histogram (minus 1, clamp [3, 6]),
+    so a short-name corpus gets 3-char blocks and a single substitution
+    anywhere leaves at least one end's block intact. Long corpora still
+    derive the legacy 6 (clamp ceiling), and strings at the floor of 3
+    keep the documented residual cliff."""
+    from shortcut_spark.operators.joins import _auto_suffix_len, fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "IRAN"), (2, "IRAQ"), (3, "PERU"), (4, "CUBA")],
+        "lid long, lname string",
+    )
+    right = spark.createDataFrame(
+        [(10, "IRAM"), (20, "IRAK"), (30, "PERV"), (40, "KUBA")],
+        "rid long, rname string",
+    )
+    # all lengths are 4 -> P5 = 4 -> suffix_len = 3
+    assert _auto_suffix_len(left, right, "lname", "rname") == 3
+    out = {
+        (r["lid"], r["rid"])
+        for r in fuzzy_join(left, right, "lname", "rname", 1).collect()
+    }
+    # last-char typos pair via the prefix block, first-char via the suffix
+    assert {(1, 10), (2, 20), (3, 30), (4, 40)} <= out
+    # the legacy fixed 6 silently loses every one of these pairs
+    assert (
+        fuzzy_join(left, right, "lname", "rname", 1, suffix_len=6)
+        .filter(F.col("lid") * 10 == F.col("rid"))
+        .count()
+        == 0
+    )
+    # long-string corpus: the clamp ceiling keeps the legacy 6
+    ll = spark.createDataFrame(
+        [(i, f"Customer#{i:09d}") for i in range(40)], "lid long, lname string"
+    )
+    assert _auto_suffix_len(ll, ll, "lname", "lname") == 6

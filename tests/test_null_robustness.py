@@ -226,12 +226,14 @@ def test_asof_null_keys_never_match(spark):
         for r in asof_max(L, R, "k", "k", "ts", "ts").collect()
     }
     assert got == {"1": 90, "2": None, "None": None}
-    # fuzzy_join short-string recall dial: at the default suffix_len the
-    # whole 5-char string is both blocks, so the single-typo pair is
-    # missed; suffix_len=3 restores the two-ended blocking property
+    # fuzzy_join short-string recall: the r10 auto-sized default derives
+    # the block length from the data (P5 of lengths − 1, clamp [3,6]), so
+    # the single-typo 5-char pair now survives the default call; pinning
+    # the legacy 6 reproduces the documented cliff (both blocks = whole
+    # string, one typo hides the pair)
     from shortcut_spark.operators.joins import fuzzy_join
 
     Ln = spark.createDataFrame([("alpha", 1)], "name_a string, id_a long")
     Rn = spark.createDataFrame([("alpho", 2)], "name_b string, id_b long")
-    assert fuzzy_join(Ln, Rn, "name_a", "name_b", 2).count() == 0  # the cliff
-    assert fuzzy_join(Ln, Rn, "name_a", "name_b", 2, suffix_len=3).count() == 1
+    assert fuzzy_join(Ln, Rn, "name_a", "name_b", 2).count() == 1  # auto-sized
+    assert fuzzy_join(Ln, Rn, "name_a", "name_b", 2, suffix_len=6).count() == 0
