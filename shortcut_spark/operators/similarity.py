@@ -205,10 +205,17 @@ _COUNT_CACHE_MAX = 256
 
 
 def _corpus_count(df: DataFrame) -> int:
-    """Row count with a per-plan memo. ``semanticHash`` keys logically
-    identical plans (same parquet snapshot + projection) to one entry; on
-    any hashing failure we just count — correctness never depends on the
+    """Row count with a per-plan memo. A full Store scan
+    (``Store.find([])``) carries its exact manifest live-row count on the
+    DataFrame object (``_shortcut_live_rows``) — ZERO jobs, the 100 TB
+    path: the manifest already knows the corpus size, so sizing never
+    reads the corpus. Otherwise ``semanticHash`` keys logically identical
+    plans (same parquet snapshot + projection) to one memo entry; on any
+    hashing failure we just count — correctness never depends on the
     cache, only the number of counting jobs does."""
+    manifest_n = getattr(df, "_shortcut_live_rows", None)
+    if manifest_n is not None:
+        return int(manifest_n)
     try:
         key = df.semanticHash()
     except Exception:

@@ -1705,13 +1705,32 @@ class Store:
         return pmap
 
     def find(self, conds: Sequence[Condition] = (), with_rowid: bool = False) -> DataFrame:
-        """Lazy filtered scan; empty ``conds`` = full scan (``src/lib.rs:255``)."""
+        """Lazy filtered scan; empty ``conds`` = full scan (``src/lib.rs:255``).
+
+        A full scan carries its EXACT row count out-of-band
+        (``_shortcut_live_rows``, from ``manifest.live_rows`` — the
+        tombstone-corrected live total the manifest maintains at commit
+        time): auto-sizing consumers (``similarity._corpus_count``, the
+        LSH/IVF parameter derivation) read it instead of launching a
+        counting job, so sizing an unsized ANN call against a Store
+        corpus costs ZERO jobs — at the 100 TB design point a sizing
+        ``count()`` would read the whole corpus once just to pick
+        parameters (the ``stats_agg`` zero-job precedent). The attribute
+        rides only the DataFrame object ``find`` returns; any projection
+        or filter on top drops it, and consumers fall back to a counted
+        (memoized) scan."""
         conds = list(conds)
         _, files = self._prune_files(conds)
         if not files:
-            return self._empty(with_rowid)
+            out = self._empty(with_rowid)
+            if not conds:
+                out._shortcut_live_rows = 0
+            return out
         df = self._read_files(files).filter(conjunction(conds, self.colnames))
-        return df if with_rowid else df.drop(ROWID)
+        out = df if with_rowid else df.drop(ROWID)
+        if not conds:
+            out._shortcut_live_rows = int(self.manifest.live_rows)
+        return out
 
     def find_or(
         self, cond_lists: Sequence[Sequence[Condition]], with_rowid: bool = False
