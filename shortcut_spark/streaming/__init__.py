@@ -711,6 +711,7 @@ def stream_into_store(
     options: dict | None = None,
     merge_on: int | str | None = None,
     vector_index=None,
+    vector_index_refresh_every: int = 1,
 ) -> int:
     """Continuous ingestion: a file stream lands in a Store via
     ``foreachBatch`` — each micro-batch becomes one Store commit (dense
@@ -751,7 +752,18 @@ def stream_into_store(
     exactly the batch, Lloyd never re-runs). A replayed epoch skips the
     insert and the refresh no-ops on the unchanged base version, and
     refresh itself is replay-idempotent (inserts are removed-then-added)
-    — effectively-once extends to the index like it does to the view."""
+    — effectively-once extends to the index like it does to the view.
+
+    ``vector_index_refresh_every``: refresh the index every Nth committed
+    micro-batch instead of every one (default 1). Each refresh pays a
+    fixed commit floor (two Store commits: rows merge + meta) regardless
+    of delta size — measured, that floor dominates per-trigger cost at
+    small batch sizes (docs/SCALE.md r10) — so a high-frequency stream
+    can amortize it N× at the price of the index trailing by up to N
+    deltas. Replay-safe at any N: refresh consumes the corpus CDC delta
+    since its own source_version, so skipped epochs are simply folded
+    into the next refresh, and a final catch-up refresh runs when the
+    stream drains — the index never ENDS behind the store."""
     import os
 
     from pyspark.sql import types as T
@@ -773,6 +785,8 @@ def stream_into_store(
     last_epoch = int(store.manifest.props.get("stream_epoch", -1))
 
     ingested = [0]
+    commits = [0]
+    every = max(1, int(vector_index_refresh_every))
 
     def sink(batch_df: DataFrame, epoch: int) -> None:
         if epoch <= last_epoch:
@@ -789,8 +803,11 @@ def stream_into_store(
             ingested[0] += store.insert(batch_df)
         if matview is not None:
             matview.refresh()  # exactly this batch's CDC delta
-        if vector_index is not None:
-            vector_index.refresh(store)  # same delta, same no-op on replay
+        commits[0] += 1
+        if vector_index is not None and commits[0] % every == 0:
+            # the CDC delta since the index's own source_version — folds
+            # any epochs skipped by the cadence; same no-op on replay
+            vector_index.refresh(store)
 
     q = (
         stream.writeStream.foreachBatch(sink)
@@ -801,6 +818,9 @@ def stream_into_store(
         q.processAllAvailable()
     finally:
         q.stop()
+    if vector_index is not None and commits[0] % every != 0:
+        # catch-up: the index never ends behind the drained stream
+        vector_index.refresh(store)
     return ingested[0]
 
 

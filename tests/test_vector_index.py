@@ -372,3 +372,58 @@ def test_open_and_refresh_reattach_standing_route(spark, emb, tmp_path, monkeypa
     ix.refresh(st)
     monkeypatch.setattr(similarity, "ivf_fit", boom)
     assert len(similarity.ivf_topk(st.find([]), q, 5).collect()) == 5
+
+
+def test_stream_refresh_every_n_epochs(spark, emb, tmp_path):
+    """The r10 cadence knob: vector_index_refresh_every=N refreshes the
+    index on every Nth committed micro-batch (each refresh folds all
+    epochs since the last one — CDC delta since source_version), and a
+    final catch-up refresh runs at drain so the index never ends behind
+    the store. Refresh count is observed via a wrapper."""
+    from pyspark.sql import types as T
+
+    from shortcut_spark import streaming as stream_ops
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    st = Store.create(spark, str(tmp_path / "corpus"), schema)
+    st.insert(
+        emb.filter(F.col("vec_id") < 300).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    ix = VectorIndex.create(
+        spark, str(tmp_path / "vx"), st.find([]),
+        n_clusters=8, iters=1, source_version=st.manifest.version,
+    )
+
+    calls = []
+    real_refresh = ix.refresh
+
+    class Wrapped:
+        def refresh(self, store):
+            calls.append(store.manifest.version)
+            return real_refresh(store)
+
+    # three-trigger stream: 300..329, 330..359, 360..389
+    src = str(tmp_path / "stream_src")
+    for lo in (300, 330, 360):
+        emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 30)).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    n = stream_ops.stream_into_store(
+        spark, src, st, vector_index=Wrapped(),
+        vector_index_refresh_every=2,
+        options={"maxFilesPerTrigger": "1"},
+    )
+    assert n == 90
+    # 3 commits at cadence 2 -> one in-stream refresh (epoch 2) + the
+    # drain catch-up = 2 refreshes, not 3
+    assert len(calls) == 2
+    assert ix.rows.find([]).count() == 390
+    assert ix.meta["source_version"] == st.manifest.version
