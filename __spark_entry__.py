@@ -2055,7 +2055,9 @@ def q_embed_cross_source(spark, sf_dir):
 def q_embed_cosine_ivf(spark, sf_dir):
     """Centroid-blocked cosine near-dup pairs (`similarity.cosine_join_ivf`)
     — the MODERATE-threshold scale tier: candidates are pairs sharing one
-    of each vector's 3 nearest IVF cells (soft assignment), reusing the
+    of each vector's 4 nearest IVF cells (soft assignment; the unsized
+    default resolves m by threshold regime since r10 — 4 below cos 0.7,
+    where this 0.4-threshold query sits), reusing the
     same standing IVF index as `embed_ivf_topk`. Beats sign-LSH banding
     where thresholds sit below the near-dup regime (measured 0.84 vs 0.53
     recall at cos≥0.4 on this fixture). Approximate by design → rows-only

@@ -637,7 +637,7 @@ def cosine_join_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_clusters: int | None = None,
-    m_assign: int = 4,
+    m_assign: int | None = None,
     iters: int = 2,
     exact_score: bool = False,
     fitted: tuple[DataFrame, DataFrame] | None = None,
@@ -665,11 +665,24 @@ def cosine_join_ivf(
     for any blocking scheme — pairs sit at 3σ of the random-cosine
     distribution, barely separated from noise): m_assign 2/3/4 →
     recall 0.60/0.84/0.95 at 24/49/72% of all-pairs candidates —
-    m_assign 4 is the default since r6 (the LSH tier's multi-probe took
-    it to 0.95; the IVF tier should not trail its sibling). The
-    candidate FRACTION is a small-corpus artifact (16 cells over 2k
-    vectors); at fixed cell size the count is linear in N.
+    m_assign 4 at moderate thresholds since r6 (the LSH tier's
+    multi-probe took it to 0.95; the IVF tier should not trail its
+    sibling). The candidate FRACTION is a small-corpus artifact (16
+    cells over 2k vectors); at fixed cell size the count is linear in N.
+
+    ``m_assign=None`` (default since r10) resolves by the SAME threshold
+    regime rule as the LSH tier's multiprobe: 4 below cos 0.7 (the
+    moderate-threshold straddle case the soft assignment exists for),
+    2 at ≥ 0.7 — near-identical pairs all but share their primary cell,
+    and m² rides the candidate constant (the r10 split probe measured
+    the 10× join wall living in the soft-soft cell self-join:
+    N·m²·target_cell/2 candidates — 61.8M at m=4/50k vecs — while the
+    fit was 13 s of the 85 s total; see docs/SCALE.md r10 table for the
+    measured recall/wall by m at both regimes). Pin m_assign to
+    reproduce a fixed blocking.
     """
+    if m_assign is None:
+        m_assign = 4 if threshold < 0.7 else 2
     # n_clusters=None → ivf_params_for sizing inside ivf_fit (cell size
     # stays constant as N grows); irrelevant when a fitted index is passed.
     # Fully-unsized calls first probe for a standing durable VectorIndex

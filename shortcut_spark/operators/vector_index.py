@@ -354,9 +354,11 @@ class VectorIndex:
         return similarity.topk_cosine(cand, query, k, idc, vc)
 
     def join(
-        self, emb: DataFrame, threshold: float, m_assign: int = 4
+        self, emb: DataFrame, threshold: float, m_assign: int | None = None
     ) -> DataFrame:
-        """Centroid-blocked near-dup join against the standing index."""
+        """Centroid-blocked near-dup join against the standing index.
+        ``m_assign=None`` resolves by the threshold regime (4 below
+        cos 0.7, 2 above — see ``cosine_join_ivf``)."""
         return similarity.cosine_join_ivf(
             emb,
             threshold,

@@ -4262,3 +4262,25 @@ def test_store_scan_sizing_is_zero_jobs(spark, tmp_path):
     proj = st.find([]).select("vec_id", "embedding")
     assert getattr(proj, "_shortcut_live_rows", None) is None
     assert similarity._corpus_count(proj) == n - 10
+
+
+def test_cosine_join_ivf_threshold_regime_default(spark, emb):
+    """r10: the unsized m_assign resolves by threshold regime like the
+    LSH tier's multiprobe — 4 below cos 0.7 (moderate-threshold straddle
+    regime), 2 at >= 0.7 (near-identical pairs share their primary cell;
+    m^2 rides the candidate constant — measured 63.0 -> 14.6 s at 10x
+    for recall 1.000 -> 0.993, docs/SCALE.md r10). Pinned byte-identical
+    to the explicit m."""
+    fitted = similarity.ivf_fit(emb, "vec_id", "embedding", 8, 1)
+    for thr, want_m in ((0.8, 2), (0.4, 4)):
+        auto = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.cosine_join_ivf(emb, thr, fitted=fitted).collect()
+        }
+        pinned = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.cosine_join_ivf(
+                emb, thr, m_assign=want_m, fitted=fitted
+            ).collect()
+        }
+        assert auto == pinned
