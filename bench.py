@@ -102,6 +102,10 @@ HEADLINE = [
     ("text_repetition", "count"),
     ("corpus_shuffle", "count"),
     ("fuzzy_join_names", "count"),
+    # r10: the auto-sized blocking default on its namesake short-string
+    # workload (the exact-twin certification queries stay out of the
+    # headline per the exact-tiers-are-oracle-machinery policy)
+    ("fuzzy_join_short", "count"),
     # the ANN scale tier, benched WITH recall (detail.ann_recall): the
     # exact decimal tiers (embed_topk / embed_cosine_pairs /
     # embed_dup_clusters) exist for oracle verification; these LSH/IVF

@@ -720,6 +720,7 @@ def probe_store_plane(spark, rows):
     # -- merge / CDC / replication at 1x/10x delta --------------------
     for scale, delta_n in (("1x", 2_000), ("10x", 20_000)):
         stm = Store.create(spark, f"{root}/merge{scale}", schema)
+        v_create = stm.manifest.version
         stm.insert(spark.range(200_000).select(F.col("id").alias("k")))
         v0 = stm.manifest.version
         delta = spark.range(delta_n).select((F.col("id") * 7).alias("k"))
@@ -736,7 +737,7 @@ def probe_store_plane(spark, rows):
             )
         )
         fol = Store.create(spark, f"{root}/fol{scale}", schema)
-        fol.apply_changes(stm.changes(0))  # bootstrap
+        fol.apply_changes(stm.changes(v_create))  # bootstrap
         stm.insert(spark.range(delta_n).select((F.col("id") + 1_000_000).alias("k")))
         v1 = stm.manifest.version - 1
         rows.append(
