@@ -615,6 +615,64 @@ def probe_stream_vx(spark, rows):
             shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_fuzzy(spark, rows):
+    """r10: fuzzy_join's candidate economy, measured honestly. Character
+    blocking's key space is alphabet^suffix_len — FIXED, it does not
+    grow with N (unlike LSH planes), so candidates are ~N²/keyspace and
+    the operator is quadratic at scale with a constant set by the
+    suffix_len dial. The auto-sizing (P5−1, clamp [3,6]) picks the
+    LARGEST cliff-safe key space; this probe measures what the recall
+    floor costs: a short-name corpus (4–6 char md5-hex names, planted
+    one-deletion typo pairs every 10th row) at 1×/10× under the auto
+    default (derives 3) vs the legacy 6 (fast but blind to every
+    planted pair)."""
+    from shortcut_spark.operators.joins import _auto_suffix_len, fuzzy_join
+
+    for scale, n in (("1x", 20_000), ("10x", 200_000)):
+        # names: 4-6 hex chars, deterministic; right side drops the first
+        # char of every 10th name (a Levenshtein-1 planted pair)
+        ln = (F.pmod(F.xxhash64(F.col("id")), F.lit(3)) + 4).cast("int")
+        left = spark.range(n).select(
+            F.col("id").alias("lid"),
+            F.substring(F.md5(F.col("id").cast("string")), 1, ln).alias("lname"),
+        ).localCheckpoint(eager=True)
+        right = left.select(
+            F.col("lid").alias("rid"),
+            F.when(
+                F.col("lid") % 10 == 0, F.expr("substring(lname, 2)")
+            ).otherwise(F.col("lname")).alias("rname"),
+        ).localCheckpoint(eager=True)
+        auto = _auto_suffix_len(left, right, "lname", "rname")
+        planted = n // 10
+        for label, kw in (
+            (f"fuzzy_join AUTO suffix_len={auto} ({scale}, {n} names)", {}),
+            (f"fuzzy_join legacy suffix_len=6 ({scale}, {n} names)",
+             {"suffix_len": 6}),
+        ):
+            t0 = time.time()
+            agg = (
+                fuzzy_join(left, right, "lname", "rname", 1, **kw)
+                .agg(
+                    F.count(F.lit(1)).alias("pairs"),
+                    F.sum(
+                        F.when(
+                            (F.col("lid") == F.col("rid"))
+                            & (F.col("lid") % 10 == 0),
+                            1,
+                        ).otherwise(0)
+                    ).alias("hit"),
+                )
+                .first()
+            )
+            dt = time.time() - t0
+            res = (
+                f"planted recall {(agg['hit'] or 0) / planted:.3f}, "
+                f"{agg['pairs']} pairs"
+            )
+            print(f"  {label}: {dt:.1f}s {res}", flush=True)
+            rows.append((label, dt, res))
+
+
 def probe_store_plane(spark, rows):
     """r10 (judge ask #6): the Store plane itself, measured with planted
     truth — the last family whose scale claims were argued from shape:
@@ -788,6 +846,16 @@ def main():
         spark.range(10).count()
         rows = []
         probe_stream_vx(spark, rows)
+        print("\n| probe | wall (s) | result |")
+        print("|---|---|---|")
+        for label, dt, nn in rows:
+            print(f"| {label} | {dt:.1f} | {nn} |")
+        return
+    if "--fuzzy" in sys.argv:
+        spark = get_spark("scale-probe-fuzzy")
+        spark.range(10).count()
+        rows = []
+        probe_fuzzy(spark, rows)
         print("\n| probe | wall (s) | result |")
         print("|---|---|---|")
         for label, dt, nn in rows:
