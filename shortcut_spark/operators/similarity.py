@@ -27,6 +27,7 @@ from ..functions import cosine_exact, ensure_parallelism, vec_norm_sq_exact
 __all__ = [
     "topk_cosine",
     "knn_join",
+    "knn_join_ivf",
     "hyperplane_buckets",
     "lsh_params_for",
     "ivf_params_for",
@@ -847,6 +848,89 @@ def ivf_topk(
         .join(emb.select(id_col, vec_col), id_col)
     )
     return topk_cosine(cand, query, k, id_col, vec_col)
+
+
+def knn_join_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qvec",
+    n_clusters: int | None = None,
+    iters: int = 2,
+    fitted: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Batch ANN retrieval — :func:`knn_join` through an IVF index: each
+    query ranks the centroids, probes only its ``nprobe`` nearest cells'
+    members, and exact-scores just those candidates. The production
+    retrieval shape at 100 TB: per-query work is nprobe·cell_size
+    candidates (constant under ``ivf_params_for`` sizing) instead of the
+    exact tier's full corpus scan per query.
+
+    Plan shape: queries × centroids is a broadcast cross join of two
+    small relations (Q·k_cells rows); the per-query cell ranking windows
+    on q_id over that tiny frame; candidates come from ONE equi-join of
+    the probed (q_id, cluster) pairs against the assignment table
+    (map-side prunable), and vectors attach only for candidates. The
+    final top-k windows on q_id over Q·nprobe·cell rows — bounded, so no
+    two-phase reduction is needed (the exact tier needs one because its
+    scored set is Q·N). Scored with the exact-decimal cosine: with
+    ``nprobe`` = all cells the row set EQUALS the exact :func:`knn_join`
+    and is oracle-certifiable (the exhaustive-probe certification
+    pattern); smaller nprobe trades recall, pinned in pytest.
+
+    A fully-unsized call (neither ``fitted`` nor ``n_clusters``) routes
+    through a standing durable ``VectorIndex`` attached to the corpus
+    plan, like ``ivf_topk``. Output: (q_id, id, cosine, rank 1..k).
+    """
+    from pyspark.sql import Window as W
+
+    if fitted is None and n_clusters is None:
+        fitted = _standing_fitted(emb, id_col, vec_col)
+    assigned, centroids = fitted or ivf_fit(emb, id_col, vec_col, n_clusters, iters)
+    qdist = F.aggregate(
+        F.zip_with(
+            F.col(q_vec_col),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y.cast("double")) ** 2,
+        ),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    probe = (
+        queries.select(q_id_col, q_vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .select(F.col(q_id_col), F.col("cluster"), qdist.alias("__d"))
+        .withColumn(
+            "__r", F.row_number().over(W.partitionBy(q_id_col).orderBy("__d", "cluster"))
+        )
+        .filter(F.col("__r") <= max(1, nprobe))
+        .select(q_id_col, "cluster")
+    )
+    cand = probe.join(assigned, "cluster").select(q_id_col, id_col)
+    scored = (
+        cand.join(ensure_parallelism(emb.select(id_col, vec_col)), id_col)
+        .join(F.broadcast(queries.select(q_id_col, q_vec_col)), q_id_col)
+        .select(
+            F.col(q_id_col),
+            F.col(id_col),
+            cosine_exact(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", F.col("rank").cast("long").alias("rank"))
+    )
 
 
 def quantize_embeddings(

@@ -368,6 +368,25 @@ class VectorIndex:
             fitted=self.fitted,
         )
 
+    def knn(
+        self, emb: DataFrame, queries: DataFrame, k: int = 5, nprobe: int = 4
+    ) -> DataFrame:
+        """Batch ANN retrieval against the standing index
+        (:func:`similarity.knn_join_ivf` over the persisted fit): each
+        query probes its ``nprobe`` nearest cells' members; ``emb``
+        supplies the float vectors for the exact re-score. With nprobe =
+        all cells the result equals the exact :func:`similarity.knn_join`
+        (the exhaustive-probe certification)."""
+        return similarity.knn_join_ivf(
+            emb,
+            queries,
+            k,
+            nprobe,
+            self.meta["id_col"],
+            self.meta["vec_col"],
+            fitted=self.fitted,
+        )
+
     def pq_topk(self, query: DataFrame, k: int = 10) -> DataFrame:
         """ADC top-k over the persisted codes — never touches a float
         corpus vector (the 100 TB probe: ~3% of float-scan bytes)."""

@@ -427,3 +427,66 @@ def test_stream_refresh_every_n_epochs(spark, emb, tmp_path):
     assert len(calls) == 2
     assert ix.rows.find([]).count() == 390
     assert ix.meta["source_version"] == st.manifest.version
+
+
+def test_knn_join_ivf_all_cells_equals_exact_and_probe_recall(spark, emb):
+    """r10 batch retrieval: knn_join_ivf with nprobe = all cells equals
+    the exact knn_join row-for-row (the exhaustive-probe certification,
+    locally); at the production probe width (nprobe=4 of 16 cells) the
+    per-query candidate set shrinks to probed cells and recall vs exact
+    stays above the pinned floor."""
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    fitted = similarity.ivf_fit(emb, "vec_id", "embedding", 16, 2)
+    exact = {
+        (r["q_id"], r["vec_id"], r["rank"])
+        for r in similarity.knn_join(emb, queries, k=5).collect()
+    }
+    allcells = {
+        (r["q_id"], r["vec_id"], r["rank"])
+        for r in similarity.knn_join_ivf(
+            emb, queries, k=5, nprobe=16, fitted=fitted
+        ).collect()
+    }
+    assert allcells == exact and len(exact) == 50
+    probed = {
+        (r["q_id"], r["vec_id"])
+        for r in similarity.knn_join_ivf(
+            emb, queries, k=5, nprobe=4, fitted=fitted
+        ).collect()
+    }
+    exact_pairs = {(q, v) for q, v, _ in exact}
+    recall = len(probed & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.8, recall
+
+
+def test_vector_index_knn_routes_standing(spark, emb, tmp_path, monkeypatch):
+    """VectorIndex.knn probes the persisted fit (no refit — pinned by a
+    raising monkeypatch) and the fully-unsized knn_join_ivf routes
+    through the attached index like the other unsized IVF calls."""
+    ix = VectorIndex.create(spark, str(tmp_path / "vx"), emb, n_clusters=16, iters=2)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    want = {
+        (r["q_id"], r["vec_id"], r["rank"])
+        for r in similarity.knn_join_ivf(
+            emb, queries, k=3, nprobe=16, fitted=ix.fitted
+        ).collect()
+    }
+
+    def boom(*a, **k):
+        raise AssertionError("knn probe refit")
+
+    monkeypatch.setattr(similarity, "ivf_fit", boom)
+    got = {
+        (r["q_id"], r["vec_id"], r["rank"])
+        for r in ix.knn(emb, queries, k=3, nprobe=16).collect()
+    }
+    assert got == want
+    unsized = {
+        (r["q_id"], r["vec_id"], r["rank"])
+        for r in similarity.knn_join_ivf(emb, queries, k=3, nprobe=16).collect()
+    }
+    assert unsized == want
