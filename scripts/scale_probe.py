@@ -543,6 +543,27 @@ def probe_ivf_unsized(spark, rows):
                 truth,
             )
         )
+        # batch retrieval: Q=10 queries — the exact tier scores Q·N
+        # pairs, the IVF tier Q·nprobe·cell candidates (bounded per
+        # query); nprobe=all reproduces exact (pytest-pinned), nprobe=4
+        # is the production width
+        queries = emb.filter(F.col("vec_id") % (n_vec // 10) == 0).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+        ).localCheckpoint(eager=True)
+        rows.append(
+            timed(
+                f"knn_join EXACT Q=10 ({scale}, {n_vec} vecs)",
+                lambda: similarity.knn_join(emb, queries, k=5).count(),
+            )
+        )
+        rows.append(
+            timed(
+                f"knn_join_ivf nprobe=4 Q=10 (standing fit, {scale})",
+                lambda: similarity.knn_join_ivf(
+                    corpus, queries, k=5, nprobe=4
+                ).count(),
+            )
+        )
 
 
 def probe_stream_vx(spark, rows):
