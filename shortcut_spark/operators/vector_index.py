@@ -110,6 +110,7 @@ class VectorIndex:
         self.model = model_store
         self.meta = meta
         self.path = path
+        self.bands = None  # set when the LSH band layer exists
 
     # -- lifecycle -----------------------------------------------------
     @classmethod
@@ -126,6 +127,9 @@ class VectorIndex:
         m: int = 8,
         ksub: int = 16,
         source_version: int | None = None,
+        lsh_planes: int | None = None,
+        lsh_bands: int | None = None,
+        dim: int = 64,
     ) -> "VectorIndex":
         """Fit IVF (auto-sized via ``ivf_params_for`` when ``n_clusters``
         is None — the r9 scale-safe default) and optionally PQ over
@@ -133,7 +137,20 @@ class VectorIndex:
         ``source_version`` records the corpus Store manifest version this
         fit reflects, enabling :meth:`refresh`; pass None for a
         non-Store corpus (refresh then needs explicit batches via
-        :meth:`add`/:meth:`remove`)."""
+        :meth:`add`/:meth:`remove`).
+
+        ``lsh_planes``/``lsh_bands`` (r10) additionally persist a BAND
+        store — one ``(vec_id, band_key)`` row per (vector, band) from
+        the deterministic md5-derived hyperplanes — with a hash index on
+        the band key: the sign-LSH analogue of the IVF inverted lists.
+        There is no fit to persist (the planes are content-addressed
+        constants any executor regenerates); the standing asset is the
+        banded CORPUS — at 100 TB, :meth:`lsh_topk` probes only the
+        query's (multiprobe-widened) buckets via indexed ``find_or``
+        file pruning instead of re-banding the whole corpus per query.
+        Probe results are bit-identical to ``similarity.lsh_topk`` at
+        the same pinned planes (the banding is deterministic), so the
+        standing probe inherits that tier's hash certification."""
         from pyspark.sql import types as T
 
         from ..store import Store
@@ -176,8 +193,24 @@ class VectorIndex:
             "iters": int(iters),
             "n_clusters": n_clusters,
             "source_version": source_version,
+            "lsh_planes": lsh_planes,
+            "lsh_bands": lsh_bands,
+            "dim": int(dim),
         }
         ix = cls(rows_store, model_store, meta, path)
+        if lsh_planes:
+            bands_schema = T.StructType(
+                [
+                    T.StructField("vec_id", T.LongType()),
+                    T.StructField("band_key", T.StringType()),
+                ]
+            )
+            ix.bands = Store.create(spark, os.path.join(path, "bands"), bands_schema)
+            # band_key hash index + per-key clustering on insert turn the
+            # bands store into real LSH buckets: a probe's find_or prunes
+            # to the probed buckets' files
+            ix.bands.index("band_key", "hash")
+            ix.bands.insert(ix._band_rows(emb))
         ix._fit_and_insert(emb)
         ix._write_meta()
         # the corpus this index was fitted on now routes its unsized
@@ -203,6 +236,8 @@ class VectorIndex:
             meta,
             path,
         )
+        if meta.get("lsh_planes"):
+            ix.bands = Store.open(spark, os.path.join(path, "bands"))
         if corpus is not None:
             attach(ix, corpus)
         return ix
@@ -368,6 +403,53 @@ class VectorIndex:
             fitted=self.fitted,
         )
 
+    def _band_rows(self, emb: DataFrame) -> DataFrame:
+        """(vec_id, band_key) rows for a batch from the deterministic
+        md5-derived hyperplanes — regenerable anywhere, no persisted fit."""
+        idc, vc = self.meta["id_col"], self.meta["vec_col"]
+        return similarity.hyperplane_buckets(
+            emb.select(F.col(idc), F.col(vc)),
+            vc,
+            self.meta["lsh_planes"],
+            self.meta["lsh_bands"],
+            self.meta.get("dim", 64),
+        ).select(F.col(idc).cast("long").alias("vec_id"), "band_key")
+
+    def lsh_topk(
+        self,
+        emb: DataFrame,
+        query: DataFrame,
+        k: int = 10,
+        multiprobe: bool = True,
+    ) -> DataFrame:
+        """Sign-LSH top-k against the STANDING band store: the query's
+        band keys (plus their Hamming-1 flips under ``multiprobe``) are
+        a handful of driver-side constants, so the candidate lookup is
+        an indexed ``find_or`` over the probed buckets — Store file
+        pruning reads only those buckets' files, never re-banding the
+        corpus per query (the 100 TB win; results are bit-identical to
+        ``similarity.lsh_topk`` at the same pinned planes because the
+        banding is deterministic)."""
+        from ..cmp import eq
+
+        if self.bands is None:
+            raise ValueError("index was created without lsh_planes — no band layer")
+        idc, vc = self.meta["id_col"], self.meta["vec_col"]
+        planes, bands = self.meta["lsh_planes"], self.meta["lsh_bands"]
+        q_b = similarity.hyperplane_buckets(
+            query.select(F.col("qvec")), "qvec", planes, bands, self.meta.get("dim", 64)
+        ).select("band_key")
+        if multiprobe:
+            q_b = similarity._multiprobe_keys(q_b, planes // bands)
+        keys = [r["band_key"] for r in q_b.collect()]
+        cand_ids = (
+            self.bands.find_or([[eq("band_key", key)] for key in keys])
+            .select(F.col("vec_id").alias(idc))
+            .distinct()
+        )
+        cand = emb.select(F.col(idc), F.col(vc)).join(cand_ids, idc, "left_semi")
+        return similarity.topk_cosine(cand, query, k, idc, vc)
+
     def knn(
         self, emb: DataFrame, queries: DataFrame, k: int = 5, nprobe: int = 4
     ) -> DataFrame:
@@ -461,7 +543,11 @@ class VectorIndex:
 
     def add(self, emb: DataFrame) -> int:
         """Index an insert batch (plain append — use :meth:`refresh` for
-        CDC-driven maintenance, which upserts and so tolerates replays)."""
+        CDC-driven maintenance, which upserts and so tolerates replays).
+        The LSH band layer (when present) appends the batch's band rows
+        in the same pass."""
+        if self.bands is not None:
+            self.bands.insert(self._band_rows(emb))
         return self.rows.insert(self._index_rows(emb))
 
     def remove(self, ids) -> int:
@@ -480,9 +566,14 @@ class VectorIndex:
         defer = len(ids) > self.DEFER_REMOVE_ABOVE
         n = 0
         for i in range(0, len(ids), 10_000):
+            chunk = ids[i : i + 10_000]
             n += self.rows.delete_filter(
-                [], F.col("vec_id").isin(ids[i : i + 10_000]), defer=defer
+                [], F.col("vec_id").isin(chunk), defer=defer
             )
+            if self.bands is not None:
+                self.bands.delete_filter(
+                    [], F.col("vec_id").isin(chunk), defer=defer
+                )
         return n
 
     # refresh() collects the DELETED ids to the driver for the chunked
@@ -546,6 +637,10 @@ class VectorIndex:
         if not ins.isEmpty():
             added, replaced = self.rows.merge(self._index_rows(ins), on="vec_id")
             removed += replaced
+            if self.bands is not None:
+                # same replayed-delta idempotence: the band layer upserts
+                # on vec_id (victims = ALL of a key's band rows)
+                self.bands.merge(self._band_rows(ins), on="vec_id")
         self.meta["source_version"] = cur
         self._write_meta()
         # the corpus's CURRENT full scan (new manifest version → new plan)
@@ -560,5 +655,8 @@ class VectorIndex:
         self.rows.delete([])
         self.model.delete([])
         self.meta["source_version"] = source_version
+        if self.bands is not None:
+            self.bands.delete([])
+            self.bands.insert(self._band_rows(emb))
         self._fit_and_insert(emb)
         self._write_meta()

@@ -490,3 +490,108 @@ def test_vector_index_knn_routes_standing(spark, emb, tmp_path, monkeypatch):
         for r in similarity.knn_join_ivf(emb, queries, k=3, nprobe=16).collect()
     }
     assert unsized == want
+
+
+def test_standing_lsh_band_layer(spark, emb, tmp_path, monkeypatch):
+    """r10 LSH band layer: the standing probe is bit-identical to
+    similarity.lsh_topk at the same pinned planes (deterministic
+    banding), reopens fit-free, and maintenance keeps the band store in
+    sync (add -> new vector probe-visible; remove -> gone; refresh
+    upserts idempotently)."""
+    path = str(tmp_path / "vx")
+    ix = VectorIndex.create(
+        spark, path, emb, n_clusters=8, iters=1, lsh_planes=8, lsh_bands=4
+    )
+    q = _query(emb)
+    want = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in similarity.lsh_topk(emb, q, k=10, n_planes=8, bands=4).collect()
+    ]
+    got = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ix.lsh_topk(emb, q, k=10).collect()
+    ]
+    assert got == want and len(got) == 10
+
+    # reopen: no fit functions may run (there is no LSH fit at all, and
+    # the IVF layer must stay untouched by an LSH probe)
+    def boom(*a, **k):
+        raise AssertionError("fit ran on a standing LSH probe")
+
+    monkeypatch.setattr(similarity, "ivf_fit", boom)
+    ix2 = VectorIndex.open(spark, path)
+    assert ix2.bands is not None
+    got2 = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ix2.lsh_topk(emb, q, k=10).collect()
+    ]
+    assert got2 == want
+    monkeypatch.undo()
+
+    # maintenance: add a shifted copy of vector 0 -> its near-identical
+    # twin must surface in the probe through the BAND store
+    twin = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), F.col("embedding")
+    )
+    ix2.add(twin)
+    emb_plus = emb.select("vec_id", "embedding").unionByName(twin)
+    top = [r["vec_id"] for r in ix2.lsh_topk(emb_plus, q, k=2).collect()]
+    assert set(top) == {0, 100_000}
+    # remove it again: the band rows go too, so the probe stops seeing it
+    ix2.remove([100_000])
+    top2 = [r["vec_id"] for r in ix2.lsh_topk(emb_plus, q, k=2).collect()]
+    assert 100_000 not in top2
+
+
+def test_standing_lsh_refresh_maintains_bands(spark, emb, tmp_path):
+    """CDC refresh on an LSH-layered index upserts the band store in the
+    same pass (idempotent on replay), and the band probe prunes files:
+    with per-bucket file layout a probe reads a strict subset."""
+    from pyspark.sql import types as T
+
+    from shortcut_spark.cmp import eq
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    st = Store.create(spark, str(tmp_path / "corpus"), schema)
+    st.insert(
+        emb.filter(F.col("vec_id") < 300).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    ix = VectorIndex.create(
+        spark, str(tmp_path / "vx"), st.find([]), n_clusters=8, iters=1,
+        lsh_planes=8, lsh_bands=4, source_version=st.manifest.version,
+    )
+    n_band0 = ix.bands.find([]).count()
+    assert n_band0 == 300 * 4  # one row per (vector, band)
+    st.insert(
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 350)).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    added, _ = ix.refresh(st)
+    assert added == 50
+    assert ix.bands.find([]).count() == 350 * 4
+    # replayed delta: merge replaces, never duplicates
+    ix.meta["source_version"] -= 1
+    ix.refresh(st)
+    assert ix.bands.find([]).count() == 350 * 4
+
+    # per-bucket pruning: shrink the file cap so the clustered band
+    # insert splits by key, then a single-bucket probe prunes files
+    ix.bands.ROWS_PER_FILE = 64
+    ix.add(
+        emb.filter(F.col("vec_id") < 300).select(
+            (F.col("vec_id") + 10_000).alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    some_key = ix.bands.find([]).select("band_key").first()["band_key"]
+    total = len(ix.bands.manifest.files)
+    _, files = ix.bands._prune_files([eq("band_key", some_key)])
+    assert 0 < len(files) < total
