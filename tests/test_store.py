@@ -1878,13 +1878,26 @@ def test_block_sample_system_semantics(spark, store_path):
     s1 = rows_of(st.sample(0.5, seed=7))
     s2 = rows_of(st.sample(0.5, seed=7))
     assert s1 == s2  # deterministic
-    assert rows_of(st.sample(0.5, seed=8)) != s1  # seed moves the pick
-    # whole files together: each batch's 20 rows are all-in or all-out
-    per_batch = {}
-    for c0, _c1 in s1:
-        per_batch[c0] = per_batch.get(c0, 0) + 1
-    assert all(v == 20 for v in per_batch.values())
-    assert 1 <= len(per_batch) <= 9  # sane band around 50% of 10 files
+    # the per-file coin hashes (seed, path) and data file names carry a
+    # per-run uuid, so any SINGLE seed's draw is a fresh 10-coin toss per
+    # test run — a fixed-seed band assertion flakes at ~0.2% (it did).
+    # Assert the statistics over a seed sweep instead: every seed samples
+    # whole files, some seed picks a strict subset, the average realized
+    # fraction sits in a sane band, and seeds disagree somewhere.
+    sizes = []
+    picks = set()
+    for seed in range(12):
+        rows = rows_of(st.sample(0.5, seed=seed))
+        per_batch = {}
+        for c0, _c1 in rows:
+            per_batch[c0] = per_batch.get(c0, 0) + 1
+        # whole files together: each batch's 20 rows are all-in or all-out
+        assert all(v == 20 for v in per_batch.values())
+        sizes.append(len(per_batch))
+        picks.add(frozenset(per_batch))
+    assert any(1 <= n <= 9 for n in sizes)  # a strict subset exists
+    assert 2.0 <= sum(sizes) / len(sizes) <= 8.0  # ~50% of 10 files on average
+    assert len(picks) > 1  # the seed moves the pick
     # tombstones respected
     st.delete([eq(0, "b0")], defer=True)
     assert all(r[0] != "b0" for r in st.sample(1.0).collect())
