@@ -37,6 +37,11 @@ AUDIT = [
     "dedup_passage_strip",
     "text_pii_redact",
     "embed_knn_join",
+    # r10 standing-index probes: the plans to check are the broadcast
+    # model read + file-pruned bucket/cell scans (no fit stages)
+    "embed_vector_index",
+    "embed_knn_ivf",
+    "embed_lsh_index",
     "embed_quantize",
     "events_funnel",
     "events_retention",
