@@ -2201,8 +2201,10 @@ def q_embed_lsh_index(spark, sf_dir):
     if os.path.exists(os.path.join(path, "vector_index.json")):
         ix = VectorIndex.open(spark, path)
     else:
+        # LSH-ONLY index (r10 ivf=False): no Lloyd fit runs — an LSH-only
+        # user must not pay a k-means pass for a layer they never probe
         ix = VectorIndex.create(
-            spark, path, emb, n_clusters=16, iters=2, lsh_planes=8, lsh_bands=4
+            spark, path, emb, lsh_planes=8, lsh_bands=4, ivf=False
         )
     out = ix.lsh_topk(emb, _query_vec(spark, sf_dir), k=10)
     return out.select("vec_id", F.round("cosine", 10).alias("cosine"))

@@ -130,6 +130,7 @@ class VectorIndex:
         lsh_planes: int | None = None,
         lsh_bands: int | None = None,
         dim: int = 64,
+        ivf: bool = True,
     ) -> "VectorIndex":
         """Fit IVF (auto-sized via ``ivf_params_for`` when ``n_clusters``
         is None — the r9 scale-safe default) and optionally PQ over
@@ -150,7 +151,13 @@ class VectorIndex:
         file pruning instead of re-banding the whole corpus per query.
         Probe results are bit-identical to ``similarity.lsh_topk`` at
         the same pinned planes (the banding is deterministic), so the
-        standing probe inherits that tier's hash certification."""
+        standing probe inherits that tier's hash certification.
+
+        ``ivf=False`` builds an LSH-ONLY index (requires ``lsh_planes``):
+        no Lloyd fit, no rows/model content — at 100 TB an LSH-only user
+        must not pay a full k-means pass for a layer they never probe.
+        IVF-dependent probes (``topk``/``knn``/``join``/PQ) raise with a
+        clear error; maintenance keeps only the band store in sync."""
         from pyspark.sql import types as T
 
         from ..store import Store
@@ -184,6 +191,10 @@ class VectorIndex:
         # an unindexed probe would still scan all of it)
         rows_store.index("cluster", "hash")
         model_store = Store.create(spark, os.path.join(path, "model"), model_schema)
+        if not ivf and not lsh_planes:
+            raise ValueError("ivf=False requires lsh_planes — an index needs a layer")
+        if not ivf and pq:
+            raise ValueError("pq=True requires the IVF layer (ivf=True)")
         meta = {
             "id_col": id_col,
             "vec_col": vec_col,
@@ -196,6 +207,7 @@ class VectorIndex:
             "lsh_planes": lsh_planes,
             "lsh_bands": lsh_bands,
             "dim": int(dim),
+            "ivf": bool(ivf),
         }
         ix = cls(rows_store, model_store, meta, path)
         if lsh_planes:
@@ -211,7 +223,8 @@ class VectorIndex:
             # to the probed buckets' files
             ix.bands.index("band_key", "hash")
             ix.bands.insert(ix._band_rows(emb))
-        ix._fit_and_insert(emb)
+        if ivf:
+            ix._fit_and_insert(emb)
         ix._write_meta()
         # the corpus this index was fitted on now routes its unsized
         # similarity calls here instead of re-running Lloyd
@@ -305,10 +318,18 @@ class VectorIndex:
         self.model.insert(model)
 
     # -- fitted artifacts (Store reads, zero fit jobs) -------------------
+    def _require_ivf(self) -> None:
+        if not self.meta.get("ivf", True):
+            raise ValueError(
+                "index was created with ivf=False (LSH-only) — no IVF layer; "
+                "probe with lsh_topk, or rebuild with ivf=True"
+            )
+
     @property
     def centroids(self) -> DataFrame:
         from ..cmp import eq
 
+        self._require_ivf()
         return self.model.find([eq("part", "ivf")]).select("cluster", "centroid")
 
     @property
@@ -322,6 +343,7 @@ class VectorIndex:
     @property
     def assigned(self) -> DataFrame:
         idc = self.meta["id_col"]
+        self._require_ivf()
         return self.rows.find([]).select(F.col("vec_id").alias(idc), "cluster")
 
     @property
@@ -547,7 +569,9 @@ class VectorIndex:
         The LSH band layer (when present) appends the batch's band rows
         in the same pass."""
         if self.bands is not None:
-            self.bands.insert(self._band_rows(emb))
+            n_bands = self.bands.insert(self._band_rows(emb))
+            if not self.meta.get("ivf", True):
+                return n_bands // self.meta["lsh_bands"]
         return self.rows.insert(self._index_rows(emb))
 
     def remove(self, ids) -> int:
@@ -567,13 +591,21 @@ class VectorIndex:
         n = 0
         for i in range(0, len(ids), 10_000):
             chunk = ids[i : i + 10_000]
-            n += self.rows.delete_filter(
+            n_rows = self.rows.delete_filter(
                 [], F.col("vec_id").isin(chunk), defer=defer
             )
+            n_bands = 0
             if self.bands is not None:
-                self.bands.delete_filter(
+                n_bands = self.bands.delete_filter(
                     [], F.col("vec_id").isin(chunk), defer=defer
                 )
+            # vector-granular count: the rows store's one-row-per-vector
+            # count when the IVF layer exists, else bands/lsh_bands
+            n += (
+                n_rows
+                if self.meta.get("ivf", True)
+                else n_bands // self.meta["lsh_bands"]
+            )
         return n
 
     # refresh() collects the DELETED ids to the driver for the chunked
@@ -635,12 +667,18 @@ class VectorIndex:
         removed = self.remove(del_ids)
         added = 0
         if not ins.isEmpty():
-            added, replaced = self.rows.merge(self._index_rows(ins), on="vec_id")
-            removed += replaced
+            if self.meta.get("ivf", True):
+                added, replaced = self.rows.merge(self._index_rows(ins), on="vec_id")
+                removed += replaced
             if self.bands is not None:
                 # same replayed-delta idempotence: the band layer upserts
                 # on vec_id (victims = ALL of a key's band rows)
-                self.bands.merge(self._band_rows(ins), on="vec_id")
+                b_added, b_replaced = self.bands.merge(
+                    self._band_rows(ins), on="vec_id"
+                )
+                if not self.meta.get("ivf", True):
+                    added = b_added // self.meta["lsh_bands"]
+                    removed += b_replaced // self.meta["lsh_bands"]
         self.meta["source_version"] = cur
         self._write_meta()
         # the corpus's CURRENT full scan (new manifest version → new plan)
@@ -658,5 +696,6 @@ class VectorIndex:
         if self.bands is not None:
             self.bands.delete([])
             self.bands.insert(self._band_rows(emb))
-        self._fit_and_insert(emb)
+        if self.meta.get("ivf", True):
+            self._fit_and_insert(emb)
         self._write_meta()

@@ -595,3 +595,86 @@ def test_standing_lsh_refresh_maintains_bands(spark, emb, tmp_path):
     total = len(ix.bands.manifest.files)
     _, files = ix.bands._prune_files([eq("band_key", some_key)])
     assert 0 < len(files) < total
+
+
+def test_lsh_only_index_never_fits(spark, emb, tmp_path, monkeypatch):
+    """ivf=False builds an LSH-ONLY index with ZERO fit jobs (pinned by
+    making Lloyd raise BEFORE create), probes identically to lsh_topk,
+    maintains through add/refresh, and IVF-dependent probes raise with a
+    clear pointer instead of returning empty results."""
+    def boom(*a, **k):
+        raise AssertionError("LSH-only index ran an IVF fit")
+
+    monkeypatch.setattr(similarity, "ivf_fit", boom)
+    path = str(tmp_path / "vx")
+    ix = VectorIndex.create(spark, path, emb, lsh_planes=8, lsh_bands=4, ivf=False)
+    q = _query(emb)
+    want = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in similarity.lsh_topk(emb, q, k=10, n_planes=8, bands=4).collect()
+    ]
+    got = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ix.lsh_topk(emb, q, k=10).collect()
+    ]
+    assert got == want
+    with pytest.raises(ValueError, match="LSH-only"):
+        ix.topk(emb, q, k=5)
+    with pytest.raises(ValueError, match="LSH-only"):
+        ix.knn(emb, emb.limit(1).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")))
+    # maintenance without a fit: add indexes the batch's bands only
+    twin = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), F.col("embedding")
+    )
+    assert ix.add(twin) == 1
+    emb_plus = emb.select("vec_id", "embedding").unionByName(twin)
+    top = [r["vec_id"] for r in ix.lsh_topk(emb_plus, q, k=2).collect()]
+    assert set(top) == {0, 100_000}
+    # misconfigurations fail eagerly
+    with pytest.raises(ValueError, match="needs a layer"):
+        VectorIndex.create(spark, str(tmp_path / "v2"), emb, ivf=False)
+    with pytest.raises(ValueError, match="requires the IVF layer"):
+        VectorIndex.create(
+            spark, str(tmp_path / "v3"), emb, ivf=False, pq=True,
+            lsh_planes=8, lsh_bands=4,
+        )
+
+
+def test_lsh_only_refresh_cdc(spark, emb, tmp_path, monkeypatch):
+    """CDC refresh on an LSH-only index maintains the band store alone
+    (no fit — Lloyd raises), reports vector-granular counts, and stays
+    replay-idempotent."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    st = Store.create(spark, str(tmp_path / "corpus"), schema)
+    st.insert(
+        emb.filter(F.col("vec_id") < 200).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    monkeypatch.setattr(similarity, "ivf_fit", lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("LSH-only refresh refit")
+    ))
+    ix = VectorIndex.create(
+        spark, str(tmp_path / "vx"), st.find([]),
+        lsh_planes=8, lsh_bands=4, ivf=False,
+        source_version=st.manifest.version,
+    )
+    st.insert(
+        emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 230)).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    from shortcut_spark.cmp import between
+
+    st.delete([between("vec_id", 0, 4)])
+    added, removed = ix.refresh(st)
+    assert added == 30 and removed == 5
+    assert ix.bands.find([]).count() == 225 * 4
+    assert ix.refresh(st) == (0, 0)
