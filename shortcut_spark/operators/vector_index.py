@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -67,7 +68,20 @@ _META = "vector_index.json"
 # semanticHash: create() self-attaches to the corpus it fitted,
 # open(corpus=...) and refresh() re-attach, so within a session every
 # logically-identical corpus scan routes to the standing artifact.
-_ATTACHED: dict[int, "VectorIndex"] = {}
+#
+# Semantics (documented per the r10 advice):
+# - LATEST-WINS: attaching a second index to the same corpus plan
+#   replaces the first for all subsequent unsized calls session-wide.
+# - Staleness: a Store corpus is self-invalidating — a manifest flip
+#   changes the scan's file list, hence its semanticHash, so a stale
+#   index simply stops matching (refresh() re-attaches under the new
+#   plan). A RAW parquet path whose directory gains files after attach
+#   canonicalizes to the SAME plan, so the standing index would be
+#   served without the new vectors until the caller re-attaches or
+#   refreshes — the standard external-table staleness contract.
+# - Eviction is LRU one-at-a-time (never a wholesale clear): routing
+#   for 63 hot corpora must not vanish because a 65th was attached.
+_ATTACHED: "OrderedDict[int, VectorIndex]" = OrderedDict()
 _ATTACHED_MAX = 64
 
 
@@ -80,19 +94,27 @@ def _plan_key(corpus: DataFrame) -> int | None:
 
 def attach(ix: "VectorIndex", corpus: DataFrame) -> None:
     """Register ``ix`` as the standing vector index for this corpus plan
-    (and any logically identical plan) for the rest of the session."""
+    (and any logically identical plan) for the rest of the session.
+    Latest attach wins; eviction is LRU (see module comment)."""
     key = _plan_key(corpus)
     if key is not None:
-        if len(_ATTACHED) >= _ATTACHED_MAX:
-            _ATTACHED.clear()
+        _ATTACHED.pop(key, None)
+        while len(_ATTACHED) >= _ATTACHED_MAX:
+            _ATTACHED.popitem(last=False)
         _ATTACHED[key] = ix
 
 
 def standing_for(
-    corpus: DataFrame, id_col: str, vec_col: str
+    corpus: DataFrame, id_col: str, vec_col: str, layer: str = "ivf"
 ) -> "VectorIndex | None":
     """The attached standing index for this corpus plan, if its schema
-    contract (id/vector column names) matches — else None."""
+    contract (id/vector column names) matches AND it carries the layer
+    the caller will probe — else None. ``layer='ivf'`` (the
+    ``_standing_fitted`` consumers: cosine_join_ivf / ivf_topk /
+    knn_join_ivf) must NOT be handed an LSH-only index: its ``fitted``
+    accessor raises, so an unsized IVF call on an ``ivf=False`` corpus
+    would crash instead of falling back to ``ivf_fit`` (the r10 advice
+    bug). ``layer='lsh'`` symmetrically requires the band layer."""
     key = _plan_key(corpus)
     if key is None:
         return None
@@ -101,6 +123,11 @@ def standing_for(
         return None
     if ix.meta.get("id_col") != id_col or ix.meta.get("vec_col") != vec_col:
         return None
+    if layer == "ivf" and not ix.meta.get("ivf", True):
+        return None
+    if layer == "lsh" and not ix.meta.get("lsh_planes"):
+        return None
+    _ATTACHED.move_to_end(key)
     return ix
 
 
@@ -162,6 +189,28 @@ class VectorIndex:
 
         from ..store import Store
 
+        # Argument validation FIRST — before any Store lands on disk
+        # (r10 advice: a rejected create() must not leave partial index
+        # artifacts at `path` with no vector_index.json for a retry to
+        # collide with).
+        if not ivf and not lsh_planes:
+            raise ValueError("ivf=False requires lsh_planes — an index needs a layer")
+        if not ivf and pq:
+            raise ValueError("pq=True requires the IVF layer (ivf=True)")
+        if lsh_bands and not lsh_planes:
+            raise ValueError("lsh_bands requires lsh_planes")
+        if lsh_planes:
+            if lsh_bands is None:
+                # similarity.hyperplane_buckets' own default — the band
+                # layer must never persist lsh_bands=null (r10 advice:
+                # planes-without-bands TypeError'd deep in banding)
+                lsh_bands = min(4, int(lsh_planes))
+            if int(lsh_planes) % int(lsh_bands) != 0:
+                raise ValueError(
+                    f"lsh_planes={lsh_planes} must be divisible by "
+                    f"lsh_bands={lsh_bands}"
+                )
+
         rows_schema = T.StructType(
             [
                 T.StructField("vec_id", T.LongType()),
@@ -191,10 +240,6 @@ class VectorIndex:
         # an unindexed probe would still scan all of it)
         rows_store.index("cluster", "hash")
         model_store = Store.create(spark, os.path.join(path, "model"), model_schema)
-        if not ivf and not lsh_planes:
-            raise ValueError("ivf=False requires lsh_planes — an index needs a layer")
-        if not ivf and pq:
-            raise ValueError("pq=True requires the IVF layer (ivf=True)")
         meta = {
             "id_col": id_col,
             "vec_col": vec_col,

@@ -678,3 +678,82 @@ def test_lsh_only_refresh_cdc(spark, emb, tmp_path, monkeypatch):
     assert added == 30 and removed == 5
     assert ix.bands.find([]).count() == 225 * 4
     assert ix.refresh(st) == (0, 0)
+
+
+def test_lsh_only_attach_does_not_hijack_unsized_ivf(spark, emb, tmp_path):
+    """r10 advice (high): creating an LSH-only index ATTACHES it to the
+    corpus plan, but unsized IVF consumers (cosine_join_ivf etc.) must
+    NOT be routed to it — their `.fitted` access raises. standing_for
+    filters by layer, so the IVF call falls back to a fresh ivf_fit."""
+    from shortcut_spark.operators import vector_index as vx
+
+    sub = emb.filter(F.col("vec_id") < 120).select("vec_id", "embedding")
+    ix = VectorIndex.create(
+        spark, str(tmp_path / "vx"), sub, lsh_planes=8, lsh_bands=4, ivf=False
+    )
+    # the LSH-only index IS attached (LSH probes may route to it) ...
+    assert vx.standing_for(sub, "vec_id", "embedding", layer="lsh") is ix
+    # ... but never offered to IVF consumers
+    assert vx.standing_for(sub, "vec_id", "embedding") is None
+    assert vx.standing_for(sub, "vec_id", "embedding", layer="ivf") is None
+    # the previously-crashing interaction: fully-unsized IVF join on the
+    # attached plan falls back to an in-session fit instead of raising
+    out = similarity.cosine_join_ivf(sub, 0.9, "vec_id", "embedding")
+    assert out.count() >= 0
+
+
+def test_create_validation_is_eager_and_leaves_no_artifacts(spark, emb, tmp_path):
+    """r10 advice (medium+low): argument validation runs before any Store
+    is created — a rejected create() leaves NOTHING at path — and
+    lsh_planes without lsh_bands defaults the band count instead of
+    persisting lsh_bands=null (which TypeError'd deep in banding)."""
+    import os
+
+    bad = str(tmp_path / "bad")
+    with pytest.raises(ValueError, match="needs a layer"):
+        VectorIndex.create(spark, bad, emb, ivf=False)
+    assert not os.path.exists(os.path.join(bad, "rows"))
+    assert not os.path.exists(os.path.join(bad, "vector_index.json"))
+    with pytest.raises(ValueError, match="lsh_bands requires lsh_planes"):
+        VectorIndex.create(spark, bad, emb, lsh_bands=4)
+    with pytest.raises(ValueError, match="divisible"):
+        VectorIndex.create(spark, bad, emb, lsh_planes=8, lsh_bands=3)
+    assert not os.path.exists(bad) or not os.listdir(bad)
+    # planes without bands: defaulted, persisted non-null, probe works
+    sub = emb.filter(F.col("vec_id") < 100).select("vec_id", "embedding")
+    ix = VectorIndex.create(
+        spark, str(tmp_path / "ok"), sub, n_clusters=4, iters=1, lsh_planes=8
+    )
+    assert ix.meta["lsh_bands"] == 4
+    assert ix.lsh_topk(sub, _query(emb), k=3).count() == 3
+
+
+def test_attach_registry_lru_eviction(spark):
+    """r10 advice (low): eviction is LRU one-at-a-time — attaching past
+    the cap drops only the least-recently-used entry, never the whole
+    registry; standing_for refreshes recency."""
+    from shortcut_spark.operators import vector_index as vx
+
+    saved = dict(vx._ATTACHED)
+    vx._ATTACHED.clear()
+    try:
+        plans = [spark.range(i + 1).toDF("vec_id") for i in range(vx._ATTACHED_MAX + 2)]
+        fakes = [
+            VectorIndex(None, None, {"id_col": "vec_id", "vec_col": "v"}, "p")
+            for _ in plans
+        ]
+        for p, f in zip(plans[: vx._ATTACHED_MAX], fakes[: vx._ATTACHED_MAX]):
+            vx.attach(f, p)
+        assert len(vx._ATTACHED) == vx._ATTACHED_MAX
+        # touch plan 0 so it becomes most-recent; plan 1 is now LRU
+        assert vx.standing_for(plans[0], "vec_id", "v") is fakes[0]
+        vx.attach(fakes[-2], plans[-2])
+        assert len(vx._ATTACHED) == vx._ATTACHED_MAX
+        assert vx.standing_for(plans[0], "vec_id", "v") is fakes[0]  # survived
+        assert vx.standing_for(plans[1], "vec_id", "v") is None  # evicted
+        # latest-wins on re-attach of the same plan
+        vx.attach(fakes[-1], plans[0])
+        assert vx.standing_for(plans[0], "vec_id", "v") is fakes[-1]
+    finally:
+        vx._ATTACHED.clear()
+        vx._ATTACHED.update(saved)
