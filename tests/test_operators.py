@@ -4284,3 +4284,37 @@ def test_cosine_join_ivf_threshold_regime_default(spark, emb):
             ).collect()
         }
         assert auto == pinned
+
+
+def test_cosine_join_ivf_verify_modes_byte_identical(spark, emb):
+    """r11: the gemm verify (per-cell numpy U·Uᵀ prefilter via
+    applyInPandas + canonical Catalyst re-score) must return the EXACT
+    row set of the pure-JVM fused path, cosine values included — numpy
+    is only a prefilter at threshold − 1e-9, never the scorer. Holds for
+    both blockings; asym candidates are a subset of sym's."""
+    fitted = similarity.ivf_fit(emb, "vec_id", "embedding", 8, 1)
+    sym = None
+    for blk in ("sym", "asym"):
+        fused = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in similarity.cosine_join_ivf(
+                emb, 0.4, m_assign=4, fitted=fitted, blocking=blk, verify="fused"
+            ).collect()
+        }
+        gemm = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in similarity.cosine_join_ivf(
+                emb, 0.4, m_assign=4, fitted=fitted, blocking=blk, verify="gemm"
+            ).collect()
+        }
+        assert fused == gemm and fused
+        if blk == "sym":
+            sym = fused
+        else:
+            assert fused <= sym
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="verify"):
+        similarity.cosine_join_ivf(emb, 0.4, fitted=fitted, verify="nope")
+    with _pytest.raises(ValueError, match="blocking"):
+        similarity.cosine_join_ivf(emb, 0.4, fitted=fitted, blocking="nope")
