@@ -240,10 +240,38 @@ def range_pairs_within(
     )
 
 
-# _auto_suffix_len results memoized per (left plan, right plan, columns):
-# the sizing histogram is one tiny job per distinct input pair, not per call
-_SUFFIX_CACHE: dict[tuple, int] = {}
+# Length-histogram collections memoized per (left plan, right plan,
+# columns): the sizing histogram is one tiny job per distinct input pair,
+# not per call — and BOTH sizing decisions (suffix_len, char-vs-qgram
+# routing) read the same cached collect
+_SUFFIX_CACHE: dict[tuple, list] = {}
 _SUFFIX_CACHE_MAX = 256
+
+
+def _length_histogram(
+    left: DataFrame, right: DataFrame, left_col: str, right_col: str
+) -> list:
+    """(length, count) rows over both sides' non-empty strings — ≤ a few
+    hundred rows regardless of corpus size; memoized per input plans."""
+    try:
+        key = (left.semanticHash(), right.semanticHash(), left_col, right_col)
+    except Exception:
+        key = None
+    if key is not None and key in _SUFFIX_CACHE:
+        return _SUFFIX_CACHE[key]
+    lens = (
+        left.select(F.length(F.col(left_col)).alias("l"))
+        .unionAll(right.select(F.length(F.col(right_col)).alias("l")))
+        .filter(F.col("l") >= 1)
+        .groupBy("l")
+        .count()
+        .collect()
+    )
+    if key is not None:
+        if len(_SUFFIX_CACHE) >= _SUFFIX_CACHE_MAX:
+            _SUFFIX_CACHE.clear()
+        _SUFFIX_CACHE[key] = lens
+    return lens
 
 
 def _auto_suffix_len(
@@ -264,20 +292,7 @@ def _auto_suffix_len(
     20·cum ≥ N — so an oracle twin can reproduce the derived value
     exactly on any engine. NULL and empty strings are excluded (they
     cannot pair with anything at positive edit distance anyway)."""
-    try:
-        key = (left.semanticHash(), right.semanticHash(), left_col, right_col)
-    except Exception:
-        key = None
-    if key is not None and key in _SUFFIX_CACHE:
-        return _SUFFIX_CACHE[key]
-    lens = (
-        left.select(F.length(F.col(left_col)).alias("l"))
-        .unionAll(right.select(F.length(F.col(right_col)).alias("l")))
-        .filter(F.col("l") >= 1)
-        .groupBy("l")
-        .count()
-        .collect()
-    )
+    lens = _length_histogram(left, right, left_col, right_col)
     if not lens:
         return 6
     total = sum(r["count"] for r in lens)
@@ -288,12 +303,243 @@ def _auto_suffix_len(
         if 20 * cum >= total:
             p5 = r["l"]
             break
-    n = min(6, max(3, p5 - 1))
-    if key is not None:
-        if len(_SUFFIX_CACHE) >= _SUFFIX_CACHE_MAX:
-            _SUFFIX_CACHE.clear()
-        _SUFFIX_CACHE[key] = n
-    return n
+    return min(6, max(3, p5 - 1))
+
+
+# Auto-routing cut for method=None: above this many combined input rows
+# the character blocks' FIXED key space (alphabet^suffix_len) starts to
+# saturate and candidates grow ~N²/keyspace, so large unsized inputs route
+# to the q-gram prefix-filter mode, whose blocking keys (each string's
+# rarest grams) get rarer as the corpus grows
+_QGRAM_AUTO_ROWS = 200_000
+
+
+def _fuzzy_join_qgram(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int,
+    q: int = 2,
+) -> DataFrame:
+    """LOSSLESS q-gram prefix-filter blocking for the edit-distance join
+    (Ed-Join/PPJoin lineage — ``dedup.jaccard_pairs_prefix`` applied to
+    Levenshtein): recall is 1.0 BY CONSTRUCTION, and the blocking key
+    space GROWS with the data instead of saturating like
+    alphabet^suffix_len character blocks (the r10 honest limit).
+
+    Theory: tokenize each lowercased string into OCCURRENCE-INDEXED
+    q-grams (the k-th occurrence of gram g is token ``g#k`` — set
+    intersection over these equals multiset q-gram intersection). One
+    edit destroys at most q grams, so ed(a,b) ≤ d ⟹
+    |T(a)∩T(b)| ≥ max(|T(a)|,|T(b)|) − d·q. Order all tokens by global
+    document frequency ascending (rarest first) and give each string a
+    prefix of its first d·q+1 tokens: by the first-common-token theorem
+    any qualifying pair shares a token INSIDE both prefixes, so an
+    equi-join on prefix tokens finds every pair whose required overlap
+    is ≥ 1. Pairs where BOTH sides have ≤ d·q grams (strings shorter
+    than q·(d+1)) can qualify with ZERO shared grams; they go through a
+    small RESIDUAL length-banded join (each short right row explodes to
+    the d+1 … lengths it can pair with — never a cartesian). The
+    |len(a)−len(b)| ≤ d length filter prunes both branches. Candidates
+    dedup on physical row ids (checkpointed ``monotonically_increasing_id``
+    — duplicate input rows keep exhaustive-join multiplicity), then
+    exact Levenshtein verifies. Output is therefore EXACTLY the
+    exhaustive join's — hash-certifiable against a quadratic oracle.
+
+    Scale shape: one token-df shuffle + per-row windows (keyed by the
+    high-cardinality row id), a prefix-token equi-join whose hottest key
+    is each string's RAREST gram (df-ascending order pushes shared
+    boilerplate grams out of prefixes — candidate growth tracks true
+    pairs, not N²/constant), a candidates-bounded verify."""
+    from pyspark.sql import Window as W
+
+    d = int(max_distance)
+    npref = d * q + 1
+    short_grams = d * q  # ≤ this many grams → zero-shared-token possible
+
+    lc = left.withColumn("__lrid", F.monotonically_increasing_id()).localCheckpoint(
+        eager=False
+    )
+    rc = right.withColumn("__rrid", F.monotonically_increasing_id()).localCheckpoint(
+        eager=False
+    )
+
+    def tokens(df, col, rid):
+        s = F.lower(F.col(col))
+        grams = F.expr(
+            f"transform(sequence(1, greatest(0, length(lower({col})) - {q} + 1)), "
+            f"i -> substring(lower({col}), i, {q}))"
+        )
+        toks = (
+            df.select(F.col(rid), F.length(s).alias("__len"), grams.alias("__g"))
+            .filter(F.col("__len").isNotNull())
+            .select(rid, "__len", F.posexplode_outer("__g").alias("__pos", "__gram"))
+        )
+        # occurrence index: g#k for the k-th occurrence, keeping multiset
+        # semantics under an equi-join
+        occ = F.row_number().over(W.partitionBy(rid, "__gram").orderBy("__pos"))
+        return toks.withColumn(
+            "__tok",
+            F.when(
+                F.col("__gram").isNotNull(),
+                F.concat_ws("#", "__gram", occ.cast("string")),
+            ),
+        ).select(rid, "__len", "__tok")
+
+    lt = tokens(lc, left_col, "__lrid")
+    rt = tokens(rc, right_col, "__rrid")
+    # global df over BOTH sides (tokens are unique per row by construction)
+    dfc = (
+        lt.select(F.col("__tok"))
+        .unionAll(rt.select("__tok"))
+        .filter(F.col("__tok").isNotNull())
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+
+    def prefix(tk, rid):
+        ranked = tk.filter(F.col("__tok").isNotNull()).join(dfc, "__tok")
+        w = W.partitionBy(rid)
+        sized = ranked.withColumn(
+            "__rn", F.row_number().over(w.orderBy("__df", "__tok"))
+        ).withColumn("__ng", F.count(F.lit(1)).over(w))
+        return sized.filter(F.col("__rn") <= npref).select(
+            rid, "__tok", "__len", "__ng"
+        )
+
+    lp = prefix(lt, "__lrid")
+    rp = prefix(rt, "__rrid")
+    cand = (
+        lp.alias("lp")
+        .join(rp.alias("rp"), F.col("lp.__tok") == F.col("rp.__tok"))
+        .filter(F.abs(F.col("lp.__len") - F.col("rp.__len")) <= d)
+        .select(F.col("lp.__lrid").alias("__lrid"), F.col("rp.__rrid").alias("__rrid"))
+    )
+
+    # residual: both sides short enough that a qualifying pair may share
+    # zero grams — length-banded equi-join (right rows explode to the
+    # lengths they can pair with), includes gram-less strings (len < q)
+    lshort = lt.groupBy("__lrid", "__len").agg(
+        F.sum(F.when(F.col("__tok").isNotNull(), 1).otherwise(0)).alias("__ng")
+    ).filter(F.col("__ng") <= short_grams)
+    rshort = (
+        rt.groupBy("__rrid", "__len")
+        .agg(F.sum(F.when(F.col("__tok").isNotNull(), 1).otherwise(0)).alias("__ng"))
+        .filter(F.col("__ng") <= short_grams)
+        .select(
+            "__rrid",
+            F.explode(
+                F.sequence(
+                    # floor 0, not 1: empty strings pair with strings of
+                    # length ≤ d (lev("", s) = len(s))
+                    F.greatest(F.col("__len") - d, F.lit(0)),
+                    F.col("__len") + d,
+                )
+            ).alias("__len"),
+        )
+    )
+    residual = lshort.join(rshort, "__len").select("__lrid", "__rrid")
+
+    pairs = cand.unionByName(residual).distinct()
+    out = (
+        pairs.join(lc, "__lrid")
+        .join(rc, "__rrid")
+        .withColumn(
+            "lev_dist", F.levenshtein(F.col(left_col), F.col(right_col)).cast("long")
+        )
+        .filter(F.col("lev_dist") <= d)
+    )
+    return out.select(*left.columns, *right.columns, "lev_dist")
+
+
+def _deletion_variants(col: str, d: int):
+    """Array of DISTINCT lowercased strings reachable from ``col`` by
+    deleting ≤ d characters (d ∈ {1, 2}). Pure Catalyst expressions —
+    per-row cost is O(len) at d=1 and O(len²) at d=2, which is why the
+    deletes mode is routed/documented for short-string corpora."""
+    s = f"lower({col})"
+    k1 = (
+        f"transform(sequence(1, length({s})), "
+        f"i -> concat(substring({s}, 1, i - 1), substring({s}, i + 1, length({s}) - i)))"
+    )
+    parts = [f"array({s})", f"if(length({s}) >= 1, {k1}, array())"]
+    if d >= 2:
+        k2 = (
+            f"flatten(transform(sequence(1, length({s}) - 1), "
+            f"i -> transform(sequence(i + 1, length({s})), "
+            f"j -> concat(substring({s}, 1, i - 1), substring({s}, i + 1, j - i - 1), "
+            f"substring({s}, j + 1, length({s}) - j)))))"
+        )
+        parts.append(f"if(length({s}) >= 2, {k2}, array())")
+    return F.expr(f"array_distinct(concat({', '.join(parts)}))")
+
+
+def _fuzzy_join_deletes(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int,
+) -> DataFrame:
+    """LOSSLESS deletion-neighborhood blocking (FastSS/SymSpell): block
+    key = every string reachable by deleting ≤ d characters. If
+    ed(a,b) ≤ d, an optimal alignment has i insertions + e deletions +
+    s substitutions with i+e+s ≤ d; deleting a's substituted+deleted
+    chars and b's substituted+inserted chars leaves the SAME matched
+    subsequence — so a and b share a deletion variant, and the variant
+    equi-join finds every qualifying pair (recall 1.0). Conversely a
+    shared variant implies ed ≤ 2d, so CANDIDATES TRACK TRUE NEAR-PAIRS
+    (the ≤ 2d set), not N²/keyspace: the key space is the set of
+    near-full strings — it GROWS with the data, which is exactly what
+    fixed character blocks (alphabet^suffix_len) and fixed gram
+    universes (alphabet^q) cannot do. Measured in docs/SCALE.md r11:
+    sub-quadratic (near-linear) candidate growth 1×→10× on the
+    short-name workload where character blocking grows ~N²/16³.
+
+    Cost: C(len, ≤d) variants per row — 1+len at d=1, +len(len−1)/2 at
+    d=2 — so this mode is for SHORT strings (the operator's namesake
+    record-linkage case) and d ≤ 2; ``method=None`` auto-routing applies
+    it only there, and d > 2 raises. Verification is exact Levenshtein;
+    output equals the exhaustive join's (hash-certifiable against a
+    quadratic oracle)."""
+    d = int(max_distance)
+    if d > 2 or d < 1:
+        raise ValueError(
+            "method='deletes' supports max_distance in {1, 2} — variant "
+            "count is C(len, d); use method='qgram' or blocking for larger d"
+        )
+    lc = left.withColumn("__lrid", F.monotonically_increasing_id()).localCheckpoint(
+        eager=False
+    )
+    rc = right.withColumn("__rrid", F.monotonically_increasing_id()).localCheckpoint(
+        eager=False
+    )
+    lv = lc.select(
+        "__lrid",
+        F.length(F.col(left_col)).alias("__llen"),
+        F.explode(_deletion_variants(left_col, d)).alias("__var"),
+    )
+    rv = rc.select(
+        "__rrid",
+        F.length(F.col(right_col)).alias("__rlen"),
+        F.explode(_deletion_variants(right_col, d)).alias("__var"),
+    )
+    pairs = (
+        lv.join(rv, "__var")
+        .filter(F.abs(F.col("__llen") - F.col("__rlen")) <= d)
+        .select("__lrid", "__rrid")
+        .distinct()
+    )
+    out = (
+        pairs.join(lc, "__lrid")
+        .join(rc, "__rrid")
+        .withColumn(
+            "lev_dist", F.levenshtein(F.col(left_col), F.col(right_col)).cast("long")
+        )
+        .filter(F.col("lev_dist") <= d)
+    )
+    return out.select(*left.columns, *right.columns, "lev_dist")
 
 
 def fuzzy_join(
@@ -304,6 +550,8 @@ def fuzzy_join(
     max_distance: int = 2,
     block=None,
     suffix_len: int | None = None,
+    method: str | None = None,
+    q: int = 2,
 ) -> DataFrame:
     """Blocked fuzzy string join — the record-linkage / entity-resolution
     primitive: candidate pairs come from a cheap BLOCKING key (equality
@@ -337,10 +585,50 @@ def fuzzy_join(
     floor of 3 still cliff, the documented residual. Smaller blocks
     trade more candidate pairs for recall, the standard ER dial.
 
+    ``method`` (r11 — the blocking key space must GROW with the data):
+    character blocks have FIXED key space alphabet^suffix_len, so verify
+    candidates grow ~N²/keyspace — genuinely quadratic at the 100 TB
+    design point (the r10 honest limit in docs/SCALE.md). Two LOSSLESS
+    modes (recall 1.0 by construction, output equals the exhaustive
+    join, hash-certifiable against a quadratic oracle):
+
+    - ``method="deletes"`` — deletion-neighborhood blocking
+      (:func:`_fuzzy_join_deletes`, FastSS/SymSpell): keys are
+      near-full strings, so candidates track TRUE near-pairs (the ≤ 2d
+      set) on any corpus; the scale answer for short strings at
+      d ≤ 2 — the operator's namesake record-linkage case.
+    - ``method="qgram"`` — q-gram prefix filter
+      (:func:`_fuzzy_join_qgram`, Ed-Join/PPJoin lineage): candidates
+      from each string's RAREST grams; the scale answer for longer
+      Zipfian text (real names/titles) and larger d. Degenerates on
+      uniform-random short strings, where no gram is rare — measured
+      honestly in docs/SCALE.md.
+
+    ``method="char"`` pins the multi-pass character blocking.
+    ``method=None`` (default) auto-routes: explicit ``suffix_len`` or
+    ``block`` means char (the certified-query reproducibility
+    contract); otherwise inputs with more than ``_QGRAM_AUTO_ROWS``
+    combined rows — where a fixed key space saturates — take deletes
+    when d ≤ 2 and the P95 length keeps the variant fan-out small,
+    else qgram; small inputs keep the cheaper char blocking.
+
     Output: all left + right columns (pre-alias any collisions) plus
     ``lev_dist``. Levenshtein is exact and engine-portable (same values
     in DuckDB), so the operator is oracle-checkable.
     """
+    if method not in (None, "char", "qgram", "deletes"):
+        raise ValueError(
+            f"method must be 'char', 'qgram', 'deletes', or None, got {method!r}"
+        )
+    if method in ("qgram", "deletes"):
+        if block is not None or suffix_len is not None:
+            raise ValueError(
+                f"method={method!r} does not take block/suffix_len — those "
+                "configure the character blocking"
+            )
+        if method == "deletes":
+            return _fuzzy_join_deletes(left, right, left_col, right_col, max_distance)
+        return _fuzzy_join_qgram(left, right, left_col, right_col, max_distance, q)
     verify = lambda cand: (
         cand.withColumn(
             "lev_dist", F.levenshtein(F.col(left_col), F.col(right_col)).cast("long")
@@ -352,6 +640,26 @@ def fuzzy_join(
         return verify(l.join(r, "__blk")).drop("__blk")
 
     if suffix_len is None:
+        if method is None:
+            lens = _length_histogram(left, right, left_col, right_col)
+            total = sum(r["count"] for r in lens)
+            if total > _QGRAM_AUTO_ROWS:
+                # exact integer P95 of the length histogram: the deletes
+                # fan-out is C(len, <=d) per row, so route there only when
+                # 95% of strings keep it small (<=300 variants at d=2)
+                cum, p95 = 0, max((r["l"] for r in lens), default=0)
+                for r in sorted(lens, key=lambda r: r["l"]):
+                    cum += r["count"]
+                    if 20 * cum >= 19 * total:
+                        p95 = r["l"]
+                        break
+                if 1 <= max_distance <= 2 and p95 <= 24:
+                    return _fuzzy_join_deletes(
+                        left, right, left_col, right_col, max_distance
+                    )
+                return _fuzzy_join_qgram(
+                    left, right, left_col, right_col, max_distance, q
+                )
         suffix_len = _auto_suffix_len(left, right, left_col, right_col)
     pre = lambda c: F.lower(F.substring(c, 1, suffix_len))
     suf = lambda c: F.lower(F.substring(c, -suffix_len, suffix_len))

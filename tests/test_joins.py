@@ -254,3 +254,65 @@ def test_fuzzy_join_autosized_default_pairs_short_names(spark):
         [(i, f"Customer#{i:09d}") for i in range(40)], "lid long, lname string"
     )
     assert _auto_suffix_len(ll, ll, "lname", "lname") == 6
+
+
+def test_fuzzy_join_qgram_is_lossless(spark):
+    """r11: method='qgram' (occurrence-indexed q-gram tokens through the
+    PPJoin prefix filter + Levenshtein verify) reproduces the EXHAUSTIVE
+    join exactly — recall 1.0 by construction, including the short-short
+    residual (pairs that can share zero grams) and empty strings."""
+    from shortcut_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "IRAN"), (2, "IRAQ"), (3, "PERU"), (4, "AB"), (5, ""), (6, None),
+         (7, "UNITED KINGDOM"), (8, "MOZAMBIQUE")],
+        "lid long, lname string",
+    )
+    right = spark.createDataFrame(
+        [(10, "RAN"), (20, "IRAK"), (30, "ERU"), (40, "B"), (50, "XY"),
+         (60, None), (70, "UNITED KINGDON"), (80, "MOZAMBIQUE!")],
+        "rid long, rname string",
+    )
+    truth = {
+        (r["lid"], r["rid"], r["d"])
+        for r in left.crossJoin(right)
+        .withColumn("d", F.levenshtein("lname", "rname").cast("long"))
+        .filter(F.col("d") <= 2)
+        .collect()
+    }
+    got = {
+        (r["lid"], r["rid"], r["lev_dist"])
+        for r in fuzzy_join(
+            left, right, "lname", "rname", 2, method="qgram"
+        ).collect()
+    }
+    assert got == truth and truth  # non-trivial and exact
+    # a one-typo pair of long strings rides a rare-gram prefix token
+    assert (7, 70, 1) in got and (8, 80, 1) in got
+    # explicit configs compose with routing rules
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        fuzzy_join(left, right, "lname", "rname", 2, method="nope")
+    with _pytest.raises(ValueError, match="does not take"):
+        fuzzy_join(left, right, "lname", "rname", 2, method="qgram", suffix_len=3)
+
+
+def test_fuzzy_join_auto_routes_small_inputs_to_char(spark):
+    """method=None on small inputs keeps the character blocking (the
+    certified fuzzy_join_short contract: its SQL twin inlines the char
+    blocking predicate), and pinning suffix_len always means char."""
+    from shortcut_spark.operators import joins as J
+
+    left = spark.createDataFrame([(1, "IRAN")], "lid long, lname string")
+    right = spark.createDataFrame([(10, "RAN")], "rid long, rname string")
+    called = {}
+    orig = J._fuzzy_join_qgram
+    J._fuzzy_join_qgram = lambda *a, **k: (called.setdefault("hit", True), orig(*a, **k))[1]
+    try:
+        J.fuzzy_join(left, right, "lname", "rname", 2).collect()
+        assert "hit" not in called  # tiny input: char path
+        J.fuzzy_join(left, right, "lname", "rname", 2, method="qgram").collect()
+        assert called.get("hit")  # explicit qgram routes
+    finally:
+        J._fuzzy_join_qgram = orig
