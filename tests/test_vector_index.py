@@ -757,3 +757,67 @@ def test_attach_registry_lru_eviction(spark):
     finally:
         vx._ATTACHED.clear()
         vx._ATTACHED.update(saved)
+
+
+def test_refresh_append_only_skips_cdc_machinery(spark, emb, tmp_path, monkeypatch):
+    """r11 (commit-floor ask): an append-only refresh decides the delta
+    shape from manifest METADATA — it must never build the CDC
+    anti-join delta, run an isEmpty probe, or collect delete ids; and a
+    mixed insert+delete refresh folds the delete keys into the SAME
+    merge commit (one manifest flip per store, no driver id collect)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    st = Store.create(spark, str(tmp_path / "corpus"), schema)
+    base = emb.filter(F.col("vec_id") < 300).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    st.insert(base)
+    ix = VectorIndex.create(
+        spark, str(tmp_path / "vx"), st.find([]), n_clusters=8, iters=1,
+        source_version=st.manifest.version,
+    )
+
+    # append-only delta: changes() must not be called at all
+    st.insert(
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 340)).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    def boom(*a, **k):
+        raise AssertionError("append-only refresh built the CDC delta")
+
+    monkeypatch.setattr(type(st), "changes", boom)
+    v_rows_before = ix.rows.manifest.version
+    added, removed = ix.refresh(st)
+    assert (added, removed) == (40, 0)
+    assert ix.rows.manifest.version == v_rows_before + 1  # ONE commit
+    monkeypatch.undo()
+
+    # metadata-only version bump (index replace): zero work, version syncs
+    st.index("vec_id", "hash")
+    monkeypatch.setattr(type(st), "changes", boom)
+    assert ix.refresh(st) == (0, 0)
+    assert ix.meta["source_version"] == st.manifest.version
+    monkeypatch.undo()
+
+    # mixed insert+delete: delete keys fold into the one merge commit
+    from shortcut_spark.cmp import between
+
+    st.insert(
+        emb.filter((F.col("vec_id") >= 340) & (F.col("vec_id") < 360)).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    st.delete([between("vec_id", 0, 4)])
+    v_rows_before = ix.rows.manifest.version
+    added, removed = ix.refresh(st)
+    assert (added, removed) == (20, 5)
+    assert ix.rows.manifest.version == v_rows_before + 1  # still ONE commit
+    ids = {r["vec_id"] for r in ix.rows.find([]).select("vec_id").collect()}
+    assert 3 not in ids and 350 in ids and len(ids) == 355
