@@ -726,9 +726,14 @@ def probe_lsh_standing(spark, rows):
         st = Store.create(spark, f"{root}/corpus", schema)
         st.insert(emb)
         corpus = st.find([])
+        # the library's own corpus-sized banding depth (64/8 at 5k, 96/8
+        # at 50k): buckets must be SELECTIVE for the probed-bucket read to
+        # mean anything — an undersized 16/4 config has 16 values per band
+        # key, so every bucket holds N/16 rows and nothing can prune
+        planes, bands = similarity.lsh_params_for(n)
         t0 = time.time()
         ix = VectorIndex.create(
-            spark, f"{root}/vx", corpus, lsh_planes=16, lsh_bands=4,
+            spark, f"{root}/vx", corpus, lsh_planes=planes, lsh_bands=bands,
             dim=32, ivf=False, source_version=st.manifest.version,
         )
         rows.append((f"lsh band index CREATE once ({scale}, {n} vecs)",
@@ -742,7 +747,7 @@ def probe_lsh_standing(spark, rows):
         for label, fn in (
             (f"lsh_topk INLINE re-bands corpus ({scale})",
              lambda q: similarity.lsh_topk(
-                 emb, q, k=10, n_planes=16, bands=4, dim=32)),
+                 emb, q, k=10, n_planes=planes, bands=bands, dim=32)),
             (f"lsh_topk STANDING probed buckets ({scale})",
              lambda q: ix.lsh_topk(corpus, q, k=10)),
         ):
@@ -756,6 +761,33 @@ def probe_lsh_standing(spark, rows):
             print(f"  {label}: min {best:.2f}s over {len(walls)} queries",
                   flush=True)
             rows.append((label, best, f"{nn} rows, min of {len(walls)}"))
+
+        # the scan economics (what the wall can't show at local job-floor
+        # sizes): inline re-bands ALL n corpus rows per query; the
+        # standing probe's indexed find_or prunes the band store to the
+        # probed buckets' files and reads only their rows
+        from shortcut_spark.cmp import eq
+
+        q_b = similarity.hyperplane_buckets(
+            queries[0].select(F.col("qvec")), "qvec", planes, bands, 32
+        ).select("band_key")
+        q_b = similarity._multiprobe_keys(q_b, planes // bands)
+        keys = [r["band_key"] for r in q_b.collect()]
+        total_files = len(ix.bands.manifest.files)
+        # find_or prunes per disjunct and unions; report the union over
+        # all probed keys
+        union_files = set()
+        for k in keys:
+            _, fs = ix.bands._prune_files([eq("band_key", k)])
+            union_files.update(f.path for f in fs)
+        cand_rows = ix.bands.find_or([[eq("band_key", k)] for k in keys]).count()
+        res = (
+            f"standing probe reads {len(union_files)}/{total_files} band "
+            f"files, {cand_rows} band rows; inline re-bands {n} corpus "
+            f"rows/query"
+        )
+        print(f"  scan economics ({scale}): {res}", flush=True)
+        rows.append((f"lsh probe scan economics ({scale})", 0.0, res))
 
 
 def probe_fuzzy_scale(spark, rows):

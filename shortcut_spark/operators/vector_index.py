@@ -778,20 +778,54 @@ class VectorIndex:
             return _finish(0, self.remove(del_ids))
 
         added = 0
+        # transactional applied-version stamp: each store records, INSIDE
+        # the merge's own commit, which corpus version its contents
+        # reflect — a replay after a crash between the two stores'
+        # commits (or between them and the meta write) skips the
+        # already-applied store with ZERO work instead of re-running its
+        # merge and relying on upsert idempotence.
+        stamp = "vx_applied_version"
         if self.meta.get("ivf", True):
-            added, staged = self.rows.merge(
-                self._index_rows(ins), on="vec_id", extra_victim_keys=dels
-            )
-            removed += staged
+            if self.rows.manifest.props.get(stamp) == cur:
+                pass  # this store already holds the delta (replay)
+            else:
+                # one eager checkpoint of the assign pipeline: the merge
+                # references the batch TWICE (victims keys + insert), and
+                # stable_input lets insert skip its own re-materialization
+                batch = self._index_rows(ins).localCheckpoint(eager=True)
+                v0 = self.rows.manifest.version
+                self.rows.manifest.props[stamp] = cur
+                try:
+                    added, staged = self.rows.merge(
+                        batch, on="vec_id", extra_victim_keys=dels,
+                        stable_input=True,
+                    )
+                except BaseException:
+                    # a pre-commit rejection leaves the in-memory props
+                    # polluted (insert's restore path covers only the
+                    # mutating tail) — unstamp so a later unrelated
+                    # commit cannot persist a stamp for an unapplied delta
+                    if self.rows.manifest.version == v0:
+                        self.rows.manifest.props.pop(stamp, None)
+                    raise
+                removed += staged
         if self.bands is not None:
-            # same replayed-delta idempotence: the band layer upserts on
-            # vec_id (victims = ALL of a key's band rows)
-            b_added, b_staged = self.bands.merge(
-                self._band_rows(ins), on="vec_id", extra_victim_keys=dels
-            )
-            if not self.meta.get("ivf", True):
-                added = b_added // self.meta["lsh_bands"]
-                removed += b_staged // self.meta["lsh_bands"]
+            if self.bands.manifest.props.get(stamp) != cur:
+                b_batch = self._band_rows(ins).localCheckpoint(eager=True)
+                v0 = self.bands.manifest.version
+                self.bands.manifest.props[stamp] = cur
+                try:
+                    b_added, b_staged = self.bands.merge(
+                        b_batch, on="vec_id", extra_victim_keys=dels,
+                        stable_input=True,
+                    )
+                except BaseException:
+                    if self.bands.manifest.version == v0:
+                        self.bands.manifest.props.pop(stamp, None)
+                    raise
+                if not self.meta.get("ivf", True):
+                    added = b_added // self.meta["lsh_bands"]
+                    removed += b_staged // self.meta["lsh_bands"]
         return _finish(added, removed)
 
     def rebuild(self, emb: DataFrame, source_version: int | None = None) -> None:

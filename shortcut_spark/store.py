@@ -414,6 +414,21 @@ class Store:
         by_par = min(cores, -(-n // 50_000))
         n_files = max(1, by_size, by_par)
         btree_cols = [s.column for s in self.manifest.indices.values() if s.kind == BTREE]
+        if n_files == 1:
+            # single-file micro-batch: repartitionByRange's range SAMPLER
+            # job buys nothing when everything lands in one file — a
+            # coalesce(1) + in-file sort gives the identical layout
+            # (per-file min/max stats, sorted row groups, every key in
+            # exactly one file) for one job less. This is the streaming
+            # micro-batch commit-floor path.
+            hash_specs = [
+                s.member_columns
+                for s in self.manifest.indices.values()
+                if s.kind in (HASH, COMPOSITE)
+            ]
+            sort_cols = btree_cols or (hash_specs[0] if hash_specs else [])
+            out = with_id.coalesce(1)
+            return out.sortWithinPartitions(*sort_cols) if sort_cols else out
         if btree_cols:
             # honor the range index's clustering at write time: disjoint
             # key ranges per file + sorted row groups → manifest min/max
@@ -911,7 +926,22 @@ class Store:
                 df.join(F.broadcast(mapping), "__file_path")
                 .select(*key_cols, "__file_id")
                 .distinct()
-            ).persist()
+            )
+            # micro-batch fast path (r11 commit-floor): a posting set
+            # bounded by the batch's row count fits on the driver, so the
+            # stats agg and the posting ROWS come back in ONE fused job
+            # (collect_list riding the same pass) and the part is written
+            # driver-side with pyarrow — no second Spark job, no persist,
+            # one file. Bulk loads (> cap) keep the distributed path.
+            n_batch = sum(f.rows for f in files)
+            # gate on the shard threshold too: a part that would range-
+            # shard belongs to the distributed writer
+            if incremental and n_batch <= min(
+                self.POSTING_DRIVER_BUILD_ROWS, self.POSTING_SHARD_ROWS
+            ):
+                self._append_postings_driver(spec, postings, part_rel, rkey)
+                return
+            postings = postings.persist()
         try:
             # ONE fused agg over the cached batch: posting count + range-key
             # min/max (part-level pruning stats) + the HLL key sketch the
@@ -953,6 +983,54 @@ class Store:
     # posting parts are range-sharded into files of ~this many rows so a
     # pushed-down point probe reads one shard, not the whole part
     POSTING_SHARD_ROWS = 1_000_000
+
+    # batches at or below this many rows build their posting part on the
+    # DRIVER: the posting set is bounded by the batch row count, so the
+    # stats agg + collect_list fuse into one Spark job and pyarrow writes
+    # the (sorted, single-file) part with no second job — the streaming /
+    # matview micro-commit floor. Bulk loads keep the distributed path.
+    POSTING_DRIVER_BUILD_ROWS = 20_000
+
+    def _append_postings_driver(
+        self, spec: IndexSpec, postings: DataFrame, part_rel: str, rkey: str
+    ) -> None:
+        """One-job posting build for micro-batches: fused count/min/max/
+        HLL-sketch/collect_list agg, driver-side sort by the range key
+        (tight footer ranges, like the distributed path's
+        sortWithinPartitions), pyarrow single-file write in the exact
+        arrow schema of the distributed writer's output."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        cols = postings.columns
+        st = postings.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(rkey).alias("__lo"),
+            F.max(rkey).alias("__hi"),
+            self._sketch_agg(spec),
+            F.collect_list(F.struct(*cols)).alias("__rows"),
+        ).collect()[0]
+        n_post = int(st["__n"] or 0)
+        if not n_post:
+            return
+        rows = sorted(
+            (r.asDict() for r in st["__rows"]),
+            key=lambda d: (d[rkey] is None, d[rkey]),
+        )
+        out_dir = self._abs(part_rel)
+        os.makedirs(out_dir, exist_ok=True)
+        table = pa.Table.from_pylist(rows, schema=to_arrow_schema(postings.schema))
+        pq.write_table(table, os.path.join(out_dir, "part-00000.parquet"))
+        if self._stats_ok(st["__lo"]) and self._stats_ok(st["__hi"]):
+            spec.part_stats[part_rel] = [
+                self._stats_val(st["__lo"]), self._stats_val(st["__hi"])
+            ]
+        spec.parts.append(part_rel)
+        self._refresh_index_stats(
+            spec,
+            new_parts=[part_rel],
+            new_sketch=bytes(st["__sk"]) if st["__sk"] is not None else None,
+        )
 
     @staticmethod
     def _stats_ok(v) -> bool:
