@@ -764,7 +764,7 @@ def probe_lsh_standing(spark, rows):
 
         # the scan economics (what the wall can't show at local job-floor
         # sizes): inline re-bands ALL n corpus rows per query; the
-        # standing probe's indexed find_or prunes the band store to the
+        # standing probe's indexed find_many prunes the band store to the
         # probed buckets' files and reads only their rows
         from shortcut_spark.cmp import eq
 
@@ -774,13 +774,11 @@ def probe_lsh_standing(spark, rows):
         q_b = similarity._multiprobe_keys(q_b, planes // bands)
         keys = [r["band_key"] for r in q_b.collect()]
         total_files = len(ix.bands.manifest.files)
-        # find_or prunes per disjunct and unions; report the union over
-        # all probed keys
         union_files = set()
         for k in keys:
             _, fs = ix.bands._prune_files([eq("band_key", k)])
             union_files.update(f.path for f in fs)
-        cand_rows = ix.bands.find_or([[eq("band_key", k)] for k in keys]).count()
+        cand_rows = ix.bands.find_many("band_key", keys).count()
         res = (
             f"standing probe reads {len(union_files)}/{total_files} band "
             f"files, {cand_rows} band rows; inline re-bands {n} corpus "
