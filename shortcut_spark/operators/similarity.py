@@ -658,9 +658,40 @@ def _gemm_cell_candidates(
     empty = {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
 
     def per_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # NULL vectors score NULL cosine in the canonical expression and
+        # can never pass the threshold — drop them before stacking (a
+        # None would crash np.stack); RAGGED vectors (wrong dim) are
+        # emitted against EVERYTHING unconditionally instead — the
+        # canonical re-score decides them exactly like the fused path's
+        # zip_with would, so the prefilter stays lossless vs that path.
+        pdf = pdf[pdf["__v"].notna()]
         if len(pdf) < 2:
             return pd.DataFrame(empty)
         pdf = pdf.sort_values("__gid", kind="mergesort")
+        lens = pdf["__v"].map(len)
+        modal = lens.value_counts().idxmax()
+        odd = pdf[lens != modal]
+        if len(odd):
+            main = pdf[lens == modal]
+            all_ids = pdf["__gid"].to_numpy()
+            ranks = pdf["rank"].to_numpy()
+            oa, ob = [], []
+            for oid, orank in zip(odd["__gid"].to_numpy(), odd["rank"].to_numpy()):
+                if asym:
+                    # fused-asym candidates = soft × primary: an odd row
+                    # pairs with the cell's PRIMARY members, plus (when
+                    # itself primary) with every soft member — exactly
+                    # the pairs the fused path would have scored
+                    mask = (all_ids != oid) & ((ranks == 1) | (orank == 1))
+                else:
+                    mask = all_ids != oid
+                oa.append(np.minimum(oid, all_ids[mask]))
+                ob.append(np.maximum(oid, all_ids[mask]))
+            odd_pairs = pd.DataFrame(
+                {"id_a": np.concatenate(oa), "id_b": np.concatenate(ob)}
+            ).drop_duplicates()
+            rest = per_cell(main) if len(main) >= 2 else pd.DataFrame(empty)
+            return pd.concat([odd_pairs, rest], ignore_index=True)
         ids = pdf["__gid"].to_numpy()
         V = np.stack(pdf["__v"].to_numpy()).astype(np.float64, copy=False)
         nrm = np.linalg.norm(V, axis=1)

@@ -237,3 +237,34 @@ def test_asof_null_keys_never_match(spark):
     Rn = spark.createDataFrame([("alpho", 2)], "name_b string, id_b long")
     assert fuzzy_join(Ln, Rn, "name_a", "name_b", 2).count() == 1  # auto-sized
     assert fuzzy_join(Ln, Rn, "name_a", "name_b", 2, suffix_len=6).count() == 0
+
+
+def test_cosine_join_ivf_gemm_tolerates_null_and_ragged_vectors(dirty):
+    """r11: the gemm verify stacks each cell's vectors in numpy — NULL
+    vectors (np.stack crash) are dropped (their canonical cosine is NULL
+    → can never pass), and RAGGED vectors route around the matrix
+    product as emit-then-rescore pairs, so both verify modes stay
+    byte-identical on dirty corpora."""
+    from shortcut_spark.operators import similarity as S
+
+    emb = dirty["emb"].select("vec_id", "embedding")
+    # add a ragged (wrong-dimension) vector on top of the nulls
+    ragged = emb.sparkSession.createDataFrame(
+        [(990_001, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    mixed = emb.unionByName(ragged)
+    fitted = S.ivf_fit(dirty["clean_emb"], "vec_id", "embedding", 4, 1)
+    for blk in ("sym", "asym"):
+        g = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in S.cosine_join_ivf(
+                mixed, 0.4, m_assign=2, fitted=fitted, blocking=blk, verify="gemm"
+            ).collect()
+        }
+        f = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in S.cosine_join_ivf(
+                mixed, 0.4, m_assign=2, fitted=fitted, blocking=blk, verify="fused"
+            ).collect()
+        }
+        assert g == f
