@@ -70,6 +70,8 @@ AUDIT = [
     "corpus_shuffle",
     "corpus_token_budget",
     "fuzzy_join_names",
+    "fuzzy_join_deletes",
+    "fuzzy_join_qgram",
     "embed_cosine_lsh",
     "embed_lsh_topk",
     "mm_wav_chunks",
