@@ -367,9 +367,18 @@ def _fuzzy_join_qgram(
 
     def tokens(df, col, rid):
         s = F.lower(F.col(col))
+        # r11 advice: sequence(1, stop) DESCENDS to [1, 0] when stop < 1
+        # (Spark defaults to step -1 when start > stop), so a sub-q
+        # string would grow 2 PHANTOM grams — wrong __ng bookkeeping,
+        # and at q=1 an empty string's __ng=2 > short_grams=1 escapes
+        # the residual branch and silently drops qualifying pairs. The
+        # explicit empty branch (the sparse_cosine_pairs/bpe_train
+        # guard) makes sub-q strings produce ZERO grams.
         grams = F.expr(
-            f"transform(sequence(1, greatest(0, length(lower({col})) - {q} + 1)), "
-            f"i -> substring(lower({col}), i, {q}))"
+            f"if(length(lower({col})) >= {q}, "
+            f"transform(sequence(1, length(lower({col})) - {q} + 1), "
+            f"i -> substring(lower({col}), i, {q})), "
+            f"cast(array() as array<string>))"
         )
         toks = (
             df.select(F.col(rid), F.length(s).alias("__len"), grams.alias("__g"))
@@ -628,6 +637,8 @@ def fuzzy_join(
         raise ValueError(
             f"method must be 'char', 'qgram', 'deletes', or None, got {method!r}"
         )
+    if int(q) < 1:
+        raise ValueError(f"q must be >= 1, got {q!r}")
     if method in ("qgram", "deletes"):
         if block is not None or suffix_len is not None:
             raise ValueError(

@@ -895,10 +895,47 @@ def cosine_join_ivf(
             )
             .select(F.col(id_col), "cluster", "rank", "__v")
         )
+        # r11 advice: the pandas prefilter stage needs INTEGRAL ids (its
+        # Arrow schema and the sorted-ascending dedup are long-typed); a
+        # string/decimal id corpus — fine under the fused verify — would
+        # crash the long cast under ANSI. Map such ids through an internal
+        # surrogate long (the joins.py checkpointed
+        # monotonically_increasing_id pattern: recompute-safe within one
+        # action) and translate the surviving pairs back; the canonical
+        # pair order (id_a < id_b on the ORIGINAL ids, the fused path's
+        # convention) is restored with least/greatest.
+        from pyspark.sql import types as _T
+
+        int_id = isinstance(
+            emb.schema[id_col].dataType,
+            (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType),
+        )
+        sur = None
+        if not int_id:
+            sur = (
+                emb.select(F.col(id_col).alias("__oid"))
+                .distinct()
+                .withColumn("__sid", F.monotonically_increasing_id())
+                .localCheckpoint(eager=False)
+            )
+            sided = sided.join(sur, sided[id_col] == sur["__oid"]).select(
+                F.col("__sid").alias(id_col), "cluster", "rank", "__v"
+            )
         pairs = _gemm_cell_candidates(
             sided, threshold, id_col,
             asym=(blocking == "asym" and m_assign > 1),
         ).distinct()
+        if sur is not None:
+            sa = sur.select(F.col("__sid").alias("id_a"), F.col("__oid").alias("__oa"))
+            sb = sur.select(F.col("__sid").alias("id_b"), F.col("__oid").alias("__ob"))
+            pairs = (
+                pairs.join(sa, "id_a")
+                .join(sb, "id_b")
+                .select(
+                    F.least("__oa", "__ob").alias("id_a"),
+                    F.greatest("__oa", "__ob").alias("id_b"),
+                )
+            )
         # canonical re-score: numpy was only the prefilter — the output
         # cosines and the boundary cut come from the shared epilogue
         return _score_pairs(emb, pairs, threshold, id_col, vec_col, False)

@@ -316,3 +316,43 @@ def test_fuzzy_join_auto_routes_small_inputs_to_char(spark):
         assert called.get("hit")  # explicit qgram routes
     finally:
         J._fuzzy_join_qgram = orig
+
+
+def test_fuzzy_join_qgram_q1_subq_strings_lossless(spark):
+    """r11 advice: sequence(1, len-q+1) descends to [1, 0] for sub-q
+    strings, minting 2 phantom grams — at q=1 an empty string's phantom
+    __ng=2 > short_grams=1 escaped the residual branch and silently
+    dropped qualifying pairs. With the explicit empty-array branch,
+    sub-q strings produce ZERO grams and q=1 stays lossless on corpora
+    with empty and 1-char strings; q < 1 is rejected."""
+    import pytest as _pytest
+
+    from shortcut_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, "b"), (4, "ab"), (5, None)],
+        "lid long, lname string",
+    )
+    right = spark.createDataFrame(
+        [(10, ""), (20, "a"), (30, "c"), (40, "abc"), (50, None)],
+        "rid long, rname string",
+    )
+    for q in (1, 2, 3):
+        truth = {
+            (r["lid"], r["rid"], r["d"])
+            for r in left.crossJoin(right)
+            .withColumn("d", F.levenshtein("lname", "rname").cast("long"))
+            .filter(F.col("d") <= 1)
+            .collect()
+        }
+        got = {
+            (r["lid"], r["rid"], r["lev_dist"])
+            for r in fuzzy_join(
+                left, right, "lname", "rname", 1, method="qgram", q=q
+            ).collect()
+        }
+        assert got == truth and truth, f"q={q}"
+    # the q=1 empty-vs-1-char pair is the advice's exact repro
+    assert (1, 20, 1) in truth
+    with _pytest.raises(ValueError, match="q must be"):
+        fuzzy_join(left, right, "lname", "rname", 1, method="qgram", q=0)

@@ -4318,3 +4318,31 @@ def test_cosine_join_ivf_verify_modes_byte_identical(spark, emb):
         similarity.cosine_join_ivf(emb, 0.4, fitted=fitted, verify="nope")
     with _pytest.raises(ValueError, match="blocking"):
         similarity.cosine_join_ivf(emb, 0.4, fitted=fitted, blocking="nope")
+
+
+def test_cosine_join_ivf_gemm_string_ids(spark, emb):
+    """r11 advice: the default verify='gemm' cast id_col to long — a
+    string-id corpus (fine under verify='fused') crashed with an ANSI
+    cast error. The surrogate-long mapping must make gemm return the
+    EXACT fused row set on non-integral ids, cosines included."""
+    semb = emb.limit(300).select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    fitted = similarity.ivf_fit(semb, "vec_id", "embedding", 8, 1)
+    fused = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in similarity.cosine_join_ivf(
+            semb, 0.4, m_assign=4, fitted=fitted, verify="fused"
+        ).collect()
+    }
+    gemm = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in similarity.cosine_join_ivf(
+            semb, 0.4, m_assign=4, fitted=fitted, verify="gemm"
+        ).collect()
+    }
+    assert gemm == fused and fused
+    # pair order follows the fused convention: id_a < id_b on the
+    # ORIGINAL (string) ids
+    assert all(a < b for a, b, _ in gemm)
