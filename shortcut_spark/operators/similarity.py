@@ -384,6 +384,164 @@ def _fast_cosine(a: F.Column, b: F.Column) -> F.Column:
     return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def _numpy_pair_prefilter(
+    emb: DataFrame, pairs: DataFrame, cut: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Arrow-batched numpy PREFILTER for candidate id pairs — the r11
+    gemm-verify lesson generalized to every blocked pair tier: Catalyst
+    evaluates ``aggregate(zip_with(...))`` INTERPRETED, outside
+    whole-stage codegen, so the per-candidate dot dominates large
+    candidate sets, while the same dots are one vectorized einsum per
+    Arrow batch in numpy. Narrows ``pairs`` to those with numpy cosine ≥
+    ``cut`` (the caller picks a guard band below its true threshold and
+    re-scores survivors with its CANONICAL expression, so numpy's
+    summation order never decides a boundary pair or leaks a value into
+    the output). Drop rule is conservative — a pair is dropped ONLY when
+    its numpy cosine is a FINITE number below the cut: NULL vectors and
+    length-mismatched vectors (zip_with null-pads → NULL sum) score NULL
+    canonically and fail every threshold, so they drop here too; NaN
+    cosines are KEPT (Spark orders NaN above every number, so the
+    canonical filter would keep them) and zero-norm inf/NaN artifacts
+    are kept and left to the canonical try_divide to drop. Output keeps
+    the ORIGINAL id dtypes — string-id corpora ride through untouched."""
+    import pandas as pd
+    from pyspark.sql import types as _T
+
+    lv = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__pva"))
+    rv = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__pvb"))
+    joined = pairs.join(lv, "id_a").join(rv, "id_b")
+    out_schema = _T.StructType([joined.schema["id_a"], joined.schema["id_b"]])
+
+    def flt(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf[pdf["__pva"].notna() & pdf["__pvb"].notna()]
+            if not len(pdf):
+                continue
+            la = pdf["__pva"].map(len).to_numpy()
+            lb = pdf["__pvb"].map(len).to_numpy()
+            same = la == lb
+            sub = pdf[same]
+            sl = la[same]
+            keep_parts = []
+            for d in np.unique(sl):
+                blk = sub[sl == d]
+                A = np.stack(blk["__pva"].to_numpy()).astype(np.float64, copy=False)
+                B = np.stack(blk["__pvb"].to_numpy()).astype(np.float64, copy=False)
+                dots = np.einsum("ij,ij->i", A, B)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / (
+                        np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+                    )
+                # drop ONLY finite-below-cut: NaN/inf (NaN inputs, zero
+                # norms) stay for the canonical scorer to adjudicate
+                m = ~(cos < cut)
+                if m.any():
+                    keep_parts.append(blk.loc[m, ["id_a", "id_b"]])
+            if keep_parts:
+                yield pd.concat(keep_parts, ignore_index=True)
+
+    return joined.mapInPandas(flt, out_schema)
+
+
+def _banded_gemm_pairs(
+    ba: DataFrame,
+    bb: DataFrame,
+    emb: DataFrame,
+    cut: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-BUCKET blocked matrix-product candidate generator for the
+    banded pair tiers — the r11 IVF gemm shape applied to LSH band
+    buckets (and, with one constant key, the all-pairs tier): ``ba``
+    (``id_a, band_key`` — the multiprobe-expanded side) and ``bb``
+    (``id_b, band_key``) define the bucket membership; vectors ride the
+    bucket grouping ONCE PER MEMBERSHIP (N × bands × probe rows — small)
+    instead of once per candidate pair (the pair-shaped prefilter ships
+    ~pairs × 2 vectors through Arrow, which measured SLOWER than the
+    interpreted dot at sf0.1). Each bucket's A×Bᵀ runs in numpy in
+    1024-row strips (hot buckets degrade to slow, not OOM); only
+    ``~(score < cut)`` survivors leave the worker, so the pair DISTINCT
+    that dominated the id-pair plan shuffles a few thousand rows, not
+    millions. Same conservative drop rule as
+    :func:`_numpy_pair_prefilter`: only finite-below-cut scores drop
+    (NULL vectors and cross-dim pairs score NULL canonically; NaN stays
+    for the canonical scorer, which Spark orders above every number).
+    Output: distinct (id_a, id_b) with id_a < id_b on the ORIGINAL id
+    dtype (string ids ride through)."""
+    import pandas as pd
+    from pyspark.sql import types as _T
+
+    vecs = emb.select(F.col(id_col).alias("__bid"), F.col(vec_col).alias("__bv"))
+    a = ba.select(F.col("id_a").alias("__pid"), "band_key", F.lit(0).alias("__side"))
+    b = bb.select(F.col("id_b").alias("__pid"), "band_key", F.lit(1).alias("__side"))
+    sided = (
+        a.unionByName(b)
+        .join(vecs, F.col("__pid") == F.col("__bid"))
+        .select("__pid", "band_key", "__side", "__bv")
+    )
+    idt = sided.schema["__pid"].dataType
+    out_schema = _T.StructType(
+        [_T.StructField("id_a", idt), _T.StructField("id_b", idt)]
+    )
+
+    def per_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf[pdf["__bv"].notna()]
+        empty = pd.DataFrame(
+            {"id_a": pdf["__pid"].iloc[:0], "id_b": pdf["__pid"].iloc[:0]}
+        )
+        A = pdf[pdf["__side"] == 0]
+        B = pdf[pdf["__side"] == 1]
+        if not len(A) or not len(B):
+            return empty
+        la = A["__bv"].map(len).to_numpy()
+        lb = B["__bv"].map(len).to_numpy()
+        parts = []
+        for d in np.intersect1d(np.unique(la), np.unique(lb)):
+            Ad = A[la == d]
+            Bd = B[lb == d]
+            VA = np.stack(Ad["__bv"].to_numpy()).astype(np.float64, copy=False)
+            VB = np.stack(Bd["__bv"].to_numpy()).astype(np.float64, copy=False)
+            na = np.linalg.norm(VA, axis=1)
+            nb = np.linalg.norm(VB, axis=1)
+            na[na == 0.0] = np.inf  # zero-norm scores 0 → fails any cut > 0
+            nb[nb == 0.0] = np.inf
+            UA = VA / na[:, None]
+            UB = VB / nb[:, None]
+            ids_a = Ad["__pid"].to_numpy()
+            ids_b = Bd["__pid"].to_numpy()
+            strip = 1024
+            for s in range(0, len(ids_a), strip):
+                S = UA[s : s + strip] @ UB.T
+                ai, bj = np.nonzero(~(S < cut))  # NaN survives
+                if len(ai):
+                    parts.append(
+                        pd.DataFrame({"id_a": ids_a[ai + s], "id_b": ids_b[bj]})
+                    )
+        if not parts:
+            return empty
+        return pd.concat(parts, ignore_index=True)
+
+    raw = sided.groupBy("band_key").applyInPandas(per_bucket, out_schema)
+    # canonical unordered-pair normalization on the ORIGINAL ids (the
+    # id_a < id_b convention of the expression path); NULL ids drop via
+    # != exactly as they drop via < there
+    return (
+        raw.filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def cosine_join(
     emb: DataFrame,
     threshold: float,
@@ -395,6 +553,7 @@ def cosine_join(
     exact: bool = False,
     exact_score: bool = False,
     multiprobe: bool | None = None,
+    prefilter: str = "numpy",
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold. ``exact=True`` goes
     all-pairs (testing / small inputs); otherwise LSH-banded candidates.
@@ -424,13 +583,38 @@ def cosine_join(
 
     Candidates travel as id pairs only — vectors re-attach after the
     (distinct) pair set is known, so the band join never shuffles
-    embeddings."""
+    embeddings.
+
+    ``prefilter`` (r12 — the gemm-verify lesson generalized): the
+    default ``"numpy"`` narrows the candidate set with an Arrow-batched
+    einsum at threshold − ε before the canonical scorer runs
+    (:func:`_numpy_pair_prefilter`); the canonical expression still
+    decides every boundary pair and produces every output value, so the
+    row set is byte-identical to ``prefilter="none"`` (pinned in
+    pytest). ``"none"`` keeps the pure-JVM expression path (no Python
+    workers)."""
+    if prefilter not in ("numpy", "none"):
+        raise ValueError(f"prefilter must be 'numpy' or 'none', got {prefilter!r}")
+    # guard band below every downstream cut: 2e-6 sits under the exact
+    # funnel's 1e-6 rough cut, 1e-9 under the plain-double threshold
+    # (numpy-vs-fold summation differs ~1e-13 at these dims)
+    cut = threshold - (2e-6 if exact_score else 1e-9)
     if exact:
-        pairs = (
-            emb.select(F.col(id_col).alias("id_a"))
-            .crossJoin(emb.select(F.col(id_col).alias("id_b")))
-            .filter(F.col("id_a") < F.col("id_b"))
-        )
+        if prefilter == "numpy":
+            # one constant bucket: the all-pairs tier is a single blocked
+            # gemm (strip-batched — degrades to slow, never OOM)
+            key = F.lit("__all").alias("band_key")
+            pairs = _banded_gemm_pairs(
+                emb.select(F.col(id_col).alias("id_a"), key),
+                emb.select(F.col(id_col).alias("id_b"), key),
+                emb, cut, id_col, vec_col,
+            )
+        else:
+            pairs = (
+                emb.select(F.col(id_col).alias("id_a"))
+                .crossJoin(emb.select(F.col(id_col).alias("id_b")))
+                .filter(F.col("id_a") < F.col("id_b"))
+            )
     else:
         if multiprobe is None:
             multiprobe = threshold < 0.7
@@ -442,12 +626,15 @@ def cosine_join(
         if multiprobe:
             ba = _multiprobe_keys(ba, n_planes // bands, keep=("id_a",))
         bb = b.select(F.col(id_col).alias("id_b"), "band_key")
-        pairs = (
-            ba.join(bb, "band_key")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
+        if prefilter == "numpy":
+            pairs = _banded_gemm_pairs(ba, bb, emb, cut, id_col, vec_col)
+        else:
+            pairs = (
+                ba.join(bb, "band_key")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+            )
     return _score_pairs(emb, pairs, threshold, id_col, vec_col, exact_score)
 
 
@@ -458,11 +645,25 @@ def _score_pairs(
     id_col: str,
     vec_col: str,
     exact_score: bool,
+    numpy_prefilter: bool = False,
 ) -> DataFrame:
     """Verify candidate id pairs: re-attach vectors, score, keep cosine ≥
     threshold. Shared epilogue of every blocked pair generator
     (``cosine_join`` LSH tier, ``cosine_join_ivf`` centroid tier, the
-    exact all-pairs oracle tier)."""
+    exact all-pairs oracle tier).
+
+    ``numpy_prefilter`` narrows the pair set with the Arrow-batched
+    einsum (:func:`_numpy_pair_prefilter`) before any canonical work:
+    the guard band sits BELOW every downstream cut (2e-6 under the
+    exact funnel's 1e-6 rough cut, 1e-9 under the plain-double
+    threshold; numpy-vs-fold summation differs ~1e-13), so the
+    surviving superset feeds the UNCHANGED canonical pipeline and the
+    output rows are byte-identical with or without it."""
+    if numpy_prefilter:
+        guard = 2e-6 if exact_score else 1e-9
+        pairs = _numpy_pair_prefilter(
+            emb, pairs, threshold - guard, id_col, vec_col
+        )
     left = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     right = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if exact_score:
@@ -709,7 +910,10 @@ def _gemm_cell_candidates(
             block = U[s : s + strip]
             if asym:
                 S = block @ P.T
-                ai, bj = np.nonzero(S >= cut)
+                # ~(S < cut), not S >= cut: a NaN score (NaN input
+                # values) must survive the prefilter — Spark orders NaN
+                # above every number, so the canonical filter keeps it
+                ai, bj = np.nonzero(~(S < cut))
                 la, rb = ids[ai + s], pids[bj]
                 keep = la != rb
                 la, rb = la[keep], rb[keep]
@@ -717,7 +921,7 @@ def _gemm_cell_candidates(
                 out_b.append(np.maximum(la, rb))
             else:
                 S = block @ U.T
-                ai, bj = np.nonzero(S >= cut)
+                ai, bj = np.nonzero(~(S < cut))  # NaN survives (see asym)
                 gi = ai + s
                 keep = gi < bj  # ids sorted ascending → id_a < id_b
                 out_a.append(ids[gi[keep]])

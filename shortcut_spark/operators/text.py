@@ -1265,6 +1265,7 @@ def sparse_cosine_pairs(
     max_df: int = 10_000,
     scale: int = 1_000,
     ngram: int = 1,
+    funnel: bool = True,
 ) -> DataFrame:
     """Sparse TF-IDF cosine near-dup pairs — the LEXICAL sibling of the
     dense ``similarity.cosine_join``: documents as sparse term-weight
@@ -1296,23 +1297,47 @@ def sparse_cosine_pairs(
     aggregate, the inverted-index self-join keyed by term (fan-out
     bounded by the df cap), and a (pair)-keyed dot aggregate. Output:
     (id_a, id_b, cosine) for cosine ≥ threshold, id_a < id_b.
+
+    ``funnel`` (r12 — the r11 gemm-verify lesson applied to the DECIMAL
+    dot): Decimal128 aggregation runs outside whole-stage codegen, and
+    on the candidate pair set it was the operator's largest wall. The
+    default funnel runs the candidate dot in plain DOUBLE first (all
+    weights are non-negative integers, so the double sum is within
+    ~1e-12 relative of the exact decimal — codegen-friendly), keeps
+    pairs whose rough cosine ≥ threshold − 1e-6, and re-runs the EXACT
+    decimal dot only on that superset, so the output rows and values
+    are byte-identical to ``funnel=False`` (pinned in pytest) — the
+    same guard-band/canonical-re-score contract as
+    ``similarity._score_pairs``'s exact funnel.
     """
     from ..functions import tokens
 
     dec38 = "decimal(38,0)"
     if ngram > 1:
-        tcol = f"split(trim(lower({text_col})), '\\\\s+')"
-        # sequence(1, 0) DESCENDS in Spark — short docs need the explicit
-        # empty branch (same guard as bpe_train)
+        # the token split is PROJECTED into its own column before the
+        # gram transform: an expression referenced inside a HOF lambda
+        # is re-evaluated PER ELEMENT, so inlining split() there re-split
+        # the whole document once per gram — measured 8.5 → 2.2 s on the
+        # sf0.1 w-build (r12; same guard class as the sequence(1,0)
+        # descent below, which short docs need as an explicit empty
+        # branch like bpe_train)
+        tokked = docs.select(
+            F.col(id_col).alias("d"),
+            F.expr(f"split(trim(lower({text_col})), '\\\\s+')").alias("__tk"),
+        )
         terms = F.expr(
-            f"transform(IF(size({tcol}) < {ngram}, CAST(array() AS ARRAY<INT>), "
-            f"sequence(1, size({tcol}) - {ngram - 1})), "
-            f"i -> concat_ws(' ', slice({tcol}, i, {ngram})))"
+            f"transform(IF(size(__tk) < {ngram}, CAST(array() AS ARRAY<INT>), "
+            f"sequence(1, size(__tk) - {ngram - 1})), "
+            f"i -> concat_ws(' ', slice(__tk, i, {ngram})))"
         )
     else:
-        terms = tokens(F.lower(F.col(text_col)))
+        tokked = docs.select(
+            F.col(id_col).alias("d"),
+            tokens(F.lower(F.col(text_col))).alias("__tk"),
+        )
+        terms = F.col("__tk")
     tf = (
-        docs.select(F.col(id_col).alias("d"), F.explode(terms).alias("t"))
+        tokked.select("d", F.explode(terms).alias("t"))
         .filter(F.col("t") != "")
         .groupBy("d", "t")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
@@ -1335,12 +1360,61 @@ def sparse_cosine_pairs(
     )
     a = w.select(F.col("d").alias("id_a"), "t", F.col("w").alias("wa"))
     b = w.select(F.col("d").alias("id_b"), "t", F.col("w").alias("wb"))
-    dots = (
-        a.join(b, "t")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa").cast(dec38) * F.col("wb")).alias("dot"))
-    )
+    if funnel:
+        # pass 1 — rough double dot over ALL candidate pairs (codegen;
+        # weights non-negative → no cancellation, rel err ~1e-12 ≪ 1e-6)
+        rough = (
+            a.join(b, "t")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.sum(
+                    F.col("wa").cast("double") * F.col("wb").cast("double")
+                ).alias("rdot")
+            )
+        )
+        na_d = norms.select(
+            F.col("d").alias("id_a"), F.col("nn").cast("double").alias("__nad")
+        )
+        nb_d = norms.select(
+            F.col("d").alias("id_b"), F.col("nn").cast("double").alias("__nbd")
+        )
+        surv = (
+            rough.join(na_d, "id_a")
+            .join(nb_d, "id_b")
+            .filter(
+                F.col("rdot") / (F.sqrt("__nad") * F.sqrt("__nbd"))
+                >= F.lit(threshold) - F.lit(1e-6)
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=False)
+        )
+        # pass 2 — EXACT decimal dot on the survivor superset only: the
+        # inverted index shrinks to the survivors' docs (semi-join), the
+        # term join replays there, and the pair semi-join keeps exactly
+        # the surviving pairs; the final expression below is unchanged,
+        # so values and the true threshold cut are byte-identical
+        sdocs = (
+            surv.select(F.col("id_a").alias("d"))
+            .unionByName(surv.select(F.col("id_b").alias("d")))
+            .distinct()
+        )
+        wf = w.join(sdocs, "d", "left_semi")
+        a2 = wf.select(F.col("d").alias("id_a"), "t", F.col("w").alias("wa"))
+        b2 = wf.select(F.col("d").alias("id_b"), "t", F.col("w").alias("wb"))
+        dots = (
+            a2.join(b2, "t")
+            .join(surv, ["id_a", "id_b"], "left_semi")
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("wa").cast(dec38) * F.col("wb")).alias("dot"))
+        )
+    else:
+        dots = (
+            a.join(b, "t")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("wa").cast(dec38) * F.col("wb")).alias("dot"))
+        )
     na = norms.select(F.col("d").alias("id_a"), F.col("nn").alias("na"))
     nb = norms.select(F.col("d").alias("id_b"), F.col("nn").alias("nb"))
     cos = (
