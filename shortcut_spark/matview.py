@@ -162,6 +162,16 @@ class MatView:
         if base is None:
             base = Store.open(spark, meta["base_path"])
         state = Store.open(spark, os.path.join(path, "state"))
+        # base_version prefers the STATE STORE's committed manifest props
+        # (r12: refresh stamps it inside the merge's own manifest flip,
+        # so state + version advance atomically — a crash between the old
+        # merge commit and the meta-JSON rewrite could otherwise reopen
+        # with a stale version and re-apply, hence double-count, the
+        # delta). The JSON value remains the create-time fallback.
+        committed = state.manifest.props.get("mv_base_version")
+        base_version = (
+            int(committed) if committed is not None else meta["base_version"]
+        )
         return cls(
             spark,
             path,
@@ -169,7 +179,7 @@ class MatView:
             meta["keys"],
             [tuple(a) for a in meta["aggs"]],
             state,
-            meta["base_version"],
+            base_version,
         )
 
     def _save_meta(self) -> None:
@@ -273,12 +283,31 @@ class MatView:
             try:
                 # stable_input: rows is the materialized cut, so the
                 # merge's insert skips its own re-checkpoint (r9 — one
-                # fewer materialization job per refresh)
+                # fewer materialization job per refresh). The view's new
+                # base_version is STAGED as a manifest prop before the
+                # merge, so it persists inside the merge's one atomic
+                # manifest flip (r12, the stream_epoch pattern): state
+                # and version can never be durable separately.
+                self.state.manifest.props["mv_base_version"] = str(cur)
                 n_groups, _ = self.state.merge(rows, on=_GK, stable_input=True)
+            except BaseException:
+                # merge rolled back (manifest restored / staged entry
+                # unstaged) — drop the staged prop so a later unrelated
+                # commit cannot carry a version the state never reached
+                if (
+                    self.state.manifest.props.get("mv_base_version")
+                    == str(cur)
+                ):
+                    prev = self.base_version
+                    self.state.manifest.props["mv_base_version"] = str(prev)
+                raise
             finally:
                 rows.unpersist()
             self.base_version = cur
-            self._save_meta()
+            if self.state.manifest.props.get("mv_base_version") != str(cur):
+                # belt-and-braces: a merge path that did not commit (e.g.
+                # an empty batch) still durably advances via the JSON
+                self._save_meta()
         finally:
             if small:
                 self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)

@@ -640,6 +640,14 @@ class Store:
                 .join(keys, name, "left_semi")
                 .select(ROWID)
             )
+            if self.manifest.live_rows <= self.POSTING_DRIVER_BUILD_ROWS:
+                # micro-store merge (matview state, streaming dimension
+                # upserts): victims ≤ live_rows ≤ the driver-build bound,
+                # so the tombstone takes the single-file micro-batch
+                # layout — one write task, one file, no 32-way fan-out
+                # of a handful of rowids (r12, the _cluster_batch n=1
+                # precedent applied to the merge's staging write)
+                victims = victims.coalesce(1)
             victims_rel = os.path.join(
                 "tomb", f"m{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
             )
