@@ -969,6 +969,210 @@ def probe_fuzzy_scale(spark, rows):
             rows.append((label, dt, res))
 
 
+def _synth_emb_sql(spark, n: int, dim: int = 32):
+    """Executor-side deterministic pseudo-random unit-ish vectors (the
+    hyperplane_buckets md5 trick) — the driver-side synth_embeddings
+    serializes row-by-row and cannot reach 100× sizes."""
+    comp = (
+        f"transform(sequence(0, {dim - 1}), "
+        f"d -> cast(conv(substr(md5(concat(cast(id as string), ':', "
+        f"cast(d as string))), 1, 8), 16, 10) as double) / 2147483648.0 - 1.0)"
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), F.expr(comp).alias("embedding")
+    )
+
+
+def probe_100x(spark, rows):
+    """r12 (judge ask #3): the r11 claims were measured at 10× — the
+    128 GiB sandbox fits 100×. Three shapes asserted:
+
+    1. GEMM VERIFY at 100× (500k vectors): the verify machine is probed
+       in ISOLATION (synthetic hash soft-assignment at fixed cell size,
+       m=4) so the wall measures the Arrow transfer + strip gemm +
+       survivor emission, not the Lloyd fit. Expected ~linear in N·m at
+       fixed cell size; a planted HOT CELL (20k members ≫ the 1024-row
+       strip) exercises the strip path — degrades to slow, never OOM.
+    2. STANDING LSH PROBE at 100×: per-query wall of the durable band
+       index's probed-bucket read should stay ~flat while the inline
+       re-band grows with N.
+    3. FUZZY MODES at 100× (2M Zipf names, d=2): deletes candidates
+       should stay near-linear (they track true near-pairs); the qgram
+       prefix machine runs end-to-end on its favored (Zipfian) regime.
+    """
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from shortcut_spark.operators import similarity
+    from shortcut_spark.operators.similarity import (
+        _gemm_cell_candidates,
+        _score_pairs,
+    )
+
+    # ---- 1. gemm verify isolation, 10x vs 100x + hot cell ----
+    for label, n, hot in (
+        ("gemm verify 10x", 50_000, False),
+        ("gemm verify 100x", 500_000, False),
+        ("gemm verify hot-cell (50k, one 20k-member cell)", 50_000, True),
+    ):
+        emb = _synth_emb_sql(spark, n).localCheckpoint(eager=True)
+        cell = 160
+        n_cells = max(1, n // cell)
+        # synthetic m=4 soft assignment at fixed cell size (hash-spread);
+        # hot=True funnels 40% of rows' first assignment into cell 0
+        first = (
+            F.when(F.col("vec_id") % 5 < 2, F.lit(0))
+            if hot
+            else F.abs(F.xxhash64("vec_id", F.lit(1))) % n_cells
+        )
+        if hot:
+            first = first.otherwise(F.abs(F.xxhash64("vec_id", F.lit(1))) % n_cells)
+        sided = emb.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    F.struct(first.alias("cluster"), F.lit(1).alias("rank")),
+                    *[
+                        F.struct(
+                            (F.abs(F.xxhash64("vec_id", F.lit(k))) % n_cells).alias(
+                                "cluster"
+                            ),
+                            F.lit(k).alias("rank"),
+                        )
+                        for k in (2, 3, 4)
+                    ],
+                )
+            ).alias("cr"),
+            F.col("embedding").alias("__v"),
+        ).select("vec_id", F.col("cr.cluster").alias("cluster"), F.col("cr.rank").alias("rank"), "__v")
+        t0 = time.time()
+        pairs = _gemm_cell_candidates(sided, 0.5, "vec_id").distinct()
+        out = _score_pairs(emb, pairs, 0.5, "vec_id", "embedding", False)
+        n_out = out.count()
+        dt = time.time() - t0
+        print(f"  {label}: {dt:.1f}s {n_out} pairs", flush=True)
+        rows.append((label, dt, f"{n_out} pairs ≥0.5, {n_cells} cells"))
+
+    # ---- 2. standing LSH probe at 100x ----
+    from shortcut_spark.operators.vector_index import VectorIndex
+    from shortcut_spark.store import Store
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    n = 500_000
+    emb = _synth_emb_sql(spark, n).localCheckpoint(eager=True)
+    root = tempfile.mkdtemp(prefix="lshix_100x_")
+    st = Store.create(spark, f"{root}/corpus", schema)
+    st.insert(emb)
+    corpus = st.find([])
+    planes, bands = similarity.lsh_params_for(n)
+    t0 = time.time()
+    ix = VectorIndex.create(
+        spark, f"{root}/vx", corpus, lsh_planes=planes, lsh_bands=bands,
+        dim=32, ivf=False, source_version=st.manifest.version,
+    )
+    rows.append(
+        (f"lsh band index CREATE once (100x, {n} vecs, {planes}/{bands})",
+         time.time() - t0, f"{n * bands} band rows")
+    )
+    queries = [
+        emb.filter(F.col("vec_id") == qid)
+        .select(F.col("embedding").alias("qvec"))
+        .localCheckpoint(eager=True)
+        for qid in (0, n // 2, n - 20)
+    ]
+    for label, fn in (
+        ("lsh_topk INLINE re-bands corpus (100x)",
+         lambda q: similarity.lsh_topk(
+             emb, q, k=10, n_planes=planes, bands=bands, dim=32)),
+        ("lsh_topk STANDING probed buckets (100x)",
+         lambda q: ix.lsh_topk(corpus, q, k=10)),
+    ):
+        fn(queries[0]).count()  # warm-up, untimed
+        walls = []
+        for q in queries:
+            t0 = time.time()
+            nn = fn(q).count()
+            walls.append(time.time() - t0)
+        best = min(walls)
+        print(f"  {label}: min {best:.2f}s over {len(walls)} queries", flush=True)
+        rows.append((label, best, f"{nn} rows, min of {len(walls)}"))
+
+    # ---- 3. fuzzy modes at 100x: 2M Zipf names, d=2 ----
+    from shortcut_spark.operators.joins import _deletion_variants, fuzzy_join
+
+    n = 2_000_000
+    zipf = lambda col, vocab, salt: F.concat(
+        F.lit("w"),
+        F.floor(
+            vocab * F.pow(F.pmod(F.xxhash64(col + F.lit(salt)), 10_000) / 10_000.0, 3.0)
+        ).cast("int").cast("string"),
+    )
+    left = spark.range(n).select(
+        F.col("id").alias("lid"),
+        F.concat_ws(
+            " ",
+            zipf(F.col("id"), 300, 1),
+            zipf(F.col("id"), 300, 2),
+            F.substring(F.md5(F.col("id").cast("string")), 1, 6),
+        ).alias("lname"),
+    ).localCheckpoint(eager=True)
+    right = left.select(
+        F.col("lid").alias("rid"),
+        F.when(
+            F.col("lid") % 10 == 0,
+            F.concat_ws(
+                " ",
+                F.split(F.col("lname"), " ")[0],
+                F.expr("substring(split(lname, ' ')[1], 2)"),
+                F.split(F.col("lname"), " ")[2],
+            ),
+        ).otherwise(F.col("lname")).alias("rname"),
+    ).localCheckpoint(eager=True)
+    planted = n // 10
+    t0 = time.time()
+    lv = left.select("lid", F.explode(
+        F.transform(_deletion_variants("lname", 2), lambda v: F.xxhash64(v))
+    ).alias("v"))
+    rv = right.select("rid", F.explode(
+        F.transform(_deletion_variants("rname", 2), lambda v: F.xxhash64(v))
+    ).alias("v"))
+    n_del = lv.join(rv, "v").select("lid", "rid").distinct().count()
+    dt = time.time() - t0
+    print(f"  ZIPF candidates DELETES d=2 (100x, {n}): {n_del} in {dt:.1f}s", flush=True)
+    rows.append((f"ZIPF-name candidates DELETES d=2 (100x, {n})", dt,
+                 f"{n_del} candidates"))
+    for label, kw in (
+        ("ZIPF fuzzy_join deletes (100x)", {"method": "deletes"}),
+        ("ZIPF fuzzy_join qgram (100x)", {"method": "qgram"}),
+    ):
+        t0 = time.time()
+        agg = (
+            fuzzy_join(left, right, "lname", "rname", 2, **kw)
+            .agg(
+                F.count(F.lit(1)).alias("pairs"),
+                F.sum(
+                    F.when(
+                        (F.col("lid") == F.col("rid")) & (F.col("lid") % 10 == 0), 1
+                    ).otherwise(0)
+                ).alias("hit"),
+            )
+            .first()
+        )
+        dt = time.time() - t0
+        res = (
+            f"planted recall {(agg['hit'] or 0) / planted:.3f}, "
+            f"{agg['pairs']} pairs"
+        )
+        print(f"  {label}: {dt:.1f}s {res}", flush=True)
+        rows.append((label, dt, res))
+
+
 def probe_store_plane(spark, rows):
     """r10 (judge ask #6): the Store plane itself, measured with planted
     truth — the last family whose scale claims were argued from shape:
