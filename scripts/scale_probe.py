@@ -1371,6 +1371,16 @@ def main():
         for label, dt, nn in rows:
             print(f"| {label} | {dt:.1f} | {nn} |")
         return
+    if "--100x" in sys.argv:
+        spark = get_spark("scale-probe-100x")
+        spark.range(10).count()
+        rows = []
+        probe_100x(spark, rows)
+        print("\n| probe | wall (s) | result |")
+        print("|---|---|---|")
+        for label, dt, nn in rows:
+            print(f"| {label} | {dt:.1f} | {nn} |")
+        return
     if "--fuzzy-scale" in sys.argv:
         spark = get_spark("scale-probe-fuzzyscale")
         spark.range(10).count()
