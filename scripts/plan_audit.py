@@ -73,6 +73,10 @@ AUDIT = [
     "fuzzy_join_deletes",
     "fuzzy_join_qgram",
     "embed_cosine_lsh",
+    # r12 replans: per-bucket gemm candidates + the sparse double funnel
+    "embed_cosine_ivf_exact",
+    "docs_sparse_cosine",
+    "embed_cross_source",
     "embed_lsh_topk",
     "mm_wav_chunks",
     "embed_cosine_ivf",

@@ -999,7 +999,13 @@ def probe_100x(spark, rows):
     3. FUZZY MODES at 100× (2M Zipf names, d=2): deletes candidates
        should stay near-linear (they track true near-pairs); the qgram
        prefix machine runs end-to-end on its favored (Zipfian) regime.
+
+    ``only`` restricts to one section ("gemm" | "lsh" | "fuzzy").
     """
+    only = None
+    for a in sys.argv:
+        if a.startswith("--100x="):
+            only = a.split("=", 1)[1]
     import tempfile
 
     from pyspark.sql import types as T
@@ -1011,7 +1017,7 @@ def probe_100x(spark, rows):
     )
 
     # ---- 1. gemm verify isolation, 10x vs 100x + hot cell ----
-    for label, n, hot in (
+    for label, n, hot in () if only not in (None, "gemm") else (
         ("gemm verify 10x", 50_000, False),
         ("gemm verify 100x", 500_000, False),
         ("gemm verify hot-cell (50k, one 20k-member cell)", 50_000, True),
@@ -1058,6 +1064,17 @@ def probe_100x(spark, rows):
     from shortcut_spark.operators.vector_index import VectorIndex
     from shortcut_spark.store import Store
 
+    if only in (None, "lsh"):
+        _probe_100x_lsh(spark, rows, VectorIndex, Store, similarity)
+    if only in (None, "fuzzy"):
+        _probe_100x_fuzzy(spark, rows)
+
+
+def _probe_100x_lsh(spark, rows, VectorIndex, Store, similarity):
+    import tempfile
+
+    from pyspark.sql import types as T
+
     schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
@@ -1103,7 +1120,17 @@ def probe_100x(spark, rows):
         print(f"  {label}: min {best:.2f}s over {len(walls)} queries", flush=True)
         rows.append((label, best, f"{nn} rows, min of {len(walls)}"))
 
+
+def _probe_100x_fuzzy(spark, rows):
     # ---- 3. fuzzy modes at 100x: 2M Zipf names, d=2 ----
+    # the hashed-variant relations defeat AQE's compressed-size
+    # broadcast estimate (incompressible 8-byte keys; a mis-broadcast
+    # blows driver maxResultSize), so broadcast conversion is off for
+    # this section — the real operator keeps its own join shape
+    bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    abc = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", bc)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     from shortcut_spark.operators.joins import _deletion_variants, fuzzy_join
 
     n = 2_000_000
@@ -1171,6 +1198,8 @@ def probe_100x(spark, rows):
         )
         print(f"  {label}: {dt:.1f}s {res}", flush=True)
         rows.append((label, dt, res))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", abc)
 
 
 def probe_store_plane(spark, rows):
@@ -1371,7 +1400,7 @@ def main():
         for label, dt, nn in rows:
             print(f"| {label} | {dt:.1f} | {nn} |")
         return
-    if "--100x" in sys.argv:
+    if any(a == "--100x" or a.startswith("--100x=") for a in sys.argv):
         spark = get_spark("scale-probe-100x")
         spark.range(10).count()
         rows = []

@@ -376,7 +376,6 @@ def _fuzzy_join_qgram(
     )
 
     def tokens(df, col, rid):
-        s = F.lower(F.col(col))
         # r11 advice: sequence(1, stop) DESCENDS to [1, 0] when stop < 1
         # (Spark defaults to step -1 when start > stop), so a sub-q
         # string would grow 2 PHANTOM grams — wrong __ng bookkeeping,
@@ -384,14 +383,21 @@ def _fuzzy_join_qgram(
         # the residual branch and silently drops qualifying pairs. The
         # explicit empty branch (the sparse_cosine_pairs/bpe_train
         # guard) makes sub-q strings produce ZERO grams.
+        # The lowered string is PROJECTED first (r12): expressions inside
+        # HOF lambdas re-evaluate per element, so inlining lower() there
+        # re-lowered the whole string once per gram (the
+        # sparse_cosine_pairs tokenizer lesson).
+        low = df.select(F.col(rid), F.lower(F.col(col)).alias("__lc"))
         grams = F.expr(
-            f"if(length(lower({col})) >= {q}, "
-            f"transform(sequence(1, length(lower({col})) - {q} + 1), "
-            f"i -> substring(lower({col}), i, {q})), "
+            f"if(length(__lc) >= {q}, "
+            f"transform(sequence(1, length(__lc) - {q} + 1), "
+            f"i -> substring(__lc, i, {q})), "
             f"cast(array() as array<string>))"
         )
         toks = (
-            df.select(F.col(rid), F.length(s).alias("__len"), grams.alias("__g"))
+            low.select(
+                F.col(rid), F.length("__lc").alias("__len"), grams.alias("__g")
+            )
             .filter(F.col("__len").isNotNull())
             .select(rid, "__len", F.posexplode_outer("__g").alias("__pos", "__gram"))
         )
@@ -496,12 +502,16 @@ def _fuzzy_join_qgram(
     return out.select(*left.columns, *right.columns, "lev_dist")
 
 
-def _deletion_variants(col: str, d: int):
+def _deletion_variants(col: str, d: int, lowered: bool = False):
     """Array of DISTINCT lowercased strings reachable from ``col`` by
     deleting ≤ d characters (d ∈ {1, 2}). Pure Catalyst expressions —
     per-row cost is O(len) at d=1 and O(len²) at d=2, which is why the
-    deletes mode is routed/documented for short-string corpora."""
-    s = f"lower({col})"
+    deletes mode is routed/documented for short-string corpora.
+    ``lowered=True`` means ``col`` is ALREADY a lowercased attribute —
+    expressions inside HOF lambdas re-evaluate per element, so the
+    caller projecting lower() once avoids re-lowering the string once
+    per variant (r12, the sparse_cosine_pairs tokenizer lesson)."""
+    s = col if lowered else f"lower({col})"
     k1 = (
         f"transform(sequence(1, length({s})), "
         f"i -> concat(substring({s}, 1, i - 1), substring({s}, i + 1, length({s}) - i)))"
@@ -565,17 +575,23 @@ def _fuzzy_join_deletes(
     # the length filter and the exact Levenshtein verify still decide —
     # so losslessness is untouched (measured: identical output, ~10%
     # wall at the 10× Zipf probe, bytes win grows with string length).
-    hvar = lambda c: F.transform(_deletion_variants(c, d), lambda v: F.xxhash64(v))
+    # the lowered string is PROJECTED before the variant transform (r12):
+    # lambdas re-evaluate outer expressions per element, so the inline
+    # lower() re-lowered the string once per variant — O(len) extra work
+    # × C(len, ≤d) variants per row
+    hvar = F.transform(
+        _deletion_variants("__lc", d, lowered=True), lambda v: F.xxhash64(v)
+    )
     lv = lc.select(
         "__lrid",
         F.length(F.col(left_col)).alias("__llen"),
-        F.explode(hvar(left_col)).alias("__var"),
-    )
+        F.lower(F.col(left_col)).alias("__lc"),
+    ).select("__lrid", "__llen", F.explode(hvar).alias("__var"))
     rv = rc.select(
         "__rrid",
         F.length(F.col(right_col)).alias("__rlen"),
-        F.explode(hvar(right_col)).alias("__var"),
-    )
+        F.lower(F.col(right_col)).alias("__lc"),
+    ).select("__rrid", "__rlen", F.explode(hvar).alias("__var"))
     pairs = (
         lv.join(rv, "__var")
         .filter(F.abs(F.col("__llen") - F.col("__rlen")) <= d)

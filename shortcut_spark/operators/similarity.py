@@ -516,7 +516,11 @@ def _banded_gemm_pairs(
             UB = VB / nb[:, None]
             ids_a = Ad["__pid"].to_numpy()
             ids_b = Bd["__pid"].to_numpy()
-            strip = 1024
+            # strip width adapts so the product block stays ≤ ~64M
+            # doubles (512 MB) even when one bucket holds the corpus
+            # (the exact all-pairs tier at large N): degrade to slow,
+            # never OOM the Python worker
+            strip = max(1, min(1024, 64_000_000 // max(1, len(ids_b))))
             for s in range(0, len(ids_a), strip):
                 S = UA[s : s + strip] @ UB.T
                 ai, bj = np.nonzero(~(S < cut))  # NaN survives
@@ -905,7 +909,9 @@ def _gemm_cell_candidates(
             pids, P = ids[pmask], U[pmask]
         out_a: list = []
         out_b: list = []
-        strip = 1024
+        # adaptive strip width: product block ≤ ~64M doubles even for a
+        # pathological corpus-sized cell (see _banded_gemm_pairs)
+        strip = max(1, min(1024, 64_000_000 // max(1, len(ids))))
         for s in range(0, len(ids), strip):
             block = U[s : s + strip]
             if asym:
