@@ -718,6 +718,35 @@ class Store:
         for key in [k for k in self._stats_np if k[1] != v]:
             del self._stats_np[key]
 
+    def _tomb_rowid_range(self, rels: Sequence[str]) -> tuple[int, int]:
+        """[min, max] rowid across the given tombstone staging dirs, from
+        parquet FOOTER stats only (zero Spark jobs) — the driver-side
+        prune key for the churn-bounded CDC delete tier. Missing stats
+        widen to the full rowid space (prune nothing, never wrongly);
+        no rows at all returns an empty range (prunes everything)."""
+        lo: int | None = None
+        hi: int | None = None
+        for rel in rels:
+            d = self._abs(rel)
+            for name in os.listdir(d):
+                if not name.endswith(".parquet"):
+                    continue
+                meta = pq.ParquetFile(os.path.join(d, name)).metadata
+                for rg in range(meta.num_row_groups):
+                    rgm = meta.row_group(rg)
+                    for ci in range(rgm.num_columns):
+                        col = rgm.column(ci)
+                        if col.path_in_schema != ROWID:
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            return (0, 2**63 - 1)
+                        lo = int(st.min) if lo is None else min(lo, int(st.min))
+                        hi = int(st.max) if hi is None else max(hi, int(st.max))
+        if lo is None or hi is None:
+            return (0, -1)
+        return (lo, hi)
+
     def _parquet_rows(self, rel_dir: str) -> int:
         """Row count of a freshly-written parquet dir from its footers —
         metadata-only (no Spark job), the `_register_files` convention.
@@ -2482,12 +2511,23 @@ class Store:
           the old snapshot's watermark. Files are pruned driver-side by
           their manifest ``max_rowid`` (zero jobs), so the scan cost is
           proportional to data written since the snapshot, not table size;
-        - deletes are the old snapshot's live rowids anti-joined against
-          the current live set — two column-pruned ``__rowid`` scans and
-          one join, with the deleted rows' column values served from the
-          old snapshot's still-on-disk files (``vacuum`` retires them, so
-          CDC readers must consume before the retention horizon — the
-          standard lakehouse contract).
+        - deletes are CHURN-BOUNDED (r12): on the normal timeline
+          (tombstones only grow between the snapshots — append / CoW or
+          deferred delete / merge; everything except ``restore``), a row
+          can only leave the live set from a RETIRED file (rewritten or
+          compacted away) or via a tombstone ADDED since, so the delete
+          tier scans exactly [retired files] ∪ [still-shared files whose
+          rowid range overlaps the new tombstones' footer range,
+          semi-joined on the new tombstone rowids], anti-joined against
+          the live rows of files ADDED since — cost ∝ churn, never
+          ∝ table size (at 100 TB the old full-snapshot scan per refresh
+          was the real flaw). An append-only window resolves to an EMPTY
+          delete tier driver-side with zero jobs. A timeline where
+          tombstones shrank (``restore``) falls back to the exact
+          old-live ∖ current-live full formula. Deleted rows' column
+          values come from the old snapshot's still-on-disk files
+          (``vacuum`` retires them, so CDC readers must consume before
+          the retention horizon — the standard lakehouse contract).
         """
         try:
             old = Manifest.load(self.path, since_version)
@@ -2503,21 +2543,92 @@ class Store:
         else:
             appended = self._empty(True)
         old_store = Store(self.spark, self.path, old)
-        old_rows = old_store.find([], with_rowid=True)
-        old_ids = old_rows.select(ROWID)
-        cur_rows = self.find([], with_rowid=True)
-        cur_ids = cur_rows.select(ROWID)
-        deleted = old_rows.join(cur_ids, ROWID, "left_anti")
-        # RESURRECTED tier: live rows BELOW the watermark that the old
-        # snapshot did not have. Impossible in an append/delete-only
-        # history (sub-watermark rowids only ever disappear), so this
-        # anti-join is empty and free-ish on normal timelines — it exists
-        # for restore(): a rollback un-deletes old rowids, and without
-        # this tier the delta could not express them (pinned by
-        # test_changes_exact_across_restore).
-        resurrected = cur_rows.filter(F.col(ROWID) < wm).join(
-            old_ids, ROWID, "left_anti"
-        )
+        old_tomb_set = set(old.tombstones)
+        tombs_grew = old_tomb_set <= set(self.manifest.tombstones)
+        cur_paths = {f.path for f in self.manifest.files}
+        old_paths = {f.path for f in old.files}
+        if tombs_grew:
+            # churn-bounded tiers (see docstring): a live row disappears
+            # only with its file (retired) or via a tombstone added since
+            retired = [f for f in old.files if f.path not in cur_paths]
+            added = [f for f in self.manifest.files if f.path not in old_paths]
+            new_tombs = [
+                t for t in self.manifest.tombstones if t not in old_tomb_set
+            ]
+            cand = old_store._read_files(retired) if retired else None
+            if new_tombs:
+                tmin, tmax = self._tomb_rowid_range(new_tombs)
+                shared_hit = [
+                    f
+                    for f in old.files
+                    if f.path in cur_paths
+                    and f.max_rowid >= tmin
+                    and f.min_rowid <= tmax
+                ]
+                if shared_hit:
+                    tomb_ids = self.spark.read.schema(f"{ROWID} long").parquet(
+                        *[self._abs(t) for t in new_tombs]
+                    )
+                    shared_cand = old_store._read_files(shared_hit).join(
+                        tomb_ids, ROWID, "left_semi"
+                    )
+                    cand = (
+                        shared_cand
+                        if cand is None
+                        else cand.unionByName(shared_cand)
+                    )
+            if cand is None:
+                deleted = old_store._empty(True)
+            else:
+                # a candidate is still live only if a rewrite carried its
+                # rowid into a file added since (rowids are preserved)
+                added_live_ids = (
+                    self._read_files(added).select(ROWID) if added else None
+                )
+                deleted = (
+                    cand
+                    if added_live_ids is None
+                    else cand.join(added_live_ids, ROWID, "left_anti")
+                )
+            # RESURRECTED tier: under grown-only tombstones a shared
+            # file's row that is live now was live at the old snapshot
+            # too, so resurrection can only surface from ADDED files
+            # carrying sub-watermark rowids (a restore-like re-addition);
+            # the old-live anti-join side prunes to the files whose rowid
+            # ranges overlap those rows
+            sub_wm_added = [f for f in added if f.min_rowid < wm]
+            if sub_wm_added:
+                added_sub_live = self._read_files(sub_wm_added).filter(
+                    F.col(ROWID) < wm
+                )
+                lo = min(f.min_rowid for f in sub_wm_added)
+                old_overlap = [
+                    f for f in old.files if f.max_rowid >= lo and f.min_rowid < wm
+                ]
+                if old_overlap:
+                    old_ids_pruned = old_store._read_files(old_overlap).select(
+                        ROWID
+                    )
+                    resurrected = added_sub_live.join(
+                        old_ids_pruned, ROWID, "left_anti"
+                    )
+                else:
+                    resurrected = added_sub_live
+            else:
+                resurrected = self._empty(True)
+        else:
+            # restore() shrank the tombstone set — fall back to the exact
+            # full formula: old live ∖ current live, plus live
+            # sub-watermark rows the old snapshot did not have (pinned by
+            # test_changes_exact_across_restore)
+            old_rows = old_store.find([], with_rowid=True)
+            old_ids = old_rows.select(ROWID)
+            cur_rows = self.find([], with_rowid=True)
+            cur_ids = cur_rows.select(ROWID)
+            deleted = old_rows.join(cur_ids, ROWID, "left_anti")
+            resurrected = cur_rows.filter(F.col(ROWID) < wm).join(
+                old_ids, ROWID, "left_anti"
+            )
         cols = [ROWID, *self.manifest.schema.fieldNames()]
         # schema evolution between the snapshots: the delta is expressed in
         # the CURRENT schema — a column added since the old snapshot is
