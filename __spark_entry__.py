@@ -356,7 +356,12 @@ def q_store_version_diff(spark, sf_dir):
     st.insert(_t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5))
     v2 = st.manifest.version
     st.delete([eq("o_orderkey", 600)])  # outside the window: invisible
-    return st.diff(v0, v2).select("change_type", *_ORDERS_SAFE)
+    out = st.diff(v0, v2).select("change_type", *_ORDERS_SAFE)
+    # r12: this window (CoW delete + insert) must ride the change-data-
+    # feed fast path — the oracle hash then certifies the changelogged
+    # delete rows' values end-to-end
+    assert st.last_changes_used_cdf is True
+    return out
 
 
 def q_events_stream_upsert(spark, sf_dir):

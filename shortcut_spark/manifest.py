@@ -192,6 +192,18 @@ class Manifest:
     # wall-clock commit instant (epoch seconds), stamped by commit();
     # None only on never-committed in-memory manifests
     committed_at: float | None = None
+    # CHANGE DATA FEED record (r12): the parquet dirs holding the FULL
+    # ROWS this version's commit deleted (the Delta-CDF shape — deletes
+    # captured at write time, where the mutation already materializes
+    # its victims). [] = the commit deleted nothing (append, compact,
+    # index build); None = the commit's deletes are NOT changelogged
+    # (restore, merge victims, apply_changes, pre-CDF manifests) and a
+    # CDC window crossing it must fall back to snapshot diffing.
+    # ``cdf_deletes`` is the COMMITTED record loaded from disk;
+    # ``pending_cdf`` is the in-memory staging the next commit() will
+    # persist (and then reset to the no-deletes default).
+    cdf_deletes: list | None = None
+    pending_cdf: list | None = field(default_factory=list)
 
     @property
     def schema(self) -> T.StructType:
@@ -227,6 +239,9 @@ class Manifest:
             "tombstones": list(self.tombstones),
             "tombstone_rows": self.tombstone_rows,
             "committed_at": self.committed_at,
+            "cdf_deletes": (
+                None if self.cdf_deletes is None else list(self.cdf_deletes)
+            ),
         }
 
     def to_json(self) -> dict:
@@ -260,6 +275,10 @@ class Manifest:
             tombstones=list(d.get("tombstones", [])),
             tombstone_rows=int(d.get("tombstone_rows", 0)),
             committed_at=d.get("committed_at"),
+            # absent key (pre-CDF manifest) and explicit null both mean
+            # "not changelogged"; staging always starts clean on load
+            cdf_deletes=d.get("cdf_deletes"),
+            pending_cdf=[],
         )
 
     # -- storage ------------------------------------------------------------
@@ -376,6 +395,16 @@ class Manifest:
                     parts_meta.append(_write_part(chunk, k // MANIFEST_PART_SIZE))
                 d["files"] = []
                 d["file_parts"] = parts_meta
+        # the version being written records the deletes ITS commit staged
+        # (pending_cdf), not the predecessor's record that to_json_meta
+        # carries; staging then resets to the no-deletes default so an
+        # un-staged follow-up commit can never inherit a changelog it did
+        # not produce (which would surface phantom deletes in changes())
+        d["cdf_deletes"] = (
+            None if self.pending_cdf is None else list(self.pending_cdf)
+        )
+        self.cdf_deletes = d["cdf_deletes"]
+        self.pending_cdf = []
         mpath = os.path.join(mdir, f"v{self.version}.json")
         tmp = mpath + ".tmp"
         with open(tmp, "w") as fh:

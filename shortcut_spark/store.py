@@ -663,6 +663,11 @@ class Store:
                 # the tombstone and the new data visible atomically
                 self.manifest.tombstones.append(victims_rel)
                 self.manifest.tombstone_rows += n_staged
+                # the victim probe is column-pruned to (rowid, key) and
+                # never materializes full rows, so merge victims are NOT
+                # changelogged — mark the commit accordingly and let a
+                # CDC window crossing it take the snapshot-diff fallback
+                self.manifest.pending_cdf = None
             else:
                 import shutil
 
@@ -690,6 +695,7 @@ class Store:
                 if victims_rel in self.manifest.tombstones:
                     self.manifest.tombstones.remove(victims_rel)
                     self.manifest.tombstone_rows -= n_staged
+                    self.manifest.pending_cdf = []
                 import shutil
 
                 shutil.rmtree(self._abs(victims_rel), ignore_errors=True)
@@ -1027,6 +1033,12 @@ class Store:
     # the (sorted, single-file) part with no second job — the streaming /
     # matview micro-commit floor. Bulk loads keep the distributed path.
     POSTING_DRIVER_BUILD_ROWS = 20_000
+
+    # introspection: True when the last changes()/diff() on this instance
+    # served its delete tier from the change-data-feed changelog, False
+    # when it fell back to snapshot diffing, None before any CDC read
+    # (the last_refresh_scanned_base convention)
+    last_changes_used_cdf: bool | None = None
 
     def _append_postings_driver(
         self, spec: IndexSpec, postings: DataFrame, part_rel: str, rkey: str
@@ -2150,32 +2162,67 @@ class Store:
         if not candidates:
             return 0
 
+        # CHANGE DATA FEED (r12): both delete strategies already
+        # materialize their victims, so the FULL victim rows are written
+        # once to a changelog dir and staged on the commit
+        # (``pending_cdf``) — ``changes()`` then serves the delete tier
+        # by READING the changelog (cost ∝ deleted rows, zero snapshot
+        # diffing) instead of reconstructing it from two snapshots. The
+        # victim scan that previously only counted (CoW) or only
+        # projected rowids (defer) now writes the rows it was already
+        # reading; counts and per-file attribution derive from the
+        # written changelog (parquet footers + one tiny read), so the
+        # job count over the big relation is unchanged.
+        small = self.manifest.live_rows <= self.POSTING_DRIVER_BUILD_ROWS
+        cdf_rel = os.path.join(
+            "cdf", f"d{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
+        )
+
         if defer:
-            victims_rel = os.path.join(
-                "tomb", f"t{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
-            )
-            self._read_files(candidates).filter(pred).select(ROWID).write.parquet(
-                self._abs(victims_rel)
-            )
-            n = self._parquet_rows(victims_rel)  # footer-only, no job
+            vic = self._read_files(candidates).filter(pred)
+            if small:
+                vic = vic.coalesce(1)
+            vic.write.parquet(self._abs(cdf_rel))
+            n = self._parquet_rows(cdf_rel)  # footer-only, no job
             if n == 0:
                 import shutil
 
-                shutil.rmtree(self._abs(victims_rel), ignore_errors=True)
+                shutil.rmtree(self._abs(cdf_rel), ignore_errors=True)
                 return 0
+            victims_rel = os.path.join(
+                "tomb", f"t{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
+            )
+            # tombstone rowids come from the tiny changelog, not a second
+            # scan of the candidate files
+            self.spark.read.parquet(self._abs(cdf_rel)).select(ROWID).write.parquet(
+                self._abs(victims_rel)
+            )
             self.manifest.tombstones.append(victims_rel)
             self.manifest.tombstone_rows += n
+            self.manifest.pending_cdf = [cdf_rel]
             self._commit()
             return n
 
         scan = self._read_files(candidates, with_meta=True)
-        per_file = {
-            r["__file_path"]: r["cnt"]
-            for r in scan.filter(pred).groupBy("__file_path").agg(F.count("*").alias("cnt")).collect()
-        }
-        victims = sum(per_file.values())
+        vic = scan.filter(pred).withColumnRenamed("__file_path", "__cdf_file")
+        if small:
+            vic = vic.coalesce(1)
+        vic.write.parquet(self._abs(cdf_rel))
+        victims = self._parquet_rows(cdf_rel)  # footer-only, no job
         if victims == 0:
+            import shutil
+
+            shutil.rmtree(self._abs(cdf_rel), ignore_errors=True)
             return 0
+        # per-file victim attribution from the tiny changelog (replaces
+        # the old count-aggregate scan over the candidate files)
+        per_file = {
+            r["__cdf_file"]: r["cnt"]
+            for r in self.spark.read.parquet(self._abs(cdf_rel))
+            .groupBy("__cdf_file")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
         affected = {f.id for f in candidates if self._abs(f.path) in per_file}
         affected_files = [f for f in self.manifest.files if f.id in affected]
 
@@ -2218,6 +2265,7 @@ class Store:
             self._append_postings(spec, new_files, incremental=False)
             if not new_files:
                 self._refresh_index_stats(spec)
+        self.manifest.pending_cdf = [cdf_rel]
         self._commit()
         return victims
 
@@ -2278,6 +2326,10 @@ class Store:
         cur.schema_json = old.schema_json
         cur.indices = {c: s for c, s in old.indices.items()}
         cur.rowid = max(cur.rowid, old.rowid)  # never reuse rowids
+        # a restore RESURRECTS rows (and may drop rows added since) —
+        # neither is expressible as a delete changelog, so the commit is
+        # non-changelogged and CDC windows crossing it diff snapshots
+        cur.pending_cdf = None
         self._commit()
 
     def vacuum(self, retain_versions: int = 1) -> int:
@@ -2316,9 +2368,14 @@ class Store:
                     live.add(os.path.normpath(self._abs(part)))
             for t in m.tombstones:
                 live.add(os.path.normpath(self._abs(t)))
+            # a retained version keeps its change-data-feed changelog, so
+            # changes(since=<retained>) stays serveable from the feed for
+            # exactly as long as its snapshots are (one retention contract)
+            for rel in m.cdf_deletes or []:
+                live.add(os.path.normpath(self._abs(rel)))
         live_dirs = {os.path.dirname(p) for p in live} | live
         removed = 0
-        for sub in ("data", "idx", "tomb"):
+        for sub in ("data", "idx", "tomb", "cdf"):
             root = os.path.join(self.path, sub)
             if not os.path.isdir(root):
                 continue
@@ -2498,6 +2555,52 @@ class Store:
         ).json()
         self._commit()
 
+    def _cdf_window_rels(self, old_version: int) -> list[str] | None:
+        """Changelog dirs for every commit in ``(old_version, current]``
+        — the CDC delete tier's read set — or None when any commit in
+        the window is not changelogged (restore / merge victims /
+        apply_changes deletes / pre-CDF history) or a needed manifest or
+        changelog dir is no longer retained. Driver-side JSON loads,
+        bounded by vacuum retention; zero Spark jobs."""
+        rels: list[str] = []
+        for v in range(old_version + 1, self.manifest.version + 1):
+            try:
+                m = Manifest.load(self.path, v)
+            except FileNotFoundError:
+                return None
+            if m.cdf_deletes is None:
+                return None
+            rels.extend(m.cdf_deletes)
+        for rel in rels:
+            if not os.path.isdir(self._abs(rel)):
+                return None  # vacuumed past retention — diff if possible
+        return rels
+
+    def _read_cdf_rels(
+        self, rels: Sequence[str], cols: Sequence[str], old: Manifest
+    ) -> DataFrame:
+        """Union of changelog dirs projected to ``cols``. Each dir was
+        written in the schema of ITS commit: a column added between the
+        old snapshot and the delete is projected away by ``cols``, a
+        column missing from an older changelog null-pads, and the CoW
+        per-file attribution column (``__cdf_file``) drops."""
+        old_types = {f.name: f.dataType for f in old.schema.fields}
+        old_types[ROWID] = T.LongType()
+        out = None
+        for rel in rels:
+            df = self.spark.read.parquet(self._abs(rel))
+            have = set(df.columns)
+            part = df.select(
+                *[
+                    F.col(c)
+                    if c in have
+                    else F.lit(None).cast(old_types[c]).alias(c)
+                    for c in cols
+                ]
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
     def changes(self, since_version: int) -> DataFrame:
         """Incremental (CDC) read: every row-level change between snapshot
         ``since_version`` and the current version, as one DataFrame of
@@ -2511,23 +2614,31 @@ class Store:
           the old snapshot's watermark. Files are pruned driver-side by
           their manifest ``max_rowid`` (zero jobs), so the scan cost is
           proportional to data written since the snapshot, not table size;
-        - deletes are CHURN-BOUNDED (r12): on the normal timeline
-          (tombstones only grow between the snapshots — append / CoW or
-          deferred delete / merge; everything except ``restore``), a row
-          can only leave the live set from a RETIRED file (rewritten or
-          compacted away) or via a tombstone ADDED since, so the delete
-          tier scans exactly [retired files] ∪ [still-shared files whose
-          rowid range overlaps the new tombstones' footer range,
-          semi-joined on the new tombstone rowids], anti-joined against
-          the live rows of files ADDED since — cost ∝ churn, never
-          ∝ table size (at 100 TB the old full-snapshot scan per refresh
-          was the real flaw). An append-only window resolves to an EMPTY
-          delete tier driver-side with zero jobs. A timeline where
-          tombstones shrank (``restore``) falls back to the exact
-          old-live ∖ current-live full formula. Deleted rows' column
-          values come from the old snapshot's still-on-disk files
-          (``vacuum`` retires them, so CDC readers must consume before
-          the retention horizon — the standard lakehouse contract).
+        - deletes are served in the cheapest of THREE tiers:
+
+          1. CHANGE DATA FEED (r12, the Delta-CDF shape): when every
+             commit in the window changelogged its deletes (both
+             ``delete_filter`` strategies write their full victim rows
+             at delete time — rows the mutation was already reading),
+             the tier is a READ of those changelog dirs filtered to
+             ``rowid < watermark`` — cost ∝ deleted rows, zero snapshot
+             scans, zero joins; an insert/compact-only window is an
+             EMPTY tier with zero jobs. ``last_changes_used_cdf``
+             records whether this tier served.
+          2. CHURN-BOUNDED snapshot diff: when the feed is unavailable
+             (a merge / apply_changes / pre-CDF commit in the window)
+             but tombstones only grew, the tier scans [retired files] ∪
+             [still-shared files overlapping the new tombstones' footer
+             range, semi-joined on those rowids], anti-joined against
+             files ADDED since — cost ∝ churn, never ∝ table size.
+          3. FULL diff (old-live ∖ current-live) when tombstones shrank
+             (``restore``) — exactness never rides an optimization.
+
+          Deleted rows' values are identical in all tiers (rows are
+          immutable; rewrites preserve rowids and values). ``vacuum``
+          retires changelogs and old files together with their
+          snapshots, so CDC readers consume before the retention
+          horizon — the standard lakehouse contract.
         """
         try:
             old = Manifest.load(self.path, since_version)
@@ -2543,11 +2654,35 @@ class Store:
         else:
             appended = self._empty(True)
         old_store = Store(self.spark, self.path, old)
+        # CHANGE DATA FEED fast path (r12): when EVERY commit in the
+        # window changelogged its deletes (delete_filter writes full
+        # victim rows at delete time; insert/compact/index commits record
+        # "no deletes"), the delete tier is a READ of those changelog
+        # dirs — cost ∝ deleted rows, zero snapshot scans, zero joins —
+        # and resurrection is impossible (restore poisons the window).
+        # The ``rowid < wm`` filter nets out rows inserted AND deleted
+        # inside the window; values are exact because rows are immutable
+        # (rewrites preserve rowids and values), so the changelog copy
+        # equals what the old snapshot's files would serve.
+        cdf_rels = self._cdf_window_rels(old.version)
+        self.last_changes_used_cdf = cdf_rels is not None
+        cols_now = [ROWID, *self.manifest.schema.fieldNames()]
+        old_fields = set(old.schema.fieldNames())
+        old_cols_cdf = [c for c in cols_now if c == ROWID or c in old_fields]
         old_tomb_set = set(old.tombstones)
         tombs_grew = old_tomb_set <= set(self.manifest.tombstones)
         cur_paths = {f.path for f in self.manifest.files}
         old_paths = {f.path for f in old.files}
-        if tombs_grew:
+        if cdf_rels is not None:
+            if cdf_rels:
+                deleted = self._read_cdf_rels(cdf_rels, old_cols_cdf, old).filter(
+                    F.col(ROWID) < wm
+                )
+            else:
+                # delete-free window: EMPTY tier, zero jobs
+                deleted = old_store._empty(True)
+            resurrected = self._empty(True)
+        elif tombs_grew:
             # churn-bounded tiers (see docstring): a live row disappears
             # only with its file (retired) or via a tombstone added since
             retired = [f for f in old.files if f.path not in cur_paths]
@@ -2667,7 +2802,11 @@ class Store:
                 f"no snapshot v{to_version} of {self.path!r} is retained "
                 "(never committed, or vacuumed past the retention horizon)"
             ) from None
-        return Store(self.spark, self.path, to_man).changes(from_version)
+        tgt = Store(self.spark, self.path, to_man)
+        out = tgt.changes(from_version)
+        # surface the CDC-tier introspection on the store the caller holds
+        self.last_changes_used_cdf = tgt.last_changes_used_cdf
+        return out
 
     def apply_changes(self, delta: DataFrame) -> tuple[int, int]:
         """Apply an upstream store's ``changes()`` delta to this store —
@@ -2795,6 +2934,13 @@ class Store:
             if n_ins:
                 self.manifest.rowid = max(self.manifest.rowid, int(st["hi"]) + 1)
             if n_ins or n_del:
+                if n_del or n_res:
+                    # the applied deletes were only materialized as rowids
+                    # (and a resurrection purge is not a delete at all) —
+                    # mark the commit non-changelogged; the follower's own
+                    # downstream CDC falls back to snapshot diffing across
+                    # it. Insert-only applications stay changelog-clean.
+                    self.manifest.pending_cdf = None
                 self._commit()
             return n_ins, n_del
         except BaseException:

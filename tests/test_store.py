@@ -1928,3 +1928,104 @@ def test_merge_null_key_appends_sql_semantics(spark, store_path):
     assert vals == ["new", "old", "v"]
     # non-NULL keys still replace
     assert st.merge([("k", "v2")], on=0) == (1, 1)
+
+
+# -- change data feed (r12) -------------------------------------------------
+
+
+def _delta_rows(st, v):
+    return sorted(tuple(r) for r in st.changes(v).collect())
+
+
+def test_cdf_fast_path_equals_snapshot_diff(spark, tmp_path):
+    """The change-data-feed delete tier serves the SAME delta as the
+    snapshot-diff fallback: run a changelogged window (CoW delete +
+    deferred delete + compact + insert), capture the CDF-served delta,
+    then strip the cdf_deletes records from the on-disk manifests
+    (simulating a pre-CDF history) and re-read — byte-identical rows,
+    fallback flagged."""
+    import json
+    import os
+
+    path = str(tmp_path / "cdf_eq")
+    st = make(spark, path, ABC + AXB)
+    v0 = st.manifest.version
+    st.delete([eq(0, "a1")])                 # CoW → changelogged
+    st.insert([["n1", "n2"], ["m1", "m2"]])
+    st.delete([eq(0, "m1")], defer=True)     # tombstone → changelogged
+    st.compact(target_files=2)               # logical no-op → []
+    fast = _delta_rows(st, v0)
+    assert st.last_changes_used_cdf is True
+
+    mdir = os.path.join(path, "_manifests")
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json") and "-files-" not in name:
+            p = os.path.join(mdir, name)
+            with open(p) as fh:
+                d = json.load(fh)
+            d.pop("cdf_deletes", None)
+            with open(p, "w") as fh:
+                json.dump(d, fh)
+    st2 = Store.open(spark, path)
+    slow = _delta_rows(st2, v0)
+    assert st2.last_changes_used_cdf is False
+    assert fast == slow
+    # deletes carry original values through the changelog
+    assert any(r[0] == "delete" and "a1" in r for r in fast)
+
+
+def test_cdf_poisoned_by_merge_stays_exact(spark, tmp_path):
+    """A merge inside the window (victims not changelogged) forces the
+    snapshot-diff fallback — flagged, and the delta is still exact."""
+    st = make(spark, str(tmp_path / "cdf_m"), ABC)
+    v0 = st.manifest.version
+    st.delete([eq(0, "a1")])
+    st.merge([("b1", "B2")], on=0)           # replaces b1 → poisons CDF
+    ch = st.changes(v0).collect()
+    assert st.last_changes_used_cdf is False
+    dels = {r[st.colnames[0]] for r in ch if r["change_type"] == "delete"}
+    ins = {r[st.colnames[0]] for r in ch if r["change_type"] == "insert"}
+    assert dels == {"a1", "b1"} and ins == {"b1"}
+    # insert-only merge (no victims) does NOT poison the feed
+    st2 = make(spark, str(tmp_path / "cdf_m2"), ABC)
+    v0 = st2.manifest.version
+    st2.merge([("z1", "z2")], on=0)          # new key → pure append
+    assert _delta_rows(st2, v0)              # delta non-empty
+    assert st2.last_changes_used_cdf is True
+
+
+def test_cdf_append_only_window_zero_job_delete_tier(spark, tmp_path):
+    """An insert-only window's delete tier resolves driver-side: the
+    changes() plan contains no anti-join and the delta is inserts only."""
+    st = make(spark, str(tmp_path / "cdf_a"), ABC)
+    v0 = st.manifest.version
+    st.insert([["n1", "n2"]])
+    ch = st.changes(v0)
+    assert st.last_changes_used_cdf is True
+    assert "delete" not in {r["change_type"] for r in ch.collect()}
+
+
+def test_cdf_vacuum_retention(spark, tmp_path):
+    """vacuum keeps the changelogs of retained versions (their windows
+    stay CDF-served) and physically removes unreferenced ones."""
+    import glob
+    import os
+
+    path = str(tmp_path / "cdf_v")
+    st = make(spark, path, ABC + AXB)
+    st.delete([eq(0, "a1")])                 # changelog #1
+    v_mid = st.manifest.version
+    st.delete([eq(0, "b1")])                 # changelog #2
+    assert len(glob.glob(os.path.join(path, "cdf", "*", "*.parquet"))) >= 2
+    st.vacuum(retain_versions=2)             # keeps v_mid and current
+    # the retained window still serves from the feed
+    ch = st.changes(v_mid).collect()
+    assert st.last_changes_used_cdf is True
+    assert {r[st.colnames[0]] for r in ch if r["change_type"] == "delete"} == {"b1"}
+    # changelog #1's version fell out of retention → its dir is gone
+    st.vacuum(retain_versions=1)
+    kept = {
+        os.path.basename(os.path.dirname(p))
+        for p in glob.glob(os.path.join(path, "cdf", "*", "*.parquet"))
+    }
+    assert len(kept) <= 1
