@@ -111,6 +111,72 @@ def _dist_structs(cur: list[tuple[int, list[int]]]) -> F.Column:
     )
 
 
+# test seam: True forces the pure-expression assignment/silhouette paths
+# (the pre-r12 plans) so pytest can pin the numpy kernels byte-identical
+_FORCE_EXPR = False
+
+
+def _np_sq_dists(X, C):
+    """Exact int64 squared-L2 distance matrix (n×k) — the numpy twin of
+    ``_dist2``'s integer expression, bit-identical because BOTH are pure
+    int64 arithmetic, with the overflow envelope ENFORCED (the
+    ``pca_top_component`` contract): D·span² must fit int64, else raise
+    with the lower-``quant`` prescription instead of wrapping silently."""
+    import numpy as np
+
+    D = C.shape[1]
+    span = int(np.abs(X).max(initial=0)) + int(np.abs(C).max(initial=0))
+    if D * span * span >= 2**63:
+        raise ValueError(
+            "quantized magnitudes too hot for exact int64 distances — "
+            "lower quant (kmeans overflow envelope, the pca_top_component rule)"
+        )
+    out = np.empty((X.shape[0], C.shape[0]), dtype=np.int64)
+    for j in range(C.shape[0]):
+        d = X - C[j]
+        out[:, j] = np.einsum("ij,ij->i", d, d)
+    return out
+
+
+def _np_assign_fn(cents: list[tuple[int, list[int]]]):
+    """Arrow-batched exact argmin assignment — the r12 application of the
+    gemm lesson (Catalyst runs ``aggregate(zip_with(...))`` INTERPRETED,
+    outside codegen; 6 Lloyd passes × N·k·D interpreted ops dominated
+    the clustering walls) to the INTEGER distance loop, where numpy is
+    not merely a prefilter: int64 arithmetic is exact, so the batch
+    kernel IS the canonical computation. Ties break to the smallest
+    cluster id — centroids are processed in ascending-cid order and
+    ``argmin`` returns the first minimum, exactly the struct-ordering
+    rule of the expression path."""
+    import numpy as np
+
+    order = sorted(range(len(cents)), key=lambda i: cents[i][0])
+    # int32 cids: the expression path's cluster ids ride an INT array
+    # literal, and the output dtype is part of the certified schema
+    cids = np.array([int(cents[i][0]) for i in order], dtype=np.int32)
+    C = np.array([cents[i][1] for i in order], dtype=np.int64)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["__qv"].to_numpy()).astype(np.int64, copy=False)
+            dm = _np_sq_dists(X, C)
+            bi = dm.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "__qv": pdf["__qv"],
+                    "d": dm[np.arange(len(X)), bi],
+                    "c": cids[bi],
+                }
+            )
+
+    return fn
+
+
 def kmeans_exact(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -141,14 +207,46 @@ def kmeans_exact(
         # would otherwise surface as a cryptic zip_with type error
         raise ValueError("empty embedding table")
 
+    # the assignment input splits ONCE (q is checkpointed; the split is a
+    # cheap filter per pass): fixed-width null-free rows take the exact
+    # int64 numpy kernel, anything ragged or null-holed keeps the
+    # expression path — identical semantics by construction, and the
+    # ragged side is empty on every real corpus
+    from pyspark.sql import types as _T
+
+    D0 = len(cents[0][1])
+    is_clean = (F.size("__qv") == D0) & ~F.exists("__qv", lambda x: x.isNull())
+    q_clean = q.filter(is_clean)
+    q_ragged = q.filter(~is_clean)
+    np_schema = _T.StructType(
+        [
+            q.schema["__id"],
+            q.schema["__qv"],
+            _T.StructField("d", _T.LongType()),
+            # c matches the expression path's element_at over an INT
+            # array literal (cluster stays int32 downstream)
+            _T.StructField("c", _T.IntegerType()),
+        ]
+    )
+
     def assign(cur: list[tuple[int, list[int]]]) -> DataFrame:
-        # all |cur| distances evaluate row-locally against ONE centroid-
-        # array literal; argmin = array_min over (dist, cid) structs —
-        # map-only, no shuffle, and the generated code is reused across
-        # iterations (see _dist_structs)
-        return q.select(
-            "__id", "__qv", F.array_min(_dist_structs(cur)).alias("__best")
-        )
+        # map-only, no shuffle in either branch; argmin = array_min over
+        # (dist, cid) structs on the expression side, first-minimum over
+        # ascending cids on the numpy side (same tie rule)
+        expr_best = F.array_min(_dist_structs(cur)).alias("__best")
+        if not _FORCE_EXPR and {len(c) for _, c in cur} == {D0}:
+            a = q_clean.mapInPandas(_np_assign_fn(cur), np_schema).select(
+                "__id",
+                "__qv",
+                F.struct(
+                    F.col("d").alias("d"), F.col("c").alias("c")
+                ).alias("__best"),
+            )
+            return a.unionByName(q_ragged.select("__id", "__qv", expr_best))
+        # ragged CENTROIDS (only reachable when ragged rows fed an
+        # update): the stacked kernel cannot represent them — pure
+        # expression path, exactly the pre-r12 plan
+        return q.select("__id", "__qv", expr_best)
 
     for _ in range(iters):
         # update: one (cluster, dim) shuffle, key space k·D; floor-div is
@@ -341,6 +439,36 @@ def pca_top_component(
     )
 
 
+def _np_sil_fn(cents: list[tuple[int, list[int]]]):
+    """Arrow-batched exact (a, b) silhouette distances — same int64
+    kernel as :func:`_np_assign_fn`: a = own-centroid squared distance,
+    b = min over the others; both exact BIGINTs, bit-identical to the
+    expression path's struct filters."""
+    import numpy as np
+
+    cids = [int(cid) for cid, _ in cents]
+    C = np.array([c for _, c in cents], dtype=np.int64)
+    pos = {cid: i for i, cid in enumerate(cids)}
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["__qv"].to_numpy()).astype(np.int64, copy=False)
+            dm = _np_sq_dists(X, C)
+            idx = pdf["cluster"].map(pos).to_numpy()
+            r = np.arange(len(X))
+            a = dm[r, idx]
+            masked = dm.copy()
+            masked[r, idx] = np.iinfo(np.int64).max
+            b = masked.min(axis=1)
+            yield pd.DataFrame({"cluster": pdf["cluster"], "__a": a, "__b": b})
+
+    return fn
+
+
 def kmeans_silhouette(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -403,19 +531,50 @@ def kmeans_silhouette(
     if len(cents) < 2:
         raise ValueError("all mass collapsed into one cluster")
     # one (d, c) struct array per row (compile-once form, see
-    # _dist_structs): a = the own-cluster entry, b = min over the rest
+    # _dist_structs): a = the own-cluster entry, b = min over the rest.
+    # r12: fixed-width null-free rows assigned to a known centroid take
+    # the exact int64 numpy kernel (_np_sil_fn — same split rule and
+    # bit-equality argument as kmeans_exact's assignment); everything
+    # else keeps the expression path.
+    from pyspark.sql import types as _T
+
     dists = _dist_structs(cents)
     own = F.filter(dists, lambda s: s["c"] == F.col("cluster"))[0]["d"]
     other = F.array_min(
         F.filter(dists, lambda s: s["c"] != F.col("cluster"))
     )["d"]
+    D0 = len(cents[0][1])
+    known = [cid for cid, _ in cents]
+    is_clean = (
+        (F.size("__qv") == D0)
+        & ~F.exists("__qv", lambda x: x.isNull())
+        & F.col("cluster").isin(known)
+    )
+    if not _FORCE_EXPR and {len(c) for _, c in cents} == {D0}:
+        ab_schema = _T.StructType(
+            [
+                q.schema["cluster"],
+                _T.StructField("__a", _T.LongType()),
+                _T.StructField("__b", _T.LongType()),
+            ]
+        )
+        pre = (
+            q.filter(is_clean)
+            .select("cluster", "__qv")
+            .mapInPandas(_np_sil_fn(cents), ab_schema)
+            .unionByName(
+                q.filter(~is_clean).select(
+                    "cluster", own.alias("__a"), other.alias("__b")
+                )
+            )
+        )
+    else:
+        pre = q.select("cluster", own.alias("__a"), other.alias("__b"))
     s = (
         (F.col("__b") - F.col("__a")).cast("double")
         / F.greatest(F.col("__a"), F.col("__b")).cast("double")
     )
-    scored = q.select(
-        "cluster", own.alias("__a"), other.alias("__b")
-    ).select(
+    scored = pre.select(
         "cluster",
         F.when(
             F.greatest(F.col("__a"), F.col("__b")) == 0, F.lit(0.0)

@@ -4399,3 +4399,31 @@ def test_sparse_cosine_funnel_byte_identical(spark, docs):
         ).collect()
     }
     assert fun == base and base
+
+
+def test_kmeans_numpy_kernel_byte_identical_to_expression(spark, monkeypatch):
+    """The r12 int64 numpy assignment/silhouette kernels are the SAME
+    computation as the expression path (pure integer arithmetic both
+    sides), pinned byte-identical — including on dirty input (NULL
+    vectors, a ragged row, a null element) where the split routes the
+    bad rows through the expression branch."""
+    import shortcut_spark.operators.cluster as C
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(60)]
+    rows += [(100, None), (101, [1.0] * 5), (102, [0.5] * 7 + [None])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run():
+        assigned = C.kmeans_exact(emb, k=4, iters=3)
+        sil = C.kmeans_silhouette(emb, k=4, assigned=assigned)
+        return (
+            sorted(tuple(r) for r in assigned.collect()),
+            sorted(tuple(r) for r in sil.collect()),
+        )
+
+    fast_a, fast_s = run()
+    monkeypatch.setattr(C, "_FORCE_EXPR", True)
+    slow_a, slow_s = run()
+    assert fast_a == slow_a
+    assert fast_s == slow_s
+    assert len(fast_a) == 62  # NULL vector drops; ragged/null-holed stay
