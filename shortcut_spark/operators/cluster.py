@@ -115,6 +115,12 @@ def _dist_structs(cur: list[tuple[int, list[int]]]) -> F.Column:
 # (the pre-r12 plans) so pytest can pin the numpy kernels byte-identical
 _FORCE_EXPR = False
 
+# below this many vectors the interpreted distance loop is NOT the wall —
+# job floors are — and the numpy branch's union/worker overhead measured
+# net-negative (bench A/B at fixture N; the 100× probe flips decisively
+# the other way, docs/SCALE.md r12): the kernel engages only where it wins
+_NP_MIN_ROWS = 100_000
+
 
 def _np_sq_dists(X, C):
     """Exact int64 squared-L2 distance matrix (n×k) — the numpy twin of
@@ -215,6 +221,10 @@ def kmeans_exact(
     from pyspark.sql import types as _T
 
     D0 = len(cents[0][1])
+    # size gate: one cheap count on the eager-checkpointed relation —
+    # the kernel engages only at corpus sizes where the interpreted
+    # distance loop (not the job floor) is the wall (_NP_MIN_ROWS)
+    use_np = (not _FORCE_EXPR) and q.count() >= _NP_MIN_ROWS
     is_clean = (F.size("__qv") == D0) & ~F.exists("__qv", lambda x: x.isNull())
     q_clean = q.filter(is_clean)
     q_ragged = q.filter(~is_clean)
@@ -234,7 +244,7 @@ def kmeans_exact(
         # (dist, cid) structs on the expression side, first-minimum over
         # ascending cids on the numpy side (same tie rule)
         expr_best = F.array_min(_dist_structs(cur)).alias("__best")
-        if not _FORCE_EXPR and {len(c) for _, c in cur} == {D0}:
+        if use_np and {len(c) for _, c in cur} == {D0}:
             a = q_clean.mapInPandas(_np_assign_fn(cur), np_schema).select(
                 "__id",
                 "__qv",
@@ -521,15 +531,22 @@ def kmeans_silhouette(
             "cluster",
             "__pos",
             F.expr("(__s - ((__s % __n) + __n) % __n) div __n").alias("__cv"),
+            "__n",  # per-cluster member count, for the kernel size gate
         )
         .collect()
     )
     by_c: dict[int, dict[int, int]] = {}
+    n_rows = 0
     for r in upd:
+        if r["__pos"] == 0:
+            n_rows += r["__n"]
         by_c.setdefault(r["cluster"], {})[r["__pos"]] = r["__cv"]
     cents = [(c, [d[p] for p in sorted(d)]) for c, d in sorted(by_c.items())]
     if len(cents) < 2:
         raise ValueError("all mass collapsed into one cluster")
+    # size gate from counts the update already aggregated (zero extra
+    # jobs) — same rationale as kmeans_exact's _NP_MIN_ROWS gate
+    use_np = (not _FORCE_EXPR) and n_rows >= _NP_MIN_ROWS
     # one (d, c) struct array per row (compile-once form, see
     # _dist_structs): a = the own-cluster entry, b = min over the rest.
     # r12: fixed-width null-free rows assigned to a known centroid take
@@ -550,7 +567,7 @@ def kmeans_silhouette(
         & ~F.exists("__qv", lambda x: x.isNull())
         & F.col("cluster").isin(known)
     )
-    if not _FORCE_EXPR and {len(c) for _, c in cents} == {D0}:
+    if use_np and {len(c) for _, c in cents} == {D0}:
         ab_schema = _T.StructType(
             [
                 q.schema["cluster"],

@@ -1040,6 +1040,13 @@ class Store:
     # (the last_refresh_scanned_base convention)
     last_changes_used_cdf: bool | None = None
 
+    # victim sets at or below this many rows derive their tombstone /
+    # per-file attribution from a DRIVER-SIDE pyarrow read of the tiny
+    # changelog (zero Spark jobs) instead of a Spark job — the posting
+    # driver-build bound's sibling, sized so the driver holds at most a
+    # couple hundred thousand (rowid, path) values
+    CDF_DRIVER_READ_ROWS = 200_000
+
     def _append_postings_driver(
         self, spec: IndexSpec, postings: DataFrame, part_rel: str, rkey: str
     ) -> None:
@@ -2193,10 +2200,28 @@ class Store:
                 "tomb", f"t{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
             )
             # tombstone rowids come from the tiny changelog, not a second
-            # scan of the candidate files
-            self.spark.read.parquet(self._abs(cdf_rel)).select(ROWID).write.parquet(
-                self._abs(victims_rel)
-            )
+            # scan of the candidate files; small victim sets concatenate
+            # DRIVER-SIDE with pyarrow (one file, ZERO Spark jobs — the
+            # posting-driver-build precedent), so the deferred delete's
+            # only job over the big relation is the changelog write itself
+            if n <= self.CDF_DRIVER_READ_ROWS:
+                import pyarrow as pa
+
+                d = self._abs(cdf_rel)
+                parts = [
+                    pq.read_table(os.path.join(d, f), columns=[ROWID])
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                ]
+                os.makedirs(self._abs(victims_rel), exist_ok=True)
+                pq.write_table(
+                    pa.concat_tables(parts),
+                    os.path.join(self._abs(victims_rel), "part-0.parquet"),
+                )
+            else:
+                self.spark.read.parquet(self._abs(cdf_rel)).select(
+                    ROWID
+                ).write.parquet(self._abs(victims_rel))
             self.manifest.tombstones.append(victims_rel)
             self.manifest.tombstone_rows += n
             self.manifest.pending_cdf = [cdf_rel]
@@ -2215,14 +2240,30 @@ class Store:
             shutil.rmtree(self._abs(cdf_rel), ignore_errors=True)
             return 0
         # per-file victim attribution from the tiny changelog (replaces
-        # the old count-aggregate scan over the candidate files)
-        per_file = {
-            r["__cdf_file"]: r["cnt"]
-            for r in self.spark.read.parquet(self._abs(cdf_rel))
-            .groupBy("__cdf_file")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        }
+        # the old count-aggregate scan over the candidate files); small
+        # victim sets count DRIVER-SIDE from one pyarrow column read —
+        # zero Spark jobs
+        if victims <= self.CDF_DRIVER_READ_ROWS:
+            import collections
+
+            d = self._abs(cdf_rel)
+            counter: collections.Counter = collections.Counter()
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    counter.update(
+                        pq.read_table(os.path.join(d, f), columns=["__cdf_file"])
+                        .column("__cdf_file")
+                        .to_pylist()
+                    )
+            per_file = dict(counter)
+        else:
+            per_file = {
+                r["__cdf_file"]: r["cnt"]
+                for r in self.spark.read.parquet(self._abs(cdf_rel))
+                .groupBy("__cdf_file")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
         affected = {f.id for f in candidates if self._abs(f.path) in per_file}
         affected_files = [f for f in self.manifest.files if f.id in affected]
 

@@ -4421,6 +4421,7 @@ def test_kmeans_numpy_kernel_byte_identical_to_expression(spark, monkeypatch):
             sorted(tuple(r) for r in sil.collect()),
         )
 
+    monkeypatch.setattr(C, "_NP_MIN_ROWS", 0)  # size gate off: force the kernel
     fast_a, fast_s = run()
     monkeypatch.setattr(C, "_FORCE_EXPR", True)
     slow_a, slow_s = run()
