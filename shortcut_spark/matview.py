@@ -256,18 +256,29 @@ class MatView:
         # (skew joins / partition coalescing earn their jobs there).
         # Identical results either way — AQE only re-plans execution.
         est = self._estimate_delta_rows(cur)
-        # the bypass must bound the PLAN's inputs, not just the delta:
-        # changes()' delete tier anti-joins the OLD snapshot's live rows
-        # against the CURRENT live set (two full column-pruned __rowid
-        # scans), and on a non-tiny base that join is exactly where
-        # AQE's dynamic broadcast earns its jobs (measured: sf0.1 base
-        # +35% without it). So static compilation only when base + delta
-        # together are micro-batch-sized — the streaming/maintenance
-        # regime the job-count floor exists for.
-        small = (
-            est is not None
-            and est + 2 * self.base.manifest.live_rows <= 100_000
+        # the bypass must bound the PLAN's inputs, not just the delta.
+        # When the CDC window is CHANGE-DATA-FEED-served (r12) and the
+        # view is self-maintainable, the refresh plan never touches the
+        # base snapshots at all — its inputs are the appended-tier files
+        # (≈ est via rowid pruning), the delete changelog (≈ est), and
+        # the state store (semi-probe + combine join + merge victims) —
+        # so the gate bounds est + 2·STATE rows and a CoW delete on a
+        # non-tiny base still compiles statically (measured: the AQE
+        # plan materializes each tiny exchange as its own job).
+        # Otherwise the old snapshot-diff delete tier anti-joins base
+        # rowid scans, where AQE's dynamic broadcast earns its jobs
+        # (measured: sf0.1 base +35% without it) — the gate then bounds
+        # base + delta as before.
+        feed = (
+            self._self_maintainable
+            and self.base._cdf_window_rels(self.base_version) is not None
         )
+        bound = (
+            self.state.manifest.live_rows
+            if feed
+            else self.base.manifest.live_rows
+        )
+        small = est is not None and est + 2 * bound <= 100_000
         aqe_before = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
         if small:
             self.spark.conf.set("spark.sql.adaptive.enabled", "false")
