@@ -9,7 +9,115 @@ streaming logic.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _source_bytes(path: str) -> int:
+    """Total bytes under a stream source (file or directory of files)."""
+    import os
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            try:
+                total += os.path.getsize(os.path.join(root, n))
+            except OSError:
+                pass
+    return total
+
+
+# one state/shuffle partition per this many source bytes (the AQE
+# advisory-partition-size analogue, applied where AQE cannot reach:
+# stateful streaming fixes its partition count into the checkpoint at the
+# first trigger and never coalesces). Overridable per deployment.
+_STREAM_BYTES_PER_PARTITION = 32 * 1024 * 1024
+_STREAM_MAX_PARTITIONS = 4096
+
+
+@contextlib.contextmanager
+def _sized_state_shuffle(
+    spark: SparkSession, *source_paths: str, min_partitions: int = 1
+):
+    """Scale-adaptive shuffle sizing for a streaming query (opt guide §2.2:
+    fewer, larger partitions — sized from the data, not a constant).
+
+    A stateful streaming query materializes one state store per shuffle
+    partition per stateful operator and pays commit/maintenance I/O for
+    each on EVERY micro-batch, and the partition count is frozen into the
+    checkpoint at the first trigger — AQE never coalesces it. So size it
+    from the source like AQE sizes a batch shuffle: one partition per
+    ~32 MB of input, at least 1, capped at 4096. A 2 MB local fixture gets
+    1 partition (vs 32 session default: 4 state stores instead of 128 per
+    trigger for a stream-stream join); a 100 TB/day source gets the cap.
+    ``SPARK_GRAFT_STREAM_SHUFFLE`` pins an explicit count for deployments
+    whose state volume is not proportional to a bench-style bounded
+    source. Resumed checkpoints are unaffected (Spark reuses the
+    partition count recorded in the offset log).
+
+    ``min_partitions`` floors the count for queries whose per-trigger
+    work is Python-side compute rather than state I/O: a per-key
+    ``applyInPandasWithState`` operator serializes its whole keyspace
+    through however many Python workers there are partitions, so those
+    runners floor at the session's core count (measured: the pattern
+    matcher at 1 partition ran 2.4× slower than at 32 — the opposite
+    trade of the JVM-stateful join, which got 3× faster). Sharded
+    sketches floor at their shard count instead (partitions beyond the
+    group count are pure state-store overhead).
+
+    Results are partitioning-independent by construction: every certified
+    streaming aggregate uses exact types (counts, decimal sums, integer
+    epochs), so re-keying the same rows across a different partition
+    count is value-identical.
+    """
+    import math
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if env:
+        n = max(1, int(env))
+    else:
+        total = sum(_source_bytes(p) for p in source_paths)
+        n = min(
+            _STREAM_MAX_PARTITIONS,
+            max(
+                1,
+                min(min_partitions, _STREAM_MAX_PARTITIONS),
+                math.ceil(total / _STREAM_BYTES_PER_PARTITION),
+            ),
+        )
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, before)
+
+
+def _drain(
+    spark: SparkSession,
+    writer,
+    source_paths,
+    progress_out: list | None = None,
+    min_partitions: int = 1,
+):
+    """Start a bounded streaming query under :func:`_sized_state_shuffle`,
+    drain every available trigger, and stop it — the shared epilogue of
+    the ``run_stream_*`` runners. (``start()`` clones the session state,
+    so the sized conf only needs to hold across the ``start`` call.)"""
+    with _sized_state_shuffle(spark, *source_paths, min_partitions=min_partitions):
+        q = writer.start()
+    try:
+        q.processAllAvailable()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
+    finally:
+        q.stop()
+    return q
 
 __all__ = [
     "hourly_rollup",
@@ -119,16 +227,11 @@ def run_stream_session_rollup(
     exact oracle."""
     stream = _file_stream(spark, events_parquet_dir).withWatermark("ts", "1 hour")
     agg = session_rollup(stream, gap_minutes)
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    _drain(
+        spark,
+        agg.writeStream.outputMode("complete").format("memory").queryName(query_name),
+        [events_parquet_dir],
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -167,16 +270,11 @@ def run_stream_enrich(
     exact oracle."""
     stream = _file_stream(spark, events_parquet_dir)
     enriched = enrich_user_ltv(stream, orders)
-    q = (
-        enriched.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    _drain(
+        spark,
+        enriched.writeStream.outputMode("append").format("memory").queryName(query_name),
+        [events_parquet_dir],
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -224,16 +322,11 @@ def run_stream_dedup(
             stream.select("user_id", "event_type")
             .dropDuplicates(["user_id", "event_type"])
         )
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    _drain(
+        spark,
+        deduped.writeStream.outputMode("append").format("memory").queryName(query_name),
+        [events_parquet_dir],
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     # no defensive DISTINCT here: the sink contents ARE the dedup output,
     # and the batch-equality oracle should see them unlaundered
     return spark.sql(f"SELECT user_id, event_type FROM {query_name}")
@@ -290,16 +383,11 @@ def run_stream_pairs(
         ),
         "inner",
     ).select(F.col("u_a").alias("user_id"), "id_a", "id_b")
-    q = (
-        pairs.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    _drain(
+        spark,
+        pairs.writeStream.outputMode("append").format("memory").queryName(query_name),
+        [events_parquet_dir, events_parquet_dir],
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return spark.sql(f"SELECT user_id, id_a, id_b FROM {query_name}")
 
 
@@ -492,18 +580,13 @@ def run_stream_sessionize(
         "update",
         GroupStateTimeout.EventTimeTimeout if state_ttl else GroupStateTimeout.NoTimeout,
     )
-    q = (
-        sessions.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    _drain(
+        spark,
+        sessions.writeStream.outputMode("update").format("memory").queryName(query_name),
+        [events_parquet_dir],
+        progress_out,
+        min_partitions=spark.sparkContext.defaultParallelism,
     )
-    try:
-        q.processAllAvailable()
-        if progress_out is not None:
-            progress_out.extend(q.recentProgress)
-    finally:
-        q.stop()
     return spark.sql(
         f"""
         WITH latest AS (
@@ -630,18 +713,13 @@ def run_stream_funnel(
         "update",
         GroupStateTimeout.EventTimeTimeout if state_ttl else GroupStateTimeout.NoTimeout,
     )
-    q = (
-        funnel.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    _drain(
+        spark,
+        funnel.writeStream.outputMode("update").format("memory").queryName(query_name),
+        [events_parquet_dir],
+        progress_out,
+        min_partitions=spark.sparkContext.defaultParallelism,
     )
-    try:
-        q.processAllAvailable()
-        if progress_out is not None:
-            progress_out.extend(q.recentProgress)
-    finally:
-        q.stop()
     tcols = ", ".join(f"s.t{i}_epoch" for i in range(n_steps))
     return spark.sql(
         f"""
@@ -873,16 +951,11 @@ def run_stream_hopping_rollup(
     actually finalizes each hop and evicts its state."""
     stream = _file_stream(spark, events_parquet_dir).withWatermark("ts", "1 hour")
     agg = hopping_rollup(stream, width_s, hop_s)
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    _drain(
+        spark,
+        agg.writeStream.outputMode("complete").format("memory").queryName(query_name),
+        [events_parquet_dir],
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -941,19 +1014,15 @@ def run_stream_rollup_append(
             "sum_value",
         )
     )
-    q = (
+    _drain(
+        spark,
         agg.writeStream.outputMode("append")
         .format("parquet")
         .option("path", out_dir)
-        .option("checkpointLocation", cp_dir)
-        .start()
+        .option("checkpointLocation", cp_dir),
+        [events_parquet_dir],
+        progress_out,
     )
-    try:
-        q.processAllAvailable()
-        if progress_out is not None:
-            progress_out.extend(q.recentProgress)
-    finally:
-        q.stop()
     return spark.read.schema(agg.schema).parquet(out_dir)
 
 
@@ -1013,17 +1082,14 @@ def run_stream_near_dedup(
         survivors = fp.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
             ["simhash"]
         ).select("doc_id", "simhash")
-        q = (
+        _drain(
+            spark,
             survivors.writeStream.outputMode("append")
             .format("parquet")
             .option("path", out_dir)
-            .option("checkpointLocation", os.path.join(state_dir, "checkpoint"))
-            .start()
+            .option("checkpointLocation", os.path.join(state_dir, "checkpoint")),
+            [docs_parquet],
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
         return spark.read.schema(survivors.schema).parquet(out_dir)
 
     stream = _file_stream(spark, docs_parquet, want_event_ts=False)
@@ -1032,16 +1098,11 @@ def run_stream_near_dedup(
         F.min("doc_id").alias("keeper"),
         F.count(F.lit(1)).alias("n_docs"),
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    _drain(
+        spark,
+        agg.writeStream.outputMode("complete").format("memory").queryName(query_name),
+        [docs_parquet],
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -1060,16 +1121,11 @@ def run_stream_hourly_rollup(spark: SparkSession, events_parquet_dir: str, query
             "n_events",
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    _drain(
+        spark,
+        agg.writeStream.outputMode("complete").format("memory").queryName(query_name),
+        [events_parquet_dir],
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -1167,16 +1223,12 @@ def run_stream_heavy_hitters(
     res = stream.groupBy("__shard").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    q = (
-        res.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    _drain(
+        spark,
+        res.writeStream.outputMode("update").format("memory").queryName(query_name),
+        [events_parquet_dir],
+        min_partitions=n_shards,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     snap = spark.sql(f"SELECT * FROM {query_name}")
     # latest snapshot per shard: only rows stamped with that shard's max
     # running total survive (earlier triggers' rows — including values
@@ -1231,19 +1283,15 @@ def run_stream_hopping_append(
         spark, events_parquet_dir, link_dir=os.path.join(out_dir, "_src")
     ).withWatermark("ts", delay)
     agg = hopping_rollup(stream, width_s, hop_s)
-    q = (
+    _drain(
+        spark,
         agg.writeStream.outputMode("append")
         .format("parquet")
         .option("path", out_dir)
-        .option("checkpointLocation", cp_dir)
-        .start()
+        .option("checkpointLocation", cp_dir),
+        [events_parquet_dir],
+        progress_out,
     )
-    try:
-        q.processAllAvailable()
-        if progress_out is not None:
-            progress_out.extend(q.recentProgress)
-    finally:
-        q.stop()
     return spark.read.schema(agg.schema).parquet(out_dir)
 
 
@@ -1349,18 +1397,13 @@ def run_stream_transitions(
         "update",
         GroupStateTimeout.EventTimeTimeout if state_ttl else GroupStateTimeout.NoTimeout,
     )
-    q = (
-        trans.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    _drain(
+        spark,
+        trans.writeStream.outputMode("update").format("memory").queryName(query_name),
+        [events_parquet_dir],
+        progress_out,
+        min_partitions=spark.sparkContext.defaultParallelism,
     )
-    try:
-        q.processAllAvailable()
-        if progress_out is not None:
-            progress_out.extend(q.recentProgress)
-    finally:
-        q.stop()
     return spark.sql(
         f"""
         WITH latest AS (
@@ -1466,18 +1509,13 @@ def run_stream_pattern(
         "update",
         GroupStateTimeout.EventTimeTimeout if state_ttl else GroupStateTimeout.NoTimeout,
     )
-    q = (
-        pat.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    _drain(
+        spark,
+        pat.writeStream.outputMode("update").format("memory").queryName(query_name),
+        [events_parquet_dir],
+        progress_out,
+        min_partitions=spark.sparkContext.defaultParallelism,
     )
-    try:
-        q.processAllAvailable()
-        if progress_out is not None:
-            progress_out.extend(q.recentProgress)
-    finally:
-        q.stop()
     return spark.sql(
         f"""
         WITH latest AS (
@@ -1564,16 +1602,12 @@ def run_stream_bottomk(
     res = stream.groupBy("__shard").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    q = (
-        res.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    _drain(
+        spark,
+        res.writeStream.outputMode("update").format("memory").queryName(query_name),
+        [events_parquet_dir],
+        min_partitions=n_shards,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     snap = spark.sql(f"SELECT * FROM {query_name}")
     latest = snap.withColumn(
         "__mx", F.max("n_seen").over(W.partitionBy("shard"))
@@ -1717,14 +1751,9 @@ def run_stream_stream_join(
             ),
         )
     )
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    _drain(
+        spark,
+        joined.writeStream.outputMode("append").format("memory").queryName(query_name),
+        [events_parquet_dir, events_parquet_dir],
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
