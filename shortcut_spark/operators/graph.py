@@ -89,9 +89,16 @@ def connected_components(
         new = cand.join(jump, "lbl", "left").select(
             "node", F.coalesce("jlbl", "lbl").alias("lbl"), "old"
         )
-        new = new.localCheckpoint(eager=True)
+        # LAZY checkpoint + count: the convergence probe's count() is the
+        # round's ONLY action — it materializes the checkpoint (lineage
+        # still cut before anything downstream reads it) AND returns the
+        # changed-row count, so each round costs one Spark job where the
+        # eager-checkpoint-then-count form cost two (opt guide §1.2:
+        # don't pay two passes for one round).
+        new = new.localCheckpoint(eager=False)
+        changed = new.where(F.col("lbl") != F.col("old")).count()
         labels = new.select("node", "lbl")
-        if it > 0 and new.where(F.col("lbl") != F.col("old")).count() == 0:
+        if it > 0 and changed == 0:
             break
 
     return labels.select(F.col("node").alias(out_node), F.col("lbl").alias(out_comp))
