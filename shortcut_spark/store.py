@@ -284,6 +284,15 @@ class Store:
                     raise ValueError(f"row has {len(r)} columns, store has {len(schema.fields)}")
             if not data:
                 return 0
+            # literal micro-batches ingest DRIVER-SIDE when eligible: a
+            # bounded Python list needs no cluster to validate, number and
+            # write — the Spark path costs ~6 jobs (constraint aggregates,
+            # checkpoint, counts, write) of pure scheduling floor for a
+            # handful of rows (opt guide §1.2: don't launch distributed
+            # jobs for metadata-class data)
+            done = self._insert_rows_driver(data, schema)
+            if done is not None:
+                return done
             df = self.spark.createDataFrame(data, schema)
 
         # Dense rowid assignment: per-partition counts -> cumulative offsets,
@@ -372,6 +381,201 @@ class Store:
         self._bloom_maps.clear()
         self._bloom_fetched.clear()
         self._stats_np.clear()
+
+    # literal (Python-list) batches at or below this many rows insert
+    # entirely on the driver: constraint checks in plain Python, rowids by
+    # list position, one pyarrow-written file, footer-based registration —
+    # ZERO Spark jobs unless an index needs a posting build or the unique
+    # probe must scan a big table. The posting-driver-build bound's sibling.
+    DRIVER_INSERT_ROWS = 20_000
+
+    @staticmethod
+    def _driver_atomic_type(dt: T.DataType) -> bool:
+        """Types the driver-insert kernel handles: atomic, orderable (for
+        the clustering sort) and with unambiguous Python↔Arrow value
+        mapping. Timestamps/arrays/maps/structs stay on the Spark path."""
+        if isinstance(dt, T.DecimalType):
+            return True
+        return isinstance(
+            dt,
+            (
+                T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.FloatType, T.DoubleType, T.StringType, T.BooleanType,
+                T.DateType, T.BinaryType,
+            ),
+        )
+
+    def _insert_rows_driver(
+        self, data: list[tuple], schema: T.StructType
+    ) -> int | None:
+        """Driver-side ingest of a literal micro-batch; returns the row
+        count, or None when ineligible (caller falls back to the
+        distributed path — same results, more jobs).
+
+        Layout parity with the Spark path's single-file micro-batch
+        (:meth:`_cluster_batch` ``n_files == 1``): one parquet file,
+        rows sorted by the index clustering columns (ascending, NULLs
+        first — ``sortWithinPartitions`` semantics), dense rowids from
+        the watermark, per-column footer stats for pruning. Registration
+        and posting builds go through the shared epilogue
+        (:meth:`_register_and_index`), so index maintenance is identical."""
+        if len(data) > self.DRIVER_INSERT_ROWS:
+            return None
+        if not all(self._driver_atomic_type(f.dataType) for f in schema.fields):
+            return None
+        # constraint enforcement over the literal rows — same semantics
+        # and error shapes as _enforce_constraints, zero jobs unless the
+        # existing-key probe needs a distributed scan
+        self._enforce_constraints_rows(data)
+        watermark = self.manifest.rowid
+        n = len(data)
+        rows = [(watermark + i,) + tuple(r) for i, r in enumerate(data)]
+        names = schema.fieldNames()
+        btree_cols = [s.column for s in self.manifest.indices.values() if s.kind == BTREE]
+        hash_specs = [
+            s.member_columns
+            for s in self.manifest.indices.values()
+            if s.kind in (HASH, COMPOSITE)
+        ]
+        sort_cols = btree_cols[:1] if btree_cols else (hash_specs[0] if hash_specs else [])
+        if sort_cols:
+            idxs = [names.index(c) + 1 for c in sort_cols]
+            try:
+                rows.sort(key=lambda t: tuple((t[i] is not None, t[i]) for i in idxs))
+            except TypeError:
+                return None  # un-orderable value mix → distributed path
+        try:
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            arrow_schema = to_arrow_schema(self._schema_with_rowid())
+            table = pa.Table.from_pylist(
+                [dict(zip([ROWID] + list(names), r)) for r in rows],
+                schema=arrow_schema,
+            )
+        except Exception:
+            # a value pyarrow cannot coerce the way createDataFrame would
+            # (nothing mutated yet) — let the Spark path decide
+            return None
+        batch_rel = os.path.join(
+            "data", f"b{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
+        )
+        v_before = self.manifest.version
+        try:
+            out_dir = self._abs(batch_rel)
+            os.makedirs(out_dir, exist_ok=True)
+            pq.write_table(table, os.path.join(out_dir, "part-00000.parquet"))
+            self._register_and_index(batch_rel)
+            self.manifest.rowid = watermark + n
+            self._commit()
+            return n
+        except BaseException:
+            # same rollback contract as insert(): the durable truth is the
+            # on-disk manifest; orphan parquet is inert and vacuumable
+            if self.manifest.version == v_before:
+                self._restore_manifest_from_disk(version=v_before)
+            raise
+
+    def _enforce_constraints_rows(self, data: list[tuple]) -> None:
+        """Pure-Python twin of :meth:`_enforce_constraints` for literal
+        batches: not-null and batch-internal uniqueness never leave the
+        driver; the against-table uniqueness probe reads small pruned
+        tables driver-side (:meth:`_existing_key_driver`) and falls back
+        to the distributed probe only when the table is big."""
+        cons = self._constraints()
+        if not cons:
+            return
+        names = self.colnames
+        nn = [c for c, k in cons if k == "not_null" and c in names]
+        if nn:
+            bad = {}
+            for c in nn:
+                i = names.index(c)
+                cnt = sum(1 for r in data if r[i] is None)
+                if cnt:
+                    bad[c] = cnt
+            if bad:
+                raise ValueError(f"not_null constraint violated: {bad}")
+        for c, k in cons:
+            if k != "unique" or c not in names:
+                continue
+            i = names.index(c)
+            vals = [r[i] for r in data if r[i] is not None]
+            seen: set = set()
+            for v in vals:
+                if v in seen:
+                    raise ValueError(
+                        f"unique constraint on {c!r} violated inside the batch "
+                        f"(e.g. key {v!r})"
+                    )
+                seen.add(v)
+            if self.manifest.files:
+                keys = list(dict.fromkeys(vals))
+                hit = self._existing_key_driver(c, keys)
+                if hit is None:
+                    # distributed probe, same shape as _enforce_constraints
+                    found = self.find_many(c, keys).select(c).limit(1).collect()
+                    if found:
+                        raise ValueError(
+                            f"unique constraint on {c!r} violated: key "
+                            f"{found[0][c]!r} already exists"
+                        )
+                elif hit is not False:
+                    raise ValueError(
+                        f"unique constraint on {c!r} violated: key "
+                        f"{hit!r} already exists"
+                    )
+
+    def _existing_key_driver(self, column: str, keys: list):
+        """Zero-job membership probe: prune candidate files by footer
+        stats (driver metadata), then read only those files' key column
+        with pyarrow and test membership against live (non-tombstoned)
+        rowids. Returns a colliding key, False for no collision, or None
+        when ineligible (big candidate set / coercion-unsafe types) —
+        the caller then uses the distributed probe."""
+        import math
+
+        if not keys:
+            return False
+        if self.manifest.tombstone_rows > self.CDF_DRIVER_READ_ROWS:
+            return None
+        if not all(self._probe_type_ok(column, k) for k in keys):
+            return None
+        if any(isinstance(k, float) and math.isnan(k) for k in keys):
+            return None  # SQL NaN equality ≠ Python set membership
+        files = self.manifest.files
+        if len(keys) <= 1000:
+            m = self._prune_mask_multi(column, keys)
+            if m is not None:
+                files = [f for f, keep in zip(files, m) if keep]
+            else:
+                files = [
+                    f
+                    for f in files
+                    if not f.stats.get(column)
+                    or any(self._key_in_range(f.stats[column], k) for k in keys)
+                ]
+        if sum(f.rows for f in files) > self.POSTING_DRIVER_BUILD_ROWS:
+            return None
+        tomb: set[int] = set()
+        for rel in self.manifest.tombstones:
+            d = self._abs(rel)
+            for fn in os.listdir(d):
+                if fn.endswith(".parquet"):
+                    tomb.update(
+                        pq.read_table(os.path.join(d, fn), columns=[ROWID])
+                        .column(ROWID)
+                        .to_pylist()
+                    )
+        keyset = set(keys)
+        for f in files:
+            tbl = pq.read_table(self._abs(f.path), columns=[ROWID, column])
+            for rid, v in zip(
+                tbl.column(ROWID).to_pylist(), tbl.column(column).to_pylist()
+            ):
+                if v is not None and v in keyset and rid not in tomb:
+                    return v
+        return False
 
     def _insert_tagged(self, tagged: DataFrame, schema: T.StructType, watermark: int) -> int:
         counts = {r["__pid"]: r["cnt"] for r in tagged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
