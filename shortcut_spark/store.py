@@ -46,6 +46,7 @@ import os
 import uuid
 from typing import Any, Callable, Iterable, Sequence
 
+import pyarrow.lib as pa_err
 import pyarrow.parquet as pq
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -393,9 +394,18 @@ class Store:
     def _driver_atomic_type(dt: T.DataType) -> bool:
         """Types the driver-insert kernel handles: atomic, orderable (for
         the clustering sort) and with unambiguous Python↔Arrow value
-        mapping. Timestamps/arrays/maps/structs stay on the Spark path."""
+        mapping. Session-tz timestamps qualify only on a UTC-clock host
+        (collect() renders them through the OS zone — on UTC the naive →
+        aware-UTC conversion is exact and fold-free); arrays/maps/structs
+        stay on the Spark path."""
         if isinstance(dt, T.DecimalType):
             return True
+        if isinstance(dt, T.TimestampNTZType):
+            return True
+        if isinstance(dt, T.TimestampType):
+            import time
+
+            return time.localtime().tm_gmtoff == 0
         return isinstance(
             dt,
             (
@@ -404,6 +414,19 @@ class Store:
                 T.DateType, T.BinaryType,
             ),
         )
+
+    @staticmethod
+    def _driver_cell(dt: T.DataType, v):
+        """Collected value → the Arrow value the Spark writer would have
+        produced. Only session-tz timestamps need help: collect() returns
+        a naive datetime in the OS zone (UTC per the type gate), which
+        must become aware-UTC so Arrow stores the exact instant."""
+        if v is not None and isinstance(dt, T.TimestampType):
+            import datetime as _dt
+
+            if v.tzinfo is None:
+                return v.replace(tzinfo=_dt.timezone.utc)
+        return v
 
     def _insert_rows_driver(
         self, data: list[tuple], schema: T.StructType
@@ -449,8 +472,17 @@ class Store:
             from pyspark.sql.pandas.types import to_arrow_schema
 
             arrow_schema = to_arrow_schema(self._schema_with_rowid())
+            dts = [f.dataType for f in schema.fields]
             table = pa.Table.from_pylist(
-                [dict(zip([ROWID] + list(names), r)) for r in rows],
+                [
+                    dict(
+                        zip(
+                            [ROWID] + list(names),
+                            (r[0], *(self._driver_cell(dt, v) for dt, v in zip(dts, r[1:]))),
+                        )
+                    )
+                    for r in rows
+                ],
                 schema=arrow_schema,
             )
         except Exception:
@@ -3079,6 +3111,16 @@ class Store:
         got = [f.name for f in delta.schema.fields]
         if got != expect:
             raise ValueError(f"delta schema mismatch: expected {expect}, got {got}")
+        # Small-delta fast path: ONE bounded collect (limit gate) replaces
+        # the distributed apply's ~6 actions (stats agg, collision probe,
+        # resurrection probe, victims write+count, batch write) — a CDC
+        # micro-delta is metadata-class data, and the follower-side live /
+        # tombstone sets it must be checked against are footer-readable
+        # when the follower is small. Ineligible (big delta, big follower,
+        # non-atomic schema) falls through to the unchanged path.
+        done = self._apply_changes_driver(delta)
+        if done is not None:
+            return done
         delta = delta.persist()
         # All in-memory manifest staging below is guarded by a snapshot:
         # any failure (the collision guard, an IO error mid-write) restores
@@ -3138,11 +3180,7 @@ class Store:
                         "tomb", f"p{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
                     )
                     tomb.join(ins_ids, ROWID, "left_anti").write.parquet(self._abs(keep_rel))
-                    n_keep = (
-                        self.spark.read.schema(f"{ROWID} long")
-                        .parquet(self._abs(keep_rel))
-                        .count()
-                    )
+                    n_keep = self._parquet_rows(keep_rel)  # footer-only, no job
                     # tomb lazily re-reads the OLD part paths (still on
                     # disk) — safe to keep using after the manifest swap
                     ins = ins.join(tomb, ROWID, "left_anti")
@@ -3158,11 +3196,7 @@ class Store:
                     "tomb", f"r{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
                 )
                 dels.join(live, ROWID, "left_semi").write.parquet(self._abs(victims_rel))
-                n_del = (
-                    self.spark.read.schema(f"{ROWID} long")
-                    .parquet(self._abs(victims_rel))
-                    .count()
-                )
+                n_del = self._parquet_rows(victims_rel)  # footer-only, no job
                 if n_del:
                     self.manifest.tombstones.append(victims_rel)
                     self.manifest.tombstone_rows += n_del
@@ -3193,6 +3227,149 @@ class Store:
             raise
         finally:
             delta.unpersist()
+
+    def _apply_changes_driver(self, delta: DataFrame) -> tuple[int, int] | None:
+        """Driver-side CDC apply for micro-deltas; returns (inserted,
+        deleted) or None when ineligible. Semantics identical to the
+        distributed path (collision guard, resurrection purge, live-set
+        delete masking, one atomic commit) — only the execution venue
+        changes: the delta arrives via one bounded collect, the follower's
+        live/tombstone rowid sets come from parquet footers and pyarrow
+        column reads, and the staged tombstone / data files are written
+        with pyarrow (the driver-insert kernel's layout)."""
+        schema = self.manifest.schema
+        if not all(self._driver_atomic_type(f.dataType) for f in schema.fields):
+            return None
+        if self.manifest.tombstone_rows > self.CDF_DRIVER_READ_ROWS:
+            return None
+        if sum(f.rows for f in self.manifest.files) > self.POSTING_DRIVER_BUILD_ROWS:
+            return None
+        cap = self.DRIVER_INSERT_ROWS
+        rows = delta.limit(cap + 1).collect()
+        if len(rows) > cap:
+            return None  # bulk delta: the distributed path's parallelism earns its jobs
+        names = schema.fieldNames()
+        ins = [r for r in rows if r["change_type"] == "insert"]
+        del_ids = {int(r[ROWID]) for r in rows if r["change_type"] == "delete"}
+        n_ins = len(ins)
+        snapshot = Manifest.from_json(self.manifest.to_json())
+        try:
+            # follower rowid sets, footer/pyarrow-read (zero jobs)
+            all_ids: set[int] = set()
+            for f in self.manifest.files:
+                all_ids.update(
+                    pq.read_table(self._abs(f.path), columns=[ROWID])
+                    .column(ROWID)
+                    .to_pylist()
+                )
+            tomb: set[int] = set()
+            for rel in self.manifest.tombstones:
+                d = self._abs(rel)
+                for fn in os.listdir(d):
+                    if fn.endswith(".parquet"):
+                        tomb.update(
+                            pq.read_table(os.path.join(d, fn), columns=[ROWID])
+                            .column(ROWID)
+                            .to_pylist()
+                        )
+            live = all_ids - tomb
+            ins_ids = {int(r[ROWID]) for r in ins}
+            if ins_ids and self.manifest.files:
+                n_clash = len(ins_ids & live)
+                if n_clash:
+                    raise ValueError(
+                        f"{n_clash} delta insert rowid(s) collide with live "
+                        "follower rows — the delta was applied twice, or the "
+                        "follower took a local write"
+                    )
+            # resurrection purge: un-mask tombstoned rowids the delta
+            # re-inserts (same commit); the rest insert physically
+            res_ids = ins_ids & tomb
+            n_res = len(res_ids)
+            if n_res:
+                keep = sorted(tomb - res_ids)
+                keep_rel = os.path.join(
+                    "tomb", f"p{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
+                )
+                self._write_rowid_part(keep_rel, keep)
+                self.manifest.tombstones = [keep_rel] if keep else []
+                self.manifest.tombstone_rows = len(keep)
+                ins = [r for r in ins if int(r[ROWID]) not in res_ids]
+            n_del = 0
+            if self.manifest.files:
+                victims = sorted(del_ids & live)
+                n_del = len(victims)
+                if n_del:
+                    victims_rel = os.path.join(
+                        "tomb", f"r{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
+                    )
+                    self._write_rowid_part(victims_rel, victims)
+                    self.manifest.tombstones.append(victims_rel)
+                    self.manifest.tombstone_rows += n_del
+            if ins:
+                import pyarrow as pa
+                from pyspark.sql.pandas.types import to_arrow_schema
+
+                dts = [f.dataType for f in schema.fields]
+                tuples = [
+                    (int(r[ROWID]),)
+                    + tuple(self._driver_cell(dt, r[c]) for dt, c in zip(dts, names))
+                    for r in ins
+                ]
+                btree_cols = [
+                    s.column for s in self.manifest.indices.values() if s.kind == BTREE
+                ]
+                hash_specs = [
+                    s.member_columns
+                    for s in self.manifest.indices.values()
+                    if s.kind in (HASH, COMPOSITE)
+                ]
+                sort_cols = (
+                    btree_cols[:1] if btree_cols else (hash_specs[0] if hash_specs else [])
+                )
+                if sort_cols:
+                    idxs = [names.index(c) + 1 for c in sort_cols]
+                    tuples.sort(
+                        key=lambda t: tuple((t[i] is not None, t[i]) for i in idxs)
+                    )
+                table = pa.Table.from_pylist(
+                    [dict(zip([ROWID] + list(names), t)) for t in tuples],
+                    schema=to_arrow_schema(self._schema_with_rowid()),
+                )
+                batch_rel = os.path.join(
+                    "data", f"r{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
+                )
+                out_dir = self._abs(batch_rel)
+                os.makedirs(out_dir, exist_ok=True)
+                pq.write_table(table, os.path.join(out_dir, "part-00000.parquet"))
+                self._register_and_index(batch_rel)
+            if n_ins:
+                self.manifest.rowid = max(self.manifest.rowid, max(ins_ids) + 1)
+            if n_ins or n_del:
+                if n_del or n_res:
+                    self.manifest.pending_cdf = None
+                self._commit()
+            return n_ins, n_del
+        except (TypeError, pa_err.ArrowInvalid, pa_err.ArrowTypeError):
+            # un-orderable sort values or cells pyarrow cannot coerce the
+            # way the Spark writer would: nothing committed — restore the
+            # staging and let the distributed path decide
+            self.manifest = snapshot
+            return None
+        except BaseException:
+            self.manifest = snapshot
+            raise
+
+    def _write_rowid_part(self, rel: str, rowids: list[int]) -> None:
+        """One-file tombstone part written driver-side (pyarrow), matching
+        the Spark writer's single-column ``__rowid long`` schema."""
+        import pyarrow as pa
+
+        os.makedirs(self._abs(rel), exist_ok=True)
+        pq.write_table(
+            pa.table({ROWID: pa.array(rowids, type=pa.int64())}),
+            os.path.join(self._abs(rel), "part-00000.parquet"),
+        )
 
     def _zorder_key(self, df: DataFrame, zcols: Sequence[str]) -> Column:
         """Interleaved-bit z-key over 2+ numeric columns: each value is

@@ -1113,6 +1113,43 @@ def test_apply_changes_rejected_delta_stages_nothing(spark, store_path, tmp_path
     assert follower.manifest.tombstone_rows == 0
 
 
+def test_apply_changes_driver_and_distributed_venues_agree(spark, store_path, tmp_path):
+    """The micro-delta driver apply (r12) and the distributed apply are the
+    same operator in two venues: identical rows, identical tombstone
+    accounting, identical collision behaviour. DRIVER_INSERT_ROWS = -1 on
+    one follower forces the distributed path for every delta."""
+    leader = Store.create(spark, store_path, 2)
+    vc = leader.manifest.version
+    leader.insert([(f"k{i}", str(i)) for i in range(30)])
+    v0 = leader.manifest.version
+
+    drv = Store.create(spark, str(tmp_path / "drv"), 2)
+    dist = Store.create(spark, str(tmp_path / "dist"), 2)
+    dist.DRIVER_INSERT_ROWS = -1  # instance override: distributed venue
+
+    got_d = drv.apply_changes(leader.changes(vc))
+    got_x = dist.apply_changes(leader.changes(vc))
+    assert got_d == got_x == (30, 0)
+
+    leader.delete([eq(0, "k3")])  # CoW delete
+    leader.delete([eq(0, "k7")], defer=True)  # tombstone delete
+    leader.insert([("new1", "x"), ("new2", "y")])
+
+    got_d = drv.apply_changes(leader.changes(v0))
+    got_x = dist.apply_changes(leader.changes(v0))
+    assert got_d == got_x == (2, 2)
+    assert rows_of(drv.find([], with_rowid=True)) == rows_of(
+        dist.find([], with_rowid=True)
+    )
+    assert rows_of(drv.find([])) == rows_of(leader.find([]))
+    assert drv.manifest.tombstone_rows == dist.manifest.tombstone_rows
+    assert drv.manifest.rowid == dist.manifest.rowid
+    # both venues detect a double-apply identically
+    for f in (drv, dist):
+        with pytest.raises(ValueError, match="collide"):
+            f.apply_changes(leader.changes(v0))
+
+
 def test_posting_part_pruning_and_sharding(spark, tmp_path):
     """Judge ask r4 #5: posting parts record per-part [min, max] range-key
     stats at write (fused into the posting build's one agg — no extra
