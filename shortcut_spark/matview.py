@@ -298,7 +298,11 @@ class MatView:
             else:
                 touched = self._recompute_touched(delta)
                 self.last_refresh_scanned_base = True
-            rows = self._to_state_rows(touched).localCheckpoint()
+            # lazy cut (r12, the CC convergence-probe pattern): the
+            # merge's victims probe is the first action over ``rows`` and
+            # materializes the checkpoint in ITS job; an eager checkpoint
+            # here was one whole extra job per refresh
+            rows = self._to_state_rows(touched).localCheckpoint(eager=False)
             try:
                 # stable_input: rows is the materialized cut, so the
                 # merge's insert skips its own re-checkpoint (r9 — one
@@ -307,8 +311,13 @@ class MatView:
                 # merge, so it persists inside the merge's one atomic
                 # manifest flip (r12, the stream_epoch pattern): state
                 # and version can never be durable separately.
+                # micro_batch rides the SAME driver-side bound as the
+                # static compile: the state upsert then lands in one
+                # write job with footer-read counts (no counts pass).
                 self.state.manifest.props["mv_base_version"] = str(cur)
-                n_groups, _ = self.state.merge(rows, on=_GK, stable_input=True)
+                n_groups, _ = self.state.merge(
+                    rows, on=_GK, stable_input=True, micro_batch=small
+                )
             except BaseException:
                 # merge rolled back (manifest restored / staged entry
                 # unstaged) — drop the staged prop so a later unrelated

@@ -247,7 +247,10 @@ class Store:
     # -- insert (src/lib.rs:178-187) ----------------------------------------
 
     def insert(
-        self, rows: DataFrame | Iterable[Sequence[Any]], stable_input: bool = False
+        self,
+        rows: DataFrame | Iterable[Sequence[Any]],
+        stable_input: bool = False,
+        micro_batch: bool = False,
     ) -> int:
         """Append a batch. Returns the number of rows inserted.
 
@@ -262,6 +265,18 @@ class Store:
         stable parent and the tag (sorted round-robin repartition,
         partition-local ids) is deterministic given fixed parent blocks,
         so a cache-miss recompute renumbers nothing.
+
+        ``micro_batch=True`` is the caller's DRIVER-SIDE bound that the
+        batch is micro (e.g. a matview refresh whose manifest arithmetic
+        bounded the delta): the batch then lands as ONE file in ONE job —
+        ``coalesce(1)`` makes rowid = watermark + partition-local id with
+        no counts pass and no second materialization, and the row count
+        comes from the written parquet footer. Correct at any actual size
+        (a misjudged bound costs one oversized file, not wrong rowids);
+        rowid ASSIGNMENT ORDER within the batch follows the coalesced
+        partition order rather than the round-robin tag order, so callers
+        must not depend on which batch row got which rowid (dense-range
+        semantics are identical).
         """
         schema = self.manifest.schema
         if isinstance(rows, DataFrame):
@@ -310,6 +325,14 @@ class Store:
         # the same determinism without the extra materialization job.
         self._enforce_constraints(df)
         watermark = self.manifest.rowid
+        if micro_batch:
+            v_before = self.manifest.version
+            try:
+                return self._insert_tagged_micro(df, schema, watermark)
+            except BaseException:
+                if self.manifest.version == v_before:
+                    self._restore_manifest_from_disk(version=v_before)
+                raise
         from .functions import ensure_parallelism
 
         tagged = (
@@ -317,7 +340,16 @@ class Store:
             .withColumn("__pid", F.spark_partition_id())
             .withColumn("__mid", F.monotonically_increasing_id())
         )
-        tagged = tagged.persist() if stable_input else tagged.localCheckpoint()
+        # lazy cut: the counts collect (the tag pass's first action)
+        # materializes the checkpoint in the SAME job — an eager
+        # localCheckpoint here paid one extra full materialization job per
+        # DataFrame insert for identical determinism (the blocks are cut
+        # before with_id's second pass either way)
+        tagged = (
+            tagged.persist()
+            if stable_input
+            else tagged.localCheckpoint(eager=False)
+        )
         v_before = self.manifest.version
         try:
             return self._insert_tagged(tagged, schema, watermark)
@@ -609,6 +641,46 @@ class Store:
                     return v
         return False
 
+    def _insert_tagged_micro(
+        self, df: DataFrame, schema: T.StructType, watermark: int
+    ) -> int:
+        """One-job append for caller-bounded micro batches: ``coalesce(1)``
+        puts every row in partition 0, where ``monotonically_increasing_id``
+        IS the dense 0-based position — so rowids need no counts pass, and
+        the committed row count reads from the written file's parquet
+        footer (``_parquet_rows``), not a count job. Layout matches
+        ``_cluster_batch``'s single-file branch (in-file sort by the
+        leading index columns)."""
+        with_id = df.coalesce(1).select(
+            (F.lit(watermark) + F.monotonically_increasing_id()).alias(ROWID),
+            *schema.fieldNames(),
+        )
+        btree_cols = [
+            s.column for s in self.manifest.indices.values() if s.kind == BTREE
+        ]
+        hash_specs = [
+            s.member_columns
+            for s in self.manifest.indices.values()
+            if s.kind in (HASH, COMPOSITE)
+        ]
+        sort_cols = btree_cols or (hash_specs[0] if hash_specs else [])
+        if sort_cols:
+            with_id = with_id.sortWithinPartitions(*sort_cols)
+        batch_rel = os.path.join(
+            "data", f"b{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}"
+        )
+        with_id.write.parquet(self._abs(batch_rel))
+        n = self._parquet_rows(batch_rel)
+        if not n:
+            import shutil
+
+            shutil.rmtree(self._abs(batch_rel), ignore_errors=True)
+            return 0
+        self._register_and_index(batch_rel)
+        self.manifest.rowid = watermark + n
+        self._commit()
+        return n
+
     def _insert_tagged(self, tagged: DataFrame, schema: T.StructType, watermark: int) -> int:
         counts = {r["__pid"]: r["cnt"] for r in tagged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
         if not counts:
@@ -820,6 +892,7 @@ class Store:
         on: int | str,
         stable_input: bool = False,
         extra_victim_keys: DataFrame | None = None,
+        micro_batch: bool = False,
     ) -> tuple[int, int]:
         """Atomic upsert by key (EXTENSION — the reference is
         add/remove-only, ``src/lib.rs:25-26``): delete every existing row
@@ -910,7 +983,9 @@ class Store:
                 shutil.rmtree(self._abs(victims_rel), ignore_errors=True)
         v_before = self.manifest.version
         try:
-            inserted = self.insert(rows, stable_input=stable_input)
+            inserted = self.insert(
+                rows, stable_input=stable_input, micro_batch=micro_batch
+            )
         except BaseException:
             # insert rejected the batch (constraint violation, bad schema,
             # write failure) BEFORE committing. Unstage the tombstones so

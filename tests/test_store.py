@@ -2066,3 +2066,45 @@ def test_cdf_vacuum_retention(spark, tmp_path):
         for p in glob.glob(os.path.join(path, "cdf", "*", "*.parquet"))
     }
     assert len(kept) <= 1
+
+
+def test_insert_micro_batch_dense_rowids_single_file(spark, tmp_path):
+    """micro_batch=True lands a DataFrame batch as ONE data file with the
+    same dense-rowid contract as the two-pass path: rowids are exactly
+    watermark..watermark+n-1, the count is right, content matches, and a
+    later normal insert continues the sequence with no gaps."""
+    st = make(spark, str(tmp_path / "micro"), ABC)
+    wm = st.manifest.rowid
+    nfiles = len(st.manifest.files)
+    batch = spark.createDataFrame([("m1", "m2"), ("n1", "n2")], st.manifest.schema)
+    assert st.insert(batch, micro_batch=True) == 2
+    assert len(st.manifest.files) == nfiles + 1  # one file, one commit
+    got = {
+        (r["__rowid"], r[st.colnames[0]])
+        for r in st.find([], with_rowid=True).collect()
+        if r[st.colnames[0]] in ("m1", "n1")
+    }
+    assert {r for r, _ in got} == {wm, wm + 1}  # dense, from the watermark
+    assert st.manifest.rowid == wm + 2
+    # the normal path continues the same sequence (no gap, no reuse)
+    st.insert(spark.createDataFrame([("o1", "o2")], st.manifest.schema))
+    assert st.manifest.rowid == wm + 3
+    assert rows_of(st.find([])) == sorted(
+        map(tuple, ABC + [["m1", "m2"], ["n1", "n2"], ["o1", "o2"]])
+    )
+
+
+def test_merge_micro_batch_equivalent_to_default(spark, tmp_path):
+    """merge(..., micro_batch=True) — the matview refresh path — returns
+    the same counts and converges to the same table as the default merge,
+    in one commit, with indexes maintained."""
+    a = make(spark, str(tmp_path / "md"), AXB, index_col=0)
+    b = make(spark, str(tmp_path / "mm"), AXB, index_col=0)
+    batch = [["a", "A_NEW"], ["c", "C1"]]
+    ref = a.merge(spark.createDataFrame(batch, a.manifest.schema), on=0)
+    v0 = b.manifest.version
+    got = b.merge(spark.createDataFrame(batch, b.manifest.schema), on=0, micro_batch=True)
+    assert got == ref
+    assert b.manifest.version == v0 + 1  # single atomic commit
+    assert rows_of(b.find([])) == rows_of(a.find([]))
+    assert rows_of(b.find([eq(0, "a")])) == [("a", "A_NEW")]  # postings see the batch
