@@ -63,43 +63,68 @@ def connected_components(
     )
     e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     e = e.localCheckpoint(eager=True)  # computed once, joined every round
-
-    labels = (
-        e.select(F.col("s").alias("node"))
-        .distinct()
-        .select(F.col("node"), F.col("node").alias("lbl"))
-        .localCheckpoint(eager=True)
-    )
-
-    lbl_type = labels.schema["lbl"].dataType
-    for it in range(max_iter):
-        nbr_min = e.join(
-            labels.select(F.col("node").alias("d"), F.col("lbl")), "d"
-        ).select(F.col("s").alias("node"), F.col("lbl"))
-        # carry the previous label ("old") through the round so convergence
-        # is detectable on the round's own output — every node appears in
-        # `labels` exactly once, so max(old) recovers it through the union
-        cand = (
-            labels.select("node", "lbl", F.col("lbl").alias("old"))
-            .unionByName(nbr_min.withColumn("old", F.lit(None).cast(lbl_type)))
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"), F.max("old").alias("old"))
+    # Static loop compile (the matview-refresh pattern): one round is 3
+    # shuffles (neighbor join, node min, pointer jump) and under AQE each
+    # exchange materializes as its OWN Spark job, so a round whose only
+    # action is the fused probe-count still launches ~5 jobs of pure
+    # scheduling floor. The edge count is driver-known after the eager
+    # checkpoint (one sub-50ms count over cached partitions); when it
+    # bounds the loop's working set small, pin a static shuffle-partition
+    # count DERIVED FROM THE EDGE COUNT (not the session/core constant)
+    # and turn AQE off for the loop — every round is then exactly one
+    # job. Bulk graphs keep AQE (skew splits / coalescing earn their jobs
+    # there). Identical labels either way — AQE only re-plans execution.
+    spark = edges.sparkSession
+    n_e = e.count()
+    static_loop = n_e <= 2_000_000
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    shp_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    if static_loop:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(max(1, n_e // 65536 + 1))
         )
-        jump = cand.select(F.col("node").alias("lbl"), F.col("lbl").alias("jlbl"))
-        new = cand.join(jump, "lbl", "left").select(
-            "node", F.coalesce("jlbl", "lbl").alias("lbl"), "old"
+    try:
+        labels = (
+            e.select(F.col("s").alias("node"))
+            .distinct()
+            .select(F.col("node"), F.col("node").alias("lbl"))
+            .localCheckpoint(eager=True)
         )
-        # LAZY checkpoint + count: the convergence probe's count() is the
-        # round's ONLY action — it materializes the checkpoint (lineage
-        # still cut before anything downstream reads it) AND returns the
-        # changed-row count, so each round costs one Spark job where the
-        # eager-checkpoint-then-count form cost two (opt guide §1.2:
-        # don't pay two passes for one round).
-        new = new.localCheckpoint(eager=False)
-        changed = new.where(F.col("lbl") != F.col("old")).count()
-        labels = new.select("node", "lbl")
-        if it > 0 and changed == 0:
-            break
+
+        lbl_type = labels.schema["lbl"].dataType
+        for it in range(max_iter):
+            nbr_min = e.join(
+                labels.select(F.col("node").alias("d"), F.col("lbl")), "d"
+            ).select(F.col("s").alias("node"), F.col("lbl"))
+            # carry the previous label ("old") through the round so
+            # convergence is detectable on the round's own output — every
+            # node appears in `labels` exactly once, so max(old) recovers
+            # it through the union
+            cand = (
+                labels.select("node", "lbl", F.col("lbl").alias("old"))
+                .unionByName(nbr_min.withColumn("old", F.lit(None).cast(lbl_type)))
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"), F.max("old").alias("old"))
+            )
+            jump = cand.select(F.col("node").alias("lbl"), F.col("lbl").alias("jlbl"))
+            new = cand.join(jump, "lbl", "left").select(
+                "node", F.coalesce("jlbl", "lbl").alias("lbl"), "old"
+            )
+            # LAZY checkpoint + count: the convergence probe's count() is
+            # the round's ONLY action — it materializes the checkpoint
+            # (lineage still cut before anything downstream reads it) AND
+            # returns the changed-row count, so each round costs one Spark
+            # job where the eager-checkpoint-then-count form cost two (opt
+            # guide §1.2: don't pay two passes for one round).
+            new = new.localCheckpoint(eager=False)
+            changed = new.where(F.col("lbl") != F.col("old")).count()
+            labels = new.select("node", "lbl")
+            if it > 0 and changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", shp_before)
 
     return labels.select(F.col("node").alias(out_node), F.col("lbl").alias(out_comp))
 
@@ -166,58 +191,77 @@ def pagerank(
         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
         .localCheckpoint(eager=True)
     )
-    nodes = (
-        e.select(F.col("s").alias("node"))
-        .union(e.select(F.col("d").alias("node")))
-        .distinct()
-    )
-    outw = e.groupBy("s").agg(F.sum("w").alias("ow"))
-    n1 = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    r = (
-        nodes.crossJoin(F.broadcast(n1))
-        .select("node", F.expr(f"CAST({scale} AS BIGINT) div n").alias("r"), "n")
-        .localCheckpoint(eager=True)
-    )
-    teleport = F.expr(f"CAST({scale} AS BIGINT) * {d_den - d_num} div (n * {d_den})")
-    for _ in range(iters):
-        contrib = (
-            e.join(outw, "s")
-            .join(r.select(F.col("node").alias("s"), "r"), "s")
-            .select(
-                F.col("d").alias("node"),
-                F.expr(f"r * w * {d_num} div (ow * {d_den})").alias("c"),
-            )
+    # Static loop compile — same gate and rationale as
+    # :func:`connected_components`: a rank round is 2-3 shuffles and AQE
+    # materializes each as its own job, pure scheduling floor when the
+    # driver-known edge count bounds the working set; partitions derive
+    # from the edge count, never the session constant.
+    spark = edges.sparkSession
+    n_e = e.count()
+    static_loop = n_e <= 2_000_000
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    shp_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    if static_loop:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(max(1, n_e // 65536 + 1))
         )
-        summed = contrib.groupBy("node").agg(F.sum("c").alias("cs"))
-        if dangling == "redistribute":
-            # this iteration's dangling mass D: rank held by nodes with
-            # no surviving out-edge — a 1-row aggregate, broadcast back
-            dang = r.join(
-                outw.select(F.col("s").alias("node")), "node", "left_anti"
-            ).agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
-            extra = F.expr(f"dm * {d_num} div (n * {d_den})")
-            r = (
-                r.select("node", "n")
-                .crossJoin(F.broadcast(dang))
-                .join(summed, "node", "left")
+    try:
+        nodes = (
+            e.select(F.col("s").alias("node"))
+            .union(e.select(F.col("d").alias("node")))
+            .distinct()
+        )
+        outw = e.groupBy("s").agg(F.sum("w").alias("ow"))
+        n1 = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        r = (
+            nodes.crossJoin(F.broadcast(n1))
+            .select("node", F.expr(f"CAST({scale} AS BIGINT) div n").alias("r"), "n")
+            .localCheckpoint(eager=True)
+        )
+        teleport = F.expr(f"CAST({scale} AS BIGINT) * {d_den - d_num} div (n * {d_den})")
+        for _ in range(iters):
+            contrib = (
+                e.join(outw, "s")
+                .join(r.select(F.col("node").alias("s"), "r"), "s")
                 .select(
-                    "node",
-                    (teleport + extra + F.coalesce(F.col("cs"), F.lit(0))).alias("r"),
-                    "n",
+                    F.col("d").alias("node"),
+                    F.expr(f"r * w * {d_num} div (ow * {d_den})").alias("c"),
                 )
-                .localCheckpoint(eager=True)
             )
-        else:
-            r = (
-                r.select("node", "n")
-                .join(summed, "node", "left")
-                .select(
-                    "node",
-                    (teleport + F.coalesce(F.col("cs"), F.lit(0))).alias("r"),
-                    "n",
+            summed = contrib.groupBy("node").agg(F.sum("c").alias("cs"))
+            if dangling == "redistribute":
+                # this iteration's dangling mass D: rank held by nodes with
+                # no surviving out-edge — a 1-row aggregate, broadcast back
+                dang = r.join(
+                    outw.select(F.col("s").alias("node")), "node", "left_anti"
+                ).agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+                extra = F.expr(f"dm * {d_num} div (n * {d_den})")
+                r = (
+                    r.select("node", "n")
+                    .crossJoin(F.broadcast(dang))
+                    .join(summed, "node", "left")
+                    .select(
+                        "node",
+                        (teleport + extra + F.coalesce(F.col("cs"), F.lit(0))).alias("r"),
+                        "n",
+                    )
+                    .localCheckpoint(eager=True)
                 )
-                .localCheckpoint(eager=True)
-            )
+            else:
+                r = (
+                    r.select("node", "n")
+                    .join(summed, "node", "left")
+                    .select(
+                        "node",
+                        (teleport + F.coalesce(F.col("cs"), F.lit(0))).alias("r"),
+                        "n",
+                    )
+                    .localCheckpoint(eager=True)
+                )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", shp_before)
     return r.select(
         "node",
         F.col("r").alias("rank_i"),
