@@ -115,6 +115,34 @@ def _dist_structs(cur: list[tuple[int, list[int]]]) -> F.Column:
 # (the pre-r12 plans) so pytest can pin the numpy kernels byte-identical
 _FORCE_EXPR = False
 
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _static_rollup_confs(spark, n_map_parts: int):
+    """Static compile for the Lloyd update rollup (the matview/CC-loop
+    pattern): the (cluster, dim) aggregate's key space is k·D BY
+    CONSTRUCTION — independent of corpus size — and partial map-side
+    aggregation bounds the exchange at ``map_partitions × k·D`` combined
+    rows, so a small reduce-partition count derived from the MAP
+    parallelism (never the session constant) is correct at any scale;
+    under AQE each per-iteration collect instead materialized every
+    exchange as its own Spark job — pure scheduling floor ×iters.
+    Restores both confs on exit; results identical (AQE only re-plans
+    execution)."""
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    shp = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(max(1, min(256, n_map_parts // 64)))
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", shp)
+
 # below this many vectors the interpreted distance loop is NOT the wall —
 # job floors are — and the numpy branch's union/worker overhead measured
 # net-negative (bench A/B at fixture N; the 100× probe flips decisively
@@ -258,29 +286,30 @@ def kmeans_exact(
         # expression path, exactly the pre-r12 plan
         return q.select("__id", "__qv", expr_best)
 
-    for _ in range(iters):
-        # update: one (cluster, dim) shuffle, key space k·D; floor-div is
-        # sign-safe fdiv so Spark and the oracle agree on negatives
-        upd = (
-            assign(cents)
-            .select(
-                F.col("__best.c").alias("__c"),
-                F.posexplode("__qv").alias("__pos", "__q"),
+    with _static_rollup_confs(emb.sparkSession, q.rdd.getNumPartitions()):
+        for _ in range(iters):
+            # update: one (cluster, dim) shuffle, key space k·D; floor-div
+            # is sign-safe fdiv so Spark and the oracle agree on negatives
+            upd = (
+                assign(cents)
+                .select(
+                    F.col("__best.c").alias("__c"),
+                    F.posexplode("__qv").alias("__pos", "__q"),
+                )
+                .groupBy("__c", "__pos")
+                .agg(F.sum("__q").alias("__s"), F.count(F.lit(1)).alias("__n"))
+                .select(
+                    "__c",
+                    "__pos",
+                    F.expr("(__s - ((__s % __n) + __n) % __n) div __n").alias("__cv"),
+                )
             )
-            .groupBy("__c", "__pos")
-            .agg(F.sum("__q").alias("__s"), F.count(F.lit(1)).alias("__n"))
-            .select(
-                "__c",
-                "__pos",
-                F.expr("(__s - ((__s % __n) + __n) % __n) div __n").alias("__cv"),
-            )
-        )
-        by_c: dict[int, dict[int, int]] = {}
-        for r in upd.collect():  # bounded: k·D integers (driver metadata)
-            by_c.setdefault(r["__c"], {})[r["__pos"]] = r["__cv"]
-        cents = [
-            (cid, [dims[p] for p in sorted(dims)]) for cid, dims in sorted(by_c.items())
-        ]
+            by_c: dict[int, dict[int, int]] = {}
+            for r in upd.collect():  # bounded: k·D integers (driver metadata)
+                by_c.setdefault(r["__c"], {})[r["__pos"]] = r["__cv"]
+            cents = [
+                (cid, [dims[p] for p in sorted(dims)]) for cid, dims in sorted(by_c.items())
+            ]
 
     final = assign(cents)
     return final.select(
@@ -522,19 +551,21 @@ def kmeans_silhouette(
         F.col(id_col), _quant_expr(vec_col, quant).alias("__qv")
     ).join(assigned.select(id_col, "cluster"), id_col)
     # recompute the final centroids exactly as kmeans_exact's last update
-    # would: they are a pure function of the assignment (sign-safe fdiv)
-    upd = (
-        q.select("cluster", F.posexplode("__qv").alias("__pos", "__q"))
-        .groupBy("cluster", "__pos")
-        .agg(F.sum("__q").alias("__s"), F.count(F.lit(1)).alias("__n"))
-        .select(
-            "cluster",
-            "__pos",
-            F.expr("(__s - ((__s % __n) + __n) % __n) div __n").alias("__cv"),
-            "__n",  # per-cluster member count, for the kernel size gate
+    # would: they are a pure function of the assignment (sign-safe fdiv);
+    # same static rollup compile as the Lloyd loop (k·D key space)
+    with _static_rollup_confs(emb.sparkSession, emb.rdd.getNumPartitions()):
+        upd = (
+            q.select("cluster", F.posexplode("__qv").alias("__pos", "__q"))
+            .groupBy("cluster", "__pos")
+            .agg(F.sum("__q").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .select(
+                "cluster",
+                "__pos",
+                F.expr("(__s - ((__s % __n) + __n) % __n) div __n").alias("__cv"),
+                "__n",  # per-cluster member count, for the kernel size gate
+            )
+            .collect()
         )
-        .collect()
-    )
     by_c: dict[int, dict[int, int]] = {}
     n_rows = 0
     for r in upd:
