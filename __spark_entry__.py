@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from shortcut_spark import BTreeIndex, HashIndex, Store, between, col_eq, eq
-from shortcut_spark.functions import davg, dsum
+from shortcut_spark.functions import davg, dsum, ensure_parallelism
 from shortcut_spark.operators import dedup, multimodal, similarity, text
 from shortcut_spark import streaming as stream_ops
 
@@ -3832,7 +3832,11 @@ def q_mm_wav_chunks(spark, sf_dir):
                 payloads.append(buf.getvalue())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # spread the doc-id relation before the Python generator/decoder
+    # chain: the 5k-row fixture scan arrives as ONE partition, which
+    # serialized the whole synthesize->encode->decode map on one core
+    # (opt guide Â§4/Â§2.6); repartition is a no-op at real scale
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
     wavs = docs.mapInPandas(gen, "doc_id long, payload binary")
     return multimodal.audio_chunk_plan_wav(wavs, "doc_id", "payload", chunk_ms=100)
 
@@ -3867,7 +3871,11 @@ def q_mm_png_tiles(spark, sf_dir):
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # spread the doc-id relation before the Python generator/decoder
+    # chain: the 5k-row fixture scan arrives as ONE partition, which
+    # serialized the whole synthesize->encode->decode map on one core
+    # (opt guide Â§4/Â§2.6); repartition is a no-op at real scale
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
     pngs = docs.mapInPandas(gen, "doc_id long, payload binary")
     return multimodal.image_tile_plan(pngs, "doc_id", "payload", tile=224)
 
@@ -3902,7 +3910,11 @@ def q_mm_png_pixels(spark, sf_dir):
                 payloads.append(multimodal.encode_png(px, w, h, channels=1))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # spread the doc-id relation before the Python generator/decoder
+    # chain: the 5k-row fixture scan arrives as ONE partition, which
+    # serialized the whole synthesize->encode->decode map on one core
+    # (opt guide Â§4/Â§2.6); repartition is a no-op at real scale
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
     pngs = docs.mapInPandas(gen, "doc_id long, payload binary")
     return multimodal.decode_png_pixels(pngs, "doc_id", "payload")
 
@@ -3986,7 +3998,11 @@ def q_mm_image_dups(spark, sf_dir):
                 payloads.append(multimodal.encode_png(b"".join(rows), w, h, channels=1))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # spread the doc-id relation before the Python generator/decoder
+    # chain: the 5k-row fixture scan arrives as ONE partition, which
+    # serialized the whole synthesize->encode->decode map on one core
+    # (opt guide Â§4/Â§2.6); repartition is a no-op at real scale
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
     pngs = docs.mapInPandas(gen, "doc_id long, payload binary")
     return multimodal.image_near_dups(pngs, "doc_id", "payload")
 
@@ -4022,7 +4038,11 @@ def q_mm_audio_dups(spark, sf_dir):
                 payloads.append(multimodal.encode_wav(bytes(pcm), 8000, 1, 16))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # spread the doc-id relation before the Python generator/decoder
+    # chain: the 5k-row fixture scan arrives as ONE partition, which
+    # serialized the whole synthesize->encode->decode map on one core
+    # (opt guide Â§4/Â§2.6); repartition is a no-op at real scale
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
     wavs = docs.mapInPandas(gen, "doc_id long, payload binary")
     return multimodal.audio_near_dups(wavs, "doc_id", "payload")
 
@@ -4052,7 +4072,11 @@ def q_mm_wav_samples(spark, sf_dir):
                 payloads.append(multimodal.encode_wav(pcm, rate, 1, 16))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # spread the doc-id relation before the Python generator/decoder
+    # chain: the 5k-row fixture scan arrives as ONE partition, which
+    # serialized the whole synthesize->encode->decode map on one core
+    # (opt guide Â§4/Â§2.6); repartition is a no-op at real scale
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents").select("doc_id"))
     wavs = docs.mapInPandas(gen, "doc_id long, payload binary")
     return multimodal.decode_wav_samples(wavs, "doc_id", "payload")
 
