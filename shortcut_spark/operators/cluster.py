@@ -68,8 +68,15 @@ def _quant_expr(vec_col: str, quant: int) -> F.Column:
 def _non_null(emb: DataFrame, vec_col: str) -> DataFrame:
     """Drop NULL/empty vectors — they have no position in the space, and
     a None reaching the seed collect or the distance loop would crash
-    (code-review r7 NULL-tolerance class)."""
-    return emb.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+    (code-review r7 NULL-tolerance class). Spread single-partition input
+    first (the fixture scan arrives as ONE partition, which serialized
+    every distance pass — interpreted or numpy — on one core; no-op at
+    real scale)."""
+    from ..functions import ensure_parallelism
+
+    return ensure_parallelism(emb).filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    )
 
 
 def _dist2(qv: F.Column, centroid) -> F.Column:
