@@ -366,6 +366,15 @@ def corr_matrix(
     """
     if len(cols) < 2:
         raise ValueError("need >= 2 columns")
+    from ..functions import ensure_parallelism
+
+    # the DECIMAL(38,0) multiply-accumulate is the measured wall (the
+    # BigDecimal path, see functions.dsum's cost note) and it runs at
+    # SCAN parallelism — the fixture arrives as 1-3 partitions, leaving
+    # 29+ cores idle for a pure map-side aggregate; spread first (no-op
+    # at real scale), project to just the correlated columns so the
+    # spread never moves unused bytes
+    df = ensure_parallelism(df.select(*cols))
     dec38 = "decimal(38,0)"
     q = {c: F.floor(F.col(c).cast("double") * quant + F.lit(0.5)).cast("long") for c in cols}
     pairs = [(cols[i], cols[j]) for i in range(len(cols)) for j in range(i + 1, len(cols))]
