@@ -46,6 +46,20 @@ def get_spark(app_name: str = "shortcut_spark", cpus: int | None = None) -> Spar
         # is needed (and spark.sql.legacy.parquet.nanosAsLong no longer has
         # any effect on this Spark).
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # InferFiltersFromGenerate synthesizes `size(arr)>0 AND
+        # isnotnull(arr)` under every explode; predicate pushdown then
+        # INLINES the generator's full child expression into that filter
+        # (twice) and pushes it below the exchange — so every
+        # explode-over-a-computed-array (shingles, CDC chunks, band keys)
+        # re-ran its whole tokenize/transform chain two extra times at
+        # scan parallelism. Excluding the rule only drops that pre-prune;
+        # Generate itself skips empty/null arrays, so results are
+        # identical. Measured r12: the shingle explode 5.7 → 0.4 s at
+        # sf0.1; the effect grows with data (the chain is the map wall).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
