@@ -292,7 +292,10 @@ def q_store_cdc_changes(spark, sf_dir):
     st = _fresh_store(spark, sf_dir, "orders")
     v0 = st.manifest.version
     st.delete([eq("o_orderkey", 500)])
-    st.insert(_t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5))
+    st.insert(
+        _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5),
+        micro_batch=True,  # key-bounded batch: one file, one job (r12)
+    )
     return st.changes(v0).select("change_type", *_ORDERS_SAFE)
 
 
@@ -353,7 +356,10 @@ def q_store_version_diff(spark, sf_dir):
     st = _fresh_store(spark, sf_dir, "orders")
     v0 = st.manifest.version
     st.delete([eq("o_orderkey", 500)])
-    st.insert(_t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5))
+    st.insert(
+        _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5),
+        micro_batch=True,  # key-bounded batch: one file, one job (r12)
+    )
     v2 = st.manifest.version
     st.delete([eq("o_orderkey", 600)])  # outside the window: invisible
     out = st.diff(v0, v2).select("change_type", *_ORDERS_SAFE)
@@ -568,7 +574,10 @@ def q_store_matview(spark, sf_dir):
     st.delete([eq("o_orderstatus", "P")])
     mv.refresh()
     assert mv.last_refresh_scanned_base is False  # IVM fast path held
-    st.insert(_t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100))
+    st.insert(
+        _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100),
+        micro_batch=True,  # key-bounded batch: one file, one job (r12)
+    )
     mv.refresh()
     assert mv.last_refresh_scanned_base is False
     return mv.read()
