@@ -644,21 +644,25 @@ def _fp_hamming_pairs(
         F.explode(F.array(*keys)).alias("sig"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    # hamming-verify BEFORE the distinct: the verify is one XOR+bit_count
+    # (map-side, codegen), while the distinct is a full exchange of the
+    # candidate stream — filtering first shuffles only qualifying pairs
+    # (measured 62k of 871k distinct candidates on the documents fixture)
+    # and drops both 8-byte fingerprints from the exchange. hamming is a
+    # pure function of the pair, so distinct-then-verify and
+    # verify-then-distinct emit identical rows.
+    return (
         a.join(b, ["sig"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
