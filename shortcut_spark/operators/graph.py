@@ -34,9 +34,85 @@ Algorithm: min-label propagation with pointer jumping.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["connected_components", "pagerank", "triangle_counts"]
+
+#: Edge-count bound (directed rows of the deduped bidirectional edge set)
+#: under which connected components run as a driver-side union-find
+#: instead of the distributed label-propagation loop. The count is
+#: driver-known for free (the loop's static-compile gate already pays
+#: it over checkpointed partitions), and below this bound the loop is
+#: pure scheduling floor: each O(log d) round is one tiny job plus a
+#: fresh Catalyst analysis/codegen pass (~0.5 s/round measured at 62k
+#: edges on local[32]), while a bounded collect is ≤ ~3 MB of key pairs
+#: and union-find is microseconds. Same class of gate as the Store's
+#: driver kernels (POSTING_DRIVER_BUILD_ROWS, DRIVER_INSERT_ROWS): at
+#: real scale the near-dup graph is billions of edges and the
+#: distributed loop runs as before. Set SPARK_GRAFT_CC_DRIVER_EDGES=0
+#: to force the distributed loop everywhere.
+CC_DRIVER_EDGES = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", "200000") or 0)
+
+
+def _cc_driver_types_ok(dt) -> bool:
+    """Node types whose Python ordering matches Spark's ``min`` ordering
+    exactly: integral and (UTF-8 code-point ordered) string. Everything
+    else keeps the distributed loop — correctness never rides the
+    fast path."""
+    from pyspark.sql import types as T
+
+    return isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType)
+    )
+
+
+def _cc_driver(
+    e: DataFrame, out_node: str, out_comp: str
+) -> DataFrame:
+    """Driver union-find over a BOUNDED edge collect: same contract as the
+    distributed loop — every node appearing in an edge is labeled with the
+    minimum node id of its component. ``e`` is the deduped bidirectional
+    edge relation (both directions present; self-loops possible), already
+    checkpointed and counted by the caller's gate."""
+    from pyspark.sql import types as T
+
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        s, d = r[0], r[1]
+        if s not in parent:
+            parent[s] = s
+        if d not in parent:
+            parent[d] = d
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    out = [(n, comp_min[find(n)]) for n in parent]
+    node_t = e.schema[0].dataType
+    schema = T.StructType(
+        [
+            T.StructField(out_node, node_t, False),
+            T.StructField(out_comp, node_t, False),
+        ]
+    )
+    return e.sparkSession.createDataFrame(out, schema)
 
 
 def connected_components(
@@ -76,6 +152,13 @@ def connected_components(
     # there). Identical labels either way — AQE only re-plans execution.
     spark = edges.sparkSession
     n_e = e.count()
+    # Driver kernel for driver-known-small graphs (see CC_DRIVER_EDGES):
+    # the label-propagation loop below costs O(log d) jobs of scheduling
+    # floor that a ≤3 MB bounded collect + union-find replaces outright.
+    # Identical output (min-id labels over the same edge set); gated on
+    # node types whose Python ordering equals Spark's.
+    if n_e <= CC_DRIVER_EDGES and _cc_driver_types_ok(e.schema["s"].dataType):
+        return _cc_driver(e, out_node, out_comp)
     static_loop = n_e <= 2_000_000
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     shp_before = spark.conf.get("spark.sql.shuffle.partitions", "200")

@@ -1247,6 +1247,43 @@ def test_connected_components_path_and_islands(spark):
                     10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_driver_kernel_matches_distributed(spark):
+    """The r12 driver union-find kernel (gate: CC_DRIVER_EDGES) must emit
+    byte-identical (node, component) rows to the distributed
+    label-propagation loop — self-loops, string ids, NULL endpoints and
+    duplicate/reversed edges included."""
+    from shortcut_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("a", "c"), ("x", "x"),        # merge + self-loop
+         ("m", "n"), ("n", "m"),                    # reversed duplicate
+         ("z", None), (None, "q"),                  # NULL endpoints drop
+         ("k", "k2"), ("k2", "k3"), ("k3", "k4")],  # path
+        "src string, dst string",
+    )
+    saved = g.CC_DRIVER_EDGES
+    try:
+        g.CC_DRIVER_EDGES = 200_000
+        via_driver = sorted(
+            (r["node"], r["component"])
+            for r in g.connected_components(edges).collect()
+        )
+        g.CC_DRIVER_EDGES = 0
+        via_loop = sorted(
+            (r["node"], r["component"])
+            for r in g.connected_components(edges).collect()
+        )
+    finally:
+        g.CC_DRIVER_EDGES = saved
+    assert via_driver == via_loop
+    comp = dict(via_driver)
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == "x"
+    assert comp["m"] == comp["n"] == "m"
+    assert "z" not in comp and "q" not in comp  # NULL edges carry nothing
+    assert comp["k"] == comp["k4"] == "k"
+
+
 def test_dup_clusters_transitive_and_singletons(spark, docs):
     """Cluster labels are transitive over simhash pairs; every doc gets a
     row; exactly one keeper per cluster; sizes add up to the doc count."""
@@ -3355,6 +3392,41 @@ def test_kmeans_exact_planted_blobs(spark):
     assert len({next(iter(s)) for s in by_blob.values()}) == 3
     out2 = kmeans_exact(emb, k=3, iters=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_kmeans_driver_lloyd_matches_distributed_loop(spark):
+    """The r12 driver Lloyd-iteration kernel (gate: n < _NP_MIN_ROWS) must
+    produce byte-identical (id, cluster, dist2) rows to the distributed
+    expression loop (_FORCE_EXPR seam), including negative coordinates
+    (floor-div parity) and empty-cluster drop; ragged rows must disable
+    the kernel and still agree."""
+    from shortcut_spark.operators import cluster as C
+
+    rows = []
+    for b, (cx, cy) in enumerate([(0.0, 0.0), (4.0, -4.0), (-3.5, 2.5)]):
+        for i in range(15):
+            dx, dy = ((i % 5) - 2) * 0.013, ((i % 7) - 3) * 0.011
+            rows.append((b * 100 + i, [cx + dx, cy + dy]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    via_driver = sorted(map(tuple, C.kmeans_exact(emb, k=4, iters=3).collect()))
+    try:
+        C._FORCE_EXPR = True
+        via_expr = sorted(map(tuple, C.kmeans_exact(emb, k=4, iters=3).collect()))
+    finally:
+        C._FORCE_EXPR = False
+    assert via_driver == via_expr
+    # ragged input: one 3-wide vector makes the kernel ineligible — the
+    # fallback loop must run and the two configs still agree
+    ragged = spark.createDataFrame(
+        rows + [(999, [1.0, 1.0, 9.0])], "vec_id long, embedding array<float>"
+    )
+    got = sorted(map(tuple, C.kmeans_exact(ragged, k=3, iters=2).collect()))
+    try:
+        C._FORCE_EXPR = True
+        want = sorted(map(tuple, C.kmeans_exact(ragged, k=3, iters=2).collect()))
+    finally:
+        C._FORCE_EXPR = False
+    assert got == want
 
 
 def test_kmeans_exact_negative_floor_div(spark):
