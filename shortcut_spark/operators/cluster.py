@@ -218,6 +218,55 @@ def _np_assign_fn(cents: list[tuple[int, list[int]]]):
     return fn
 
 
+def _driver_lloyd(
+    q: DataFrame, cents: list[tuple[int, list[int]]], iters: int, D0: int
+) -> list[tuple[int, list[int]]] | None:
+    """Run the Lloyd ITERATIONS driver-side over a bounded collect —
+    returns the final centroid list, or None when ineligible (ragged /
+    null-holed rows, or quantized magnitudes outside the exact-int64
+    envelope), in which case the caller keeps the distributed loop.
+
+    Bit-identity argument, step by step against the distributed plan the
+    gate replaces (< _NP_MIN_ROWS rows, i.e. the expression path):
+    distances are the same exact int64 arithmetic (``_np_sq_dists`` ==
+    ``_dist2`` — both pure int64, envelope enforced), the argmin
+    tie-breaks to the smallest cluster id (ascending-cid centroid order +
+    first-minimum, the struct-ordering rule), the update is an exact
+    int64 sum/count per (cluster, dim) with MATHEMATICAL floor division
+    (``np.floor_divide`` floors like the sign-safe fdiv expression), and
+    empty clusters drop while survivors keep their id. The final
+    assignment (and everything downstream) stays the untouched
+    distributed plan over these centroids. Wall saved: ``iters``
+    assignment passes + ``iters`` rollup-collect jobs of pure scheduling
+    floor at sub-gate corpus sizes."""
+    import numpy as np
+
+    rows = [r["__qv"] for r in q.select("__qv").collect()]
+    if any(len(v) != D0 or any(x is None for x in v) for v in rows):
+        return None
+    X = np.array(rows, dtype=np.int64)
+    # envelope for EVERY iteration up front: centroids are floored means
+    # of members, so |c| <= max|x| and span <= 2·max|x| at any round
+    span = 2 * int(np.abs(X).max(initial=0))
+    if D0 * span * span >= 2**63:
+        return None
+    for _ in range(iters):
+        order = sorted(range(len(cents)), key=lambda i: cents[i][0])
+        cids = [int(cents[i][0]) for i in order]
+        C = np.array([cents[i][1] for i in order], dtype=np.int64)
+        bi = _np_sq_dists(X, C).argmin(axis=1)
+        S = np.zeros((len(cids), D0), dtype=np.int64)
+        np.add.at(S, bi, X)
+        cnt = np.bincount(bi, minlength=len(cids))
+        live = cnt > 0
+        cv = np.floor_divide(S[live], cnt[live][:, None])
+        live_cids = [cid for cid, keep in zip(cids, live) if keep]
+        cents = [
+            (cid, [int(x) for x in row]) for cid, row in zip(live_cids, cv)
+        ]
+    return cents
+
+
 def kmeans_exact(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -259,7 +308,14 @@ def kmeans_exact(
     # size gate: one cheap count on the eager-checkpointed relation —
     # the kernel engages only at corpus sizes where the interpreted
     # distance loop (not the job floor) is the wall (_NP_MIN_ROWS)
-    use_np = (not _FORCE_EXPR) and q.count() >= _NP_MIN_ROWS
+    n_rows = q.count()
+    use_np = (not _FORCE_EXPR) and n_rows >= _NP_MIN_ROWS
+    # below the gate the job floors ARE the wall: run the ITERATIONS
+    # driver-side over one bounded collect (≤ _NP_MIN_ROWS rows of
+    # quantized ints — the CC_DRIVER_EDGES class of gate) and keep the
+    # final assignment distributed; see _driver_lloyd for the
+    # bit-identity argument. Ineligible inputs fall through unchanged.
+    driver_loop = (not _FORCE_EXPR) and 0 < n_rows < _NP_MIN_ROWS
     is_clean = (F.size("__qv") == D0) & ~F.exists("__qv", lambda x: x.isNull())
     q_clean = q.filter(is_clean)
     q_ragged = q.filter(~is_clean)
@@ -293,30 +349,37 @@ def kmeans_exact(
         # expression path, exactly the pre-r12 plan
         return q.select("__id", "__qv", expr_best)
 
-    with _static_rollup_confs(emb.sparkSession, q.rdd.getNumPartitions()):
-        for _ in range(iters):
-            # update: one (cluster, dim) shuffle, key space k·D; floor-div
-            # is sign-safe fdiv so Spark and the oracle agree on negatives
-            upd = (
-                assign(cents)
-                .select(
-                    F.col("__best.c").alias("__c"),
-                    F.posexplode("__qv").alias("__pos", "__q"),
+    done_driver = False
+    if driver_loop:
+        new_cents = _driver_lloyd(q, cents, iters, D0)
+        if new_cents is not None:
+            cents = new_cents
+            done_driver = True
+    if not done_driver:
+        with _static_rollup_confs(emb.sparkSession, q.rdd.getNumPartitions()):
+            for _ in range(iters):
+                # update: one (cluster, dim) shuffle, key space k·D; floor-div
+                # is sign-safe fdiv so Spark and the oracle agree on negatives
+                upd = (
+                    assign(cents)
+                    .select(
+                        F.col("__best.c").alias("__c"),
+                        F.posexplode("__qv").alias("__pos", "__q"),
+                    )
+                    .groupBy("__c", "__pos")
+                    .agg(F.sum("__q").alias("__s"), F.count(F.lit(1)).alias("__n"))
+                    .select(
+                        "__c",
+                        "__pos",
+                        F.expr("(__s - ((__s % __n) + __n) % __n) div __n").alias("__cv"),
+                    )
                 )
-                .groupBy("__c", "__pos")
-                .agg(F.sum("__q").alias("__s"), F.count(F.lit(1)).alias("__n"))
-                .select(
-                    "__c",
-                    "__pos",
-                    F.expr("(__s - ((__s % __n) + __n) % __n) div __n").alias("__cv"),
-                )
-            )
-            by_c: dict[int, dict[int, int]] = {}
-            for r in upd.collect():  # bounded: k·D integers (driver metadata)
-                by_c.setdefault(r["__c"], {})[r["__pos"]] = r["__cv"]
-            cents = [
-                (cid, [dims[p] for p in sorted(dims)]) for cid, dims in sorted(by_c.items())
-            ]
+                by_c: dict[int, dict[int, int]] = {}
+                for r in upd.collect():  # bounded: k·D integers (driver metadata)
+                    by_c.setdefault(r["__c"], {})[r["__pos"]] = r["__cv"]
+                cents = [
+                    (cid, [dims[p] for p in sorted(dims)]) for cid, dims in sorted(by_c.items())
+                ]
 
     final = assign(cents)
     return final.select(
