@@ -44,6 +44,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from contextlib import contextmanager
 from typing import Any, Callable, Iterable, Sequence
 
 import pyarrow.lib as pa_err
@@ -681,6 +682,35 @@ class Store:
         self._commit()
         return n
 
+    # batches at or below this many rows compile their write + posting
+    # build STATICALLY (AQE off, shuffle partitions derived from the
+    # driver-known row count): under AQE every exchange of the rowid
+    # window, the clustering repartition and the posting distinct/agg
+    # materializes as its OWN Spark job — measured 18 jobs vs 9 for the
+    # identical 600k-row indexed insert, same rows. Bulk loads above the
+    # bound keep AQE (skew splits / coalescing earn their jobs there).
+    STATIC_INSERT_ROWS = 10_000_000
+
+    @contextmanager
+    def _static_insert_confs(self, n_rows: int):
+        """The matview/CC static-compile pattern for the insert tail: the
+        exact batch row count is driver-known after the counts pass, so
+        the shuffle-partition count derives from it (one per ~250k rows,
+        never the session/core constant). Restores both confs on exit;
+        nested-safe (restores whatever the caller had set)."""
+        aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        shp = self.spark.conf.get("spark.sql.shuffle.partitions", "200")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(1, min(256, n_rows // 250_000 + 1))),
+        )
+        try:
+            yield
+        finally:
+            self.spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            self.spark.conf.set("spark.sql.shuffle.partitions", shp)
+
     def _insert_tagged(self, tagged: DataFrame, schema: T.StructType, watermark: int) -> int:
         counts = {r["__pid"]: r["cnt"] for r in tagged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
         if not counts:
@@ -690,6 +720,19 @@ class Store:
             offsets[pid] = acc
             acc += counts[pid]
         n = acc
+        if n <= self.STATIC_INSERT_ROWS:
+            with self._static_insert_confs(n):
+                return self._insert_tagged_tail(tagged, schema, watermark, offsets, n)
+        return self._insert_tagged_tail(tagged, schema, watermark, offsets, n)
+
+    def _insert_tagged_tail(
+        self,
+        tagged: DataFrame,
+        schema: T.StructType,
+        watermark: int,
+        offsets: dict,
+        n: int,
+    ) -> int:
         offs_df = self.spark.createDataFrame(
             [(pid, offsets[pid]) for pid in offsets], "__pid int, __off long"
         )
