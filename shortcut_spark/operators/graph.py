@@ -281,6 +281,19 @@ def pagerank(
     # from the edge count, never the session constant.
     spark = edges.sparkSession
     n_e = e.count()
+    # Driver kernel for driver-known-small graphs (the CC_DRIVER_EDGES
+    # gate): every rank step is integer multiply / truncating-div over
+    # NON-NEGATIVE operands (weights filtered > 0, ranks start positive
+    # and only add non-negative terms), where Python's floor // equals
+    # Spark's truncate-toward-zero div — so the bounded collect + Python
+    # loop reproduces the distributed rounds bit for bit while replacing
+    # iters × (join + agg + checkpoint) jobs of scheduling floor. The
+    # heavy part of callers — building the edge aggregate — stays
+    # distributed either way; big graphs keep the loop below.
+    if n_e <= CC_DRIVER_EDGES:
+        return _pagerank_driver(
+            e, iters, d_num, d_den, scale, dangling
+        )
     static_loop = n_e <= 2_000_000
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     shp_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
@@ -349,6 +362,53 @@ def pagerank(
         "node",
         F.col("r").alias("rank_i"),
         (F.col("r") / F.lit(scale).cast("long")).alias("rank"),
+    )
+
+
+def _pagerank_driver(
+    e: DataFrame, iters: int, d_num: int, d_den: int, scale: int, dangling: str
+) -> DataFrame:
+    """Driver replica of the distributed rank rounds over a bounded edge
+    collect — same spec, same integer arithmetic, same output schema.
+    ``e`` is the filtered (s, d, w) relation, already checkpointed and
+    counted by the caller's gate."""
+    from pyspark.sql import types as T
+
+    rows = e.collect()
+    ow: dict = {}
+    nodes = set()
+    for r in rows:
+        nodes.add(r["s"])
+        nodes.add(r["d"])
+        ow[r["s"]] = ow.get(r["s"], 0) + r["w"]
+    n = len(nodes)
+    spark = e.sparkSession
+    node_t = e.schema["s"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("node", node_t, False),
+            T.StructField("rank_i", T.LongType(), False),
+            T.StructField("rank", T.DoubleType(), False),
+        ]
+    )
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    r0 = scale // n
+    rank = {v: r0 for v in nodes}
+    teleport = scale * (d_den - d_num) // (n * d_den)
+    for _ in range(iters):
+        cs: dict = {}
+        for r in rows:
+            c = rank[r["s"]] * r["w"] * d_num // (ow[r["s"]] * d_den)
+            cs[r["d"]] = cs.get(r["d"], 0) + c
+        extra = 0
+        if dangling == "redistribute":
+            dm = sum(rank[v] for v in nodes if v not in ow)
+            extra = dm * d_num // (n * d_den)
+        rank = {v: teleport + extra + cs.get(v, 0) for v in nodes}
+    return spark.createDataFrame(
+        [(v, int(rank[v]), float(rank[v]) / float(scale)) for v in nodes],
+        out_schema,
     )
 
 

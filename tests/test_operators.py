@@ -2685,6 +2685,32 @@ def test_bm25_ranking_semantics(spark):
     assert [out[i]["rank"] for i in (1, 2, 3)] == [1, 2, 3]
 
 
+def test_pagerank_driver_kernel_matches_distributed(spark):
+    """The r12 driver pagerank kernel (CC_DRIVER_EDGES gate) must emit
+    byte-identical (node, rank_i, rank) rows to the distributed rounds in
+    both dangling modes — including a sink node and weighted edges."""
+    from shortcut_spark.operators import graph as g
+
+    df = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 2), ("a", "c", 1), ("c2", "a", 3), ("b", "a", 5)],
+        ["src", "dst", "w"],
+    )
+    saved = g.CC_DRIVER_EDGES
+    try:
+        for mode in ("evaporate", "redistribute"):
+            g.CC_DRIVER_EDGES = 200_000
+            via_driver = sorted(
+                map(tuple, g.pagerank(df, weight="w", dangling=mode).collect())
+            )
+            g.CC_DRIVER_EDGES = 0
+            via_loop = sorted(
+                map(tuple, g.pagerank(df, weight="w", dangling=mode).collect())
+            )
+            assert via_driver == via_loop, mode
+    finally:
+        g.CC_DRIVER_EDGES = saved
+
+
 def test_pagerank_redistribute_conserves_mass(spark):
     """dangling='redistribute': a sink node's mass is returned to the
     pool each iteration, so total rank stays ≈ scale (up to BIGINT floor
