@@ -312,6 +312,20 @@ class Store:
                 return done
             df = self.spark.createDataFrame(data, schema)
 
+        if isinstance(rows, DataFrame):
+            # tiny DataFrame batches take the same driver kernel: when the
+            # optimizer's own size estimate bounds the batch (driver-side
+            # metadata, no job) a single bounded take() replaces the whole
+            # distributed tail (checkpoint + counts + clustering + write —
+            # ~5 jobs of scheduling floor for a handful of rows). The
+            # estimate is scale-honest: it grows with the input files, so
+            # real batches never probe and never collect.
+            taken = self._take_micro_df(df)
+            if taken:
+                done = self._insert_rows_driver([tuple(r) for r in taken], schema)
+                if done is not None:
+                    return done
+
         # Dense rowid assignment: per-partition counts -> cumulative offsets,
         # then a row_number within each original partition. Two passes over
         # the batch (same cost class as zipWithIndex) but stays in DataFrame
@@ -422,6 +436,41 @@ class Store:
     # ZERO Spark jobs unless an index needs a posting build or the unique
     # probe must scan a big table. The posting-driver-build bound's sibling.
     DRIVER_INSERT_ROWS = 20_000
+
+    # DataFrame batches whose OPTIMIZER size estimate is at or below this
+    # many bytes probe for driver-side ingest with one bounded take().
+    # The estimate is plain non-CBO sizeInBytes — it never shrinks through
+    # filters, so it only fires when the batch's SOURCE files are tiny
+    # (dimension-table mutations); a bulk insert never pays the probe.
+    # SPARK_GRAFT_DRIVER_INSERT_EST=0 disables (same switch family as
+    # SPARK_GRAFT_CC_DRIVER_EDGES).
+    DRIVER_INSERT_EST_BYTES = int(
+        os.environ.get("SPARK_GRAFT_DRIVER_INSERT_EST", str(1 << 20)) or 0
+    )
+
+    def _take_micro_df(self, df: DataFrame) -> list | None:
+        """Bounded driver collect of a DataFrame batch the optimizer's own
+        statistics bound tiny; None when ineligible (estimate too big /
+        non-atomic types / more actual rows than the driver-insert cap —
+        the caller then keeps the distributed path, with one bounded
+        take() wasted in the rare underestimate case)."""
+        if not all(
+            self._driver_atomic_type(f.dataType)
+            for f in self.manifest.schema.fields
+        ):
+            return None
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            return None
+        if est > self.DRIVER_INSERT_EST_BYTES:
+            return None
+        taken = df.take(self.DRIVER_INSERT_ROWS + 1)
+        if len(taken) > self.DRIVER_INSERT_ROWS:
+            return None
+        return taken
 
     @staticmethod
     def _driver_atomic_type(dt: T.DataType) -> bool:

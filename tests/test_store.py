@@ -2094,6 +2094,43 @@ def test_insert_micro_batch_dense_rowids_single_file(spark, tmp_path):
     )
 
 
+def test_insert_tiny_dataframe_driver_route_equivalent(spark, tmp_path):
+    """A DataFrame batch the optimizer's size estimate bounds tiny ingests
+    through the driver kernel (the list-insert path): same rows, same
+    dense-rowid accounting, indexes maintained — venue equivalence against
+    a store with the estimate gate disabled."""
+    import pyspark.sql.functions as F
+
+    # the gate keys on the OPTIMIZER estimate, which is only known for
+    # file-backed plans (a Python createDataFrame arrives as a LogicalRDD
+    # whose stats default to unknown/huge — it keeps the distributed path)
+    src_path = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [("k%02d" % i, "v%02d" % i) for i in range(12)], "c0 string, c1 string"
+    ).coalesce(1).write.parquet(src_path)
+    src = spark.read.parquet(src_path).withColumn("c1", F.upper("c1"))
+    a = make(spark, str(tmp_path / "drv"), AXB, index_col=0)
+    b = make(spark, str(tmp_path / "dist"), AXB, index_col=0)
+    wm_a = a.manifest.rowid
+    assert a._take_micro_df(src) is not None  # the gate fires for this plan
+    assert a.insert(src) == 12
+    assert a.manifest.rowid == wm_a + 12  # dense from the watermark
+    old_gate = Store.DRIVER_INSERT_EST_BYTES
+    Store.DRIVER_INSERT_EST_BYTES = 0  # force the distributed path
+    try:
+        assert b._take_micro_df(src) is None
+        assert b.insert(src) == 12
+    finally:
+        Store.DRIVER_INSERT_EST_BYTES = old_gate
+    assert rows_of(a.find([])) == rows_of(b.find([]))
+    assert rows_of(a.find([eq(0, "k03")])) == [("k03", "V03")]  # postings see it
+    # a batch with more actual rows than the cap is refused by the probe
+    big = spark.range(Store.DRIVER_INSERT_ROWS + 5).select(
+        F.col("id").cast("string").alias("c0"), F.lit("x").alias("c1")
+    )
+    assert a._take_micro_df(big) is None
+
+
 def test_merge_micro_batch_equivalent_to_default(spark, tmp_path):
     """merge(..., micro_batch=True) — the matview refresh path — returns
     the same counts and converges to the same table as the default merge,
