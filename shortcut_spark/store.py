@@ -215,8 +215,16 @@ class Store:
         return os.path.join(self.path, rel)
 
     def _empty(self, with_rowid: bool = False) -> DataFrame:
+        """Empty relation in the store schema. The ``filter(False)`` is
+        load-bearing: a bare ``createDataFrame([], ...)`` is RDD-backed
+        with defaultParallelism EMPTY partitions that survive into every
+        union/join that embeds it (measured: the CDC delta's two empty
+        placeholder branches added 64 no-op map tasks to every matview
+        refresh), while a provably-false filter lets PruneFilters rewrite
+        the branch to an empty LocalRelation that PropagateEmptyRelation
+        deletes from the plan outright."""
         schema = self._schema_with_rowid() if with_rowid else self.manifest.schema
-        return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame([], schema).filter(F.lit(False))
 
     def _read_files(self, files: Sequence[DataFile], with_meta: bool = False) -> DataFrame:
         paths = [self._abs(f.path) for f in files]

@@ -2094,6 +2094,23 @@ def test_insert_micro_batch_dense_rowids_single_file(spark, tmp_path):
     )
 
 
+def test_changes_cdf_plan_prunes_empty_branches(spark, tmp_path):
+    """A delete-only CDF window's delta must not carry the empty
+    appended/resurrected placeholder branches into execution: a bare
+    createDataFrame([], schema) is RDD-backed with defaultParallelism
+    EMPTY partitions each, while _empty's provably-false filter lets the
+    optimizer delete the branch — the delta's partitioning is then just
+    the changelog read's."""
+    st = make(spark, str(tmp_path / "cdfp"), ABC)
+    v0 = st.manifest.version
+    st.delete([eq(0, "a1")])
+    d = st.changes(v0)
+    assert st.last_changes_used_cdf is True
+    assert d.rdd.getNumPartitions() <= 4  # not 2 * defaultParallelism + files
+    got = [(r["change_type"], r[st.colnames[0]]) for r in d.collect()]
+    assert got == [("delete", "a1")]
+
+
 def test_insert_tiny_dataframe_driver_route_equivalent(spark, tmp_path):
     """A DataFrame batch the optimizer's size estimate bounds tiny ingests
     through the driver kernel (the list-insert path): same rows, same
