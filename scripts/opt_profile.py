@@ -5,7 +5,7 @@ isolation, count the Spark jobs each launches, and dump
 Per query it reports min-of-N wall seconds (same protocol as bench.py),
 the number of jobs the *measured* run launched (job floors are the local
 wall for most store/stream scripts, so the job count is the number to
-move), and writes ``plans/r12/<query>_<tag>.txt`` when asked.
+move), and writes ``plans/$SPARK_GRAFT_PLAN_DIR/<query>_<tag>.txt`` when asked.
 
 Usage:
     python scripts/opt_profile.py [--tag before] [--runs 2] [--plans] q1 q2 ...
@@ -31,7 +31,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
-    ap.add_argument("--tag", default=None, help="write plans/r12/<q>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="write plans/<dir>/<q>_<tag>.txt")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--json", default=None, help="also dump results as JSON")
@@ -54,7 +54,7 @@ def main() -> None:
         spark, SF_DIR, "lineitem", (("l_returnflag", "hash"), ("l_quantity", "btree"))
     )
 
-    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r13"))
     if args.tag:
         os.makedirs(plan_dir, exist_ok=True)
 

@@ -50,19 +50,50 @@ _DEC = "decimal(27,6)"
 _DEC14 = "decimal(28,14)"
 
 
+# one spread partition per this many estimated input bytes: a sub-MB
+# fixture stays at `min_parts` partitions; the spread only approaches the
+# core count when the input actually carries tens of MB per core. At real
+# scale the scan has >= min_parts partitions and the spread never fires.
+_SPREAD_BYTES_PER_PART = 4 * 1024 * 1024
+
+
+def _plan_size_bytes(df) -> int:
+    """Optimizer size estimate of ``df`` (no job; same source as the
+    broadcast-join decision). 0 when the estimate is unavailable."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 0
+
+
 def ensure_parallelism(df, min_parts: int = 8):
     """Small fixture files arrive as 1-2 partitions, serializing heavy map
     stages (tokenize/hash/vector math); spread them. No-op for
     already-parallel input — at real scale the scan has many partitions and
     this never fires. Streaming DataFrames pass through untouched
     (``.rdd`` is illegal on them; micro-batch sizing is the stream's own
-    concern)."""
+    concern).
+
+    The spread width derives from the DATA (estimated bytes / 4 MB,
+    floored at ``min_parts``, capped at the core count) — never the bare
+    core count: r12 spread every sub-MB input to ``defaultParallelism``
+    and the resulting 32-wide Python-worker fleets per map stage
+    collapsed the 32-core contract environment (mm_png_pixels 0.06×,
+    embed_knn_join 0.14× — opt guide §2.4's "repartition(n) someone
+    added for parallelism" anti-pattern). A tiny input now gets
+    ``min_parts`` partitions at every core count, so per-query cost is
+    core-count-robust."""
     if df.isStreaming:
         return df
-    if df.rdd.getNumPartitions() < min_parts:
-        cores = df.sparkSession.sparkContext.defaultParallelism
-        return df.repartition(max(min_parts, cores))
-    return df
+    cur = df.rdd.getNumPartitions()
+    if cur >= min_parts:
+        return df
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    by_bytes = -(-_plan_size_bytes(df) // _SPREAD_BYTES_PER_PART)
+    target = min(cores, max(min(min_parts, cores), by_bytes))
+    if target <= cur:
+        return df
+    return df.repartition(target)
 
 
 def dsum(col: str | Column, alias: str | None = None) -> Column:

