@@ -327,8 +327,16 @@ class Store:
             # distributed tail (checkpoint + counts + clustering + write —
             # ~5 jobs of scheduling floor for a handful of rows). The
             # estimate is scale-honest: it grows with the input files, so
-            # real batches never probe and never collect.
+            # real batches never probe and never collect. CAVEAT: when the
+            # probe fires but the kernel declines (underestimate past the
+            # row cap, un-orderable values), the input plan is EVALUATED
+            # TWICE — the bounded take() and then the distributed insert —
+            # so non-idempotent sources (UDFs with side effects) may run
+            # twice. Disable with SPARK_GRAFT_DRIVER_INSERT_EST=0 if that
+            # matters for a given input.
             taken = self._take_micro_df(df)
+            if taken is not None and not taken:
+                return 0  # probed bound proved the batch empty — no jobs
             if taken:
                 done = self._insert_rows_driver([tuple(r) for r in taken], schema)
                 if done is not None:
@@ -368,6 +376,17 @@ class Store:
         # localCheckpoint here paid one extra full materialization job per
         # DataFrame insert for identical determinism (the blocks are cut
         # before with_id's second pass either way)
+        aqe_before = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        if not stable_input:
+            # Under AQE, localCheckpoint's toRdd eagerly MATERIALIZES the
+            # tag plan's shuffle map stage (query-stage re-planning buys
+            # nothing for a fixed-width repartition) and the counts
+            # collect then schedules as a separate reduce job. Planned
+            # statically, the checkpoint stays lazy and the counts job
+            # runs map+reduce as ONE job (measured ~0.4 s/insert on the
+            # 600k-row bench ingest). Restored right after the counts
+            # pass — the tail sizes its own confs.
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
         tagged = (
             tagged.persist()
             if stable_input
@@ -375,7 +394,9 @@ class Store:
         )
         v_before = self.manifest.version
         try:
-            return self._insert_tagged(tagged, schema, watermark)
+            return self._insert_tagged(
+                tagged, schema, watermark, restore_aqe=aqe_before
+            )
         except BaseException:
             # a failure anywhere before the commit leaves the IN-MEMORY
             # manifest polluted: the batch's data files are registered,
@@ -462,6 +483,8 @@ class Store:
         non-atomic types / more actual rows than the driver-insert cap —
         the caller then keeps the distributed path, with one bounded
         take() wasted in the rare underestimate case)."""
+        if self.DRIVER_INSERT_EST_BYTES <= 0:
+            return None  # disabled: skip the probe entirely (no stats eval)
         if not all(
             self._driver_atomic_type(f.dataType)
             for f in self.manifest.schema.fields
@@ -758,9 +781,14 @@ class Store:
         aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
         shp = self.spark.conf.get("spark.sql.shuffle.partitions", "200")
         self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # one shuffle partition per ~50k rows (the _cluster_batch file
+        # sizing), capped at the core count: the r12 ~250k divisor ran the
+        # 600k-row bench ingest 3-wide through the clustering shuffle at
+        # any core count
+        cores = self.spark.sparkContext.defaultParallelism
         self.spark.conf.set(
             "spark.sql.shuffle.partitions",
-            str(max(1, min(256, n_rows // 250_000 + 1))),
+            str(max(1, min(256, cores, -(-n_rows // 50_000)))),
         )
         try:
             yield
@@ -768,10 +796,39 @@ class Store:
             self.spark.conf.set("spark.sql.adaptive.enabled", aqe)
             self.spark.conf.set("spark.sql.shuffle.partitions", shp)
 
-    def _insert_tagged(self, tagged: DataFrame, schema: T.StructType, watermark: int) -> int:
-        counts = {r["__pid"]: r["cnt"] for r in tagged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
-        if not counts:
+    def _insert_tagged(
+        self,
+        tagged: DataFrame,
+        schema: T.StructType,
+        watermark: int,
+        restore_aqe: str | None = None,
+    ) -> int:
+        stats = tagged.groupBy("__pid").agg(
+            F.count("*").alias("cnt"),
+            F.min("__mid").alias("lo"),
+            F.max("__mid").alias("hi"),
+        ).collect()
+        if restore_aqe is not None:
+            self.spark.conf.set("spark.sql.adaptive.enabled", restore_aqe)
+        if not stats:
             return 0
+        counts = {r["__pid"]: r["cnt"] for r in stats}
+        # monotonically_increasing_id puts the partition id in the upper
+        # bits and a 0-based per-partition record counter in the lower 33
+        # — when that layout holds (verified per partition from the SAME
+        # counts pass: min == pid<<33, max == min+cnt-1, i.e. the local
+        # counter is dense from 0), the rowid is pure per-row arithmetic
+        # (watermark + offset[pid] + low bits) and the row_number window —
+        # a full shuffle+sort of the batch — is unnecessary. Rowids are
+        # identical by construction (pytest-pinned against the window
+        # plan); any violation of the layout falls back to the window.
+        contiguous = all(
+            r["lo"] == (r["__pid"] << 33)
+            and r["hi"] == (r["__pid"] << 33) + r["cnt"] - 1
+            for r in stats
+        )
+        if os.environ.get("SPARK_GRAFT_ROWID_WINDOW", "0") == "1":
+            contiguous = False  # test hook: force the window plan
         offsets, acc = {}, 0
         for pid in sorted(counts):
             offsets[pid] = acc
@@ -779,8 +836,10 @@ class Store:
         n = acc
         if n <= self.STATIC_INSERT_ROWS:
             with self._static_insert_confs(n):
-                return self._insert_tagged_tail(tagged, schema, watermark, offsets, n)
-        return self._insert_tagged_tail(tagged, schema, watermark, offsets, n)
+                return self._insert_tagged_tail(
+                    tagged, schema, watermark, offsets, n, contiguous
+                )
+        return self._insert_tagged_tail(tagged, schema, watermark, offsets, n, contiguous)
 
     def _insert_tagged_tail(
         self,
@@ -789,18 +848,29 @@ class Store:
         watermark: int,
         offsets: dict,
         n: int,
+        contiguous: bool = False,
     ) -> int:
         offs_df = self.spark.createDataFrame(
             [(pid, offsets[pid]) for pid in offsets], "__pid int, __off long"
         )
-        from pyspark.sql import Window as W
+        if contiguous:
+            # exchange-free rowids: the per-partition record counter IS
+            # the dense local position (guard verified in _insert_tagged)
+            local = F.col("__mid") - (F.col("__pid").cast("long") * F.lit(1 << 33))
+            with_id = (
+                tagged.join(F.broadcast(offs_df), "__pid")
+                .withColumn(ROWID, F.lit(watermark) + F.col("__off") + local)
+                .select(ROWID, *schema.fieldNames())
+            )
+        else:
+            from pyspark.sql import Window as W
 
-        w = W.partitionBy("__pid").orderBy("__mid")
-        with_id = (
-            tagged.join(F.broadcast(offs_df), "__pid")
-            .withColumn(ROWID, F.lit(watermark) + F.col("__off") + F.row_number().over(w) - 1)
-            .select(ROWID, *schema.fieldNames())
-        )
+            w = W.partitionBy("__pid").orderBy("__mid")
+            with_id = (
+                tagged.join(F.broadcast(offs_df), "__pid")
+                .withColumn(ROWID, F.lit(watermark) + F.col("__off") + F.row_number().over(w) - 1)
+                .select(ROWID, *schema.fieldNames())
+            )
 
         batch_rel = os.path.join("data", f"b{self.manifest.version + 1}-{uuid.uuid4().hex[:8]}")
         self._cluster_batch(with_id, n).write.parquet(self._abs(batch_rel))
@@ -1394,6 +1464,36 @@ class Store:
                 self.POSTING_DRIVER_BUILD_ROWS, self.POSTING_SHARD_ROWS
             ):
                 self._append_postings_driver(spec, postings, part_rel, rkey)
+                return
+            if incremental and n_batch <= self.POSTING_SHARD_ROWS:
+                # posting rows ≤ batch rows ≤ one shard, so no count is
+                # needed for the shard decision: the stats agg (count/min/
+                # max/HLL) rides the posting WRITE itself via observe() —
+                # one job instead of a fused-agg job plus a write job, and
+                # no persist. Sorting unconditionally is safe (row order
+                # inside a posting part is semantically irrelevant) and
+                # keeps tight per-file footer ranges when stats exist.
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                out = postings.observe(
+                    obs,
+                    F.min(rkey).alias("__lo"),
+                    F.max(rkey).alias("__hi"),
+                    self._sketch_agg(spec),
+                ).sortWithinPartitions(rkey)
+                out.write.parquet(self._abs(part_rel))
+                st = obs.get
+                if self._stats_ok(st["__lo"]) and self._stats_ok(st["__hi"]):
+                    spec.part_stats[part_rel] = [
+                        self._stats_val(st["__lo"]), self._stats_val(st["__hi"])
+                    ]
+                spec.parts.append(part_rel)
+                self._refresh_index_stats(
+                    spec,
+                    new_parts=[part_rel],
+                    new_sketch=bytes(st["__sk"]) if st["__sk"] is not None else None,
+                )
                 return
             postings = postings.persist()
         try:

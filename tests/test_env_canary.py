@@ -11,6 +11,7 @@ and 2. If the next Spark upgrade changes the nanos story again, this fails
 first and points at ``sources.normalize_event_ts``.
 """
 
+import pytest
 import subprocess
 import sys
 import textwrap
@@ -47,6 +48,7 @@ CANARY = textwrap.dedent(
 )
 
 
+@pytest.mark.slow
 def test_vanilla_session_events_watermark_compatible():
     proc = subprocess.run(
         [sys.executable, "-c", CANARY],

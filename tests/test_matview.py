@@ -149,6 +149,7 @@ def test_reopen_resumes_from_persisted_base_version(spark, store_path):
     assert mv2.refresh() == 0
 
 
+@pytest.mark.slow
 def test_mutation_script_equivalence_both_paths(spark, store_path):
     """Scripted mutation sequence, refresh after EVERY step, both agg
     families — the IVM equivalence property end-to-end."""

@@ -71,6 +71,7 @@ def test_dedup_family_tolerates_null_text(dirty):
     assert fp.filter(F.col("simhash").isNull()).count() == 0
 
 
+@pytest.mark.slow
 def test_similarity_family_tolerates_null_vectors(dirty):
     from shortcut_spark.operators import similarity as S
 
@@ -93,6 +94,7 @@ def test_similarity_family_tolerates_null_vectors(dirty):
     assert S.cosine_join(dirty["emb"], 0.8).count() >= 0
 
 
+@pytest.mark.slow
 def test_clustering_family_tolerates_null_vectors(dirty):
     from shortcut_spark.operators.cluster import (
         kmeans_exact,
@@ -107,6 +109,7 @@ def test_clustering_family_tolerates_null_vectors(dirty):
     assert pca_top_component(dirty["emb"]).count() > 0
 
 
+@pytest.mark.slow
 def test_events_family_tolerates_null_columns(dirty):
     from shortcut_spark.operators import events as E
 
@@ -121,6 +124,7 @@ def test_events_family_tolerates_null_columns(dirty):
     assert all(r["variant"] is not None for r in arms)
 
 
+@pytest.mark.slow
 def test_text_family_hostile_strings_smoke(spark):
     """Crash-freedom pin for the text/dedup families on hostile input:
     NULL text, empty, whitespace-only, a 10k-char single token, regex
@@ -159,6 +163,7 @@ def test_text_family_hostile_strings_smoke(spark):
         assert fn().count() >= 0
 
 
+@pytest.mark.slow
 def test_graph_family_drops_null_endpoint_edges(spark):
     """An edge with a NULL endpoint is no edge — every graph operator
     must IGNORE it rather than treat NULL as a node. Before the guard,
@@ -187,6 +192,7 @@ def test_graph_family_drops_null_endpoint_edges(spark):
     assert triangle_counts(all_null).count() == 0
 
 
+@pytest.mark.slow
 def test_similarity_family_zero_norm_vectors(spark):
     """A zero-norm vector has no direction: cosine against it is NULL
     (try_divide), so it pairs with nothing and is never a nearest
@@ -239,6 +245,7 @@ def test_asof_null_keys_never_match(spark):
     assert fuzzy_join(Ln, Rn, "name_a", "name_b", 2, suffix_len=6).count() == 0
 
 
+@pytest.mark.slow
 def test_cosine_join_ivf_gemm_tolerates_null_and_ragged_vectors(dirty):
     """r11: the gemm verify stacks each cell's vectors in numpy — NULL
     vectors (np.stack crash) are dropped (their canonical cosine is NULL

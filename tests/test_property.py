@@ -124,6 +124,7 @@ def test_snapshot_time_travel(spark, tmp_path):
         st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=12
     ),
 )
+@pytest.mark.slow
 def test_asof_max_matches_bruteforce(spark, left, right):
     """asof_max == per-row brute force: max right ts <= left ts on the key,
     one output row per left input row (duplicates preserved)."""
@@ -286,6 +287,7 @@ def _py_components(edges):
         max_size=20,
     )
 )
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark, edges):
     from shortcut_spark.operators.graph import connected_components
 
@@ -396,6 +398,7 @@ def test_replica_converges_under_random_schedules(spark, tmp_path_factory, ops, 
     ),
     shift=st.integers(0, 10_000),
 )
+@pytest.mark.slow
 def test_interval_overlap_shift_invariant_and_exact(spark, iv, shift):
     """Metamorphic: translating every interval by the same shift must not
     change the pair set (grid cell boundaries move, results cannot), and
@@ -492,6 +495,7 @@ def test_novelty_matches_first_seen_model(spark, docs):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(docs=st.lists(doc_st, min_size=1, max_size=6))
+@pytest.mark.slow
 def test_collocations_match_count_model(spark, docs):
     """Full (min_count=1) collocation table matches adjacent-pair /
     unigram count models, lift included (integer-derived doubles)."""
@@ -522,6 +526,7 @@ def test_collocations_match_count_model(spark, docs):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(docs=st.lists(doc_st, min_size=1, max_size=6), data=st.data())
+@pytest.mark.slow
 def test_vocab_growth_bucket_invariance(spark, docs, data):
     """The cumulative vocabulary curve equals the running-union model and
     is INVARIANT to the prefix-sum bucket count (1, 3, or 32 buckets)."""
@@ -645,6 +650,7 @@ def test_embedding_dispersion_matches_integer_model(spark, vecs):
     needle=st.text(alphabet="abcxy ", min_size=1, max_size=6),
     data=st.data(),
 )
+@pytest.mark.slow
 def test_trigram_contains_matches_bruteforce(spark, tmp_path_factory, texts, needle, data):
     """Random corpus, random needle (both case variants): an indexed
     contains/icontains find must equal the brute-force Python filter —
@@ -684,6 +690,7 @@ def test_trigram_contains_matches_bruteforce(spark, tmp_path_factory, texts, nee
         max_size=30,
     )
 )
+@pytest.mark.slow
 def test_quantile_normalize_matches_model(spark, vals):
     """quantile_normalize equals a direct Python evaluation of its spec
     (within-group rank → ceil(r·N/n_g) → pooled order statistic) on
@@ -737,6 +744,7 @@ _amend_ev_st = st.lists(
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(events=_amend_ev_st, data=st.data())
+@pytest.mark.slow
 def test_amend_family_schedule_invariant(spark, tmp_path_factory, events, data):
     import datetime as dt
     import uuid
@@ -863,6 +871,7 @@ def test_amend_family_schedule_invariant(spark, tmp_path_factory, events, data):
     ),
     data=st.data(),
 )
+@pytest.mark.slow
 def test_sessionize_ttl_in_horizon_batch_equal_and_expires(
     spark, tmp_path_factory, events, data
 ):
@@ -937,6 +946,7 @@ def test_sessionize_ttl_in_horizon_batch_equal_and_expires(
         max_size=12,
     )
 )
+@pytest.mark.slow
 def test_gapfill_interp_matches_model(spark, obs):
     """Linear interpolation vs a plain-Python model over random sparse
     observations including ALL-NULL-value buckets — the edge the fixture
@@ -1025,6 +1035,7 @@ def test_gapfill_interp_matches_model(spark, obs):
     ),
     buckets=st.integers(min_value=1, max_value=6),
 )
+@pytest.mark.slow
 def test_equidepth_histogram_matches_model(spark, vals, buckets):
     """Equi-depth bucket assignment vs a plain-Python model under heavy
     ties and NULLs: each DISTINCT value lands whole in bucket
@@ -1082,6 +1093,7 @@ def test_equidepth_histogram_matches_model(spark, vals, buckets):
         max_size=16,
     )
 )
+@pytest.mark.slow
 def test_retention_cohorts_matches_model(spark, evs):
     """Weekly cohort retention vs a plain-Python model: cohort = ISO week
     (Monday-truncated) of the user's FIRST signup; activity BEFORE the
@@ -1147,6 +1159,7 @@ def test_retention_cohorts_matches_model(spark, evs):
     ba=st.integers(min_value=0, max_value=12),
     bb=st.integers(min_value=0, max_value=12),
 )
+@pytest.mark.slow
 def test_token_budget_sample_matches_model(spark, docs, ba, bb):
     """Budget packing vs a plain-Python model: per stratum, docs in
     (md5-hash, key) order are kept while the cumulative tokens BEFORE
@@ -1200,6 +1213,7 @@ def test_token_budget_sample_matches_model(spark, docs, ba, bb):
     ),
     k=st.integers(min_value=1, max_value=3),
 )
+@pytest.mark.slow
 def test_windowed_topk_matches_model(spark, evs, k):
     """Hourly top-k vs a plain-Python model under COUNT TIES: rank order
     is (count desc, value asc) — total-order deterministic, so tied
@@ -1375,6 +1389,7 @@ def _py_triangles(edges):
         max_size=24,
     )
 )
+@pytest.mark.slow
 def test_triangle_counts_matches_bruteforce(spark, edges):
     """Degree-ordered wedge enumeration must count exactly the same
     triangles as naive triple enumeration on ANY graph — duplicates,

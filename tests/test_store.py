@@ -296,6 +296,7 @@ def test_custom_indexer_extension_point(spark, store_path):
     assert "IndexLookup" in st2.explain_find([eq(0, "a")])
 
 
+@pytest.mark.slow
 def test_defer_delete_merge_on_read(spark, store_path, tmp_path):
     """Tombstone (merge-on-read) delete is semantically identical to the
     copy-on-write path: same survivors, same len(), same index lookups —
@@ -520,6 +521,7 @@ def test_bloom_index_semantically_invisible(spark, store_path, tmp_path):
     assert rows_of(late.find([eq(0, "a")])) == rows_of(plain.find([eq(0, "a")]))
 
 
+@pytest.mark.slow
 def test_bloom_prunes_files_and_survives_reopen(spark, store_path):
     """Multi-batch store: a probe for a key present in ONE batch must prune
     the other batches' files driver-side (zero Spark jobs), a missing key
@@ -836,6 +838,7 @@ def _composite_fixture(spark, store_path):
     return st
 
 
+@pytest.mark.slow
 def test_composite_index_joint_pruning(spark, store_path):
     st = _composite_fixture(spark, store_path)
     assert len(st.manifest.files) == 6
@@ -849,6 +852,7 @@ def test_composite_index_joint_pruning(spark, store_path):
     assert len(got) == 3 and all(r["x"] == 0 and r["y"] == 2 for r in got)
 
 
+@pytest.mark.slow
 def test_composite_beats_singles_and_reopens(spark, store_path):
     """Min-estimate rule: tuple ndv ≥ member ndv, so the composite wins
     whenever the conjunction covers it; the spec round-trips through the
@@ -874,6 +878,7 @@ def test_composite_beats_singles_and_reopens(spark, store_path):
     assert got.count() > 0 and all(r["y"] != 5 for r in st2.find([]).collect())
 
 
+@pytest.mark.slow
 def test_composite_validation_and_drop(spark, store_path):
     from shortcut_spark.idx import CompositeIndex
 
@@ -1150,6 +1155,7 @@ def test_apply_changes_driver_and_distributed_venues_agree(spark, store_path, tm
             f.apply_changes(leader.changes(v0))
 
 
+@pytest.mark.slow
 def test_posting_part_pruning_and_sharding(spark, tmp_path):
     """Judge ask r4 #5: posting parts record per-part [min, max] range-key
     stats at write (fused into the posting build's one agg — no extra
@@ -1281,6 +1287,7 @@ def test_prune_mask_edges_match_per_file_check(spark, tmp_path):
     assert st._prune_mask(eq("k", "notanumber"), "k") is None
 
 
+@pytest.mark.slow
 def test_bloom_lazy_per_candidate_loading(spark, store_path):
     """Above BLOOM_EAGER_MAX live files, a bloom probe fetches ONLY the
     candidate files' bitsets (incrementally cached), never the whole map
@@ -1463,6 +1470,7 @@ def test_trigram_index_semantically_invisible(spark, store_path, tmp_path):
         assert rows_of(st.find(conds)) == rows_of(plain.find(conds))
 
 
+@pytest.mark.slow
 def test_trigram_prunes_files_and_survives_reopen(spark, store_path):
     """Multi-batch store: a needle planted in ONE batch must prune the
     others (ALL-grams intersection), a needle whose grams never co-occur
@@ -2068,6 +2076,7 @@ def test_cdf_vacuum_retention(spark, tmp_path):
     assert len(kept) <= 1
 
 
+@pytest.mark.slow
 def test_insert_micro_batch_dense_rowids_single_file(spark, tmp_path):
     """micro_batch=True lands a DataFrame batch as ONE data file with the
     same dense-rowid contract as the two-pass path: rowids are exactly
@@ -2111,6 +2120,7 @@ def test_changes_cdf_plan_prunes_empty_branches(spark, tmp_path):
     assert got == [("delete", "a1")]
 
 
+@pytest.mark.slow
 def test_insert_tiny_dataframe_driver_route_equivalent(spark, tmp_path):
     """A DataFrame batch the optimizer's size estimate bounds tiny ingests
     through the driver kernel (the list-insert path): same rows, same
@@ -2148,6 +2158,7 @@ def test_insert_tiny_dataframe_driver_route_equivalent(spark, tmp_path):
     assert a._take_micro_df(big) is None
 
 
+@pytest.mark.slow
 def test_merge_micro_batch_equivalent_to_default(spark, tmp_path):
     """merge(..., micro_batch=True) — the matview refresh path — returns
     the same counts and converges to the same table as the default merge,
@@ -2162,3 +2173,48 @@ def test_merge_micro_batch_equivalent_to_default(spark, tmp_path):
     assert b.manifest.version == v0 + 1  # single atomic commit
     assert rows_of(b.find([])) == rows_of(a.find([]))
     assert rows_of(b.find([eq(0, "a")])) == [("a", "A_NEW")]  # postings see the batch
+
+
+def test_bulk_insert_arithmetic_rowids_match_window_plan(spark, tmp_path):
+    """The exchange-free rowid arithmetic (mid's low bits + per-partition
+    offsets) assigns EXACTLY the rowids the row_number window plan does —
+    full (rowid, row) sets byte-identical on a multi-partition batch."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    src_path = str(tmp_path / "bulk.parquet")
+    spark.range(5000).select(
+        F.concat(F.lit("k"), (F.col("id") % 997).cast("string")).alias("c0"),
+        F.col("id").cast("string").alias("c1"),
+    ).repartition(7).write.parquet(src_path)
+    src = spark.read.parquet(src_path)
+
+    a = make(spark, str(tmp_path / "arith"), AXB, index_col=0)
+    assert a.insert(src) == 5000
+    os.environ["SPARK_GRAFT_ROWID_WINDOW"] = "1"  # force the window plan
+    try:
+        b = make(spark, str(tmp_path / "win"), AXB, index_col=0)
+        assert b.insert(src) == 5000
+    finally:
+        del os.environ["SPARK_GRAFT_ROWID_WINDOW"]
+    rows_a = sorted(map(tuple, a.find([], with_rowid=True).collect()))
+    rows_b = sorted(map(tuple, b.find([], with_rowid=True).collect()))
+    assert rows_a == rows_b  # same rowid -> same row, bit for bit
+    assert a.manifest.rowid == b.manifest.rowid  # dense watermark advance
+    # postings built through the observe()-fused single-job path still
+    # serve point lookups
+    assert rows_of(a.find([eq(0, "k13")])) == rows_of(b.find([eq(0, "k13")]))
+
+
+def test_insert_empty_dataframe_batch_is_free(spark, tmp_path):
+    """An eligible zero-row DataFrame batch returns 0 without running the
+    distributed tail or bumping the version (the probed bound already
+    proved it empty)."""
+    st = make(spark, str(tmp_path / "e"), AXB, index_col=0)
+    v0, wm0 = st.manifest.version, st.manifest.rowid
+    src_path = str(tmp_path / "empty.parquet")
+    spark.createDataFrame([], "c0 string, c1 string").write.parquet(src_path)
+    assert st.insert(spark.read.parquet(src_path)) == 0
+    assert st.manifest.version == v0 and st.manifest.rowid == wm0
+    assert len(rows_of(st.find([]))) == len(AXB)  # existing rows untouched

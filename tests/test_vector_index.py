@@ -19,6 +19,7 @@ def _query(emb):
     return emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
 
 
+@pytest.mark.slow
 def test_create_probe_matches_session_fit(spark, emb, tmp_path):
     """The persisted fit is exactly ivf_fit's output (deterministic), so
     probing the standing index equals probing a fresh session fit."""
@@ -35,6 +36,7 @@ def test_create_probe_matches_session_fit(spark, emb, tmp_path):
     assert standing == session and len(standing) == 10
 
 
+@pytest.mark.slow
 def test_reopen_probes_without_refit(spark, emb, tmp_path, monkeypatch):
     """The r9 done-criterion: after reopen, probes run ZERO fit jobs —
     pinned by making any fit call raise."""
@@ -62,6 +64,7 @@ def test_reopen_probes_without_refit(spark, emb, tmp_path, monkeypatch):
     assert ix.join(emb.filter(F.col("vec_id") < 100), 0.4).count() >= 0
 
 
+@pytest.mark.slow
 def test_refresh_applies_cdc_delta(spark, emb, tmp_path, monkeypatch):
     """Index keyed to the corpus Store's manifest version: insert/delete
     on the corpus → refresh applies exactly the delta (cost ∝ delta — no
@@ -123,6 +126,7 @@ def test_refresh_applies_cdc_delta(spark, emb, tmp_path, monkeypatch):
     assert top[0] == 440
 
 
+@pytest.mark.slow
 def test_vector_index_probe_prunes_cell_files(spark, emb, tmp_path):
     """The rows store's cluster hash index turns cells into REAL inverted
     lists: with file-sized cells (ROWS_PER_FILE shrunk so the clustered
@@ -147,6 +151,7 @@ def test_vector_index_probe_prunes_cell_files(spark, emb, tmp_path):
     assert 0 < len(files) < total
 
 
+@pytest.mark.slow
 def test_stream_into_store_maintains_vector_index(spark, emb, tmp_path):
     """Continuously-maintained ANN: stream_into_store(vector_index=ix)
     refreshes the standing index once per committed micro-batch — new
@@ -203,6 +208,7 @@ def test_stream_into_store_maintains_vector_index(spark, emb, tmp_path):
     assert top[0] == 399
 
 
+@pytest.mark.slow
 def test_pq_encode_matches_codebook_space(spark, emb):
     """pq_encode against a fitted codebook assigns every vector the
     nearest sub-centroid — encoding the TRAINING set against the final
@@ -219,6 +225,7 @@ def test_pq_encode_matches_codebook_space(spark, emb):
     assert top[0]["vec_id"] == 7
 
 
+@pytest.mark.slow
 def test_refresh_mass_delete_guard(spark, emb, tmp_path, monkeypatch):
     """A delete delta past MAX_COLLECTED_DELETES must refuse with a
     rebuild pointer BEFORE any id reaches the driver — heavy churn is
@@ -263,6 +270,7 @@ def test_refresh_mass_delete_guard(spark, emb, tmp_path, monkeypatch):
     assert ix.rows.find([]).count() == 100
 
 
+@pytest.mark.slow
 def test_remove_bulk_takes_tombstone_path(spark, emb, tmp_path, monkeypatch):
     """Past DEFER_REMOVE_ABOVE ids, remove() must switch to merge-on-read
     tombstones (cost ∝ victims — no per-chunk file rewrite) while reads
@@ -283,6 +291,7 @@ def test_remove_bulk_takes_tombstone_path(spark, emb, tmp_path, monkeypatch):
     assert ix.rows.find([]).count() == 199
 
 
+@pytest.mark.slow
 def test_unsized_ivf_calls_route_through_standing_index(
     spark, emb, tmp_path, monkeypatch
 ):
@@ -329,6 +338,7 @@ def test_unsized_ivf_calls_route_through_standing_index(
         similarity.cosine_join_ivf(other, 0.4)
 
 
+@pytest.mark.slow
 def test_open_and_refresh_reattach_standing_route(spark, emb, tmp_path, monkeypatch):
     """open(corpus=...) attaches an existing index to a corpus plan in a
     fresh consumer; refresh() re-attaches to the corpus Store's NEW scan
@@ -374,6 +384,7 @@ def test_open_and_refresh_reattach_standing_route(spark, emb, tmp_path, monkeypa
     assert len(similarity.ivf_topk(st.find([]), q, 5).collect()) == 5
 
 
+@pytest.mark.slow
 def test_stream_refresh_every_n_epochs(spark, emb, tmp_path):
     """The r10 cadence knob: vector_index_refresh_every=N refreshes the
     index on every Nth committed micro-batch (each refresh folds all
@@ -429,6 +440,7 @@ def test_stream_refresh_every_n_epochs(spark, emb, tmp_path):
     assert ix.meta["source_version"] == st.manifest.version
 
 
+@pytest.mark.slow
 def test_knn_join_ivf_all_cells_equals_exact_and_probe_recall(spark, emb):
     """r10 batch retrieval: knn_join_ivf with nprobe = all cells equals
     the exact knn_join row-for-row (the exhaustive-probe certification,
@@ -461,6 +473,7 @@ def test_knn_join_ivf_all_cells_equals_exact_and_probe_recall(spark, emb):
     assert recall >= 0.8, recall
 
 
+@pytest.mark.slow
 def test_vector_index_knn_routes_standing(spark, emb, tmp_path, monkeypatch):
     """VectorIndex.knn probes the persisted fit (no refit — pinned by a
     raising monkeypatch) and the fully-unsized knn_join_ivf routes
@@ -492,6 +505,7 @@ def test_vector_index_knn_routes_standing(spark, emb, tmp_path, monkeypatch):
     assert unsized == want
 
 
+@pytest.mark.slow
 def test_standing_lsh_band_layer(spark, emb, tmp_path, monkeypatch):
     """r10 LSH band layer: the standing probe is bit-identical to
     similarity.lsh_topk at the same pinned planes (deterministic
@@ -543,6 +557,7 @@ def test_standing_lsh_band_layer(spark, emb, tmp_path, monkeypatch):
     assert 100_000 not in top2
 
 
+@pytest.mark.slow
 def test_standing_lsh_refresh_maintains_bands(spark, emb, tmp_path):
     """CDC refresh on an LSH-layered index upserts the band store in the
     same pass (idempotent on replay), and the band probe prunes files:
@@ -597,6 +612,7 @@ def test_standing_lsh_refresh_maintains_bands(spark, emb, tmp_path):
     assert 0 < len(files) < total
 
 
+@pytest.mark.slow
 def test_lsh_only_index_never_fits(spark, emb, tmp_path, monkeypatch):
     """ivf=False builds an LSH-ONLY index with ZERO fit jobs (pinned by
     making Lloyd raise BEFORE create), probes identically to lsh_topk,
@@ -640,6 +656,7 @@ def test_lsh_only_index_never_fits(spark, emb, tmp_path, monkeypatch):
         )
 
 
+@pytest.mark.slow
 def test_lsh_only_refresh_cdc(spark, emb, tmp_path, monkeypatch):
     """CDC refresh on an LSH-only index maintains the band store alone
     (no fit — Lloyd raises), reports vector-granular counts, and stays
@@ -680,6 +697,7 @@ def test_lsh_only_refresh_cdc(spark, emb, tmp_path, monkeypatch):
     assert ix.refresh(st) == (0, 0)
 
 
+@pytest.mark.slow
 def test_lsh_only_attach_does_not_hijack_unsized_ivf(spark, emb, tmp_path):
     """r10 advice (high): creating an LSH-only index ATTACHES it to the
     corpus plan, but unsized IVF consumers (cosine_join_ivf etc.) must
@@ -702,6 +720,7 @@ def test_lsh_only_attach_does_not_hijack_unsized_ivf(spark, emb, tmp_path):
     assert out.count() >= 0
 
 
+@pytest.mark.slow
 def test_create_validation_is_eager_and_leaves_no_artifacts(spark, emb, tmp_path):
     """r10 advice (medium+low): argument validation runs before any Store
     is created — a rejected create() leaves NOTHING at path — and
@@ -759,6 +778,7 @@ def test_attach_registry_lru_eviction(spark):
         vx._ATTACHED.update(saved)
 
 
+@pytest.mark.slow
 def test_refresh_append_only_skips_cdc_machinery(spark, emb, tmp_path, monkeypatch):
     """r11 (commit-floor ask): an append-only refresh decides the delta
     shape from manifest METADATA — it must never build the CDC
@@ -823,6 +843,7 @@ def test_refresh_append_only_skips_cdc_machinery(spark, emb, tmp_path, monkeypat
     assert 3 not in ids and 350 in ids and len(ids) == 355
 
 
+@pytest.mark.slow
 def test_attach_registry_raw_path_staleness(spark, emb, tmp_path):
     """r12 (r11 judge wrong-list #2): a raw-parquet-path corpus re-read
     after its directory gained files canonicalizes to the SAME
