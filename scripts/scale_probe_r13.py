@@ -29,19 +29,28 @@ from shortcut_spark.session import get_spark  # noqa: E402
 
 
 def synth_fp(spark, n: int):
-    """n deterministic ~uniform 32-bit fingerprints (md5 of the id)."""
-    return spark.range(n).select(
+    """n deterministic ~uniform 32-bit fingerprints (md5 of the id),
+    PARQUET-BACKED: a checkpointed/in-memory relation reports unknown or
+    tiny stats and the banded self-join then plans a broadcast that
+    explodes at band fan-out (measured: 8.4 GiB attempted broadcast at
+    n=2M, blocks=8) — file-backed inputs carry honest, size-growing
+    stats, which is the production shape."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sp13_fp_") + "/fp.parquet"
+    spark.range(n).select(
         F.col("id").alias("doc_id"),
         F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
         .cast("long")
         .alias("simhash"),
-    )
+    ).write.parquet(d)
+    return spark.read.parquet(d)
 
 
 def synth_docs(spark, n: int):
-    """n docs of 20 unique tokens; every 100th doc spawns a 3-way family
-    of near-identical texts (one token tweaked) — planted near-dup pairs
-    so the verify stage and CC do real work."""
+    """n docs of 20 unique tokens; 3%% of docs form 3-way families of
+    near-identical texts (one token tweaked) — planted near-dup pairs so
+    the verify stage and CC do real work. Parquet-backed (see synth_fp)."""
     base = spark.range(n).select(
         F.col("id").alias("doc_id"),
         (F.col("id") - (F.col("id") % 3)).alias("fam"),
@@ -89,7 +98,7 @@ def main() -> None:
     print("| probe | wall | jobs | result |\n|---|---|---|---|")
     sizes = [500_000] if quick else [500_000, 2_000_000]
     for n in sizes:
-        fp = synth_fp(spark, n).localCheckpoint()  # isolate the pair machine
+        fp = synth_fp(spark, n)
         for blocks in (4, 8):
             probe(
                 spark,
@@ -104,18 +113,20 @@ def main() -> None:
         c = _corpus_count(fp)
         picked = 8 if c > 1_000_000 else 4
         print(f"| auto-sizing at n={n} | - | - | picks blocks={picked} |")
-        fp.unpersist()
 
     print("\n### dup_clusters edge materialization + CC\n")
     print("| probe | wall | jobs | result |\n|---|---|---|---|")
     for n in [50_000] + ([] if quick else [500_000]):
-        docs = synth_docs(spark, n).localCheckpoint()
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="sp13_docs_") + "/docs.parquet"
+        synth_docs(spark, n).write.parquet(d)
+        docs = spark.read.parquet(d)
         probe(
             spark,
             f"dup_clusters n={n}",
             lambda docs=docs: dedup.dup_clusters(docs, "doc_id", "text").count(),
         )
-        docs.unpersist()
 
 
 if __name__ == "__main__":

@@ -643,6 +643,25 @@ def _fp_hamming_pairs(
         F.col("simhash"),
         F.explode(F.array(*keys)).alias("sig"),
     )
+    # Deliberate join strategy (opt guide §3): the optimizer prices this
+    # self-join off the COMPACT fingerprint relation's bytes — the
+    # len(combos)-way band explosion is invisible to it, so a corpus
+    # whose fingerprints fit the broadcast threshold on disk can plan a
+    # broadcast of the EXPLODED side (measured: an attempted 8.4 GiB
+    # broadcast, hard failure, at 2M fingerprints × 56 keys). When the
+    # driver-side estimate of the exploded size exceeds the broadcast
+    # threshold, pin sort-merge; tiny corpora keep the broadcast fast
+    # path.
+    from ..functions import _plan_size_bytes
+
+    try:
+        thresh = int(
+            fp.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        )
+    except ValueError:
+        thresh = 10 * 1024 * 1024
+    if thresh > 0 and _plan_size_bytes(fp) * len(combos) > thresh:
+        bands = bands.hint("merge")
     a, b = bands.alias("a"), bands.alias("b")
     # hamming-verify BEFORE the distinct: the verify is one XOR+bit_count
     # (map-side, codegen), while the distinct is a full exchange of the

@@ -4566,3 +4566,27 @@ def test_kmeans_numpy_kernel_byte_identical_to_expression(spark, monkeypatch):
     assert fast_a == slow_a
     assert fast_s == slow_s
     assert len(fast_a) == 62  # NULL vector drops; ragged/null-holed stay
+
+
+def test_fp_hamming_pairs_merge_pin_identical(spark, docs):
+    """The banded self-join's scale guard (pin sort-merge when the
+    driver-side estimate of the EXPLODED band relation exceeds the
+    broadcast threshold) emits the identical pair set: the hint changes
+    strategy, never rows. Forces the gate by shrinking the threshold."""
+    from shortcut_spark.operators.dedup import _fp_hamming_pairs, simhash
+
+    fp = simhash(docs.limit(300), "doc_id", "text")
+    base = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in _fp_hamming_pairs(fp, "doc_id", 3, blocks=8).collect()
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try:
+        pinned = sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in _fp_hamming_pairs(fp, "doc_id", 3, blocks=8).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert pinned == base and base  # same pairs, non-empty fixture
