@@ -171,6 +171,33 @@ def minhash_signature_arrays(
     )
 
 
+def _pin_merge_if_exploded(banded: DataFrame, source: DataFrame, fanout: int) -> DataFrame:
+    """Deliberate join strategy for banded candidate joins (opt guide §3):
+    the optimizer prices a band join off the COMPACT source relation's
+    bytes — the ``fanout``-way band explosion is invisible to it, so a
+    corpus whose source fits the broadcast threshold on disk can plan a
+    broadcast of the EXPLODED side. Measured r13: an attempted 8.4 GiB
+    broadcast (hard failure) at 2M fingerprints × 56 band keys, and even
+    a fitting multi-GB broadcast lost 13× to a shuffle. When the
+    driver-side estimate of the exploded size (source plan bytes ×
+    fanout) exceeds the broadcast threshold, pin sort-merge; tiny
+    corpora keep the broadcast fast path. Results are strategy-
+    independent (pytest-pinned)."""
+    from ..functions import _plan_size_bytes
+
+    try:
+        thresh = int(
+            banded.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        )
+    except ValueError:
+        thresh = 10 * 1024 * 1024
+    if thresh > 0 and _plan_size_bytes(source) * fanout > thresh:
+        return banded.hint("merge")
+    return banded
+
+
 def _banded(sig: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
     """(id, band, bh): each doc exploded to its LSH band keys — band index
     plus md5 of that band's signature slice, so each bucket is tiny at
@@ -191,7 +218,9 @@ def minhash_candidates(
 ) -> DataFrame:
     """LSH banding: docs agreeing on all rows of any band become a candidate
     pair (a < b)."""
-    banded = _banded(sig, id_col, num_hashes, bands)
+    banded = _pin_merge_if_exploded(
+        _banded(sig, id_col, num_hashes, bands), sig, bands
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -345,11 +374,13 @@ def cross_corpus_near_dups(
     """
     arr_new = shingle_arrays(new_df, id_col, text_col, n).persist()
     arr_ref = shingle_arrays(ref_df, id_col, text_col, n).persist()
-    band_new = _banded(
-        minhash_signature_arrays(arr_new, id_col, num_hashes), id_col, num_hashes, bands
-    ).select(F.col(id_col).alias("new_id"), "band", "bh")
-    band_ref = _banded(
-        minhash_signature_arrays(arr_ref, id_col, num_hashes), id_col, num_hashes, bands
+    sig_new = minhash_signature_arrays(arr_new, id_col, num_hashes)
+    sig_ref = minhash_signature_arrays(arr_ref, id_col, num_hashes)
+    band_new = _banded(sig_new, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("new_id"), "band", "bh"
+    )
+    band_ref = _pin_merge_if_exploded(
+        _banded(sig_ref, id_col, num_hashes, bands), sig_ref, bands
     ).select(F.col(id_col).alias("ref_id"), "band", "bh")
     cand = band_new.join(band_ref, ["band", "bh"]).select("new_id", "ref_id").distinct()
 
@@ -643,25 +674,7 @@ def _fp_hamming_pairs(
         F.col("simhash"),
         F.explode(F.array(*keys)).alias("sig"),
     )
-    # Deliberate join strategy (opt guide §3): the optimizer prices this
-    # self-join off the COMPACT fingerprint relation's bytes — the
-    # len(combos)-way band explosion is invisible to it, so a corpus
-    # whose fingerprints fit the broadcast threshold on disk can plan a
-    # broadcast of the EXPLODED side (measured: an attempted 8.4 GiB
-    # broadcast, hard failure, at 2M fingerprints × 56 keys). When the
-    # driver-side estimate of the exploded size exceeds the broadcast
-    # threshold, pin sort-merge; tiny corpora keep the broadcast fast
-    # path.
-    from ..functions import _plan_size_bytes
-
-    try:
-        thresh = int(
-            fp.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-        )
-    except ValueError:
-        thresh = 10 * 1024 * 1024
-    if thresh > 0 and _plan_size_bytes(fp) * len(combos) > thresh:
-        bands = bands.hint("merge")
+    bands = _pin_merge_if_exploded(bands, fp, len(combos))
     a, b = bands.alias("a"), bands.alias("b")
     # hamming-verify BEFORE the distinct: the verify is one XOR+bit_count
     # (map-side, codegen), while the distinct is a full exchange of the
